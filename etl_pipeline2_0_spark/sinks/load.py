@@ -1,0 +1,116 @@
+"""Sinks (reference operators S5–S8, SURVEY.md §2.1).
+
+Reference behavior (citations into /root/reference):
+
+- S5 CSV sink       etl_pipeline.py:289-292 — normalized table → CSV, header.
+- S6 schema JSON    etl_pipeline.py:294-298 — inferred schema dict → JSON.
+- S7 metadata JSON  etl_pipeline.py:300-306 — start/end timestamps, filename,
+  total_items, items_by_type.
+- S8 row store      etl_pipeline.py:320-380 — two SQLite tables,
+  ``processed_data`` (one JSON-serialized row per record) and ``schemas``.
+
+Spark mapping: CSV via the native writer (quoting rules of the reference's
+browser export, S9, are the CSV writer's defaults); the row store is
+partitioned **parquet** with the same two-table layout and
+``to_json(struct(*))`` reproducing the row-as-JSON-blob semantics
+(etl_pipeline.py:360) — Spark-SQL-queryable, no 2 GB SQLite ceiling, and a
+``jdbc_url`` escape hatch writes the identical frames through JDBC instead.
+``single_file=True`` coalesces the demo CSV to one part for byte-level
+parity with the reference's output; production writes stay partitioned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S5: CSV with header.  ``coalesce(1)`` only for demo parity — a
+    distributed write keeps one file per partition."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_schema_json(schema_report: dict[str, Any], path: str) -> None:
+    """S6: the A4 schema report, driver-side (it is one small dict)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(schema_report, f, indent=2, default=str)
+
+
+def write_metadata_json(metadata: dict[str, Any], path: str) -> None:
+    """S7: run metadata, driver-side."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(metadata, f, indent=2, default=str)
+
+
+def write_rowstore(
+    normalized: DataFrame,
+    schema_report: dict[str, Any],
+    base_path: str,
+    source_name: str = "",
+    jdbc_url: str | None = None,
+) -> None:
+    """S8: the two-table row store.
+
+    ``processed_data(filename, source_index, data_type, data_json,
+    created_at)`` — one JSON blob per record via ``to_json(struct(*))`` —
+    and ``schemas(filename, schema_json, created_at)``.  Parquet by default
+    (partitioned by ``data_type`` so per-type scans prune); JDBC when a URL
+    is supplied.
+    """
+    spark = normalized.sparkSession
+    processed = normalized.select(
+        F.lit(source_name).alias("filename"),
+        F.col("source_index"),
+        F.col("type").alias("data_type"),
+        F.to_json(F.struct(*normalized.columns)).alias("data_json"),
+        F.current_timestamp().alias("created_at"),
+    )
+    schemas = spark.createDataFrame(
+        [(source_name, json.dumps(schema_report, default=str))],
+        "filename string, schema_json string",
+    ).withColumn("created_at", F.current_timestamp())
+    if jdbc_url is not None:
+        processed.write.mode("append").jdbc(jdbc_url, "processed_data")
+        schemas.write.mode("append").jdbc(jdbc_url, "schemas")
+        return
+    processed.write.mode("overwrite").partitionBy("data_type").parquet(
+        os.path.join(base_path, "processed_data")
+    )
+    schemas.write.mode("overwrite").parquet(os.path.join(base_path, "schemas"))
+
+
+def load_outputs(
+    normalized: DataFrame,
+    schema_report: dict[str, Any],
+    out_dir: str,
+    source_name: str = "",
+    items_by_type: dict[str, int] | None = None,
+    start_time: datetime | None = None,
+    use_rowstore: bool = False,
+    single_file_csv: bool = True,
+) -> dict[str, Any]:
+    """The reference's ``load`` stage: CSV + schema JSON + metadata JSON
+    (+ optional row store).  Returns the metadata dict."""
+    write_csv(normalized, os.path.join(out_dir, "cleaned_output"), single_file=single_file_csv)
+    write_schema_json(schema_report, os.path.join(out_dir, "dynamic_schema.json"))
+    end = datetime.now(timezone.utc)
+    metadata = {
+        "source_file": source_name,
+        "processing_start": (start_time or end).isoformat(),
+        "processing_end": end.isoformat(),
+        "total_items": sum((items_by_type or {}).values()),
+        "items_by_type": items_by_type or {},
+    }
+    write_metadata_json(metadata, os.path.join(out_dir, "processing_metadata.json"))
+    if use_rowstore:
+        write_rowstore(normalized, schema_report, os.path.join(out_dir, "rowstore"), source_name)
+    return metadata
