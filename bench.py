@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() action) after a shared warm-up
+so JVM/session startup is not billed to any query.  Per-query wall time is
+the end-to-end job time including scan, shuffle, and action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pipeline2_0_spark.plans.registry import ALL_QUERIES
+from etl_pipeline2_0_spark.session import get_spark
+
+# Headline set: the flagship scan-agg, the join pyramid, windows/sessionize,
+# and one of each scale-extension family (dedup, similarity, text, pipeline).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "brand_pricing",
+    "rollup_sales",
+    "running_total",
+    "sessionize",
+    "topk_per_group",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "ann_topk",
+    "lang_id_counts",
+    "text_features",
+    "bpe_token_estimate",
+    "extract_doc_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="etl-pipeline2.0-bench")
+
+    # Warm-up: touch the session + parquet footers once, outside timing.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        key = name.split(": ")[-1]
+        fn, _ = ALL_QUERIES[key]
+        start = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[key] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

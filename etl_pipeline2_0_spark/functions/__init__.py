@@ -1,0 +1,3 @@
+from etl_pipeline2_0_spark.functions import dedup, multimodal, similarity, text
+
+__all__ = ["text", "dedup", "similarity", "multimodal"]

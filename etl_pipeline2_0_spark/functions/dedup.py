@@ -1,0 +1,320 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, each designed shuffle-minimal for the 100 TB case:
+
+- **Exact** (``exact_dedup`` / ``duplicate_groups``): md5-keyed.  One hash
+  shuffle on the digest (never the full text — 32-byte keys keep exchange
+  volume tiny); min-id winner per group via a partitioned window.
+- **N-gram Jaccard** (``jaccard_pairs``): relational token-join form —
+  explode distinct shingles, self-join on shingle, count intersections,
+  derive Jaccard.  No cross join anywhere; the join key is the shingle, so
+  co-occurrence does the candidate pruning.  Fully SQL-expressible (DuckDB
+  oracle).
+- **MinHash + LSH** (``minhash_signatures`` / ``lsh_candidate_pairs`` /
+  ``minhash_near_duplicates``): xxhash64-based signatures computed natively
+  per row (no shuffle), banded into buckets, candidates from equi-joins on
+  (band, bucket-hash) — the classic shingle→minhash→band→bucket-join at
+  Spark scale — then verified with exact Jaccard on the candidate pairs
+  only.
+- **SimHash** (``simhash64``): 64-bit signature via a vectorized pandas UDF
+  (numpy bit-ops over Arrow batches — the per-bit accumulation is the one
+  place native higher-order functions would be slower than Arrow); near-dup
+  pairs by Hamming distance ≤ k over band-blocked candidates.
+- **Embedding cosine** (``embedding_near_duplicates``): see
+  ``functions.similarity`` for the cosine machinery; near-dup = pairs above
+  a cosine threshold among bucketed candidates.
+
+All pair outputs are canonicalized ``id_a < id_b``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------- exact ----
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact-content group.
+
+    The shuffle key is the md5 digest; the window is partitioned by digest so
+    no single-partition collapse occurs regardless of corpus size.
+    """
+    digest = F.md5(F.col(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    return (
+        df.select(F.col(id_col), F.col(text_col), digest)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups with more than one exact copy: (content_hash, dup_count, min id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(F.col(id_col)).alias("keeper_id"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# ------------------------------------------------------------- shingles ----
+
+
+def token_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined) of a lowercased text."""
+    toks = F.filter(F.split(F.lower(col), r"\W+"), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    shingles = F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    return F.array_distinct(shingles)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    Relational form: explode shingles → self-join on shingle → per-pair
+    intersection counts → Jaccard from |A|+|B|-|A∩B|.  The shingle join key
+    prunes the quadratic pair space to co-occurring docs only; skew on very
+    common shingles is handled by AQE skew-join splitting.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------- MinHash + LSH ----
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-document MinHash signature: ``sig[j] = min over shingles of
+    xxhash64(j, shingle)``.
+
+    Computed as a pure projection (no shuffle, no UDF): ``transform`` over
+    the permutation index builds the signature array in one codegen'd pass.
+    """
+    shingles = token_shingles(F.col(text_col), k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(shingles, lambda s: F.xxhash64(j, s))),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, bucket hash).
+
+    Each band's slice hashes to one bucket key; docs colliding in ANY band
+    become candidates.  The join is a plain equi-join → hash shuffle on
+    small (band, bucket) keys; output is distinct canonical pairs.
+    """
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full shingle→minhash→band→bucket-join→verify pipeline.
+
+    LSH prunes candidates; exact Jaccard on the candidates only (semi-joined
+    back to the shingle table) removes false positives, so the output is
+    exact-above-threshold among LSH-recalled pairs.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    candidates = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(text_col), k).alias("shingles"),
+    )
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# -------------------------------------------------------------- SimHash ----
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF.
+
+    numpy unpacks each token hash into 64 bits and accumulates ±1 per bit
+    position across tokens — work that per-bit native expressions would do
+    64× slower, so this is the justified vectorized-UDF path.  Token hashes
+    come from xxhash64 *natively* first, so the UDF only does bit math.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(hash_arrays: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(hash_arrays), dtype=np.int64)
+        for i, hashes in enumerate(hash_arrays):
+            if hashes is None or len(hashes) == 0:
+                continue
+            h = np.asarray(hashes, dtype=np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            counts = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(counts > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: F.length(t) > 0
+    )
+    token_hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col).alias("id"), _simhash(token_hashes).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit signature into ``blocks`` chunks;
+    any pair within distance ``max_hamming < blocks`` must agree on ≥1 chunk,
+    so candidates come from equi-joins on (chunk index, chunk value) — no
+    cross join — then exact popcount verification.
+    """
+    bits_per = 64 // blocks
+    sigs = simhash64(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * bits_per).bitwiseAND(
+                F.lit((1 << bits_per) - 1)
+            )
+            for b in range(blocks)
+        ]
+    )
+    chunked = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(chunks).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        candidates.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

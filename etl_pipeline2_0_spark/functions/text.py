@@ -1,0 +1,133 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond-reference extensions (mandated by the build brief): language ID,
+quality scoring, token counting, document fingerprinting — each a pure
+native-expression column function over a string column, so the whole suite
+runs inside whole-stage codegen at scan speed.  Designed for the
+``documents`` table (``doc_id, text, lang, source, n_chars``) but applicable
+to any string column.
+
+The reference's own text surface (F1/F2/F3 whitespace tokenize, trim/length,
+substring — etl_pipeline.py:112,124,157-158) is subsumed by ``token_count``
+and ``title_of``.
+
+Every function here has an exact ANSI-SQL twin used by the DuckDB oracle
+(see ``__spark_entry__.oracle_sql``), so semantics are pinned cross-engine:
+word chars are ASCII ``\\w``, tokens are lowercased ``\\W+`` splits with
+empties removed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic.  ASCII-only on purpose: identical regex semantics in Java
+# (Spark) and RE2 (DuckDB).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "una"],
+    "fr": ["le", "la", "les", "des", "et", "que", "dans", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "eine", "mit", "zu"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens: split on non-word runs, empties removed."""
+    return F.filter(
+        F.split(F.lower(col), r"\W+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (reference A3 semantics: ``len(s.split())``)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def title_of(col: Column, max_len: int = 50) -> Column:
+    """Reference E9: first ``max_len`` chars as a display title."""
+    return F.substring(col, 1, max_len)
+
+
+def _marker_hits(col: Column, markers: list[str]) -> Column:
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), F.lit(0)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-marker hit counts."""
+    return {lang: _marker_hits(col, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language: argmax of marker hits, 'und' when all zero.
+
+    Deterministic tiebreak: fixed language order en > es > fr > de (first
+    max wins), mirrored exactly in the oracle SQL's CASE chain.
+    """
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build the CASE from the last language backwards so earlier languages
+    # win ties (first-max-wins in en, es, fr, de order).
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-space characters that are not word characters."""
+    compact = F.regexp_replace(col, r"\s+", "")
+    n = F.length(compact)
+    word_chars = F.length(F.regexp_replace(compact, r"\W", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - word_chars) / n)
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are English stopword markers."""
+    toks = tokens(col)
+    stops = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(stops / F.size(toks))
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total / F.size(toks))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards normal-length tokens and a
+    sane stopword share, penalizes punctuation soup.  A simple, fully
+    SQL-expressible stand-in for trained quality classifiers."""
+    length_term = F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    return F.round((length_term + stop_term + punct_term) / 3, 6)
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-content fingerprint (byte-identical across engines)."""
+    return F.md5(col)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-approximating token estimate: word tokens + digit runs +
+    punctuation marks each count; long words count ceil(len/6) subwords.
+    Cheap, deterministic, SQL-mirrorable — useful for budget estimation."""
+    toks = tokens(col)
+    subwords = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(6.0)).cast("int"),
+    )
+    punct = F.length(F.regexp_replace(col, r"[\w\s]", ""))
+    return subwords + punct

@@ -1,0 +1,346 @@
+"""Training-data-pipeline queries: dedup, text analysis, similarity search,
+multimodal plumbing, and the document-extraction pipeline over the driver's
+``documents`` / ``embeddings`` tables.
+
+Same conventions as ``plans.relational``: every SQL-expressible query has an
+exact DuckDB twin (identical aliases; rounding before comparison; integer
+sums cast to BIGINT because DuckDB widens to HUGEINT).  Queries that depend
+on engine-specific hashing (xxhash64 LSH, SimHash) or pandas UDFs have no
+SQL twin — the driver records the weaker rows-only check for those, and the
+pytest suite pins their semantics instead.
+
+Subset filters (``doc_id % 10 = 0`` etc.) keep pairwise oracles cheap at any
+scale factor while leaving the Spark plan shape identical to the full run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline2_0_spark.functions import dedup, multimodal, similarity, text
+from etl_pipeline2_0_spark.pipeline import transform_documents
+from etl_pipeline2_0_spark.sources.tables import load_table
+
+# ------------------------------------------------------------- exact dedup -
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "content_hash")
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash "
+    "FROM documents GROUP BY md5(text)"
+)
+
+
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Prefix-keyed grouping so the synthetic corpus (no exact dups) still
+    # produces non-trivial duplicate groups.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 20).alias("text")
+    )
+    return dedup.duplicate_groups(docs)
+
+
+SQL_DUP_GROUPS = """
+SELECT md5(SUBSTRING(text, 1, 20)) AS content_hash, COUNT(*) AS dup_count,
+       MIN(doc_id) AS keeper_id
+FROM documents GROUP BY md5(SUBSTRING(text, 1, 20)) HAVING COUNT(*) > 1
+"""
+
+
+# ----------------------------------------------------------- n-gram dedup -
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return dedup.jaccard_pairs(docs, k=3, threshold=0.01).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH docs AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT id, list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord FROM toks
+), sh0 AS (
+  SELECT id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.01
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64-based — no DuckDB twin; pytest pins recall vs exact Jaccard.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return dedup.minhash_near_duplicates(
+        docs, k=3, num_hashes=16, bands=16, threshold=0.01
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pandas-UDF SimHash — no DuckDB twin.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return dedup.simhash_near_duplicates(docs, max_hamming=20, blocks=4)
+
+
+# ------------------------------------------------------------- similarity -
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+    ROUND(list_inner_product(qv, a.v) /
+      (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(a.v, a.v))), 6)
+      AS cosine_sim
+  FROM e a CROSS JOIN q WHERE a.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rnk
+FROM scored QUALIFY rnk <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic RP-LSH, but xxhash64-derived planes → no DuckDB twin.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.rp_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=5, min_bit_matches=10
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    # min_bit_matches=0 → exact pairwise within the subset (the LSH pruning
+    # path is exercised by q_ann_lsh_topk; here the oracle needs exactness).
+    return similarity.embedding_near_duplicates(
+        emb, threshold=0.3, min_bit_matches=0
+    )
+
+
+SQL_EMBED_NEARDUP = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % 4 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_inner_product(a.v, b.v) /
+    (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))), 6)
+    AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v) /
+  (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))) >= 0.3
+"""
+
+
+# ----------------------------------------------------------- text analysis -
+
+_MARKER_SQL = {
+    lang: "|".join(markers) for lang, markers in text.LANG_MARKERS.items()
+}
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(text.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_LANG_ID_COUNTS = rf"""
+WITH scored AS (
+  SELECT
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["en"]})\b')) AS en,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["es"]})\b')) AS es,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["fr"]})\b')) AS fr,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["de"]})\b')) AS de
+  FROM documents
+)
+SELECT CASE
+    WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+    WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+    WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+    WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+    ELSE 'de' END AS pred_lang,
+  COUNT(*) AS n_docs
+FROM scored GROUP BY 1
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).cast("bigint").alias("n_tokens"),
+        F.round(text.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(text.stopword_ratio(t), 6).alias("stopword_ratio"),
+        text.quality_score(t).alias("quality"),
+    )
+
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in text.EN_STOPWORDS)
+
+SQL_QUALITY_SCORES = rf"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+    regexp_replace(text, '\s+', '', 'g') AS compact,
+    list_filter(regexp_split_to_array(lower(text), '\W+'),
+                x -> length(x) > 0) AS toks
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN LENGTH(compact) = 0 THEN 0.0
+         ELSE (LENGTH(compact) - LENGTH(regexp_replace(compact, '\W', '', 'g')))
+              / LENGTH(compact) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> x IN ({_STOPS_SQL}))) / len(toks)
+         END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens,
+  ROUND(punct_ratio, 6) AS punct_ratio,
+  ROUND(stopword_ratio, 6) AS stopword_ratio,
+  ROUND((LEAST(n_tokens / 100.0, 1.0) + LEAST(stopword_ratio * 4, 1.0)
+         + (1.0 - LEAST(punct_ratio * 4, 1.0))) / 3, 6) AS quality
+FROM ratios
+"""
+
+
+def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = text.token_count(F.col("text"))
+    return (
+        docs.select("source", wc.alias("wc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("wc").alias("total_tokens"),
+            (F.sum("wc").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_STATS_BY_SOURCE = r"""
+WITH t AS (
+  SELECT source,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS wc
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(wc) AS BIGINT) AS total_tokens,
+  CAST(SUM(wc) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM t GROUP BY source
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_ESTIMATE = r"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> length(x) > 0) AS toks,
+    LENGTH(regexp_replace(text, '[\w\s]', '', 'g')) AS punct
+  FROM documents
+)
+SELECT doc_id,
+  CAST(list_sum(list_transform(toks, x -> CAST(CEIL(LENGTH(x) / 6.0) AS INT)))
+       + punct AS BIGINT) AS bpe_tokens
+FROM t
+"""
+
+
+# -------------------------------------------------------------- multimodal -
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, content_col="text", id_col="doc_id")
+    return media.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+SQL_MULTIMODAL_META = (
+    "SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+    "md5(text) AS checksum FROM documents"
+)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas decode plumbing (deterministic fake decoder) — rows-only.
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, content_col="text", id_col="doc_id")
+    return multimodal.fake_decode_features(media)
+
+
+# --------------------------------------------- document extraction pipeline -
+
+
+def q_extract_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship A2 aggregate (items_by_type) over the
+    document pipeline applied to the ``documents`` table as a corpus."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    normalized, _ = transform_documents(spark, docs)
+    return normalized.groupBy("type").agg(F.count(F.lit(1)).alias("n_records"))
+
+
+# The synthetic corpus contains no HTML/JSON/base64 (word-soup text), so the
+# pipeline's output is exactly the >5-char text-line records — asserted by
+# this oracle; the mixed-format paths are pinned by the pytest goldens.
+SQL_EXTRACT_DOC_STATS = (
+    "SELECT 'text' AS type, COUNT(*) AS n_records FROM documents "
+    "WHERE LENGTH(TRIM(text)) > 5"
+)

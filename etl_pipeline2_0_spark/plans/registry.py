@@ -1,0 +1,71 @@
+"""Registry of every driver-checkable query: name → (spark_fn, oracle_sql).
+
+``oracle_sql`` is None for queries whose semantics are not ANSI-SQL
+expressible (engine-specific hashing, pandas-UDF stages) — the driver
+records the weaker rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline2_0_spark.plans import llm_ops as L
+from etl_pipeline2_0_spark.plans import relational as R
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
+    # --- reference operator inventory (SURVEY.md §2 driver-keys) ---
+    "count_star": (R.q_count_star, R.SQL_COUNT_STAR),
+    "items_by_type": (R.q_items_by_type, R.SQL_ITEMS_BY_TYPE),
+    "filter_length": (R.q_filter_length, R.SQL_FILTER_LENGTH),
+    "project_drop": (R.q_project_drop, R.SQL_PROJECT_DROP),
+    "project_sorted_cols": (R.q_project_sorted_cols, R.SQL_PROJECT_SORTED_COLS),
+    "distinct_rows": (R.q_distinct_rows, R.SQL_DISTINCT_ROWS),
+    "substr_trunc": (R.q_substr_trunc, R.SQL_SUBSTR_TRUNC),
+    "flatten_struct": (R.q_flatten_struct, R.SQL_FLATTEN_STRUCT),
+    "union_by_name": (R.q_union_by_name, R.SQL_UNION_BY_NAME),
+    "total_items_window": (R.q_total_items_window, R.SQL_TOTAL_ITEMS_WINDOW),
+    "rownum_per_group": (R.q_rownum_per_group, R.SQL_ROWNUM_PER_GROUP),
+    "order_by_kind": (R.q_order_by_kind, R.SQL_ORDER_BY_KIND),
+    "schema_stats": (R.q_schema_stats, R.SQL_SCHEMA_STATS),
+    "row_to_json": (R.q_row_to_json, R.SQL_ROW_TO_JSON),
+    "json_props_agg": (R.q_json_props_agg, R.SQL_JSON_PROPS_AGG),
+    "text_features": (L.q_quality_scores, L.SQL_QUALITY_SCORES),
+    # --- relational capability proofs (TPC-H-style, beyond reference) ---
+    "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
+    "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
+    "q5_region_revenue": (R.q5_region_revenue, R.SQL_Q5),
+    "brand_pricing": (R.q_brand_pricing, R.SQL_BRAND_PRICING),
+    "rollup_sales": (R.q_rollup_sales, R.SQL_ROLLUP_SALES),
+    "running_total": (R.q_running_total, R.SQL_RUNNING_TOTAL),
+    "lag_events": (R.q_lag_events, R.SQL_LAG_EVENTS),
+    "topk_per_group": (R.q_topk_per_group, R.SQL_TOPK_PER_GROUP),
+    "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
+    # --- LLM-data-pipeline operators ---
+    "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
+    "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),
+    "ngram_jaccard": (L.q_ngram_jaccard, L.SQL_NGRAM_JACCARD),
+    "minhash_pairs": (L.q_minhash_pairs, None),
+    "simhash_pairs": (L.q_simhash_pairs, None),
+    "ann_topk": (L.q_ann_topk, L.SQL_ANN_TOPK),
+    "ann_lsh_topk": (L.q_ann_lsh_topk, None),
+    "embed_neardup": (L.q_embed_neardup, L.SQL_EMBED_NEARDUP),
+    "lang_id_counts": (L.q_lang_id_counts, L.SQL_LANG_ID_COUNTS),
+    "token_stats_by_source": (L.q_token_stats_by_source, L.SQL_TOKEN_STATS_BY_SOURCE),
+    "fingerprint": (L.q_fingerprint, L.SQL_FINGERPRINT),
+    "bpe_token_estimate": (L.q_bpe_token_estimate, L.SQL_BPE_TOKEN_ESTIMATE),
+    "multimodal_meta": (L.q_multimodal_meta, L.SQL_MULTIMODAL_META),
+    "media_features": (L.q_media_features, None),
+    "extract_doc_stats": (L.q_extract_doc_stats, L.SQL_EXTRACT_DOC_STATS),
+}
+
+
+def query_map() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in ALL_QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in ALL_QUERIES.items() if sql is not None}

@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = [
     "region",
@@ -23,8 +25,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One table; parquet scans get column pruning + predicate pushdown free."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """One table; parquet scans get column pruning + predicate pushdown free.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as epoch-nanos LONG (legacy conf, set at runtime
+    so any session works) and convert to a microsecond timestamp with
+    integer division (epoch ≈ 1.7e18 exceeds double precision — never use
+    float division here).  DuckDB performs the same ns→µs truncation.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

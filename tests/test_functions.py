@@ -1,0 +1,154 @@
+"""Unit tests for the scale-extension function families (text, dedup,
+similarity, multimodal) on small inline corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline2_0_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "el gato y el perro en la casa de la abuela"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [1, 2, 4, 5]  # doc 3 deduped, min-id winner kept
+    groups = dedup.duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2 and groups[0]["keeper_id"] == 1
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    }
+    assert pairs[(1, 3)] == 1.0  # identical docs
+    assert 0.5 < pairs[(1, 2)] < 1.0  # one-token difference
+    assert (1, 4) not in pairs
+
+
+def test_minhash_recall_of_exact_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in
+        dedup.minhash_near_duplicates(docs, k=3, num_hashes=16, bands=8,
+                                      threshold=0.5).collect()
+    }
+    # Identical docs collide in every band; near-identical in most.
+    assert (1, 3) in pairs
+    assert (1, 2) in pairs
+
+
+def test_simhash(docs):
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sigs[1] == sigs[3]  # identical text → identical signature
+    assert sigs[1] != sigs[4]
+    near = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=16).collect()
+    }
+    assert near[(1, 3)] == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog sat on the mat for a while",),
+            ("el perro y el gato en la casa de un amigo",),
+            ("le chat est dans la maison pour une heure",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "text string",
+    )
+    langs = [r[0] for r in df.select(text.lang_id(F.col("text"))).collect()]
+    assert langs == ["en", "es", "fr", "und"]
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame([("the cat sat",), ("",), ("   ",)], "text string")
+    counts = [r[0] for r in df.select(text.token_count(F.col("text"))).collect()]
+    assert counts == [3, 0, 0]
+    q = df.select(text.quality_score(F.col("text")).alias("q")).collect()
+    assert all(r["q"] is not None and 0 <= r["q"] <= 1 for r in q)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # near 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+        (5, [1.0, 0.01, 0.0]),  # nearest to 1
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_topk(vectors):
+    out = similarity.cosine_topk(
+        vectors, vectors.where(F.col("vec_id") == 1), k=2
+    ).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [5, 2]
+    assert out[0]["cosine_sim"] <= 1.0
+
+
+def test_rp_lsh_topk_finds_nearest(vectors):
+    out = similarity.rp_lsh_topk(
+        vectors, vectors.where(F.col("vec_id") == 1), k=2,
+        planes=16, min_bit_matches=8,
+    ).collect()
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert got and got[0] == 5  # nearest neighbor survives LSH pruning
+
+
+def test_embedding_near_duplicates(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in
+        similarity.embedding_near_duplicates(
+            vectors, threshold=0.95, min_bit_matches=0
+        ).collect()
+    }
+    assert (1, 5) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_binary(docs, content_col="text", id_col="doc_id")
+    feats = {r["media_id"]: r for r in multimodal.fake_decode_features(media).collect()}
+    assert len(feats) == 5
+    r1 = feats[1]
+    assert r1["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert r1["head_hex"].startswith("74686520")  # 'the ' in hex
+    assert 0 < r1["byte_mean"] < 255
+
+
+def test_media_from_base64(spark):
+    from etl_pipeline2_0_spark.operators.detect import detect_blocks
+
+    payload = "SGVsbG8sIFdvcmxkIQ=="  # "Hello, World!"
+    doc = f"data:text/plain;base64,{payload}\n"
+    detected = detect_blocks(
+        spark.createDataFrame([("d0", doc)], "doc_id string, content string")
+    )
+    media = multimodal.media_from_base64(detected).collect()
+    assert len(media) == 1
+    assert bytes(media[0]["payload"]).decode() == "Hello, World!"
+    assert media[0]["meta"]["mime"] == "text/plain"
+
+
+def test_decode_image_is_stubbed(docs):
+    media = multimodal.attach_binary(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media)

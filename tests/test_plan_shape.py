@@ -1,0 +1,80 @@
+"""Physical-plan shape guards: the properties that matter at 100 TB.
+
+These assert against ``explain``-level plan text so a regression that
+reintroduces a scale anti-pattern (global single-partition window, missing
+pushdown, missing broadcast) fails CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline2_0_spark.plans import llm_ops as L
+from etl_pipeline2_0_spark.plans import relational as R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = R.q1_pricing_summary(spark, sf_dir)
+    plan = _plan(df)
+    # Ship-date predicate must reach the parquet scan.
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = _plan(R.q1_pricing_summary(spark, sf_dir))
+    # Only the 7 needed columns read, not l_orderkey/l_partkey/etc.
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_broadcast_joins_chosen(spark, sf_dir):
+    # Dimension sides must broadcast, not shuffle.
+    for df in (
+        R.q3_top_revenue(spark, sf_dir),
+        R.q5_region_revenue(spark, sf_dir),
+        R.q_brand_pricing(spark, sf_dir),
+    ):
+        assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_total_items_has_no_global_window(spark, sf_dir):
+    # W1 must be broadcast-crossjoin, never Window over a single partition.
+    plan = _plan(R.q_total_items_window(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    # Map-side combine: HashAggregate appears in partial + final mode.
+    plan = _plan(R.q_items_by_type(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_detect_extract_no_driver_collect(spark, sf_dir):
+    # The doc pipeline aggregate stays distributed (no Collect in plan).
+    df = L.q_extract_doc_stats(spark, sf_dir)
+    assert "CollectLimit" not in _plan(df)
+
+
+def test_minhash_candidates_equijoin(spark, sf_dir):
+    # LSH candidate generation must be an equi-join (hash-partitionable),
+    # never a nested-loop cross product over the corpus.
+    df = L.q_minhash_pairs(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_covers_q1(spark, sf_dir):
+    df = R.q1_pricing_summary(spark, sf_dir)
+    df.collect()  # finalize the AQE plan — codegen spans appear post-execution
+    plan = _plan(df)
+    # '*(N)' prefixes are the whole-stage-codegen stage markers; both the
+    # partial and final aggregate must be inside codegen'd stages.
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
