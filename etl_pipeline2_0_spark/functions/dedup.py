@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_pipeline2_0_spark.operators.partitioning import ensure_min_parallelism
+
 # ---------------------------------------------------------------- exact ----
 
 
@@ -96,7 +98,7 @@ def jaccard_pairs(
     prunes the quadratic pair space to co-occurring docs only; skew on very
     common shingles is handled by AQE skew-join splitting.
     """
-    shingled = df.select(
+    shingled = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(token_shingles(F.col(text_col), k)).alias("shingle"),
     )
@@ -134,27 +136,51 @@ def minhash_signatures(
     num_hashes: int = 32,
 ) -> DataFrame:
     """Per-document MinHash signature: ``sig[j] = min over shingles of
-    xxhash64(j, shingle)``.
+    hash_j(shingle)``, with ``hash_j(s) = xxhash64(xxhash64(s), j)`` so the
+    string is hashed once and each permutation re-hashes only the 8-byte
+    digest.
 
-    Computed as a pure projection (no shuffle, no UDF): ``transform`` over
-    the permutation index builds the signature array in one codegen'd pass.
+    Shape matters here: explode → one base hash per shingle → ``groupBy(id)``
+    with ``num_hashes`` MIN aggregates.  Tokenization runs exactly once per
+    document, the map-side partial MINs combine before the exchange (the
+    shuffle carries ``num_hashes`` longs per doc, never shingles), and the
+    aggregate is a plan barrier: downstream banding projections can't be
+    collapsed into (and thus re-inline/recompute) the tokenizer — stacking
+    ``transform`` lambdas over the shingle expression re-evaluates it per
+    lambda, which profiled ~100× slower at sf0.1.
     """
-    shingles = token_shingles(F.col(text_col), k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(shingles, lambda s: F.xxhash64(j, s))),
+    shingle_rows = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(token_shingles(F.col(text_col), k)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"s{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        shingle_rows.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"s{j}" for j in range(num_hashes)]).alias("signature"))
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, bucket hash).
 
     Each band's slice hashes to one bucket key; docs colliding in ANY band
     become candidates.  The join is a plain equi-join → hash shuffle on
     small (band, bucket) keys; output is distinct canonical pairs.
+
+    ``max_bucket_size`` is the skew guard for the 100 TB case: a bucket of n
+    docs yields n·(n-1)/2 pairs, so one boilerplate-heavy bucket can go
+    quadratic.  Buckets over the cap are dropped before the self-join
+    (standard production-LSH move — such buckets carry near-universal
+    content, not near-duplicate signal).  Pass ``None`` to disable.
     """
     banded = signatures.select(
         "id",
@@ -173,6 +199,13 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bucket_n", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -194,16 +227,23 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full shingle→minhash→band→bucket-join→verify pipeline.
 
     LSH prunes candidates; exact Jaccard on the candidates only (semi-joined
     back to the shingle table) removes false positives, so the output is
     exact-above-threshold among LSH-recalled pairs.
+
+    Band geometry picks the recall/cost point: collision probability is
+    1-(1-J^r)^b for r = num_hashes/bands rows per band.  The defaults
+    (32 hashes, 8 bands of 4) put the S-curve knee near J≈0.6; 16 bands of
+    2 moves it to J≈0.25 with ~99% recall at J=0.5 while pairs at the
+    corpus noise floor (J≈0.01) collide with probability ~3e-3.
     """
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    candidates = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
-    shingled = df.select(
+    candidates = lsh_candidate_pairs(sigs, bands, num_hashes // bands, max_bucket_size)
+    shingled = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         token_shingles(F.col(text_col), k).alias("shingles"),
     )
@@ -261,7 +301,7 @@ def simhash64(
         F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: F.length(t) > 0
     )
     token_hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
-    return df.select(
+    return ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"), _simhash(token_hashes).alias("simhash")
     )
 

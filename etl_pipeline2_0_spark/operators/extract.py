@@ -152,6 +152,27 @@ def flatten_struct_columns(df: DataFrame) -> DataFrame:
     return df.select(*out_cols)
 
 
+def _infer_json_schema(spark: SparkSession, bodies: DataFrame) -> T.StructType:
+    """Distributed JSON schema inference over a one-string-column DataFrame.
+
+    Stays JVM-side: hands the Dataset[String] straight to the Scala JSON
+    reader, so block bodies are never pickled through Python (the
+    ``df.rdd.map`` formulation ships every body driver←→Python — profiled
+    ~2× the whole pipeline's cost).  Falls back to the RDD path if the
+    internal handle is unavailable.
+    """
+    import json as _json
+
+    try:
+        jds = getattr(bodies._jdf, "as")(
+            spark._jvm.org.apache.spark.sql.Encoders.STRING()
+        )
+        jschema = spark._jsparkSession.read.json(jds).schema()
+        return T.StructType.fromJson(_json.loads(jschema.json()))
+    except Exception:  # pragma: no cover - py4j internals moved
+        return spark.read.json(bodies.rdd.map(lambda r: r[0])).schema
+
+
 def json_records(spark: SparkSession, detected: DataFrame) -> DataFrame:
     """E7+E8: parse every detected JSON block against the batch-inferred
     schema, flatten nested structs, tag engine columns.
@@ -167,9 +188,10 @@ def json_records(spark: SparkSession, detected: DataFrame) -> DataFrame:
     """
     exploded = _explode_kind(detected, "json", "json_blocks")
     bodies = exploded.select("body")
-    if bodies.isEmpty():
+    inferred = _infer_json_schema(spark, bodies)
+    if not inferred.fields:
+        # No JSON blocks in the corpus (or none with keys).
         return exploded.select("doc_id", "type", "source_index", "ordinal")
-    inferred = spark.read.json(bodies.rdd.map(lambda r: r[0])).schema
     # Drop Spark's corrupt-record bookkeeping column if inference added one,
     # and any data field colliding with an engine column: the reference
     # overwrites a JSON `type` key with the engine tag after flattening

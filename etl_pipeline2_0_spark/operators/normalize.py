@@ -81,11 +81,33 @@ def normalize(
     applies the reference's display ordering when a deterministic order is
     required (demo CSV, goldens).
     """
-    frames = []
-    for kind in KIND_ORDER:  # fixed order html→json→text→media (U1)
-        df = per_kind[kind]
-        frames.append(df.drop(*ARTIFACT_COLUMNS))  # P1
-    unioned = union_by_name(frames)
+    # fixed order html→json→text→media (U1); P1 drop applied per-frame
+    frames = [per_kind[kind].drop(*ARTIFACT_COLUMNS) for kind in KIND_ORDER]
+    return normalize_union(
+        union_by_name(frames),
+        per_document=per_document,
+        keep_provenance=keep_provenance,
+        pre_drop=False,
+    )
+
+
+def normalize_union(
+    unioned: DataFrame,
+    per_document: bool = False,
+    keep_provenance: bool = False,
+    pre_drop: bool = True,
+) -> DataFrame:
+    """``normalize`` over an already-unioned frame.
+
+    Lets multi-action callers (``run_batch``) persist ONE frame — the
+    pre-drop union the schema report also reads — and derive everything
+    downstream from the cache instead of re-running detect+extract per
+    action.  Dropping the P1 artifact columns before or after the
+    union-by-name is equivalent (missing columns are null-filled either
+    way), which is what makes the shared frame possible.
+    """
+    if pre_drop:
+        unioned = unioned.drop(*ARTIFACT_COLUMNS)  # P1
     with_total = with_total_items(unioned, per_document=per_document)
     # F9: total_items coerced to bigint, nulls → 0 (try_cast ≡ errors='coerce')
     with_total = with_total.withColumn(

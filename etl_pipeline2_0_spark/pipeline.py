@@ -19,8 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline2_0_spark.operators.detect import detect_blocks
 from etl_pipeline2_0_spark.operators.extract import KIND_ORDER, extract_records
+from etl_pipeline2_0_spark.operators.partitioning import ensure_min_parallelism
 from etl_pipeline2_0_spark.operators.normalize import (
     normalize,
+    normalize_union,
     sorted_output,
     union_by_name,
 )
@@ -33,16 +35,27 @@ from etl_pipeline2_0_spark.sources.documents import (
 
 
 def transform_documents(
-    spark: SparkSession, docs: DataFrame, per_document: bool = False
-) -> tuple[DataFrame, dict[str, Any]]:
+    spark: SparkSession,
+    docs: DataFrame,
+    per_document: bool = False,
+    with_report: bool = True,
+) -> tuple[DataFrame, dict[str, Any] | None]:
     """detect → extract → schema report → normalize, no sinks.
 
     Returns (normalized table with provenance columns, schema report).
+
+    ``with_report=False`` skips the A4 schema report — the report is an
+    EAGER aggregation (one full pipeline execution), so query paths that
+    only need the normalized table should opt out and keep the whole thing
+    one lazy DAG.
     """
+    docs = ensure_min_parallelism(docs)
     detected = detect_blocks(docs)
     per_kind = extract_records(spark, detected)
-    pre_drop = union_by_name([per_kind[k] for k in KIND_ORDER])
-    report = infer_schema_report(pre_drop)
+    report = None
+    if with_report:
+        pre_drop = union_by_name([per_kind[k] for k in KIND_ORDER])
+        report = infer_schema_report(pre_drop)
     normalized = normalize(per_kind, per_document=per_document, keep_provenance=True)
     return normalized, report
 
@@ -68,24 +81,42 @@ def run_batch(
     else:
         raise ValueError("one of input_path / payloads is required")
 
-    normalized, report = transform_documents(spark, docs, per_document=per_document)
-    items_by_type = {
-        r["type"]: r["count"]
-        for r in normalized.groupBy("type").count().collect()
-    }
-    result: dict[str, Any] = {
-        "normalized": normalized,
-        "schema": report,
-        "items_by_type": items_by_type,
-    }
-    if out_dir is not None:
-        result["metadata"] = load_outputs(
-            sorted_output(normalized),
-            report,
-            out_dir,
-            source_name=input_path or "<payload>",
-            items_by_type=items_by_type,
-            start_time=start,
-            use_rowstore=use_rowstore,
+    # Multi-action run (schema report + per-type counts + N sinks): persist
+    # the ONE shared frame — the pre-drop union — so detect+extract executes
+    # once, not once per action.  MEMORY_AND_DISK: extracted records are far
+    # smaller than raw input, but spillable if not.
+    from pyspark import StorageLevel
+
+    docs = ensure_min_parallelism(docs)
+    detected = detect_blocks(docs)
+    per_kind = extract_records(spark, detected)
+    pre_drop = union_by_name([per_kind[k] for k in KIND_ORDER]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        report = infer_schema_report(pre_drop)
+        normalized = normalize_union(
+            pre_drop, per_document=per_document, keep_provenance=True
         )
-    return result
+        items_by_type = {
+            r["type"]: r["count"]
+            for r in normalized.groupBy("type").count().collect()
+        }
+        result: dict[str, Any] = {
+            "normalized": normalized,
+            "schema": report,
+            "items_by_type": items_by_type,
+        }
+        if out_dir is not None:
+            result["metadata"] = load_outputs(
+                sorted_output(normalized),
+                report,
+                out_dir,
+                source_name=input_path or "<payload>",
+                items_by_type=items_by_type,
+                start_time=start,
+                use_rowstore=use_rowstore,
+            )
+        return result
+    finally:
+        pre_drop.unpersist()
