@@ -32,6 +32,10 @@ HEADLINE = [
     "running_total",
     "sessionize",
     "topk_per_group",
+    "semi_join",
+    "pivot_events",
+    "asof_join",
+    "range_join",
     "dedup_exact",
     "ngram_jaccard",
     "minhash_pairs",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline2_0_spark.plans import llm_ops as L
 from etl_pipeline2_0_spark.plans import relational as R
+from etl_pipeline2_0_spark.plans import relational_ext as X
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -22,6 +23,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "items_by_type": (R.q_items_by_type, R.SQL_ITEMS_BY_TYPE),
     "filter_length": (R.q_filter_length, R.SQL_FILTER_LENGTH),
     "project_drop": (R.q_project_drop, R.SQL_PROJECT_DROP),
+    "project_reorder": (X.q_project_reorder, X.SQL_PROJECT_REORDER),
     "project_sorted_cols": (R.q_project_sorted_cols, R.SQL_PROJECT_SORTED_COLS),
     "distinct_rows": (R.q_distinct_rows, R.SQL_DISTINCT_ROWS),
     "substr_trunc": (R.q_substr_trunc, R.SQL_SUBSTR_TRUNC),
@@ -44,6 +46,18 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "lag_events": (R.q_lag_events, R.SQL_LAG_EVENTS),
     "topk_per_group": (R.q_topk_per_group, R.SQL_TOPK_PER_GROUP),
     "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
+    "semi_join": (X.q_semi_join, X.SQL_SEMI_JOIN),
+    "anti_join": (X.q_anti_join, X.SQL_ANTI_JOIN),
+    "intersect_keys": (X.q_intersect_keys, X.SQL_INTERSECT_KEYS),
+    "except_keys": (X.q_except_keys, X.SQL_EXCEPT_KEYS),
+    "count_distinct": (X.q_count_distinct, X.SQL_COUNT_DISTINCT),
+    "percentiles": (X.q_percentiles, X.SQL_PERCENTILES),
+    "pivot_events": (X.q_pivot_events, X.SQL_PIVOT_EVENTS),
+    "cube_sales": (X.q_cube_sales, X.SQL_CUBE_SALES),
+    "asof_join": (X.q_asof_join, X.SQL_ASOF_JOIN),
+    "range_join": (X.q_range_join, X.SQL_RANGE_JOIN),
+    "scalar_funcs": (X.q_scalar_funcs, X.SQL_SCALAR_FUNCS),
+    "date_funcs": (X.q_date_funcs, X.SQL_DATE_FUNCS),
     # --- LLM-data-pipeline operators ---
     "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
     "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),

@@ -1,0 +1,379 @@
+"""Extended relational capabilities: joins beyond equi (semi / anti / as-of /
+range), set operations, distinct & percentile aggregates, pivot / cube, and
+scalar-function batteries.
+
+The reference implements none of these (SURVEY.md §2.5 "Joins: none"); they
+are capability proofs a user switching engines expects, expressed Spark-first
+with exact DuckDB oracle twins (same conventions as ``plans.relational``:
+decimal-exact sums, string-formatted timestamps, identical aliases,
+pre-rounded floats).
+
+Scale notes inline: every join here is either broadcast-able, an equi-join
+shuffled on its key, or (as-of) a union + partitioned window — no cross
+joins, no single-partition windows, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline2_0_spark.sources.tables import load_table
+
+
+def _dec(col, scale: int = 2):
+    return col.cast(f"decimal(18,{scale})")
+
+
+# ----------------------------------------------------------- projections ----
+
+
+def q_project_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P2 (etl_pipeline.py:249-256): core-columns-first, type-specific after —
+    # a pure projection; parquet reads only the four named columns.
+    events = load_table(spark, sf_dir, "events")
+    return events.select("event_type", "event_id", "user_id", "value")
+
+
+SQL_PROJECT_REORDER = "SELECT event_type, event_id, user_id, value FROM events"
+
+
+# ----------------------------------------------------- semi / anti joins ----
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Customers with ≥1 order.  Left-semi: probe side streams, no fanout,
+    # no columns from the right — the cheapest existence check at scale.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_SEMI_JOIN = (
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+    "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+)
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Customers with no orders — the blocklist-filter shape every training
+    # pipeline needs (drop docs whose id appears in a removal list).
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = (
+    "SELECT c_custkey, c_name FROM customer "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+)
+
+
+# ------------------------------------------------------- set operations -----
+
+
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INTERSECT (distinct semantics): BUILDING-segment customers who ordered.
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orderers = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.intersect(orderers)
+
+
+SQL_INTERSECT_KEYS = (
+    "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "INTERSECT SELECT o_custkey FROM orders"
+)
+
+
+def q_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXCEPT (distinct): BUILDING-segment customers who never ordered.
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orderers = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.exceptAll(orderers).distinct()
+
+
+SQL_EXCEPT_KEYS = (
+    "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "EXCEPT SELECT o_custkey FROM orders"
+)
+
+
+# ------------------------------------------------- distinct / percentile ----
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact distinct per group: two-stage (partial distinct map-side).
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_COUNT_DISTINCT = (
+    "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, "
+    "COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority"
+)
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact percentiles (linear interpolation — same definition both
+    # engines); rounded to 4 dp to absorb FP associativity.
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+    )
+
+
+SQL_PERCENTILES = (
+    "SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+    "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90 "
+    "FROM orders GROUP BY o_orderpriority"
+)
+
+
+# --------------------------------------------------------- pivot / cube -----
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot with an explicit value list (no discovery scan); decimal-exact
+    # sums so column values hash identically to the CASE-WHEN oracle.
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(_dec(F.col("value"), 6)).cast("double"))
+    )
+
+
+SQL_PIVOT_EVENTS = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full CUBE (4 grouping sets) with NULL keys coalesced for hash parity.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_rows",
+        )
+    )
+
+
+SQL_CUBE_SALES = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+# -------------------------------------------------------------- as-of join --
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the user's most recent order at or
+    before the event time.
+
+    Spark lacks a native ASOF JOIN; the scalable formulation is the
+    union + partitioned-window *merge*: tag both sides, union, one window
+    partitioned by key ordered by time, ``last(..., ignorenulls)`` carries
+    the latest order attributes forward onto event rows.  One shuffle on
+    the key, no range-condition join (which would force a broadcast-range
+    or cartesian fallback), no per-key explosion.
+
+    Orders are pre-reduced to one row per (custkey, orderdate) — max
+    orderkey wins — because the as-of "latest" among equal timestamps is
+    otherwise nondeterministic in any engine.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    o_side = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    e_side = events.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.col("event_id"),
+    )
+    # Orders sort before events at equal t (is_event asc) → "at or before".
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o_side.unionByName(e_side).select(
+        "key",
+        "t",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_order_key"),
+        F.last(
+            F.when(F.col("is_event") == 0, F.col("t")), ignorenulls=True
+        ).over(w).alias("last_order_t"),
+    )
+    return merged.where(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        "last_order_key",
+        F.date_format("last_order_t", "yyyy-MM-dd").alias("last_order_date"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey AS last_order_key,
+       STRFTIME(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
+# -------------------------------------------------------------- range join --
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style range join: events by the same user within 24 h
+    after each purchase event.
+
+    Equality on ``user_id`` keeps this a hash-partitioned equi-join with a
+    residual range predicate — Catalyst never falls back to a cartesian
+    product; AQE splits skewed users.
+    """
+    events = load_table(spark, sf_dir, "events")
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = events.select("user_id", "event_id", "ts")
+    joined = p.join(
+        e,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("ts") > F.col("p_ts"))
+        & (F.col("ts") <= F.col("p_ts") + F.expr("INTERVAL 24 HOURS")),
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_follow_events")
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_follow_events
+FROM events p JOIN events e
+  ON p.user_id = e.user_id
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 24 HOURS
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+# ------------------------------------------------- scalar function suites ---
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1-F6 battery (split/trim/length/substring/replace/concat — SURVEY
+    # §2.8) as one projection; everything whole-stage-codegen'd.
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_token"),
+        F.size(F.split("p_name", " ")).alias("n_tokens"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+    )
+
+
+SQL_SCALAR_FUNCS = """
+SELECT p_partkey, UPPER(p_name) AS name_upper, LENGTH(p_name) AS name_len,
+       split_part(p_name, ' ', 1) AS first_token,
+       len(string_split(p_name, ' ')) AS n_tokens,
+       replace(p_brand, 'Brand#', 'B') AS brand_short,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       SUBSTRING(p_type, 1, 5) AS type_prefix
+FROM part
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F8 battery: extraction, truncation, arithmetic — all as strings/ints
+    # so the comparison is TZ-proof.
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.month("o_orderdate").cast("bigint").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("o_day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("plus_30d"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("days_to_2002"),
+    )
+
+
+SQL_DATE_FUNCS = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+       CAST(DAY(o_orderdate) AS BIGINT) AS o_day,
+       STRFTIME(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+         AS days_to_2002
+FROM orders
+"""
