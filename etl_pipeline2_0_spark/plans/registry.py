@@ -58,6 +58,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "range_join": (X.q_range_join, X.SQL_RANGE_JOIN),
     "scalar_funcs": (X.q_scalar_funcs, X.SQL_SCALAR_FUNCS),
     "date_funcs": (X.q_date_funcs, X.SQL_DATE_FUNCS),
+    "windowed_counts": (X.q_windowed_counts, X.SQL_WINDOWED_COUNTS),
+    "session_window_stats": (X.q_session_window_stats, X.SQL_SESSION_WINDOW_STATS),
     # --- LLM-data-pipeline operators ---
     "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
     "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),

@@ -318,6 +318,51 @@ GROUP BY p.event_id
 # ------------------------------------------------- scalar function suites ---
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The streaming rollup (streaming/windows.py) applied to a batch frame —
+    # identical code path, oracle-checkable: 1-hour tumbling windows are
+    # epoch-aligned in both engines.
+    from etl_pipeline2_0_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(load_table(spark, sf_dir, "events"))
+
+
+SQL_WINDOWED_COUNTS = """
+SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native gap-based session_window vs the classic lag+cumsum SQL — same
+    # sessions, same bounds (end = last event + gap).
+    from etl_pipeline2_0_spark.streaming.windows import session_window_stats
+
+    return session_window_stats(load_table(spark, sf_dir, "events"))
+
+
+SQL_SESSION_WINDOW_STATS = """
+WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F1-F6 battery (split/trim/length/substring/replace/concat — SURVEY
     # §2.8) as one projection; everything whole-stage-codegen'd.

@@ -45,6 +45,11 @@ def get_spark(
         # cluster this is the knob that controls scan parallelism.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Catalog-managed (e.g. bucketed) tables live outside the repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -1,0 +1,135 @@
+"""Event-time streaming operators: watermarked windowed aggregation, session
+windows, and a custom stateful operator.
+
+The reference has no event-time semantics at all (SURVEY.md §2.9 — its only
+"stream" is file-arrival batch).  These are the mandated scale extensions: a
+100 TB event pipeline needs tumbling/sliding rollups, gap sessionization, and
+custom keyed state.  All three transforms are written against the unbound
+DataFrame API so the SAME function works on a batch frame (testable against a
+DuckDB oracle) and on ``readStream`` input (where the watermark bounds state).
+
+Scale notes: windowed aggregation shuffles on (window, key) with map-side
+partial aggregation; session windows shuffle on the session key; state size
+is bounded by the watermark horizon — late rows beyond it are dropped, which
+is the documented, deliberate semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = "2 hours",
+    time_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) windowed count+sum per
+    key — the hypertable-rollup shape.
+
+    On a stream the watermark bounds aggregation state and admits late rows
+    up to the horizon; on a batch frame the watermark is a no-op and the
+    result equals a GROUP BY time-bucket.
+    """
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark(time_col, watermark)
+    win = (
+        F.window(time_col, window_duration, slide)
+        if slide
+        else F.window(time_col, window_duration)
+    )
+    return (
+        events.groupBy(win.alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    time_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows (native ``session_window`` — dynamic,
+    per-key, merged by the engine; no lag+cumsum reimplementation needed).
+
+    Works identically on batch and stream; the batch form is oracle-checked
+    against the classic lag+cumsum SQL formulation.
+    """
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark(time_col, watermark)
+    return (
+        events.groupBy(F.session_window(time_col, gap).alias("sw"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ------------------------------------------------------- custom state op ----
+
+RUNNING_STATS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def _running_stats_fn(key, pdf_iter: Iterator[pd.DataFrame], state):
+    """Keyed running totals: count + sum carried in GroupState across
+    micro-batches.  Emits one updated row per key per batch."""
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) that survives across micro-batches.
+
+    This is the extension surface for operators Spark lacks natively —
+    the state is an arbitrary tuple, the emit policy is ours, and the
+    runtime handles shuffling keys to state partitions, checkpointing the
+    state store, and Arrow-batching rows in and out.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_stats_fn,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,75 @@
+"""Scale utilities: salted aggregation/join equivalence and shuffle-free
+bucketed joins (plan-asserted)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline2_0_spark.operators.skew import salted_aggregate, salted_join
+from etl_pipeline2_0_spark.sinks.bucketing import bucketed_join, write_bucketed
+from etl_pipeline2_0_spark.sources.tables import load_table
+
+
+def test_salted_aggregate_matches_direct(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    direct = {
+        (r["o_orderpriority"]): (r["n"], r["total"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["o_orderpriority"]): (r["n"], r["total"])
+        for r in salted_aggregate(
+            orders.withColumn(
+                "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+            ),
+            ["o_orderpriority"],
+            {"n": "count:", "total": "sum:o_totalprice"},
+            salt=8,
+            unique_col="o_orderkey",
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_matches_direct(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    direct = orders.join(cust, "o_custkey").count()
+    salted = salted_join(
+        orders, cust, key="o_custkey", salt=8, probe_unique_col="o_orderkey"
+    ).count()
+    assert salted == direct
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=4)
+    write_bucketed(li, "b_lineitem", "o_orderkey", num_buckets=4)
+
+    # Force the sort-merge path (at real scale neither fact side broadcasts;
+    # locally the 6k-row table would, which bypasses — not exercises —
+    # bucketing).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", on="o_orderkey")
+        n = joined.count()
+        assert n == li.count()  # every lineitem has its order
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan[:2000]}"
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1,0 +1,97 @@
+"""Event-time streaming: watermarked windowed aggregation and the custom
+stateful operator, driven through real ``readStream`` micro-batches.
+
+The batch-mode equivalence of these transforms is oracle-checked in
+``test_oracle_parity`` (``windowed_counts`` / ``session_window_stats``);
+here we assert the STREAMING semantics: micro-batch accumulation, state
+carried across batches, and update-mode emission.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline2_0_spark.streaming.windows import (
+    running_user_stats,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+BATCH_1 = [
+    (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+    (2, "2024-01-01 10:20:00", 1, "click", 2.0),
+    (3, "2024-01-01 11:10:00", 2, "view", 3.0),
+]
+BATCH_2 = [
+    (4, "2024-01-01 10:40:00", 2, "click", 4.0),  # late but within watermark
+    (5, "2024-01-01 11:30:00", 1, "view", 5.0),
+]
+
+
+def _write_batch(spark, rows, path):
+    raw = "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    df = spark.createDataFrame(rows, raw).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_batch(spark, BATCH_1, src)
+    _write_batch(spark, BATCH_2, src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = windowed_event_counts(stream, window_duration="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got[("2024-01-01 10:00:00", "click")] == 3  # incl. late event 4
+    assert got[("2024-01-01 11:00:00", "view")] == 2
+
+
+def test_running_user_stats_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_batch(spark, BATCH_1, src)
+    _write_batch(spark, BATCH_2, src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM user_stats").collect()
+    # Update mode emits one row per key per batch; the LAST emission per key
+    # carries the accumulated state across micro-batches.
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert last[1] == (3, pytest.approx(8.0))  # 1.0 + 2.0 (+5.0 in batch 2)
+    assert last[2] == (2, pytest.approx(7.0))  # 3.0 (+4.0)
+    # State genuinely accumulated (not recomputed per batch): more emitted
+    # rows than keys proves multiple micro-batches fired.
+    assert len(rows) > len(last)
