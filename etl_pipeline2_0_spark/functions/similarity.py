@@ -163,6 +163,115 @@ def rp_lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the coarse-quantized scale path.
+
+    1. **Centroids**: a deterministic pseudo-random corpus sample (the
+       ``n_centroids`` rows with smallest ``xxhash64(id)`` — reproducible,
+       no RNG state), refined by ``refine_iters`` Lloyd steps: assign →
+       element-wise cluster mean → reassign, all native (posexplode the
+       dimensions, two small-key shuffles per iteration).  Tiny, broadcast.
+    2. **Assignment**: every corpus vector gets its nearest centroid via one
+       broadcast cross-score + ``max_by`` aggregate — one pass, shuffles
+       only (id, cluster).
+    3. **Probes**: each query keeps its ``n_probe`` nearest centroids.
+    4. **Search**: probes equi-join the assignment on cluster id — the scan
+       is pruned to ~``n_probe/n_centroids`` of the corpus — then exact
+       cosine re-ranks.
+
+    At 100 TB the assignment is a one-off materialization (write the
+    cluster id as a partition column) and searches touch only probed
+    partitions; here it is expressed inline over the same frame.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    wc = Window.orderBy("__h")
+    centroids = (
+        c.withColumn("__h", F.xxhash64("neighbor_id"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.row_number().over(wc))
+        .select("centroid_id", F.col("c_vec").alias("cent_vec"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        # Tie-broken nearest centroid (struct compare: sim desc via max,
+        # then smaller centroid_id wins through the negated field).
+        scored = c.crossJoin(F.broadcast(cents)).select(
+            "neighbor_id",
+            "c_vec",
+            "centroid_id",
+            cosine(F.col("c_vec"), F.col("cent_vec")).alias("cent_sim"),
+        )
+        return scored.groupBy("neighbor_id").agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("cent_sim"), -F.col("centroid_id"))
+            ).alias("cluster"),
+            F.first("c_vec").alias("c_vec"),
+        )
+
+    for _ in range(refine_iters):
+        # Lloyd step: element-wise mean per cluster → new centroids.
+        dims = assign(centroids).select(
+            "cluster", F.posexplode("c_vec").alias("dim", "val")
+        )
+        centroids = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("mean_val"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mean_val"))
+                ).alias("pairs")
+            )
+            .select(
+                F.col("cluster").alias("centroid_id"),
+                F.transform(
+                    "pairs", lambda p: p["mean_val"].cast("float")
+                ).alias("cent_vec"),
+            )
+        )
+    assigned = assign(centroids)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_vec",
+        "centroid_id",
+        cosine(F.col("q_vec"), F.col("cent_vec")).alias("cent_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("p", F.row_number().over(wq))
+        .where(F.col("p") <= n_probe)
+        .select("query_id", "q_vec", F.col("centroid_id").alias("cluster"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -139,6 +139,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantized ANN — xxhash64-seeded centroids → no DuckDB twin;
+    # pytest pins recall vs the exact brute-force baseline.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
     # min_bit_matches=0 → exact pairwise within the subset (the LSH pruning

@@ -68,6 +68,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "simhash_pairs": (L.q_simhash_pairs, None),
     "ann_topk": (L.q_ann_topk, L.SQL_ANN_TOPK),
     "ann_lsh_topk": (L.q_ann_lsh_topk, None),
+    "ann_ivf_topk": (L.q_ann_ivf_topk, None),
     "embed_neardup": (L.q_embed_neardup, L.SQL_EMBED_NEARDUP),
     "lang_id_counts": (L.q_lang_id_counts, L.SQL_LANG_ID_COUNTS),
     "token_stats_by_source": (L.q_token_stats_by_source, L.SQL_TOKEN_STATS_BY_SOURCE),

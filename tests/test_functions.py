@@ -113,6 +113,31 @@ def test_rp_lsh_topk_finds_nearest(vectors):
     assert got and got[0] == 5  # nearest neighbor survives LSH pruning
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    # Deterministic centroids → recall is a fixed number (0.525 on this
+    # corpus: near-isotropic synthetic embeddings bound what any coarse
+    # quantizer can do at a 4/16 scan fraction).  Floor at 0.4 so a broken
+    # quantizer (recall ≈ scan fraction = 0.25) fails.
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f}"
+
+
 def test_embedding_near_duplicates(vectors):
     pairs = {
         (r["id_a"], r["id_b"]) for r in

@@ -71,6 +71,45 @@ def test_minhash_candidates_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_join_no_cartesian_no_global_window(spark, sf_dir):
+    # The as-of merge must be one partitioned window — no range-join
+    # fallback to nested-loop, no single-partition window.
+    from etl_pipeline2_0_spark.plans import relational_ext as X
+
+    plan = _plan(X.q_asof_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # window partition spec must be on the key, not empty
+    assert "windowspecdefinition(key#" in plan or "Window [" in plan
+
+
+def test_range_join_stays_equi(spark, sf_dir):
+    from etl_pipeline2_0_spark.plans import relational_ext as X
+
+    plan = _plan(X.q_range_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    from etl_pipeline2_0_spark.plans import relational_ext as X
+
+    assert "LeftSemi" in _plan(X.q_semi_join(spark, sf_dir))
+    assert "LeftAnti" in _plan(X.q_anti_join(spark, sf_dir))
+
+
+def test_salted_join_spreads_partitions(spark, sf_dir):
+    # Salted join must join on (key, salt) — visible as a two-column join.
+    from etl_pipeline2_0_spark.operators.skew import salted_join
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plan = _plan(salted_join(orders, cust, key="o_custkey", salt=8))
+    assert "o_custkey" in plan and "__salt" in plan
+
+
 def test_whole_stage_codegen_covers_q1(spark, sf_dir):
     df = R.q1_pricing_summary(spark, sf_dir)
     df.collect()  # finalize the AQE plan — codegen spans appear post-execution
