@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_pipeline2_0_spark.plans.registry import ALL_QUERIES
 from etl_pipeline2_0_spark.session import get_spark
+from etl_pipeline2_0_spark.sources.tables import TABLES, load_table
 
 # Headline set: the flagship scan-agg, the join pyramid, windows/sessionize,
 # and one of each scale-extension family (dedup, similarity, text, pipeline).
@@ -52,8 +53,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="etl-pipeline2.0-bench")
 
-    # Warm-up: touch the session + parquet footers once, outside timing.
+    # Warm-up: touch the session + each table's parquet footer (schema read,
+    # driver-side metadata only — no data pages) so first-query timings
+    # measure the query, not file-listing/footer I/O.
     spark.range(1).count()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).schema
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
