@@ -43,11 +43,14 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count (reference A3 semantics: ``len(s.split())``)."""
-    trimmed = F.trim(col)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    )
+    """Whitespace token count (reference A3 semantics: ``len(s.split())``).
+
+    ``trim``+``split`` is NOT equivalent: SQL TRIM strips only spaces (not
+    ``\\n``/``\\t``), and splitting a whitespace-edged string yields empty
+    edge tokens — both found by the hypothesis property test.  Filtering
+    empties reproduces Python's no-arg ``split`` exactly.
+    """
+    return F.size(F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0))
 
 
 def title_of(col: Column, max_len: int = 50) -> Column:

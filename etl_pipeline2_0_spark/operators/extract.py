@@ -45,11 +45,10 @@ ERROR_RAW_MAX_LEN = 100  # E7: invalid-JSON raw excerpt length
 
 
 def _word_count(text: Column) -> Column:
-    """Whitespace token count; 0 for empty/blank input (``len(s.split())``)."""
-    trimmed = F.trim(text)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    )
+    """Whitespace token count, ``len(s.split())`` exactly — empty tokens
+    filtered because SQL TRIM strips only spaces and edge-whitespace splits
+    yield empties (see functions/text.py token_count)."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
 
 
 def strip_html_tags(body: Column) -> Column:

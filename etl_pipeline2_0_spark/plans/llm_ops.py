@@ -225,8 +225,8 @@ _STOPS_SQL = ", ".join(f"'{s}'" for s in text.EN_STOPWORDS)
 SQL_QUALITY_SCORES = rf"""
 WITH base AS (
   SELECT doc_id,
-    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-         ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+    len(list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> length(x) > 0)) AS n_tokens,
     regexp_replace(text, '\s+', '', 'g') AS compact,
     list_filter(regexp_split_to_array(lower(text), '\W+'),
                 x -> length(x) > 0) AS toks
@@ -267,8 +267,8 @@ def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_STATS_BY_SOURCE = r"""
 WITH t AS (
   SELECT source,
-    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-         ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS wc
+    len(list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> length(x) > 0)) AS wc
   FROM documents
 )
 SELECT source, COUNT(*) AS n_docs,

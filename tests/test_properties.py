@@ -1,0 +1,121 @@
+"""Property-based tests (SURVEY.md §5 rebuild plan, item 4) — hypothesis
+generates adversarial inputs; each property is the engine-level invariant,
+checked against a tiny independent Python reference implementation.
+
+Spark jobs per example are expensive: examples are kept small and
+``max_examples`` low; the properties, not the volume, carry the value.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_pipeline2_0_spark.functions import text as text_fns
+from etl_pipeline2_0_spark.operators.extract import flatten_struct_columns
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# --- reference implementation of the reference's flatten (E8) ---------------
+
+
+def _py_flatten(d: dict, parent: str = "", sep: str = "_") -> dict:
+    out = {}
+    for k, v in d.items():
+        key = f"{parent}{sep}{k}" if parent else k
+        if isinstance(v, dict):
+            out.update(_py_flatten(v, key, sep))
+        else:
+            out[key] = v
+    return out
+
+
+_scalar = st.one_of(
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.booleans(),
+    st.text(alphabet="abcxyz ", max_size=8),
+)
+_keys = st.text(alphabet="abcdef", min_size=1, max_size=4)
+_nested = st.recursive(
+    st.dictionaries(_keys, _scalar, min_size=1, max_size=3),
+    lambda children: st.dictionaries(
+        _keys, st.one_of(_scalar, children), min_size=1, max_size=3
+    ),
+    max_leaves=6,
+)
+
+
+@given(d=_nested)
+@settings(**SETTINGS)
+def test_flatten_matches_reference_semantics(spark, d):
+    """Spark-side schema-driven flatten ≡ the reference's recursive
+    ``flatten_dict`` (etl_pipeline.py:139-151) on key NAMES."""
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(d)]))
+    flat_cols = set(flatten_struct_columns(df).columns)
+    expected = set(_py_flatten(d).keys())
+    # Spark drops JSON null-typed leaves from inference; restrict to keys
+    # whose value is not None (hypothesis never generates None here).
+    assert flat_cols == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 100), st.text(alphabet="abc", max_size=4)),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_union_by_name_commutes_with_column_order(spark, rows):
+    """U1 invariant: unionByName result is invariant to each side's column
+    order (the reference's concat aligns by name, never position)."""
+    from etl_pipeline2_0_spark.operators.normalize import union_by_name
+
+    a = spark.createDataFrame(rows, "n int, s string")
+    b = spark.createDataFrame([(s, n) for n, s in rows], "s string, n int")
+    u1 = union_by_name([a, b]).select("n", "s").collect()
+    u2 = union_by_name([b, a]).select("n", "s").collect()
+    assert sorted(map(tuple, u1)) == sorted(map(tuple, u2))
+    assert len(u1) == 2 * len(rows)
+
+
+@given(s=st.text(alphabet="ab c\t\nxyz.,!", max_size=40))
+@settings(**SETTINGS)
+def test_token_count_matches_python_split(spark, s):
+    """A3 invariant: token_count(s) == len(s.split()) for any string."""
+    df = spark.createDataFrame([(s,)], "t string")
+    got = df.select(text_fns.token_count(F.col("t")).alias("n")).first()["n"]
+    assert got == len(s.split())
+
+
+_text_line = st.text(
+    alphabet="abcdefgh ", min_size=8, max_size=30
+).map(lambda s: "x" + s.strip() + "x")  # len > 5 post-trim, no blank lines
+
+
+@given(lines=st.lists(_text_line, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_detector_partition_covers_document(spark, lines):
+    """E1-E5 invariant: for a document of plain text lines + one JSON block
+    + one HTML block, the detected partitions jointly reconstruct every
+    input component (nothing silently dropped)."""
+    from etl_pipeline2_0_spark.operators.detect import detect_blocks
+
+    html = "<html><body><p>hello world block</p></body></html>"
+    obj = {"k": 1, "name": "x"}
+    doc = "\n".join([html, json.dumps(obj), *lines])
+    detected = detect_blocks(
+        spark.createDataFrame([("d", doc)], "doc_id string, content string")
+    ).first()
+    assert any("hello world block" in b for b in detected["html_blocks"])
+    assert any(json.loads(b) == obj for b in detected["json_blocks"])
+    got_text = set(detected["text_blocks"])
+    for line in lines:
+        assert line.strip() in got_text
