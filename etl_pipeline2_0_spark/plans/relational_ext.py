@@ -315,6 +315,80 @@ GROUP BY p.event_id
 """
 
 
+# ------------------------------------------- approx / sampling / collect ----
+
+
+def q_hll_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog validation: emit each group where approx_count_distinct
+    lands within 5% of the exact count.  The oracle (DuckDB-exact) expects
+    EVERY group back, so the query passes iff the sketch meets its error
+    bound on real data — an oracle-checkable property of an approximate
+    operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    )
+    return agg.where(
+        F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")
+    ).select("o_orderpriority")
+
+
+SQL_HLL_ACCURACY = (
+    "SELECT o_orderpriority FROM orders GROUP BY o_orderpriority"
+)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reproducible 10% sample: hash-mod on the key, NOT df.sample() — the
+    # sample is stable across engines, partitionings, retries, and reruns,
+    # which is what a training-data pipeline needs for held-out splits.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(100)) < 10
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# DuckDB has no xxhash64; the oracle checks the sampling CONTRACT instead:
+# the sampled subset must be exactly reproducible, so running the Spark
+# query twice (driver does) and the md5-of-key variant below must agree on
+# determinism-relevant properties.  We give the oracle the same subset via
+# Spark-computable hash? Not available — so this one pins determinism by
+# equality of two *Spark* evaluations in pytest, and registers rows-only.
+SQL_HASH_SAMPLE = None
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-stratum reproducible rates: 20% of PROMO-ish parts, 5% of others.
+    part = load_table(spark, sf_dir, "part")
+    rate = F.when(F.col("p_type").startswith("PROMO"), F.lit(20)).otherwise(
+        F.lit(5)
+    )
+    return part.where(F.pmod(F.xxhash64("p_partkey"), F.lit(100)) < rate).select(
+        "p_partkey", "p_type"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = None
+
+
+def q_collect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered array aggregation: nations per region as a sorted name array.
+    # Array serialized to a canonical string so the cross-engine value hash
+    # compares scalars, not engine-specific array representations.
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+SQL_COLLECT_VALUES = (
+    "SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations, "
+    "COUNT(*) AS n_nations FROM nation GROUP BY n_regionkey"
+)
+
+
 # ------------------------------------------------- scalar function suites ---
 
 

@@ -73,3 +73,22 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_hash_sample_reproducible(spark, sf_dir):
+    # The sampling contract: exact same subset on every evaluation (no
+    # rand(), no partition sensitivity), ~10% rate.
+    from etl_pipeline2_0_spark.plans.relational_ext import (
+        q_hash_sample,
+        q_stratified_sample,
+    )
+
+    a = {tuple(r) for r in q_hash_sample(spark, sf_dir).collect()}
+    b = {tuple(r) for r in q_hash_sample(spark, sf_dir).repartition(7).collect()}
+    assert a == b and a
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert 0.05 < len(a) / total < 0.15
+
+    s1 = {tuple(r) for r in q_stratified_sample(spark, sf_dir).collect()}
+    s2 = {tuple(r) for r in q_stratified_sample(spark, sf_dir).collect()}
+    assert s1 == s2 and s1
