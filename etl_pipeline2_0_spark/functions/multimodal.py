@@ -124,6 +124,48 @@ def fake_decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataF
     )
 
 
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Real audio decode (sample rate/duration/channels).  STUB: requires an
+    audio codec library that is not in this container."""
+    raise NotImplementedError(
+        "audio decode requires an audio codec library (e.g. soundfile); "
+        "not available in this environment"
+    )
+
+
+def resize_image(
+    media: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Resize plumbing: with a codec lib this decodes → resizes → re-encodes
+    inside the same ``mapInPandas`` stream.  STUB decoder: payload is
+    truncated/padded to ``width*height`` bytes — the schema contract
+    (payload stays ``binary``, meta records the target dims) and the
+    Arrow-batch shape are the real thing."""
+    if _HAS_PIL:  # pragma: no cover - codec path lands with the lib
+        raise NotImplementedError("real resize wiring lands with the codec lib")
+
+    target = width * height
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "payload": pdf["payload"].map(
+                    lambda b: bytes(b or b"").ljust(target, b"\0")[:target]
+                ),
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+            }
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize_batches,
+        schema="media_id bigint, payload binary, width int, height int",
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling *plan* for video payloads: emits (media_id, frame_no)
     rows for every nth frame without decoding — the shuffle-free explode the

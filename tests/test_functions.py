@@ -177,3 +177,19 @@ def test_decode_image_is_stubbed(docs):
     media = multimodal.attach_binary(docs)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(media)
+
+
+def test_frame_sample_and_resize_plumbing(docs):
+    media = multimodal.attach_binary(docs, content_col="text", id_col="doc_id")
+    frames = multimodal.frame_sample_plan(media, every_nth=1).collect()
+    assert {r["media_id"] for r in frames} == {1, 2, 3, 4, 5}
+    assert all(r["frame_no"] >= 0 for r in frames)
+
+    resized = multimodal.resize_image(media, width=4, height=4).collect()
+    assert all(len(r["payload"]) == 16 for r in resized)
+    assert all((r["width"], r["height"]) == (4, 4) for r in resized)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(media)
