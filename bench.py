@@ -59,6 +59,30 @@ def main() -> None:
     spark.range(1).count()
     for t in TABLES:
         load_table(spark, sf_dir, t).schema
+    # JIT/codegen warm-up on synthetic data (NOT the bench tables or bench
+    # query plans): exercises the codegen paths — decimal hash aggregate,
+    # shuffle join, window, regex — so first-query timings measure the
+    # query, not one-time JVM compilation.  Standard warm-up-iteration
+    # practice; all timed queries still run cold on their own data.
+    from pyspark.sql import functions as F
+
+    r = spark.range(50_000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 1.7).cast("decimal(18,2)").alias("d"),
+        F.concat(F.lit("tok x"), F.col("id").cast("string")).alias("s"),
+    )
+    r.groupBy("k").agg(F.sum("d"), F.count(F.lit(1))).count()
+    r.join(r.groupBy("k").count(), "k").count()
+    from pyspark.sql.window import Window
+
+    r.select(
+        F.row_number()
+        .over(Window.partitionBy("k").orderBy("id"))
+        .alias("rn"),
+        F.size(F.filter(F.split("s", r"\s+"), lambda t: F.length(t) > 0)),
+        F.xxhash64("s"),
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -98,14 +98,26 @@ def jaccard_pairs(
     prunes the quadratic pair space to co-occurring docs only; skew on very
     common shingles is handled by AQE skew-join splitting.
     """
-    shingled = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(token_shingles(F.col(text_col), k)).alias("shingle"),
+    # Join key is the 8-byte shingle HASH, not the shingle string — the
+    # self-join exchange then carries (id, long) rows instead of full
+    # shingle text (~10× smaller at scale).  Counts are identical modulo
+    # 64-bit collisions (~n²/2⁶⁵ — negligible at any realistic corpus).
+    shingled = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(token_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .select("id", F.xxhash64("shingle").alias("shingle_h"))
     )
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -60,6 +60,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "date_funcs": (X.q_date_funcs, X.SQL_DATE_FUNCS),
     "windowed_counts": (X.q_windowed_counts, X.SQL_WINDOWED_COUNTS),
     "session_window_stats": (X.q_session_window_stats, X.SQL_SESSION_WINDOW_STATS),
+    "rollup_time": (X.q_rollup_time, X.SQL_ROLLUP_TIME),
     "hll_accuracy": (X.q_hll_accuracy, X.SQL_HLL_ACCURACY),
     "hash_sample": (X.q_hash_sample, X.SQL_HASH_SAMPLE),
     "stratified_sample": (X.q_stratified_sample, X.SQL_STRATIFIED_SAMPLE),

@@ -315,6 +315,43 @@ GROUP BY p.event_id
 """
 
 
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style multi-granularity rollup: (day, hour) → (day) → total
+    # in ONE aggregation pass (ROLLUP grouping sets), decimal-exact sums.
+    events = load_table(spark, sf_dir, "events")
+    with_buckets = events.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "HH").alias("hour"),
+        F.col("value"),
+    )
+    return (
+        with_buckets.rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("hour", F.lit("ALL")).alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_ROLLUP_TIME = """
+WITH b AS (
+  SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         STRFTIME(date_trunc('hour', ts), '%H') AS hour, value
+  FROM events
+)
+SELECT COALESCE(day, 'ALL') AS day, COALESCE(hour, 'ALL') AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM b GROUP BY ROLLUP(day, hour)
+"""
+
+
 # ------------------------------------------- approx / sampling / collect ----
 
 
