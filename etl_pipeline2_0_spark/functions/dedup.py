@@ -277,6 +277,84 @@ def minhash_near_duplicates(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+# ------------------------------------------------------------- winnowing ----
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 20,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    substring-level copy detection (any shared run of ≥ k+window-1 chars
+    leaves ≥1 shared fingerprint).
+
+    Relational shape mirrors ``jaccard_pairs``: explode fingerprints,
+    equi-join on the 8-byte fingerprint, count per pair.  The fingerprint
+    stream is ~2/(window+1) of k-grams, so the exchange is a fraction of
+    corpus bytes.
+
+    ``max_doc_freq`` drops fingerprints present in more than that many
+    documents before the self-join — boilerplate k-grams ("the and…")
+    carry no copy signal but a fingerprint in n docs joins into n²/2
+    pairs; the cap is the same skew guard as LSH's ``max_bucket_size``.
+    """
+    # Row-based winnowing (vs. the array form in functions.text): explode
+    # the k-gram hashes ONCE, then the sliding-window min is a per-doc
+    # partitioned window function.  Stacking array lambdas would re-inline
+    # the gram-hash computation into every window slice (no CSE across
+    # higher-order lambdas — same pathology as the MinHash signature
+    # stacking), turning O(n·w) into O(n²·k) per document.
+    gram_hashes = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1)),
+        ),
+        lambda i: F.xxhash64(F.substring(F.col(text_col), F.lit(0) + i, k)),
+    )
+    grams = (
+        ensure_min_parallelism(df)
+        .where(F.length(F.col(text_col)) >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(gram_hashes).alias("pos", "h"),
+        )
+    )
+    wmin = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    wcnt = Window.partitionBy("id")
+    fps = (
+        grams.select(
+            "id",
+            "pos",
+            F.min("h").over(wmin).alias("fp"),
+            F.count(F.lit(1)).over(wcnt).alias("n_grams"),
+        )
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - window, F.lit(0)))
+        .select("id", "fp")
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        wf = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("__df", F.count(F.lit(1)).over(wf))
+            .where(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 # -------------------------------------------------------------- SimHash ----
 
 

@@ -117,6 +117,33 @@ def quality_score(col: Column) -> Column:
     return F.round((length_term + stop_term + punct_term) / 3, 6)
 
 
+def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing document fingerprints (the rolling-hash scheme from
+    Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS fingerprint): hash
+    every character k-gram, slide a window of ``window`` hashes, keep each
+    window's minimum, dedupe.
+
+    Guarantees: any shared substring of length ≥ k+window-1 between two
+    documents yields ≥1 shared fingerprint, and fingerprint density is
+    ~2/(window+1) of the k-grams — a tunable sketch whose size tracks
+    document length, not corpus size.  Pure native expressions: the whole
+    computation is one codegen'd projection, no shuffle, no UDF.
+    """
+    n_grams = F.greatest(F.length(col) - F.lit(k - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.xxhash64(F.substring(col, F.lit(0) + i, k)),
+    )
+    n_windows = F.greatest(n_grams - F.lit(window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(gram_hashes, j, window)),
+    )
+    return F.when(n_grams == 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(mins)
+    )
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Exact-content fingerprint (byte-identical across engines)."""
     return F.md5(col)

@@ -288,6 +288,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling-hash (winnowing) copy detection — xxhash64-based, rows-only.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return dedup.winnow_overlap_pairs(
+        docs, k=8, window=4, min_shared=5, max_doc_freq=10
+    )
+
+
 def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(

@@ -193,3 +193,45 @@ def test_frame_sample_and_resize_plumbing(docs):
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_audio(media)
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    # SWA winnowing guarantee: a shared substring of length >= k+window-1
+    # (here 11) produces at least one shared fingerprint.
+    shared = "identical plagiarized sentence fragment here"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "other beginning " + shared + " different tail"),
+        (3, "entirely unrelated short content zzz qqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", text.winnow_fingerprints(F.col("text"), 8, 4).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2]            # overlap detected
+    assert fps[1] and fps[3].isdisjoint(fps[1]) or len(fps[3] & fps[1]) < 2
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fingerprints"]
+        for r in dedup.winnow_overlap_pairs(df, k=8, window=4, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_winnow_empty_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "tiny"), (3, "exactly8ch")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["fps"]
+        for r in df.select(
+            "doc_id", text.winnow_fingerprints(F.col("text"), 8, 4).alias("fps")
+        ).collect()
+    }
+    assert got[1] == []          # empty doc -> empty fingerprint set
+    assert got[2] == []          # shorter than k -> empty
+    assert len(got[3]) >= 1      # >= one k-gram -> >= one fingerprint
