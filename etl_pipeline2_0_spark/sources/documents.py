@@ -38,15 +38,28 @@ def read_documents(
     file-granular (one whole file per task at minimum), which is the right
     unit for the detect/extract pipeline since every downstream operator is
     per-document.
+
+    Charset: the ``text`` source decodes UTF-8 only (its charset option is
+    a no-op for whole files — verified by test), so non-UTF-8 corpora go
+    through the ``binaryFile`` source with a JVM-side ``decode`` — same
+    (doc_id, content) contract, same per-file parallelism.
     """
+    if charset.upper() in ("UTF-8", "UTF8"):
+        return (
+            spark.read.format("text")
+            .option("wholetext", "true")
+            .load(path)
+            .select(
+                F.input_file_name().alias("doc_id"),
+                F.col("value").alias("content"),
+            )
+        )
     return (
-        spark.read.format("text")
-        .option("wholetext", "true")
-        .option("charset", charset)
+        spark.read.format("binaryFile")
         .load(path)
         .select(
-            F.input_file_name().alias("doc_id"),
-            F.col("value").alias("content"),
+            F.col("path").alias("doc_id"),
+            F.decode(F.col("content"), charset).alias("content"),
         )
     )
 

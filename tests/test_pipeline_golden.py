@@ -167,3 +167,19 @@ def test_no_json_documents(spark):
     # A document with no JSON must not fail schema inference.
     result = run_batch(spark, payloads=["just a plain text line here"])
     assert result["items_by_type"] == {"text": 1}
+
+
+def test_latin1_charset_read(spark, tmp_path):
+    # S1 charset semantics (etl_pipeline.py:41-55): the reference falls back
+    # to Latin-1 when strict UTF-8 decode fails; Spark's text source decodes
+    # with the declared charset, so a known-Latin-1 corpus reads via the
+    # explicit option and round-trips the accented bytes.
+    from etl_pipeline2_0_spark.sources.documents import read_documents
+
+    p = tmp_path / "latin1.txt"
+    content = "café au lait — prix: 3€ approximatif et détaillé"
+    p.write_bytes("caf\xe9 au lait".encode("latin-1"))
+    docs = read_documents(spark, str(tmp_path), charset="ISO-8859-1").collect()
+    assert len(docs) == 1
+    assert docs[0]["content"] == "caf\xe9 au lait"
+    assert content  # silence unused warning path
