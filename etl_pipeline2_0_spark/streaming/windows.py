@@ -88,6 +88,71 @@ def session_window_stats(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key streaming deduplication.
+
+    ``dropDuplicates`` on a stream keeps per-key state forever unless
+    bounded; ``dropDuplicatesWithinWatermark`` expires state past the
+    watermark horizon — duplicates arriving within the horizon are dropped,
+    state stays O(keys-per-horizon).  On a batch frame this degrades to a
+    plain dropDuplicates.
+    """
+    key_cols = key_cols or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return events.dropDuplicates(key_cols)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_time: str = "ts",
+    right_time: str = "ts",
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events within ``within``
+    AFTER the left event, per key (the impression⋈click attribution shape).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store retains each side only for
+    watermark+within — the requirement for an unbounded stream⋈stream join
+    to run with bounded state.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col(left_time).alias("l_ts"),
+        *[c for c in left.columns if c not in (key, left_time)],
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(right_time).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key, right_time)
+        ],
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    )
+
+
 # ------------------------------------------------------- custom state op ----
 
 RUNNING_STATS_SCHEMA = "user_id bigint, n_events bigint, total_value double"

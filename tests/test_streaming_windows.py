@@ -95,3 +95,60 @@ def test_running_user_stats_state_across_batches(spark, tmp_path):
     # State genuinely accumulated (not recomputed per batch): more emitted
     # rows than keys proves multiple micro-batches fired.
     assert len(rows) > len(last)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "events")
+    # event 2 duplicated across batches; both copies within the watermark.
+    _write_batch(spark, BATCH_1, src)
+    _write_batch(spark, [BATCH_1[1], (9, "2024-01-01 11:40:00", 2, "view", 9.0)], src)
+
+    from etl_pipeline2_0_spark.streaming.windows import streaming_dedup
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream, key_cols=["event_id"], watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r["event_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()]
+    assert sorted(ids) == [1, 2, 3, 9]  # duplicate of 2 dropped across batches
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    from etl_pipeline2_0_spark.streaming.windows import stream_stream_join
+
+    purchases = [(1, "2024-01-01 10:00:00", 1, "purchase", 1.0)]
+    follows = [
+        (2, "2024-01-01 10:10:00", 1, "view", 2.0),   # within 30 min
+        (3, "2024-01-01 11:10:00", 1, "view", 3.0),   # outside
+        (4, "2024-01-01 10:10:00", 2, "view", 4.0),   # wrong user
+    ]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_batch(spark, purchases, lsrc)
+    _write_batch(spark, follows, rsrc)
+
+    left = spark.readStream.schema(EVENTS_SCHEMA).parquet(lsrc)
+    right = spark.readStream.schema(EVENTS_SCHEMA).parquet(rsrc)
+    joined = stream_stream_join(
+        left, right, key="user_id", watermark="1 hour", within="30 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ss_join").collect()
+    assert len(rows) == 1
+    assert rows[0]["r_event_id"] == 2
