@@ -62,6 +62,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "session_window_stats": (X.q_session_window_stats, X.SQL_SESSION_WINDOW_STATS),
     "rollup_time": (X.q_rollup_time, X.SQL_ROLLUP_TIME),
     "hll_accuracy": (X.q_hll_accuracy, X.SQL_HLL_ACCURACY),
+    "approx_quantile_accuracy": (
+        X.q_approx_quantile_accuracy,
+        X.SQL_APPROX_QUANTILE_ACCURACY,
+    ),
     "hash_sample": (X.q_hash_sample, X.SQL_HASH_SAMPLE),
     "stratified_sample": (X.q_stratified_sample, X.SQL_STRATIFIED_SAMPLE),
     "collect_values": (X.q_collect_values, X.SQL_COLLECT_VALUES),

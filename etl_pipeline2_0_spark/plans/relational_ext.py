@@ -376,6 +376,29 @@ SQL_HLL_ACCURACY = (
 )
 
 
+def q_approx_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch validation, same pattern as ``q_hll_accuracy``: emit
+    each group where ``approx_percentile`` (relative-error sketch) lands
+    within 2.5% of the exact interpolated median; the DuckDB-exact oracle
+    expects every group back.  (The sketch returns an actual data point
+    while the exact median interpolates mid-gap, so the bound must absorb
+    data spacing at small group sizes — worst observed 1.1% at sf0.001.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("exact_p50"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
+    )
+    return agg.where(
+        F.abs(F.col("approx_p50") - F.col("exact_p50"))
+        <= 0.025 * F.abs(F.col("exact_p50"))
+    ).select("o_orderpriority")
+
+
+SQL_APPROX_QUANTILE_ACCURACY = (
+    "SELECT o_orderpriority FROM orders GROUP BY o_orderpriority"
+)
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reproducible 10% sample: hash-mod on the key, NOT df.sample() — the
     # sample is stable across engines, partitionings, retries, and reruns,
