@@ -152,3 +152,46 @@ def test_stream_stream_join_attribution(spark, tmp_path):
     rows = spark.sql("SELECT * FROM ss_join").collect()
     assert len(rows) == 1
     assert rows[0]["r_event_id"] == 2
+
+
+def test_continuous_rollup_matches_batch(spark, tmp_path):
+    from etl_pipeline2_0_spark.streaming.rollup import continuous_rollup, read_rollup
+    from etl_pipeline2_0_spark.streaming.windows import windowed_event_counts
+
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "rollup")
+    _write_batch(spark, BATCH_1, src)
+    _write_batch(spark, BATCH_2, src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = continuous_rollup(spark, stream, out, available_now=True)
+    q.awaitTermination(120)
+
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, out).collect()
+    }
+    batch_equiv = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(
+            spark.read.parquet(src), window_duration="1 hour"
+        ).collect()
+    }
+    # Incremental partials recombine to exactly the batch-mode rollup, and
+    # the window key format matches (both 'yyyy-MM-dd HH:mm:ss').
+    assert {k: (n, pytest.approx(s)) for k, (n, s) in got.items()} == batch_equiv
+
+    # New data arrives -> restart from the same checkpoint processes ONLY
+    # the new file; totals update incrementally.
+    _write_batch(spark, [(6, "2024-01-01 10:50:00", 3, "click", 6.0)], src)
+    q2 = continuous_rollup(spark, stream, out, available_now=True)
+    q2.awaitTermination(120)
+    updated = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in read_rollup(spark, out).collect()
+    }
+    assert updated[("2024-01-01 10:00:00", "click")] == 4  # was 3
