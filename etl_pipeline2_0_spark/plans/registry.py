@@ -53,6 +53,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "count_distinct": (X.q_count_distinct, X.SQL_COUNT_DISTINCT),
     "percentiles": (X.q_percentiles, X.SQL_PERCENTILES),
     "pivot_events": (X.q_pivot_events, X.SQL_PIVOT_EVENTS),
+    "unpivot_events": (X.q_unpivot_events, X.SQL_UNPIVOT_EVENTS),
+    "try_cast_coerce": (X.q_try_cast_coerce, X.SQL_TRY_CAST_COERCE),
+    "conditional_aggs": (X.q_conditional_aggs, X.SQL_CONDITIONAL_AGGS),
     "cube_sales": (X.q_cube_sales, X.SQL_CUBE_SALES),
     "asof_join": (X.q_asof_join, X.SQL_ASOF_JOIN),
     "range_join": (X.q_range_join, X.SQL_RANGE_JOIN),

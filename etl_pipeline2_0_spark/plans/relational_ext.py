@@ -449,6 +449,75 @@ SQL_COLLECT_VALUES = (
 )
 
 
+def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wide→long (melt): per-user pivoted sums unpivoted back to rows.
+    wide = q_pivot_events(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="sum_value",
+    ).where(F.col("sum_value").isNotNull())
+
+
+SQL_UNPIVOT_EVENTS = (
+    "WITH wide AS ("
+    + SQL_PIVOT_EVENTS
+    + ") SELECT user_id, event_type, sum_value FROM wide "
+    "UNPIVOT (sum_value FOR event_type IN ("
+    + ", ".join(_EVENT_TYPES)
+    + "))"
+)
+
+
+def q_try_cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F9 (etl_pipeline.py:279-283): pd.to_numeric(errors='coerce').fillna(0)
+    # ≡ coalesce(try_cast(...), 0) — exercised on a genuinely mixed column
+    # (numeric-looking prefixes of part names parse; words don't).
+    part = load_table(spark, sf_dir, "part")
+    first_tok = F.element_at(F.split("p_name", " "), 1)
+    return part.select(
+        "p_partkey",
+        F.coalesce(first_tok.try_cast("bigint"), F.lit(0)).alias("tok_as_int"),
+        F.coalesce(
+            F.substring("p_name", 1, 2).try_cast("bigint"), F.lit(-1)
+        ).alias("prefix_as_int"),
+    )
+
+
+SQL_TRY_CAST_COERCE = """
+SELECT p_partkey,
+       COALESCE(TRY_CAST(split_part(p_name, ' ', 1) AS BIGINT), 0) AS tok_as_int,
+       COALESCE(TRY_CAST(SUBSTRING(p_name, 1, 2) AS BIGINT), -1) AS prefix_as_int
+FROM part
+"""
+
+
+def q_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count_if / filtered sums / bool_and / bool_or per group.
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.col("l_returnflag") == "R"
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(returned).alias("n_returned"),
+        F.sum(F.when(returned, _dec(F.col("l_quantity"))))
+        .cast("double")
+        .alias("qty_returned"),
+        F.every(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+    )
+
+
+SQL_CONDITIONAL_AGGS = """
+SELECT l_linestatus,
+       COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS qty_returned,
+       BOOL_AND(l_quantity > 0) AS all_positive_qty,
+       BOOL_OR(l_discount > 0.09) AS any_deep_discount
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 # ------------------------------------------------- scalar function suites ---
 
 
