@@ -400,36 +400,49 @@ SQL_APPROX_QUANTILE_ACCURACY = (
 
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Reproducible 10% sample: hash-mod on the key, NOT df.sample() — the
-    # sample is stable across engines, partitionings, retries, and reruns,
-    # which is what a training-data pipeline needs for held-out splits.
+    # Reproducible ~10% sample: hash threshold on the key, NOT df.sample() —
+    # the sample is stable across engines, partitionings, retries, and
+    # reruns, which is what a training-data pipeline needs for held-out
+    # splits.  The hash is md5 (identical lowercase hex in Spark, DuckDB,
+    # Trino, Postgres), compared on the first 3 hex digits: < '19a' keeps
+    # 0x19a/0x1000 = 410/4096 ≈ 10.01% of keys, and the same predicate
+    # reproduces the exact subset in any engine.  Map-side filter only —
+    # no shuffle, scales linearly.
     li = load_table(spark, sf_dir, "lineitem")
-    return li.where(
-        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(100)) < 10
-    ).select("l_orderkey", "l_linenumber", "l_quantity")
+    bucket = F.substring(
+        F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 3
+    )
+    return li.where(bucket < "19a").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
 
 
-# DuckDB has no xxhash64; the oracle checks the sampling CONTRACT instead:
-# the sampled subset must be exactly reproducible, so running the Spark
-# query twice (driver does) and the md5-of-key variant below must agree on
-# determinism-relevant properties.  We give the oracle the same subset via
-# Spark-computable hash? Not available — so this one pins determinism by
-# equality of two *Spark* evaluations in pytest, and registers rows-only.
-SQL_HASH_SAMPLE = None
+SQL_HASH_SAMPLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substring(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 3) < '19a'
+"""
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Per-stratum reproducible rates: 20% of PROMO-ish parts, 5% of others.
+    # Per-stratum reproducible rates via per-stratum hex thresholds:
+    # PROMO-ish parts keep < '333' (0x333/0x1000 ≈ 20.0%), the rest
+    # < '0cd' (0xcd/0x1000 ≈ 5.0%).  Same portable-md5 contract as
+    # q_hash_sample.
     part = load_table(spark, sf_dir, "part")
-    rate = F.when(F.col("p_type").startswith("PROMO"), F.lit(20)).otherwise(
-        F.lit(5)
-    )
-    return part.where(F.pmod(F.xxhash64("p_partkey"), F.lit(100)) < rate).select(
-        "p_partkey", "p_type"
-    )
+    threshold = F.when(
+        F.col("p_type").startswith("PROMO"), F.lit("333")
+    ).otherwise(F.lit("0cd"))
+    bucket = F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 3)
+    return part.where(bucket < threshold).select("p_partkey", "p_type")
 
 
-SQL_STRATIFIED_SAMPLE = None
+SQL_STRATIFIED_SAMPLE = """
+SELECT p_partkey, p_type
+FROM part
+WHERE substring(md5(CAST(p_partkey AS VARCHAR)), 1, 3)
+      < CASE WHEN p_type LIKE 'PROMO%' THEN '333' ELSE '0cd' END
+"""
 
 
 def q_collect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
