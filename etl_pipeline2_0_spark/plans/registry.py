@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_pipeline2_0_spark.plans import llm_ops as L
 from etl_pipeline2_0_spark.plans import relational as R
 from etl_pipeline2_0_spark.plans import relational_ext as X
+from etl_pipeline2_0_spark.plans import tpch_more as T
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -40,6 +41,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
     "q5_region_revenue": (R.q5_region_revenue, R.SQL_Q5),
+    "q6_revenue_forecast": (T.q6_revenue_forecast, T.SQL_Q6),
+    "q10_returned_customers": (T.q10_returned_customers, T.SQL_Q10),
+    "q14_promo_share": (T.q14_promo_share, T.SQL_Q14),
+    "q15_top_supplier": (T.q15_top_supplier, T.SQL_Q15),
+    "q17_small_quantity_revenue": (T.q17_small_quantity_revenue, T.SQL_Q17),
+    "q18_volume_customers": (T.q18_volume_customers, T.SQL_Q18),
     "brand_pricing": (R.q_brand_pricing, R.SQL_BRAND_PRICING),
     "rollup_sales": (R.q_rollup_sales, R.SQL_ROLLUP_SALES),
     "running_total": (R.q_running_total, R.SQL_RUNNING_TOTAL),

@@ -1,0 +1,286 @@
+"""Additional TPC-H-shaped capability queries over the testdata tables.
+
+Same conventions as ``relational.py`` (decimal-exact money sums, identical
+aliases in the Spark and DuckDB forms, deterministic top-k tiebreaks).  The
+testdata schema is TPC-H-ish, not TPC-H: there is no partsupp table, no
+commit/receipt dates, and ``p_type`` is a flat category — so each query here
+keeps the *plan shape* of its TPC-H namesake (that's what matters for the
+engine) with predicates adapted to the available columns.
+
+Scale notes inline: these six add the shapes q1/q3/q5 don't cover —
+pushdown-only aggregation (q6), late top-k after a 4-way join (q10), global
+ratio aggregation (q14), max-of-aggregate via window (q15), per-group-avg
+anti-outlier join (q17), and having-filtered fact re-join (q18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline2_0_spark.sources.tables import load_table
+
+
+def _dec(col, scale: int = 2):
+    return col.cast(f"decimal(18,{scale})")
+
+
+def _one():
+    # Lazy: F.lit needs an active SparkContext, so no module-level Columns.
+    return F.lit(1).cast("decimal(18,2)")
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+global-agg, zero joins.
+
+    Scale: all three predicates push to the parquet scan (min/max row-group
+    pruning on shipdate); the aggregate is a single decimal partial per
+    partition — the cheapest possible full-table query, bounded by I/O.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_Q6 = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+
+    Scale: the R-flag filter prunes lineitem at the scan; orders' date
+    window prunes the probe side before the orderkey shuffle join;
+    customer joins on custkey post-aggregation (150k×SF rows, broadcast
+    below ~1 GB); nation is always broadcast.  Top-k is a TakeOrdered on
+    the already-aggregated per-customer set.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * (_one() - _dec(F.col("l_discount")))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio over a month window.
+
+    Scale: part (partkey, p_type only — column-pruned) broadcasts into the
+    date-pruned lineitem scan; both sums are decimal-exact partials, the
+    final ratio is one double division on the driver row.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-06-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = _dec(F.col("l_extendedprice")) * (_one() - _dec(F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(disc_price).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+SQL_Q14 = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      ELSE 0 END) AS DOUBLE) AS promo_revenue,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-06-01'
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM agg
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-of-aggregate without a self-join.
+
+    The classic formulation joins the revenue view against its own MAX;
+    Spark-first this is one window ``max() OVER ()`` over the (tiny,
+    per-supplier) aggregate — the empty-frame window is safe because it
+    runs on |suppliers| rows, not on the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = F.sum(
+        _dec(F.col("l_extendedprice")) * (_one() - _dec(F.col("l_discount")))
+    ).cast("double")
+    per_supp = li.groupBy("l_suppkey").agg(revenue.alias("total_revenue"))
+    top = per_supp.withColumn(
+        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("max_revenue"))
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("total_revenue"),
+        )
+    )
+
+
+SQL_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part average as a decorrelated broadcast join.
+
+    The correlated scalar subquery (``l_quantity < 0.2 * avg per part``)
+    decorrelates into a per-partkey aggregate joined back to the fact.
+    Scale: the avg side aggregates to |part| rows (broadcastable); the
+    brand filter prunes both sides before the join.  The average is
+    computed as exact-decimal-sum / count so both engines divide identical
+    operands (a naive double AVG is summation-order-dependent).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    brand_items = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = brand_items.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.sum(_dec(F.col("l_quantity"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    small = brand_items.join(
+        F.broadcast(avg_qty), brand_items.l_partkey == avg_qty.ap_partkey
+    ).where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+SQL_Q17 = """
+WITH brand_items AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+), avg_qty AS (
+  SELECT l_partkey AS ap_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM brand_items GROUP BY l_partkey
+)
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+  COUNT(*) AS n_small
+FROM brand_items JOIN avg_qty ON l_partkey = ap_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q18_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered fact aggregate re-joined to dims.
+
+    Scale: the per-order quantity aggregate shuffles once on orderkey and
+    the >270 filter keeps ~1% of orders, so the subsequent joins see a
+    tiny probe side; AQE converts them to broadcasts at runtime.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+        .where(F.col("sum_qty") > 270)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+SQL_Q18 = """
+SELECT c_custkey, c_name, o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 270
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
