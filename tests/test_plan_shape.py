@@ -117,3 +117,32 @@ def test_whole_stage_codegen_covers_q1(spark, sf_dir):
     # '*(N)' prefixes are the whole-stage-codegen stage markers; both the
     # partial and final aggregate must be inside codegen'd stages.
     assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    from etl_pipeline2_0_spark.plans import tpch_more as T
+
+    plan = _plan(T.q6_revenue_forecast(spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed:\n{pushed}"
+    # Column pruning: only the 4 referenced columns in ReadSchema.
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_new_tpch_broadcasts(spark, sf_dir):
+    from etl_pipeline2_0_spark.plans import tpch_more as T
+
+    # q14: part dim broadcast; q17: both part filter and avg side broadcast.
+    assert "BroadcastHashJoin" in _plan(T.q14_promo_share(spark, sf_dir))
+    assert _plan(T.q17_small_quantity_revenue(spark, sf_dir)).count(
+        "BroadcastHashJoin"
+    ) >= 2
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    from etl_pipeline2_0_spark.plans import tpch_more as T
+
+    # LIMIT after ORDER BY must be TakeOrderedAndProject, not a full sort.
+    assert "TakeOrderedAndProject" in _plan(T.q10_returned_customers(spark, sf_dir))
