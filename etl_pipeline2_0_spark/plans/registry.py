@@ -79,6 +79,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "hash_sample": (X.q_hash_sample, X.SQL_HASH_SAMPLE),
     "stratified_sample": (X.q_stratified_sample, X.SQL_STRATIFIED_SAMPLE),
     "collect_values": (X.q_collect_values, X.SQL_COLLECT_VALUES),
+    "analytic_funcs": (X.q_analytic_funcs, X.SQL_ANALYTIC_FUNCS),
+    "array_funcs": (X.q_array_funcs, X.SQL_ARRAY_FUNCS),
+    "grouping_sets": (X.q_grouping_sets, X.SQL_GROUPING_SETS),
     # --- LLM-data-pipeline operators ---
     "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
     "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),

@@ -638,3 +638,118 @@ SELECT o_orderkey,
          AS days_to_2002
 FROM orders
 """
+
+
+def q_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ranking/analytic battery: ntile, percent_rank, cume_dist, rank,
+    # dense_rank, first_value, nth_value over one shared window.  The
+    # ordering carries o_orderkey as a unique tiebreak so every function is
+    # deterministic.  percent_rank/cume_dist are exact ((rank-1)/(n-1) on
+    # identical integer operands), so the comparison needs no tolerance.
+    # Scale: one shuffle on the partition key; all seven functions share a
+    # single sort within Window — no extra exchanges.
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 300000
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
+        F.first_value("o_orderkey").over(w).alias("top_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+SQL_ANALYTIC_FUNCS = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk,
+       FIRST_VALUE(o_orderkey) OVER w AS top_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WHERE o_totalprice > 300000
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Higher-order array functions: transform / filter / aggregate (fold) /
+    # sort / distinct — the lambda-expression surface Catalyst evaluates
+    # JVM-side (no Python UDF).  Arrays are serialized with concat_ws so
+    # the driver's value-hash sees plain strings.
+    part = load_table(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return part.select(
+        "p_partkey",
+        F.concat_ws(",", F.transform(toks, lambda t: F.upper(t))).alias(
+            "upper_tokens"
+        ),
+        F.concat_ws(",", F.filter(toks, lambda t: F.length(t) > 4)).alias(
+            "long_tokens"
+        ),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+        F.concat_ws(",", F.array_sort(toks)).alias("sorted_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.array_contains(toks, "green").alias("has_green"),
+    )
+
+
+SQL_ARRAY_FUNCS = """
+SELECT p_partkey,
+       array_to_string(list_transform(string_split(p_name, ' '), t -> UPPER(t)), ',')
+         AS upper_tokens,
+       COALESCE(array_to_string(list_filter(string_split(p_name, ' '), t -> LENGTH(t) > 4), ','), '')
+         AS long_tokens,
+       CAST(list_sum(list_transform(string_split(p_name, ' '), t -> LENGTH(t)))
+            AS BIGINT) AS total_chars,
+       array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_tokens,
+       CAST(LENGTH(list_distinct(string_split(p_name, ' '))) AS BIGINT)
+         AS n_distinct_tokens,
+       list_contains(string_split(p_name, ' '), 'green') AS has_green
+FROM part
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit GROUPING SETS with grouping_id — finer control than
+    # cube/rollup: only the three requested sets are computed, and
+    # grouping_id disambiguates real NULLs from subtotal rows.
+    # Scale: Spark expands sets map-side then aggregates once — a single
+    # shuffle keyed by (flag, status, gid).
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
