@@ -161,3 +161,54 @@ def bpe_ish_token_count(col: Column) -> Column:
     )
     punct = F.length(F.regexp_replace(col, r"[\w\s]", ""))
     return subwords + punct
+
+
+# ------------------------------------------------------------ PII scrub -----
+
+# Patterns chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB/production scrubbers): no backrefs, no lookaround.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, phone numbers, and IPv4 addresses with typed tags.
+
+    Order matters: emails first (their local parts can contain digits and
+    dots that the narrower patterns would partially eat).  Pure
+    ``regexp_replace`` chain — JVM-side, no UDF, scales linearly.
+    """
+    out = col
+    for pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Per-document token-repetition signals for quality filtering.
+
+    Returns (id, n_tokens, n_distinct, rep_ratio, top_share): rep_ratio is
+    the fraction of tokens that are repeats of an earlier token;
+    top_share the share of the single most frequent token.  High values
+    flag boilerplate/spam — a standard pretraining-corpus filter.
+
+    Scale: explode → two hash aggregates keyed on (id, token) then (id);
+    partials combine map-side, so the shuffle carries per-doc distinct
+    tokens, not the raw token stream.
+    """
+    per_tok = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_tok.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("c").cast("double")
+        ).alias("rep_ratio"),
+        (F.max("c") / F.sum("c").cast("double")).alias("top_share"),
+    )

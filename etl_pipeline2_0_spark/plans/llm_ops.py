@@ -364,3 +364,63 @@ SQL_EXTRACT_DOC_STATS = (
     "SELECT 'text' AS type, COUNT(*) AS n_records FROM documents "
     "WHERE LENGTH(TRIM(text)) > 5"
 )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrub (email/phone/IPv4 → typed tags).  The synthetic corpus has
+    # no PII, so the query plants deterministic doc_id-derived PII first —
+    # both engines build the identical input string, so the oracle checks
+    # the actual redaction behavior, not a no-op.
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.7 tel 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234"),
+    )
+    return docs.select(
+        "doc_id", text.redact_pii(planted).alias("redacted")
+    )
+
+
+SQL_PII_REDACT = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        SUBSTRING(text, 1, 80) || ' contact user' || CAST(doc_id AS VARCHAR)
+          || '@mail.example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+          || '.0.7 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+          || '-1234',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+FROM documents
+"""
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-repetition quality signal (boilerplate/spam filter): fraction
+    # of repeated tokens and top-token share per document.  Ratios divide
+    # identical integers in both engines — exact, no tolerance needed.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "text", "doc_id")
+
+
+SQL_REPETITION_SCORE = """
+WITH cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE) AS rep_ratio,
+       MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_share
+FROM cnt GROUP BY doc_id
+"""

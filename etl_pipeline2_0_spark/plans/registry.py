@@ -95,6 +95,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "lang_id_counts": (L.q_lang_id_counts, L.SQL_LANG_ID_COUNTS),
     "token_stats_by_source": (L.q_token_stats_by_source, L.SQL_TOKEN_STATS_BY_SOURCE),
     "fingerprint": (L.q_fingerprint, L.SQL_FINGERPRINT),
+    "pii_redact": (L.q_pii_redact, L.SQL_PII_REDACT),
+    "repetition_score": (L.q_repetition_score, L.SQL_REPETITION_SCORE),
     "winnow_overlap": (L.q_winnow_overlap, None),
     "bpe_token_estimate": (L.q_bpe_token_estimate, L.SQL_BPE_TOKEN_ESTIMATE),
     "multimodal_meta": (L.q_multimodal_meta, L.SQL_MULTIMODAL_META),
