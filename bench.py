@@ -28,6 +28,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_region_revenue",
+    "q6_revenue_forecast",
+    "q10_returned_customers",
     "brand_pricing",
     "rollup_sales",
     "running_total",
