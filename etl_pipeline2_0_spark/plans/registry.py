@@ -82,6 +82,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "analytic_funcs": (X.q_analytic_funcs, X.SQL_ANALYTIC_FUNCS),
     "array_funcs": (X.q_array_funcs, X.SQL_ARRAY_FUNCS),
     "grouping_sets": (X.q_grouping_sets, X.SQL_GROUPING_SETS),
+    "null_funcs": (X.q_null_funcs, X.SQL_NULL_FUNCS),
+    "frame_specs": (X.q_frame_specs, X.SQL_FRAME_SPECS),
+    "fuzzy_match": (X.q_fuzzy_match, X.SQL_FUZZY_MATCH),
     # --- LLM-data-pipeline operators ---
     "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
     "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),

@@ -753,3 +753,115 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
+
+
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null-semantics battery: null-safe equality (<=>), NULLIF, NVL2,
+    # GREATEST/LEAST null-skipping, and coalesce chains — the edge
+    # semantics that differ subtly across engines, pinned by oracle.
+    # NULLIF plants nulls (l_discount=0 → NULL) so every branch is hit.
+    li = load_table(spark, sf_dir, "lineitem")
+    d0 = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        d0.alias("disc_or_null"),
+        F.col("l_discount").eqNullSafe(d0).alias("nullsafe_eq"),
+        F.nvl2(d0, F.lit("discounted"), F.lit("full-price")).alias("price_kind"),
+        F.greatest(d0, F.col("l_tax")).alias("max_rate"),
+        F.least(d0, F.col("l_tax")).alias("min_rate"),
+        F.coalesce(d0, F.col("l_tax"), F.lit(-1.0)).alias("first_rate"),
+    )
+
+
+SQL_NULL_FUNCS = """
+SELECT l_orderkey, l_linenumber,
+       NULLIF(l_discount, 0.0) AS disc_or_null,
+       l_discount IS NOT DISTINCT FROM NULLIF(l_discount, 0.0) AS nullsafe_eq,
+       CASE WHEN NULLIF(l_discount, 0.0) IS NOT NULL
+            THEN 'discounted' ELSE 'full-price' END AS price_kind,
+       GREATEST(NULLIF(l_discount, 0.0), l_tax) AS max_rate,
+       LEAST(NULLIF(l_discount, 0.0), l_tax) AS min_rate,
+       COALESCE(NULLIF(l_discount, 0.0), l_tax, -1.0) AS first_rate
+FROM lineitem
+"""
+
+
+def q_frame_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit window frames: a 4-row sliding average (ROWS BETWEEN) and a
+    # value-range frame (RANGE BETWEEN) over per-customer order history.
+    # Sliding sums are decimal-exact; the sliding AVG divides that exact
+    # sum by the frame row count so both engines divide identical operands.
+    # Scale: one shuffle on the partition key; both frames share one sort.
+    orders = load_table(spark, sf_dir, "orders")
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    wv = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-10000, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.sum(_dec(F.col("o_totalprice"))).over(wr).cast("double")
+            / F.count(F.lit(1)).over(wr)
+        ).alias("sliding_avg_4"),
+        F.count(F.lit(1)).over(wv).cast("bigint").alias("n_within_10k_below"),
+    )
+
+
+SQL_FRAME_SPECS = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         AS sliding_avg_4,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_within_10k_below
+FROM orders
+"""
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edit-distance fuzzy matching, blocked to stay scalable: candidate
+    # pairs only within the same (p_brand, p_size) block — the classic
+    # blocking-key pattern that turns O(n²) into sum of small blocks².
+    # levenshtein is natively identical in Spark and DuckDB.
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_name"
+    )
+    a, b = part.alias("a"), part.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 8)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("bigint")
+            .alias("edit_dist"),
+        )
+    )
+
+
+SQL_FUZZY_MATCH = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+"""
