@@ -114,3 +114,28 @@ def load_outputs(
     if use_rowstore:
         write_rowstore(normalized, schema_report, os.path.join(out_dir, "rowstore"), source_name)
     return metadata
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dynamic_overwrite: bool = True,
+) -> None:
+    """Hive-partitioned parquet layout — the 100 TB table format.
+
+    Partition columns become directory keys (``.../col=value/``) so reads
+    with a predicate on them list only matching directories (partition
+    pruning: the scan's ``PartitionFilters``, enforced by
+    ``tests/test_scale_ops.py``).  With ``dynamic_overwrite``, an overwrite
+    replaces only the partitions present in ``df`` — the idempotent
+    backfill/re-run primitive — instead of truncating the whole table.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if dynamic_overwrite:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -92,3 +92,32 @@ def test_hash_sample_reproducible(spark, sf_dir):
     s1 = {tuple(r) for r in q_stratified_sample(spark, sf_dir).collect()}
     s2 = {tuple(r) for r in q_stratified_sample(spark, sf_dir).collect()}
     assert s1 == s2 and s1
+
+
+def test_partitioned_write_prunes_and_dynamic_overwrite(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.sinks.load import write_partitioned
+
+    path = str(tmp_path / "events_by_type")
+    events = load_table(spark, sf_dir, "events")
+    write_partitioned(events, path, ["event_type"])
+
+    # Predicate on the partition key must become a PartitionFilter (dir
+    # pruning), leaving no data-level filter on event_type.
+    back = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan[:1500]
+    assert back.count() == events.where("event_type = 'click'").count()
+
+    # Dynamic overwrite of ONE partition must leave the others intact.
+    one = events.where("event_type = 'click'").withColumn(
+        "value", F.col("value") * 2
+    )
+    write_partitioned(one, path, ["event_type"])
+    again = spark.read.parquet(path)
+    assert again.count() == events.count()
+    assert (
+        again.where("event_type = 'view'").count()
+        == events.where("event_type = 'view'").count()
+    )
