@@ -121,3 +121,24 @@ def test_partitioned_write_prunes_and_dynamic_overwrite(spark, sf_dir, tmp_path)
         again.where("event_type = 'view'").count()
         == events.where("event_type = 'view'").count()
     )
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    # Ingest-side dynamic schema: two parquet batches with different
+    # columns read back as one table (mergeSchema), missing cells null —
+    # the reference's per-run dynamic schema (SURVEY §1.3) at source level.
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "alpha")], "id bigint, name string"
+    ).write.parquet(path + "/batch=1")
+    spark.createDataFrame(
+        [(2, 9.5)], "id bigint, score double"
+    ).write.parquet(path + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert sorted(merged.columns) == ["batch", "id", "name", "score"]
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["name"] == "alpha" and rows[1]["score"] is None
+    assert rows[2]["score"] == 9.5 and rows[2]["name"] is None
