@@ -85,6 +85,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "null_funcs": (X.q_null_funcs, X.SQL_NULL_FUNCS),
     "frame_specs": (X.q_frame_specs, X.SQL_FRAME_SPECS),
     "fuzzy_match": (X.q_fuzzy_match, X.SQL_FUZZY_MATCH),
+    "corr_subquery": (X.q_corr_subquery, X.SQL_CORR_SUBQUERY),
     # --- LLM-data-pipeline operators ---
     "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
     "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),

@@ -865,3 +865,34 @@ FROM part a JOIN part b
  AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 8
 """
+
+
+def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated scalar subquery, left in SQL form on purpose: Catalyst
+    # decorrelates it into the same per-key aggregate + join that
+    # ``tpch_more.q17`` builds by hand — proving the engine's SQL surface,
+    # not just the DataFrame API, handles correlation.  Orders above their
+    # own customer's average order value.
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders_cs o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+          FROM orders_cs i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+SQL_CORR_SUBQUERY = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+  FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
