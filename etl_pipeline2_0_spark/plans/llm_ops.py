@@ -297,6 +297,8 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish token count (word pieces + length penalty) — native regex,
+    # the pretraining cost estimator run per document.
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -322,6 +324,8 @@ FROM t
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary-column plumbing: opaque bytes + typed metadata struct
+    # (n_bytes, checksum) — the schema every image/audio table shares.
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary(docs, content_col="text", id_col="doc_id")
     return media.select(
