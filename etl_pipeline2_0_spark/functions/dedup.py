@@ -288,10 +288,18 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_doc_freq: int | None = 20,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     substring-level copy detection (any shared run of ≥ k+window-1 chars
     leaves ≥1 shared fingerprint).
+
+    ``portable_hash`` swaps the gram hash from xxhash64 (fastest, JVM
+    whole-stage codegen) to the first 16 hex chars of md5 — identical in
+    every engine with an md5(), which makes the full pipeline (and its
+    fingerprints) reproducible outside Spark for cross-engine audits.
+    Winnowing only needs *a* consistent total order on hashes; min over
+    the fixed-length hex string is that order.
 
     Relational shape mirrors ``jaccard_pairs``: explode fingerprints,
     equi-join on the 8-byte fingerprint, count per pair.  The fingerprint
@@ -309,12 +317,18 @@ def winnow_overlap_pairs(
     # the gram-hash computation into every window slice (no CSE across
     # higher-order lambdas — same pathology as the MinHash signature
     # stacking), turning O(n·w) into O(n²·k) per document.
+    def gram_hash(i):
+        gram = F.substring(F.col(text_col), F.lit(0) + i, k)
+        if portable_hash:
+            return F.substring(F.md5(gram), 1, 16)
+        return F.xxhash64(gram)
+
     gram_hashes = F.transform(
         F.sequence(
             F.lit(1),
             F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1)),
         ),
-        lambda i: F.xxhash64(F.substring(F.col(text_col), F.lit(0) + i, k)),
+        gram_hash,
     )
     grams = (
         ensure_min_parallelism(df)

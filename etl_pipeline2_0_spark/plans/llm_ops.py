@@ -289,11 +289,42 @@ SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Rolling-hash (winnowing) copy detection — xxhash64-based, rows-only.
+    # Rolling-hash (winnowing, SIGMOD'03) copy detection with the portable
+    # md5-prefix gram hash, so the ENTIRE pipeline — gram hashing, sliding
+    # window min, doc-frequency skew guard, pair join — replays exactly in
+    # DuckDB SQL (window functions over unnested grams).
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return dedup.winnow_overlap_pairs(
-        docs, k=8, window=4, min_shared=5, max_doc_freq=10
+        docs, k=8, window=4, min_shared=5, max_doc_freq=10, portable_hash=True
     )
+
+
+SQL_WINNOW_OVERLAP = """
+WITH d AS (
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id % 10 = 0 AND LENGTH(text) >= 8
+), grams AS (
+  SELECT id, i - 1 AS pos, substring(md5(substring(text, i, 8)), 1, 16) AS h
+  FROM d, UNNEST(generate_series(1, GREATEST(LENGTH(text) - 7, 1))) AS t(i)
+), wins AS (
+  SELECT id, pos,
+         MIN(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY id) AS n_grams
+  FROM grams
+), fps AS (
+  SELECT DISTINCT id, fp FROM wins WHERE pos <= GREATEST(n_grams - 4, 0)
+), filt AS (
+  SELECT id, fp FROM (
+    SELECT id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df <= 10
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+FROM filt a JOIN filt b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING COUNT(*) >= 5
+"""
 
 
 def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
