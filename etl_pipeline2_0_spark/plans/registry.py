@@ -86,6 +86,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "frame_specs": (X.q_frame_specs, X.SQL_FRAME_SPECS),
     "fuzzy_match": (X.q_fuzzy_match, X.SQL_FUZZY_MATCH),
     "corr_subquery": (X.q_corr_subquery, X.SQL_CORR_SUBQUERY),
+    "map_funcs": (X.q_map_funcs, X.SQL_MAP_FUNCS),
     # --- LLM-data-pipeline operators ---
     "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
     "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),

@@ -896,3 +896,47 @@ WHERE o_totalprice > 1.5 * (
   FROM orders i WHERE i.o_custkey = o.o_custkey
 )
 """
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MapType battery: construction, concat, key/value extraction, lambda
+    # filter — the reference only has transient dicts (SURVEY §1.2); Spark
+    # makes maps first-class columns.  Maps serialize to sorted CSV
+    # scalars because map iteration order is engine-specific.
+    ev = load_table(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.create_map(
+            F.lit("etype"), F.col("event_type"),
+            F.lit("uid"), F.col("user_id").cast("string"),
+        ),
+        F.create_map(F.lit("eid"), F.col("event_id").cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        F.element_at(m, "etype").alias("etype_val"),
+        F.size(m).cast("bigint").alias("n_entries"),
+        F.concat_ws(
+            ",",
+            F.array_sort(F.map_values(F.map_filter(m, lambda k, v: k != "uid"))),
+        ).alias("nonuid_vals"),
+    )
+
+
+SQL_MAP_FUNCS = """
+WITH base AS (
+  SELECT event_id,
+         map_concat(
+           MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)},
+           MAP {'eid': CAST(event_id AS VARCHAR)}) AS m
+  FROM events
+)
+SELECT event_id,
+       array_to_string(list_sort(map_keys(m)), ',') AS keys_csv,
+       m['etype'][1] AS etype_val,
+       CAST(cardinality(m) AS BIGINT) AS n_entries,
+       array_to_string(list_sort(list_transform(
+         list_filter(map_entries(m), e -> e.key != 'uid'), e -> e.value)), ',')
+         AS nonuid_vals
+FROM base
+"""
