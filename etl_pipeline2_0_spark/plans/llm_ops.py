@@ -459,3 +459,56 @@ SELECT doc_id,
        MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_share
 FROM cnt GROUP BY doc_id
 """
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Web-corpus URL normalization: parse host/path/query-param, strip the
+    # www. prefix, group by registrable domain — the dedup/attribution key
+    # for crawled corpora.  URLs are synthesized deterministically from
+    # (source, doc_id, lang) so both engines parse identical inputs;
+    # parse_url is JVM-native, the oracle re-derives with RE2 regexes.
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("lang"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_replace(host, r"^www\.", "").alias("domain"),
+            F.parse_url(url, F.lit("PATH")).alias("path"),
+            F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("ref_param").alias("n_langs"),
+            F.min("path").alias("first_path"),
+        )
+    )
+
+
+SQL_URL_NORMALIZE = r"""
+WITH parsed AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_extract('https://www.' || source || '.example.com/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?ref=' || lang,
+                     'https?://([^/?#]+)', 1),
+      '^www\.', '') AS domain,
+    regexp_extract('https://www.' || source || '.example.com/docs/'
+                     || CAST(doc_id AS VARCHAR) || '?ref=' || lang,
+                   'https?://[^/?#]+(/[^?#]*)', 1) AS path,
+    lang AS ref_param
+  FROM documents
+)
+SELECT domain, COUNT(*) AS n_urls,
+       COUNT(DISTINCT ref_param) AS n_langs,
+       MIN(path) AS first_path
+FROM parsed GROUP BY domain
+"""
