@@ -462,3 +462,53 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """Benchmark decontamination: per eval document, the fraction of its
+    k-token shingles that appear ANYWHERE in the training corpus.
+
+    Containment (not Jaccard) is the right measure here — a short eval
+    doc fully embedded in one long training doc has low Jaccard but
+    containment 1.0, and that's exactly the leak being hunted.
+
+    Scale: the corpus side collapses to its DISTINCT shingle set before
+    the join (one dedup shuffle over corpus shingles, the dominant cost);
+    the eval side is tiny by construction, so the match join broadcasts.
+    Emits every eval doc (left join) so "no overlap" is an auditable 0.0,
+    filtered by ``min_containment`` only if asked.
+    """
+    corpus_sh = (
+        ensure_min_parallelism(corpus)
+        .select(F.explode(token_shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+    eval_sh = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(token_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    flagged = eval_sh.join(
+        corpus_sh.withColumn("in_corpus", F.lit(1)), "shingle", "left"
+    )
+    return (
+        flagged.groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("in_corpus"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce(F.col("in_corpus"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= min_containment)
+    )

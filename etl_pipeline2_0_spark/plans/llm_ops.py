@@ -512,3 +512,45 @@ SELECT domain, COUNT(*) AS n_urls,
        MIN(path) AS first_path
 FROM parsed GROUP BY domain
 """
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination: every 97th doc plays the eval set; its
+    # 3-token shingle containment against the rest of the corpus flags
+    # leaked eval content.  Containment (not Jaccard) because a short eval
+    # doc embedded in one long training doc is exactly the leak hunted.
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_check(corpus, eval_set, k=3)
+
+
+SQL_CONTAMINATION_CHECK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM tok
+), sh3 AS (
+  SELECT doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh3 WHERE shingle IS NOT NULL
+), corpus_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 <> 0
+), eval_sh AS (
+  SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0
+)
+SELECT eval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(SUM(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS containment
+FROM eval_sh e LEFT JOIN corpus_sh c USING (shingle)
+GROUP BY eval_id
+"""

@@ -103,6 +103,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "pii_redact": (L.q_pii_redact, L.SQL_PII_REDACT),
     "repetition_score": (L.q_repetition_score, L.SQL_REPETITION_SCORE),
     "url_normalize": (L.q_url_normalize, L.SQL_URL_NORMALIZE),
+    "contamination_check": (L.q_contamination_check, L.SQL_CONTAMINATION_CHECK),
     "winnow_overlap": (L.q_winnow_overlap, L.SQL_WINNOW_OVERLAP),
     "bpe_token_estimate": (L.q_bpe_token_estimate, L.SQL_BPE_TOKEN_ESTIMATE),
     "multimodal_meta": (L.q_multimodal_meta, L.SQL_MULTIMODAL_META),

@@ -235,3 +235,26 @@ def test_winnow_empty_and_short_docs(spark):
     assert got[1] == []          # empty doc -> empty fingerprint set
     assert got[2] == []          # shorter than k -> empty
     assert len(got[3]) >= 1      # >= one k-gram -> >= one fingerprint
+
+
+def test_contamination_check_planted_leak(spark):
+    from etl_pipeline2_0_spark.functions import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, "beta gamma delta epsilon"),  # embedded in corpus doc
+            (200, "totally different words here now"),  # clean
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["eval_id"]: r
+        for r in dedup.contamination_check(corpus, evals).collect()
+    }
+    assert out[100]["containment"] == 1.0
+    assert out[200]["containment"] == 0.0
+    assert out[200]["n_shingles"] > 0  # clean doc still reported
