@@ -87,6 +87,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "fuzzy_match": (X.q_fuzzy_match, X.SQL_FUZZY_MATCH),
     "corr_subquery": (X.q_corr_subquery, X.SQL_CORR_SUBQUERY),
     "map_funcs": (X.q_map_funcs, X.SQL_MAP_FUNCS),
+    "math_funcs": (X.q_math_funcs, X.SQL_MATH_FUNCS),
+    "regexp_funcs": (X.q_regexp_funcs, X.SQL_REGEXP_FUNCS),
     # --- LLM-data-pipeline operators ---
     "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
     "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),

@@ -940,3 +940,71 @@ SELECT event_id,
          AS nonuid_vals
 FROM base
 """
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Math-function battery over IEEE doubles: identical single-operand
+    # evaluations in both engines (no aggregation order involved), so
+    # results are bit-identical without rounding.
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(p, 1).alias("r1"),
+        F.floor(p).cast("double").alias("flr"),
+        F.ceil(p).cast("double").alias("ceil_"),
+        F.abs(p - 30000.0).alias("absdev"),
+        F.signum(p - 30000.0).alias("sgn"),
+        F.sqrt(p).alias("sqrt_"),
+        # ln/log10 rounded to 6 dp: JVM Math.log and libm differ by 1 ULP,
+        # and at 10 dp the rounding boundary itself gets hit (~1e-5/row).
+        F.round(F.ln(p), 6).alias("ln_"),
+        F.round(F.log10(p), 6).alias("log10_"),
+        F.pow(F.col("l_discount"), 2).alias("disc_sq"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("mod7"),
+    )
+
+
+SQL_MATH_FUNCS = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1) AS r1,
+       CAST(FLOOR(l_extendedprice) AS DOUBLE) AS flr,
+       CAST(CEIL(l_extendedprice) AS DOUBLE) AS ceil_,
+       ABS(l_extendedprice - 30000.0) AS absdev,
+       SIGN(l_extendedprice - 30000.0) AS sgn,
+       SQRT(l_extendedprice) AS sqrt_,
+       ROUND(LN(l_extendedprice), 6) AS ln_,
+       ROUND(LOG10(l_extendedprice), 6) AS log10_,
+       POW(l_discount, 2) AS disc_sq,
+       CAST(l_orderkey % 7 AS BIGINT) AS mod7
+FROM lineitem
+"""
+
+
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Regex battery: extract (group), extract-all count, boolean match,
+    # position, and targeted replace — the engine's signature operator
+    # family (the reference is regex-detection at heart).
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit(r"[aeiou]"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_vowels"),
+        F.col("p_name").rlike(r"(red|green|blue)").alias("has_color"),
+        F.instr("p_name", " ").cast("bigint").alias("first_space"),
+        F.regexp_replace("p_name", r"\d+", "#").alias("digits_masked"),
+    )
+
+
+SQL_REGEXP_FUNCS = r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+       regexp_matches(p_name, '(red|green|blue)') AS has_color,
+       CAST(COALESCE(NULLIF(instr(p_name, ' '), NULL), 0) AS BIGINT) AS first_space,
+       regexp_replace(p_name, '\d+', '#', 'g') AS digits_masked
+FROM part
+"""
