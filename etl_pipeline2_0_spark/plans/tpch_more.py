@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from etl_pipeline2_0_spark.sources.tables import load_table
 
@@ -154,10 +153,12 @@ FROM agg
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: max-of-aggregate without a self-join.
 
-    The classic formulation joins the revenue view against its own MAX;
-    Spark-first this is one window ``max() OVER ()`` over the (tiny,
-    per-supplier) aggregate — the empty-frame window is safe because it
-    runs on |suppliers| rows, not on the fact table.
+    The classic formulation joins the revenue view against its own MAX.
+    Spark-first this is the broadcast cross-join-agg form (same pattern as
+    the engine's ``total_items``): the 1-row MAX broadcasts onto the
+    per-supplier aggregate.  NOT ``max() OVER ()`` — an empty-frame window
+    collapses the whole aggregate onto one partition, which breaks when
+    |suppliers| is millions at real scale.
     """
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
@@ -167,9 +168,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec(F.col("l_extendedprice")) * (_one() - _dec(F.col("l_discount")))
     ).cast("double")
     per_supp = li.groupBy("l_suppkey").agg(revenue.alias("total_revenue"))
-    top = per_supp.withColumn(
-        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
-    ).where(F.col("total_revenue") == F.col("max_revenue"))
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    top = per_supp.crossJoin(F.broadcast(max_rev)).where(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
     return (
         top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
         .select(

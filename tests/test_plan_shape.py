@@ -146,3 +146,12 @@ def test_q10_topk_is_take_ordered(spark, sf_dir):
 
     # LIMIT after ORDER BY must be TakeOrderedAndProject, not a full sort.
     assert "TakeOrderedAndProject" in _plan(T.q10_returned_customers(spark, sf_dir))
+
+
+def test_q15_no_global_window(spark, sf_dir):
+    from etl_pipeline2_0_spark.plans import tpch_more as T
+
+    # Max-of-aggregate must be broadcast crossjoin-agg, never an
+    # empty-frame window (single-partition collapse at scale).
+    plan = _plan(T.q15_top_supplier(spark, sf_dir))
+    assert "Window" not in plan
