@@ -9,7 +9,8 @@ engine) with predicates adapted to the available columns.
 
 Scale notes inline: these six add the shapes q1/q3/q5 don't cover —
 pushdown-only aggregation (q6), late top-k after a 4-way join (q10), global
-ratio aggregation (q14), max-of-aggregate via window (q15), per-group-avg
+ratio aggregation (q14), max-of-aggregate via broadcast crossjoin (q15),
+per-group-avg
 anti-outlier join (q17), and having-filtered fact re-join (q18).
 """
 
