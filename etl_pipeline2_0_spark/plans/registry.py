@@ -89,6 +89,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "map_funcs": (X.q_map_funcs, X.SQL_MAP_FUNCS),
     "math_funcs": (X.q_math_funcs, X.SQL_MATH_FUNCS),
     "regexp_funcs": (X.q_regexp_funcs, X.SQL_REGEXP_FUNCS),
+    "argmax_aggs": (X.q_argmax_aggs, X.SQL_ARGMAX_AGGS),
+    "bit_funcs": (X.q_bit_funcs, X.SQL_BIT_FUNCS),
     # --- LLM-data-pipeline operators ---
     "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
     "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),

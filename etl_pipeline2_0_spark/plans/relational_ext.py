@@ -1008,3 +1008,62 @@ SELECT p_partkey,
        regexp_replace(p_name, '\d+', '#', 'g') AS digits_masked
 FROM part
 """
+
+
+def q_argmax_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arg-extrema aggregates (max_by/min_by ≡ DuckDB arg_max/arg_min).
+    # The ordering key composes (price-in-cents, orderkey) into one exact
+    # BIGINT — max_by on the raw price is nondeterministic under ties (and
+    # ties DO occur at sf0.01), so the tiebreak is baked into the key.
+    orders = load_table(spark, sf_dir, "orders")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000)
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("best_order"),
+        F.min_by("o_orderkey", key).alias("worst_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+SQL_ARGMAX_AGGS = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey,
+               CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+         AS best_order,
+       arg_min(o_orderkey,
+               CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+         AS worst_order,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bit-manipulation battery: shifts, and/or/xor, popcount — the
+    # primitives the SimHash/LSH internals rely on, pinned cross-engine.
+    li = load_table(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.shiftleft(ln, 4).cast("bigint").alias("shl4"),
+        F.shiftright(ok, 2).cast("bigint").alias("shr2"),
+        ok.bitwiseAND(F.lit(255)).cast("bigint").alias("and255"),
+        ok.bitwiseOR(ln).cast("bigint").alias("or_ln"),
+        ok.bitwiseXOR(ln).cast("bigint").alias("xor_ln"),
+        F.bit_count(ok).cast("bigint").alias("popcount"),
+    )
+
+
+SQL_BIT_FUNCS = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_linenumber << 4 AS BIGINT) AS shl4,
+       CAST(l_orderkey >> 2 AS BIGINT) AS shr2,
+       CAST(l_orderkey & 255 AS BIGINT) AS and255,
+       CAST(l_orderkey | l_linenumber AS BIGINT) AS or_ln,
+       CAST(xor(l_orderkey, l_linenumber) AS BIGINT) AS xor_ln,
+       CAST(bit_count(l_orderkey) AS BIGINT) AS popcount
+FROM lineitem
+"""
