@@ -72,10 +72,19 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def token_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles (space-joined) of a lowercased text."""
+    """Distinct k-token shingles (space-joined) of a lowercased text.
+
+    Documents with fewer than k tokens yield an EMPTY array (no degenerate
+    whole-text shingle) — this mirrors the LEAD-based shingling of the
+    DuckDB oracle twins (SQL_NGRAM_JACCARD, SQL_CONTAMINATION_CHECK), which
+    drop NULL-padded rows, and avoids spurious ''-shingle matches between
+    token-less documents.
+    """
     toks = F.filter(F.split(F.lower(col), r"\W+"), lambda t: F.length(t) > 0)
     n = F.size(toks)
-    shingles = F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+    shingles = F.when(
+        n < k, F.array().cast("array<string>")
+    ).otherwise(
         F.transform(
             F.sequence(F.lit(1), n - F.lit(k - 1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
@@ -255,9 +264,22 @@ def minhash_near_duplicates(
     """
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     candidates = lsh_candidate_pairs(sigs, bands, num_hashes // bands, max_bucket_size)
-    shingled = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        token_shingles(F.col(text_col), k).alias("shingles"),
+    # Verify-side pruning: only docs that appear in some candidate pair need
+    # their shingle set materialized.  The semi-join runs BEFORE the
+    # tokenizer, so at scale the re-shingling cost is O(candidates), not
+    # O(corpus) — LSH typically recalls a tiny fraction of docs.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shingled = (
+        ensure_min_parallelism(df)
+        .join(cand_ids, F.col(id_col) == cand_ids["id"], "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            token_shingles(F.col(text_col), k).alias("shingles"),
+        )
     )
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))

@@ -61,24 +61,49 @@ def attach_binary(
     )
 
 
-def media_from_base64(detected: DataFrame, b64_col: str = "b64_blocks") -> DataFrame:
+def media_from_base64(
+    detected: DataFrame,
+    b64_col: str = "b64_blocks",
+    content_col: str = "content",
+) -> DataFrame:
     """Decode the E4 base64 hits into binary payloads (the reference never
-    decodes — this is the scale-pipeline extension).  Data-URI prefixes are
-    stripped; the mime tag is carried from the URI when present."""
-    exploded = detected.select(
-        F.col("doc_id"), F.explode(F.col(b64_col)).alias("b64")
+    decodes — this is the scale-pipeline extension).
+
+    ``b64_blocks`` carries bare payloads (the reference's re.findall
+    group-1 semantics, see operators/detect.py), so the mime tag is
+    recovered by matching each payload against the data-URIs still present
+    in the source document; payloads with no data-URI prefix get
+    ``application/octet-stream``.  All native expressions — the URI
+    extraction is one pass per document, carried through the explode."""
+    uri_entries = F.transform(
+        F.regexp_extract_all(
+            F.col(content_col),
+            F.lit(r"data:[^;,\s]+;base64,[A-Za-z0-9+/=]+"),
+            F.lit(0),
+        ),
+        lambda m: F.named_struct(
+            F.lit("payload"),
+            F.regexp_extract(m, r";base64,([A-Za-z0-9+/=]+)$", 1),
+            F.lit("mime"),
+            F.regexp_extract(m, r"^data:([^;]+);base64,", 1),
+        ),
     )
-    mime = F.regexp_extract("b64", r"^data:([a-z]+/[a-zA-Z0-9.+-]+);base64,", 1)
-    body = F.regexp_replace("b64", r"^data:[a-z]+/[a-zA-Z0-9.+-]+;base64,", "")
+    exploded = detected.select(
+        F.col("doc_id"),
+        uri_entries.alias("__uris"),
+        F.explode(F.col(b64_col)).alias("b64"),
+    )
+    matching = F.filter(F.col("__uris"), lambda e: e["payload"] == F.col("b64"))
+    mime = F.when(F.size(matching) > 0, matching[0]["mime"]).otherwise(
+        F.lit("application/octet-stream")
+    )
     return exploded.select(
         F.xxhash64("doc_id", "b64").alias("media_id"),
-        F.unbase64(body).alias("payload"),
+        F.unbase64("b64").alias("payload"),
         F.struct(
-            F.when(mime == "", F.lit("application/octet-stream"))
-            .otherwise(mime)
-            .alias("mime"),
-            F.octet_length(F.unbase64(body)).cast("bigint").alias("n_bytes"),
-            F.md5(F.unbase64(body).cast("string")).alias("checksum"),
+            mime.alias("mime"),
+            F.octet_length(F.unbase64("b64")).cast("bigint").alias("n_bytes"),
+            F.md5(F.unbase64("b64").cast("string")).alias("checksum"),
         ).alias("meta"),
     )
 

@@ -10,9 +10,10 @@ Two tiers, per the scale brief:
 - **LSH-bucketed search** (``rp_lsh_topk``): random-hyperplane signatures
   with *deterministic* pseudo-random planes (xxhash64-derived coefficients,
   so results are reproducible and oracle-checkable without sharing RNG
-  state).  Candidates = corpus rows whose signature agrees with the query's
-  on ≥ ``min_band_matches`` bands; exact cosine re-ranks candidates only.
-  At 100 TB this turns a full corpus scan per query into a bucket probe.
+  state).  Signatures are banded into (band, bucket) keys; candidates come
+  from an equi-join on the bucket keys (pigeonhole-lossless w.r.t. the
+  bit-match filter), then exact cosine re-ranks candidates only.  At
+  100 TB this turns a full corpus scan per query into a bucket probe.
 
 Norms are precomputed once per side; embeddings ride the plan as arrays
 (columnar Parquet → Arrow-free native path).
@@ -114,6 +115,41 @@ def _plane_coeff_col(plane: Column, dim: Column) -> Column:
     return (F.pmod(h, F.lit(2000003)) / F.lit(1000001.5)) - F.lit(1.0)
 
 
+def _band_bounds(planes: int, num_bands: int) -> list[tuple[int, int]]:
+    """Partition ``planes`` bit positions into ``num_bands`` contiguous
+    near-equal slices; returns 1-based (start, length) pairs for F.slice."""
+    base, extra = divmod(planes, num_bands)
+    bounds, start = [], 1
+    for b in range(num_bands):
+        length = base + (1 if b < extra else 0)
+        bounds.append((start, length))
+        start += length
+    return bounds
+
+
+def sig_bands(sig: Column, planes: int, num_bands: int) -> Column:
+    """Hash each contiguous band of a sign-bit signature to one bucket key.
+
+    Pigeonhole guarantee: two signatures differing in at most
+    ``num_bands - 1`` bit positions agree on at least one whole band, so an
+    equi-join on (band index, bucket hash) recalls EVERY pair within that
+    Hamming radius — banding changes the plan (bucket probe instead of
+    all-pairs), never the result set.
+    """
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(i),
+                F.concat_ws(
+                    ",",
+                    F.transform(F.slice(sig, start, length), lambda x: x.cast("string")),
+                ),
+            )
+            for i, (start, length) in enumerate(_band_bounds(planes, num_bands))
+        ]
+    )
+
+
 def rp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -126,11 +162,16 @@ def rp_lsh_topk(
     """Approximate top-k: candidates agree with the query on ≥
     ``min_bit_matches`` of ``planes`` sign bits, then exact cosine re-rank.
 
-    The signature computation is a per-row projection (no shuffle); the
-    candidate filter replaces the full cross-score with a cheap int
-    comparison per (corpus row, query) — and at scale the signature can be
-    banded into an equi-join exactly like MinHash-LSH.
+    Plan shape (the LSH point): both sides band their signature into
+    ``planes - min_bit_matches + 1`` buckets and candidates come from an
+    EQUI-JOIN on (band index, bucket hash) — a hash-partitioned bucket
+    probe, not a corpus×queries cross join.  The pigeonhole principle makes
+    the banding lossless w.r.t. the bit-match filter (see ``sig_bands``),
+    so the result is identical to the brute filter while the scan touches
+    only colliding buckets.  The exact ``bit_matches`` test then drops
+    collision-only candidates, and exact cosine re-ranks the survivors.
     """
+    num_bands = planes - min_bit_matches + 1
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -141,14 +182,32 @@ def rp_lsh_topk(
         F.col(vec_col).alias("c_vec"),
         rp_signature(F.col(vec_col), planes).alias("c_sig"),
     )
+    q_bands = q.select(
+        "query_id",
+        "q_vec",
+        "q_sig",
+        F.posexplode(sig_bands(F.col("q_sig"), planes, num_bands)).alias(
+            "band", "bucket"
+        ),
+    )
+    c_bands = c.select(
+        "neighbor_id",
+        "c_vec",
+        "c_sig",
+        F.posexplode(sig_bands(F.col("c_sig"), planes, num_bands)).alias(
+            "band", "bucket"
+        ),
+    )
     matches = F.aggregate(
         F.zip_with("q_sig", "c_sig", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c_bands.join(F.broadcast(q_bands), ["band", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_sig", "c_sig")
+        .distinct()
         .withColumn("bit_matches", matches)
         .where(F.col("bit_matches") >= min_bit_matches)
         .select(
@@ -279,16 +338,73 @@ def embedding_near_duplicates(
     min_bit_matches: int = 14,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exact_blocks: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    LSH-signature agreement prunes the pair space (equi-ish filter on bit
-    matches), exact cosine verifies.  Output canonical (id_a < id_b).
+    Plan shape (``min_bit_matches ≥ 1``, the scale path): the RP signature
+    is banded into ``planes - min_bit_matches + 1`` (band, bucket) keys and
+    candidate pairs come from a bucket SELF-EQUI-JOIN — a hash shuffle on
+    small band keys, no all-pairs theta join anywhere (plan-shape test
+    asserts no BroadcastNestedLoopJoin / CartesianProduct).  Pigeonhole
+    makes the banding lossless for the ``min_bit_matches`` filter
+    (``sig_bands``), so the output is IDENTICAL to the quadratic
+    formulation: every pair with ≥ min_bit_matches agreeing sign bits
+    shares at least one whole band.  The exact bit-match test then drops
+    collision-only candidates and exact cosine verifies the survivors.
+
+    ``min_bit_matches ≤ 0`` is EXACT mode (every pair scored — required by
+    the DuckDB oracle twin): the pair space is inherently O(n²), but the
+    enumeration is expressed as a salted equi-join — one side keyed by
+    ``pmod(xxhash64(id), exact_blocks)``, the other replicated across all
+    block values — so the plan is a distributed hash join over
+    ``exact_blocks`` keys (parallel, spill-safe), never a
+    BroadcastNestedLoopJoin.
+
+    Output canonical (id_a < id_b).
     """
     sigs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         rp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    if min_bit_matches <= 0:
+        ea = sigs.select(
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.pmod(F.xxhash64("id"), F.lit(exact_blocks)).alias("blk"),
+        )
+        eb = sigs.select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vec_b"),
+            F.explode(F.sequence(F.lit(0), F.lit(exact_blocks - 1))).alias("blk"),
+        )
+        return (
+            ea.join(eb.hint("shuffle_hash"), "blk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+            )
+            .where(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim")
+        )
+    num_bands = planes - min_bit_matches + 1
+    banded = sigs.select(
+        "id",
+        F.posexplode(sig_bands(F.col("sig"), planes, num_bands)).alias(
+            "band", "bucket"
+        ),
+    )
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.id") < F.col("bb.id")),
+        )
+        .select(F.col("ba.id").alias("id_a"), F.col("bb.id").alias("id_b"))
+        .distinct()
     )
     a = sigs.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("sig").alias("sig_a")
@@ -302,7 +418,8 @@ def embedding_near_duplicates(
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("bit_matches", matches)
         .where(F.col("bit_matches") >= min_bit_matches)
         .withColumn("cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))

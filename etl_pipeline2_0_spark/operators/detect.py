@@ -48,12 +48,17 @@ HTML_PATTERNS = [
 JSON_CANDIDATE_PATTERN = r"\{(?:[^{}]|(?:\{[^{}]*\}))*\}"
 
 # E4 — base64 forms: image data-URI, text data-URI, generic long token.  The
-# generic pattern intentionally false-positives on any 64+-char base64-ish
-# token, matching the reference's observable behavior.
+# reference's patterns (etl_pipeline.py:93-97) carry a capture group and go
+# through re.findall, which returns GROUP 1 — i.e. the data-URI forms emit
+# the bare payload, not the whole `data:...` match — so the payload of a
+# data-URI also matched by the generic ≥64-char pattern dedups to ONE entry.
+# We extract group 1 to match those observable counts.  The generic pattern
+# intentionally false-positives on any 64+-char base64-ish token, matching
+# the reference's behavior.
 BASE64_PATTERNS = [
-    r"data:image/[a-zA-Z0-9.+-]+;base64,[A-Za-z0-9+/=]+",
-    r"data:text/[a-zA-Z0-9.+-]+;base64,[A-Za-z0-9+/=]+",
-    r"[A-Za-z0-9+/]{64,}={0,2}",
+    r"data:image/[^;]+;base64,([A-Za-z0-9+/=]+)",
+    r"data:text/[^;]+;base64,([A-Za-z0-9+/=]+)",
+    r"([A-Za-z0-9+/]{64,}={0,2})",
 ]
 
 MIN_TEXT_LINE_LEN = 5  # P4: keep residual lines with len(trim(x)) > 5
@@ -87,8 +92,15 @@ def json_blocks(doc: Column) -> Column:
 
 
 def base64_blocks(doc: Column) -> Column:
-    """E4: array of detected base64 blobs (detection only, never decoded)."""
-    return _extract_all_distinct(doc, BASE64_PATTERNS)
+    """E4: array of detected base64 payloads (detection only, never decoded).
+
+    Extracts capture group 1 of each pattern — the payload — mirroring the
+    reference's ``re.findall`` group semantics (etl_pipeline.py:93-102), so
+    a data-URI payload and the same token caught by the generic pattern
+    count once after dedup.
+    """
+    arrays = [F.regexp_extract_all(doc, F.lit(p), F.lit(1)) for p in BASE64_PATTERNS]
+    return F.array_distinct(F.concat(*arrays))
 
 
 def text_lines(doc: Column, html: Column, json_: Column) -> Column:

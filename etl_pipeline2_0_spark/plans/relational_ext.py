@@ -1015,9 +1015,12 @@ def q_argmax_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The ordering key composes (price-in-cents, orderkey) into one exact
     # BIGINT — max_by on the raw price is nondeterministic under ties (and
     # ties DO occur at sf0.01), so the tiebreak is baked into the key.
+    # Multiplier bound: o_totalprice is schema-bounded (≲ $600k ⇒ cents
+    # ≲ 6e7), so cents·1e11 ≲ 6e18 < 2^63; price-major order holds for any
+    # o_orderkey < 1e11, i.e. through TPC-H sf ≈ 16,000 (~16 PB).
     orders = load_table(spark, sf_dir, "orders")
     key = (
-        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000)
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(100000000000)
         + F.col("o_orderkey")
     )
     return orders.groupBy("o_orderpriority").agg(
@@ -1030,10 +1033,10 @@ def q_argmax_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ARGMAX_AGGS = """
 SELECT o_orderpriority,
        arg_max(o_orderkey,
-               CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+               CAST(round(o_totalprice*100) AS BIGINT)*100000000000 + o_orderkey)
          AS best_order,
        arg_min(o_orderkey,
-               CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+               CAST(round(o_totalprice*100) AS BIGINT)*100000000000 + o_orderkey)
          AS worst_order,
        MAX(o_totalprice) AS max_price
 FROM orders GROUP BY o_orderpriority

@@ -28,12 +28,44 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StringType, StructType
+
+
+def _csv_safe(df: DataFrame) -> DataFrame:
+    """Render non-atomic columns as strings the way the reference's pandas
+    ``to_csv`` does (etl_pipeline.py:289-292): a list cell prints as the
+    Python repr ``['a', 'b']`` (quoted string elements, ``, `` separator,
+    numbers bare); structs/maps fall back to JSON.  Spark's CSV writer
+    rejects complex types outright, so this projection is what makes S5
+    faithful for JSON records that kept array fields through flattening."""
+    cols, changed = [], False
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, ArrayType):
+            if isinstance(f.dataType.elementType, StringType):
+                elems = F.transform(c, lambda x: F.concat(F.lit("'"), x, F.lit("'")))
+            else:
+                elems = F.transform(c, lambda x: x.cast("string"))
+            rendered = F.concat(F.lit("["), F.concat_ws(", ", elems), F.lit("]"))
+            cols.append(
+                F.when(c.isNull(), F.lit(None).cast("string"))
+                .otherwise(rendered)
+                .alias(f.name)
+            )
+            changed = True
+        elif isinstance(f.dataType, (StructType, MapType)):
+            cols.append(F.to_json(c).alias(f.name))
+            changed = True
+        else:
+            cols.append(c)
+    return df.select(*cols) if changed else df
 
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S5: CSV with header.  ``coalesce(1)`` only for demo parity — a
     distributed write keeps one file per partition."""
-    out = df.coalesce(1) if single_file else df
+    out = _csv_safe(df)
+    out = out.coalesce(1) if single_file else out
     out.write.mode("overwrite").option("header", "true").csv(path)
 
 

@@ -68,6 +68,9 @@ def test_depth_two_json_and_array_elements(spark):
 
 def test_base64_detection(spark):
     # F-B64: data-URI image, data-URI text, and a bare ≥64-char token.
+    # All three patterns capture the PAYLOAD (group 1, reference
+    # etl_pipeline.py:93-102 re.findall semantics), so the same payload
+    # appearing as an image URI, a text URI, and bare dedups to ONE entry.
     b64 = "QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVphYmNkZWZnaGlqa2xtbm9wcXJzdHV2d3h5ejAxMjM0NTY3ODk="
     doc = "\n".join(
         [
@@ -77,8 +80,15 @@ def test_base64_detection(spark):
         ]
     )
     row = _detect_one(spark, doc)
-    assert len(row["b64_blocks"]) == 3
-    assert any(b.startswith("data:image/png;base64,") for b in row["b64_blocks"])
+    assert row["b64_blocks"] == [b64]
+
+
+def test_base64_distinct_payloads_counted_separately(spark):
+    # Different payloads stay distinct entries.
+    p1 = "A" * 64
+    p2 = "B" * 64
+    row = _detect_one(spark, f"data:image/png;base64,{p1}\n{p2}\n")
+    assert sorted(row["b64_blocks"]) == [p1, p2]
 
 
 def test_dedup_is_order_preserving(spark):

@@ -155,3 +155,43 @@ def test_q15_no_global_window(spark, sf_dir):
     # empty-frame window (single-partition collapse at scale).
     plan = _plan(T.q15_top_supplier(spark, sf_dir))
     assert "Window" not in plan
+
+
+def test_embedding_neardup_banded_is_equijoin(spark, sf_dir):
+    # The LSH path (min_bit_matches ≥ 1) must generate candidates from a
+    # (band, bucket) self-equi-join — never an all-pairs theta join.
+    from etl_pipeline2_0_spark.functions.similarity import embedding_near_duplicates
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(embedding_near_duplicates(emb, threshold=0.9, min_bit_matches=14))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_exact_mode_no_bnlj(spark, sf_dir):
+    # Exact mode (min_bit_matches=0) is inherently O(n²) compute, but the
+    # pair enumeration must still be a salted hash equi-join (distributed,
+    # spill-safe) — not a BroadcastNestedLoopJoin.
+    from etl_pipeline2_0_spark.plans import llm_ops as LL
+
+    plan = _plan(LL.q_embed_neardup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rp_lsh_topk_is_bucket_probe(spark, sf_dir):
+    # ANN-LSH candidates come from the banded bucket equi-join, not a
+    # corpus×queries cross join.
+    from etl_pipeline2_0_spark.plans import llm_ops as LL
+
+    plan = _plan(LL.q_ann_lsh_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_verify_side_semi_joined(spark, sf_dir):
+    # The Jaccard verify stage must re-shingle only candidate docs: the
+    # doc source feeding the verify joins goes through a LeftSemi first.
+    df = L.q_minhash_pairs(spark, sf_dir)
+    assert "LeftSemi" in _plan(df)
