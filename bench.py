@@ -42,7 +42,12 @@ HEADLINE = [
     "dedup_exact",
     "ngram_jaccard",
     "minhash_pairs",
+    "simhash_pairs",
+    "winnow_overlap",
+    "contamination_check",
+    "embed_neardup",
     "ann_topk",
+    "ann_ivf_topk",
     "lang_id_counts",
     "text_features",
     "bpe_token_estimate",
