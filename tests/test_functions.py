@@ -173,10 +173,89 @@ def test_media_from_base64(spark):
     assert media[0]["meta"]["mime"] == "text/plain"
 
 
-def test_decode_image_is_stubbed(docs):
-    media = multimodal.attach_binary(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(media)
+def _make_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    # Real BMP bytes built independently of the library's encode_bmp, so the
+    # decode golden is not a round-trip tautology.
+    import struct
+
+    row = bytes(rgb[::-1]) * width  # BMP stores BGR
+    stride = (len(row) + 3) & ~3
+    padded = row + b"\0" * (stride - len(row))
+    pixels = padded * height
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + dib + pixels
+
+
+def _make_wav(rate: int, samples: list[int], channels: int = 1) -> bytes:
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _media_frame(spark, payloads: list[bytes]):
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_decode_image_real_bmp(spark):
+    # Golden: a real generated 3x2 solid-color BMP decodes on the default
+    # path — no NotImplementedError, correct dims/mode/mean.
+    bmp = _make_bmp(3, 2, (10, 20, 30))
+    media = _media_frame(spark, [bmp, b"not an image"])
+    rows = {r["media_id"]: r for r in multimodal.decode_image(media).collect()}
+    ok = rows[0]
+    assert ok["format"] == "bmp" and ok["err"] is None
+    assert (ok["width"], ok["height"], ok["bits_per_pixel"]) == (3, 2, 24)
+    assert ok["mode"] == "BGR"
+    assert ok["mean_luma"] == 20.0  # mean of (10,20,30) channels
+    bad = rows[1]
+    assert bad["err"] is not None and bad["format"] is None
+
+
+def test_decode_audio_real_wav(spark):
+    # Golden: 8 samples at 8 kHz mono 16-bit — duration and RMS are exact.
+    samples = [0, 1000, -1000, 1000, -1000, 1000, -1000, 0]
+    wav = _make_wav(8000, samples)
+    media = _media_frame(spark, [wav, b"RIFFgarbage"])
+    rows = {r["media_id"]: r for r in multimodal.decode_audio(media).collect()}
+    ok = rows[0]
+    assert ok["format"] == "wav" and ok["err"] is None
+    assert (ok["channels"], ok["sample_rate"], ok["bits_per_sample"]) == (1, 8000, 16)
+    assert ok["n_frames"] == 8
+    assert ok["duration_sec"] == 0.001
+    import math
+
+    expect_rms = round(math.sqrt(sum(s * s for s in samples) / len(samples)), 6)
+    assert ok["rms"] == expect_rms
+    assert rows[1]["err"] is not None
+
+
+def test_resize_real_bmp_roundtrip(spark):
+    # Real path: BMP in → resized BMP out, re-decodable at the target dims.
+    bmp = _make_bmp(8, 8, (200, 100, 50))
+    media = _media_frame(spark, [bmp])
+    out = multimodal.resize_image(media, width=4, height=2).collect()[0]
+    assert out["decoded"] is True
+    info = multimodal.parse_bmp(bytes(out["payload"]))
+    assert info is not None
+    assert (info["width"], info["height"]) == (4, 2)
+    # Solid color survives nearest-neighbor resampling (stored BGR).
+    assert info["pixels"][0, 0].tolist() == [50, 100, 200]
 
 
 def test_frame_sample_and_resize_plumbing(docs):
@@ -185,14 +264,11 @@ def test_frame_sample_and_resize_plumbing(docs):
     assert {r["media_id"] for r in frames} == {1, 2, 3, 4, 5}
     assert all(r["frame_no"] >= 0 for r in frames)
 
+    # Non-BMP payloads fall back to the deterministic pad/truncate path.
     resized = multimodal.resize_image(media, width=4, height=4).collect()
     assert all(len(r["payload"]) == 16 for r in resized)
     assert all((r["width"], r["height"]) == (4, 4) for r in resized)
-
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_audio(media)
+    assert all(r["decoded"] is False for r in resized)
 
 
 def test_winnow_fingerprints_shared_substring_guarantee(spark):
