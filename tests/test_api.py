@@ -29,3 +29,61 @@ def test_payload_roundtrip(spark):
     assert out["types"]["type"] == "string"
     assert all(r["total_items"] == 2 for r in out["data"])
     assert "name" in out["schema"]
+
+
+# ------------------------------------------------------------ HTTP server --
+
+
+def _served(spark):
+    import threading
+
+    from etl_pipeline2_0_spark.server import create_server
+
+    server = create_server(spark, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}"
+
+
+def test_http_server_roundtrip(spark):
+    # Reference test_server.py / diagnostic.html semantics: liveness, the
+    # 400 blank path, and two payloads of different shape producing
+    # different inferred type maps.
+    import json as _json
+    import urllib.request
+
+    server, base = _served(spark)
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=30) as r:
+            assert r.status == 200
+
+        with urllib.request.urlopen(base + "/", timeout=30) as r:
+            assert b"/process" in r.read()
+
+        req = urllib.request.Request(base + "/process", data=b"  \n ", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            assert False, "blank payload must 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert _json.load(e)["error"] == "No data provided"
+
+        def post(payload: str) -> dict:
+            req = urllib.request.Request(
+                base + "/process", data=payload.encode(), method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert r.status == 200
+                return _json.load(r)
+
+        out1 = post('{"name": "Widget", "price": 9.99}\n')
+        out2 = post('{"active": true, "tags": ["x", "y"]}\n')
+        assert out1["success"] and out2["success"]
+        assert set(out1) == {"success", "data", "types"}  # reference shape
+        assert out1["types"]["price"] == "number"
+        assert out2["types"]["tags"] == "array"
+        # Two payloads => different dynamic schemas (diagnostic.html check).
+        assert set(out1["types"]) != set(out2["types"])
+    finally:
+        server.shutdown()
+        server.server_close()
