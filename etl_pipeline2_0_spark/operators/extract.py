@@ -151,7 +151,11 @@ def flatten_struct_columns(df: DataFrame) -> DataFrame:
     return df.select(*out_cols)
 
 
-def _infer_json_schema(spark: SparkSession, bodies: DataFrame) -> T.StructType:
+def _infer_json_schema(
+    spark: SparkSession,
+    bodies: DataFrame,
+    max_bodies: int | None = None,
+) -> T.StructType:
     """Distributed JSON schema inference over a one-string-column DataFrame.
 
     Stays JVM-side: hands the Dataset[String] straight to the Scala JSON
@@ -159,9 +163,19 @@ def _infer_json_schema(spark: SparkSession, bodies: DataFrame) -> T.StructType:
     ``df.rdd.map`` formulation ships every body driver←→Python — profiled
     ~2× the whole pipeline's cost).  Falls back to the RDD path if the
     internal handle is unavailable.
+
+    ``max_bodies`` caps the inference pass (a ``limit`` before the reader):
+    the 100 TB escape hatch, since full-corpus inference is a second scan.
+    Correctness note: keys that appear ONLY in bodies past the cap are
+    dropped from the inferred schema (their values are lost exactly as an
+    unknown key is in the reference's two-pass design); type widening
+    (long→double→string) can also settle differently if the sample misses
+    a wider value.  ``None`` (default) preserves exact full-pass parity.
     """
     import json as _json
 
+    if max_bodies is not None:
+        bodies = bodies.limit(max_bodies)
     try:
         jds = getattr(bodies._jdf, "as")(
             spark._jvm.org.apache.spark.sql.Encoders.STRING()
@@ -172,7 +186,11 @@ def _infer_json_schema(spark: SparkSession, bodies: DataFrame) -> T.StructType:
         return spark.read.json(bodies.rdd.map(lambda r: r[0])).schema
 
 
-def json_records(spark: SparkSession, detected: DataFrame) -> DataFrame:
+def json_records(
+    spark: SparkSession,
+    detected: DataFrame,
+    infer_max_bodies: int | None = None,
+) -> DataFrame:
     """E7+E8: parse every detected JSON block against the batch-inferred
     schema, flatten nested structs, tag engine columns.
 
@@ -180,6 +198,9 @@ def json_records(spark: SparkSession, detected: DataFrame) -> DataFrame:
     ``spark.read.json`` over the block bodies (distributed schema inference —
     per-partition schema merge, the Spark-native analog of the reference's
     whole-dataset key scan), pass 2 is a single ``from_json`` projection.
+    ``infer_max_bodies`` caps pass 1 for huge corpora — see
+    ``_infer_json_schema`` for the correctness trade-off; the default keeps
+    exact reference parity.
 
     Detection already filtered to valid JSON (E3), so the reference's
     invalid-JSON error record (etl_pipeline.py:136-137) cannot occur here;
@@ -187,7 +208,7 @@ def json_records(spark: SparkSession, detected: DataFrame) -> DataFrame:
     """
     exploded = _explode_kind(detected, "json", "json_blocks")
     bodies = exploded.select("body")
-    inferred = _infer_json_schema(spark, bodies)
+    inferred = _infer_json_schema(spark, bodies, max_bodies=infer_max_bodies)
     if not inferred.fields:
         # No JSON blocks in the corpus (or none with keys).
         return exploded.select("doc_id", "type", "source_index", "ordinal")
@@ -230,7 +251,11 @@ def parse_json_or_error(df: DataFrame, body_col: str = "body") -> DataFrame:
     )
 
 
-def extract_records(spark: SparkSession, detected: DataFrame) -> dict[str, DataFrame]:
+def extract_records(
+    spark: SparkSession,
+    detected: DataFrame,
+    infer_max_bodies: int | None = None,
+) -> dict[str, DataFrame]:
     """E11: per-kind record DataFrames in the fixed kind order.
 
     Returned as a dict (html → json → text → media) so ``normalize`` can
@@ -239,7 +264,7 @@ def extract_records(spark: SparkSession, detected: DataFrame) -> dict[str, DataF
     """
     return {
         "html": html_records(detected),
-        "json": json_records(spark, detected),
+        "json": json_records(spark, detected, infer_max_bodies=infer_max_bodies),
         "text": text_records(detected),
         "media": media_records(detected),
     }

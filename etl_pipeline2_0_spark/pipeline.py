@@ -39,6 +39,7 @@ def transform_documents(
     docs: DataFrame,
     per_document: bool = False,
     with_report: bool = True,
+    infer_max_bodies: int | None = None,
 ) -> tuple[DataFrame, dict[str, Any] | None]:
     """detect → extract → schema report → normalize, no sinks.
 
@@ -51,7 +52,7 @@ def transform_documents(
     """
     docs = ensure_min_parallelism(docs)
     detected = detect_blocks(docs)
-    per_kind = extract_records(spark, detected)
+    per_kind = extract_records(spark, detected, infer_max_bodies=infer_max_bodies)
     report = None
     if with_report:
         pre_drop = union_by_name([per_kind[k] for k in KIND_ORDER])
@@ -67,6 +68,7 @@ def run_batch(
     out_dir: str | None = None,
     use_rowstore: bool = False,
     per_document: bool = False,
+    infer_max_bodies: int | None = None,
 ) -> dict[str, Any]:
     """Entry points 1 (CLI batch) and 4 (HTTP payload) of SURVEY.md §3.
 
@@ -89,7 +91,7 @@ def run_batch(
 
     docs = ensure_min_parallelism(docs)
     detected = detect_blocks(docs)
-    per_kind = extract_records(spark, detected)
+    per_kind = extract_records(spark, detected, infer_max_bodies=infer_max_bodies)
     pre_drop = union_by_name([per_kind[k] for k in KIND_ORDER]).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -183,3 +183,19 @@ def test_latin1_charset_read(spark, tmp_path):
     assert len(docs) == 1
     assert docs[0]["content"] == "caf\xe9 au lait"
     assert content  # silence unused warning path
+
+
+def test_sampled_json_inference_cap(spark):
+    # infer_max_bodies caps the schema-inference pass: keys appearing only
+    # past the cap drop out of the schema (documented trade-off); with no
+    # cap the full-pass schema is unchanged.
+    p1 = '{"a": 1}\n{"a": 2, "late_key": "x"}\n'
+    full = run_batch(spark, payloads=[p1])
+    capped = run_batch(spark, payloads=[p1], infer_max_bodies=1)
+    assert "late_key" in full["schema"]
+    assert "late_key" not in capped["schema"]
+    # Shared keys still parse identically under the cap.
+    a_vals = sorted(
+        r["a"] for r in capped["normalized"].collect() if r["type"] == "json"
+    )
+    assert a_vals == [1, 2]
