@@ -51,17 +51,47 @@ def _word_count(text: Column) -> Column:
     return F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
 
 
+# Malformed-HTML hardening (still pure regex — every construct below is a
+# regular language):
+# - comments stripped FIRST, so a comment containing tags or `>` (even a
+#   commented-out `</html>` or `<script>`) never leaks text or breaks the
+#   tag pattern (bs4 drops comment content the same way);
+# - CDATA sections dropped whole (html.parser treats them as bogus
+#   declarations and emits nothing);
+# - the tag pattern skips `>` inside quoted attribute values
+#   (`<div title="a>b">` strips as ONE tag, where a naive `<[^>]+>` leaves
+#   `b">` behind).
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_CDATA = r"(?s)<!\[CDATA\[.*?\]\]>"
+_HTML_TAG = r"(?s)<[^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*>"
+
+
 def strip_html_tags(body: Column) -> Column:
-    """Visible text of an HTML fragment: drop script/style subtrees, then
-    strip all tags.  Regex-based equivalent of ``soup.get_text()`` for the
-    word-count purpose (E6)."""
-    no_script = F.regexp_replace(body, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
-    return F.regexp_replace(no_script, r"(?s)<[^>]+>", " ")
+    """Visible text of an HTML fragment: drop comments, CDATA and
+    script/style subtrees, then strip all tags (quote-aware).  Regex-based
+    equivalent of ``soup.get_text()`` for the word-count purpose (E6);
+    tests/test_html_robustness.py runs the differential against a stdlib
+    ``html.parser`` oracle on malformed inputs.  Known deviation: character
+    entities (``&amp;``) stay literal — a parser would unescape them."""
+    no_comment = F.regexp_replace(body, _HTML_COMMENT, " ")
+    no_cdata = F.regexp_replace(no_comment, _HTML_CDATA, " ")
+    no_script = F.regexp_replace(
+        no_cdata, r"(?is)<(script|style)[^>]*>.*?</\1>", " "
+    )
+    return F.regexp_replace(no_script, _HTML_TAG, " ")
 
 
 def html_title(body: Column) -> Column:
-    """``<title>`` text, or '' when absent (E6)."""
-    return F.trim(F.regexp_extract(body, r"(?is)<title[^>]*>(.*?)</title>", 1))
+    """First ``<title>`` element's text, or '' when absent (E6).
+
+    Comments are stripped first so a commented-out ``<title>`` is never
+    picked (bs4 parity).  Pinned deviation: an UNCLOSED ``<title>`` yields
+    '' here, where lenient parsers swallow the rest of the document as
+    title text — the empty string is the deterministic, bounded choice."""
+    no_comment = F.regexp_replace(body, _HTML_COMMENT, " ")
+    return F.trim(
+        F.regexp_extract(no_comment, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    )
 
 
 def _explode_kind(detected: DataFrame, kind: str, blocks_col: str) -> DataFrame:
