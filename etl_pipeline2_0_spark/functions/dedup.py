@@ -486,6 +486,60 @@ def simhash_near_duplicates(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph — the step that
+    turns near-duplicate PAIRS into duplicate CLUSTERS (keep one doc per
+    component).  Output: (node, component) with component = the minimum
+    node id in the component — fully deterministic.
+
+    Algorithm: iterative min-label propagation.  Each round every node
+    takes the minimum label among itself and its neighbors (one equi-join
+    on the edge list + one groupBy-min); convergence when no label
+    changes, bounded by ``max_iterations``.  Rounds needed = graph
+    diameter — dedup graphs are small bushes around a few hubs, so this
+    converges in a handful of rounds.
+
+    Scale notes: each iteration is hash-partitioned joins on node ids (no
+    broadcast of anything corpus-sized), and ``localCheckpoint`` truncates
+    the lineage each round so the plan does not grow exponentially with
+    iterations (on a cluster use ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint`` for fault-tolerant truncation; for web-scale graphs
+    swap in the large-star/small-star contraction, which needs
+    O(log diameter) rounds).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = und.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def contamination_check(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -212,3 +212,56 @@ def repetition_stats(df, text_col: str, id_col: str):
         ).alias("rep_ratio"),
         (F.max("c") / F.sum("c").cast("double")).alias("top_share"),
     )
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+):
+    """Per-document top-k terms by smoothed TF-IDF:
+    ``tf · (ln((N+1)/(df+1)) + 1)`` — the standard sklearn-style smoothing,
+    exactly replayable in SQL (the DuckDB twin mirrors it term for term).
+
+    Relational shape for scale: one explode → (doc, term) counts (map-side
+    combine on the (doc, term) shuffle), document frequency from a second
+    small aggregate over distinct (doc, term) — NO self-join — and the
+    corpus size N via a broadcast crossJoin of a 1-row aggregate (never a
+    global window).  Ranking is a window partitioned BY DOCUMENT, ordered
+    by the 6dp-ROUNDED score (ln differs by 1 ULP across libm
+    implementations; rounding before ranking keeps cross-engine rank
+    assignment deterministic) with the term as tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    term_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "score", "rnk")
+    )

@@ -554,3 +554,120 @@ SELECT eval_id,
 FROM eval_sh e LEFT JOIN corpus_sh c USING (shingle)
 GROUP BY eval_id
 """
+
+
+# ------------------------------------------------- dedup clustering / tfidf -
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-duplicate PAIRS → duplicate CLUSTERS: connected components over
+    # the n-gram Jaccard graph (iterative min-label propagation; the DuckDB
+    # twin computes the same fixpoint with a recursive CTE).
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    pairs = dedup.jaccard_pairs(docs, k=3, threshold=0.3)
+    return dedup.connected_components(pairs)
+
+
+SQL_DUP_COMPONENTS = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT id, list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord FROM toks
+), sh0 AS (
+  SELECT id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.3
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT u.src, r.label FROM reach r JOIN und u ON u.dst = r.node
+)
+SELECT node, CAST(MIN(label) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    return text.tfidf_top_terms(docs, top_k=3)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 25 = 0
+), toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
+  FROM docs
+), term_rows AS (
+  SELECT doc_id, unnest(toks) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM term_rows GROUP BY doc_id, term
+), docfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM docs
+), scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1.0), 6) AS score
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, score, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real-decoder demonstration: synthesize a deterministic 4x4 24-bit BMP
+    # per embedding row (pixel bytes from the vector values), decode with
+    # the built-in pure-Python BMP parser, aggregate the decoded facts.
+    # Pandas-UDF payload synthesis → no DuckDB twin (rows-only check);
+    # the decoder itself is golden-tested against independently built BMPs.
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 8 == 0)
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_pipeline2_0_spark.functions.multimodal import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.clip(
+                    np.asarray(vec, dtype=float)[:48] * 127 + 128, 0, 255
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(np.resize(arr, (4, 4, 3))))
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        make, "media_id long, payload binary"
+    )
+    return (
+        multimodal.decode_image(media)
+        .groupBy("format", "width", "height", "bits_per_pixel", "mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+        )
+    )

@@ -69,6 +69,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "regexp_funcs": (X.q_regexp_funcs, X.SQL_REGEXP_FUNCS),
     "argmax_aggs": (X.q_argmax_aggs, X.SQL_ARGMAX_AGGS),
     "bit_funcs": (X.q_bit_funcs, X.SQL_BIT_FUNCS),
+    # --- round-2 additions (new operators, never driver-checked) ---
+    "dup_components": (L.q_dup_components, L.SQL_DUP_COMPONENTS),
+    "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
+    "media_decode": (L.q_media_decode, None),
     # --- representative re-verifications (green in r01; one per family) ---
     "count_star": (R.q_count_star, R.SQL_COUNT_STAR),
     "schema_stats": (R.q_schema_stats, R.SQL_SCHEMA_STATS),
@@ -79,11 +83,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "range_join": (X.q_range_join, X.SQL_RANGE_JOIN),
     "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
     "windowed_counts": (X.q_windowed_counts, X.SQL_WINDOWED_COUNTS),
+    # ---------- driver 50-query window ends here ----------
+    # --- proven green in r01 (CORRECTNESS_r01.json); demoted past the cap ---
     "pivot_events": (X.q_pivot_events, X.SQL_PIVOT_EVENTS),
     "percentiles": (X.q_percentiles, X.SQL_PERCENTILES),
     "union_by_name": (R.q_union_by_name, R.SQL_UNION_BY_NAME),
-    # ---------- driver 50-query window ends here ----------
-    # --- proven green in r01 (CORRECTNESS_r01.json); demoted past the cap ---
     "items_by_type": (R.q_items_by_type, R.SQL_ITEMS_BY_TYPE),
     "filter_length": (R.q_filter_length, R.SQL_FILTER_LENGTH),
     "project_drop": (R.q_project_drop, R.SQL_PROJECT_DROP),

@@ -334,3 +334,28 @@ def test_contamination_check_planted_leak(spark):
     assert out[100]["containment"] == 1.0
     assert out[200]["containment"] == 0.0
     assert out[200]["n_shingles"] > 0  # clean doc still reported
+
+
+def test_connected_components_merges_chains(spark):
+    # 1-2, 2-3 chain + isolated pair 10-11: two components, min-id labels.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["component"] for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple apple"),
+            (2, "banana cherry banana"),
+            (3, "cherry durian cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(docs, top_k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # The repeated doc-specific term wins over corpus-common ones.
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+    assert all(r["rnk"] == 1 for r in out)
