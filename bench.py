@@ -41,6 +41,9 @@ HEADLINE = [
     "range_join",
     "dedup_exact",
     "ngram_jaccard",
+    "dup_components",
+    "tfidf_top_terms",
+    "media_decode",
     "minhash_pairs",
     "simhash_pairs",
     "winnow_overlap",
