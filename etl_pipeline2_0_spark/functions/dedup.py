@@ -516,27 +516,30 @@ def connected_components(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
+        # Materialize ONCE: the edge list is re-joined every round, and its
+        # upstream (pair generation) is typically the most expensive subtree
+        # in the whole computation — without this it re-executes per round.
+        .localCheckpoint(eager=True)
     )
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     labels = labels.localCheckpoint(eager=True)
+    # Labels only ever DECREASE (min semilattice), so Σlabel strictly drops
+    # until the fixpoint — an unchanged sum certifies convergence with one
+    # cheap aggregate per round instead of an old⋈new comparison join.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iterations):
         nbr = und.join(
             labels.select(F.col("node").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
 
 
