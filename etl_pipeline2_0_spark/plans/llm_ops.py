@@ -671,3 +671,115 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
         )
     )
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composed training-data quality gate: language + heuristic quality
+    # + length floor in ONE narrow projection-and-filter pass (each term is
+    # individually oracled; this query pins the composition).
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            "doc_id",
+            text.lang_id(t).alias("pred_lang"),
+            text.token_count(t).cast("bigint").alias("n_tokens"),
+            text.quality_score(t).alias("quality"),
+        )
+        .where(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("n_tokens") >= 20)
+        )
+    )
+
+
+SQL_CORPUS_FILTER = rf"""
+WITH base AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> length(x) > 0)) AS n_tokens,
+    regexp_replace(text, '\s+', '', 'g') AS compact,
+    list_filter(regexp_split_to_array(lower(text), '\W+'),
+                x -> length(x) > 0) AS toks,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["en"]})\b')) AS en,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["es"]})\b')) AS es,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["fr"]})\b')) AS fr,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["de"]})\b')) AS de
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tokens,
+    CASE
+      WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+      WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+      WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+      WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+      ELSE 'de' END AS pred_lang,
+    CASE WHEN LENGTH(compact) = 0 THEN 0.0
+         ELSE (LENGTH(compact) - LENGTH(regexp_replace(compact, '\W', '', 'g')))
+              / LENGTH(compact) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> x IN ({_STOPS_SQL}))) / len(toks)
+         END AS stopword_ratio
+  FROM base
+), q AS (
+  SELECT doc_id, pred_lang, n_tokens,
+    ROUND((LEAST(n_tokens / 100.0, 1.0) + LEAST(stopword_ratio * 4, 1.0)
+           + (1.0 - LEAST(punct_ratio * 4, 1.0))) / 3, 6) AS quality
+  FROM scored
+)
+SELECT doc_id, pred_lang, n_tokens, quality
+FROM q WHERE pred_lang = 'en' AND quality >= 0.5 AND n_tokens >= 20
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The near-dup pipeline's END PRODUCT: the post-dedup corpus — every
+    # doc except non-representative members of near-duplicate clusters
+    # (keep the min-id doc per component).  pairs → components → anti-join.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    pairs = dedup.jaccard_pairs(docs, k=3, threshold=0.3)
+    comp = dedup.connected_components(pairs)
+    drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+SQL_DEDUP_CANONICAL = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT id, list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord FROM toks
+), sh0 AS (
+  SELECT id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.3
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT u.src, r.label FROM reach r JOIN und u ON u.dst = r.node
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT d.id AS doc_id FROM docs d
+WHERE d.id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""

@@ -71,6 +71,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "bit_funcs": (X.q_bit_funcs, X.SQL_BIT_FUNCS),
     # --- round-2 additions (new operators, never driver-checked) ---
     "dup_components": (L.q_dup_components, L.SQL_DUP_COMPONENTS),
+    "dedup_canonical": (L.q_dedup_canonical, L.SQL_DEDUP_CANONICAL),
+    "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
     "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
     "media_decode": (L.q_media_decode, None),
     # --- representative re-verifications (green in r01; one per family) ---
@@ -81,10 +83,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
     "asof_join": (X.q_asof_join, X.SQL_ASOF_JOIN),
     "range_join": (X.q_range_join, X.SQL_RANGE_JOIN),
-    "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
-    "windowed_counts": (X.q_windowed_counts, X.SQL_WINDOWED_COUNTS),
     # ---------- driver 50-query window ends here ----------
     # --- proven green in r01 (CORRECTNESS_r01.json); demoted past the cap ---
+    "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
+    "windowed_counts": (X.q_windowed_counts, X.SQL_WINDOWED_COUNTS),
     "pivot_events": (X.q_pivot_events, X.SQL_PIVOT_EVENTS),
     "percentiles": (X.q_percentiles, X.SQL_PERCENTILES),
     "union_by_name": (R.q_union_by_name, R.SQL_UNION_BY_NAME),
