@@ -195,3 +195,26 @@ def test_minhash_verify_side_semi_joined(spark, sf_dir):
     # doc source feeding the verify joins goes through a LeftSemi first.
     df = L.q_minhash_pairs(spark, sf_dir)
     assert "LeftSemi" in _plan(df)
+
+
+def test_corpus_filter_is_narrow_single_pass(spark, sf_dir):
+    # The composed quality gate must stay one scan + filter + project:
+    # no shuffle anywhere, and only (doc_id, text) read from parquet.
+    plan = _plan(L.q_corpus_filter(spark, sf_dir))
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" in read and "lang" not in read and "source" not in read
+
+
+def test_tfidf_no_global_window_no_cartesian(spark, sf_dir):
+    # Ranking windows are partitioned per document; N comes from a
+    # broadcast 1-row aggregate, never a global window; no cross join of
+    # corpus-sized sides (the 1-row broadcast nested loop is fine).
+    plan = _plan(L.q_tfidf_top_terms(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(doc_id" in plan
+
+
+def test_dedup_canonical_is_anti_join(spark, sf_dir):
+    plan = _plan(L.q_dedup_canonical(spark, sf_dir))
+    assert "LeftAnti" in plan
