@@ -119,3 +119,39 @@ def test_detector_partition_covers_document(spark, lines):
     got_text = set(detected["text_blocks"])
     for line in lines:
         assert line.strip() in got_text
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    c=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_codec_roundtrip(w, h, c, seed):
+    # Driver-side property: encode_bmp ∘ parse_bmp is the identity on pixel
+    # data for every width/height/channel combo (incl. row-padding edges).
+    import numpy as np
+
+    from etl_pipeline2_0_spark.functions.multimodal import encode_bmp, parse_bmp
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    info = parse_bmp(encode_bmp(px))
+    assert info is not None
+    assert (info["width"], info["height"]) == (w, h)
+    assert info["bits_per_pixel"] == c * 8
+    assert (info["pixels"] == px).all()
+
+
+@given(data=st.binary(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_media_parsers_total_on_garbage(data):
+    # Decoders must be TOTAL: arbitrary bytes either parse or return None —
+    # never raise (a poison payload must not kill a 100 TB stage).
+    from etl_pipeline2_0_spark.functions.multimodal import parse_bmp, parse_wav
+
+    parse_bmp(data)
+    parse_wav(data)
+    parse_bmp(b"BM" + data)
+    parse_wav(b"RIFF" + data[:4] + b"WAVE" + data)
