@@ -75,16 +75,18 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
     "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
     "media_decode": (L.q_media_decode, None),
+    "scd2_intervals": (X.q_scd2_intervals, X.SQL_SCD2_INTERVALS),
+    "funnel_stages": (X.q_funnel_stages, X.SQL_FUNNEL_STAGES),
     # --- representative re-verifications (green in r01; one per family) ---
     "count_star": (R.q_count_star, R.SQL_COUNT_STAR),
     "schema_stats": (R.q_schema_stats, R.SQL_SCHEMA_STATS),
     "text_features": (L.q_quality_scores, L.SQL_QUALITY_SCORES),
     "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
-    "asof_join": (X.q_asof_join, X.SQL_ASOF_JOIN),
-    "range_join": (X.q_range_join, X.SQL_RANGE_JOIN),
     # ---------- driver 50-query window ends here ----------
     # --- proven green in r01 (CORRECTNESS_r01.json); demoted past the cap ---
+    "asof_join": (X.q_asof_join, X.SQL_ASOF_JOIN),
+    "range_join": (X.q_range_join, X.SQL_RANGE_JOIN),
     "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
     "windowed_counts": (X.q_windowed_counts, X.SQL_WINDOWED_COUNTS),
     "pivot_events": (X.q_pivot_events, X.SQL_PIVOT_EVENTS),

@@ -1070,3 +1070,102 @@ SELECT l_orderkey, l_linenumber,
        CAST(bit_count(l_orderkey) AS BIGINT) AS popcount
 FROM lineitem
 """
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Slowly-changing-dimension type-2 build: collapse each user's event
+    # stream into state-change validity intervals (valid_to NULL = current).
+    # One partitioned window pass — change detection via LAG, interval close
+    # via LEAD over the change rows; timestamps exported as epoch micros
+    # (unix_micros ≡ DuckDB epoch_us — no formatter round-trip ambiguity).
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         AS valid_to_us
+FROM changes
+"""
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered-funnel analysis: view → click (after the first view) →
+    # purchase (after that click); one row of per-stage user counts.
+    # Per-stage MIN aggregates shuffle only user keys; the stage joins are
+    # user_id equi-joins on frames whose size shrinks at every stage (AQE
+    # broadcasts them as they fall under the threshold).
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("v_ts").cast("bigint").alias("n_view"),
+            F.count("c_ts").cast("bigint").alias("n_click_after_view"),
+            F.count("p_ts").cast("bigint").alias("n_purchase_after_click"),
+        )
+    )
+
+
+SQL_FUNNEL_STAGES = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id
+)
+SELECT CAST(COUNT(v_ts) AS BIGINT) AS n_view,
+       CAST(COUNT(c_ts) AS BIGINT) AS n_click_after_view,
+       CAST(COUNT(p_ts) AS BIGINT) AS n_purchase_after_click
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
