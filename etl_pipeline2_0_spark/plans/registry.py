@@ -23,8 +23,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # verifies the FIRST 50 entries.  Round 1 proved the original first 50
     # (see CORRECTNESS_r01.json — 50/50 green); round 2 leads with the 38
     # queries that fell outside that window (all LLM-ops + the later scalar
-    # batteries) plus 12 representative re-verifications, and demotes the
-    # already-proven micro-projections to the tail.
+    # batteries), then the 7 round-2 additions, then 5 representative
+    # re-verifications — and demotes the already-proven queries to the tail.
     #
     # --- LLM-data-pipeline operators (driver-unverified in r01) ---
     "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
@@ -84,6 +84,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
     # ---------- driver 50-query window ends here ----------
+    # r2 addition past the cap (family represented in-window by
+    # scd2_intervals/funnel_stages; pinned by in-repo oracle parity):
+    "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     # --- proven green in r01 (CORRECTNESS_r01.json); demoted past the cap ---
     "asof_join": (X.q_asof_join, X.SQL_ASOF_JOIN),
     "range_join": (X.q_range_join, X.SQL_RANGE_JOIN),

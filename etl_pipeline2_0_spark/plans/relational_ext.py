@@ -1169,3 +1169,41 @@ SELECT CAST(COUNT(v_ts) AS BIGINT) AS n_view,
        CAST(COUNT(p_ts) AS BIGINT) AS n_purchase_after_click
 FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention triangle: users grouped by first-activity week,
+    # counted per week-offset of subsequent activity.  Two small-key
+    # aggregates + one user_id equi-join — the cohort frame is per-user
+    # (AQE broadcasts it when small); nothing shuffles event-sized rows
+    # more than once.
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_week, act_week) / 7 AS INT) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
