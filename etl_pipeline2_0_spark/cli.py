@@ -4,6 +4,7 @@ Usage:
     python -m etl_pipeline2_0_spark batch <input_dir> <out_dir> [--rowstore]
     python -m etl_pipeline2_0_spark watch <input_dir> <out_dir>
     python -m etl_pipeline2_0_spark payload <out_dir>   (reads stdin)
+    python -m etl_pipeline2_0_spark serve [--host H] [--port P]
 
 The reference's interactive menu collapses to subcommands; watch mode runs
 until interrupted (checkpointed — a restart resumes exactly-once where it
@@ -37,10 +38,24 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("payload", help="process one payload from stdin")
     s.add_argument("out_dir")
 
+    v = sub.add_parser("serve", help="HTTP server: POST /process (reference app.py)")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8000)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"etl-pipeline2.0-{args.cmd}")
     try:
-        if args.cmd == "batch":
+        if args.cmd == "serve":
+            from etl_pipeline2_0_spark.server import create_server
+
+            server = create_server(spark, host=args.host, port=args.port)
+            print(
+                f"serving on http://{server.server_address[0]}:"
+                f"{server.server_address[1]}",
+                flush=True,
+            )
+            server.serve_forever()
+        elif args.cmd == "batch":
             res = run_batch(
                 spark,
                 input_path=args.input_dir,
