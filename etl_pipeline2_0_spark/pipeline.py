@@ -76,8 +76,15 @@ def run_batch(
     writes the reference's output files when ``out_dir`` is given.
     """
     start = datetime.now(timezone.utc)
+    parallelism_cap = None
     if payloads is not None:
         docs = documents_from_strings(spark, payloads)
+        # The document count is KNOWN here: widening a 2-payload API call to
+        # cluster parallelism would run dozens of empty tasks per stage
+        # (pure scheduler overhead on the latency-sensitive HTTP path).  One
+        # document cannot be split below one row anyway, so cap at the
+        # payload count.
+        parallelism_cap = max(1, len(payloads))
     elif input_path is not None:
         docs = read_documents(spark, input_path)
     else:
@@ -89,7 +96,11 @@ def run_batch(
     # smaller than raw input, but spillable if not.
     from pyspark import StorageLevel
 
-    docs = ensure_min_parallelism(docs)
+    if parallelism_cap is not None:
+        target = min(parallelism_cap, spark.sparkContext.defaultParallelism)
+        docs = ensure_min_parallelism(docs, target=target)
+    else:
+        docs = ensure_min_parallelism(docs)
     detected = detect_blocks(docs)
     per_kind = extract_records(spark, detected, infer_max_bodies=infer_max_bodies)
     pre_drop = union_by_name([per_kind[k] for k in KIND_ORDER]).persist(

@@ -82,6 +82,13 @@ def read_documents_stream(
 
 
 def documents_from_strings(spark: SparkSession, payloads: list[str]) -> DataFrame:
-    """S4: in-memory payloads (e.g. HTTP bodies) as a documents frame."""
+    """S4: in-memory payloads (e.g. HTTP bodies) as a documents frame.
+
+    Partition count = payload count (capped at cluster parallelism): a
+    2-payload API call must not fan every downstream stage out to dozens of
+    empty tasks — on the latency-sensitive HTTP path scheduler overhead IS
+    the cost (one document can't split below one partition anyway)."""
     rows = [(f"payload_{i}", p) for i, p in enumerate(payloads)]
-    return spark.createDataFrame(rows, "doc_id string, content string")
+    slices = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
+    rdd = spark.sparkContext.parallelize(rows, numSlices=slices)
+    return spark.createDataFrame(rdd, "doc_id string, content string")
