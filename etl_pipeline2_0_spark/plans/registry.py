@@ -111,6 +111,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q5_region_revenue": (R.q5_region_revenue, R.SQL_Q5),
     "q6_revenue_forecast": (T.q6_revenue_forecast, T.SQL_Q6),
     "q10_returned_customers": (T.q10_returned_customers, T.SQL_Q10),
+    "q4_priority_check": (T.q4_priority_check, T.SQL_Q4),
+    "q13_customer_distribution": (T.q13_customer_distribution, T.SQL_Q13),
+    "q22_global_sales_opportunity": (T.q22_global_sales_opportunity, T.SQL_Q22),
     "q14_promo_share": (T.q14_promo_share, T.SQL_Q14),
     "q15_top_supplier": (T.q15_top_supplier, T.SQL_Q15),
     "q17_small_quantity_revenue": (T.q17_small_quantity_revenue, T.SQL_Q17),
