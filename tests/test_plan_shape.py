@@ -218,3 +218,14 @@ def test_tfidf_no_global_window_no_cartesian(spark, sf_dir):
 def test_dedup_canonical_is_anti_join(spark, sf_dir):
     plan = _plan(L.q_dedup_canonical(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_new_tpch_shapes(spark, sf_dir):
+    from etl_pipeline2_0_spark.plans import tpch_more as T
+
+    # q4: EXISTS = streamed semi-join; q13: outer join preserved; q22:
+    # threshold from a broadcast 1-row aggregate + anti-join, no window.
+    assert "LeftSemi" in _plan(T.q4_priority_check(spark, sf_dir))
+    assert "LeftOuter" in _plan(T.q13_customer_distribution(spark, sf_dir))
+    q22 = _plan(T.q22_global_sales_opportunity(spark, sf_dir))
+    assert "LeftAnti" in q22 and "Window" not in q22
