@@ -76,3 +76,29 @@ def test_sql_functions_usable_in_real_query(spark, sql_fns, sf_dir):
         "FROM docs_v GROUP BY 1 ORDER BY n DESC"
     ).collect()
     assert out and all(r["avg_tokens"] > 0 for r in out)
+
+
+def test_driver_window_covers_every_query_family():
+    # The external driver verifies only the FIRST 50 registry entries, so
+    # the window must contain at least one representative per capability
+    # family — this guard keeps future reordering honest.
+    from etl_pipeline2_0_spark.plans.registry import ALL_QUERIES
+
+    window = set(list(ALL_QUERIES)[:50])
+    representatives = {
+        # dedup / similarity / text / multimodal / pipeline (LLM-ops)
+        "dedup_exact", "ngram_jaccard", "minhash_pairs", "simhash_pairs",
+        "winnow_overlap", "contamination_check", "dup_components",
+        "dedup_canonical", "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "embed_neardup", "lang_id_counts", "pii_redact", "corpus_filter",
+        "tfidf_top_terms", "multimodal_meta", "media_decode",
+        "extract_doc_stats",
+        # scalar/analytic batteries
+        "hash_sample", "grouping_sets", "math_funcs", "argmax_aggs",
+        # warehouse analytics
+        "scd2_intervals", "funnel_stages",
+        # relational core
+        "q1_pricing_summary", "q3_top_revenue",
+    }
+    missing = representatives - window
+    assert not missing, f"families outside the driver window: {sorted(missing)}"
