@@ -39,6 +39,9 @@ HEADLINE = [
     "pivot_events",
     "asof_join",
     "range_join",
+    "scd2_intervals",
+    "funnel_stages",
+    "cohort_retention",
     "dedup_exact",
     "ngram_jaccard",
     "dup_components",
