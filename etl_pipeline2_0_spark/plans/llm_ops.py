@@ -563,14 +563,18 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Near-duplicate PAIRS → duplicate CLUSTERS: connected components over
     # the n-gram Jaccard graph (iterative min-label propagation; the DuckDB
     # twin computes the same fixpoint with a recursive CTE).
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    # Subset is doc_id % 3 == 2: the generator's dup pairs are uniform over
+    # doc_id, so a 1/3 subset keeps both endpoints of ~1/9 of pairs — 3-4
+    # pairs at sf<=0.01, 26 at sf0.1 (the old %10 subset kept ZERO pairs
+    # at driver scale, making the fixpoint check vacuous).
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
     pairs = dedup.jaccard_pairs(docs, k=3, threshold=0.3)
     return dedup.connected_components(pairs)
 
 
 SQL_DUP_COMPONENTS = r"""
 WITH RECURSIVE docs AS (
-  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 3 = 2
 ), toks AS (
   SELECT id, list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
   FROM docs
@@ -737,7 +741,9 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The near-dup pipeline's END PRODUCT: the post-dedup corpus — every
     # doc except non-representative members of near-duplicate clusters
     # (keep the min-id doc per component).  pairs → components → anti-join.
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    # %3==2 subset (not %10): keeps dup-pair endpoints so the anti-join
+    # actually drops rows at driver scale — see q_dup_components.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
     pairs = dedup.jaccard_pairs(docs, k=3, threshold=0.3)
     comp = dedup.connected_components(pairs)
     drop = comp.where(F.col("node") != F.col("component")).select(
@@ -748,7 +754,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_CANONICAL = r"""
 WITH RECURSIVE docs AS (
-  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 3 = 2
 ), toks AS (
   SELECT id, list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
   FROM docs

@@ -943,9 +943,11 @@ FROM base
 
 
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Math-function battery over IEEE doubles: identical single-operand
-    # evaluations in both engines (no aggregation order involved), so
-    # results are bit-identical without rounding.
+    # Math-function battery over IEEE doubles. Every double-typed output is
+    # rounded to 6 dp on BOTH sides: even when the raw values are
+    # bit-identical (they are, verified at sf0.01), an external harness may
+    # canonicalize raw doubles differently before hashing, so rounding is
+    # part of the oracle contract, not a numerical necessity.
     li = load_table(spark, sf_dir, "lineitem")
     p = F.col("l_extendedprice")
     return li.select(
@@ -954,14 +956,14 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 1).alias("r1"),
         F.floor(p).cast("double").alias("flr"),
         F.ceil(p).cast("double").alias("ceil_"),
-        F.abs(p - 30000.0).alias("absdev"),
+        F.round(F.abs(p - 30000.0), 6).alias("absdev"),
         F.signum(p - 30000.0).alias("sgn"),
-        F.sqrt(p).alias("sqrt_"),
+        F.round(F.sqrt(p), 6).alias("sqrt_"),
         # ln/log10 rounded to 6 dp: JVM Math.log and libm differ by 1 ULP,
         # and at 10 dp the rounding boundary itself gets hit (~1e-5/row).
         F.round(F.ln(p), 6).alias("ln_"),
         F.round(F.log10(p), 6).alias("log10_"),
-        F.pow(F.col("l_discount"), 2).alias("disc_sq"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("mod7"),
     )
 
@@ -971,12 +973,12 @@ SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 1) AS r1,
        CAST(FLOOR(l_extendedprice) AS DOUBLE) AS flr,
        CAST(CEIL(l_extendedprice) AS DOUBLE) AS ceil_,
-       ABS(l_extendedprice - 30000.0) AS absdev,
+       ROUND(ABS(l_extendedprice - 30000.0), 6) AS absdev,
        SIGN(l_extendedprice - 30000.0) AS sgn,
-       SQRT(l_extendedprice) AS sqrt_,
+       ROUND(SQRT(l_extendedprice), 6) AS sqrt_,
        ROUND(LN(l_extendedprice), 6) AS ln_,
        ROUND(LOG10(l_extendedprice), 6) AS log10_,
-       POW(l_discount, 2) AS disc_sq,
+       ROUND(POW(l_discount, 2), 6) AS disc_sq,
        CAST(l_orderkey % 7 AS BIGINT) AS mod7
 FROM lineitem
 """
