@@ -529,6 +529,7 @@ def connected_components(
     # until the fixpoint — an unchanged sum certifies convergence with one
     # cheap aggregate per round instead of an old⋈new comparison join.
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iterations):
         nbr = und.join(
             labels.select(F.col("node").alias("dst"), "label"), "dst"
@@ -538,8 +539,20 @@ def connected_components(
         ).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Labels were still moving when the budget ran out: returning here
+        # would silently mis-cluster (and diverge from the recursive-CTE
+        # oracle, which always reaches the exact fixpoint).  A component
+        # chain longer than ``max_iterations`` hops is the only way to get
+        # here — raise rather than hand back wrong clusters.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the budget); raise "
+            "max_iterations or pre-contract the graph"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

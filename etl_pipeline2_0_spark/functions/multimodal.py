@@ -154,18 +154,36 @@ def parse_bmp(b: bytes) -> dict | None:
         px = rows.reshape(abs_h, width, 1)
     if not top_down:
         px = px[::-1]  # BMP stores bottom-up by default
+    palette = None
+    if bpp == 8:
+        # Color table sits between the DIB header and the pixel data as
+        # BGRX quads.  Entries beyond what is stored default to identity
+        # gray (the spec default when biClrUsed is 0 but the table is
+        # truncated).  Kept as (256, 3) BGR so consumers can map indices
+        # to real colors instead of treating indices as luma.
+        pal = np.tile(np.arange(256, dtype=np.uint8)[:, None], (1, 3))
+        n_stored = max(0, min((pixel_offset - 14 - dib_size) // 4, 256))
+        if n_stored:
+            quads = np.frombuffer(
+                b, dtype=np.uint8, count=n_stored * 4, offset=14 + dib_size
+            ).reshape(n_stored, 4)
+            pal[:n_stored] = quads[:, :3]
+        palette = pal
     return {
         "width": width,
         "height": abs_h,
         "bits_per_pixel": bpp,
         "mode": {8: "P", 24: "BGR", 32: "BGRA"}[bpp],
         "pixels": px,
+        "palette": palette,
     }
 
 
-def encode_bmp(px) -> bytes:
+def encode_bmp(px, palette=None) -> bytes:
     """Re-encode an (h, w, c) uint8 array (c in {1, 3, 4}) as an
-    uncompressed bottom-up BMP — the inverse of ``parse_bmp``."""
+    uncompressed bottom-up BMP — the inverse of ``parse_bmp``.  For c=1
+    (paletted), ``palette`` is the (≤256, 3) BGR color table to preserve;
+    identity grayscale when omitted."""
     import struct
 
     import numpy as np
@@ -174,9 +192,17 @@ def encode_bmp(px) -> bytes:
     h, w, c = px.shape
     bpp = c * 8
     row_stride = (w * c + 3) & ~3
-    palette = b""
-    if c == 1:  # 8-bit needs a palette: identity grayscale
-        palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    if c == 1:  # 8-bit needs a color table
+        if palette is None:
+            palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+        else:
+            pal = np.zeros((256, 4), dtype=np.uint8)
+            pal[:, :3] = np.tile(np.arange(256, dtype=np.uint8)[:, None], (1, 3))
+            n = min(len(palette), 256)
+            pal[:n, :3] = np.asarray(palette, dtype=np.uint8)[:n]
+            palette = pal.tobytes()
+    else:
+        palette = b""
     pixel_offset = 14 + 40 + len(palette)
     img_size = row_stride * h
     header = b"BM" + struct.pack(
@@ -276,7 +302,12 @@ def decode_image(media: DataFrame) -> DataFrame:
                     out["height"].append(info["height"])
                     out["bits_per_pixel"].append(info["bits_per_pixel"])
                     out["mode"].append(info["mode"])
-                    out["mean_luma"].append(round(float(info["pixels"].mean()), 6))
+                    px = info["pixels"]
+                    if info["palette"] is not None:
+                        # Paletted: mean over the LOOKED-UP colors, not the
+                        # raw indices (indices carry no luminance meaning).
+                        px = info["palette"][px[..., 0]]
+                    out["mean_luma"].append(round(float(px.mean()), 6))
                     out["err"].append(None)
             yield pd.DataFrame(out)
 
@@ -398,7 +429,9 @@ def resize_image(
             h, w = px.shape[:2]
             yi = (np.arange(height) * h) // height
             xi = (np.arange(width) * w) // width
-            return encode_bmp(px[yi][:, xi]), True
+            # Nearest-neighbor keeps palette indices valid; re-encode with
+            # the ORIGINAL color table so paletted images keep their colors.
+            return encode_bmp(px[yi][:, xi], palette=info["palette"]), True
 
         for pdf in batches:
             pairs = [one(b) for b in pdf["payload"]]

@@ -64,7 +64,27 @@ def _make_handler(spark: SparkSession):
                 self._send_json(404, {"error": "not found"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
+                # Body framing: this stdlib handler does not dechunk, so a
+                # chunked request must be refused explicitly (411: length
+                # required) instead of reading zero bytes and answering a
+                # misleading 400 "No data provided"; a malformed
+                # Content-Length is the CLIENT's error → 400, not a 500
+                # from the bare int() throw.
+                te = (self.headers.get("Transfer-Encoding") or "").lower()
+                if "chunked" in te:
+                    self._send_json(
+                        411,
+                        {"error": "chunked transfer encoding not supported; "
+                                  "send Content-Length"},
+                    )
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    if length < 0:
+                        raise ValueError(length)
+                except ValueError:
+                    self._send_json(400, {"error": "invalid Content-Length"})
+                    return
                 content = self.rfile.read(length).decode("utf-8", errors="replace")
                 if not content.strip():
                     # Reference 400 path (app.py:61-62).

@@ -26,16 +26,31 @@ import os
 from datetime import datetime, timezone
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, MapType, StringType, StructType
+from pyspark.sql.types import ArrayType, BooleanType, MapType, StringType, StructType
+
+
+def _repr_str_elem(x: Column) -> Column:
+    """Python ``repr`` of one string list element: backslashes escaped;
+    double-quoted iff the value contains a single quote and no double quote
+    (CPython's rule), else single-quoted with embedded ``'`` escaped."""
+    esc = F.regexp_replace(x, r"\\", r"\\\\")
+    return F.when(
+        x.contains("'") & ~x.contains('"'),
+        F.concat(F.lit('"'), esc, F.lit('"')),
+    ).otherwise(
+        F.concat(F.lit("'"), F.regexp_replace(esc, "'", r"\\'"), F.lit("'"))
+    )
 
 
 def _csv_safe(df: DataFrame) -> DataFrame:
     """Render non-atomic columns as strings the way the reference's pandas
     ``to_csv`` does (etl_pipeline.py:289-292): a list cell prints as the
     Python repr ``['a', 'b']`` (quoted string elements, ``, `` separator,
-    numbers bare); structs/maps fall back to JSON.  Spark's CSV writer
+    numbers bare, NULL elements as ``None``, quote/backslash escaping per
+    CPython's repr rules); structs/maps fall back to JSON.  Deviation:
+    non-printable characters are not ``\\x``-escaped.  Spark's CSV writer
     rejects complex types outright, so this projection is what makes S5
     faithful for JSON records that kept array fields through flattening."""
     cols, changed = [], False
@@ -43,9 +58,21 @@ def _csv_safe(df: DataFrame) -> DataFrame:
         c = F.col(f.name)
         if isinstance(f.dataType, ArrayType):
             if isinstance(f.dataType.elementType, StringType):
-                elems = F.transform(c, lambda x: F.concat(F.lit("'"), x, F.lit("'")))
+                elems = F.transform(
+                    c,
+                    lambda x: F.when(x.isNull(), F.lit("None")).otherwise(
+                        _repr_str_elem(x)
+                    ),
+                )
+            elif isinstance(f.dataType.elementType, BooleanType):
+                # Python prints True/False, Spark's cast prints true/false.
+                elems = F.transform(
+                    c, lambda x: F.coalesce(F.initcap(x.cast("string")), F.lit("None"))
+                )
             else:
-                elems = F.transform(c, lambda x: x.cast("string"))
+                elems = F.transform(
+                    c, lambda x: F.coalesce(x.cast("string"), F.lit("None"))
+                )
             rendered = F.concat(F.lit("["), F.concat_ws(", ", elems), F.lit("]"))
             cols.append(
                 F.when(c.isNull(), F.lit(None).cast("string"))

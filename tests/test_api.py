@@ -87,3 +87,37 @@ def test_http_server_roundtrip(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_server_body_framing(spark):
+    # Framing edges: chunked uploads are refused with 411 (this handler
+    # does not dechunk — reading zero bytes and claiming "No data provided"
+    # would be a lie), and a garbage Content-Length is the client's fault
+    # (400), never an int()-crash 500.
+    import http.client
+    import json as _json
+
+    server, base = _served(spark)
+    host, port = server.server_address[0], server.server_address[1]
+    try:
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.putrequest("POST", "/process", skip_accept_encoding=True)
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        conn.send(b"5\r\nhello\r\n0\r\n\r\n")
+        resp = conn.getresponse()
+        assert resp.status == 411
+        assert "chunked" in _json.load(resp)["error"]
+        conn.close()
+
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.putrequest("POST", "/process")
+        conn.putheader("Content-Length", "not-a-number")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert _json.load(resp)["error"] == "invalid Content-Length"
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()

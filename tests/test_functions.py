@@ -245,6 +245,47 @@ def test_decode_audio_real_wav(spark):
     assert rows[1]["err"] is not None
 
 
+def _make_paletted_bmp(width: int, height: int, palette_bgr, index: int) -> bytes:
+    # Hand-built 8-bit paletted BMP (indices all = `index`), independent of
+    # encode_bmp so the palette handling is not a round-trip tautology.
+    import struct
+
+    pal = b"".join(bytes([b, g, r, 0]) for (b, g, r) in palette_bgr)
+    stride = (width + 3) & ~3
+    pixels = (bytes([index]) * width + b"\0" * (stride - width)) * height
+    off = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(pixels), 2835, 2835,
+        len(palette_bgr), 0,
+    )
+    return header + dib + pal + pixels
+
+
+def test_decode_image_paletted_bmp_uses_palette(spark):
+    # All pixels are palette index 1 → color (40, 80, 120) BGR.  mean_luma
+    # must be the mean of the looked-up color (80), NOT the index (1).
+    bmp = _make_paletted_bmp(4, 2, [(0, 0, 0), (40, 80, 120)], index=1)
+    row = multimodal.decode_image(_media_frame(spark, [bmp])).collect()[0]
+    assert row["err"] is None and row["mode"] == "P"
+    assert row["mean_luma"] == 80.0
+
+
+def test_resize_paletted_bmp_preserves_palette(spark):
+    bmp = _make_paletted_bmp(8, 4, [(5, 6, 7), (40, 80, 120)], index=1)
+    out = multimodal.resize_image(
+        _media_frame(spark, [bmp]), width=4, height=2
+    ).collect()[0]
+    assert out["decoded"] is True
+    info = multimodal.parse_bmp(bytes(out["payload"]))
+    assert info is not None and info["bits_per_pixel"] == 8
+    # Index data survives, and the ORIGINAL palette rides along (the old
+    # code re-encoded with an identity-gray palette, recoloring the image).
+    assert info["pixels"][0, 0, 0] == 1
+    assert info["palette"][1].tolist() == [40, 80, 120]
+    assert info["palette"][0].tolist() == [5, 6, 7]
+
+
 def test_resize_real_bmp_roundtrip(spark):
     # Real path: BMP in → resized BMP out, re-decodable at the target dims.
     bmp = _make_bmp(8, 8, (200, 100, 50))
@@ -343,6 +384,23 @@ def test_connected_components_merges_chains(spark):
     )
     out = {r["node"]: r["component"] for r in dedup.connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    # A 9-hop chain cannot converge in 2 min-propagation rounds: the old
+    # behavior silently returned unconverged (wrong) components; now it
+    # must raise instead of diverging from the recursive-CTE oracle.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iterations=2)
+    # With budget, the same chain collapses to one component.
+    out = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(chain, max_iterations=20).collect()
+    }
+    assert set(out.values()) == {1}
 
 
 def test_tfidf_top_terms_ranks_distinctive_terms(spark):
