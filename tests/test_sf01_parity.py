@@ -1,0 +1,66 @@
+"""Opt-in oracle parity at sf0.1 for the heaviest oracled queries.
+
+The in-repo parity gate runs at sf0.001 and the external driver at sf0.01;
+this job replays the most expensive oracled queries at sf0.1 (~10× driver
+scale) to catch AQE-plan-dependent divergence — rounded-window tiebreaks,
+decimal overflow, skew-triggered replans — before a bigger driver run ever
+sees them.  Excluded from the default run (see pytest.ini):
+
+    python -m pytest -m sf01 tests/test_sf01_parity.py -q
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from etl_pipeline2_0_spark.plans.registry import ALL_QUERIES
+from etl_pipeline2_0_spark.sources.tables import TABLES
+from tests.test_oracle_parity import _canon
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+# The heaviest oracled queries by bench wall-time (see BENCH_r*.json):
+# the dedup/similarity family (shingle self-joins, iterative components),
+# the corpus scans, and the widest relational shapes.
+HEAVY = [
+    "embed_neardup",
+    "dup_components",
+    "dedup_canonical",
+    "contamination_check",
+    "winnow_overlap",
+    "ngram_jaccard",
+    "extract_doc_stats",
+    "tfidf_top_terms",
+    "scd2_intervals",
+    "cohort_retention",
+    "q3_top_revenue",
+    "q22_global_sales_opportunity",
+]
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.sf01
+@pytest.mark.parametrize("name", HEAVY)
+def test_sf01_query_matches_oracle(spark, duck01, name):
+    fn, sql = ALL_QUERIES[name]
+    assert sql is not None, f"{name} has no oracle twin"
+    spark_pd = fn(spark, SF01_DIR).toPandas()
+    oracle_pd = duck01.sql(sql).fetchdf()
+    assert len(spark_pd) == len(oracle_pd), (
+        f"{name}: rows {len(spark_pd)} != oracle {len(oracle_pd)}"
+    )
+    s_cols, s_rows = _canon(spark_pd)
+    o_cols, o_rows = _canon(oracle_pd)
+    assert s_cols == o_cols, f"{name}: columns {s_cols} != {o_cols}"
+    mismatch = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b]
+    assert not mismatch, f"{name}: first mismatches {mismatch[:3]}"
