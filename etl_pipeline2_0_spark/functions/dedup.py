@@ -524,11 +524,14 @@ def connected_components(
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    labels = labels.localCheckpoint(eager=True)
     # Labels only ever DECREASE (min semilattice), so Σlabel strictly drops
     # until the fixpoint — an unchanged sum certifies convergence with one
     # cheap aggregate per round instead of an old⋈new comparison join.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # ``_UNSET`` (not a real sum) skips a dedicated init-sum job: round 1's
+    # sum can never spuriously equal it except on the empty graph, where
+    # None == None converging immediately is exactly right.
+    _UNSET = object()
+    prev_sum: object = _UNSET
     converged = False
     for _ in range(max_iterations):
         nbr = und.join(

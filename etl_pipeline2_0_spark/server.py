@@ -25,13 +25,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from etl_pipeline2_0_spark.api import process_payload
-
-_INDEX_HTML = """<!doctype html>
-<html><head><title>ETL Pipeline 2.0 (Spark)</title></head>
-<body><h1>ETL Pipeline 2.0 — Spark engine</h1>
-<p>POST raw text to <code>/process</code>; the response is
-<code>{"success": true, "data": [...], "types": {...}}</code>.</p>
-</body></html>"""
+from etl_pipeline2_0_spark.frontend import INDEX_HTML as _INDEX_HTML
 
 
 def _make_handler(spark: SparkSession):

@@ -58,7 +58,11 @@ def test_http_server_roundtrip(spark):
             assert r.status == 200
 
         with urllib.request.urlopen(base + "/", timeout=30) as r:
-            assert b"/process" in r.read()
+            index = r.read()
+        # Full frontend: payload input, schema cards, result table, CSV
+        # export (the reference index.html capability set).
+        for marker in (b"/process", b"renderCards", b"renderTable", b"Download CSV"):
+            assert marker in index
 
         req = urllib.request.Request(base + "/process", data=b"  \n ", method="POST")
         try:
