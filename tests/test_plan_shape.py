@@ -190,6 +190,18 @@ def test_rp_lsh_topk_is_bucket_probe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_assignment_is_narrow_arrow_stage(spark, sf_dir):
+    # IVF corpus assignment must be the Arrow-batched UDF projection — a
+    # narrow stage, never a corpus×centroids join materializing 16 rows per
+    # corpus vector.  (The only nested-loop allowed is the query-side probe:
+    # |queries| × n_centroids, trivially small.)
+    from etl_pipeline2_0_spark.plans import llm_ops as LL
+
+    plan = _plan(LL.q_ann_ivf_topk(spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_minhash_verify_side_semi_joined(spark, sf_dir):
     # The Jaccard verify stage must re-shingle only candidate docs: the
     # doc source feeding the verify joins goes through a LeftSemi first.
