@@ -146,6 +146,78 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Incremental dedup: exact n-gram Jaccard of every NEW document against
+    the EXISTING corpus — the standard production shape (each crawl batch is
+    checked against the already-deduped corpus, never corpus×corpus again).
+
+    Output: (new_id, corpus_id, jaccard) for pairs ≥ ``threshold``.
+
+    Scale shape: both sides explode to (id, shingle-hash) rows and meet in
+    ONE cross-frame equi-join on the 8-byte hash — work is proportional to
+    shingles the new batch actually shares, not |new|×|corpus|.  At 100 TB
+    the corpus side is a materialized shingle index (written bucketed by
+    ``shingle_h`` via sinks.bucketing so each batch probe co-locates
+    without reshuffling the corpus); here it is expressed inline over the
+    same frames.  ``max_doc_freq`` drops shingles appearing in more than
+    that many corpus docs — boilerplate carries no near-dup signal but
+    dominates join fan-out (same skew argument as LSH bucket caps).
+    """
+
+    def _shingles(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            ensure_min_parallelism(df)
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(token_shingles(F.col(text_col), k)).alias("shingle"),
+            )
+            .select(out_id, F.xxhash64("shingle").alias("shingle_h"))
+        )
+
+    new_sh = _shingles(new_df, "new_id")
+    corp_sh = _shingles(corpus_df, "corpus_id")
+    if max_doc_freq is not None:
+        hot = (
+            corp_sh.groupBy("shingle_h")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_doc_freq)
+            .select("shingle_h")
+        )
+        corp_sh = corp_sh.join(hot, "shingle_h", "left_anti")
+        new_sh = new_sh.join(hot, "shingle_h", "left_anti")
+    new_sizes = new_sh.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_new"))
+    corp_sizes = corp_sh.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
+    inter = (
+        new_sh.join(corp_sh, "shingle_h")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(new_sizes, "new_id")
+        .join(corp_sizes, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_new") + F.col("n_corpus") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 # -------------------------------------------------------- MinHash + LSH ----
 
 

@@ -464,3 +464,107 @@ def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
             F.sequence(F.lit(0), est_frames - 1, F.lit(every_nth))
         ).alias("frame_no"),
     )
+
+
+# -------------------------------------------------- multi-frame container --
+#
+# No video codec ships in this container, so the frame store is our own
+# trivial concat-of-BMPs format ("BMPS": magic, frame count, offset table,
+# then whole BMP payloads back to back).  The format is a deterministic
+# stand-in; the Spark side — binary column in, one row PER SAMPLED FRAME
+# out of an Arrow-batched ``mapInPandas`` — is exactly the plumbing an
+# ffmpeg/PyAV-backed sampler would use.
+
+_BMPS_MAGIC = b"BMPS"
+
+
+def encode_bmps(frames: list[bytes]) -> bytes:
+    """Pack whole BMP payloads into one BMPS container."""
+    import struct
+
+    head = _BMPS_MAGIC + struct.pack("<I", len(frames))
+    off = len(head) + 4 * len(frames)
+    offsets = []
+    for fb in frames:
+        offsets.append(off)
+        off += len(fb)
+    return head + b"".join(struct.pack("<I", o) for o in offsets) + b"".join(frames)
+
+
+def parse_bmps(b: bytes) -> list[bytes] | None:
+    """Split a BMPS container back into per-frame BMP payloads (None if the
+    payload is not a well-formed container)."""
+    import struct
+
+    if b is None or len(b) < 8 or b[:4] != _BMPS_MAGIC:
+        return None
+    (n,) = struct.unpack_from("<I", b, 4)
+    table_end = 8 + 4 * n
+    if n == 0 or table_end > len(b):
+        return None
+    offsets = list(struct.unpack_from(f"<{n}I", b, 8))
+    if any(o < table_end or o > len(b) for o in offsets) or sorted(offsets) != offsets:
+        return None
+    bounds = offsets + [len(b)]
+    return [b[bounds[i] : bounds[i + 1]] for i in range(n)]
+
+
+FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, n_frames int, frame_payload binary, "
+    "width int, height int, err string"
+)
+
+
+def sample_frames(
+    media: DataFrame, every_nth: int = 2, max_frames: int | None = None
+) -> DataFrame:
+    """Real frame sampling over BMPS containers: one output row per kept
+    frame (index stride ``every_nth``, optional per-video cap), each row
+    carrying the decoded frame's dims and its standalone BMP payload —
+    ready for ``decode_image``/``resize_image`` downstream.
+
+    Scale shape: a narrow ``mapInPandas`` stream — no shuffle, no explode
+    of undecoded bytes; fan-out happens inside the Arrow batch.  Poison
+    payloads yield a single ``err`` row, never a task failure.
+    """
+
+    def sample_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "n_frames", "frame_payload",
+                "width", "height", "err",
+            )}
+
+            def emit(mid, idx, n, payload, w, h, err):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["n_frames"].append(n)
+                out["frame_payload"].append(payload)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["err"].append(err)
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = parse_bmps(bytes(payload) if payload is not None else None)
+                if frames is None:
+                    emit(mid, -1, 0, None, 0, 0, "not a BMPS container")
+                    continue
+                kept = 0
+                for idx in range(0, len(frames), every_nth):
+                    if max_frames is not None and kept >= max_frames:
+                        break
+                    info = parse_bmp(frames[idx])
+                    if info is None:
+                        emit(mid, idx, len(frames), None, 0, 0,
+                             "undecodable frame")
+                    else:
+                        emit(mid, idx, len(frames), frames[idx],
+                             info["width"], info["height"], None)
+                    kept += 1
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        sample_batches, schema=FRAME_SCHEMA
+    )

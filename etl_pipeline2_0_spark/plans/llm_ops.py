@@ -556,6 +556,47 @@ GROUP BY eval_id
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental dedup: the %5==0 slice plays the NEW crawl batch, the rest
+    # the existing corpus.  The generator's dup pairs are uniform over
+    # doc_id, so ~2/5 of them straddle this split — non-vacuous at every SF.
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return dedup.jaccard_pairs_incremental(new_batch, corpus, k=3, threshold=0.3)
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+WITH docs AS (
+  SELECT doc_id AS id, doc_id % 5 = 0 AS is_new, lower(text) AS t FROM documents
+), toks AS (
+  SELECT id, is_new,
+         list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT id, is_new, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM toks
+), sh0 AS (
+  SELECT id, is_new,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT id, is_new, shingle FROM sh0 WHERE shingle IS NOT NULL
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT n.id AS new_id, c.id AS corpus_id, COUNT(*) AS n_common
+  FROM sh n JOIN sh c ON n.shingle = c.shingle
+  WHERE n.is_new AND NOT c.is_new
+  GROUP BY n.id, c.id
+)
+SELECT new_id, corpus_id,
+       ROUND(n_common * 1.0 / (sn.n + sc.n - n_common), 6) AS jaccard
+FROM inter JOIN sizes sn ON new_id = sn.id JOIN sizes sc ON corpus_id = sc.id
+WHERE n_common * 1.0 / (sn.n + sc.n - n_common) >= 0.3
+"""
+
+
 # ------------------------------------------------- dedup clustering / tfidf -
 
 
@@ -674,6 +715,42 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_images"),
             F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
         )
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Video-pipeline demonstration: synthesize a deterministic 6-frame BMPS
+    # container per embedding row (frame pixels from vector slices), sample
+    # every 2nd frame with the real container parser, aggregate the decoded
+    # frame facts.  Pandas-UDF synthesis → rows-only (golden-pinned).
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 16 == 0)
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_pipeline2_0_spark.functions.multimodal import encode_bmp, encode_bmps
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.clip(
+                    np.asarray(vec, dtype=float) * 127 + 128, 0, 255
+                ).astype(np.uint8)
+                frames = [
+                    encode_bmp(np.resize(arr[j * 8 :], (2, 2, 3)))
+                    for j in range(6)
+                ]
+                payloads.append(encode_bmps(frames))
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        make, "media_id long, payload binary"
+    )
+    return (
+        multimodal.sample_frames(media, every_nth=2)
+        .groupBy("frame_idx", "width", "height")
+        .agg(F.count(F.lit(1)).alias("n_frames_kept"))
     )
 
 

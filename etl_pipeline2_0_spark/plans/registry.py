@@ -93,6 +93,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "schema_stats": (R.q_schema_stats, R.SQL_SCHEMA_STATS),
     "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
+    # --- r3 additions past the cap (families represented in-window by
+    # ngram_jaccard/dedup_exact and media_decode; dedup_incremental pinned
+    # by in-repo oracle parity, media_frames by its sf0.001 golden) ---
+    "dedup_incremental": (L.q_dedup_incremental, L.SQL_DEDUP_INCREMENTAL),
+    "media_frames": (L.q_media_frames, None),
     # --- proven green in r01 (CORRECTNESS_r01.json); demoted past the cap ---
     "asof_join": (X.q_asof_join, X.SQL_ASOF_JOIN),
     "range_join": (X.q_range_join, X.SQL_RANGE_JOIN),

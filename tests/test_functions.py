@@ -286,6 +286,40 @@ def test_resize_paletted_bmp_preserves_palette(spark):
     assert info["palette"][0].tolist() == [5, 6, 7]
 
 
+def test_sample_frames_real_container(spark):
+    # A 5-frame BMPS container sampled every 2nd frame → frames 0, 2, 4,
+    # each a standalone decodable BMP with per-frame dims preserved.
+    frames = [_make_bmp(w, 2, (w * 10, 0, 0)) for w in (2, 3, 4, 5, 6)]
+    video = multimodal.encode_bmps(frames)
+    media = _media_frame(spark, [video, b"not a video"])
+    rows = multimodal.sample_frames(media, every_nth=2).collect()
+    ok = sorted(
+        (r for r in rows if r["media_id"] == 0), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in ok] == [0, 2, 4]
+    assert all(r["n_frames"] == 5 and r["err"] is None for r in ok)
+    assert [r["width"] for r in ok] == [2, 4, 6]
+    # Sampled frames are standalone BMPs, re-decodable downstream.
+    info = multimodal.parse_bmp(bytes(ok[1]["frame_payload"]))
+    assert info is not None and info["width"] == 4
+    bad = [r for r in rows if r["media_id"] == 1]
+    assert len(bad) == 1 and bad[0]["err"] == "not a BMPS container"
+
+
+def test_sample_frames_max_frames_cap(spark):
+    frames = [_make_bmp(2, 2, (0, 0, 0))] * 10
+    media = _media_frame(spark, [multimodal.encode_bmps(frames)])
+    rows = multimodal.sample_frames(media, every_nth=1, max_frames=3).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+
+
+def test_bmps_roundtrip_and_garbage_total():
+    frames = [b"frame-one", b"frame-two", b""]
+    assert multimodal.parse_bmps(multimodal.encode_bmps(frames)) == frames
+    assert multimodal.parse_bmps(b"garbage") is None
+    assert multimodal.parse_bmps(b"BMPS\xff\xff\xff\xff") is None
+
+
 def test_resize_real_bmp_roundtrip(spark):
     # Real path: BMP in → resized BMP out, re-decodable at the target dims.
     bmp = _make_bmp(8, 8, (200, 100, 50))
@@ -384,6 +418,52 @@ def test_connected_components_merges_chains(spark):
     )
     out = {r["node"]: r["component"] for r in dedup.connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_jaccard_pairs_incremental_cross_frame_only(spark):
+    # New batch doc 100 near-dups corpus doc 1; corpus docs 1/2 near-dup
+    # EACH OTHER but must NOT be reported (incremental = new×corpus only),
+    # and new docs never pair with other new docs.
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated corpus text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "the quick brown fox jumps over the lazy dog here"),
+            (102, "nothing in common with anything else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.jaccard_pairs_incremental(new, corpus, threshold=0.5).collect()
+    got = {(r["new_id"], r["corpus_id"]) for r in out}
+    assert (100, 1) in got and (100, 2) in got
+    assert all(nid >= 100 and cid < 100 for nid, cid in got)
+    assert not any(cid == 3 for _, cid in got)
+
+
+def test_jaccard_pairs_incremental_doc_freq_cap(spark):
+    # A shingle present in > max_doc_freq corpus docs is boilerplate: with
+    # the cap, docs sharing ONLY that shingle produce no pair.
+    boiler = "all rights reserved contact us for more information"
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} body text. {boiler}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, f"fresh content entirely. {boiler}")], "doc_id long, text string"
+    )
+    uncapped = dedup.jaccard_pairs_incremental(new, corpus, threshold=0.1)
+    capped = dedup.jaccard_pairs_incremental(
+        new, corpus, threshold=0.1, max_doc_freq=3
+    )
+    assert uncapped.count() > 0
+    assert capped.count() == 0
 
 
 def test_connected_components_raises_on_iteration_exhaustion(spark):
