@@ -190,6 +190,16 @@ def test_rp_lsh_topk_is_bucket_probe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_incremental_is_cross_frame_equijoin(spark, sf_dir):
+    # New-batch×corpus candidates must come from the shingle-hash equi-join
+    # — never an all-pairs theta join — and the %5 batch split must be
+    # pushed into the parquet scans.
+    plan = _plan(L.q_dedup_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan
+
+
 def test_ivf_assignment_is_narrow_arrow_stage(spark, sf_dir):
     # IVF corpus assignment must be the Arrow-batched UDF projection — a
     # narrow stage, never a corpus×centroids join materializing 16 rows per
