@@ -43,10 +43,12 @@ HEADLINE = [
     "funnel_stages",
     "cohort_retention",
     "dedup_exact",
+    "dedup_incremental",
     "ngram_jaccard",
     "dup_components",
     "tfidf_top_terms",
     "media_decode",
+    "media_frames",
     "minhash_pairs",
     "simhash_pairs",
     "winnow_overlap",
