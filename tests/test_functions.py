@@ -483,6 +483,43 @@ def test_connected_components_raises_on_iteration_exhaustion(spark):
     assert set(out.values()) == {1}
 
 
+def test_connected_components_star_matches_min_label(spark):
+    # Random-ish graphs: the O(log d) star contraction must produce exactly
+    # the same (node, component) map as min-label propagation.
+    cases = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(i, i + 1) for i in range(1, 15)],                      # chain
+        [(1, 2), (3, 4), (2, 3), (10, 20), (20, 30), (5, 5)],    # merge+loop
+        [(7, 3), (3, 9), (9, 1), (50, 40), (60, 40), (2, 2)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            (r["node"], r["component"])
+            for r in dedup.connected_components(df, max_iterations=30).collect()
+        }
+        got = {
+            (r["node"], r["component"])
+            for r in dedup.connected_components_star(df).collect()
+        }
+        assert got == want, edges
+
+
+def test_connected_components_star_log_rounds_on_chains(spark):
+    # A 30-hop chain needs ~30 min-label rounds but converges in a handful
+    # of star rounds — the property that matters for web-scale graphs.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 31)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError):
+        dedup.connected_components(chain, max_iterations=10)
+    out = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(chain, max_iterations=10).collect()
+    }
+    assert set(out.values()) == {1} and len(out) == 31
+
+
 def test_tfidf_top_terms_ranks_distinctive_terms(spark):
     docs = spark.createDataFrame(
         [
