@@ -155,3 +155,34 @@ def test_media_parsers_total_on_garbage(data):
     parse_wav(data)
     parse_bmp(b"BM" + data)
     parse_wav(b"RIFF" + data[:4] + b"WAVE" + data)
+
+
+# printable-minus-exotic alphabet: the CSV repr contract covers quotes,
+# commas, backslashes, spaces, digits — not \x-escaped control characters
+# (a documented deviation in sinks.load._csv_safe).
+_repr_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12
+)
+
+
+@given(vals=st.lists(st.one_of(st.none(), _repr_text), min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_csv_safe_list_rendering_matches_python_repr(spark, vals):
+    # Differential: Spark-side list rendering ≡ CPython repr of the same
+    # list (what the reference's pandas to_csv writes into a cell),
+    # including None elements, quote-type selection, and escaping.
+    from etl_pipeline2_0_spark.sinks.load import _csv_safe
+
+    df = spark.createDataFrame([(vals,)], "v array<string>")
+    assert _csv_safe(df).collect()[0]["v"] == repr(vals)
+
+
+@given(frames=st.lists(st.binary(max_size=40), min_size=0, max_size=5))
+@settings(max_examples=60, deadline=None)
+def test_bmps_container_roundtrip(frames):
+    # Driver-side property: parse_bmps ∘ encode_bmps is the identity on any
+    # frame payload list (empty containers parse to None by design).
+    from etl_pipeline2_0_spark.functions.multimodal import encode_bmps, parse_bmps
+
+    got = parse_bmps(encode_bmps(frames))
+    assert got == (frames if frames else None)
