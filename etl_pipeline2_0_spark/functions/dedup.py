@@ -686,18 +686,21 @@ def connected_components_star(
             .distinct()
         )
 
-    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    # Node universe BEFORE dropping self-loops: an (x, x) edge contributes
-    # the singleton component {x}, same as the min-label variant.
-    nodes = (
-        raw.select(F.col("u").alias("node"))
-        .union(raw.select(F.col("v").alias("node")))
+    # Materialize the (typically expensive) upstream pair generation ONCE;
+    # nodes and the working edge set both derive from this checkpoint.
+    base = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    cur = (
-        raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    # Node universe BEFORE dropping self-loops: an (x, x) edge contributes
+    # the singleton component {x}, same as the min-label variant.
+    nodes = (
+        base.select(F.col("u").alias("node"))
+        .union(base.select(F.col("v").alias("node")))
+        .distinct()
     )
+    cur = base.where(F.col("u") != F.col("v")).localCheckpoint(eager=True)
     _UNSET = object()
     prev_sig: object = _UNSET
     converged = False

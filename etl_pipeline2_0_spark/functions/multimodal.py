@@ -528,6 +528,8 @@ def sample_frames(
     payloads yield a single ``err`` row, never a task failure.
     """
 
+    stride = max(1, every_nth)
+
     def sample_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -552,7 +554,7 @@ def sample_frames(
                     emit(mid, -1, 0, None, 0, 0, "not a BMPS container")
                     continue
                 kept = 0
-                for idx in range(0, len(frames), every_nth):
+                for idx in range(0, len(frames), stride):
                     if max_frames is not None and kept >= max_frames:
                         break
                     info = parse_bmp(frames[idx])

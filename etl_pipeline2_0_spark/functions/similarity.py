@@ -281,21 +281,26 @@ def ivf_topk(
         .select("__h", "c_vec")
         .collect()
     )
-    X = np.asarray([r["c_vec"] for r in sample_rows], dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-    cents = X[:n_centroids].copy()  # seeds: smallest-hash rows, hash order
-    for _ in range(refine_iters):
-        Cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
-        # argmax returns the FIRST max → ties break to the smaller centroid
-        # id, matching the expression-side (sim, -cid) struct max below.
-        labels = np.argmax(Xn @ Cn.T, axis=1)
-        for j in range(len(cents)):
-            members = X[labels == j]
-            if len(members):  # empty cluster keeps its previous centroid
-                cents[j] = members.mean(axis=0)
-    cents_unit = cents / np.maximum(
-        np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
-    )
+    if sample_rows:
+        X = np.asarray([r["c_vec"] for r in sample_rows], dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        cents = X[:n_centroids].copy()  # seeds: smallest-hash rows, hash order
+        for _ in range(refine_iters):
+            Cn = cents / np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
+            )
+            # argmax returns the FIRST max → ties break to the smaller
+            # centroid id, matching the (sim, -cid) struct-max convention.
+            labels = np.argmax(Xn @ Cn.T, axis=1)
+            for j in range(len(cents)):
+                members = X[labels == j]
+                if len(members):  # empty cluster keeps its previous centroid
+                    cents[j] = members.mean(axis=0)
+        cents_unit = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
+        )
+    else:  # empty corpus: no training data, no centroids, empty result
+        cents_unit = np.zeros((0, 0))
 
     from pyspark.sql.types import IntegerType
 

@@ -138,6 +138,14 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall:.2f}"
 
 
+def test_ivf_topk_empty_corpus_returns_empty(spark):
+    # Empty corpus must not crash driver-side centroid training.
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = similarity.ivf_topk(empty, empty, k=3)
+    assert out.count() == 0
+    assert "cosine_sim" in out.columns
+
+
 def test_embedding_near_duplicates(vectors):
     pairs = {
         (r["id_a"], r["id_b"]) for r in
