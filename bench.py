@@ -99,12 +99,14 @@ def main() -> None:
         F.xxhash64("s"),
     ).count()
 
-    # Two measured executions per query, min reported (standard steady-state
-    # benchmark aggregation: the min is the least-noise estimate of the
-    # query's true cost on this machine; run-to-run variance here is VM/GC
-    # noise, not query work).  Every execution is a full cold plan+execute —
-    # nothing is cached between runs (no .persist, results not reused).
-    RUNS = 2
+    # Three measured executions per query, min reported (standard
+    # steady-state benchmark aggregation: the min is the least-noise
+    # estimate of the query's true cost on this machine; observed
+    # run-to-run swings on this host reach 2-3× on identical code, so two
+    # samples were not enough).  Every execution is a full cold
+    # plan+execute — nothing is cached between runs (no .persist, results
+    # not reused).
+    RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         key = name.split(": ")[-1]
