@@ -107,17 +107,19 @@ def main() -> None:
     # plan+execute — nothing is cached between runs (no .persist, results
     # not reused).
     RUNS = 3
+    loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         key = name.split(": ")[-1]
         fn, _ = ALL_QUERIES[key]
-        best = None
+        runs: list[float] = []
         for _ in range(RUNS):
             start = time.perf_counter()
             fn(spark, sf_dir).count()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[key] = round(best, 3)
+            runs.append(round(time.perf_counter() - start, 3))
+        samples[key] = runs
+        timings[key] = min(runs)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -130,6 +132,14 @@ def main() -> None:
                 "sf": float(sf),
                 "runs_per_query": RUNS,
                 "agg": "min",
+                # Host-noise transparency (round-3 lesson: driver bench runs
+                # on a shared host swung individual queries 2-4x on
+                # untouched code).  All raw samples + the 1/5/15-min load
+                # averages at start and end let a reader separate plan
+                # regressions from host weather without re-running.
+                "samples": samples,
+                "loadavg_start": [round(x, 2) for x in loadavg_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

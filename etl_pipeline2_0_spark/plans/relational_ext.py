@@ -974,7 +974,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(FLOOR(l_extendedprice) AS DOUBLE) AS flr,
        CAST(CEIL(l_extendedprice) AS DOUBLE) AS ceil_,
        ROUND(ABS(l_extendedprice - 30000.0), 6) AS absdev,
-       SIGN(l_extendedprice - 30000.0) AS sgn,
+       CAST(SIGN(l_extendedprice - 30000.0) AS DOUBLE) AS sgn,
        ROUND(SQRT(l_extendedprice), 6) AS sqrt_,
        ROUND(LN(l_extendedprice), 6) AS ln_,
        ROUND(LOG10(l_extendedprice), 6) AS log10_,

@@ -33,14 +33,26 @@ def duck(sf_dir):
 
 
 def _canon_cell(v):
+    # Type-AWARE canonicalization (round-3 lesson): the external driver's
+    # value hash distinguishes 1 (int) from 1.0 (float) — Python `==` does
+    # not, which let a Spark-DOUBLE vs DuckDB-TINYINT skew (math_funcs.sgn)
+    # pass locally for two rounds while staying red on the driver.  Each
+    # cell is tagged with a type class so cross-engine dtype drift fails
+    # here first.
     if v is None:
         return None
+    if hasattr(v, "item"):  # numpy scalar → python scalar, then re-tag
+        return _canon_cell(v.item())
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return float(v)
-    if hasattr(v, "item"):  # numpy scalar
-        return _canon_cell(v.item())
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, str):
+        return ("s", v)
     return v
 
 
@@ -68,6 +80,16 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_canon_is_type_aware():
+    # Planted fixture: identical values, different types, MUST differ.
+    import pandas as pd
+
+    a = pd.DataFrame({"x": [1, 0, -1]}).astype("int8")       # DuckDB TINYINT
+    b = pd.DataFrame({"x": [1.0, 0.0, -1.0]})                # Spark DOUBLE
+    assert _canon(a) != _canon(b), "harness must distinguish 1 from 1.0"
+    assert _canon(a) == _canon(a.astype("int64")), "int width is not skew"
 
 
 def _canon_golden_cell(v):
