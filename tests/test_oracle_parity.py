@@ -120,11 +120,16 @@ def test_rows_only_query_matches_golden(spark, sf_dir, name):
     fn, _ = ALL_QUERIES[name]
     pdf = fn(spark, sf_dir).toPandas()
     assert len(pdf.columns) > 0
+    # Goldens are pinned per SF: sf0.001 (default suite) and sf0.01 (the
+    # external driver's scale — catches scale-dependent drift the tiny pin
+    # can't).  Other SFs (e.g. sf0.1) fall back to a non-empty check; the
+    # sf01 job covers those via recall-vs-exact assertions.
+    suffix = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    dirname = "rows_only" if suffix == "0.001" else f"rows_only_sf{suffix}"
     golden_path = os.path.join(
-        os.path.dirname(__file__), "goldens", "rows_only", f"{name}.json"
+        os.path.dirname(__file__), "goldens", dirname, f"{name}.json"
     )
-    if not sf_dir.rstrip("/").endswith("sf0.001"):
-        # Goldens are pinned at sf0.001; at other SFs just require output.
+    if not os.path.exists(golden_path):
         assert len(pdf) > 0
         return
     with open(golden_path) as f:

@@ -3,6 +3,12 @@
 change to one of them, then review the diff like any other code change:
 
     python tools/regen_goldens.py [name ...]
+    SPARK_GRAFT_GOLDEN_SF_DIR=/root/testdata/sf0.01 python tools/regen_goldens.py
+
+Goldens are pinned per scale factor: sf0.001 -> tests/goldens/rows_only/,
+sf0.01 -> tests/goldens/rows_only_sf0.01/ (the external driver's scale —
+catches scale-dependent drift in the LSH/IVF/media paths that the sf0.001
+pin can't see).
 """
 
 from __future__ import annotations
@@ -18,7 +24,9 @@ from etl_pipeline2_0_spark import get_spark  # noqa: E402
 from etl_pipeline2_0_spark.plans.registry import ALL_QUERIES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_GOLDEN_SF_DIR", "/root/testdata/sf0.001")
-OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens", "rows_only")
+_SF_SUFFIX = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+_DIRNAME = "rows_only" if _SF_SUFFIX == "0.001" else f"rows_only_sf{_SF_SUFFIX}"
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens", _DIRNAME)
 
 
 def canon(v):
