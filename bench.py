@@ -110,14 +110,24 @@ def main() -> None:
     loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         key = name.split(": ")[-1]
         fn, _ = ALL_QUERIES[key]
         runs: list[float] = []
-        for _ in range(RUNS):
-            start = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(round(time.perf_counter() - start, 3))
+        # Per-query error isolation (round-5 lesson: a single analysis
+        # exception aborted the whole run and erased 34 healthy timings).
+        # A failing query records an err string and the loop continues;
+        # the process still exits nonzero at the end so the failure is
+        # visible to the driver.
+        try:
+            for _ in range(RUNS):
+                start = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(round(time.perf_counter() - start, 3))
+        except Exception as exc:  # noqa: BLE001 - deliberate catch-all
+            errors[key] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         samples[key] = runs
         timings[key] = min(runs)
 
@@ -140,10 +150,13 @@ def main() -> None:
                 "samples": samples,
                 "loadavg_start": [round(x, 2) for x in loadavg_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "errors": errors,
             }
         )
     )
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

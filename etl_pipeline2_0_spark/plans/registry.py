@@ -24,28 +24,83 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #   r01 proved the original relational/TPC-H window (CORRECTNESS_r01);
     #   r02 proved the LLM-ops + scalar batteries (CORRECTNESS_r02);
     #   r03 proved the r2 window plus cohort_retention/q4/q13/q22/
-    #     dedup_incremental (CORRECTNESS_r03) — every entry has now had a
-    #     driver row at least once.
-    # Round-4 window = math_funcs (red r01-r03; the sgn CAST fix landed this
-    # round and needs its green row) + the 6 rows-only entries the judge
-    # asked to keep in-window + 43 of the 45 single-green r01-family entries
-    # re-promoted so second rows accumulate.  Everything green in two rounds
-    # is demoted past the cap.
+    #     dedup_incremental (CORRECTNESS_r03);
+    #   r04/r05 proved math_funcs (sgn CAST fix) and banked second green
+    #     rows for the 43-entry r01-family window (r5 was a builder no-op
+    #     round, but the driver still ran, so those rows are collected).
+    # Round-6 context: the driver REGENERATED /root/testdata before r5
+    # (events.ts TIMESTAMP(NANOS) -> tz-naive timestamp[us]); every green
+    # row collected before r5 is therefore from the OLD data regime.  The
+    # r6 window re-proves the whole past-cap family under the new data:
     #
-    # --- red r01/r02/r03 (DuckDB SIGN()→TINYINT vs Spark signum→DOUBLE);
-    #     fixed r4 by CAST(SIGN(..) AS DOUBLE) — must collect its green row ---
-    "math_funcs": (X.q_math_funcs, X.SQL_MATH_FUNCS),
-    # --- rows-only (no ANSI-SQL twin; value-pinned by sf0.001 goldens) ---
+    # --- the two queries broken by the NTZ switch (unix_micros on a
+    #     now-NTZ column; fixed r6 with expression-level casts) — their
+    #     green rows are THE acceptance signal for the fix ---
+    "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
+    "scd2_intervals": (X.q_scd2_intervals, X.SQL_SCD2_INTERVALS),
+    # --- rows-only (no ANSI-SQL twin; value-pinned by sf0.001+sf0.01
+    #     goldens); kept in-window per the r5 verdict ---
     "minhash_pairs": (L.q_minhash_pairs, None),
     "simhash_pairs": (L.q_simhash_pairs, None),
     "ann_lsh_topk": (L.q_ann_lsh_topk, None),
     "ann_ivf_topk": (L.q_ann_ivf_topk, None),
     "media_features": (L.q_media_features, None),
     "media_decode": (L.q_media_decode, None),
-    # --- single green row (r01 only); re-promoted for a second row ---
+    # --- past-cap entries whose most recent green row predates the
+    #     testdata regeneration (r03 or earlier); promoted for a fresh
+    #     row under the new data ---
+    "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
+    "q4_priority_check": (T.q4_priority_check, T.SQL_Q4),
+    "q13_customer_distribution": (T.q13_customer_distribution, T.SQL_Q13),
+    "q22_global_sales_opportunity": (T.q22_global_sales_opportunity, T.SQL_Q22),
+    "dedup_incremental": (L.q_dedup_incremental, L.SQL_DEDUP_INCREMENTAL),
+    "dup_components": (L.q_dup_components, L.SQL_DUP_COMPONENTS),
+    "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
+    "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),
+    "ngram_jaccard": (L.q_ngram_jaccard, L.SQL_NGRAM_JACCARD),
+    "ann_topk": (L.q_ann_topk, L.SQL_ANN_TOPK),
+    "embed_neardup": (L.q_embed_neardup, L.SQL_EMBED_NEARDUP),
+    "lang_id_counts": (L.q_lang_id_counts, L.SQL_LANG_ID_COUNTS),
+    "token_stats_by_source": (L.q_token_stats_by_source, L.SQL_TOKEN_STATS_BY_SOURCE),
+    "fingerprint": (L.q_fingerprint, L.SQL_FINGERPRINT),
+    "pii_redact": (L.q_pii_redact, L.SQL_PII_REDACT),
+    "repetition_score": (L.q_repetition_score, L.SQL_REPETITION_SCORE),
+    "url_normalize": (L.q_url_normalize, L.SQL_URL_NORMALIZE),
+    "contamination_check": (L.q_contamination_check, L.SQL_CONTAMINATION_CHECK),
+    "winnow_overlap": (L.q_winnow_overlap, L.SQL_WINNOW_OVERLAP),
+    "bpe_token_estimate": (L.q_bpe_token_estimate, L.SQL_BPE_TOKEN_ESTIMATE),
+    "multimodal_meta": (L.q_multimodal_meta, L.SQL_MULTIMODAL_META),
+    "extract_doc_stats": (L.q_extract_doc_stats, L.SQL_EXTRACT_DOC_STATS),
+    "hll_accuracy": (X.q_hll_accuracy, X.SQL_HLL_ACCURACY),
+    "approx_quantile_accuracy": (
+        X.q_approx_quantile_accuracy,
+        X.SQL_APPROX_QUANTILE_ACCURACY,
+    ),
+    "hash_sample": (X.q_hash_sample, X.SQL_HASH_SAMPLE),
+    "stratified_sample": (X.q_stratified_sample, X.SQL_STRATIFIED_SAMPLE),
+    "collect_values": (X.q_collect_values, X.SQL_COLLECT_VALUES),
+    "analytic_funcs": (X.q_analytic_funcs, X.SQL_ANALYTIC_FUNCS),
+    "array_funcs": (X.q_array_funcs, X.SQL_ARRAY_FUNCS),
+    "grouping_sets": (X.q_grouping_sets, X.SQL_GROUPING_SETS),
+    "null_funcs": (X.q_null_funcs, X.SQL_NULL_FUNCS),
+    "frame_specs": (X.q_frame_specs, X.SQL_FRAME_SPECS),
+    "fuzzy_match": (X.q_fuzzy_match, X.SQL_FUZZY_MATCH),
+    "corr_subquery": (X.q_corr_subquery, X.SQL_CORR_SUBQUERY),
+    "map_funcs": (X.q_map_funcs, X.SQL_MAP_FUNCS),
+    "regexp_funcs": (X.q_regexp_funcs, X.SQL_REGEXP_FUNCS),
+    "argmax_aggs": (X.q_argmax_aggs, X.SQL_ARGMAX_AGGS),
+    "bit_funcs": (X.q_bit_funcs, X.SQL_BIT_FUNCS),
+    "dedup_canonical": (L.q_dedup_canonical, L.SQL_DEDUP_CANONICAL),
+    "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
+    "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
+    "funnel_stages": (X.q_funnel_stages, X.SQL_FUNNEL_STAGES),
+    # ---------- driver 50-query window ends here ----------
+    # --- twice-proven math_funcs (r04 AND r05, post-regen); demoted ---
+    "math_funcs": (X.q_math_funcs, X.SQL_MATH_FUNCS),
+    # --- the 42 r5-window entries demoted with two green rows each, the
+    #     latest (r05) already under the regenerated data ---
     "asof_join": (X.q_asof_join, X.SQL_ASOF_JOIN),
     "range_join": (X.q_range_join, X.SQL_RANGE_JOIN),
-    "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
     "windowed_counts": (X.q_windowed_counts, X.SQL_WINDOWED_COUNTS),
     "pivot_events": (X.q_pivot_events, X.SQL_PIVOT_EVENTS),
     "percentiles": (X.q_percentiles, X.SQL_PERCENTILES),
@@ -86,68 +141,17 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "date_funcs": (X.q_date_funcs, X.SQL_DATE_FUNCS),
     "session_window_stats": (X.q_session_window_stats, X.SQL_SESSION_WINDOW_STATS),
     "rollup_time": (X.q_rollup_time, X.SQL_ROLLUP_TIME),
-    # ---------- driver 50-query window ends here ----------
-    # --- single green row (r01), but also pinned by the F-MIX pipeline
-    #     goldens (P1/P2 normalize ops) — the two left out of the 45 ---
+    # --- golden-pinned / thrice-covered tail: project_drop+project_reorder
+    #     (F-MIX pipeline goldens), count_star/schema_stats/text_features/
+    #     q1/q3 (green r01 AND r02), media_frames (rows-only, sf0.001+
+    #     sf0.01 value goldens beat a driver rows-only row) ---
     "project_drop": (R.q_project_drop, R.SQL_PROJECT_DROP),
     "project_reorder": (X.q_project_reorder, X.SQL_PROJECT_REORDER),
-    # --- single green row (r03); next in line for re-promotion in r5 ---
-    "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
-    "q4_priority_check": (T.q4_priority_check, T.SQL_Q4),
-    "q13_customer_distribution": (T.q13_customer_distribution, T.SQL_Q13),
-    "q22_global_sales_opportunity": (T.q22_global_sales_opportunity, T.SQL_Q22),
-    "dedup_incremental": (L.q_dedup_incremental, L.SQL_DEDUP_INCREMENTAL),
-    # --- dup_components: r02 row was vacuous (0 vs 0), real row r03 ---
-    "dup_components": (L.q_dup_components, L.SQL_DUP_COMPONENTS),
-    # --- twice-proven (r02 AND r03); demoted past the cap in r4 ---
-    "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
-    "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),
-    "ngram_jaccard": (L.q_ngram_jaccard, L.SQL_NGRAM_JACCARD),
-    "ann_topk": (L.q_ann_topk, L.SQL_ANN_TOPK),
-    "embed_neardup": (L.q_embed_neardup, L.SQL_EMBED_NEARDUP),
-    "lang_id_counts": (L.q_lang_id_counts, L.SQL_LANG_ID_COUNTS),
-    "token_stats_by_source": (L.q_token_stats_by_source, L.SQL_TOKEN_STATS_BY_SOURCE),
-    "fingerprint": (L.q_fingerprint, L.SQL_FINGERPRINT),
-    "pii_redact": (L.q_pii_redact, L.SQL_PII_REDACT),
-    "repetition_score": (L.q_repetition_score, L.SQL_REPETITION_SCORE),
-    "url_normalize": (L.q_url_normalize, L.SQL_URL_NORMALIZE),
-    "contamination_check": (L.q_contamination_check, L.SQL_CONTAMINATION_CHECK),
-    "winnow_overlap": (L.q_winnow_overlap, L.SQL_WINNOW_OVERLAP),
-    "bpe_token_estimate": (L.q_bpe_token_estimate, L.SQL_BPE_TOKEN_ESTIMATE),
-    "multimodal_meta": (L.q_multimodal_meta, L.SQL_MULTIMODAL_META),
-    "extract_doc_stats": (L.q_extract_doc_stats, L.SQL_EXTRACT_DOC_STATS),
-    "hll_accuracy": (X.q_hll_accuracy, X.SQL_HLL_ACCURACY),
-    "approx_quantile_accuracy": (
-        X.q_approx_quantile_accuracy,
-        X.SQL_APPROX_QUANTILE_ACCURACY,
-    ),
-    "hash_sample": (X.q_hash_sample, X.SQL_HASH_SAMPLE),
-    "stratified_sample": (X.q_stratified_sample, X.SQL_STRATIFIED_SAMPLE),
-    "collect_values": (X.q_collect_values, X.SQL_COLLECT_VALUES),
-    "analytic_funcs": (X.q_analytic_funcs, X.SQL_ANALYTIC_FUNCS),
-    "array_funcs": (X.q_array_funcs, X.SQL_ARRAY_FUNCS),
-    "grouping_sets": (X.q_grouping_sets, X.SQL_GROUPING_SETS),
-    "null_funcs": (X.q_null_funcs, X.SQL_NULL_FUNCS),
-    "frame_specs": (X.q_frame_specs, X.SQL_FRAME_SPECS),
-    "fuzzy_match": (X.q_fuzzy_match, X.SQL_FUZZY_MATCH),
-    "corr_subquery": (X.q_corr_subquery, X.SQL_CORR_SUBQUERY),
-    "map_funcs": (X.q_map_funcs, X.SQL_MAP_FUNCS),
-    "regexp_funcs": (X.q_regexp_funcs, X.SQL_REGEXP_FUNCS),
-    "argmax_aggs": (X.q_argmax_aggs, X.SQL_ARGMAX_AGGS),
-    "bit_funcs": (X.q_bit_funcs, X.SQL_BIT_FUNCS),
-    "dedup_canonical": (L.q_dedup_canonical, L.SQL_DEDUP_CANONICAL),
-    "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
-    "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
-    "scd2_intervals": (X.q_scd2_intervals, X.SQL_SCD2_INTERVALS),
-    "funnel_stages": (X.q_funnel_stages, X.SQL_FUNNEL_STAGES),
-    # --- twice-proven (r01 AND r02); demoted past the cap in r3 ---
     "count_star": (R.q_count_star, R.SQL_COUNT_STAR),
     "schema_stats": (R.q_schema_stats, R.SQL_SCHEMA_STATS),
     "text_features": (L.q_quality_scores, L.SQL_QUALITY_SCORES),
     "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
-    # --- rows-only golden-pinned (sf0.001 value golden beats a driver
-    #     rows-only row); stays past the cap by design ---
     "media_frames": (L.q_media_frames, None),
 }
 

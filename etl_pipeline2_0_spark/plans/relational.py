@@ -556,7 +556,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ts_us = F.unix_micros(F.col("ts"))
+    # cast: events.ts may arrive as TIMESTAMP_NTZ depending on the parquet
+    # producer; unix_micros requires TIMESTAMP.  Session tz is pinned UTC so
+    # the cast preserves the wall-clock instant (= DuckDB epoch_us).
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = ts_us - F.lag(ts_us).over(w)
     new_session = F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0)
     with_sessions = events.select(

@@ -1095,8 +1095,8 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changes.select(
         "user_id",
         "event_type",
-        F.unix_micros("ts").alias("valid_from_us"),
-        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2).cast("timestamp")).alias("valid_to_us"),
     )
 
 

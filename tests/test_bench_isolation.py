@@ -1,0 +1,63 @@
+"""bench.py per-query error isolation (round-5 lesson).
+
+Round 5's bench died at ``sessionize``'s analysis error and recorded ZERO
+timings for the 34 healthy queries (``rc: 1`` was the only evidence).  The
+fix: each headline query runs under its own try/except, failures land in an
+``errors`` field, the loop continues, and the process exits nonzero at the
+end so the driver still sees the failure.
+
+This test plants a deliberately-broken query next to two healthy ones in a
+subprocess (so the shared test SparkSession is untouched) and asserts the
+emitted JSON has timings for the healthy pair + an err entry + rc != 0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DRIVER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import bench
+
+def _boom(spark, sf_dir):
+    raise RuntimeError("planted failure")
+
+good = dict(list(bench.ALL_QUERIES.items()))
+good["planted_broken"] = (_boom, None)
+bench.ALL_QUERIES = good
+bench.HEADLINE = ["count_star", "planted_broken", "items_by_type"]
+bench.main()
+"""
+
+
+def test_bench_survives_broken_query(tmp_path):
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    env.setdefault("SPARK_SHUFFLE_PARTITIONS", "4")
+    proc = subprocess.run(
+        [sys.executable, "-c", DRIVER.format(repo=REPO)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+        env=env,
+    )
+    # nonzero exit: the failure is still visible to the driver
+    assert proc.returncode != 0
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    # healthy queries still timed
+    assert set(out["queries"]) == {"count_star", "items_by_type"}
+    assert all(v > 0 for v in out["queries"].values())
+    # the broken one recorded as an err, not a crash
+    assert "planted_broken" in out["errors"]
+    assert "planted failure" in out["errors"]["planted_broken"]

@@ -1,0 +1,106 @@
+"""Input-dtype drift canary (round-5 lesson).
+
+The driver regenerated ``events.parquet`` with ``ts`` as tz-naive
+``timestamp[us]`` (read by Spark as TIMESTAMP_NTZ) where it used to be
+TIMESTAMP(NANOS); two queries calling ``unix_micros(ts)`` died at analysis
+time and took the whole bench run with them.
+
+A 100 TB pipeline reads parquet written by many producers, so every
+events-touching query must at least *analyze* no matter which of the three
+realistic encodings the producer chose:
+
+  * ``timestamp[us]``            -> Spark TIMESTAMP_NTZ  (today's testdata)
+  * ``timestamp[us, tz=UTC]``    -> Spark TIMESTAMP      (instant semantics)
+  * ``timestamp[ns]``            -> LongType via nanosAsLong, converted by
+                                    ``load_table`` to TIMESTAMP
+
+The test rewrites sf0.001's events table in each encoding into a temp
+sf-dir (other tables symlinked), then touches ``.schema`` on every
+events-reading registry query — analysis only, no execution, so the whole
+matrix stays cheap.  This is exactly the test that would have caught the
+round-5 breakage the moment the testdata changed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_pipeline2_0_spark.plans.registry import ALL_QUERIES
+from etl_pipeline2_0_spark.sources.tables import TABLES
+
+TESTDATA_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Queries whose plan reads the events table (directly or via a join).
+EVENTS_QUERIES = [
+    "sessionize",
+    "scd2_intervals",
+    "windowed_counts",
+    "pivot_events",
+    "lag_events",
+    "asof_join",
+    "range_join",
+    "date_funcs",
+    "session_window_stats",
+    "rollup_time",
+    "funnel_stages",
+    "unpivot_events",
+    "cohort_retention",
+    "json_props_agg",
+]
+
+ENCODINGS = ["ntz_us", "utc_us", "nanos"]
+
+
+def _rewrite_events(src_dir: str, dst_dir: str, encoding: str) -> None:
+    """Copy sf-dir with events.ts re-encoded; other tables symlinked."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLES:
+        src = os.path.join(src_dir, f"{name}.parquet")
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        if name != "events":
+            if not os.path.exists(dst):
+                os.symlink(src, dst)
+            continue
+        table = pq.read_table(src)
+        idx = table.schema.get_field_index("ts")
+        ts = table.column(idx)
+        if encoding == "ntz_us":
+            ts = ts.cast(pa.timestamp("us"))
+        elif encoding == "utc_us":
+            ts = ts.cast(pa.timestamp("us", tz="UTC"))
+        elif encoding == "nanos":
+            ts = ts.cast(pa.timestamp("ns"))
+        table = table.set_column(idx, pa.field("ts", ts.type), ts)
+        pq.write_table(table, dst)
+
+
+@pytest.fixture(scope="module", params=ENCODINGS)
+def encoded_sf_dir(request, tmp_path_factory) -> str:
+    dst = str(tmp_path_factory.mktemp(f"sf_events_{request.param}"))
+    _rewrite_events(TESTDATA_SF, dst, request.param)
+    return dst
+
+
+@pytest.mark.parametrize("qname", EVENTS_QUERIES)
+def test_events_query_analyzes_under_encoding(spark, encoded_sf_dir, qname):
+    fn, _ = ALL_QUERIES[qname]
+    df = fn(spark, encoded_sf_dir)
+    assert len(df.schema.fields) > 0  # analysis succeeded
+
+
+@pytest.mark.parametrize("qname", ["sessionize", "scd2_intervals"])
+def test_epoch_us_identical_across_encodings(spark, tmp_path_factory, qname):
+    """The unix_micros-based queries must return the SAME values regardless
+    of upstream encoding (UTC session tz makes the instant unambiguous)."""
+    results = []
+    for enc in ENCODINGS:
+        dst = str(tmp_path_factory.mktemp(f"val_{enc}"))
+        _rewrite_events(TESTDATA_SF, dst, enc)
+        fn, _ = ALL_QUERIES[qname]
+        rows = sorted(tuple(r) for r in fn(spark, dst).collect())
+        results.append(rows)
+    assert results[0] == results[1] == results[2]

@@ -93,8 +93,9 @@ def test_driver_window_covers_every_query_family():
         "embed_neardup", "lang_id_counts", "pii_redact", "corpus_filter",
         "tfidf_top_terms", "multimodal_meta", "media_decode",
         "extract_doc_stats",
-        # scalar/analytic batteries
-        "hash_sample", "grouping_sets", "math_funcs", "argmax_aggs",
+        # scalar/analytic batteries (math_funcs left the window in r6:
+        # twice-proven r04 AND r05, both rows under the regenerated data)
+        "hash_sample", "grouping_sets", "bit_funcs", "argmax_aggs",
         # warehouse analytics
         "scd2_intervals", "funnel_stages", "cohort_retention",
         # relational core (r3 reps: the TPC-H shapes never driver-checked

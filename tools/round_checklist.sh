@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Round-end checklist (committed so every round runs the same gate):
+#   1. full pytest — INCLUDING the sf0.1 parity job (default since r6;
+#      it is the only local check at the driver's bench scale factor)
+#   2. bench.py at the driver SF — per-query error isolation means a
+#      single broken query yields 34 timings + an err field, not rc:1
+#      with zero evidence (the round-5 failure mode)
+# Exit nonzero if either gate fails.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== gate 1/2: pytest (incl. sf01 parity) =="
+python -m pytest tests/ -q || exit 1
+
+echo "== gate 2/2: bench at ${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} =="
+python bench.py | tee /tmp/bench_local.json || exit 1
+
+echo "== checklist green =="
