@@ -44,6 +44,7 @@ HEADLINE = [
     "cohort_retention",
     "dedup_exact",
     "dedup_incremental",
+    "dedup_spans",
     "ngram_jaccard",
     "dup_components",
     "tfidf_top_terms",

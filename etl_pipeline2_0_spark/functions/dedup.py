@@ -780,3 +780,80 @@ def contamination_check(
         )
         .where(F.col("containment") >= min_containment)
     )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_words: int = 3,
+    max_doc_freq: int = 5,
+) -> DataFrame:
+    """Corpus-level span dedup (the C4 / RefinedWeb "repeated span removal"
+    op): split each document into consecutive ``k_words``-word spans, drop
+    every span whose exact text occurs in more than ``max_doc_freq``
+    DISTINCT documents (boilerplate: headers, navigation, license blurbs),
+    and reassemble the surviving spans in document order.
+
+    Differs from the doc-level dedups above: the unit of removal is a span
+    INSIDE an otherwise-unique document, so unique documents still lose
+    their boilerplate segments.
+
+    Scale design (100 TB):
+      - Span construction is one narrow projection — ``split`` +
+        ``sequence``/``transform``/``slice`` + a single ``explode`` — no
+        word-level explode, no per-word shuffle.
+      - The only shuffles are (a) the span-frequency aggregate and (b) the
+        span→frequency equi-join, both keyed on span text, a
+        high-cardinality key AQE handles; nothing is collected.
+      - Reassembly is one groupBy(doc) with ``array_sort`` over
+        (span_id, text) structs — the per-doc span count is bounded by
+        doc length / k, so state per group is small.
+
+    Returns (doc_id, n_spans, n_dropped, kept_text).
+    """
+    w = F.split(F.col(text_col), " ")
+    n_spans = F.greatest(F.ceil(F.size(w) / F.lit(k_words)), F.lit(1)).cast("int")
+    spans = (
+        ensure_min_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda s: F.struct(
+                        s.alias("span_id"),
+                        F.array_join(
+                            F.slice(w, s * k_words + 1, k_words), " "
+                        ).alias("span_text"),
+                    ),
+                )
+            ).alias("sp"),
+        )
+        .select(id_col, "sp.span_id", "sp.span_text")
+    )
+    freq = spans.groupBy("span_text").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    flagged = spans.join(freq, "span_text")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("df") > max_doc_freq).cast("bigint")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("df") <= max_doc_freq,
+                                F.struct("span_id", "span_text"),
+                            )
+                        )
+                    ),
+                    lambda x: x["span_text"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )

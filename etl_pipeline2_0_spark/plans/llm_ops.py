@@ -866,3 +866,41 @@ WITH RECURSIVE docs AS (
 SELECT d.id AS doc_id FROM docs d
 WHERE d.id NOT IN (SELECT node FROM comp WHERE node <> component)
 """
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-level repeated-span removal (C4/RefinedWeb boilerplate op):
+    # 3-word spans occurring in > 5 distinct docs are dropped from every
+    # document; survivors reassembled in order.  See functions/dedup.py
+    # dedup_spans for the scale design (no word-level shuffle; two
+    # span-text-keyed shuffles total).
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_spans(
+        docs.select("doc_id", "text"), k_words=3, max_doc_freq=5
+    )
+
+
+SQL_DEDUP_SPANS = r"""
+WITH parts AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), spans AS (
+  SELECT doc_id, seq.s AS span_id,
+         array_to_string(w[(seq.s*3+1):(seq.s*3+3)], ' ') AS span_text
+  FROM parts,
+       unnest(range(0, greatest(CAST(ceil(len(w) / 3.0) AS BIGINT), 1))) AS seq(s)
+), freq AS (
+  SELECT span_text, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY span_text
+), flagged AS (
+  SELECT spans.doc_id, spans.span_id, spans.span_text, freq.df
+  FROM spans JOIN freq USING (span_text)
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       COALESCE(
+         string_agg(CASE WHEN df <= 5 THEN span_text END, ' ' ORDER BY span_id),
+         ''
+       ) AS kept_text
+FROM flagged
+GROUP BY doc_id
+"""

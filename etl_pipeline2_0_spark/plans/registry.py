@@ -141,6 +141,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "date_funcs": (X.q_date_funcs, X.SQL_DATE_FUNCS),
     "session_window_stats": (X.q_session_window_stats, X.SQL_SESSION_WINDOW_STATS),
     "rollup_time": (X.q_rollup_time, X.SQL_ROLLUP_TIME),
+    # --- added r6 (corpus-level repeated-span removal, C4/RefinedWeb
+    #     boilerplate op); oracled + sf0.001/sf0.01 parity-tested, next in
+    #     line for window promotion ---
+    "dedup_spans": (L.q_dedup_spans, L.SQL_DEDUP_SPANS),
     # --- golden-pinned / thrice-covered tail: project_drop+project_reorder
     #     (F-MIX pipeline goldens), count_star/schema_stats/text_features/
     #     q1/q3 (green r01 AND r02), media_frames (rows-only, sf0.001+

@@ -104,3 +104,67 @@ def test_epoch_us_identical_across_encodings(spark, tmp_path_factory, qname):
         rows = sorted(tuple(r) for r in fn(spark, dst).collect())
         results.append(rows)
     assert results[0] == results[1] == results[2]
+
+
+# --- embeddings: list<float> vs list<double> drift ---------------------------
+# The ANN family runs Arrow-batched pandas stages over the embedding column;
+# a producer switching float32 -> float64 must not break analysis OR
+# execution (runtime dtype errors in a pandas UDF surface only on execute,
+# so these run .count(), not just .schema).
+
+EMBED_QUERIES = ["ann_topk", "ann_lsh_topk", "ann_ivf_topk", "embed_neardup"]
+
+
+def _rewrite_embeddings(src_dir: str, dst_dir: str, elem_type) -> None:
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLES:
+        src = os.path.join(src_dir, f"{name}.parquet")
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        if name != "embeddings":
+            if not os.path.exists(dst):
+                os.symlink(src, dst)
+            continue
+        table = pq.read_table(src)
+        idx = table.schema.get_field_index("embedding")
+        col = table.column(idx).cast(pa.list_(elem_type))
+        table = table.set_column(idx, pa.field("embedding", col.type), col)
+        pq.write_table(table, dst)
+
+
+@pytest.fixture(scope="module", params=["float32", "float64"])
+def embed_sf_dir(request, tmp_path_factory) -> str:
+    elem = pa.float32() if request.param == "float32" else pa.float64()
+    dst = str(tmp_path_factory.mktemp(f"sf_embed_{request.param}"))
+    _rewrite_embeddings(TESTDATA_SF, dst, elem)
+    return dst
+
+
+@pytest.mark.parametrize("qname", EMBED_QUERIES)
+def test_embedding_query_executes_under_width(spark, embed_sf_dir, qname):
+    fn, _ = ALL_QUERIES[qname]
+    assert fn(spark, embed_sf_dir).count() > 0
+
+
+# --- documents: string vs large_string drift ---------------------------------
+# pyarrow large_string is what pandas>=2 emits for >2 GiB string columns; a
+# 100 TB corpus WILL cross that line.  Spark reads both as string, but the
+# canary pins it.
+
+
+def test_documents_large_string_analyzes(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_docs_large"))
+    os.makedirs(dst, exist_ok=True)
+    for name in TABLES:
+        src = os.path.join(TESTDATA_SF, f"{name}.parquet")
+        dstf = os.path.join(dst, f"{name}.parquet")
+        if name != "documents":
+            os.symlink(src, dstf)
+            continue
+        table = pq.read_table(src)
+        idx = table.schema.get_field_index("text")
+        col = table.column(idx).cast(pa.large_string())
+        table = table.set_column(idx, pa.field("text", col.type), col)
+        pq.write_table(table, dstf)
+    for qname in ["lang_id_counts", "dedup_spans", "fingerprint", "corpus_filter"]:
+        fn, _ = ALL_QUERIES[qname]
+        assert len(fn(spark, dst).schema.fields) > 0

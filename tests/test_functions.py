@@ -542,3 +542,33 @@ def test_tfidf_top_terms_ranks_distinctive_terms(spark):
     # The repeated doc-specific term wins over corpus-common ones.
     assert top == {1: "apple", 2: "banana", 3: "cherry"}
     assert all(r["rnk"] == 1 for r in out)
+
+
+def test_dedup_spans_removes_boilerplate_only(spark):
+    # Spans "a b c" and "d e f" appear in all 4 docs (df=4 > max_doc_freq=2)
+    # -> dropped everywhere; each doc's unique tail span survives.
+    rows = [(i, f"a b c d e f u{i} v{i} w{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_spans(df, k_words=3, max_doc_freq=2).collect()
+    }
+    assert len(out) == 4
+    for i in range(4):
+        assert out[i]["n_spans"] == 3
+        assert out[i]["n_dropped"] == 2
+        assert out[i]["kept_text"] == f"u{i} v{i} w{i}"
+
+
+def test_dedup_spans_all_dropped_and_short_tail(spark):
+    # doc 0/1/2: identical single-span docs -> everything dropped, empty
+    # kept_text (not NULL).  doc 3: 4 words -> trailing 1-word span kept
+    # in order.
+    rows = [(0, "x y z"), (1, "x y z"), (2, "x y z"), (3, "p q r s")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_spans(df, k_words=3, max_doc_freq=2).collect()
+    }
+    assert out[0]["n_dropped"] == 1 and out[0]["kept_text"] == ""
+    assert out[3]["n_spans"] == 2 and out[3]["kept_text"] == "p q r s"

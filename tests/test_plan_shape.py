@@ -251,3 +251,22 @@ def test_new_tpch_shapes(spark, sf_dir):
     assert "LeftOuter" in _plan(T.q13_customer_distribution(spark, sf_dir))
     q22 = _plan(T.q22_global_sales_opportunity(spark, sf_dir))
     assert "LeftAnti" in q22 and "Window" not in q22
+
+
+def test_dedup_spans_no_cartesian_no_word_shuffle(spark, sf_dir):
+    # Span construction must stay a narrow projection (sequence/slice +
+    # one explode) — the only shuffles are the span-frequency aggregate
+    # and the span->freq equi-join.  No Cartesian/BNLJ, no broadcast of
+    # the (unbounded) frequency side.
+    df = L.q_dedup_spans(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # span-frequency aggregate must combine map-side (partial_count) so
+    # ultra-common spans never concentrate on one reducer the way a
+    # collect_set-over-window formulation would
+    assert "partial_count" in plan
+    # span explode only (freq side recomputes the same narrow subtree —
+    # two generators max); never a word-level posexplode
+    assert 1 <= plan.count("Generate explode") <= 2
+    assert "posexplode" not in plan

@@ -24,6 +24,7 @@ SF01_DIR = "/root/testdata/sf0.1"
 # the dedup/similarity family (shingle self-joins, iterative components),
 # the corpus scans, and the widest relational shapes.
 HEAVY = [
+    "dedup_spans",
     "dedup_incremental",
     "embed_neardup",
     "dup_components",
