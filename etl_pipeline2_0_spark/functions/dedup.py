@@ -782,6 +782,37 @@ def contamination_check(
     )
 
 
+def _word_spans(
+    docs: DataFrame, text_col: str, id_col: str, k_words: int
+) -> DataFrame:
+    """(id, span_id, span_text) — consecutive ``k_words``-word spans per doc.
+
+    One narrow projection: ``split`` + ``sequence``/``transform``/``slice``
+    + a single ``explode``.  No word-level explode, no shuffle.  Empty docs
+    yield one empty span so every document survives into the output.
+    """
+    w = F.split(F.col(text_col), " ")
+    n_spans = F.greatest(F.ceil(F.size(w) / F.lit(k_words)), F.lit(1)).cast("int")
+    return (
+        ensure_min_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda s: F.struct(
+                        s.alias("span_id"),
+                        F.array_join(
+                            F.slice(w, s * k_words + 1, k_words), " "
+                        ).alias("span_text"),
+                    ),
+                )
+            ).alias("sp"),
+        )
+        .select(id_col, "sp.span_id", "sp.span_text")
+    )
+
+
 def dedup_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -812,26 +843,7 @@ def dedup_spans(
 
     Returns (doc_id, n_spans, n_dropped, kept_text).
     """
-    w = F.split(F.col(text_col), " ")
-    n_spans = F.greatest(F.ceil(F.size(w) / F.lit(k_words)), F.lit(1)).cast("int")
-    spans = (
-        ensure_min_parallelism(docs)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_spans - 1),
-                    lambda s: F.struct(
-                        s.alias("span_id"),
-                        F.array_join(
-                            F.slice(w, s * k_words + 1, k_words), " "
-                        ).alias("span_text"),
-                    ),
-                )
-            ).alias("sp"),
-        )
-        .select(id_col, "sp.span_id", "sp.span_text")
-    )
+    spans = _word_spans(docs, text_col, id_col, k_words)
     freq = spans.groupBy("span_text").agg(
         F.count_distinct(F.col(id_col)).alias("df")
     )
@@ -855,5 +867,45 @@ def dedup_spans(
                 ),
                 " ",
             ).alias("kept_text"),
+        )
+    )
+
+
+def dedup_spans_intra(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_words: int = 2,
+) -> DataFrame:
+    """Intra-document span dedup: within each document, keep only the FIRST
+    occurrence of every ``k_words``-word span (repeated-content trimming —
+    the within-page complement of corpus-level ``dedup_spans``; hits
+    scraped pages whose template repeats nav/footer blocks).
+
+    Scale design: span construction is the same narrow pass as
+    ``dedup_spans``; dedup itself is groupBy(doc, span) -> MIN(position),
+    then one groupBy(doc) reassembly — both shuffles are doc-keyed, so
+    partitioning is inherited between the two aggregations and no
+    corpus-wide state exists at all (embarrassingly doc-parallel).
+
+    Returns (doc_id, n_spans, n_unique, dedup_text).
+    """
+    spans = _word_spans(docs, text_col, id_col, k_words)
+    first = spans.groupBy(id_col, "span_text").agg(
+        F.min("span_id").alias("first_id"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_spans"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("first_id", "span_text"))),
+                    lambda x: x["span_text"],
+                ),
+                " ",
+            ).alias("dedup_text"),
         )
     )

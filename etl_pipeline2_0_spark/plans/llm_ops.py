@@ -904,3 +904,32 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+
+def q_dedup_spans_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Within-document repeated-span trimming (template/nav-block removal):
+    # keep the first occurrence of each 2-word span per doc.  Doc-keyed
+    # shuffles only — see functions/dedup.py dedup_spans_intra.
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_spans_intra(docs.select("doc_id", "text"), k_words=2)
+
+
+SQL_DEDUP_SPANS_INTRA = r"""
+WITH parts AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), spans AS (
+  SELECT doc_id, seq.s AS span_id,
+         array_to_string(w[(seq.s*2+1):(seq.s*2+2)], ' ') AS span_text
+  FROM parts,
+       unnest(range(0, greatest(CAST(ceil(len(w) / 2.0) AS BIGINT), 1))) AS seq(s)
+), first AS (
+  SELECT doc_id, span_text, MIN(span_id) AS first_id, COUNT(*) AS n_occ
+  FROM spans GROUP BY doc_id, span_text
+)
+SELECT doc_id,
+       CAST(SUM(n_occ) AS BIGINT) AS n_spans,
+       COUNT(*) AS n_unique,
+       COALESCE(string_agg(span_text, ' ' ORDER BY first_id), '') AS dedup_text
+FROM first
+GROUP BY doc_id
+"""

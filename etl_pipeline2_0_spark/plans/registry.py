@@ -78,7 +78,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     ),
     "hash_sample": (X.q_hash_sample, X.SQL_HASH_SAMPLE),
     "stratified_sample": (X.q_stratified_sample, X.SQL_STRATIFIED_SAMPLE),
-    "collect_values": (X.q_collect_values, X.SQL_COLLECT_VALUES),
+    # (collect_values yielded this slot to the new dedup_spans op — it is
+    #  twice-proven r02+r03 and re-proven every run by the now-default
+    #  sf0.001 parity suite)
+    "dedup_spans": (L.q_dedup_spans, L.SQL_DEDUP_SPANS),
     "analytic_funcs": (X.q_analytic_funcs, X.SQL_ANALYTIC_FUNCS),
     "array_funcs": (X.q_array_funcs, X.SQL_ARRAY_FUNCS),
     "grouping_sets": (X.q_grouping_sets, X.SQL_GROUPING_SETS),
@@ -141,10 +144,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "date_funcs": (X.q_date_funcs, X.SQL_DATE_FUNCS),
     "session_window_stats": (X.q_session_window_stats, X.SQL_SESSION_WINDOW_STATS),
     "rollup_time": (X.q_rollup_time, X.SQL_ROLLUP_TIME),
-    # --- added r6 (corpus-level repeated-span removal, C4/RefinedWeb
-    #     boilerplate op); oracled + sf0.001/sf0.01 parity-tested, next in
+    # --- demoted in the dedup_spans swap (see window comment above) ---
+    "collect_values": (X.q_collect_values, X.SQL_COLLECT_VALUES),
+    # --- added r6 (within-document repeated-span trimming, the intra-doc
+    #     complement of dedup_spans); oracled + parity-tested, next in
     #     line for window promotion ---
-    "dedup_spans": (L.q_dedup_spans, L.SQL_DEDUP_SPANS),
+    "dedup_spans_intra": (L.q_dedup_spans_intra, L.SQL_DEDUP_SPANS_INTRA),
     # --- golden-pinned / thrice-covered tail: project_drop+project_reorder
     #     (F-MIX pipeline goldens), count_star/schema_stats/text_features/
     #     q1/q3 (green r01 AND r02), media_frames (rows-only, sf0.001+

@@ -572,3 +572,23 @@ def test_dedup_spans_all_dropped_and_short_tail(spark):
     }
     assert out[0]["n_dropped"] == 1 and out[0]["kept_text"] == ""
     assert out[3]["n_spans"] == 2 and out[3]["kept_text"] == "p q r s"
+
+
+def test_dedup_spans_intra_keeps_first_occurrence(spark):
+    # "nav bar" repeats 3x in doc 0 -> kept once, at its first position.
+    rows = [
+        (0, "nav bar top story nav bar middle part nav bar"),
+        (1, "all words here are once only truly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_spans_intra(df, k_words=2).collect()
+    }
+    assert out[0]["n_spans"] == 5
+    # spans: nav bar / top story / nav bar / middle part / nav bar
+    assert out[0]["n_unique"] == 3
+    assert out[0]["dedup_text"] == "nav bar top story middle part"
+    assert out[0]["dedup_text"].count("nav bar") == 1
+    assert out[1]["n_spans"] == out[1]["n_unique"] == 4
+    assert out[1]["dedup_text"] == "all words here are once only truly"
