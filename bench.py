@@ -58,6 +58,8 @@ HEADLINE = [
     "ann_topk",
     "ann_ivf_topk",
     "lang_id_counts",
+    "mix_sources",
+    "pack_sequences",
     "text_features",
     "bpe_token_estimate",
     "extract_doc_stats",

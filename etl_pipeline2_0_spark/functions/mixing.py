@@ -1,0 +1,119 @@
+"""Dataset composition ops for training-data pipelines: deterministic
+source mixing and token-budget sequence packing.
+
+Both are pure DataFrame compositions — no UDFs, no collects — and both are
+deterministic (hash thresholds / stable orderings), so re-running a 100 TB
+job reproduces the same sample and the same packs bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline2_0_spark.functions.text import token_count
+
+# 16^15: the md5-prefix sample space.  A rate r maps to the threshold
+# floor(r * 16^15); comparing the first 15 hex chars of md5(key) against
+# that threshold keeps ~r of the rows, deterministically.
+_HEX15_SPACE = 16**15
+
+
+def _md5_below_rate(key: Column, rate: Column) -> Column:
+    """Deterministic per-row Bernoulli(rate) via md5 prefix comparison.
+
+    Both sides are rendered as 16-char hex strings so the comparison is
+    plain string ordering, portable to any engine with md5 + hex
+    (DuckDB's ``to_hex`` mirrors Spark's ``hex``).  rate=1.0 becomes
+    '1000000000000000', lexicographically above every '0'||md5-prefix, so
+    full-keep is exact.
+    """
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(rate * F.lit(_HEX15_SPACE)).cast("bigint"))),
+        16,
+        "0",
+    )
+    return F.concat(F.lit("0"), F.substring(F.md5(key), 1, 15)) < thr
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_rows: int,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic dataset mixing: downsample each group so the output
+    approximates ``total_rows`` rows distributed as ``weights`` (the
+    "sample English at 50%, code at 10%…" pretraining-mix op).
+
+    Per group g: rate_g = min(1, weights[g] * total_rows / n_g), then a
+    deterministic md5-threshold Bernoulli per row.  Groups absent from
+    ``weights`` get weight 0 (dropped) — an explicit mix is a whitelist.
+
+    Scale: one tiny groupBy-count on the mix key (broadcast back onto the
+    corpus — the key cardinality is #sources, not #docs), then a single
+    narrow filter pass.  No shuffle of the corpus itself, no sort, no
+    state; the output is a strict row subset so downstream pruning always
+    applies.
+    """
+    counts = docs.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_group"))
+    pairs = [p for kv in weights.items() for p in (F.lit(kv[0]), F.lit(kv[1]))]
+    wmap = F.create_map(*pairs)
+    rate = F.least(
+        F.lit(1.0),
+        F.coalesce(wmap[F.col(key_col)], F.lit(0.0))
+        * F.lit(float(total_rows))
+        / F.col("n_group"),
+    )
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(key_col))
+    return (
+        docs.join(F.broadcast(counts), key_col)
+        .withColumn("keep_rate", F.round(rate, 6))
+        .where(_md5_below_rate(key, rate))
+        .select(id_col, key_col, "keep_rate")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Streaming sequence packing: assign documents (in stable ``id_col``
+    order within each source) to consecutive packs of ~``budget_tokens``
+    whitespace tokens — the pretraining "pack documents into fixed-size
+    training sequences" op, in its standard streaming-order approximation
+    (a pack may overflow by at most one document; no bin-packing search).
+
+    pack_id = floor(exclusive-prefix-sum(tokens) / budget): pure window
+    arithmetic, no iteration.  Returns one row per (source, pack).
+
+    Scale: one window shuffle keyed by source — at 100 TB the partition
+    key should be (source, day-bucket) so no single source serializes;
+    the aggregation after it reuses the same partitioning (no second
+    shuffle of doc rows).
+    """
+    toks = docs.select(
+        source_col,
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = toks.withColumn(
+        "pack_id", F.floor(prev / F.lit(budget_tokens)).cast("bigint")
+    )
+    return packed.groupBy(source_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

@@ -933,3 +933,71 @@ SELECT doc_id,
 FROM first
 GROUP BY doc_id
 """
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pretraining dataset mixing: resample the corpus toward a target
+    # language distribution (en-heavy) with deterministic md5-threshold
+    # sampling.  See functions/mixing.py for the scale design.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.mix_sources(
+        docs,
+        weights={"en": 0.5, "es": 0.15, "fr": 0.15, "de": 0.1, "zh": 0.1},
+        total_rows=250,
+        key_col="lang",
+    )
+
+
+SQL_MIX_SOURCES = r"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_group FROM documents GROUP BY lang
+), rated AS (
+  SELECT d.doc_id, d.lang,
+         least(1.0,
+               CASE d.lang
+                 WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                 WHEN 'de' THEN 0.1 WHEN 'zh' THEN 0.1 ELSE 0.0
+               END * 250.0 / c.n_group) AS rate
+  FROM documents d JOIN counts c USING (lang)
+)
+SELECT doc_id, lang, ROUND(rate, 6) AS keep_rate
+FROM rated
+WHERE '0' || substr(md5(doc_id || ':' || lang), 1, 15)
+      < lpad(lower(to_hex(CAST(floor(rate * 1152921504606846976) AS BIGINT))), 16, '0')
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sequence packing: documents streamed in doc_id order within each
+    # source, packed into ~256-token training sequences via exclusive
+    # prefix-sum arithmetic (one window shuffle; no iteration).
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.pack_sequences(docs, budget_tokens=256)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0)) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+           AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, pack_id
+"""

@@ -150,6 +150,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     complement of dedup_spans); oracled + parity-tested, next in
     #     line for window promotion ---
     "dedup_spans_intra": (L.q_dedup_spans_intra, L.SQL_DEDUP_SPANS_INTRA),
+    # --- added r6 (dataset-composition ops: deterministic source mixing,
+    #     token-budget sequence packing); oracled + parity-tested ---
+    "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
+    "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
     # --- golden-pinned / thrice-covered tail: project_drop+project_reorder
     #     (F-MIX pipeline goldens), count_star/schema_stats/text_features/
     #     q1/q3 (green r01 AND r02), media_frames (rows-only, sf0.001+

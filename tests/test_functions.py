@@ -592,3 +592,62 @@ def test_dedup_spans_intra_keeps_first_occurrence(spark):
     assert out[0]["dedup_text"].count("nav bar") == 1
     assert out[1]["n_spans"] == out[1]["n_unique"] == 4
     assert out[1]["dedup_text"] == "all words here are once only truly"
+
+
+def test_mix_sources_rates_and_whitelist(spark):
+    from etl_pipeline2_0_spark.functions import mixing
+
+    rows = [(i, "en") for i in range(10)] + [(100 + i, "zz") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    # en weight 1.0 * total 20 / n 10 = rate 2.0 -> clamped 1.0: ALL kept.
+    # zz absent from weights -> dropped entirely (mix is a whitelist).
+    out = mixing.mix_sources(df, {"en": 1.0}, total_rows=20).collect()
+    assert {r["doc_id"] for r in out} == set(range(10))
+    assert all(r["keep_rate"] == 1.0 for r in out)
+    # determinism: bit-identical on re-run
+    again = mixing.mix_sources(df, {"en": 1.0}, total_rows=20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mix_sources_downsamples_toward_weights(spark):
+    from etl_pipeline2_0_spark.functions import mixing
+
+    rows = [(i, "en") for i in range(400)] + [(1000 + i, "de") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = mixing.mix_sources(df, {"en": 0.5, "de": 0.5}, total_rows=200).collect()
+    n_en = sum(1 for r in out if r["lang"] == "en")
+    n_de = sum(1 for r in out if r["lang"] == "de")
+    # targets: 100 en (rate .25), 100 de (rate 1.0 exact)
+    assert n_de == 100
+    assert 60 <= n_en <= 140  # Bernoulli around 100
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    from etl_pipeline2_0_spark.functions import mixing
+
+    # 4 docs of 3 tokens in one source, budget 6 -> packs [d0,d1], [d2,d3].
+    rows = [(i, "a b c", "s") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["pack_id"]: r
+        for r in mixing.pack_sequences(df, budget_tokens=6).collect()
+    }
+    assert len(out) == 2
+    assert out[0]["n_docs"] == 2 and out[0]["pack_tokens"] == 6
+    assert out[0]["first_doc"] == 0 and out[0]["last_doc"] == 1
+    assert out[1]["first_doc"] == 2 and out[1]["last_doc"] == 3
+
+
+def test_pack_sequences_overflow_by_one_doc(spark):
+    from etl_pipeline2_0_spark.functions import mixing
+
+    # doc1 (4 tokens) starts inside pack 0 (prev-sum 3 < 6) -> pack 0
+    # overflows to 7 tokens; doc2 starts at prev-sum 7 -> pack 1.
+    rows = [(0, "a b c", "s"), (1, "a b c d", "s"), (2, "a b", "s")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["pack_id"]: r
+        for r in mixing.pack_sequences(df, budget_tokens=6).collect()
+    }
+    assert out[0]["n_docs"] == 2 and out[0]["pack_tokens"] == 7
+    assert out[1]["n_docs"] == 1 and out[1]["pack_tokens"] == 2

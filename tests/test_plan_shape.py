@@ -270,3 +270,26 @@ def test_dedup_spans_no_cartesian_no_word_shuffle(spark, sf_dir):
     # two generators max); never a word-level posexplode
     assert 1 <= plan.count("Generate explode") <= 2
     assert "posexplode" not in plan
+
+
+def test_mix_sources_broadcasts_counts_no_corpus_shuffle(spark, sf_dir):
+    # The group-count side must broadcast; the corpus side must reach the
+    # filter without an Exchange of its own rows (scan -> filter only).
+    df = L.q_mix_sources(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    # One hash-partition exchange on source for the window; the pack
+    # aggregation must reuse that partitioning (no second doc-row shuffle
+    # before the partial aggregate).
+    df = L.q_pack_sequences(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    # partial agg sits above the window without an intervening exchange:
+    # exchanges = 1 (window) + possibly 1 for the final agg keyed the same
+    assert plan.count("Exchange hashpartitioning") <= 2
