@@ -1001,3 +1001,76 @@ SELECT source, pack_id,
 FROM packed
 GROUP BY source, pack_id
 """
+
+
+def q_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pipeline observability: per-source breakdown of WHY documents fail
+    # the corpus_filter quality gates (non-English / low quality / too
+    # short) plus the survivors.  One narrow conditional-aggregation pass
+    # over the same gate expressions corpus_filter applies — no extra
+    # scan, no shuffle beyond the #sources-sized groupBy.
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    gates = docs.select(
+        "source",
+        (text.lang_id(t) != "en").alias("fail_lang"),
+        (text.quality_score(t) < 0.5).alias("fail_quality"),
+        (text.token_count(t) < 20).alias("fail_length"),
+    )
+    return gates.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("fail_lang").cast("bigint")).alias("n_fail_lang"),
+        F.sum(F.col("fail_quality").cast("bigint")).alias("n_fail_quality"),
+        F.sum(F.col("fail_length").cast("bigint")).alias("n_fail_length"),
+        F.sum(
+            (~F.col("fail_lang") & ~F.col("fail_quality") & ~F.col("fail_length"))
+            .cast("bigint")
+        ).alias("n_pass_all"),
+    )
+
+
+SQL_FILTER_AUDIT = rf"""
+WITH base AS (
+  SELECT source,
+    len(list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> length(x) > 0)) AS n_tokens,
+    regexp_replace(text, '\s+', '', 'g') AS compact,
+    list_filter(regexp_split_to_array(lower(text), '\W+'),
+                x -> length(x) > 0) AS toks,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["en"]})\b')) AS en,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["es"]})\b')) AS es,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["fr"]})\b')) AS fr,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["de"]})\b')) AS de
+  FROM documents
+), scored AS (
+  SELECT source, n_tokens,
+    CASE WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+         WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+         WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+         WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+         ELSE 'de' END AS pred_lang,
+    CASE WHEN LENGTH(compact) = 0 THEN 0.0
+         ELSE (LENGTH(compact) - LENGTH(regexp_replace(compact, '\W', '', 'g')))
+              / LENGTH(compact) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> x IN ({_STOPS_SQL}))) / len(toks)
+         END AS stopword_ratio
+  FROM base
+), gates AS (
+  SELECT source,
+    (pred_lang <> 'en') AS fail_lang,
+    (ROUND((LEAST(n_tokens / 100.0, 1.0) + LEAST(stopword_ratio * 4, 1.0)
+            + (1.0 - LEAST(punct_ratio * 4, 1.0))) / 3, 6) < 0.5) AS fail_quality,
+    (n_tokens < 20) AS fail_length
+  FROM scored
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN fail_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_lang,
+  CAST(SUM(CASE WHEN fail_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_quality,
+  CAST(SUM(CASE WHEN fail_length THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_length,
+  CAST(SUM(CASE WHEN NOT fail_lang AND NOT fail_quality AND NOT fail_length
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM gates
+GROUP BY source
+"""

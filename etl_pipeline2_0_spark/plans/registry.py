@@ -154,6 +154,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     token-budget sequence packing); oracled + parity-tested ---
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
+    # --- added r6 (gate-failure observability over the corpus_filter
+    #     quality gates) ---
+    "filter_audit": (L.q_filter_audit, L.SQL_FILTER_AUDIT),
     # --- golden-pinned / thrice-covered tail: project_drop+project_reorder
     #     (F-MIX pipeline goldens), count_star/schema_stats/text_features/
     #     q1/q3 (green r01 AND r02), media_frames (rows-only, sf0.001+
