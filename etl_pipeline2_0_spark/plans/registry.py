@@ -157,6 +157,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- added r6 (gate-failure observability over the corpus_filter
     #     quality gates) ---
     "filter_audit": (L.q_filter_audit, L.SQL_FILTER_AUDIT),
+    # --- added r6: the remaining TPC-H shapes expressible on this schema
+    #     (no partsupp table -> q2/q11/q16/q20 out of reach; q9/q12/q19
+    #     adapted where a column is absent, plan shape preserved) ---
+    "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),
+    "q8_market_share": (T.q8_market_share, T.SQL_Q8),
+    "q9_product_profit": (T.q9_product_profit, T.SQL_Q9),
+    "q12_late_shipments": (T.q12_late_shipments, T.SQL_Q12),
+    "q19_disjunctive_revenue": (T.q19_disjunctive_revenue, T.SQL_Q19),
     # --- golden-pinned / thrice-covered tail: project_drop+project_reorder
     #     (F-MIX pipeline goldens), count_star/schema_stats/text_features/
     #     q1/q3 (green r01 AND r02), media_frames (rows-only, sf0.001+

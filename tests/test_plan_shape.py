@@ -293,3 +293,21 @@ def test_pack_sequences_single_window_shuffle(spark, sf_dir):
     # partial agg sits above the window without an intervening exchange:
     # exchanges = 1 (window) + possibly 1 for the final agg keyed the same
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_r6_tpch_shapes(spark, sf_dir):
+    from etl_pipeline2_0_spark.plans import tpch_more as T
+
+    # q7/q8: nation dims broadcast, no cartesian anywhere in the 5/7-way
+    # join trees; q19: the OR-of-ANDs evaluates against ONE lineitem scan
+    # (no union-of-scans rewrite) with part broadcast.
+    for df in (
+        T.q7_volume_shipping(spark, sf_dir),
+        T.q8_market_share(spark, sf_dir),
+    ):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+    q19 = _plan(T.q19_disjunctive_revenue(spark, sf_dir))
+    assert q19.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in q19
