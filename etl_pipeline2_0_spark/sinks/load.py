@@ -198,3 +198,33 @@ def write_partitioned(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    order_cols: list[str] | None = None,
+) -> None:
+    """Training-shard export: parquet files capped at
+    ``max_records_per_file`` rows each — the bounded-shard contract data
+    loaders expect (a loader maps shards to workers; one giant file
+    serializes a worker, so the CAP is the contract, not the layout).
+
+    ``order_cols`` sorts within each output task first, so rows inside a
+    shard are deterministically ordered (stable re-exports, reproducible
+    sequence order for packed corpora) WITHOUT a global sort — a
+    ``sortWithinPartitions``, never an ``orderBy``, because a total order
+    at 100 TB is a range-exchange of the whole corpus for no training
+    benefit.
+
+    Size control uses Spark's own ``maxRecordsPerFile`` writer option (the
+    writer rolls files as it streams rows), so no repartition/shuffle is
+    introduced by the cap itself.
+    """
+    out = df.sortWithinPartitions(*order_cols) if order_cols else df
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

@@ -43,3 +43,24 @@ def test_csv_safe_renders_booleans_python_style(spark):
 
 def test_csv_safe_null_array_stays_null(spark):
     assert _render(spark, None, "array<string>") is None
+
+
+def test_write_shards_caps_records_per_file(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_pipeline2_0_spark.sinks.load import write_shards
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shards")
+    write_shards(df, out, max_records_per_file=128, order_cols=["doc_id"])
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert files, "no shard files written"
+    sizes = [pq.read_metadata(f).num_rows for f in files]
+    assert all(s <= 128 for s in sizes), sizes
+    assert sum(sizes) == 1000
+    # rows inside each shard are ordered (sortWithinPartitions applied)
+    for f in files[:3]:
+        col = pq.read_table(f, columns=["doc_id"]).column(0).to_pylist()
+        assert col == sorted(col)
