@@ -165,6 +165,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q9_product_profit": (T.q9_product_profit, T.SQL_Q9),
     "q12_late_shipments": (T.q12_late_shipments, T.SQL_Q12),
     "q19_disjunctive_revenue": (T.q19_disjunctive_revenue, T.SQL_Q19),
+    "q21_waiting_suppliers": (T.q21_waiting_suppliers, T.SQL_Q21),
     # --- golden-pinned / thrice-covered tail: project_drop+project_reorder
     #     (F-MIX pipeline goldens), count_star/schema_stats/text_features/
     #     q1/q3 (green r01 AND r02), media_frames (rows-only, sf0.001+

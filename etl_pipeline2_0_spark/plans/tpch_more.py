@@ -13,10 +13,11 @@ market-share ratio (q8), profit-by-nation-and-year over a 5-way join (q9),
 late top-k after a 4-way join (q10), lateness-bucket conditional counts
 (q12), global ratio aggregation (q14), max-of-aggregate via broadcast
 crossjoin (q15), per-group-avg anti-outlier join (q17), having-filtered
-fact re-join (q18), and disjunctive-predicate revenue (q19).  With
+fact re-join (q18), disjunctive-predicate revenue (q19), and sole-blame
+late suppliers via the decorrelated exists/not-exists rewrite (q21).  With
 relational.py's q1/q3/q5 and the q4/q13/q22 trio, every TPC-H query whose
-tables exist in the testdata is covered; q2/q11/q16/q20/q21 need
-partsupp/comment columns the driver does not generate.
+tables exist in the testdata is covered; q2/q11/q16/q20 need the partsupp
+table the driver does not generate.
 """
 
 from __future__ import annotations
@@ -694,4 +695,68 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for late multi-supplier
+    orders.  The reference formulation is EXISTS + NOT EXISTS on the same
+    fact table; Spark-first this is the aggregate rewrite Catalyst would
+    decorrelate to anyway: one per-order aggregate (distinct suppliers,
+    distinct LATE suppliers), then blame the supplier iff the order has
+    >1 suppliers and exactly 1 late one.  "Late" adapts to
+    shipdate > orderdate + 60 days (no commit/receipt dates in this
+    schema).  (TPC-H ref: Q21.)
+
+    Scale: one orderkey-shuffle join + one orderkey aggregate + one
+    broadcast of the (small) flagged-order set back onto the late rows;
+    no correlated per-row subquery execution anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "is_late",
+            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60),
+        )
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    blame_orders = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    late_rows = flagged.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    return (
+        late_rows.join(blame_orders, "l_orderkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )
+
+
+SQL_Q21 = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         (date_diff('day', o_orderdate, l_shipdate) > 60) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM flagged GROUP BY l_orderkey
+), blame_orders AS (
+  SELECT l_orderkey FROM per_order WHERE n_supp > 1 AND n_late_supp = 1
+)
+SELECT s_suppkey, s_name, COUNT(DISTINCT f.l_orderkey) AS numwait
+FROM flagged f
+JOIN blame_orders b ON f.l_orderkey = b.l_orderkey
+JOIN supplier ON f.l_suppkey = s_suppkey
+WHERE f.is_late
+GROUP BY s_suppkey, s_name
 """
