@@ -186,3 +186,72 @@ def test_bmps_container_roundtrip(frames):
 
     got = parse_bmps(encode_bmps(frames))
     assert got == (frames if frames else None)
+
+
+# --- round-6 composition ops -------------------------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=4), min_size=1, max_size=24
+)
+
+
+@given(docs=st.lists(_words, min_size=1, max_size=6), k=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_dedup_spans_conservation_and_containment(spark, docs, k):
+    """Invariants vs a tiny Python reference: span counts conserve
+    (n_spans = ceil(len/k), kept + dropped = total), and kept_text is the
+    in-order concatenation of exactly the surviving spans."""
+    from etl_pipeline2_0_spark.functions.dedup import dedup_spans
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup_spans(df, k_words=k, max_doc_freq=1).collect()}
+
+    # python reference
+    spans_by_doc = {}
+    for i, w in enumerate(docs):
+        spans_by_doc[i] = [
+            " ".join(w[s * k : s * k + k]) for s in range(max(-(-len(w) // k), 1))
+        ]
+    from collections import Counter
+
+    df_count = Counter()
+    for i, spans in spans_by_doc.items():
+        for s in set(spans):
+            df_count[s] += 1
+
+    assert set(out) == set(spans_by_doc)
+    for i, spans in spans_by_doc.items():
+        kept = [s for s in spans if df_count[s] <= 1]
+        assert out[i]["n_spans"] == len(spans)
+        assert out[i]["n_dropped"] == len(spans) - len(kept)
+        assert out[i]["kept_text"] == " ".join(kept)
+
+
+@given(
+    toks=st.lists(st.integers(1, 9), min_size=1, max_size=12),
+    budget=st.integers(3, 20),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_python_prefix_sum(spark, toks, budget):
+    """Pack assignment ≡ floor(exclusive prefix sum / budget); every doc
+    lands in exactly one pack; pack token totals conserve the corpus."""
+    from etl_pipeline2_0_spark.functions.mixing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = pack_sequences(df, budget_tokens=budget).collect()
+
+    # python reference
+    ref = {}
+    acc = 0
+    for i, n in enumerate(toks):
+        pid = acc // budget
+        ref.setdefault(pid, []).append(n)
+        acc += n
+    got = {r["pack_id"]: r for r in out}
+    assert set(got) == set(ref)
+    for pid, sizes in ref.items():
+        assert got[pid]["n_docs"] == len(sizes)
+        assert got[pid]["pack_tokens"] == sum(sizes)
+    assert sum(r["pack_tokens"] for r in out) == sum(toks)
