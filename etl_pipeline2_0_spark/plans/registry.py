@@ -166,6 +166,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q12_late_shipments": (T.q12_late_shipments, T.SQL_Q12),
     "q19_disjunctive_revenue": (T.q19_disjunctive_revenue, T.SQL_Q19),
     "q21_waiting_suppliers": (T.q21_waiting_suppliers, T.SQL_Q21),
+    "q2_min_acctbal_supplier": (T.q2_min_acctbal_supplier, T.SQL_Q2),
+    "q11_important_stock": (T.q11_important_stock, T.SQL_Q11),
+    "q16_supplier_part_counts": (T.q16_supplier_part_counts, T.SQL_Q16),
+    "q20_potential_promotion": (T.q20_potential_promotion, T.SQL_Q20),
     # --- golden-pinned / thrice-covered tail: project_drop+project_reorder
     #     (F-MIX pipeline goldens), count_star/schema_stats/text_features/
     #     q1/q3 (green r01 AND r02), media_frames (rows-only, sf0.001+
