@@ -311,3 +311,15 @@ def test_r6_tpch_shapes(spark, sf_dir):
     q19 = _plan(T.q19_disjunctive_revenue(spark, sf_dir))
     assert q19.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in q19
+
+
+def test_partsupp_derived_tpch_shapes(spark, sf_dir):
+    from etl_pipeline2_0_spark.plans import tpch_more as T
+
+    # q2: correlated-min is an aggregate rejoin (no per-row subquery, no
+    # cartesian); q20: the qualifying-pair chain ends in a LeftSemi.
+    q2 = _plan(T.q2_min_acctbal_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in q2
+    q20 = _plan(T.q20_potential_promotion(spark, sf_dir))
+    assert "LeftSemi" in q20
+    assert "CartesianProduct" not in q20
