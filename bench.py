@@ -135,28 +135,34 @@ def main() -> None:
         timings[key] = min(runs)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "runs_per_query": RUNS,
-                "agg": "min",
-                # Host-noise transparency (round-3 lesson: driver bench runs
-                # on a shared host swung individual queries 2-4x on
-                # untouched code).  All raw samples + the 1/5/15-min load
-                # averages at start and end let a reader separate plan
-                # regressions from host weather without re-running.
-                "samples": samples,
-                "loadavg_start": [round(x, 2) for x in loadavg_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "errors": errors,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            "runs_per_query": RUNS,
+            "agg": "min",
+            # Host-noise transparency (round-3 lesson: driver bench runs
+            # on a shared host swung individual queries 2-4x on
+            # untouched code).  All raw samples + the 1/5/15-min load
+            # averages at start and end let a reader separate plan
+            # regressions from host weather without re-running.
+            "samples": samples,
+            "loadavg_start": [round(x, 2) for x in loadavg_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "errors": errors,
+        }
     )
+    print(payload)
+    # Stray Spark/py4j warnings on stdout would corrupt a `tee`-captured
+    # copy, so the JSON payload is also written to a file directly when
+    # BENCH_OUT is set (the round checklist uses this).
+    out_path = os.environ.get("BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
     spark.stop()
     if errors:
         sys.exit(1)

@@ -13,6 +13,9 @@ echo "== gate 1/2: pytest (incl. sf01 parity) =="
 python -m pytest tests/ -q || exit 1
 
 echo "== gate 2/2: bench at ${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} =="
-python bench.py | tee /tmp/bench_local.json || exit 1
+# BENCH_OUT: bench.py writes the JSON payload to the file itself, so a
+# stray Spark/py4j warning on stdout can't corrupt the captured copy.
+BENCH_OUT=/tmp/bench_local.json python bench.py || exit 1
+python -c "import json; json.load(open('/tmp/bench_local.json'))" || exit 1
 
 echo "== checklist green =="
