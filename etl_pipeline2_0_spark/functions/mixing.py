@@ -82,36 +82,100 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    partition_cols: "list[str] | None" = None,
+    bucket_width: int = 1 << 20,
+    bucket_expr: "Column | None" = None,
 ) -> DataFrame:
     """Streaming sequence packing: assign documents (in stable ``id_col``
-    order within each source) to consecutive packs of ~``budget_tokens``
+    order within each pack key) to consecutive packs of ~``budget_tokens``
     whitespace tokens — the pretraining "pack documents into fixed-size
     training sequences" op, in its standard streaming-order approximation
     (a pack may overflow by at most one document; no bin-packing search).
 
-    pack_id = floor(exclusive-prefix-sum(tokens) / budget): pure window
-    arithmetic, no iteration.  Returns one row per (source, pack).
+    pack_id = floor(exclusive-prefix-sum(tokens) / budget), computed as a
+    TWO-LEVEL prefix sum so no partition of the doc-row shuffle ever
+    contains a whole source:
 
-    Scale: one window shuffle keyed by source — at 100 TB the partition
-    key should be (source, day-bucket) so no single source serializes;
-    the aggregation after it reuses the same partitioning (no second
-    shuffle of doc rows).
+      1. docs get a bucket from a monotone function of ``id_col``
+         (``floor(id / bucket_width)`` for numeric ids, a string prefix
+         otherwise, or a caller-supplied ``bucket_expr``);
+      2. the within-bucket exclusive prefix sum runs in a window keyed by
+         (key..., bucket) — ≤ ``bucket_width`` rows per task;
+      3. per-bucket token totals are cumulated into exclusive bucket
+         offsets by a window over the bucket LIST (#buckets rows, not
+         #docs) and broadcast back;
+      4. prev = bucket_offset + within_bucket_prev, locally per row.
+
+    The result is bit-identical to the single-window formulation for any
+    ``bucket_width`` (monotone bucketing preserves the global id order,
+    and the offsets restore the cross-bucket carry), so the ANSI-SQL
+    oracle stays the plain one-window form.
+
+    ``partition_cols`` overrides the pack key (default ``[source_col]``)
+    for callers that pack per (source, shard) or similar.  Returns one
+    row per (key..., pack).
+
+    Scale: the doc rows shuffle twice (the bucketed window + the final
+    pack aggregate, both map-side combinable); the only per-key-serial
+    work is the bucket-offset window over #buckets rows.  Size
+    ``bucket_width`` so #docs/bucket_width stays broadcastable (the
+    default 2^20 puts a trillion-doc corpus at ~10^6 bucket rows).
     """
+    keys = list(partition_cols) if partition_cols else [source_col]
+    if bucket_expr is not None:
+        bucket = bucket_expr
+    else:
+        from pyspark.sql.types import NumericType
+
+        if isinstance(docs.schema[id_col].dataType, NumericType):
+            # NULL ids sort first under orderBy; bucket -1 keeps them first.
+            bucket = F.coalesce(
+                F.floor(F.col(id_col) / F.lit(bucket_width)).cast("bigint"),
+                F.lit(-1),
+            )
+        else:
+            # A fixed-length character prefix is monotone under
+            # lexicographic order; '' sorts before every non-empty prefix.
+            bucket = F.coalesce(
+                F.substring(F.col(id_col).cast("string"), 1, 8), F.lit("")
+            )
     toks = docs.select(
-        source_col,
+        *keys,
         F.col(id_col),
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy(source_col)
+    ).withColumn("_bucket", bucket)
+
+    # Level 1: within-bucket exclusive prefix sum.  The shuffle key is
+    # (key..., bucket), so one task holds at most one bucket — never a
+    # whole source.
+    wb = (
+        Window.partitionBy(*keys, "_bucket")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    packed = toks.withColumn(
+    local = toks.withColumn(
+        "_local_prev", F.coalesce(F.sum("n_tokens").over(wb), F.lit(0))
+    )
+
+    # Level 2: exclusive bucket offsets — a window over the bucket list
+    # (#buckets rows), broadcast back onto the doc rows.
+    btot = toks.groupBy(*keys, "_bucket").agg(F.sum("n_tokens").alias("_b_tokens"))
+    wo = (
+        Window.partitionBy(*keys)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.select(
+        *keys,
+        "_bucket",
+        F.coalesce(F.sum("_b_tokens").over(wo), F.lit(0)).alias("_b_off"),
+    )
+
+    prev = F.col("_b_off") + F.col("_local_prev")
+    packed = local.join(F.broadcast(offs), [*keys, "_bucket"]).withColumn(
         "pack_id", F.floor(prev / F.lit(budget_tokens)).cast("bigint")
     )
-    return packed.groupBy(source_col, "pack_id").agg(
+    return packed.groupBy(*keys, "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
         F.min(id_col).alias("first_doc"),

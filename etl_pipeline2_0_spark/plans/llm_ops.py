@@ -971,12 +971,14 @@ WHERE '0' || substr(md5(doc_id || ':' || lang), 1, 15)
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sequence packing: documents streamed in doc_id order within each
-    # source, packed into ~256-token training sequences via exclusive
-    # prefix-sum arithmetic (one window shuffle; no iteration).
+    # source, packed into ~256-token training sequences via the two-level
+    # (bucketed) exclusive prefix sum — no single-source window partition.
+    # bucket_width=1024 exercises the multi-bucket carry path even at the
+    # small test SFs; the output is bucket-width-invariant.
     from etl_pipeline2_0_spark.functions import mixing
 
     docs = load_table(spark, sf_dir, "documents")
-    return mixing.pack_sequences(docs, budget_tokens=256)
+    return mixing.pack_sequences(docs, budget_tokens=256, bucket_width=1024)
 
 
 SQL_PACK_SEQUENCES = r"""

@@ -282,17 +282,29 @@ def test_mix_sources_broadcasts_counts_no_corpus_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_pack_sequences_single_window_shuffle(spark, sf_dir):
-    # One hash-partition exchange on source for the window; the pack
-    # aggregation must reuse that partitioning (no second doc-row shuffle
-    # before the partial aggregate).
+def test_pack_sequences_two_level_prefix_sum(spark, sf_dir):
+    # The doc-row prefix-sum window must be keyed by (source, _bucket) —
+    # never by source alone, which would serialize a whole source into
+    # one task at scale.  The only source-keyed window is the bucket-list
+    # offset cumulation (ordered by _bucket, #buckets rows), and the
+    # offsets come back via a broadcast join.
+    import re
+
     df = L.q_pack_sequences(spark, sf_dir)
     plan = _plan(df)
-    assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan
-    # partial agg sits above the window without an intervening exchange:
-    # exchanges = 1 (window) + possibly 1 for the final agg keyed the same
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # doc-row window partitioned by (source, _bucket) and ordered by id:
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, _bucket#\d+L?, doc_id#\d+", plan
+    )
+    # every source-alone windowspec is the bucket-list one (orders by
+    # _bucket, not doc_id):
+    for m in re.finditer(r"windowspecdefinition\(source#\d+, ([a-z_]+)#\d+", plan):
+        assert m.group(1) in ("_bucket",), plan
+    # doc rows are hash-partitioned on (source, _bucket) for the window:
+    assert re.search(r"hashpartitioning\(source#\d+, _bucket#\d+", plan)
 
 
 def test_r6_tpch_shapes(spark, sf_dir):

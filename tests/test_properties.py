@@ -231,16 +231,20 @@ def test_dedup_spans_conservation_and_containment(spark, docs, k):
 @given(
     toks=st.lists(st.integers(1, 9), min_size=1, max_size=12),
     budget=st.integers(3, 20),
+    bucket_width=st.sampled_from([3, 1 << 20]),
 )
 @settings(**SETTINGS)
-def test_pack_sequences_matches_python_prefix_sum(spark, toks, budget):
+def test_pack_sequences_matches_python_prefix_sum(spark, toks, budget, bucket_width):
     """Pack assignment ≡ floor(exclusive prefix sum / budget); every doc
-    lands in exactly one pack; pack token totals conserve the corpus."""
+    lands in exactly one pack; pack token totals conserve the corpus.
+    bucket_width=3 forces the multi-bucket carry path of the two-level
+    prefix sum; 2^20 is the degenerate single-bucket path — the output
+    must be identical under both."""
     from etl_pipeline2_0_spark.functions.mixing import pack_sequences
 
     rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(toks)]
     df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
-    out = pack_sequences(df, budget_tokens=budget).collect()
+    out = pack_sequences(df, budget_tokens=budget, bucket_width=bucket_width).collect()
 
     # python reference
     ref = {}
