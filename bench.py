@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_incremental",
     "dedup_spans",
+    "dedup_spans_intra",
+    "filter_audit",
     "ngram_jaccard",
     "dup_components",
     "tfidf_top_terms",

@@ -788,10 +788,11 @@ def _word_spans(
     """(id, span_id, span_text) — consecutive ``k_words``-word spans per doc.
 
     One narrow projection: ``split`` + ``sequence``/``transform``/``slice``
-    + a single ``explode``.  No word-level explode, no shuffle.  Empty docs
-    yield one empty span so every document survives into the output.
+    + a single ``explode``.  No word-level explode, no shuffle.  NULL text
+    is coalesced to '' first, so empty and NULL docs alike yield one empty
+    span and every document survives into the output.
     """
-    w = F.split(F.col(text_col), " ")
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_spans = F.greatest(F.ceil(F.size(w) / F.lit(k_words)), F.lit(1)).cast("int")
     return (
         ensure_min_parallelism(docs)

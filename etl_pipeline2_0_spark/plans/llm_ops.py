@@ -882,7 +882,7 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_SPANS = r"""
 WITH parts AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
 ), spans AS (
   SELECT doc_id, seq.s AS span_id,
          array_to_string(w[(seq.s*3+1):(seq.s*3+3)], ' ') AS span_text
@@ -916,7 +916,7 @@ def q_dedup_spans_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_SPANS_INTRA = r"""
 WITH parts AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
 ), spans AS (
   SELECT doc_id, seq.s AS span_id,
          array_to_string(w[(seq.s*2+1):(seq.s*2+2)], ' ') AS span_text

@@ -783,11 +783,15 @@ def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per qualifying part, the supplier achieving the
     MINIMUM (here s_acctbal standing in for ps_supplycost), restricted to
-    one region — the aggregate-then-rejoin correlated-min pattern.
+    one region — the correlated-min pattern as a single top-1-per-group
+    window (TPC-H's aggregate-then-rejoin rewritten so the 5-way join
+    subtree executes ONCE, not twice).
 
-    Scale: the min is a partkey aggregate re-joined on (partkey, acctbal)
-    — never a per-row correlated subquery; region/nation broadcast;
-    deterministic (min supplier key) tiebreak.
+    Scale: ``row_number() OVER (PARTITION BY p_partkey ORDER BY s_acctbal,
+    s_suppkey)`` is one partkey-keyed shuffle over the already-filtered
+    catalog — never a per-row correlated subquery, and no second
+    ``lineitem DISTINCT`` pass; region/nation broadcast; deterministic
+    (min supplier key) tiebreak baked into the ORDER BY.
     """
     ps = _derived_partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").where(
@@ -803,20 +807,11 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    min_bal = cat.groupBy("p_partkey").agg(
-        F.min("s_acctbal").alias("min_acctbal")
-    ).withColumnRenamed("p_partkey", "mp")
-    best = cat.join(
-        min_bal,
-        (F.col("p_partkey") == F.col("mp"))
-        & (F.col("s_acctbal") == F.col("min_acctbal")),
-    ).select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
-    # deterministic: one row per part (lowest suppkey wins ties)
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("p_partkey").orderBy("s_suppkey")
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
     return (
-        best.withColumn("rn", F.row_number().over(w))
+        cat.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
     )
@@ -833,16 +828,12 @@ WITH ps AS (
   JOIN nation ON s_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
   WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
-), best AS (
-  SELECT cat.*, ROW_NUMBER() OVER (
-           PARTITION BY p_partkey ORDER BY s_suppkey) AS rn
-  FROM cat
-  JOIN (SELECT p_partkey AS mp, MIN(s_acctbal) AS min_acctbal
-        FROM cat GROUP BY p_partkey) m
-    ON cat.p_partkey = m.mp AND cat.s_acctbal = m.min_acctbal
 )
 SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
-FROM best WHERE rn = 1
+FROM (SELECT cat.*, ROW_NUMBER() OVER (
+        PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey) AS rn
+      FROM cat)
+WHERE rn = 1
 """
 
 

@@ -574,6 +574,24 @@ def test_dedup_spans_all_dropped_and_short_tail(spark):
     assert out[3]["n_spans"] == 2 and out[3]["kept_text"] == "p q r s"
 
 
+def test_dedup_spans_null_text_survives_as_empty(spark):
+    # NULL text is coalesced to '' before span construction, so NULL and
+    # empty docs alike keep their output row (one empty span) instead of
+    # silently dropping out of the span->frequency join.
+    rows = [(0, None), (1, ""), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_spans(df, k_words=3, max_doc_freq=2).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    # NULL and '' docs produce one empty span each; df('')=2 <= 2 so kept.
+    for i in (0, 1):
+        assert out[i]["n_spans"] == 1 and out[i]["n_dropped"] == 0
+        assert out[i]["kept_text"] == ""
+    assert out[2]["kept_text"] == "a b c"
+
+
 def test_dedup_spans_intra_keeps_first_occurrence(spark):
     # "nav bar" repeats 3x in doc 0 -> kept once, at its first position.
     rows = [

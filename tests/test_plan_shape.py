@@ -328,10 +328,13 @@ def test_r6_tpch_shapes(spark, sf_dir):
 def test_partsupp_derived_tpch_shapes(spark, sf_dir):
     from etl_pipeline2_0_spark.plans import tpch_more as T
 
-    # q2: correlated-min is an aggregate rejoin (no per-row subquery, no
-    # cartesian); q20: the qualifying-pair chain ends in a LeftSemi.
+    # q2: correlated-min is a single top-1-per-group window over ONE pass
+    # of the 5-way join (no per-row subquery, no cartesian, no second
+    # lineitem-DISTINCT subtree); q20: the qualifying-pair chain ends in
+    # a LeftSemi.
     q2 = _plan(T.q2_min_acctbal_supplier(spark, sf_dir))
     assert "CartesianProduct" not in q2
+    assert q2.count("Scan parquet") == 5  # each table scanned exactly once
     q20 = _plan(T.q20_potential_promotion(spark, sf_dir))
     assert "LeftSemi" in q20
     assert "CartesianProduct" not in q20
