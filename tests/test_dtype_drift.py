@@ -92,18 +92,54 @@ def test_events_query_analyzes_under_encoding(spark, encoded_sf_dir, qname):
     assert len(df.schema.fields) > 0  # analysis succeeded
 
 
+def _oracle_canon(sf_dir: str, sql: str):
+    import duckdb
+
+    from tests.test_oracle_parity import _canon
+
+    con = duckdb.connect()
+    con.sql("SET TimeZone = 'UTC'")
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return _canon(con.sql(sql).fetchdf())
+
+
 @pytest.mark.parametrize("qname", ["sessionize", "scd2_intervals"])
-def test_epoch_us_identical_across_encodings(spark, tmp_path_factory, qname):
-    """The unix_micros-based queries must return the SAME values regardless
-    of upstream encoding (UTC session tz makes the instant unambiguous)."""
-    results = []
+def test_epoch_us_matches_oracle_under_each_encoding(spark, tmp_path_factory, qname):
+    """EXECUTION-level canary for the unix_micros family: under every
+    producer encoding, the Spark value hash must equal the DuckDB oracle
+    run on the SAME re-encoded dir.  (The analysis-only matrix above can't
+    see an instant-semantics shift that still analyzes; this can — and it
+    also implies the three encodings agree with each other.)"""
+    from tests.test_oracle_parity import _canon
+
+    fn, sql = ALL_QUERIES[qname]
     for enc in ENCODINGS:
         dst = str(tmp_path_factory.mktemp(f"val_{enc}"))
         _rewrite_events(TESTDATA_SF, dst, enc)
-        fn, _ = ALL_QUERIES[qname]
-        rows = sorted(tuple(r) for r in fn(spark, dst).collect())
-        results.append(rows)
-    assert results[0] == results[1] == results[2]
+        got = _canon(fn(spark, dst).toPandas())
+        assert got == _oracle_canon(dst, sql), f"{qname} under {enc}"
+
+
+def test_wrong_instant_semantics_fails_oracle(spark, tmp_path_factory):
+    """Teeth check: plant the r5-class wrong-instant regime — NTZ events
+    interpreted under a NON-UTC session timezone — and assert the canary
+    above would catch it (value hash ≠ oracle).  If this ever starts
+    passing silently, the execution canary has lost its teeth."""
+    from tests.test_oracle_parity import _canon
+
+    dst = str(tmp_path_factory.mktemp("val_planted"))
+    _rewrite_events(TESTDATA_SF, dst, "ntz_us")
+    fn, sql = ALL_QUERIES["scd2_intervals"]
+    oracle = _oracle_canon(dst, sql)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = _canon(fn(spark, dst).toPandas())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got != oracle, "planted instant shift must hash-mismatch the oracle"
 
 
 # --- embeddings: list<float> vs list<double> drift ---------------------------
