@@ -93,15 +93,21 @@ def test_driver_window_covers_every_query_family():
         "embed_neardup", "lang_id_counts", "pii_redact", "corpus_filter",
         "tfidf_top_terms", "multimodal_meta", "media_decode",
         "extract_doc_stats",
-        # scalar/analytic batteries (math_funcs left the window in r6:
-        # twice-proven r04 AND r05, both rows under the regenerated data)
-        "hash_sample", "grouping_sets", "bit_funcs", "argmax_aggs",
+        # span dedup + dataset composition + observability (first driver
+        # rows pending: promoted r7)
+        "dedup_spans", "dedup_spans_intra", "mix_sources", "pack_sequences",
+        "filter_audit",
+        # sampling / sketches (the scalar batteries left the window in r7:
+        # all eleven twice-proven r02 AND r06, the latest under the current
+        # data regime, and re-proven every run by the default sf0.001 +
+        # sf0.1 parity suites — same retirement math_funcs got in r6)
+        "hash_sample", "stratified_sample", "hll_accuracy",
         # warehouse analytics
         "scd2_intervals", "funnel_stages", "cohort_retention",
-        # relational core (r3 reps: the TPC-H shapes never driver-checked
-        # before; q1/q3 are twice-proven and demoted past the cap)
-        "q4_priority_check", "q13_customer_distribution",
-        "q22_global_sales_opportunity",
+        # relational core / TPC-H (r7 reps: the ten newest shapes collect
+        # their first driver rows; q4/q13/q22 retired twice-proven r03+r06)
+        "q2_min_acctbal_supplier", "q12_late_shipments",
+        "q21_waiting_suppliers", "q16_supplier_part_counts",
     }
     missing = representatives - window
     assert not missing, f"families outside the driver window: {sorted(missing)}"
