@@ -24,20 +24,54 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _nanos_columns(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns in a parquet file/dir's footer.
+
+    Spark's reader rejects nanos timestamps outright (or, under the
+    ``nanosAsLong`` legacy conf, surfaces them as raw LongType — unusable
+    by every consumer), so the loader must know which columns need the
+    ns→µs normalization.  One driver-side footer read; no data pages.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One table; parquet scans get column pruning + predicate pushdown free.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as epoch-nanos LONG (legacy conf, set at runtime
-    so any session works) and convert to a microsecond timestamp with
-    integer division (epoch ≈ 1.7e18 exceeds double precision — never use
-    float division here).  DuckDB performs the same ns→µs truncation.
+    Any TIMESTAMP(NANOS) column (historically ``events.ts``; the dtype
+    canary plants it on the date columns too) is read as epoch-nanos LONG
+    (legacy conf, set at runtime so any session works) and converted to a
+    microsecond timestamp with integer division (epoch ≈ 1.7e18 exceeds
+    double precision — never use float division here).  DuckDB performs
+    the same ns→µs truncation.  This is encoding NORMALIZATION of an
+    otherwise-unusable LongType read — it never re-types a column that
+    green queries already consume (the dtype-contract rule): under data
+    with no nanos columns the loader is a plain ``spark.read.parquet``.
     """
-    if name == "events":
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_columns(path)
+    if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df
 
 

@@ -142,6 +142,83 @@ def test_wrong_instant_semantics_fails_oracle(spark, tmp_path_factory):
     assert got != oracle, "planted instant shift must hash-mismatch the oracle"
 
 
+# --- lineitem/orders: date-column encoding drift ------------------------------
+# l_shipdate / o_orderdate are midnight-valued timestamp[us] today; the
+# TPC-H-natural producer encoding is date32, and tz-aware / nanos variants
+# are as likely as they were for events.ts.  All four encodings preserve
+# the instant (dates are midnight), so both analysis AND values must hold.
+
+DATE_ENCODINGS = ["ntz_us", "date32", "utc_us", "nanos"]
+
+# Every registry query whose plan touches l_shipdate or o_orderdate.
+DATE_QUERIES = [
+    "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
+    "q4_priority_check", "q6_revenue_forecast", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_customers",
+    "q12_late_shipments", "q14_promo_share", "q15_top_supplier",
+    "q18_volume_customers", "q20_potential_promotion", "q21_waiting_suppliers",
+    "running_total", "rownum_per_group", "project_sorted_cols",
+    "asof_join", "date_funcs", "frame_specs",
+]
+
+_DATE_COLS = {"lineitem": "l_shipdate", "orders": "o_orderdate"}
+
+
+def _rewrite_dates(src_dir: str, dst_dir: str, encoding: str) -> None:
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLES:
+        src = os.path.join(src_dir, f"{name}.parquet")
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        if name not in _DATE_COLS:
+            if not os.path.exists(dst):
+                os.symlink(src, dst)
+            continue
+        table = pq.read_table(src)
+        colname = _DATE_COLS[name]
+        idx = table.schema.get_field_index(colname)
+        col = table.column(idx)
+        if encoding == "ntz_us":
+            col = col.cast(pa.timestamp("us"))
+        elif encoding == "date32":
+            col = col.cast(pa.date32())
+        elif encoding == "utc_us":
+            col = col.cast(pa.timestamp("us", tz="UTC"))
+        elif encoding == "nanos":
+            col = col.cast(pa.timestamp("ns"))
+        table = table.set_column(idx, pa.field(colname, col.type), col)
+        pq.write_table(table, dst)
+
+
+@pytest.fixture(scope="module", params=DATE_ENCODINGS)
+def date_sf_dir(request, tmp_path_factory) -> str:
+    dst = str(tmp_path_factory.mktemp(f"sf_dates_{request.param}"))
+    _rewrite_dates(TESTDATA_SF, dst, request.param)
+    return dst
+
+
+@pytest.mark.parametrize("qname", DATE_QUERIES)
+def test_date_query_analyzes_under_encoding(spark, date_sf_dir, qname):
+    fn, _ = ALL_QUERIES[qname]
+    assert len(fn(spark, date_sf_dir).schema.fields) > 0
+
+
+@pytest.mark.parametrize("qname", ["q1_pricing_summary", "q12_late_shipments", "date_funcs"])
+def test_date_query_matches_oracle_under_each_encoding(
+    spark, tmp_path_factory, qname
+):
+    """Execution-level: the literal-comparison (q1), datediff (q12), and
+    date-battery (date_funcs) queries must hash-match the oracle under
+    every value-preserving date encoding."""
+    from tests.test_oracle_parity import _canon
+
+    fn, sql = ALL_QUERIES[qname]
+    for enc in DATE_ENCODINGS:
+        dst = str(tmp_path_factory.mktemp(f"dval_{enc}"))
+        _rewrite_dates(TESTDATA_SF, dst, enc)
+        got = _canon(fn(spark, dst).toPandas())
+        assert got == _oracle_canon(dst, sql), f"{qname} under {enc}"
+
+
 # --- embeddings: list<float> vs list<double> drift ---------------------------
 # The ANN family runs Arrow-batched pandas stages over the embedding column;
 # a producer switching float32 -> float64 must not break analysis OR
