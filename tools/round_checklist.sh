@@ -1,24 +1,31 @@
 #!/usr/bin/env bash
 # Round-end checklist (committed so every round runs the same gate):
-#   1. full pytest — INCLUDING the sf0.1 parity job (default since r6;
-#      it is the only local check at the driver's bench scale factor)
-#   2. bench.py at the driver SF — per-query error isolation means a
-#      single broken query yields 34 timings + an err field, not rc:1
+#   1. full pytest — INCLUDING the sf0.1 parity job (default since r6)
+#   2. oracle parity at sf0.01 — the external gate's exact scale factor
+#   3. write_shards contract at bench scale (cap + row conservation)
+#   4. bench.py at the bench SF — per-query error isolation means a
+#      single broken query yields N-1 timings + an err field, not rc:1
 #      with zero evidence (the round-5 failure mode)
-# Exit nonzero if either gate fails.
+# Exit nonzero if any gate fails.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== gate 1/3: pytest (incl. sf01 parity) =="
+echo "== gate 1/4: pytest (incl. sf0.1 parity) =="
 python -m pytest tests/ -q || exit 1
 
-echo "== gate 2/3: write_shards at bench scale =="
+echo "== gate 2/4: oracle parity at the driver's gate SF (sf0.01) =="
+# The external correctness gate runs at sf0.01; the default suite covers
+# sf0.001 + sf0.1.  This closes the gap at the exact driver scale.
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
+  python -m pytest tests/test_oracle_parity.py -q || exit 1
+
+echo "== gate 3/4: write_shards at bench scale =="
 # Shard sf0.1 lineitem (~600k rows) and assert the cap held on every
 # shard and that rows were conserved — the sink's contract, demonstrated
 # beyond the unit fixture.
 python tools/check_shards.py || exit 1
 
-echo "== gate 3/3: bench at ${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} =="
+echo "== gate 4/4: bench at ${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} =="
 # BENCH_OUT: bench.py writes the JSON payload to the file itself, so a
 # stray Spark/py4j warning on stdout can't corrupt the captured copy.
 BENCH_OUT=/tmp/bench_local.json python bench.py || exit 1
