@@ -76,6 +76,36 @@ def mix_sources(
     )
 
 
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment: every doc
+    gets ``shuffle_rank`` = 60-bit md5 hash of (id, salt) and ``shard_id``
+    = rank % ``n_shards`` — the standard reproducible "global shuffle"
+    before training export (hash order is a uniform pseudorandom
+    permutation, bit-identical on every run and engine; change ``salt``
+    to draw a fresh permutation).
+
+    Composes with the rest of the export pipeline: ``mix_sources`` →
+    ``pack_sequences`` → ``shuffle_shards`` → ``write_shards(...,
+    order_cols=["shuffle_rank"])``.
+
+    Scale: the assignment itself is a narrow projection — NO shuffle; the
+    one corpus shuffle happens only when a writer partitions by
+    ``shard_id``, which is exactly the shuffle a sharded export needs
+    anyway.  The hex15 hash is portable (Spark ``conv(_,16,10)`` ≡ DuckDB
+    ``CAST('0x'||_ AS BIGINT)``), so the op is ANSI-oracle-checkable.
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(salt))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return docs.withColumn("shuffle_rank", h).withColumn(
+        "shard_id", (F.col("shuffle_rank") % F.lit(n_shards)).cast("int")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget_tokens: int,

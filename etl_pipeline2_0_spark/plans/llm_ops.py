@@ -1005,6 +1005,24 @@ GROUP BY source, pack_id
 """
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic global corpus shuffle: md5-hash rank + rank%16 shard
+    # assignment — a narrow projection, no Spark shuffle at all (the one
+    # real shuffle happens at write time, partitioned by shard_id).
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mixing.shuffle_shards(docs, n_shards=16)
+
+
+SQL_SHUFFLE_SHARDS = """
+SELECT doc_id, h AS shuffle_rank, CAST(h % 16 AS INT) AS shard_id
+FROM (SELECT doc_id,
+             CAST('0x' || substr(md5(doc_id || ':'), 1, 15) AS BIGINT) AS h
+      FROM documents)
+"""
+
+
 def q_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pipeline observability: per-source breakdown of WHY documents fail
     # the corpus_filter quality gates (non-English / low quality / too

@@ -640,6 +640,25 @@ def test_mix_sources_downsamples_toward_weights(spark):
     assert 60 <= n_en <= 140  # Bernoulli around 100
 
 
+def test_shuffle_shards_deterministic_and_complete(spark):
+    from etl_pipeline2_0_spark.functions import mixing
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = mixing.shuffle_shards(df, n_shards=16).collect()
+    # conservation + bounds
+    assert len(out) == 500
+    assert all(0 <= r["shard_id"] < 16 for r in out)
+    assert all(r["shard_id"] == r["shuffle_rank"] % 16 for r in out)
+    # every shard populated at 500 docs / 16 shards (uniform hash)
+    assert len({r["shard_id"] for r in out}) == 16
+    # bit-identical re-run; a different salt draws a different permutation
+    again = mixing.shuffle_shards(df, n_shards=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    salted = mixing.shuffle_shards(df, n_shards=16, salt="v2").collect()
+    ranks = {r["doc_id"]: r["shuffle_rank"] for r in out}
+    assert any(ranks[r["doc_id"]] != r["shuffle_rank"] for r in salted)
+
+
 def test_pack_sequences_budget_boundaries(spark):
     from etl_pipeline2_0_spark.functions import mixing
 
