@@ -282,6 +282,15 @@ def test_mix_sources_broadcasts_counts_no_corpus_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_shuffle_shards_is_a_narrow_projection(spark, sf_dir):
+    # Shard assignment must not shuffle anything: scan -> project only.
+    # (The one real corpus shuffle belongs to the sharded WRITE, not here.)
+    df = L.q_shuffle_shards(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+
+
 def test_pack_sequences_two_level_prefix_sum(spark, sf_dir):
     # The doc-row prefix-sum window must be keyed by (source, _bucket) —
     # never by source alone, which would serialize a whole source into
