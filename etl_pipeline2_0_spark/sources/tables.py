@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,13 +25,16 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _nanos_columns(path: str) -> list[str]:
+@_functools.lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
     """Names of TIMESTAMP(NANOS) columns in a parquet file/dir's footer.
 
     Spark's reader rejects nanos timestamps outright (or, under the
     ``nanosAsLong`` legacy conf, surfaces them as raw LongType — unusable
     by every consumer), so the loader must know which columns need the
     ns→µs normalization.  One driver-side footer read; no data pages.
+    Cached per path (table files are immutable within a session; repeated
+    ``load_table`` calls must not re-read footers).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -38,17 +42,17 @@ def _nanos_columns(path: str) -> list[str]:
     if os.path.isdir(path):
         parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
         if not parts:
-            return []
+            return ()
         path = os.path.join(path, parts[0])
     try:
         schema = pq.read_schema(path)
     except Exception:
-        return []
-    return [
+        return ()
+    return tuple(
         f.name
         for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
