@@ -62,6 +62,7 @@ HEADLINE = [
     "lang_id_counts",
     "mix_sources",
     "pack_sequences",
+    "shuffle_shards",
     "text_features",
     "bpe_token_estimate",
     "extract_doc_stats",
