@@ -219,6 +219,80 @@ def test_date_query_matches_oracle_under_each_encoding(
         assert got == _oracle_canon(dst, sql), f"{qname} under {enc}"
 
 
+# --- money columns: double vs decimal(15,2) drift ------------------------------
+# The TPC-H-canonical producer encoding for the money columns is
+# DECIMAL(15,2); today's testdata writes double.  The _dec() convention
+# (explicit DECIMAL(18,2) casts before exact arithmetic) is what makes a
+# query robust to this switch — queries following it produce the same
+# output dtype AND values under either input.
+
+_MONEY_COLS = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "part": ["p_retailprice"],
+    "supplier": ["s_acctbal"],
+    "customer": ["c_acctbal"],
+    "orders": ["o_totalprice"],
+}
+
+MONEY_QUERIES = [
+    "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
+    "q6_revenue_forecast", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_customers", "q11_important_stock",
+    "q14_promo_share", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_volume_customers", "q19_disjunctive_revenue", "q22_global_sales_opportunity",
+    "q2_min_acctbal_supplier", "brand_pricing", "rollup_sales", "cube_sales",
+    "percentiles", "running_total", "grouping_sets", "argmax_aggs",
+    "conditional_aggs", "frame_specs", "analytic_funcs",
+]
+
+
+def _rewrite_decimal(src_dir: str, dst_dir: str) -> None:
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLES:
+        src = os.path.join(src_dir, f"{name}.parquet")
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        if name not in _MONEY_COLS:
+            if not os.path.exists(dst):
+                os.symlink(src, dst)
+            continue
+        table = pq.read_table(src)
+        for colname in _MONEY_COLS[name]:
+            idx = table.schema.get_field_index(colname)
+            col = table.column(idx).cast(pa.decimal128(15, 2))
+            table = table.set_column(idx, pa.field(colname, col.type), col)
+        pq.write_table(table, dst)
+
+
+@pytest.fixture(scope="module")
+def decimal_sf_dir(tmp_path_factory) -> str:
+    dst = str(tmp_path_factory.mktemp("sf_decimal"))
+    _rewrite_decimal(TESTDATA_SF, dst)
+    return dst
+
+
+@pytest.mark.parametrize("qname", MONEY_QUERIES)
+def test_money_query_analyzes_under_decimal(spark, decimal_sf_dir, qname):
+    fn, _ = ALL_QUERIES[qname]
+    assert len(fn(spark, decimal_sf_dir).schema.fields) > 0
+
+
+@pytest.mark.parametrize(
+    "qname", ["q1_pricing_summary", "q6_revenue_forecast", "brand_pricing"]
+)
+def test_dec_convention_query_matches_oracle_under_decimal(
+    spark, decimal_sf_dir, qname
+):
+    """The _dec()-convention flagships must value-match the oracle under a
+    DECIMAL(15,2) producer: decimal(15,2) -> DECIMAL(18,2) casts are exact
+    on both engines, so following the convention means surviving the
+    switch bit-for-bit."""
+    from tests.test_oracle_parity import _canon
+
+    fn, sql = ALL_QUERIES[qname]
+    got = _canon(fn(spark, decimal_sf_dir).toPandas())
+    assert got == _oracle_canon(decimal_sf_dir, sql), f"{qname} under decimal"
+
+
 # --- embeddings: list<float> vs list<double> drift ---------------------------
 # The ANN family runs Arrow-batched pandas stages over the embedding column;
 # a producer switching float32 -> float64 must not break analysis OR
