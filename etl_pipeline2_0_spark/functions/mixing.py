@@ -158,10 +158,12 @@ def pack_sequences(
         from pyspark.sql.types import NumericType
 
         if isinstance(docs.schema[id_col].dataType, NumericType):
-            # NULL ids sort first under orderBy; bucket -1 keeps them first.
+            # NULL ids sort first under orderBy; the sentinel bucket must
+            # sort before every real bucket, including ones from negative
+            # ids (floor of a negative id / width is negative too).
             bucket = F.coalesce(
                 F.floor(F.col(id_col) / F.lit(bucket_width)).cast("bigint"),
-                F.lit(-1),
+                F.lit(-(1 << 62)),
             )
         else:
             # A fixed-length character prefix is monotone under

@@ -809,7 +809,11 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    # NULLS LAST explicitly: Spark defaults nulls-first on ASC, DuckDB
+    # nulls-last — pin both engines to the same tiebreak order.
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").asc_nulls_last(), "s_suppkey"
+    )
     return (
         cat.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -831,7 +835,8 @@ WITH ps AS (
 )
 SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
 FROM (SELECT cat.*, ROW_NUMBER() OVER (
-        PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey) AS rn
+        PARTITION BY p_partkey
+        ORDER BY s_acctbal NULLS LAST, s_suppkey) AS rn
       FROM cat)
 WHERE rn = 1
 """
