@@ -83,6 +83,51 @@ def cosine_topk(
     )
 
 
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label vote: each query's label is the majority label of its
+    ``k`` exact cosine neighbors (ties → most votes, then smallest label)
+    — the standard nearest-neighbor weak-supervision / label-propagation
+    primitive for probing training-data label quality.
+
+    Output: (query_id, pred_label, votes).
+
+    Scale: ``cosine_topk`` is the existing guarded broadcast-scored shape;
+    the label attach joins the tiny (#queries × k) top-k frame against the
+    corpus's (id, label) projection — AQE broadcasts the top-k side — and
+    the vote is a (#queries × ≤k)-row aggregate + per-query top-1 window.
+    Swap ``cosine_topk`` for ``ivf_topk``/``rp_lsh_topk`` at corpus scale;
+    the voting stages are unchanged.
+    """
+    topk = cosine_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("nbr_label").cast("bigint").alias("pred_label"),
+            "votes",
+        )
+    )
+
+
 # ------------------------------------------------ random-projection LSH ----
 
 

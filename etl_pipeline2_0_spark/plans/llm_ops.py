@@ -131,6 +131,40 @@ FROM scored QUALIFY rnk <= 5
 """
 
 
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-NN weak supervision over the embeddings table's label column:
+    # majority label of each query's 5 exact cosine neighbors.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+SQL_KNN_LABEL_VOTE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id, a.label AS nbr_label,
+    ROUND(list_inner_product(qv, a.v) /
+      (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(a.v, a.v))), 6)
+      AS cosine_sim
+  FROM e a CROSS JOIN q WHERE a.vec_id <> query_id
+), topk AS (
+  SELECT query_id, nbr_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM scored)
+  WHERE rnk <= 5
+), votes AS (
+  SELECT query_id, nbr_label, COUNT(*) AS votes
+  FROM topk GROUP BY query_id, nbr_label
+)
+SELECT query_id, CAST(nbr_label AS BIGINT) AS pred_label, votes
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY votes DESC, nbr_label ASC) AS r
+      FROM votes)
+WHERE r = 1
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic RP-LSH, but xxhash64-derived planes → no DuckDB twin.
     emb = load_table(spark, sf_dir, "embeddings")

@@ -169,8 +169,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "collect_values": (X.q_collect_values, X.SQL_COLLECT_VALUES),
     # --- added r7 (deterministic md5-rank global shuffle + shard
     #     assignment, the export-pipeline step between pack_sequences and
-    #     write_shards); oracled + parity-tested, next in line ---
+    #     write_shards; and k-NN label vote over embeddings.label, the
+    #     nearest-neighbor weak-supervision primitive); oracled +
+    #     parity-tested, next in line for window promotion ---
     "shuffle_shards": (L.q_shuffle_shards, L.SQL_SHUFFLE_SHARDS),
+    "knn_label_vote": (L.q_knn_label_vote, L.SQL_KNN_LABEL_VOTE),
     # (the 14 r6-added queries — dedup_spans_intra, mix_sources,
     #  pack_sequences, filter_audit, and the ten TPC-H shapes q7/q8/q9/
     #  q12/q19/q21 plus the partsupp-dependent q2/q11/q16/q20, covered via

@@ -104,6 +104,37 @@ def test_cosine_topk(vectors):
     assert out[0]["cosine_sim"] <= 1.0
 
 
+def test_knn_label_vote_majority_and_tiebreak(spark):
+    # Query 0 sits nearest to three label-7 vectors and two label-9 ones
+    # -> majority 7.  Query 10's k=2 neighbors split 1-1 -> tie broken by
+    # smallest label.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.01], 7),
+        (2, [0.98, 0.02], 7),
+        (3, [0.97, 0.03], 7),
+        (4, [0.9, 0.1], 9),
+        (5, [0.89, 0.11], 9),
+        (10, [0.0, 1.0], 0),
+        (11, [0.01, 1.0], 5),
+        (12, [0.02, 1.0], 3),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {
+        r["query_id"]: r
+        for r in similarity.knn_label_vote(
+            emb, emb.where(F.col("vec_id").isin(0, 10)), k=5
+        ).collect()
+    }
+    assert out[0]["pred_label"] == 7 and out[0]["votes"] == 3
+    two = similarity.knn_label_vote(
+        emb, emb.where(F.col("vec_id") == 10), k=2
+    ).collect()[0]
+    assert two["pred_label"] == 3 and two["votes"] == 1  # 1-1 tie -> min label
+
+
 def test_rp_lsh_topk_finds_nearest(vectors):
     out = similarity.rp_lsh_topk(
         vectors, vectors.where(F.col("vec_id") == 1), k=2,
