@@ -38,6 +38,16 @@ HEAVY = [
     "cohort_retention",
     "q3_top_revenue",
     "q22_global_sales_opportunity",
+    # r6/r7 additions whose plans are the most replan-sensitive at scale:
+    # the two-level prefix sum (bucket carry), the intra-doc span trim,
+    # and the composition/export ops.
+    "dedup_spans_intra",
+    "pack_sequences",
+    "mix_sources",
+    "filter_audit",
+    "shuffle_shards",
+    "knn_label_vote",
+    "q2_min_acctbal_supplier",
 ]
 
 
