@@ -59,6 +59,7 @@ HEADLINE = [
     "embed_neardup",
     "ann_topk",
     "ann_ivf_topk",
+    "knn_label_vote",
     "lang_id_counts",
     "mix_sources",
     "pack_sequences",
