@@ -203,9 +203,23 @@ def pack_sequences(
         F.coalesce(F.sum("_b_tokens").over(wo), F.lit(0)).alias("_b_off"),
     )
 
+    # NULL-safe equi-join: a plain name-list join drops NULL-keyed groups
+    # (e.g. docs with a NULL source), diverging from the window form and
+    # the oracle's PARTITION BY, which both keep NULL partitions.  <=> is
+    # still a hash-joinable equi-key, so the broadcast plan is unchanged.
+    offs_r = offs.select(
+        *[F.col(k).alias(f"_r_{k}") for k in keys],
+        F.col("_bucket").alias("_r_bucket"),
+        "_b_off",
+    )
+    cond = F.col("_bucket").eqNullSafe(F.col("_r_bucket"))
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_r_{k}"))
     prev = F.col("_b_off") + F.col("_local_prev")
-    packed = local.join(F.broadcast(offs), [*keys, "_bucket"]).withColumn(
-        "pack_id", F.floor(prev / F.lit(budget_tokens)).cast("bigint")
+    packed = (
+        local.join(F.broadcast(offs_r), cond)
+        .drop("_r_bucket", *[f"_r_{k}" for k in keys])
+        .withColumn("pack_id", F.floor(prev / F.lit(budget_tokens)).cast("bigint"))
     )
     return packed.groupBy(*keys, "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -719,3 +719,28 @@ def test_pack_sequences_overflow_by_one_doc(spark):
     }
     assert out[0]["n_docs"] == 2 and out[0]["pack_tokens"] == 7
     assert out[1]["n_docs"] == 1 and out[1]["pack_tokens"] == 2
+
+
+def test_pack_sequences_keeps_null_key_group(spark):
+    # Docs with a NULL pack key form their own partition (SQL PARTITION BY
+    # keeps NULL groups); the bucket-offset join must be null-safe or these
+    # rows vanish.  Also exercises the multi-bucket carry for the NULL
+    # group (bucket_width=2 splits its 4 docs across 2 buckets).
+    from etl_pipeline2_0_spark.functions import mixing
+
+    rows = [(i, "a b c", "s") for i in range(3)] + [
+        (10 + i, "a b", None) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = mixing.pack_sequences(df, budget_tokens=6, bucket_width=2).collect()
+
+    null_packs = {r["pack_id"]: r for r in out if r["source"] is None}
+    s_packs = {r["pack_id"]: r for r in out if r["source"] == "s"}
+    # NULL group: 4 docs × 2 tokens, budget 6 -> packs of prefix sums
+    # 0,2,4 (pack 0) and 6 (pack 1).
+    assert null_packs[0]["n_docs"] == 3 and null_packs[0]["pack_tokens"] == 6
+    assert null_packs[1]["n_docs"] == 1 and null_packs[1]["pack_tokens"] == 2
+    # 's' group unchanged: 3 docs × 3 tokens -> packs [d0,d1], [d2].
+    assert s_packs[0]["n_docs"] == 2 and s_packs[1]["n_docs"] == 1
+    # Row conservation across all groups.
+    assert sum(r["n_docs"] for r in out) == len(rows)
