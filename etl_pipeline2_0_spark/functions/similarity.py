@@ -90,11 +90,20 @@ def knn_label_vote(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    topk=None,
 ) -> DataFrame:
     """k-NN label vote: each query's label is the majority label of its
-    ``k`` exact cosine neighbors (ties → most votes, then smallest label)
+    ``k`` exact cosine neighbors (ties → most votes, then smallest non-NULL
+    label; NULL labels lose ties on every engine — Spark's default
+    nulls-first asc would diverge from an ANSI ``ORDER BY ... ASC`` twin)
     — the standard nearest-neighbor weak-supervision / label-propagation
     primitive for probing training-data label quality.
+
+    ``topk`` swaps the neighbor source without forking the vote: pass a
+    prebuilt (query_id, neighbor_id, ...) DataFrame, or a callable with
+    the ``cosine_topk`` signature (e.g. ``ivf_topk`` / ``rp_lsh_topk`` —
+    possibly ``functools.partial``-bound for their extra knobs); ``None``
+    uses exact ``cosine_topk``.
 
     Output: (query_id, pred_label, votes).
 
@@ -102,20 +111,26 @@ def knn_label_vote(
     the label attach joins the tiny (#queries × k) top-k frame against the
     corpus's (id, label) projection — AQE broadcasts the top-k side — and
     the vote is a (#queries × ≤k)-row aggregate + per-query top-1 window.
-    Swap ``cosine_topk`` for ``ivf_topk``/``rp_lsh_topk`` at corpus scale;
-    the voting stages are unchanged.
+    At corpus scale pass ``topk=ivf_topk`` (partition-pruned probe) or
+    ``topk=rp_lsh_topk`` (bucket probe); the voting stages are unchanged.
     """
-    topk = cosine_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+    if topk is None:
+        topk_df = cosine_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+    elif callable(topk):
+        topk_df = topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+    else:
+        topk_df = topk
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
     )
     votes = (
-        topk.join(labels, "neighbor_id")
+        topk_df.select("query_id", "neighbor_id")
+        .join(labels, "neighbor_id")
         .groupBy("query_id", "nbr_label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("votes").desc(), F.col("nbr_label").asc()
+        F.col("votes").desc(), F.col("nbr_label").asc_nulls_last()
     )
     return (
         votes.withColumn("r", F.row_number().over(w))

@@ -159,7 +159,7 @@ scored AS (
 )
 SELECT query_id, CAST(nbr_label AS BIGINT) AS pred_label, votes
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        ORDER BY votes DESC, nbr_label ASC) AS r
+        ORDER BY votes DESC, nbr_label ASC NULLS LAST) AS r
       FROM votes)
 WHERE r = 1
 """

@@ -135,6 +135,65 @@ def test_knn_label_vote_majority_and_tiebreak(spark):
     assert two["pred_label"] == 3 and two["votes"] == 1  # 1-1 tie -> min label
 
 
+def test_knn_label_vote_null_label_loses_tie(spark):
+    # A NULL neighbor label tying a non-NULL one must lose on BOTH engines:
+    # Spark's default asc is nulls-FIRST while ANSI ORDER BY ASC is
+    # nulls-LAST — the vote window pins NULLS LAST explicitly.
+    rows = [
+        (10, [0.0, 1.0], 0),
+        (11, [0.01, 1.0], None),
+        (12, [0.02, 1.0], 3),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = similarity.knn_label_vote(
+        emb, emb.where(F.col("vec_id") == 10), k=2
+    ).collect()[0]
+    assert out["pred_label"] == 3 and out["votes"] == 1
+
+
+def test_knn_label_vote_pluggable_topk(spark):
+    # The ANN hook: voting over ivf_topk candidates (or any prebuilt top-k
+    # frame) must agree with the exact variant on a fixture where the
+    # probe covers the true neighbors.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.01], 7),
+        (2, [0.98, 0.02], 7),
+        (3, [0.97, 0.03], 7),
+        (4, [0.9, 0.1], 9),
+        (5, [0.89, 0.11], 9),
+        (10, [0.0, 1.0], 0),
+        (11, [0.01, 1.0], 5),
+        (12, [0.02, 1.0], 3),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    q = emb.where(F.col("vec_id").isin(0, 10))
+    exact = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_label_vote(emb, q, k=5).collect()
+    }
+
+    import functools
+
+    ivf = functools.partial(similarity.ivf_topk, n_centroids=2, n_probe=2)
+    via_callable = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_label_vote(emb, q, k=5, topk=ivf).collect()
+    }
+    assert via_callable == exact
+
+    prebuilt = similarity.cosine_topk(emb, q, k=5)
+    via_frame = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_label_vote(emb, q, k=5, topk=prebuilt).collect()
+    }
+    assert via_frame == exact
+
+
 def test_rp_lsh_topk_finds_nearest(vectors):
     out = similarity.rp_lsh_topk(
         vectors, vectors.where(F.col("vec_id") == 1), k=2,
