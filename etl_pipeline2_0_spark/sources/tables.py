@@ -25,34 +25,53 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-@_functools.lru_cache(maxsize=256)
 def _nanos_columns(path: str) -> tuple[str, ...]:
-    """Names of TIMESTAMP(NANOS) columns in a parquet file/dir's footer.
+    """Names of TIMESTAMP(NANOS) columns across a parquet file/dir's footers.
 
     Spark's reader rejects nanos timestamps outright (or, under the
     ``nanosAsLong`` legacy conf, surfaces them as raw LongType — unusable
     by every consumer), so the loader must know which columns need the
-    ns→µs normalization.  One driver-side footer read; no data pages.
-    Cached per path (table files are immutable within a session; repeated
-    ``load_table`` calls must not re-read footers).
+    ns→µs normalization.  The scan UNIONS every part file's footer — a
+    multi-part dataset may carry a nanos column only in later parts
+    (schema evolution), and inspecting just the first footer would leave
+    it un-normalized.  Driver-side footer reads only, no data pages —
+    O(#parts) metadata fetches, the same cost class as the file listing
+    the read itself performs.  Cached on the (file, mtime) fingerprint so
+    immutable tables never re-read footers while an in-process rewrite
+    invalidates naturally.
     """
+    if os.path.isdir(path):
+        parts = tuple(
+            os.path.join(path, p)
+            for p in sorted(os.listdir(path))
+            if p.endswith(".parquet")
+        )
+    else:
+        parts = (path,)
+    fp = []
+    for p in parts:
+        try:
+            fp.append((p, os.stat(p).st_mtime_ns))
+        except OSError:
+            fp.append((p, -1))
+    return _nanos_columns_fingerprinted(tuple(fp))
+
+
+@_functools.lru_cache(maxsize=256)
+def _nanos_columns_fingerprinted(fingerprint: tuple) -> tuple[str, ...]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
-        if not parts:
-            return ()
-        path = os.path.join(path, parts[0])
-    try:
-        schema = pq.read_schema(path)
-    except Exception:
-        return ()
-    return tuple(
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    )
+    cols: dict[str, None] = {}  # insertion-ordered de-dup across parts
+    for p, _mtime in fingerprint:
+        try:
+            schema = pq.read_schema(p)
+        except Exception:
+            continue
+        for f in schema:
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                cols.setdefault(f.name)
+    return tuple(cols)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

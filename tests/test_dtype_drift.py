@@ -355,3 +355,33 @@ def test_documents_large_string_analyzes(spark, tmp_path_factory):
     for qname in ["lang_id_counts", "dedup_spans", "fingerprint", "corpus_filter"]:
         fn, _ = ALL_QUERIES[qname]
         assert len(fn(spark, dst).schema.fields) > 0
+
+
+# --- loader footer scan: multi-part union + cache invalidation ----------------
+# _nanos_columns must union footers across ALL parts of a directory dataset
+# (schema evolution can introduce a nanos column in later parts only) and
+# must not serve a stale cached answer after an in-process rewrite.
+
+
+def test_nanos_columns_unions_all_part_footers(tmp_path):
+    from etl_pipeline2_0_spark.sources.tables import _nanos_columns
+
+    d = tmp_path / "evolved.parquet"
+    d.mkdir()
+    t_us = pa.table({"id": [1], "ts": pa.array([1], pa.timestamp("us"))})
+    t_ns = pa.table({"id": [2], "ts": pa.array([2], pa.timestamp("ns"))})
+    pq.write_table(t_us, d / "part-0.parquet")
+    pq.write_table(t_ns, d / "part-1.parquet")
+    # First footer says µs; only the union over parts sees the nanos column.
+    assert _nanos_columns(str(d)) == ("ts",)
+
+
+def test_nanos_columns_cache_invalidates_on_rewrite(tmp_path):
+    from etl_pipeline2_0_spark.sources.tables import _nanos_columns
+
+    f = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"ts": pa.array([1], pa.timestamp("us"))}), f)
+    assert _nanos_columns(str(f)) == ()
+    pq.write_table(pa.table({"ts": pa.array([1], pa.timestamp("ns"))}), f)
+    os.utime(f, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    assert _nanos_columns(str(f)) == ("ts",)
