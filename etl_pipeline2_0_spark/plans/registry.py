@@ -36,12 +36,16 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # the 11 scalar batteries (green r02 AND r06) and q4/q13/q22 (green
     # r03 AND r06) are demoted with two green rows each, the latest under
     # the current data regime.
+    # Round-8 rotation (per the r7 verdict): the two r7-added queries
+    # (shuffle_shards, knn_label_vote) are promoted for their first driver
+    # rows; sessionize/scd2_intervals are demoted with two green rows each
+    # under the NTZ fix (r6 AND r7).
     #
-    # --- the two queries broken by the r5 NTZ switch (fixed r6 with
-    #     expression-level casts; r6 green); kept for a second green row
-    #     under the fix ---
-    "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
-    "scd2_intervals": (X.q_scd2_intervals, X.SQL_SCD2_INTERVALS),
+    # --- first driver rows: added r7 (deterministic md5-rank global
+    #     shuffle + shard assignment; k-NN label-vote weak supervision),
+    #     locally oracled + parity-tested at three SFs, promoted r8 ---
+    "shuffle_shards": (L.q_shuffle_shards, L.SQL_SHUFFLE_SHARDS),
+    "knn_label_vote": (L.q_knn_label_vote, L.SQL_KNN_LABEL_VOTE),
     # --- rows-only (no ANSI-SQL twin; value-pinned by sf0.001+sf0.01
     #     goldens); kept in-window per the r5 verdict ---
     "minhash_pairs": (L.q_minhash_pairs, None),
@@ -167,13 +171,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "rollup_time": (X.q_rollup_time, X.SQL_ROLLUP_TIME),
     # --- demoted in the dedup_spans swap (see window comment above) ---
     "collect_values": (X.q_collect_values, X.SQL_COLLECT_VALUES),
-    # --- added r7 (deterministic md5-rank global shuffle + shard
-    #     assignment, the export-pipeline step between pack_sequences and
-    #     write_shards; and k-NN label vote over embeddings.label, the
-    #     nearest-neighbor weak-supervision primitive); oracled +
-    #     parity-tested, next in line for window promotion ---
-    "shuffle_shards": (L.q_shuffle_shards, L.SQL_SHUFFLE_SHARDS),
-    "knn_label_vote": (L.q_knn_label_vote, L.SQL_KNN_LABEL_VOTE),
+    # --- demoted r8 with two green rows each under the NTZ fix (r6+r7);
+    #     re-proven every run by the default sf0.001+sf0.1 parity suites ---
+    "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
+    "scd2_intervals": (X.q_scd2_intervals, X.SQL_SCD2_INTERVALS),
     # (the 14 r6-added queries — dedup_spans_intra, mix_sources,
     #  pack_sequences, filter_audit, and the ten TPC-H shapes q7/q8/q9/
     #  q12/q19/q21 plus the partsupp-dependent q2/q11/q16/q20, covered via
