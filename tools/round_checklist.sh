@@ -10,28 +10,34 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== gate 1/5: pytest (incl. sf0.1 parity) =="
+echo "== gate 1/6: pytest (incl. sf0.1 parity) =="
 python -m pytest tests/ -q || exit 1
 
-echo "== gate 2/5: oracle parity at the driver's gate SF (sf0.01) =="
+echo "== gate 2/6: oracle parity at the driver's gate SF (sf0.01) =="
 # The external correctness gate runs at sf0.01; the default suite covers
 # sf0.001 + sf0.1.  This closes the gap at the exact driver scale.
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
   python -m pytest tests/test_oracle_parity.py -q || exit 1
 
-echo "== gate 3/5: write_shards at bench scale =="
+echo "== gate 3/6: write_shards at bench scale =="
 # Shard sf0.1 lineitem (~600k rows) and assert the cap held on every
 # shard and that rows were conserved — the sink's contract, demonstrated
 # beyond the unit fixture.
 python tools/check_shards.py || exit 1
 
-echo "== gate 4/5: bench at ${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} =="
+echo "== gate 4/6: composed export pipeline at bench scale =="
+# mix_sources -> pack_sequences -> shuffle_shards -> write_shards as ONE
+# job on sf0.1 documents: conservation through every stage, shard cap,
+# intra-shard shuffle_rank order (the r7 verdict's composition gap).
+python tools/check_export_pipeline.py || exit 1
+
+echo "== gate 5/6: bench at ${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} =="
 # BENCH_OUT: bench.py writes the JSON payload to the file itself, so a
 # stray Spark/py4j warning on stdout can't corrupt the captured copy.
 BENCH_OUT=/tmp/bench_local.json python bench.py || exit 1
 python -c "import json; json.load(open('/tmp/bench_local.json'))" || exit 1
 
-echo "== gate 5/5: driver artifacts tracked =="
+echo "== gate 6/6: driver artifacts tracked =="
 # The per-round CORRECTNESS_r*.json / BENCH_r*.json the driver writes kept
 # landing untracked (r6 verdict, r7 verdict missing #2).  Stage + commit any
 # that aren't in history yet so each round's evidence is in the tree before
