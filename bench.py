@@ -58,7 +58,9 @@ HEADLINE = [
     "contamination_check",
     "embed_neardup",
     "ann_topk",
+    "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_recall",
     "knn_label_vote",
     "lang_id_counts",
     "mix_sources",

@@ -145,36 +145,51 @@ def knn_label_vote(
 
 # ------------------------------------------------ random-projection LSH ----
 
+# Hyperplane coefficients are md5-derived so they're reproducible on ANY
+# engine with md5 (this is what makes rp_lsh_topk DuckDB-oracle-able):
+#   coeff(p, i) = (int(md5(f"{p}:{i}")[:15 hex], 16) % 2000003) / 1000001.5 - 1
+# precomputed driver-side with hashlib (bit-identical to SQL md5 — same
+# digest, same 60-bit prefix, same IEEE double ops) and embedded as LITERAL
+# arrays, so the per-row work is `planes` codegen'd multiply-add folds with
+# NO per-row hashing.  The ANSI twin recomputes coeff(p, i) inline.
+_RP_MAX_DIM = 256
 
-def _plane_coeff(plane: int, dim: Column) -> Column:
-    """Deterministic pseudo-random hyperplane coefficient in [-1, 1),
-    derived from (plane, dimension) via xxhash64 — reproducible everywhere."""
-    h = F.xxhash64(F.lit(plane), dim)
-    return (F.pmod(h, F.lit(2000003)) / F.lit(1000001.5)) - F.lit(1.0)
+
+def _rp_plane_coeffs(planes: int, max_dim: int = _RP_MAX_DIM):
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for i in range(max_dim):
+            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2000003) / 1000001.5 - 1.0)
+        out.append(row)
+    return out
 
 
-def rp_signature(vec: Column, planes: int = 16) -> Column:
-    """Sign-bit array of projections onto ``planes`` deterministic planes."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(planes - 1)),
-        lambda p: (
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda x, i: x.cast("double") * _plane_coeff_col(p, i),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0
-        ).cast("int"),
+def rp_signature(vec: Column, planes: int = 16, max_dim: int = _RP_MAX_DIM) -> Column:
+    """Sign-bit array of projections onto ``planes`` deterministic
+    hyperplanes (md5-derived literal coefficients — see above; vectors up
+    to ``max_dim`` dims, the literal rows are sliced to the vector length)."""
+    coeffs = _rp_plane_coeffs(planes, max_dim)
+    return F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.slice(F.lit(coeffs[p]), F.lit(1), F.size(vec)),
+                        lambda x, c: x.cast("double") * c,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0
+            ).cast("int")
+            for p in range(planes)
+        ]
     )
-
-
-def _plane_coeff_col(plane: Column, dim: Column) -> Column:
-    h = F.xxhash64(plane, dim)
-    return (F.pmod(h, F.lit(2000003)) / F.lit(1000001.5)) - F.lit(1.0)
 
 
 def _band_bounds(planes: int, num_bands: int) -> list[tuple[int, int]]:

@@ -166,11 +166,111 @@ WHERE r = 1
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Deterministic RP-LSH, but xxhash64-derived planes → no DuckDB twin.
+    # Deterministic RP-LSH.  The md5-derived plane coefficients (r8) are
+    # reproducible in ANSI SQL, so this has a full DuckDB twin: the oracle
+    # recomputes the signatures via the same md5 formula and applies the
+    # bit-match filter directly (banding is pigeonhole-lossless w.r.t.
+    # that filter, so the naive form is the same result set).
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.rp_lsh_topk(
         emb, emb.where(F.col("vec_id") < 8), k=5, min_bit_matches=10
     )
+
+
+# Signature CTE shared by the LSH twins: sig[p] = sign bit of the dot
+# product against plane p, coeff(p, i) exactly as similarity._rp_plane_coeffs
+# computes it driver-side (same md5, same 60-bit hex prefix, same IEEE
+# double ops; list_reduce is the same left fold as Spark's F.aggregate).
+_SQL_SIG_CTE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+    list_transform(range(16), p ->
+      CASE WHEN list_reduce(
+        list_transform(v, (x, i) ->
+          x * ((CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+                 CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 2000003)
+               / 1000001.5 - 1)),
+        (a, b) -> a + b) >= 0
+      THEN 1 ELSE 0 END) AS sig
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv, sig AS qsig FROM sig WHERE vec_id < 8),
+lsh_scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+    ROUND(list_inner_product(qv, c.v) /
+      (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(c.v, c.v))), 6)
+      AS cosine_sim
+  FROM sig c CROSS JOIN q
+  WHERE c.vec_id <> query_id
+    AND length(list_filter(range(16), p -> qsig[p + 1] = c.sig[p + 1])) >= 10
+),
+lsh_topk AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rnk
+  FROM lsh_scored QUALIFY rnk <= 5
+)
+"""
+
+SQL_ANN_LSH_TOPK = _SQL_SIG_CTE + """
+SELECT query_id, neighbor_id, cosine_sim, rnk FROM lsh_topk
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANN quality metric: per-query recall@k of the LSH candidate path
+    # against the exact cosine ground truth — converts the hashed family's
+    # quality from "shape pinned" to "measured" (and, with the md5-portable
+    # planes, the whole metric is DuckDB-oracle-able).  Deterministic: both
+    # sides share the fixed hashing and the (sim desc, neighbor_id) tiebreak.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = similarity.rp_lsh_topk(emb, q, k=5, min_bit_matches=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+SQL_ANN_RECALL = _SQL_SIG_CTE + """
+, exact_topk AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, c.vec_id AS neighbor_id,
+      ROUND(list_inner_product(qv, c.v) /
+        (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(c.v, c.v))), 6)
+        AS cosine_sim,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY ROUND(list_inner_product(qv, c.v) /
+          (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(c.v, c.v))), 6)
+          DESC, c.vec_id) AS rnk
+    FROM e c CROSS JOIN q WHERE c.vec_id <> query_id
+  ) WHERE rnk <= 5
+),
+hits AS (
+  SELECT l.query_id, COUNT(*) AS n_hits
+  FROM lsh_topk l JOIN exact_topk x
+    ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
+  GROUP BY l.query_id
+)
+SELECT q.query_id, ROUND(COALESCE(n_hits, 0) / 5.0, 6) AS recall_at_k
+FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

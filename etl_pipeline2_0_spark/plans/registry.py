@@ -50,7 +50,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     goldens); kept in-window per the r5 verdict ---
     "minhash_pairs": (L.q_minhash_pairs, None),
     "simhash_pairs": (L.q_simhash_pairs, None),
-    "ann_lsh_topk": (L.q_ann_lsh_topk, None),
+    # (ann_lsh_topk graduated from rows-only in r8: the md5-portable plane
+    #  coefficients gave it a full DuckDB twin)
+    "ann_lsh_topk": (L.q_ann_lsh_topk, L.SQL_ANN_LSH_TOPK),
     "ann_ivf_topk": (L.q_ann_ivf_topk, None),
     "media_features": (L.q_media_features, None),
     "media_decode": (L.q_media_decode, None),
@@ -175,6 +177,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     re-proven every run by the default sf0.001+sf0.1 parity suites ---
     "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
     "scd2_intervals": (X.q_scd2_intervals, X.SQL_SCD2_INTERVALS),
+    # --- added r8 (ANN recall@k of the LSH path vs exact ground truth —
+    #     the hashed family's quality, measured and oracled); next in line
+    #     for window promotion ---
+    "ann_recall": (L.q_ann_recall, L.SQL_ANN_RECALL),
     # (the 14 r6-added queries — dedup_spans_intra, mix_sources,
     #  pack_sequences, filter_audit, and the ten TPC-H shapes q7/q8/q9/
     #  q12/q19/q21 plus the partsupp-dependent q2/q11/q16/q20, covered via

@@ -48,6 +48,11 @@ HEAVY = [
     "shuffle_shards",
     "knn_label_vote",
     "q2_min_acctbal_supplier",
+    # r8 additions: the LSH family graduated to oracled (md5-portable
+    # planes) — replay the signature+bit-match path and the recall metric
+    # at bench scale.
+    "ann_lsh_topk",
+    "ann_recall",
 ]
 
 
