@@ -108,22 +108,70 @@ def _canon_golden_cell(v):
     return v
 
 
+def rows_only_canon(pdf):
+    """(sorted columns, canon rows sorted by repr) — the golden convention."""
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        ([_canon_golden_cell(v) for v in r]
+         for r in pdf[cols].itertuples(index=False, name=None)),
+        key=repr,
+    )
+    return cols, rows
+
+
+def rows_hash(rows) -> str:
+    """Canonical digest of the canon-row list (the compact golden form)."""
+    import hashlib
+    import json
+
+    return hashlib.sha256(
+        json.dumps(rows, default=str, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
+def check_rows_only_golden(pdf, golden_path: str, name: str) -> None:
+    """Compare a rows-only query result against a committed golden.
+
+    Two formats: full-value ``{"columns", "rows"}`` (sf0.001 — debuggable
+    diffs) and compact ``{"columns", "n_rows", "hash"}`` (bigger SFs — the
+    same drift detection at ~1/1000th the repo weight)."""
+    import json
+
+    with open(golden_path) as f:
+        golden = json.load(f)
+    cols, rows = rows_only_canon(pdf)
+    assert cols == golden["columns"], f"{name}: columns {cols}"
+    if "rows" in golden:
+        assert len(rows) == len(golden["rows"]), (
+            f"{name}: {len(rows)} rows vs golden {len(golden['rows'])}"
+        )
+        mismatch = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(rows, golden["rows"]))
+            if a != b
+        ]
+        assert not mismatch, f"{name}: first mismatches {mismatch[:3]}"
+    else:
+        assert len(rows) == golden["n_rows"], (
+            f"{name}: {len(rows)} rows vs golden {golden['n_rows']}"
+        )
+        assert rows_hash(rows) == golden["hash"], (
+            f"{name}: canonical value hash drifted from the pinned golden"
+        )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_query_matches_golden(spark, sf_dir, name):
     # No DuckDB twin exists for these (engine-specific xxhash64 / pandas-UDF
-    # stages), but they ARE deterministic by design — so their full sf0.001
-    # output is value-pinned in a committed golden.  Regenerate with
+    # stages), but they ARE deterministic by design — so their output is
+    # value-pinned in a committed golden (full values at sf0.001, count+hash
+    # at sf0.01; sf0.1 pins run in the sf01 job).  Regenerate with
     # tools/regen_goldens.py after an intentional semantic change.
-    import json
     import os
 
     fn, _ = ALL_QUERIES[name]
     pdf = fn(spark, sf_dir).toPandas()
     assert len(pdf.columns) > 0
-    # Goldens are pinned per SF: sf0.001 (default suite) and sf0.01 (the
-    # external driver's scale — catches scale-dependent drift the tiny pin
-    # can't).  Other SFs (e.g. sf0.1) fall back to a non-empty check; the
-    # sf01 job covers those via recall-vs-exact assertions.
     suffix = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     dirname = "rows_only" if suffix == "0.001" else f"rows_only_sf{suffix}"
     golden_path = os.path.join(
@@ -132,24 +180,28 @@ def test_rows_only_query_matches_golden(spark, sf_dir, name):
     if not os.path.exists(golden_path):
         assert len(pdf) > 0
         return
-    with open(golden_path) as f:
-        golden = json.load(f)
-    cols = sorted(pdf.columns)
-    assert cols == golden["columns"], f"{name}: columns {cols}"
-    rows = sorted(
-        ([_canon_golden_cell(v) for v in r]
-         for r in pdf[cols].itertuples(index=False, name=None)),
-        key=repr,
+    check_rows_only_golden(pdf, golden_path, name)
+
+
+def test_hash_golden_has_teeth(tmp_path):
+    # Planted drift: a single changed cell must flip the canonical hash
+    # (and a changed row count must fail before the hash is consulted).
+    import json
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": [0.5, None]})
+    cols, rows = rows_only_canon(pdf)
+    golden = tmp_path / "g.json"
+    golden.write_text(
+        json.dumps({"columns": cols, "n_rows": len(rows), "hash": rows_hash(rows)})
     )
-    assert len(rows) == len(golden["rows"]), (
-        f"{name}: {len(rows)} rows vs golden {len(golden['rows'])}"
-    )
-    mismatch = [
-        (i, a, b)
-        for i, (a, b) in enumerate(zip(rows, golden["rows"]))
-        if a != b
-    ]
-    assert not mismatch, f"{name}: first mismatches {mismatch[:3]}"
+    check_rows_only_golden(pdf, str(golden), "planted")  # identical → passes
+    drifted = pd.DataFrame({"a": [1, 2], "b": [0.500001, None]})
+    with pytest.raises(AssertionError, match="hash drifted"):
+        check_rows_only_golden(drifted, str(golden), "planted")
+    with pytest.raises(AssertionError, match="rows vs golden"):
+        check_rows_only_golden(pdf.iloc[:1], str(golden), "planted")
 
 
 def test_entry_contract(spark):

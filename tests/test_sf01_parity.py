@@ -66,6 +66,31 @@ def duck01():
     return con
 
 
+ROWS_ONLY = sorted(name for name, (_, sql) in ALL_QUERIES.items() if not sql)
+
+
+@pytest.mark.sf01
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_sf01_rows_only_matches_hash_golden(spark, name):
+    """The rows-only (hashed/pandas-UDF) queries are value-pinned at sf0.1
+    via count+hash goldens — previously the sf0.1 pins existed but nothing
+    in the default suite exercised them."""
+    import os
+
+    from tests.test_oracle_parity import ALL_QUERIES as AQ
+    from tests.test_oracle_parity import check_rows_only_golden
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "goldens", "rows_only_sf0.1", f"{name}.json"
+    )
+    fn, _ = AQ[name]
+    pdf = fn(spark, SF01_DIR).toPandas()
+    if not os.path.exists(golden_path):
+        assert len(pdf) > 0
+        return
+    check_rows_only_golden(pdf, golden_path, name)
+
+
 @pytest.mark.sf01
 @pytest.mark.parametrize("name", HEAVY)
 def test_sf01_query_matches_oracle(spark, duck01, name):

@@ -5,16 +5,16 @@ change to one of them, then review the diff like any other code change:
     python tools/regen_goldens.py [name ...]
     SPARK_GRAFT_GOLDEN_SF_DIR=/root/testdata/sf0.01 python tools/regen_goldens.py
 
-Goldens are pinned per scale factor: sf0.001 -> tests/goldens/rows_only/,
-sf0.01 -> tests/goldens/rows_only_sf0.01/ (the external driver's scale —
-catches scale-dependent drift in the LSH/IVF/media paths that the sf0.001
-pin can't see).
+Goldens are pinned per scale factor: sf0.001 -> tests/goldens/rows_only/
+as FULL VALUES (debuggable diffs), and sf0.01/sf0.1 ->
+tests/goldens/rows_only_sf{0.01,0.1}/ as COMPACT count+hash pins (the same
+drift detection at ~1/1000th the repo weight — the canonical sha256 of the
+sorted canon rows, computed by tests.test_oracle_parity.rows_hash).
 """
 
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 
@@ -29,36 +29,25 @@ _DIRNAME = "rows_only" if _SF_SUFFIX == "0.001" else f"rows_only_sf{_SF_SUFFIX}"
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens", _DIRNAME)
 
 
-def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return None
-        return round(v, 6)
-    if isinstance(v, (bytes, bytearray)):
-        return list(v)
-    if isinstance(v, list):
-        return [canon(x) for x in v]
-    return v
-
-
 def main() -> None:
     only = set(sys.argv[1:])
     spark = get_spark(app_name="regen-goldens")
     os.makedirs(OUT_DIR, exist_ok=True)
+    full_values = _SF_SUFFIX == "0.001"
     for name, (fn, sql) in ALL_QUERIES.items():
         if sql is not None or (only and name not in only):
             continue
+        from tests.test_oracle_parity import rows_hash, rows_only_canon
+
         pdf = fn(spark, SF_DIR).toPandas()
-        cols = sorted(pdf.columns)
-        rows = sorted(
-            ([canon(x) for x in r] for r in pdf[cols].itertuples(index=False, name=None)),
-            key=repr,
-        )
+        cols, rows = rows_only_canon(pdf)
         path = os.path.join(OUT_DIR, f"{name}.json")
+        if full_values:
+            payload = {"columns": cols, "rows": rows}
+        else:
+            payload = {"columns": cols, "n_rows": len(rows), "hash": rows_hash(rows)}
         with open(path, "w") as f:
-            json.dump({"columns": cols, "rows": rows}, f, indent=1, default=str)
+            json.dump(payload, f, indent=1, default=str)
         print(f"{name}: {len(rows)} rows -> {os.path.relpath(path)}")
 
 
