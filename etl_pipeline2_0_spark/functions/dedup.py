@@ -336,6 +336,16 @@ def minhash_near_duplicates(
     """
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     candidates = lsh_candidate_pairs(sigs, bands, num_hashes // bands, max_bucket_size)
+    # The candidate pair list feeds BOTH the verify join and the semi-join
+    # prune below; Catalyst does not reuse the exchange across the two
+    # consumers (column pruning diverges), so without a barrier the whole
+    # shingle→minhash→band subtree executes twice per action.  A lazy
+    # localCheckpoint materializes the tiny pair frame once on first use
+    # (no job at construction time — schema-only analysis stays free) and
+    # both consumers read the blocks; profiled ~1.9× on the full pipeline
+    # at sf0.1.  Same lifecycle as dup_components' per-round checkpoints:
+    # executor-local blocks, reclaimed by the context cleaner.
+    candidates = candidates.localCheckpoint(eager=False)
     # Verify-side pruning: only docs that appear in some candidate pair need
     # their shingle set materialized.  The semi-join runs BEFORE the
     # tokenizer, so at scale the re-shingling cost is O(candidates), not
