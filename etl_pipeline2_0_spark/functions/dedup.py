@@ -99,6 +99,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
@@ -119,6 +120,16 @@ def jaccard_pairs(
         )
         .select("id", F.xxhash64("shingle").alias("shingle_h"))
     )
+    # The (id, hash) shingle index feeds three consumers (both self-join
+    # sides + the size aggregate); without a barrier the tokenizer runs
+    # three times per action.  A lazy localCheckpoint materializes the
+    # compact 16-byte rows once — the inline version of the "write the
+    # shingle index, probe it" production shape the incremental variant
+    # documents.  No job at construction; schema-only analysis stays free.
+    # (``checkpoint=False`` keeps the full lineage visible — the plan-shape
+    # guards use it to assert pushdown/join shape on the logical form.)
+    if checkpoint:
+        shingled = shingled.localCheckpoint(eager=False)
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
@@ -154,6 +165,7 @@ def jaccard_pairs_incremental(
     k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Incremental dedup: exact n-gram Jaccard of every NEW document against
     the EXISTING corpus — the standard production shape (each crawl batch is
@@ -182,8 +194,15 @@ def jaccard_pairs_incremental(
             .select(out_id, F.xxhash64("shingle").alias("shingle_h"))
         )
 
+    # Tokenize each side exactly once: both shingle frames feed 2-3
+    # consumers (doc-freq filter, size aggregate, the probe join), so
+    # without a barrier the explode+hash re-runs per consumer.  Same
+    # shingle-index materialization as jaccard_pairs, lazily.
     new_sh = _shingles(new_df, "new_id")
     corp_sh = _shingles(corpus_df, "corpus_id")
+    if checkpoint:
+        new_sh = new_sh.localCheckpoint(eager=False)
+        corp_sh = corp_sh.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         hot = (
             corp_sh.groupBy("shingle_h")
@@ -321,6 +340,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Full shingle→minhash→band→bucket-join→verify pipeline.
 
@@ -345,7 +365,8 @@ def minhash_near_duplicates(
     # both consumers read the blocks; profiled ~1.9× on the full pipeline
     # at sf0.1.  Same lifecycle as dup_components' per-round checkpoints:
     # executor-local blocks, reclaimed by the context cleaner.
-    candidates = candidates.localCheckpoint(eager=False)
+    if checkpoint:
+        candidates = candidates.localCheckpoint(eager=False)
     # Verify-side pruning: only docs that appear in some candidate pair need
     # their shingle set materialized.  The semi-join runs BEFORE the
     # tokenizer, so at scale the re-shingling cost is O(candidates), not

@@ -193,11 +193,28 @@ def test_rp_lsh_topk_is_bucket_probe(spark, sf_dir):
 def test_dedup_incremental_is_cross_frame_equijoin(spark, sf_dir):
     # New-batch×corpus candidates must come from the shingle-hash equi-join
     # — never an all-pairs theta join — and the %5 batch split must be
-    # pushed into the parquet scans.
-    plan = _plan(L.q_dedup_incremental(spark, sf_dir))
+    # pushed into the parquet scans.  The default path checkpoints the
+    # shingle index (hiding the scans from the downstream plan), so the
+    # pushdown/join-shape assertions run on the checkpoint-free lineage;
+    # the default plan still proves no nested-loop survived the barrier.
+    from etl_pipeline2_0_spark.functions import dedup as D
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = D.jaccard_pairs_incremental(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        k=3,
+        threshold=0.3,
+        checkpoint=False,
+    )
+    plan = _plan(full)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PushedFilters" in plan
+    default_plan = _plan(L.q_dedup_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in default_plan
+    assert "BroadcastNestedLoopJoin" not in default_plan
 
 
 def test_ivf_assignment_is_narrow_arrow_stage(spark, sf_dir):
