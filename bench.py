@@ -69,6 +69,10 @@ HEADLINE = [
     "text_features",
     "bpe_token_estimate",
     "extract_doc_stats",
+    "vocab_oov",
+    "quantile_filter",
+    "lm_score",
+    "semantic_dedup",
 ]
 
 

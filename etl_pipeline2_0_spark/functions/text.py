@@ -265,3 +265,166 @@ def tfidf_top_terms(
         .where(F.col("rnk") <= top_k)
         .select("doc_id", "term", "score", "rnk")
     )
+
+
+def corpus_vocab(df, text_col: str = "text", vocab_size: int = 512):
+    """Top-``vocab_size`` corpus vocabulary by token frequency.
+
+    Ties at the frequency boundary break lexicographically (ORDER BY total
+    DESC, tok) so the cut is deterministic cross-engine.  Shape for scale:
+    one explode → token-count aggregate (map-side combine; the shuffle
+    carries distinct tokens, not the raw stream) → ``TakeOrderedAndProject``
+    for the bounded top-V (never a full sort).  The result is ≤``vocab_size``
+    rows — broadcastable by construction at any corpus size.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("tok"))
+        .limit(vocab_size)
+    )
+
+
+def oov_stats(df, text_col: str = "text", group_col: str = "source",
+              vocab_size: int = 512):
+    """Per-group out-of-vocabulary rate against the corpus top-V vocabulary.
+
+    The standard tokenizer-coverage report for a pretraining mix: build the
+    corpus vocabulary once (``corpus_vocab`` — bounded, broadcast), then
+    measure what fraction of each group's token OCCURRENCES falls outside
+    it.  Returns (group, total_tokens, oov_tokens, oov_rate).
+
+    Scale: the (group, tok) aggregate combines map-side so the shuffle is
+    per-group distinct tokens; the vocab side of the join is ≤V rows and
+    broadcast — no second full-corpus shuffle.
+    """
+    tok_counts = (
+        df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = corpus_vocab(df, text_col, vocab_size).select("tok", F.lit(1).alias("in_v"))
+    return (
+        tok_counts.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(group_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("oov_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_v").isNull(), F.col("cnt")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def quantile_filter_stats(df, score_col, group_col: str = "source",
+                          q: float = 0.25):
+    """Per-group adaptive quality gate: keep rows at or above the group's
+    ``q``-quantile of ``score_col``; report threshold and kept rate.
+
+    Fixed global thresholds over a heterogeneous mix either gut clean
+    sources or let noisy ones through — per-source quantile cutoffs are the
+    standard fix.  Exact percentile with linear interpolation (same
+    definition as DuckDB ``quantile_cont``), rounded to 6 dp.
+
+    Returns (group, threshold, n_total, n_kept, kept_rate).
+
+    Scale: the quantile aggregate reduces to #groups rows (broadcast), the
+    verdicts are one conditional-aggregation pass over the corpus — two
+    passes total, no window, no sort.
+    """
+    scored = df.select(F.col(group_col), score_col.alias("score"))
+    thr = scored.groupBy(group_col).agg(
+        F.percentile("score", q).alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.round(F.max("thr"), 6).alias("threshold"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("score") >= F.col("thr"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(
+                F.sum(
+                    F.when(F.col("score") >= F.col("thr"), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_rate"),
+        )
+    )
+
+
+def char_bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
+                          prefix_len: int = 200):
+    """Per-document mean log-probability under a corpus character-bigram LM
+    with add-one smoothing — the CCNet/KenLM-style perplexity proxy, built
+    from the corpus itself with no external model.
+
+    Low (very negative) scores flag gibberish/binary-ish text whose
+    character transitions don't match the corpus; a standard pretraining
+    quality signal.  Only the first ``prefix_len`` chars contribute, which
+    bounds per-doc cost and is how production scorers sample long docs.
+
+    Returns (id, n_bigrams, avg_logp) for docs with ≥2 chars in the prefix;
+    ``avg_logp = avg(ln((count(bigram)+1) / (count(context)+alphabet)))``
+    rounded to 6 dp, where ``alphabet`` is the corpus-wide distinct count
+    of bigram-second characters.
+
+    Scale: the bigram explode is a narrow flatMap bounded at
+    ``prefix_len``×corpus; the LM tables aggregate to ≤|alphabet|² rows and
+    broadcast back — the scoring join adds NO full-size shuffle, and the
+    final per-doc aggregate combines map-side.
+    """
+    d = (
+        df.select(
+            F.col(id_col),
+            F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("t"),
+        )
+        .where(F.length("t") >= 2)
+    )
+    bg = d.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
+        "t",
+    ).select(
+        F.col(id_col),
+        F.expr("substring(t, i, 2)").alias("big"),
+        F.expr("substring(t, i, 1)").alias("ctx"),
+    )
+    big_counts = bg.groupBy("big").agg(F.count(F.lit(1)).alias("bc"))
+    ctx_counts = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("cc"))
+    alpha = bg.select(
+        F.countDistinct(F.substring("big", 2, 1)).alias("alpha")
+    )
+    return (
+        bg.join(F.broadcast(big_counts), "big")
+        .join(F.broadcast(ctx_counts), "ctx")
+        .crossJoin(F.broadcast(alpha))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("bc") + F.lit(1.0))
+                        / (F.col("cc") + F.col("alpha"))
+                    )
+                ),
+                6,
+            ).alias("avg_logp"),
+        )
+    )

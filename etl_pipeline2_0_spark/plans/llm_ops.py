@@ -1228,3 +1228,120 @@ SELECT source,
 FROM gates
 GROUP BY source
 """
+
+
+# ------------------------------------------------- vocabulary / OOV rate -
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer-coverage report: corpus top-V vocabulary (bounded,
+    # broadcast) then per-source OOV occurrence rate.  V=16 against the
+    # synthetic corpus's 31-token vocabulary so the OOV tail is non-trivial
+    # at every SF.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.oov_stats(docs, "text", "source", vocab_size=16)
+
+
+SQL_VOCAB_OOV = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents
+), tc AS (
+  SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), gc AS (
+  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS total FROM tc GROUP BY 1
+), vocab AS (
+  SELECT tok FROM gc ORDER BY total DESC, tok LIMIT 16
+)
+SELECT tc.source,
+  CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+  CAST(SUM(CASE WHEN v.tok IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS oov_tokens,
+  ROUND(SUM(CASE WHEN v.tok IS NULL THEN cnt ELSE 0 END) * 1.0 / SUM(cnt), 6)
+    AS oov_rate
+FROM tc LEFT JOIN vocab v ON tc.tok = v.tok
+GROUP BY tc.source
+"""
+
+
+# --------------------------------------------- per-source quantile gate -
+
+
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adaptive quality gate: per-source 25th-percentile token-count
+    # threshold, then kept/total under it — fixed global cutoffs either gut
+    # clean sources or let noisy ones through.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quantile_filter_stats(
+        docs, text.token_count(F.col("text")), "source", q=0.25
+    )
+
+
+SQL_QUANTILE_FILTER = r"""
+WITH scored AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0)) AS score
+  FROM documents
+), thr AS (
+  SELECT source, quantile_cont(score, 0.25) AS thr FROM scored GROUP BY 1
+)
+SELECT s.source,
+  ROUND(MAX(t.thr), 6) AS threshold,
+  COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN s.score >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  ROUND(SUM(CASE WHEN s.score >= t.thr THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+    AS kept_rate
+FROM scored s JOIN thr t ON s.source = t.source
+GROUP BY s.source
+"""
+
+
+# ------------------------------------------- char-bigram LM quality proxy -
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/KenLM-style perplexity proxy from a corpus-trained character
+    # bigram LM with add-one smoothing; first 200 chars per doc.  The LM
+    # tables broadcast (≤|alphabet|² rows) so scoring adds no full shuffle.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_bigram_lm_scores(docs, "text", "doc_id", prefix_len=200)
+
+
+SQL_LM_SCORE = r"""
+WITH d AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM documents
+  WHERE length(substring(text, 1, 200)) >= 2
+), bg AS (
+  -- DuckDB's generate_series cannot lateral-reference d.t; a fixed
+  -- 1..prefix_len-1 series + length filter is equivalent.
+  SELECT doc_id, substring(t, CAST(i AS INT), 2) AS big,
+         substring(t, CAST(i AS INT), 1) AS ctx
+  FROM d CROSS JOIN (SELECT unnest(range(1, 200)) AS i) s
+  WHERE i <= length(t) - 1
+), bc AS (
+  SELECT big, COUNT(*) AS bc FROM bg GROUP BY 1
+), cc AS (
+  SELECT ctx, COUNT(*) AS cc FROM bg GROUP BY 1
+), a AS (
+  SELECT COUNT(DISTINCT substring(big, 2, 1)) AS alpha FROM bg
+)
+SELECT bg.doc_id,
+  COUNT(*) AS n_bigrams,
+  ROUND(AVG(ln((bc.bc + 1.0) / (cc.cc + a.alpha))), 6) AS avg_logp
+FROM bg JOIN bc USING (big) JOIN cc ON bg.ctx = cc.ctx CROSS JOIN a
+GROUP BY bg.doc_id
+"""
+
+
+# ----------------------------------------------- SemDeDup semantic dedup -
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-style cluster-scoped embedding dedup (pandas-UDF centroid
+    # assignment — no DuckDB twin; value-pinned by goldens).  Threshold
+    # 0.35 because the synthetic embeddings top out at cosine ≈0.51 (same
+    # reason q_embed_neardup probes at 0.3).
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.35, n_centroids=16)

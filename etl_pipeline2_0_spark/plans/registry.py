@@ -107,7 +107,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "dedup_canonical": (L.q_dedup_canonical, L.SQL_DEDUP_CANONICAL),
     "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
     "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
-    "funnel_stages": (X.q_funnel_stages, X.SQL_FUNNEL_STAGES),
+    # --- first driver row: added r8 (ANN recall@k of the LSH path vs the
+    #     exact ground truth — the hashed family's quality, measured and
+    #     oracled); promoted same round in funnel_stages' slot (green
+    #     r6 AND r7) ---
+    "ann_recall": (L.q_ann_recall, L.SQL_ANN_RECALL),
     # ---------- driver 50-query window ends here ----------
     # --- demoted r7 with two green rows each (r02+r06 scalar batteries;
     #     r03+r06 TPC-H trio), the latest under the current data regime ---
@@ -177,10 +181,17 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     re-proven every run by the default sf0.001+sf0.1 parity suites ---
     "sessionize": (R.q_sessionize, R.SQL_SESSIONIZE),
     "scd2_intervals": (X.q_scd2_intervals, X.SQL_SCD2_INTERVALS),
-    # --- added r8 (ANN recall@k of the LSH path vs exact ground truth —
-    #     the hashed family's quality, measured and oracled); next in line
-    #     for window promotion ---
-    "ann_recall": (L.q_ann_recall, L.SQL_ANN_RECALL),
+    # --- demoted r8 in ann_recall's promotion (green r6 AND r7) ---
+    "funnel_stages": (X.q_funnel_stages, X.SQL_FUNNEL_STAGES),
+    # --- added r8 (corpus-quality battery: tokenizer OOV coverage,
+    #     per-source adaptive quantile gate, char-bigram LM perplexity
+    #     proxy — all oracled; SemDeDup cluster-scoped embedding dedup —
+    #     pandas-UDF centroids, value-pinned by goldens); next in line for
+    #     window promotion ---
+    "vocab_oov": (L.q_vocab_oov, L.SQL_VOCAB_OOV),
+    "quantile_filter": (L.q_quantile_filter, L.SQL_QUANTILE_FILTER),
+    "lm_score": (L.q_lm_score, L.SQL_LM_SCORE),
+    "semantic_dedup": (L.q_semantic_dedup, None),
     # (the 14 r6-added queries — dedup_spans_intra, mix_sources,
     #  pack_sequences, filter_audit, and the ten TPC-H shapes q7/q8/q9/
     #  q12/q19/q21 plus the partsupp-dependent q2/q11/q16/q20, covered via

@@ -803,3 +803,131 @@ def test_pack_sequences_keeps_null_key_group(spark):
     assert s_packs[0]["n_docs"] == 2 and s_packs[1]["n_docs"] == 1
     # Row conservation across all groups.
     assert sum(r["n_docs"] for r in out) == len(rows)
+
+
+# ---------------------------------------------- corpus-quality battery (r8) -
+
+
+def test_corpus_vocab_frequency_then_lexicographic_cut(spark):
+    rows = [(1, "aa bb aa cc"), (2, "bb dd aa zz")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # counts: aa=3, bb=2, cc=1, dd=1, zz=1 → V=3 keeps aa, bb, then the
+    # lexicographically smallest of the count-1 tie (cc), NOT dd/zz.
+    vocab = {r["tok"] for r in text.corpus_vocab(df, vocab_size=3).collect()}
+    assert vocab == {"aa", "bb", "cc"}
+
+
+def test_oov_stats_counts_occurrences_not_types(spark):
+    rows = [("s1", "aa aa aa bb"), ("s2", "aa zz zz zz")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    # corpus counts: aa=4, zz=3, bb=1 → V=2 vocab = {aa, zz}; s1 has one
+    # OOV occurrence (bb) of 4 tokens, s2 zero.
+    out = {r["source"]: r for r in text.oov_stats(df, vocab_size=2).collect()}
+    assert out["s1"]["total_tokens"] == 4 and out["s1"]["oov_tokens"] == 1
+    assert out["s1"]["oov_rate"] == 0.25
+    assert out["s2"]["oov_tokens"] == 0 and out["s2"]["oov_rate"] == 0.0
+
+
+def test_quantile_filter_stats_interpolated_threshold(spark):
+    rows = [("s", float(v)) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "source string, v double")
+    out = text.quantile_filter_stats(df, F.col("v"), "source", q=0.25).collect()
+    assert len(out) == 1
+    r = out[0]
+    # quantile_cont(0.25) over [1,2,3,4] = 1.75 (linear interpolation);
+    # kept = {2,3,4} → 3 of 4.
+    assert r["threshold"] == 1.75
+    assert r["n_total"] == 4 and r["n_kept"] == 3
+    assert r["kept_rate"] == 0.75
+
+
+def test_char_bigram_lm_scores_uniform_vs_rare(spark):
+    import math
+
+    rows = [(1, "ababab"), (2, "abzqrx")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in text.char_bigram_lm_scores(df).collect()}
+    # Doc 1 is built from the corpus's dominant transitions, doc 2 from
+    # singletons — the LM must score doc 1 strictly higher.
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 5
+    assert out[1]["avg_logp"] > out[2]["avg_logp"]
+    # Hand-check: doc1 "ababab" → bigrams ab,ba,ab,ba,ab; doc2 "abzqrx" →
+    # ab,bz,zq,qr,rx.  Corpus counts: ab=4, ba=2, bz/zq/qr/rx=1.  Contexts:
+    # a→4, b→3, z/q/r→1.  Alphabet = distinct second chars {b,a,z,q,r,x}
+    # = 6.  P(ab)=(4+1)/(4+6)=1/2, P(ba)=(2+1)/(3+6)=1/3.
+    expect1 = round((3 * math.log(1 / 2) + 2 * math.log(1 / 3)) / 5, 6)
+    assert out[1]["avg_logp"] == expect1
+
+
+def test_char_bigram_lm_skips_short_docs(spark):
+    rows = [(1, "x"), (2, ""), (3, None), (4, "ok")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = text.char_bigram_lm_scores(df).collect()
+    assert [r["doc_id"] for r in out] == [4]
+
+
+def test_semantic_dedup_min_id_keeper_within_cluster(spark):
+    # Contract: a vector is dropped iff its ASSIGNED cluster contains a
+    # smaller-id vector at cosine ≥ threshold.  (Which pairs share a
+    # cluster depends on the hash-ordered seeds — cross-cluster misses are
+    # the documented recall trade of cluster-scoped dedup — so the test
+    # verifies keep flags against the clustering the op itself emitted.)
+    import math
+
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.999, 0.01, 0.0],   # ~dup of 1
+        5: [0.998, 0.02, 0.0],   # ~dup of 1 and 2
+        7: [0.0, 1.0, 0.0],
+        8: [0.0, 0.999, 0.01],   # ~dup of 7
+        9: [0.0, 0.0, 1.0],      # singleton
+    }
+    df = spark.createDataFrame(
+        sorted(vecs.items()), "vec_id bigint, embedding array<float>"
+    )
+    out = {r["vec_id"]: r for r in
+           similarity.semantic_dedup(df, threshold=0.9, n_centroids=3).collect()}
+    assert sorted(out) == [1, 2, 5, 7, 8, 9]  # full coverage, once each
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    for i, r in out.items():
+        expect_drop = any(
+            j < i and out[j]["cluster"] == r["cluster"]
+            and cos(vecs[i], vecs[j]) >= 0.9
+            for j in vecs
+        )
+        assert r["keep"] == (not expect_drop), f"vec {i}"
+    # The singleton has no near-neighbor anywhere, so it must survive
+    # regardless of clustering.
+    assert out[9]["keep"]
+
+
+def test_semantic_dedup_agrees_with_brute_force(spark, sf_dir):
+    # Cluster-scoped dedup can only MISS cross-cluster pairs, never invent
+    # drops: every dropped id must have a genuine smaller-id neighbor at
+    # ≥ threshold, verified against exact all-pairs cosine in numpy.
+    import numpy as np
+
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, threshold=0.35, n_centroids=16)
+    dropped = sorted(r["vec_id"] for r in out.where(~F.col("keep")).collect())
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    S = Xn @ Xn.T
+    has_smaller_neighbor = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[j] < ids[i] and S[i, j] >= 0.35:
+                has_smaller_neighbor.add(int(ids[i]))
+                break
+    assert set(dropped) <= has_smaller_neighbor, (
+        "semantic_dedup dropped an id with no genuine smaller-id neighbor"
+    )
+    assert len(dropped) > 0, "fixture should produce at least one drop"

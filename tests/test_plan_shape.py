@@ -364,3 +364,46 @@ def test_partsupp_derived_tpch_shapes(spark, sf_dir):
     q20 = _plan(T.q20_potential_promotion(spark, sf_dir))
     assert "LeftSemi" in q20
     assert "CartesianProduct" not in q20
+
+
+def test_vocab_oov_broadcasts_vocab_no_second_corpus_shuffle(spark, sf_dir):
+    # The vocab side is bounded (≤V rows) and must broadcast into the OOV
+    # join; the top-V cut must be a TakeOrdered, never a full global sort.
+    plan = _plan(L.q_vocab_oov(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # Map-side combine on the (source, tok) aggregate.
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_quantile_filter_broadcasts_thresholds(spark, sf_dir):
+    # The per-group quantile aggregate reduces to #groups rows and must
+    # broadcast back over the corpus — no sort-merge shuffle of the corpus
+    # against a 20-row side, no window.
+    plan = _plan(L.q_quantile_filter(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_lm_score_model_tables_broadcast(spark, sf_dir):
+    # Both LM tables (bigram + context counts) and the 1-row alphabet
+    # aggregate must broadcast — scoring adds no full-size shuffle, so the
+    # only Exchanges are the tiny model aggregates and the final per-doc
+    # combine.
+    plan = _plan(L.q_lm_score(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_are_cluster_equijoin(spark, sf_dir):
+    # The near-dup probe must equi-join on cluster id — pairwise work
+    # confined within clusters, never an all-pairs nested loop — and the
+    # keep flag must come from a (left-outer/anti) hash join, not a sort.
+    df = L.q_semantic_dedup(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

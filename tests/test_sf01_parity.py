@@ -53,6 +53,12 @@ HEAVY = [
     # at bench scale.
     "ann_lsh_topk",
     "ann_recall",
+    # r8 corpus-quality battery: token explode + bounded-top-V broadcast,
+    # interpolated per-group quantiles, and the bigram-LM scoring join —
+    # the shapes most sensitive to AQE replans at 10× rows.
+    "vocab_oov",
+    "quantile_filter",
+    "lm_score",
 ]
 
 

@@ -96,16 +96,17 @@ def test_driver_window_covers_every_query_family():
         # span dedup + dataset composition + observability (first driver
         # rows collected r7; shuffle_shards/knn_label_vote promoted r8)
         "dedup_spans", "dedup_spans_intra", "mix_sources", "pack_sequences",
-        "filter_audit", "shuffle_shards", "knn_label_vote",
+        "filter_audit", "shuffle_shards", "knn_label_vote", "ann_recall",
         # sampling / sketches (the scalar batteries left the window in r7:
         # all eleven twice-proven r02 AND r06, the latest under the current
         # data regime, and re-proven every run by the default sf0.001 +
         # sf0.1 parity suites — same retirement math_funcs got in r6)
         "hash_sample", "stratified_sample", "hll_accuracy",
-        # warehouse analytics (sessionize/scd2_intervals retired r8:
-        # twice-proven r6+r7 under the NTZ fix, re-proven every run by the
-        # default parity suites)
-        "funnel_stages", "cohort_retention",
+        # warehouse analytics (sessionize/scd2_intervals retired r8
+        # twice-proven r6+r7 under the NTZ fix, funnel_stages retired in
+        # ann_recall's promotion with r6+r7 rows; all re-proven every run
+        # by the default parity suites)
+        "cohort_retention",
         # relational core / TPC-H (r7 reps: the ten newest shapes collect
         # their first driver rows; q4/q13/q22 retired twice-proven r03+r06)
         "q2_min_acctbal_supplier", "q12_late_shipments",
