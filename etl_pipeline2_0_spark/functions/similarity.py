@@ -168,18 +168,39 @@ def _rp_plane_coeffs(planes: int, max_dim: int = _RP_MAX_DIM):
     return out
 
 
+# Driver-side construction cost matters: ``F.lit(<256-double list>)`` costs
+# ~130 ms in per-element py4j round-trips, and a 16-plane signature needs 16
+# of them PER CALL — measured 7.2 s of pure DataFrame-build time on
+# q_ann_lsh_topk before this cache.  A single SQL ``array(...)`` expr string
+# parses JVM-side in one call (~20 ms/row; ``repr(x) + "D"`` round-trips
+# IEEE doubles exactly, verified equal to the lit path), and the built
+# Columns are cached per (planes, max_dim) — unresolved expression trees,
+# reusable across DataFrames for the life of the gateway JVM.
+_RP_LIT_CACHE: dict = {}
+
+
+def _rp_plane_literal_cols(planes: int, max_dim: int = _RP_MAX_DIM):
+    key = (planes, max_dim)
+    if key not in _RP_LIT_CACHE:
+        _RP_LIT_CACHE[key] = [
+            F.expr("array(" + ",".join(repr(x) + "D" for x in row) + ")")
+            for row in _rp_plane_coeffs(planes, max_dim)
+        ]
+    return _RP_LIT_CACHE[key]
+
+
 def rp_signature(vec: Column, planes: int = 16, max_dim: int = _RP_MAX_DIM) -> Column:
     """Sign-bit array of projections onto ``planes`` deterministic
     hyperplanes (md5-derived literal coefficients — see above; vectors up
     to ``max_dim`` dims, the literal rows are sliced to the vector length)."""
-    coeffs = _rp_plane_coeffs(planes, max_dim)
+    plane_cols = _rp_plane_literal_cols(planes, max_dim)
     return F.array(
         *[
             (
                 F.aggregate(
                     F.zip_with(
                         vec,
-                        F.slice(F.lit(coeffs[p]), F.lit(1), F.size(vec)),
+                        F.slice(plane_cols[p], F.lit(1), F.size(vec)),
                         lambda x, c: x.cast("double") * c,
                     ),
                     F.lit(0.0),
