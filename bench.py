@@ -73,6 +73,7 @@ HEADLINE = [
     "quantile_filter",
     "lm_score",
     "semantic_dedup",
+    "tokenize_ids",
 ]
 
 

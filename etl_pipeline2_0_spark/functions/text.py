@@ -324,6 +324,47 @@ def oov_stats(df, text_col: str = "text", group_col: str = "source",
     )
 
 
+def tokenize_ids(df, text_col: str = "text", id_col: str = "doc_id",
+                 vocab_size: int = 512, unk_id: int = 0):
+    """Vocabulary-id encoding — the tokenization step of training-data prep:
+    ids 1..V assigned to the corpus top-V tokens by (frequency DESC, token
+    ASC), out-of-vocabulary occurrences mapped to ``unk_id``.
+
+    Returns (id, n_tokens, token_ids: array<int>) in original token order.
+    Docs with zero tokens (empty/NULL text) produce no row, mirroring
+    ``char_bigram_lm_scores``.
+
+    Scale: the id-rank window runs over the ≤``vocab_size``-row vocabulary
+    (bounded by construction — a single tiny partition is fine and
+    intentional there); encoding is a broadcast left join over the exploded
+    stream; re-assembly is ONE doc-keyed aggregate — ``collect_list`` of
+    (pos, id) structs sorted per group, never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    vocab = corpus_vocab(df, text_col, vocab_size)
+    wv = Window.orderBy(F.col("total").desc(), F.col("tok"))
+    vocab_ids = vocab.select(
+        "tok", F.row_number().over(wv).cast("int").alias("tid")
+    )
+    toks_pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    enc = toks_pos.join(F.broadcast(vocab_ids), "tok", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce("tid", F.lit(int(unk_id))).cast("int").alias("tid"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+    )
+
+
 def quantile_filter_stats(df, score_col, group_col: str = "source",
                           q: float = 0.25):
     """Per-group adaptive quality gate: keep rows at or above the group's

@@ -1345,3 +1345,44 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reason q_embed_neardup probes at 0.3).
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, threshold=0.35, n_centroids=16)
+
+
+# -------------------------------------------------- vocab-id tokenization -
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vocabulary-id encoding with V=16 (matching q_vocab_oov) so UNK=0
+    # appears; the id array serializes to a canonical CSV string for the
+    # cross-engine value hash (same convention as collect_values).
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.tokenize_ids(docs, "text", "doc_id", vocab_size=16)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(
+            ",", F.transform(F.col("token_ids"), lambda x: x.cast("string"))
+        ).alias("token_ids"),
+    )
+
+
+SQL_TOKENIZE_IDS = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS ts
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS ord
+  FROM base
+), gc AS (
+  SELECT tok, COUNT(*) AS total FROM toks GROUP BY 1
+), vocab AS (
+  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY total DESC, tok) AS INT) AS tid
+  FROM (SELECT tok, total FROM gc ORDER BY total DESC, tok LIMIT 16) v
+)
+SELECT t.doc_id,
+  COUNT(*) AS n_tokens,
+  array_to_string(list(COALESCE(vb.tid, 0) ORDER BY t.ord), ',') AS token_ids
+FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
+GROUP BY t.doc_id
+"""

@@ -192,6 +192,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "quantile_filter": (L.q_quantile_filter, L.SQL_QUANTILE_FILTER),
     "lm_score": (L.q_lm_score, L.SQL_LM_SCORE),
     "semantic_dedup": (L.q_semantic_dedup, None),
+    "tokenize_ids": (L.q_tokenize_ids, L.SQL_TOKENIZE_IDS),
     # (the 14 r6-added queries — dedup_spans_intra, mix_sources,
     #  pack_sequences, filter_audit, and the ten TPC-H shapes q7/q8/q9/
     #  q12/q19/q21 plus the partsupp-dependent q2/q11/q16/q20, covered via

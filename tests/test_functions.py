@@ -931,3 +931,22 @@ def test_semantic_dedup_agrees_with_brute_force(spark, sf_dir):
         "semantic_dedup dropped an id with no genuine smaller-id neighbor"
     )
     assert len(dropped) > 0, "fixture should produce at least one drop"
+
+
+def test_tokenize_ids_rank_unk_and_order(spark):
+    rows = [(1, "aa bb aa cc"), (2, "bb dd aa")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # counts: aa=3, bb=2, cc=1, dd=1 → V=3 vocab ids: aa=1, bb=2, cc=3
+    # (count-1 tie cut lexicographically); dd is OOV → unk 0.
+    out = {r["doc_id"]: r for r in
+           text.tokenize_ids(df, vocab_size=3).collect()}
+    assert out[1]["token_ids"] == [1, 2, 1, 3]
+    assert out[2]["token_ids"] == [2, 0, 1]
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 3
+
+
+def test_tokenize_ids_skips_empty_docs(spark):
+    rows = [(1, "hello world"), (2, ""), (3, None), (4, "..!!..")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = text.tokenize_ids(df, vocab_size=5).collect()
+    assert sorted(r["doc_id"] for r in out) == [1]

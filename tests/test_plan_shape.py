@@ -407,3 +407,15 @@ def test_semantic_dedup_pairs_are_cluster_equijoin(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tokenize_ids_broadcast_vocab_bounded_window(spark, sf_dir):
+    # The encode join must broadcast the ≤V-row vocabulary; the only
+    # window is the id-rank over that bounded frame (never over the
+    # corpus); the top-V cut is a TakeOrdered, and re-assembly is an
+    # aggregate, not a global sort.
+    plan = _plan(L.q_tokenize_ids(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1

@@ -59,6 +59,7 @@ HEAVY = [
     "vocab_oov",
     "quantile_filter",
     "lm_score",
+    "tokenize_ids",
 ]
 
 
