@@ -950,3 +950,14 @@ def test_tokenize_ids_skips_empty_docs(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = text.tokenize_ids(df, vocab_size=5).collect()
     assert sorted(r["doc_id"] for r in out) == [1]
+
+
+def test_quantile_filter_stats_null_scores_counted_not_kept(spark):
+    # NULL scores are excluded from the quantile (both engines' percentile
+    # semantics) and fail the >= threshold comparison, but still count in
+    # n_total — so kept_rate reflects the whole group.
+    rows = [("s", 1.0), ("s", 3.0), ("s", None)]
+    df = spark.createDataFrame(rows, "source string, v double")
+    r = text.quantile_filter_stats(df, F.col("v"), "source", q=0.5).collect()[0]
+    assert r["threshold"] == 2.0  # median of the two non-NULL scores
+    assert r["n_total"] == 3 and r["n_kept"] == 1
