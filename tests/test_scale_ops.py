@@ -142,3 +142,52 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["name"] == "alpha" and rows[1]["score"] is None
     assert rows[2]["score"] == 9.5 and rows[2]["name"] is None
+
+
+def test_composed_curation_pipeline(spark, sf_dir):
+    # The curation composition as ONE job: corpus_filter survivors →
+    # per-source LM-score quantile gate → vocab-id tokenization.  Each
+    # stage is individually proven; this pins the composition contract —
+    # row conservation through the gates and tokenizer-output integrity
+    # (n_tokens == len(token_ids), ids within [0, V]).
+    from etl_pipeline2_0_spark.functions import text
+    from etl_pipeline2_0_spark.plans.llm_ops import q_corpus_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    # corpus_filter projects gate columns only; recover full rows with a
+    # semi-join on the surviving ids (the shape a real pipeline uses).
+    survivors = docs.join(
+        q_corpus_filter(spark, sf_dir).select("doc_id"), "doc_id", "semi"
+    )
+    n_survivors = survivors.count()
+    assert n_survivors > 0
+
+    scored = text.char_bigram_lm_scores(survivors, "text", "doc_id")
+    docs_scored = survivors.join(scored.select("doc_id", "avg_logp"), "doc_id")
+    gated = (
+        docs_scored.join(
+            F.broadcast(
+                docs_scored.groupBy("source").agg(
+                    F.percentile("avg_logp", 0.1).alias("thr")
+                )
+            ),
+            "source",
+        )
+        .where(F.col("avg_logp") >= F.col("thr"))
+    )
+    n_gated = gated.count()
+    # The 10th-percentile gate keeps ~90% per source; conservation bounds.
+    assert 0 < n_gated <= n_survivors
+    assert n_gated >= int(0.8 * n_survivors)
+
+    V = 64
+    toks = text.tokenize_ids(gated, "text", "doc_id", vocab_size=V)
+    bad = toks.where(
+        (F.size("token_ids") != F.col("n_tokens"))
+        | F.exists("token_ids", lambda t: (t < 0) | (t > V))
+    ).count()
+    assert bad == 0
+    # Every gated doc with ≥1 token tokenizes to exactly one row.
+    assert toks.count() == gated.where(
+        F.size(F.split(F.col("text"), r"\s+")) > 0
+    ).count()
