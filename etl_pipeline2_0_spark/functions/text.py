@@ -384,9 +384,14 @@ def quantile_filter_stats(df, score_col, group_col: str = "source",
     scored = df.select(F.col(group_col), score_col.alias("score"))
     thr = scored.groupBy(group_col).agg(
         F.percentile("score", q).alias("thr")
-    )
+    ).withColumnRenamed(group_col, "__g")
     return (
-        scored.join(F.broadcast(thr), group_col)
+        # Null-safe join: groupBy keeps a NULL group key, so the join back
+        # must too (same class as the pack_sequences NULL-key fix).
+        scored.join(
+            F.broadcast(thr), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
+        .drop("__g")
         .groupBy(group_col)
         .agg(
             F.round(F.max("thr"), 6).alias("threshold"),

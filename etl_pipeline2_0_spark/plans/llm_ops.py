@@ -1293,7 +1293,7 @@ SELECT s.source,
   CAST(SUM(CASE WHEN s.score >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
   ROUND(SUM(CASE WHEN s.score >= t.thr THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
     AS kept_rate
-FROM scored s JOIN thr t ON s.source = t.source
+FROM scored s JOIN thr t ON s.source IS NOT DISTINCT FROM t.source
 GROUP BY s.source
 """
 

@@ -961,3 +961,14 @@ def test_quantile_filter_stats_null_scores_counted_not_kept(spark):
     r = text.quantile_filter_stats(df, F.col("v"), "source", q=0.5).collect()[0]
     assert r["threshold"] == 2.0  # median of the two non-NULL scores
     assert r["n_total"] == 3 and r["n_kept"] == 1
+
+
+def test_quantile_filter_stats_keeps_null_group(spark):
+    # groupBy keeps a NULL group key; the threshold join-back must too
+    # (null-safe join — the pack_sequences NULL-key lesson applied here).
+    rows = [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 7.0)]
+    df = spark.createDataFrame(rows, "source string, v double")
+    out = {r["source"]: r for r in
+           text.quantile_filter_stats(df, F.col("v"), "source", q=0.5).collect()}
+    assert None in out
+    assert out[None]["n_total"] == 2 and out[None]["threshold"] == 6.0
