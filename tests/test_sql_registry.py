@@ -97,6 +97,9 @@ def test_driver_window_covers_every_query_family():
         # rows collected r7; shuffle_shards/knn_label_vote promoted r8)
         "dedup_spans", "dedup_spans_intra", "mix_sources", "pack_sequences",
         "filter_audit", "shuffle_shards", "knn_label_vote", "ann_recall",
+        # r8 corpus-quality battery (promoted same-round after checklist
+        # gate 2 proved them at the driver's exact SF)
+        "vocab_oov", "quantile_filter", "lm_score", "tokenize_ids",
         # sampling / sketches (the scalar batteries left the window in r7:
         # all eleven twice-proven r02 AND r06, the latest under the current
         # data regime, and re-proven every run by the default sf0.001 +
