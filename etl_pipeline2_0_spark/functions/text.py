@@ -430,10 +430,15 @@ def char_bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
     rounded to 6 dp, where ``alphabet`` is the corpus-wide distinct count
     of bigram-second characters.
 
-    Scale: the bigram explode is a narrow flatMap bounded at
-    ``prefix_len``×corpus; the LM tables aggregate to ≤|alphabet|² rows and
-    broadcast back — the scoring join adds NO full-size shuffle, and the
-    final per-doc aggregate combines map-side.
+    Scale: exactly TWO corpus passes.  The bigram explode (a narrow flatMap
+    bounded at ``prefix_len``×corpus) feeds one (bigram → count) aggregate;
+    the context counts and the alphabet size are then derived from that
+    ≤|alphabet|²-row table — never from a second corpus scan — and all
+    three model tables broadcast into the scoring pass, which adds NO
+    full-size shuffle (the per-doc aggregate combines map-side).  The docs
+    frame is rebalanced to the default parallelism BEFORE the 200×
+    amplification so a few large input splits (or a post-filter skew)
+    can't serialize the explode.
     """
     d = (
         df.select(
@@ -441,6 +446,7 @@ def char_bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
             F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("t"),
         )
         .where(F.length("t") >= 2)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     )
     bg = d.select(
         F.col(id_col),
@@ -452,8 +458,10 @@ def char_bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
         F.expr("substring(t, i, 1)").alias("ctx"),
     )
     big_counts = bg.groupBy("big").agg(F.count(F.lit(1)).alias("bc"))
-    ctx_counts = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("cc"))
-    alpha = bg.select(
+    ctx_counts = big_counts.groupBy(
+        F.substring("big", 1, 1).alias("ctx")
+    ).agg(F.sum("bc").alias("cc"))
+    alpha = big_counts.select(
         F.countDistinct(F.substring("big", 2, 1)).alias("alpha")
     )
     return (
