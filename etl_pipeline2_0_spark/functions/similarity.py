@@ -555,18 +555,16 @@ def embedding_near_duplicates(
 
     Output canonical (id_a < id_b).
     """
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        rp_signature(F.col(vec_col), planes).alias("sig"),
-    )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if min_bit_matches <= 0:
-        ea = sigs.select(
+        # Exact mode never consults the signature — don't build it (the
+        # plane-literal construction is cached but not free).
+        ea = base.select(
             F.col("id").alias("id_a"),
             F.col("vec").alias("vec_a"),
             F.pmod(F.xxhash64("id"), F.lit(exact_blocks)).alias("blk"),
         )
-        eb = sigs.select(
+        eb = base.select(
             F.col("id").alias("id_b"),
             F.col("vec").alias("vec_b"),
             F.explode(F.sequence(F.lit(0), F.lit(exact_blocks - 1))).alias("blk"),
@@ -581,6 +579,7 @@ def embedding_near_duplicates(
             .select("id_a", "id_b", "cosine_sim")
         )
     num_bands = planes - min_bit_matches + 1
+    sigs = base.withColumn("sig", rp_signature(F.col("vec"), planes))
     banded = sigs.select(
         "id",
         F.posexplode(sig_bands(F.col("sig"), planes, num_bands)).alias(
