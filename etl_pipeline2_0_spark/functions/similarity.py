@@ -58,12 +58,22 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine_sim, rank), excluding self-pairs.
     Ties broken by neighbor id for cross-engine determinism.
+
+    Norms are precomputed ONCE per side (a narrow projection each), so the
+    per-pair work of the |queries|×|corpus| score is just the dot product —
+    the norm HOF re-evaluated per pair was ~2/3 of the pair cost.  Bit-
+    identical to inline ``cosine``: the norm expression is unchanged, only
+    evaluated once.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -71,7 +81,11 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -414,15 +428,24 @@ def semantic_dedup(
         F.col("neighbor_id").alias("vec_id"), F.col("c_vec").alias("v"), "cluster"
     )
     a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cluster"
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
+        "cluster",
     )
     b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cluster"
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
+        "cluster",
     )
     dropped = (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .where(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(float(threshold))
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -559,21 +582,30 @@ def embedding_near_duplicates(
     if min_bit_matches <= 0:
         # Exact mode never consults the signature — don't build it (the
         # plane-literal construction is cached but not free).
+        # Norms precomputed once per side — per-pair work is the dot alone
+        # (bit-identical: same norm expression, evaluated once not O(n²)×).
         ea = base.select(
             F.col("id").alias("id_a"),
             F.col("vec").alias("vec_a"),
+            norm(F.col("vec")).alias("norm_a"),
             F.pmod(F.xxhash64("id"), F.lit(exact_blocks)).alias("blk"),
         )
         eb = base.select(
             F.col("id").alias("id_b"),
             F.col("vec").alias("vec_b"),
+            norm(F.col("vec")).alias("norm_b"),
             F.explode(F.sequence(F.lit(0), F.lit(exact_blocks - 1))).alias("blk"),
         )
         return (
             ea.join(eb.hint("shuffle_hash"), "blk")
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn(
-                "cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+                "cosine_sim",
+                F.round(
+                    dot(F.col("vec_a"), F.col("vec_b"))
+                    / (F.col("norm_a") * F.col("norm_b")),
+                    6,
+                ),
             )
             .where(F.col("cosine_sim") >= threshold)
             .select("id_a", "id_b", "cosine_sim")
