@@ -284,19 +284,24 @@ def rp_lsh_topk(
     collision-only candidates, and exact cosine re-ranks the survivors.
     """
     num_bands = planes - min_bit_matches + 1
+    # Norms ride the narrow projections (computed once per row, not per
+    # candidate pair in the re-rank — bit-identical, evaluated once).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         rp_signature(F.col(vec_col), planes).alias("q_sig"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
         rp_signature(F.col(vec_col), planes).alias("c_sig"),
     )
     q_bands = q.select(
         "query_id",
         "q_vec",
+        "q_norm",
         "q_sig",
         F.posexplode(sig_bands(F.col("q_sig"), planes, num_bands)).alias(
             "band", "bucket"
@@ -305,6 +310,7 @@ def rp_lsh_topk(
     c_bands = c.select(
         "neighbor_id",
         "c_vec",
+        "c_norm",
         "c_sig",
         F.posexplode(sig_bands(F.col("c_sig"), planes, num_bands)).alias(
             "band", "bucket"
@@ -318,14 +324,21 @@ def rp_lsh_topk(
     scored = (
         c_bands.join(F.broadcast(q_bands), ["band", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_sig", "c_sig")
+        .select(
+            "query_id", "neighbor_id",
+            "q_vec", "c_vec", "q_norm", "c_norm", "q_sig", "c_sig",
+        )
         .distinct()
         .withColumn("bit_matches", matches)
         .where(F.col("bit_matches") >= min_bit_matches)
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -507,12 +520,18 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     cents_unit = _train_centroids(c, n_centroids, refine_iters, train_budget)
-    assigned = c.withColumn("cluster", _nearest_centroid_udf(cents_unit)("c_vec"))
+    assigned = c.withColumn(
+        "cluster", _nearest_centroid_udf(cents_unit)("c_vec")
+    ).withColumn("c_norm", norm(F.col("c_vec")))
     centroids = corpus.sparkSession.createDataFrame(
         [(j + 1, [float(v) for v in cents_unit[j]]) for j in range(len(cents_unit))],
         "centroid_id INT, cent_vec ARRAY<FLOAT>",
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
     # Query side is small by definition: broadcast cross-score + window.
     # cent_vec is unit-norm, so dot/|q| ≡ cosine; ranking needs no |q| at
     # all (constant per query), but keep cosine for readability — the cost
@@ -520,6 +539,7 @@ def ivf_topk(
     q_scored = q.crossJoin(F.broadcast(centroids)).select(
         "query_id",
         "q_vec",
+        "q_norm",
         "centroid_id",
         cosine(F.col("q_vec"), F.col("cent_vec")).alias("cent_sim"),
     )
@@ -529,15 +549,24 @@ def ivf_topk(
     probes = (
         q_scored.withColumn("p", F.row_number().over(wq))
         .where(F.col("p") <= n_probe)
-        .select("query_id", "q_vec", F.col("centroid_id").alias("cluster"))
+        .select(
+            "query_id", "q_vec", "q_norm", F.col("centroid_id").alias("cluster")
+        )
     )
+    # Re-rank: norms precomputed per side (c_norm rides the assignment,
+    # q_norm the probes) — per-candidate work is the dot product alone,
+    # bit-identical to inline cosine.
     scored = (
         assigned.join(F.broadcast(probes), "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -630,10 +659,16 @@ def embedding_near_duplicates(
         .distinct()
     )
     a = sigs.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("sig").alias("sig_a")
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        norm(F.col("vec")).alias("norm_a"),
+        F.col("sig").alias("sig_a"),
     )
     b = sigs.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("sig").alias("sig_b")
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        norm(F.col("vec")).alias("norm_b"),
+        F.col("sig").alias("sig_b"),
     )
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -645,7 +680,14 @@ def embedding_near_duplicates(
         .join(b, "id_b")
         .withColumn("bit_matches", matches)
         .where(F.col("bit_matches") >= min_bit_matches)
-        .withColumn("cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
+        )
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
