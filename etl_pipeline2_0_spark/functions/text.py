@@ -324,6 +324,34 @@ def oov_stats(df, text_col: str = "text", group_col: str = "source",
     )
 
 
+def quality_gate(df, text_col: str = "text", id_col: str = "doc_id",
+                 lang: str = "en", min_quality: float = 0.5,
+                 min_tokens: int = 20):
+    """The composed training-data quality gate: language + heuristic
+    quality + length floor in ONE narrow projection-and-filter pass.
+
+    Every term is a pure stateless column expression, so the same function
+    applies unchanged to a batch frame or a ``readStream`` frame (streamed
+    micro-batches produce exactly the rows the batch run would — pinned by
+    tests/test_streaming_windows.py).  Returns
+    (id, pred_lang, n_tokens, quality) for survivors.
+    """
+    t = F.col(text_col)
+    return (
+        df.select(
+            F.col(id_col),
+            lang_id(t).alias("pred_lang"),
+            token_count(t).cast("bigint").alias("n_tokens"),
+            quality_score(t).alias("quality"),
+        )
+        .where(
+            (F.col("pred_lang") == lang)
+            & (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+    )
+
+
 def tokenize_ids(df, text_col: str = "text", id_col: str = "doc_id",
                  vocab_size: int = 512, unk_id: int = 0):
     """Vocabulary-id encoding — the tokenization step of training-data prep:

@@ -889,24 +889,11 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The composed training-data quality gate: language + heuristic quality
-    # + length floor in ONE narrow projection-and-filter pass (each term is
-    # individually oracled; this query pins the composition).
+    # The composed training-data quality gate (each term is individually
+    # oracled; this query pins the composition).  Shared with the streaming
+    # path: text.quality_gate is pure narrow expressions, batch ≡ stream.
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return (
-        docs.select(
-            "doc_id",
-            text.lang_id(t).alias("pred_lang"),
-            text.token_count(t).cast("bigint").alias("n_tokens"),
-            text.quality_score(t).alias("quality"),
-        )
-        .where(
-            (F.col("pred_lang") == "en")
-            & (F.col("quality") >= 0.5)
-            & (F.col("n_tokens") >= 20)
-        )
-    )
+    return text.quality_gate(docs, "text", "doc_id")
 
 
 SQL_CORPUS_FILTER = rf"""

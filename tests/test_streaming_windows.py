@@ -195,3 +195,56 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
         for r in read_rollup(spark, out).collect()
     }
     assert updated[("2024-01-01 10:00:00", "click")] == 4  # was 3
+
+
+def test_quality_gate_stream_matches_batch(spark, tmp_path):
+    # The composed quality gate (corpus_filter's expressions) is pure
+    # stateless narrow ops, so streaming it through micro-batches must
+    # produce exactly the batch result rows — the §2.9 contract for the
+    # curation path.
+    from etl_pipeline2_0_spark.functions.text import quality_gate
+
+    docs_schema = "doc_id bigint, text string"
+    rows1 = [
+        (1, "the cat and the dog sat on the mat for a while and then the "
+            "mouse ran in to the house with the cheese for the winter"),
+        (2, "el perro y el gato en la casa"),
+    ]
+    rows2 = [
+        (3, "the quick brown fox jumps over the lazy dog and the slow "
+            "turtle walks past the quiet pond toward the old barn door"),
+        (4, "short"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows1, docs_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, docs_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    batch_out = {
+        r["doc_id"]: (r["pred_lang"], r["n_tokens"], r["quality"])
+        for r in quality_gate(spark.read.parquet(src)).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        quality_gate(stream)
+        .writeStream.format("memory")
+        .queryName("qgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = {
+        r["doc_id"]: (r["pred_lang"], r["n_tokens"], r["quality"])
+        for r in spark.sql("SELECT * FROM qgate").collect()
+    }
+    assert stream_out == batch_out
+    assert set(batch_out) == {1, 3}  # es doc and short doc gated out
