@@ -74,6 +74,8 @@ HEADLINE = [
     "lm_score",
     "semantic_dedup",
     "tokenize_ids",
+    "dedup_rate_report",
+    "curriculum_buckets",
 ]
 
 

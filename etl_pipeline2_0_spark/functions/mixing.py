@@ -227,3 +227,40 @@ def pack_sequences(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: Column,
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+):
+    """Curriculum bucketing WITHOUT a global sort: assign each row to a
+    difficulty bucket (0 = easiest … n_buckets-1) by its score's position
+    among the corpus's interpolated quantile thresholds.
+
+    Curriculum learning orders training data easy→hard; a global sort of
+    100 TB is the one plan you never want.  Instead the n_buckets-1
+    thresholds reduce to ONE broadcastable row (exact interpolated
+    percentile — same cross-engine definition as ``quantile_filter``), and
+    assignment is a narrow per-row count of thresholds ≤ score.  Downstream
+    the bucket id becomes a write-time partition column, and within-bucket
+    order comes from ``shuffle_shards``' hash rank — no corpus sort ever.
+
+    A row AT a threshold goes to the upper bucket (``score >= t``).  NULL
+    scores land in bucket 0 (comparisons with NULL count no thresholds).
+
+    Output: (id, score, bucket).
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    thr = df.select(
+        F.percentile(score_col, F.array(*[F.lit(p) for p in probs])).alias("thrs")
+    )
+    scored = df.select(F.col(id_col), score_col.alias("score"))
+    return scored.crossJoin(F.broadcast(thr)).select(
+        F.col(id_col),
+        "score",
+        F.size(
+            F.filter(F.col("thrs"), lambda t: F.col("score") >= t)
+        ).cast("int").alias("bucket"),
+    )

@@ -1373,3 +1373,71 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN vocab vb ON t.tok = vb.tok
 GROUP BY t.doc_id
 """
+
+
+# ---------------------------------------------- dedup-rate observability -
+
+
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Curation observability: per-source exact-duplication rate over a
+    # 20-char prefix key (the synthetic corpus has no full-text dups, same
+    # device as q_dup_groups).  One (source, key) aggregate with map-side
+    # combine, then a #sources-row rollup — no join, no window.
+    docs = load_table(spark, sf_dir, "documents")
+    per_key = (
+        docs.select("source", F.md5(F.substring("text", 1, 20)).alias("k"))
+        .groupBy("source", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_key.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 6
+        ).alias("dup_rate"),
+    )
+
+
+SQL_DEDUP_RATE_REPORT = """
+WITH per_key AS (
+  SELECT source, md5(SUBSTRING(text, 1, 20)) AS k, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+  CAST(SUM(c) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_unique,
+  ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS dup_rate
+FROM per_key GROUP BY source
+"""
+
+
+# ------------------------------------------------- curriculum bucketing -
+
+
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Easy→hard curriculum assignment by token count, quintile buckets —
+    # thresholds reduce to one broadcast row, assignment is narrow; the
+    # 100 TB ordering story is partition-by-bucket + hash rank, never a
+    # global sort.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.curriculum_buckets(
+        docs, text.token_count(F.col("text")).cast("double"), "doc_id",
+        n_buckets=5,
+    )
+
+
+SQL_CURRICULUM_BUCKETS = r"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> length(x) > 0)) AS DOUBLE) AS score
+  FROM documents
+), thr AS (
+  SELECT quantile_cont(score, [0.2, 0.4, 0.6, 0.8]) AS thrs FROM scored
+)
+SELECT doc_id, score,
+  CAST(len(list_filter(thrs, t -> score >= t)) AS INT) AS bucket
+FROM scored CROSS JOIN thr
+"""

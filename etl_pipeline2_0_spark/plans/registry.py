@@ -199,6 +199,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     promoted into the window same-round after checklist gate 2
     #     proved them at the driver's exact SF ---
     "semantic_dedup": (L.q_semantic_dedup, None),
+    # --- added r8: per-source duplication-rate observability (one
+    #     map-side-combined aggregate + #sources rollup); oracled, next in
+    #     line for window promotion ---
+    "dedup_rate_report": (L.q_dedup_rate_report, L.SQL_DEDUP_RATE_REPORT),
+    "curriculum_buckets": (L.q_curriculum_buckets, L.SQL_CURRICULUM_BUCKETS),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

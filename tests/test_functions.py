@@ -972,3 +972,25 @@ def test_quantile_filter_stats_keeps_null_group(spark):
            text.quantile_filter_stats(df, F.col("v"), "source", q=0.5).collect()}
     assert None in out
     assert out[None]["n_total"] == 2 and out[None]["threshold"] == 6.0
+
+
+def test_curriculum_buckets_boundaries_and_nulls(spark):
+    from etl_pipeline2_0_spark.functions import mixing
+
+    rows = [(i, float(i)) for i in range(1, 11)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, v double")
+    out = {r["doc_id"]: r["bucket"] for r in
+           mixing.curriculum_buckets(df, F.col("v"), n_buckets=2).collect()}
+    # Median of 1..10 = 5.5; scores >= 5.5 → bucket 1, below → 0; the NULL
+    # score counts no thresholds → bucket 0.
+    assert all(out[i] == 0 for i in range(1, 6))
+    assert all(out[i] == 1 for i in range(6, 11))
+    assert out[99] == 0
+    # A row AT a threshold goes to the upper bucket.
+    df2 = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "doc_id bigint, v double"
+    )
+    out2 = {r["doc_id"]: r["bucket"] for r in
+            mixing.curriculum_buckets(df2, F.col("v"), n_buckets=3).collect()}
+    # thresholds = quantiles(1/3, 2/3) of [1,2,3] = [1.667, 2.333]
+    assert out2 == {1: 0, 2: 1, 3: 2}

@@ -419,3 +419,20 @@ def test_tokenize_ids_broadcast_vocab_bounded_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Window") == 1
+
+
+def test_dedup_rate_report_two_aggregates_no_join(spark, sf_dir):
+    plan = _plan(L.q_dedup_rate_report(spark, sf_dir))
+    # Two hash aggregates (each with map-side partial), no join of any kind.
+    assert plan.count("HashAggregate") >= 4
+    for bad in ("Join", "CartesianProduct", "Window"):
+        assert bad not in plan
+
+
+def test_curriculum_buckets_broadcast_thresholds_no_sort(spark, sf_dir):
+    # The threshold row must broadcast; assignment is narrow — no global
+    # sort, no window, no shuffle of the corpus beyond the 1-row aggregate.
+    plan = _plan(L.q_curriculum_buckets(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for bad in ("Sort", "Window", "CartesianProduct"):
+        assert bad not in plan

@@ -60,6 +60,7 @@ HEAVY = [
     "quantile_filter",
     "lm_score",
     "tokenize_ids",
+    "curriculum_buckets",
 ]
 
 
