@@ -1,3 +1,9 @@
-from etl_pipeline2_0_spark.functions import dedup, multimodal, similarity, text
+from etl_pipeline2_0_spark.functions import (
+    dedup,
+    mixing,
+    multimodal,
+    similarity,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "mixing"]
