@@ -199,9 +199,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     promoted into the window same-round after checklist gate 2
     #     proved them at the driver's exact SF ---
     "semantic_dedup": (L.q_semantic_dedup, None),
-    # --- added r8: per-source duplication-rate observability (one
-    #     map-side-combined aggregate + #sources rollup); oracled, next in
-    #     line for window promotion ---
+    # --- added r8 (late in the round, after the same-round battery
+    #     promotion): per-source duplication-rate observability and
+    #     quantile-bucket curriculum assignment — both oracled and green
+    #     in the final checklist's sf0.01 parity gate; next in line for
+    #     the r9 window rotation ---
     "dedup_rate_report": (L.q_dedup_rate_report, L.SQL_DEDUP_RATE_REPORT),
     "curriculum_buckets": (L.q_curriculum_buckets, L.SQL_CURRICULUM_BUCKETS),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
