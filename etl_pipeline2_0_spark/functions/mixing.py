@@ -248,7 +248,9 @@ def curriculum_buckets(
     order comes from ``shuffle_shards``' hash rank — no corpus sort ever.
 
     A row AT a threshold goes to the upper bucket (``score >= t``).  NULL
-    scores land in bucket 0 (comparisons with NULL count no thresholds).
+    scores land in bucket 0 (comparisons with NULL count no thresholds),
+    as does everything when the corpus has NO non-NULL scores (the
+    thresholds themselves are NULL then — coalesced to 0).
 
     Output: (id, score, bucket).
     """
@@ -260,7 +262,8 @@ def curriculum_buckets(
     return scored.crossJoin(F.broadcast(thr)).select(
         F.col(id_col),
         "score",
-        F.size(
-            F.filter(F.col("thrs"), lambda t: F.col("score") >= t)
+        F.coalesce(
+            F.size(F.filter(F.col("thrs"), lambda t: F.col("score") >= t)),
+            F.lit(0),
         ).cast("int").alias("bucket"),
     )

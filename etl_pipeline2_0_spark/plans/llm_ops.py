@@ -1438,6 +1438,6 @@ WITH scored AS (
   SELECT quantile_cont(score, [0.2, 0.4, 0.6, 0.8]) AS thrs FROM scored
 )
 SELECT doc_id, score,
-  CAST(len(list_filter(thrs, t -> score >= t)) AS INT) AS bucket
+  CAST(COALESCE(len(list_filter(thrs, t -> score >= t)), 0) AS INT) AS bucket
 FROM scored CROSS JOIN thr
 """

@@ -259,3 +259,67 @@ def test_pack_sequences_matches_python_prefix_sum(spark, toks, budget, bucket_wi
         assert got[pid]["n_docs"] == len(sizes)
         assert got[pid]["pack_tokens"] == sum(sizes)
     assert sum(r["pack_tokens"] for r in out) == sum(toks)
+
+
+# --- r8 corpus-quality battery invariants ----------------------------------
+
+
+@given(
+    scores=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                       allow_nan=False)),
+        min_size=1, max_size=8,
+    ),
+    n_buckets=st.integers(min_value=2, max_value=5),
+)
+@settings(**SETTINGS)
+def test_curriculum_buckets_monotone_and_bounded(spark, scores, n_buckets):
+    from etl_pipeline2_0_spark.functions import mixing
+
+    rows = [(i, s) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "doc_id bigint, v double")
+    out = {r["doc_id"]: r["bucket"] for r in
+           mixing.curriculum_buckets(df, F.col("v"), n_buckets=n_buckets).collect()}
+    assert set(out) == set(range(len(scores)))  # every row, exactly once
+    for i, si in enumerate(scores):
+        assert 0 <= out[i] <= n_buckets - 1
+        if si is None:
+            assert out[i] == 0  # NULL counts no thresholds
+    # Monotone: a strictly greater score never lands in a lower bucket.
+    known = [(s, out[i]) for i, s in enumerate(scores) if s is not None]
+    for sa, ba in known:
+        for sb, bb in known:
+            if sa > sb:
+                assert ba >= bb
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab cd ", min_size=0, max_size=20),
+                   min_size=1, max_size=5),
+    vocab_size=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_tokenize_ids_roundtrip_in_vocab(spark, texts, vocab_size):
+    # Decoding non-UNK ids through the vocabulary must reproduce exactly
+    # the in-vocab tokens of each doc, in order; id 0 marks exactly the
+    # out-of-vocab positions; with V >= |vocab| nothing is ever UNK.
+    import re
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # Python reference: same tokenizer (\W+ lowercased, empties removed).
+    toks = {i: [w for w in re.split(r"\W+", t.lower()) if w]
+            for i, t in enumerate(rows_t[1] for rows_t in rows)}
+    from collections import Counter
+    freq = Counter(w for ws in toks.values() for w in ws)
+    ranked = sorted(freq, key=lambda w: (-freq[w], w))[:vocab_size]
+    ids = {w: j + 1 for j, w in enumerate(
+        sorted(ranked, key=lambda w: (-freq[w], w)))}
+    out = {r["doc_id"]: r["token_ids"] for r in
+           text_fns.tokenize_ids(df, vocab_size=vocab_size).collect()}
+    for i, ws in toks.items():
+        if not ws:
+            assert i not in out  # zero-token docs emit no row
+            continue
+        expect = [ids.get(w, 0) for w in ws]
+        assert out[i] == expect
