@@ -76,6 +76,7 @@ HEADLINE = [
     "tokenize_ids",
     "dedup_rate_report",
     "curriculum_buckets",
+    "image_phash_neardup",
 ]
 
 

@@ -535,33 +535,34 @@ def simhash64(
     )
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "simhash",
     max_hamming: int = 3,
     blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+    """Pairs of 64-bit signatures within Hamming distance ``max_hamming``.
 
     Pigeonhole blocking: split the 64-bit signature into ``blocks`` chunks;
     any pair within distance ``max_hamming < blocks`` must agree on ≥1 chunk,
     so candidates come from equi-joins on (chunk index, chunk value) — no
-    cross join — then exact popcount verification.
+    cross join — then exact popcount verification.  Shared by SimHash text
+    near-dup and pHash image near-dup.
     """
     bits_per = 64 // blocks
-    sigs = simhash64(df, text_col, id_col)
+    base = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
     chunks = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), b * bits_per).bitwiseAND(
+            F.shiftrightunsigned(F.col("sig"), b * bits_per).bitwiseAND(
                 F.lit((1 << bits_per) - 1)
             )
             for b in range(blocks)
         ]
     )
-    chunked = sigs.select(
+    chunked = base.select(
         "id",
-        "simhash",
+        "sig",
         F.posexplode(chunks).alias("chunk_idx", "chunk_val"),
     )
     a, b = chunked.alias("a"), chunked.alias("b")
@@ -575,8 +576,8 @@ def simhash_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.sig").alias("sh_a"),
+            F.col("b.sig").alias("sh_b"),
         )
         .distinct()
     )
@@ -586,6 +587,24 @@ def simhash_near_duplicates(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``
+    (pigeonhole chunk equi-join — see ``hamming_pairs``)."""
+    return hamming_pairs(
+        simhash64(df, text_col, id_col),
+        id_col="id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        blocks=blocks,
     )
 
 

@@ -570,3 +570,117 @@ def sample_frames(
     return media.select("media_id", "payload").mapInPandas(
         sample_batches, schema=FRAME_SCHEMA
     )
+
+
+def _luma_f64(info: dict):
+    """Float64 luma plane from a ``parse_bmp`` result (palette-resolved)."""
+    import numpy as np
+
+    px = info["pixels"]
+    if info["mode"] == "P":
+        pal = info["palette"].astype(np.float64)  # (256, 3) BGR
+        bgr = pal[px[:, :, 0]]
+    elif info["mode"] in ("BGR", "BGRA"):
+        bgr = px[:, :, :3].astype(np.float64)
+    else:  # pragma: no cover - parse_bmp only emits the three modes above
+        bgr = px.astype(np.float64)
+    # ITU-R BT.601 luma; channels are BGR order.
+    return 0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1] + 0.299 * bgr[:, :, 2]
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II matrix (the classic pHash transform basis)."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    C = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    C[0] *= np.sqrt(1.0 / n)
+    C[1:] *= np.sqrt(2.0 / n)
+    return C
+
+
+_PHASH_DCT32 = None
+
+
+def phash64(b: bytes):
+    """64-bit perceptual image hash (classic pHash, public algorithm):
+    luma → nearest-neighbor 32×32 resize → 2-D orthonormal DCT-II →
+    top-left 8×8 low-frequency block → bit i = coeff_i > median.
+
+    Pure numpy on the built-in BMP parser — deterministic, no codec libs.
+    Returns a SIGNED 64-bit int (Spark LongType two's complement) or None
+    for payloads the parser rejects.
+    """
+    import numpy as np
+
+    global _PHASH_DCT32
+    info = parse_bmp(b)
+    if info is None:
+        return None
+    luma = _luma_f64(info)
+    h, w = luma.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    small = luma[ys][:, xs]
+    if _PHASH_DCT32 is None:
+        _PHASH_DCT32 = _dct_matrix(32)
+    C = _PHASH_DCT32
+    block = (C @ small @ C.T)[:8, :8].ravel()
+    med = float(np.median(block))
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_phash(media: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Per-image pHash: one narrow Arrow-batched pass (same shape as
+    ``decode_image``); undecodable payloads yield NULL phash + err."""
+    import pandas as pd
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            hashes, errs = [], []
+            for b in pdf[payload_col]:
+                try:
+                    hv = phash64(bytes(b) if b is not None else None)
+                    hashes.append(hv)
+                    errs.append(None if hv is not None else "not_a_bmp")
+                except Exception as e:  # total: never fail the task
+                    hashes.append(None)
+                    errs.append(type(e).__name__)
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "phash": pd.array(hashes, dtype="Int64"),
+                 "err": errs}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        batches, "media_id long, phash long, err string"
+    )
+
+
+def image_near_duplicates(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs by pHash Hamming distance — the image
+    side of corpus dedup.  Hashing is one narrow Arrow pass; the pair
+    search reuses the SimHash pigeonhole chunk equi-join
+    (``dedup.hamming_pairs``) — no cross join at any scale."""
+    from etl_pipeline2_0_spark.functions.dedup import hamming_pairs
+
+    sigs = image_phash(media, id_col, payload_col).where(
+        F.col("phash").isNotNull()
+    )
+    return hamming_pairs(
+        sigs, id_col="media_id", sig_col="phash",
+        max_hamming=max_hamming, blocks=blocks,
+    )

@@ -1441,3 +1441,44 @@ SELECT doc_id, score,
   CAST(COALESCE(len(list_filter(thrs, t -> score >= t)), 0) AS INT) AS bucket
 FROM scored CROSS JOIN thr
 """
+
+
+# ----------------------------------------------- perceptual image dedup -
+
+
+def _synth_bmp_media(spark: SparkSession, sf_dir: str, modulo: int) -> DataFrame:
+    # Deterministic BMP synthesis from embedding rows (q_media_decode's
+    # device): similar vectors render to similar 4x4 images, so the
+    # perceptual-hash family has genuine near-dups to find.
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % modulo == 0
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_pipeline2_0_spark.functions.multimodal import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.clip(
+                    np.asarray(vec, dtype=float)[:48] * 127 + 128, 0, 255
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(np.resize(arr, (4, 4, 3))))
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        make, "media_id long, payload binary"
+    )
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Image-side corpus dedup: classic pHash (luma -> 32x32 -> DCT-II ->
+    # 8x8 median bits) in one Arrow pass, then the SimHash pigeonhole
+    # chunk equi-join at Hamming <= 6 (blocks=8 keeps the recall guarantee
+    # through distance 7).  Pandas-UDF hashing -> no DuckDB twin;
+    # value-pinned by goldens at three SFs.
+    media = _synth_bmp_media(spark, sf_dir, modulo=2)
+    return multimodal.image_near_duplicates(media, max_hamming=6, blocks=8)

@@ -206,6 +206,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     the r9 window rotation ---
     "dedup_rate_report": (L.q_dedup_rate_report, L.SQL_DEDUP_RATE_REPORT),
     "curriculum_buckets": (L.q_curriculum_buckets, L.SQL_CURRICULUM_BUCKETS),
+    # --- added r8: perceptual image dedup (classic pHash over the built-in
+    #     BMP decoder, pigeonhole chunk equi-join shared with SimHash);
+    #     pandas-UDF hashing — rows-only, value-pinned by goldens ×3 SFs ---
+    "image_phash_neardup": (L.q_image_phash_neardup, None),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

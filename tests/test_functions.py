@@ -994,3 +994,68 @@ def test_curriculum_buckets_boundaries_and_nulls(spark):
             mixing.curriculum_buckets(df2, F.col("v"), n_buckets=3).collect()}
     # thresholds = quantiles(1/3, 2/3) of [1,2,3] = [1.667, 2.333]
     assert out2 == {1: 0, 2: 1, 3: 2}
+
+
+# ------------------------------------------------ perceptual image hash -
+
+
+def test_phash64_identity_locality_and_garbage():
+    import numpy as np
+
+    from etl_pipeline2_0_spark.functions.multimodal import encode_bmp, phash64
+
+    rng = [(x * 37 + y * 11 + c * 5) % 256 for x in range(8) for y in range(8)
+           for c in range(3)]
+    px = np.array(rng, dtype=np.uint8).reshape(8, 8, 3)
+    h1 = phash64(encode_bmp(px))
+    h2 = phash64(encode_bmp(px.copy()))
+    assert h1 == h2 and h1 is not None  # deterministic
+    # One-pixel luma nudge: small Hamming distance, not a totally new hash.
+    px2 = px.copy()
+    px2[0, 0] = [255, 255, 255]
+    h3 = phash64(encode_bmp(px2))
+    d = bin((h1 ^ h3) & ((1 << 64) - 1)).count("1")
+    assert 0 <= d <= 16
+    # A structurally different image is far away.
+    h4 = phash64(encode_bmp(np.transpose(px, (1, 0, 2)).copy()))
+    d2 = bin((h1 ^ h4) & ((1 << 64) - 1)).count("1")
+    assert d2 > d
+    assert phash64(b"not a bmp") is None
+    assert phash64(None) is None
+
+
+def test_image_phash_err_rows_and_neardup_brute_agreement(spark):
+    import numpy as np
+
+    from etl_pipeline2_0_spark.functions import multimodal
+
+    imgs = []
+    base = np.zeros((4, 4, 3), dtype=np.uint8)
+    for i in range(6):
+        px = base.copy()
+        px[i % 4, (i * 2) % 4] = [200, 100 + i, 50]
+        imgs.append((i, bytearray(multimodal.encode_bmp(px))))
+    imgs.append((99, bytearray(b"garbage")))
+    media = spark.createDataFrame(imgs, "media_id bigint, payload binary")
+
+    hashed = {r["media_id"]: r for r in multimodal.image_phash(media).collect()}
+    assert hashed[99]["phash"] is None and hashed[99]["err"] == "not_a_bmp"
+    assert all(hashed[i]["phash"] is not None for i in range(6))
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_duplicates(
+            media, max_hamming=7, blocks=8
+        ).collect()
+    }
+    # Brute-force reference: 8 blocks guarantee exact recall through
+    # distance 7, so the chunk-join result must EQUAL the brute set.
+    expect = {}
+    for a in range(6):
+        for b in range(a + 1, 6):
+            d = bin(
+                (hashed[a]["phash"] ^ hashed[b]["phash"]) & ((1 << 64) - 1)
+            ).count("1")
+            if d <= 7:
+                expect[(a, b)] = d
+    assert got == expect

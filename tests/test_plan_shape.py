@@ -436,3 +436,11 @@ def test_curriculum_buckets_broadcast_thresholds_no_sort(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     for bad in ("Sort", "Window", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_image_phash_neardup_chunk_equijoin_no_cartesian(spark, sf_dir):
+    # Hashing is one narrow Arrow pass; the pair search must be the
+    # pigeonhole chunk equi-join — never an all-pairs nested loop.
+    plan = _plan(L.q_image_phash_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
