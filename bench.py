@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_rate_report",
     "curriculum_buckets",
     "image_phash_neardup",
+    "audio_fp_neardup",
 ]
 
 

@@ -684,3 +684,97 @@ def image_near_duplicates(
         sigs, id_col="media_id", sig_col="phash",
         max_hamming=max_hamming, blocks=blocks,
     )
+
+
+def audio_fingerprint64(b: bytes, n_frames: int = 16, n_bands: int = 4):
+    """64-bit spectral audio fingerprint (Haitsma–Kalker-style band
+    energies, median-thresholded like pHash): mono-ized 16-bit PCM →
+    ``n_frames`` equal segments → per-segment DFT magnitude split into
+    ``n_bands`` bands (DC dropped) → bit i = energy_i > median of all
+    ``n_frames × n_bands`` energies.
+
+    Pure numpy over the built-in RIFF/WAVE parser — deterministic, no
+    codec libs.  Returns a SIGNED 64-bit int or None for payloads the
+    parser rejects (non-WAV, non-16-bit, empty).
+    """
+    import numpy as np
+
+    info = parse_wav(b)
+    if info is None or info["bits_per_sample"] != 16 or info["data_len"] < 2:
+        return None
+    s = np.frombuffer(
+        b, dtype="<i2", count=info["data_len"] // 2, offset=info["data_offset"]
+    ).astype(np.float64)
+    ch = info["channels"]
+    if ch > 1:
+        s = s[: (len(s) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    if len(s) == 0:
+        return None
+    need = n_frames * 2 * n_bands  # ≥ 2·n_bands samples per frame
+    if len(s) < need:
+        s = np.pad(s, (0, need - len(s)))
+    cut = (len(s) // n_frames) * n_frames
+    frames = s[:cut].reshape(n_frames, -1)
+    mags = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC
+    k = mags.shape[1] // n_bands
+    energies = np.array(
+        [mags[:, i * k : (i + 1) * k].sum(axis=1) for i in range(n_bands)]
+    ).T
+    flat = energies.ravel()
+    med = float(np.median(flat))
+    bits = 0
+    for i, v in enumerate(flat):
+        if v > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def audio_fingerprint(media: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Per-clip spectral fingerprint: one narrow Arrow-batched pass;
+    undecodable payloads yield NULL fingerprint + err."""
+    import pandas as pd
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            hashes, errs = [], []
+            for b in pdf[payload_col]:
+                try:
+                    hv = audio_fingerprint64(bytes(b) if b is not None else None)
+                    hashes.append(hv)
+                    errs.append(None if hv is not None else "not_pcm16_wav")
+                except Exception as e:  # total: never fail the task
+                    hashes.append(None)
+                    errs.append(type(e).__name__)
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col],
+                 "afp": pd.array(hashes, dtype="Int64"), "err": errs}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        batches, "media_id long, afp long, err string"
+    )
+
+
+def audio_near_duplicates(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 4,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-duplicate audio pairs by spectral-fingerprint Hamming distance
+    — the audio side of corpus dedup, completing the text (SimHash) /
+    image (pHash) / audio triple on the SAME pigeonhole chunk equi-join
+    (``dedup.hamming_pairs``)."""
+    from etl_pipeline2_0_spark.functions.dedup import hamming_pairs
+
+    sigs = audio_fingerprint(media, id_col, payload_col).where(
+        F.col("afp").isNotNull()
+    )
+    return hamming_pairs(
+        sigs, id_col="media_id", sig_col="afp",
+        max_hamming=max_hamming, blocks=blocks,
+    )

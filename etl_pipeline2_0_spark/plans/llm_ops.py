@@ -1482,3 +1482,50 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value-pinned by goldens at three SFs.
     media = _synth_bmp_media(spark, sf_dir, modulo=2)
     return multimodal.image_near_duplicates(media, max_hamming=6, blocks=8)
+
+
+def _synth_wav_media(spark: SparkSession, sf_dir: str, modulo: int) -> DataFrame:
+    # Deterministic WAV synthesis from embedding rows: each value held for
+    # 16 samples at 8 kHz (a step waveform — similar vectors sound alike),
+    # so the spectral-fingerprint family has genuine near-dups to find.
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % modulo == 0
+    )
+
+    def make(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def encode_wav(rate, samples):
+            data = np.asarray(samples, dtype="<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            return (
+                b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=float)
+                samples = np.clip(
+                    np.repeat(arr, 16) * 8000, -32768, 32767
+                ).astype(np.int16)
+                payloads.append(encode_wav(8000, samples))
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        make, "media_id long, payload binary"
+    )
+
+
+def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Audio-side corpus dedup: spectral band-energy fingerprint in one
+    # Arrow pass, pigeonhole chunk equi-join at Hamming <= 6 (blocks=8
+    # keeps exact recall through distance 7).  Pandas-UDF hashing -> no
+    # DuckDB twin; value-pinned by goldens at three SFs.
+    media = _synth_wav_media(spark, sf_dir, modulo=2)
+    return multimodal.audio_near_duplicates(media, max_hamming=6, blocks=8)

@@ -210,6 +210,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     BMP decoder, pigeonhole chunk equi-join shared with SimHash);
     #     pandas-UDF hashing — rows-only, value-pinned by goldens ×3 SFs ---
     "image_phash_neardup": (L.q_image_phash_neardup, None),
+    # --- added r8: audio-side near-dup (spectral band-energy fingerprint,
+    #     same pigeonhole join) — completes the text/image/audio dedup
+    #     triple; rows-only, golden-pinned ×3 SFs ---
+    "audio_fp_neardup": (L.q_audio_fp_neardup, None),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

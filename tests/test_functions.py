@@ -1059,3 +1059,63 @@ def test_image_phash_err_rows_and_neardup_brute_agreement(spark):
             if d <= 7:
                 expect[(a, b)] = d
     assert got == expect
+
+
+def test_audio_fingerprint_identity_locality_garbage(spark):
+    import numpy as np
+
+    from etl_pipeline2_0_spark.functions import multimodal
+
+    rate = 8000
+    base = np.clip(
+        np.repeat(np.sin(np.arange(64) * 0.3), 16) * 8000, -32768, 32767
+    ).astype(np.int16)
+    w1 = _make_wav(rate, base.tolist())
+    h1 = multimodal.audio_fingerprint64(w1)
+    assert h1 is not None and multimodal.audio_fingerprint64(w1) == h1
+    # Tiny amplitude perturbation on one step: small Hamming move.
+    pert = base.copy()
+    pert[:16] = np.clip(pert[:16] + 500, -32768, 32767)
+    h2 = multimodal.audio_fingerprint64(_make_wav(rate, pert.tolist()))
+    d = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert 0 <= d <= 16
+    # Structurally different signal is far away.
+    h3 = multimodal.audio_fingerprint64(
+        _make_wav(rate, base[::-1].copy().tolist())
+    )
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") >= d
+    assert multimodal.audio_fingerprint64(b"not audio") is None
+    assert multimodal.audio_fingerprint64(None) is None
+
+
+def test_audio_near_duplicates_brute_agreement(spark):
+    import numpy as np
+
+    from etl_pipeline2_0_spark.functions import multimodal
+
+    clips = []
+    for i in range(5):
+        sig = np.clip(
+            np.repeat(np.sin(np.arange(64) * (0.2 + 0.001 * i)), 16) * 8000,
+            -32768, 32767,
+        ).astype(np.int16)
+        clips.append((i, bytearray(_make_wav(8000, sig.tolist()))))
+    clips.append((99, bytearray(b"garbage")))
+    media = spark.createDataFrame(clips, "media_id bigint, payload binary")
+    hashed = {r["media_id"]: r["afp"]
+              for r in multimodal.audio_fingerprint(media).collect()}
+    assert hashed[99] is None
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.audio_near_duplicates(
+            media, max_hamming=7, blocks=8
+        ).collect()
+    }
+    expect = {}
+    for a in range(5):
+        for b in range(a + 1, 5):
+            d = bin((hashed[a] ^ hashed[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 7:
+                expect[(a, b)] = d
+    assert got == expect
+    assert expect, "fixture should contain at least one near-dup pair"
