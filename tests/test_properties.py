@@ -323,3 +323,21 @@ def test_tokenize_ids_roundtrip_in_vocab(spark, texts, vocab_size):
             continue
         expect = [ids.get(w, 0) for w in ws]
         assert out[i] == expect
+
+
+@given(data=st.binary(max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_perceptual_hashers_total_on_garbage(data):
+    # Like the media parsers, the perceptual hashers must be TOTAL on
+    # arbitrary bytes: return None or an int64, never raise — corrupt
+    # payloads at corpus scale are routine, not exceptional.
+    from etl_pipeline2_0_spark.functions.multimodal import (
+        audio_fingerprint64,
+        phash64,
+    )
+
+    for fn in (phash64, audio_fingerprint64):
+        out = fn(data)
+        assert out is None or (
+            isinstance(out, int) and -(1 << 63) <= out < (1 << 63)
+        )
