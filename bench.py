@@ -78,6 +78,7 @@ HEADLINE = [
     "curriculum_buckets",
     "image_phash_neardup",
     "audio_fp_neardup",
+    "video_phash_neardup",
 ]
 
 

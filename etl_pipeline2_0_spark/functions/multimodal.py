@@ -778,3 +778,78 @@ def audio_near_duplicates(
         sigs, id_col="media_id", sig_col="afp",
         max_hamming=max_hamming, blocks=blocks,
     )
+
+
+def frame_phash(frames: DataFrame, id_col: str = "media_id",
+                idx_col: str = "frame_idx",
+                payload_col: str = "frame_payload") -> DataFrame:
+    """pHash per sampled frame: (media_id, frame_idx, phash, err) in one
+    narrow Arrow pass over ``sample_frames`` output."""
+    import pandas as pd
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            hashes, errs = [], []
+            for b in pdf[payload_col]:
+                try:
+                    hv = phash64(bytes(b) if b is not None else None)
+                    hashes.append(hv)
+                    errs.append(None if hv is not None else "not_a_bmp")
+                except Exception as e:  # total: never fail the task
+                    hashes.append(None)
+                    errs.append(type(e).__name__)
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "frame_idx": pdf[idx_col],
+                 "phash": pd.array(hashes, dtype="Int64"), "err": errs}
+            )
+
+    return frames.select(id_col, idx_col, payload_col).mapInPandas(
+        batches, "media_id long, frame_idx int, phash long, err string"
+    )
+
+
+_FRAME_KEY_SPACE = 100_000  # frame_idx must stay below this
+
+
+def video_near_duplicates(
+    media: DataFrame,
+    every_nth: int = 1,
+    frame_max_hamming: int = 6,
+    blocks: int = 8,
+    min_common_frames: int = 2,
+) -> DataFrame:
+    """Near-duplicate video pairs: clips sharing ≥ ``min_common_frames``
+    perceptually-near frames (frame pHash within ``frame_max_hamming``) —
+    the video side of corpus dedup, built entirely from already-proven
+    pieces: ``sample_frames`` (narrow Arrow frame fan-out) → ``frame_phash``
+    → the SimHash/pHash pigeonhole chunk equi-join on a composite
+    (clip, frame) key → one clip-pair aggregate.
+
+    Output: (id_a, id_b, n_frame_matches), id_a < id_b.
+
+    Scale: no cross join anywhere — frame candidates come from the chunk
+    equi-join; the composite key caps ``frame_idx`` at 100 000 per clip
+    (beyond any sane sampling stride).
+    """
+    from etl_pipeline2_0_spark.functions.dedup import hamming_pairs
+
+    frames = sample_frames(media, every_nth=every_nth)
+    fp = frame_phash(frames).where(F.col("phash").isNotNull())
+    keyed = fp.select(
+        (F.col("media_id") * _FRAME_KEY_SPACE + F.col("frame_idx")).alias("fid"),
+        "phash",
+    )
+    pairs = hamming_pairs(
+        keyed, id_col="fid", sig_col="phash",
+        max_hamming=frame_max_hamming, blocks=blocks,
+    )
+    # fid is monotone in (clip, frame) so id_a < id_b implies clip_a <= clip_b.
+    clip_pairs = pairs.select(
+        F.floor(F.col("id_a") / _FRAME_KEY_SPACE).cast("long").alias("id_a"),
+        F.floor(F.col("id_b") / _FRAME_KEY_SPACE).cast("long").alias("id_b"),
+    ).where(F.col("id_a") != F.col("id_b"))
+    return (
+        clip_pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_frame_matches"))
+        .where(F.col("n_frame_matches") >= min_common_frames)
+    )

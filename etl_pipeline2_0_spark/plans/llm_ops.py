@@ -1529,3 +1529,40 @@ def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB twin; value-pinned by goldens at three SFs.
     media = _synth_wav_media(spark, sf_dir, modulo=2)
     return multimodal.audio_near_duplicates(media, max_hamming=6, blocks=8)
+
+
+def q_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Video-side corpus dedup: 4-frame BMPS containers synthesized from
+    # embedding quarters (similar vectors -> similar frames), then clips
+    # sharing >=2 perceptually-near frames (frame pHash Hamming <= 6,
+    # blocks=8).  Pandas-UDF stages -> no DuckDB twin; golden-pinned.
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_pipeline2_0_spark.functions.multimodal import (
+            encode_bmp,
+            encode_bmps,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=float)
+                frames = []
+                for f in range(4):
+                    seg = np.clip(
+                        arr[f * 16 : (f + 1) * 16] * 127 + 128, 0, 255
+                    ).astype(np.uint8)
+                    frames.append(encode_bmp(np.resize(seg, (4, 4, 3))))
+                payloads.append(encode_bmps(frames))
+            yield pd.DataFrame({"media_id": pdf["vec_id"], "payload": payloads})
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        make, "media_id long, payload binary"
+    )
+    return multimodal.video_near_duplicates(
+        media, every_nth=1, frame_max_hamming=6, min_common_frames=2
+    )

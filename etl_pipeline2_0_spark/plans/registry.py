@@ -214,6 +214,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     same pigeonhole join) — completes the text/image/audio dedup
     #     triple; rows-only, golden-pinned ×3 SFs ---
     "audio_fp_neardup": (L.q_audio_fp_neardup, None),
+    # --- added r8: video-side near-dup (clips sharing ≥2 perceptually-
+    #     near frames; sample_frames → frame pHash → pigeonhole join →
+    #     clip aggregate); rows-only, golden-pinned ×3 SFs ---
+    "video_phash_neardup": (L.q_video_phash_neardup, None),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

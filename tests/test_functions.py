@@ -1119,3 +1119,52 @@ def test_audio_near_duplicates_brute_agreement(spark):
                 expect[(a, b)] = d
     assert got == expect
     assert expect, "fixture should contain at least one near-dup pair"
+
+
+def test_video_near_duplicates_frame_matching(spark):
+    import numpy as np
+
+    from etl_pipeline2_0_spark.functions import multimodal
+
+    def frame(seed):
+        # Structurally distinct patterns (verified pairwise pHash Hamming
+        # ≥ 12) — pHash is brightness-invariant, so constant-fill frames
+        # with different fills would collide.
+        px = np.array(
+            [
+                (x * seed * 37 + y * 11) % 256
+                for x in range(4)
+                for y in range(4)
+                for _ in range(3)
+            ],
+            dtype=np.uint8,
+        ).reshape(4, 4, 3)
+        return multimodal.encode_bmp(px)
+
+    # Clips 1 and 2 share two identical frames (A, B); clip 3 shares only
+    # one (A); clip 4 shares none with 2 but C with 1.
+    A, B, C, D, E = (frame(s) for s in (1, 2, 3, 4, 5))
+    clips = [
+        (1, bytearray(multimodal.encode_bmps([A, B, C]))),
+        (2, bytearray(multimodal.encode_bmps([A, B, D]))),
+        (3, bytearray(multimodal.encode_bmps([A, D, E]))),
+        (4, bytearray(multimodal.encode_bmps([D, E, C]))),  # C shared w/ 1!
+    ]
+    media = spark.createDataFrame(clips, "media_id bigint, payload binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_frame_matches"]
+        for r in multimodal.video_near_duplicates(
+            media, frame_max_hamming=0, min_common_frames=2
+        ).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert (1, 3) not in got  # only one shared frame
+    assert (2, 3) not in got or got[(2, 3)] >= 2  # A and D both shared
+    # With the threshold at 1 shared frame, every sharing pair appears.
+    got1 = {
+        (r["id_a"], r["id_b"]): r["n_frame_matches"]
+        for r in multimodal.video_near_duplicates(
+            media, frame_max_hamming=0, min_common_frames=1
+        ).collect()
+    }
+    assert (1, 3) in got1 and (1, 4) in got1 and (3, 4) in got1

@@ -450,3 +450,9 @@ def test_audio_fp_neardup_chunk_equijoin_no_cartesian(spark, sf_dir):
     plan = _plan(L.q_audio_fp_neardup(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_phash_neardup_chunk_equijoin_no_cartesian(spark, sf_dir):
+    plan = _plan(L.q_video_phash_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
