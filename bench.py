@@ -79,6 +79,9 @@ HEADLINE = [
     "image_phash_neardup",
     "audio_fp_neardup",
     "video_phash_neardup",
+    "chunk_documents",
+    "bm25_topk",
+    "snapshot_diff",
 ]
 
 

@@ -960,3 +960,50 @@ def dedup_spans_intra(
             ).alias("dedup_text"),
         )
     )
+
+
+def snapshot_diff(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: classify every document id across two corpus
+    versions as ``added`` (only in B), ``removed`` (only in A), ``changed``
+    (both, different content hash) or ``unchanged`` — the crawl-over-crawl
+    delta report every recurring ingestion pipeline runs before deciding
+    what to re-process.
+
+    Content equality is md5 of the content column (NULL content hashes as
+    the empty string, so NULL == '' — byte-level distinction would need a
+    sentinel both engines render identically).  Rows whose ``id_col`` is
+    NULL never match across sides (SQL join semantics) and therefore
+    surface as added/removed — ids are assumed non-NULL.
+
+    Output: (id, status, hash_a, hash_b).
+
+    Scale: each side reduces to a narrow (id, hash) projection — the md5
+    runs next to the scan, so the full-outer shuffle moves 2 small columns,
+    never document bodies — and the single full-outer equi-join on the id
+    is exactly the co-partitioned plan a 100 TB snapshot pair wants
+    (bucketed snapshots join with zero shuffle).  Downstream re-processing
+    consumes the ``added``/``changed`` subset, a strict row filter.
+    """
+    ha = snap_a.select(
+        F.col(id_col).alias("_id_a"),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("hash_a"),
+    )
+    hb = snap_b.select(
+        F.col(id_col).alias("_id_b"),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("hash_b"),
+    )
+    return ha.join(hb, ha["_id_a"] == hb["_id_b"], "full_outer").select(
+        F.coalesce(F.col("_id_a"), F.col("_id_b")).alias(id_col),
+        F.when(F.col("_id_a").isNull(), F.lit("added"))
+        .when(F.col("_id_b").isNull(), F.lit("removed"))
+        .when(F.col("hash_a") != F.col("hash_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "hash_a",
+        "hash_b",
+    )

@@ -1,0 +1,153 @@
+"""Retrieval primitives for RAG / corpus-search pipelines: context-window
+document chunking and BM25 ranked retrieval.
+
+Both are pure DataFrame compositions (no UDFs, no collects) with exact
+ANSI-SQL semantics, so they carry full DuckDB oracle twins.  Chunking is the
+"split documents into overlapping context windows" step every RAG indexer
+and long-document trainer runs before embedding; BM25 is the standard
+lexical ranking function (Robertson/Sparck Jones — public literature) and
+doubles as the lexical half of a hybrid retriever next to the ANN family in
+``functions/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline2_0_spark.functions.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: split each document into chunks of
+    ``chunk_tokens`` word tokens, consecutive chunks overlapping by
+    ``overlap_tokens`` (stride = chunk - overlap).
+
+    Chunk starts are 0, stride, 2·stride, … up to the last start < n_tokens,
+    so every token lands in ≥1 chunk and the final chunk may be short (a
+    tail shorter than the overlap still gets its own chunk — the standard
+    sliding-window convention; deterministic either way).  Documents with
+    NULL/empty text produce zero chunks.
+
+    Output: (id, chunk_id, start_token, n_tokens, chunk_text), chunk_id
+    0-based in document order.
+
+    Scale: a narrow per-row transform — tokenize, ``sequence`` the starts,
+    ``posexplode``, ``slice`` — with NO shuffle and no Python; output size
+    is input size × (1 + overlap fraction).  Chunk rows inherit the input
+    partitioning, so a downstream embed/index stage starts co-located.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    base = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .where(F.col("_n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    return (
+        base.select(
+            id_col,
+            "_toks",
+            F.posexplode(starts).alias("chunk_id", "start_token"),
+        )
+        .withColumn(
+            "_ctoks", F.slice("_toks", F.col("start_token") + 1, chunk_tokens)
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("start_token").cast("bigint").alias("start_token"),
+            F.size("_ctoks").cast("bigint").alias("n_tokens"),
+            F.array_join("_ctoks", " ").alias("chunk_text"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: "list[tuple[int, list[str]]] | DataFrame",
+    top_k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: score every document against each query's
+    terms and keep the ``top_k`` per query.
+
+    Okapi BM25 (public literature):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(t, d) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    summed over the query's distinct terms; ties broken by doc id.
+    ``queries`` is a list of (query_id, [term, ...]) or an equivalent
+    (query_id, term) DataFrame; terms are matched against the same
+    lowercased ``\\W+`` tokenization as the TF-IDF family.
+
+    Output: (query_id, id, score, rnk).
+
+    Scale: the corpus explodes to term rows but is immediately semi-joined
+    against the BROADCAST query-term set — only rows whose term appears in
+    some query survive to the (id, term) aggregate, so the shuffle is
+    proportional to matching postings, not corpus tokens.  The document
+    length rides the posting rows (it is functionally dependent on the doc
+    key — ``first(dl)`` in the same aggregate), so no separate length join
+    touches the corpus; N and avgdl reduce to ONE broadcast row from a
+    count-only pass (column pruning keeps it to per-row token counting).
+    Scoring then touches only the pruned postings — Spark reuses the
+    postings exchange for the df(term) aggregate — and the final top-k
+    window partitions by query over ≤ #matching docs rows per query.
+    """
+    spark = docs.sparkSession
+    if isinstance(queries, DataFrame):
+        qterms = queries
+    else:
+        rows = [(qid, t) for qid, terms in queries for t in terms]
+        qterms = spark.createDataFrame(rows, "query_id int, term string")
+    qterms = qterms.distinct()
+    term_set = qterms.select("term").distinct()
+
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    postings = (
+        base.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(term_set), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+    )

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline2_0_spark.functions import dedup, multimodal, similarity, text
+from etl_pipeline2_0_spark.functions import (
+    dedup,
+    multimodal,
+    retrieval,
+    similarity,
+    text,
+)
 from etl_pipeline2_0_spark.pipeline import transform_documents
 from etl_pipeline2_0_spark.sources.tables import load_table
 
@@ -1566,3 +1572,141 @@ def q_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_near_duplicates(
         media, every_nth=1, frame_max_hamming=6, min_common_frames=2
     )
+
+
+# ------------------------------------------------------ retrieval (RAG) ---
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Context-window chunking: 32-token chunks, 8-token overlap.  Subset
+    # keeps the oracle cheap; the Spark plan shape (narrow, shuffle-free)
+    # is identical on the full corpus.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    return retrieval.chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id % 25 = 0
+), starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), 24)) AS start,
+         generate_subscripts(range(0, len(toks), 24), 1) - 1 AS chunk_id
+  FROM docs WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+FROM starts
+"""
+
+
+# The bench/driver query set: fixed term lists drawn from the synthetic
+# corpus vocabulary (a query workload is external input by nature; literals
+# keep both engines bit-identical).
+_BM25_QUERIES = [
+    (0, ["spark", "join"]),
+    (1, ["window", "agg", "stream"]),
+    (2, ["merge", "sort"]),
+    (3, ["data", "table", "scan"]),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return retrieval.bm25_topk(docs, _BM25_QUERIES, top_k=5)
+
+
+SQL_BM25_TOPK = r"""
+WITH q(query_id, term) AS (
+  VALUES (0, 'spark'), (0, 'join'),
+         (1, 'window'), (1, 'agg'), (1, 'stream'),
+         (2, 'merge'), (2, 'sort'),
+         (3, 'data'), (3, 'table'), (3, 'scan')
+), base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id % 5 = 0
+), lens AS (
+  SELECT doc_id, len(toks) AS dl FROM base
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+), postings AS (
+  SELECT b.doc_id, t.term, COUNT(*) AS tf
+  FROM base b, unnest(b.toks) AS u(term)
+  JOIN (SELECT DISTINCT term FROM q) t ON u.term = t.term
+  GROUP BY b.doc_id, t.term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN q ON p.term = q.term
+  JOIN df ON p.term = df.term
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+# ------------------------------------------------------- snapshot diff ----
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Crawl-over-crawl delta: snapshot A drops doc_id % 11 = 3 (docs that
+    # will look "added" in B), snapshot B drops doc_id % 13 = 5 ("removed")
+    # and rewrites text for doc_id % 17 = 0 ("changed"); everything else is
+    # "unchanged" and filtered out of the report.
+    docs = load_table(spark, sf_dir, "documents")
+    snap_a = docs.where(F.col("doc_id") % 11 != 3)
+    snap_b = docs.where(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return dedup.snapshot_diff(snap_a, snap_b).where(F.col("status") != "unchanged")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS hash_a
+  FROM documents WHERE doc_id % 11 <> 3
+), b AS (
+  SELECT doc_id,
+         md5(COALESCE(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                           ELSE text END, '')) AS hash_b
+  FROM documents WHERE doc_id % 13 <> 5
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN hash_a <> hash_b THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       hash_a, hash_b
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE (CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN hash_a <> hash_b THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+"""

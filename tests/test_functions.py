@@ -1168,3 +1168,120 @@ def test_video_near_duplicates_frame_matching(spark):
         ).collect()
     }
     assert (1, 3) in got1 and (1, 4) in got1 and (3, 4) in got1
+
+
+# ------------------------------------------------------------- retrieval --
+
+
+def test_chunk_documents_stride_coverage_and_tail(spark):
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three words"), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = retrieval.chunk_documents(
+        df, chunk_tokens=4, overlap_tokens=2
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 3 (empty) and doc 4 (NULL) produce zero chunks
+    assert set(by_doc) == {1, 2}
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # stride 2 over 10 tokens: starts 0,2,4,6,8 — last chunk is the tail
+    assert [r["start_token"] for r in c1] == [0, 2, 4, 6, 8]
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3, 4]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w2 w3 w4 w5"
+    assert c1[-1]["chunk_text"] == "w8 w9" and c1[-1]["n_tokens"] == 2
+    # every token appears in some chunk
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(words.split())
+    # short doc: full window first, then the documented tail chunk
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in c2] == ["only three words", "words"]
+    assert [r["n_tokens"] for r in c2] == [3, 1]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        retrieval.chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_bm25_hand_computed_and_df_query_input(spark):
+    import math
+
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    corpus = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    out = retrieval.bm25_topk(df, [(0, ["apple", "cherry"])], top_k=3).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+
+    # Hand computation: N=3, avgdl=3, k1=1.2, b=0.75.
+    def bm25(tf, df_t, dl, n=3, avgdl=3.0, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp = {
+        1: round(bm25(2, 1, 3), 6),           # apple only
+        2: round(bm25(1, 2, 2), 6),           # cherry only
+        3: round(bm25(3, 2, 4), 6),           # cherry only
+    }
+    assert got == pytest.approx(exp)
+    ranks = {r["doc_id"]: r["rnk"] for r in out}
+    assert ranks[max(exp, key=exp.get)] == 1
+    # DataFrame query input gives the same result
+    qdf = spark.createDataFrame(
+        [(0, "apple"), (0, "cherry")], "query_id int, term string"
+    )
+    out2 = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_topk(df, qdf, top_k=3).collect()
+    }
+    assert out2 == got
+
+
+def test_bm25_topk_caps_results_per_query(spark):
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    df = spark.createDataFrame(
+        [(i, "apple apple") for i in range(10)], "doc_id bigint, text string"
+    )
+    out = retrieval.bm25_topk(df, [(0, ["apple"]), (1, ["zzz"])], top_k=3).collect()
+    # all 10 docs tie on query 0 — exactly 3 survive, id-ordered tiebreak;
+    # query 1 matches nothing and returns no rows
+    assert [(r["query_id"], r["doc_id"]) for r in sorted(out, key=lambda r: r["rnk"])] \
+        == [(0, 0), (0, 1), (0, 2)]
+
+
+def test_snapshot_diff_statuses(spark):
+    from etl_pipeline2_0_spark.functions import dedup
+
+    a = spark.createDataFrame(
+        [(1, "same"), (2, "old"), (3, "gone"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "same"), (2, "new"), (5, "fresh"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["status"] for r in dedup.snapshot_diff(a, b).collect()}
+    assert rows == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",  # NULL hashes as '' — equal to B's empty string
+        5: "added",
+    }

@@ -456,3 +456,42 @@ def test_video_phash_neardup_chunk_equijoin_no_cartesian(spark, sf_dir):
     plan = _plan(L.q_video_phash_neardup(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_is_narrow_no_shuffle(spark, sf_dir):
+    # Chunking must stay a per-row transform: tokenize -> sequence ->
+    # posexplode -> slice, with NO Exchange and no Sort — chunk rows
+    # inherit the scan partitioning for the downstream embed/index stage.
+    plan = _plan(L.q_chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" in read and "lang" not in read and "source" not in read
+
+
+def test_bm25_postings_pruned_by_broadcast_before_aggregate(spark, sf_dir):
+    # The exploded term rows must hit the broadcast query-term join BEFORE
+    # the (doc, term) aggregate — the shuffle carries matching postings
+    # only.  No corpus-sized cartesian/SMJ anywhere; the stats cross join
+    # is the 1-row broadcast pattern.
+    plan = _plan(L.q_bm25_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the broadcast prune sits between the postings partial aggregate and
+    # the explode (plans print top-down: parent before child), so the
+    # aggregate's input is already term-pruned:
+    agg = plan.index("partial_count(1), partial_first")
+    gen = plan.index("Generate explode", agg)
+    assert "BroadcastHashJoin" in plan[agg:gen], (
+        "query-term prune must sit between explode and the postings aggregate"
+    )
+
+
+def test_snapshot_diff_single_full_outer_equijoin(spark, sf_dir):
+    # One FullOuter equi-join of two narrow (id, hash) projections; the
+    # md5 runs scan-side so the shuffle never moves document bodies.
+    plan = _plan(L.q_snapshot_diff(spark, sf_dir))
+    assert plan.count("FullOuter") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -61,6 +61,11 @@ HEAVY = [
     "lm_score",
     "tokenize_ids",
     "curriculum_buckets",
+    # r8 retrieval + snapshot family: the postings explode/prune join, the
+    # shuffle-free chunker, and the full-outer snapshot join at 10× rows.
+    "chunk_documents",
+    "bm25_topk",
+    "snapshot_diff",
 ]
 
 
