@@ -82,6 +82,7 @@ HEADLINE = [
     "chunk_documents",
     "bm25_topk",
     "snapshot_diff",
+    "similar_docs_rrf",
 ]
 
 

@@ -151,3 +151,96 @@ def bm25_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= top_k)
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    top_k: int = 5,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09 — public
+    literature): fuse N rankers' (query_id, id, rnk) lists into one ranking
+    by ``score = Σ_rankers 1/(rrf_k + rnk)``, ties by id.
+
+    Rank-based fusion needs no score calibration, so it composes rankers
+    with incomparable scores — e.g. BM25 (unbounded) with cosine ([-1, 1]).
+    A doc absent from a ranker's list simply contributes nothing.
+
+    Scale: a union of the (already small) per-query top lists, one
+    (query, id) aggregate, one per-query window — all proportional to
+    #queries × Σ list sizes, never to the corpus.
+    """
+    pick = [
+        r.select("query_id", F.col(id_col), F.col("rnk")) for r in rankings
+    ]
+    allr = pick[0]
+    for r in pick[1:]:
+        allr = allr.unionByName(r)
+    fused = allr.groupBy("query_id", id_col).agg(
+        F.round(F.sum(1.0 / (F.lit(rrf_k) + F.col("rnk"))), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+    )
+
+
+def similar_docs_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = 8,
+    top_m_terms: int = 5,
+    k_each: int = 10,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid "more-like-this" search: for each query document, fuse a
+    LEXICAL ranking (BM25 over the query doc's ``top_m_terms``
+    highest-tf terms) with a SEMANTIC ranking (exact cosine over its
+    embedding) via Reciprocal Rank Fusion — the standard hybrid-retriever
+    composition.
+
+    Query docs are ids < ``n_queries`` (present in both tables).  The
+    lexical ranks are computed over the full corpus (the query doc itself
+    ranks, typically first); the query doc is dropped at fusion, so its
+    slot leaves a deterministic rank gap — same convention both engines.
+
+    Output: (query_id, doc_id, rrf_score, rnk).
+
+    Scale: the term-profile build touches only ``n_queries`` docs; both
+    component rankings are the guarded shapes (broadcast-pruned postings /
+    broadcast-query cosine); fusion is rank-arithmetic over tiny top
+    lists.  Swap the exact cosine for ``ivf_topk``/``rp_lsh_topk`` at
+    corpus scale — RRF only consumes ranks.
+    """
+    from etl_pipeline2_0_spark.functions.similarity import cosine_topk
+
+    qdocs = docs.where(F.col(id_col) < n_queries)
+    tf = (
+        qdocs.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("tf").desc(), "term")
+    qterms = (
+        tf.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= top_m_terms)
+        .select("query_id", "term")
+    )
+    lexical = bm25_topk(
+        docs, qterms, top_k=k_each, text_col=text_col, id_col=id_col
+    ).where(F.col("query_id") != F.col(id_col))
+    semantic = cosine_topk(
+        emb, emb.where(F.col(vec_id_col) < n_queries), k=k_each,
+        id_col=vec_id_col,
+    ).withColumnRenamed("neighbor_id", id_col)
+    return rrf_fuse([lexical, semantic], top_k=top_k, id_col=id_col)

@@ -1710,3 +1710,92 @@ WHERE (CASE WHEN a.doc_id IS NULL THEN 'added'
             WHEN hash_a <> hash_b THEN 'changed'
             ELSE 'unchanged' END) <> 'unchanged'
 """
+
+
+def q_similar_docs_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hybrid more-like-this: BM25 over each query doc's top-5 tf terms
+    # fused with exact cosine over its embedding via RRF (k=60).
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval.similar_docs_rrf(
+        docs, emb, n_queries=8, top_m_terms=5, k_each=10, top_k=5
+    )
+
+
+SQL_SIMILAR_DOCS_RRF = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), qtf AS (
+  SELECT doc_id AS query_id, u.term, COUNT(*) AS tf
+  FROM base, unnest(toks) AS u(term)
+  WHERE doc_id < 8 GROUP BY doc_id, u.term
+), qterms AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY tf DESC, term) AS r
+    FROM qtf
+  ) WHERE r <= 5
+), lens AS (
+  SELECT doc_id, len(toks) AS dl FROM base
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+), postings AS (
+  SELECT b.doc_id, t.term, COUNT(*) AS tf
+  FROM base b, unnest(b.toks) AS u(term)
+  JOIN (SELECT DISTINCT term FROM qterms) t ON u.term = t.term
+  GROUP BY b.doc_id, t.term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+), bm25 AS (
+  SELECT q.query_id, p.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN qterms q ON p.term = q.term
+  JOIN df ON p.term = df.term
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+), lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM bm25 QUALIFY rnk <= 10
+), lexx AS (
+  SELECT * FROM lex WHERE query_id <> doc_id
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+), cos AS (
+  SELECT query_id, a.vec_id AS doc_id,
+    ROUND(list_inner_product(qv, a.v) /
+      (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(a.v, a.v))), 6)
+      AS sim
+  FROM e a CROSS JOIN q WHERE a.vec_id <> query_id
+), sem AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id) AS rnk
+  FROM cos QUALIFY rnk <= 10
+), unioned AS (
+  SELECT query_id, doc_id, rnk FROM lexx
+  UNION ALL
+  SELECT query_id, doc_id, rnk FROM sem
+), fused AS (
+  SELECT query_id, doc_id,
+         ROUND(SUM(CAST(1 AS DOUBLE) / (60 + rnk)), 6) AS rrf_score
+  FROM unioned GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS INT) AS rnk
+FROM fused QUALIFY rnk <= 5
+"""

@@ -1285,3 +1285,50 @@ def test_snapshot_diff_statuses(spark):
         4: "unchanged",  # NULL hashes as '' — equal to B's empty string
         5: "added",
     }
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id bigint, doc_id bigint, rnk int",
+    )
+    sem = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+        "query_id bigint, doc_id bigint, rnk int",
+    )
+    out = retrieval.rrf_fuse([lex, sem], top_k=3, rrf_k=60).collect()
+    got = {r["doc_id"]: (r["rrf_score"], r["rnk"]) for r in out}
+    # doc 11: 1/62 + 1/61; doc 10: 1/61 + 1/63; doc 12: 1/63; doc 13: 1/62
+    s11 = round(1 / 62 + 1 / 61, 6)
+    s10 = round(1 / 61 + 1 / 63, 6)
+    s13 = round(1 / 62, 6)
+    assert got == {11: (s11, 1), 10: (s10, 2), 13: (s13, 3)}
+
+
+def test_similar_docs_rrf_self_excluded_and_capped(spark):
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} w{i} gamma") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(12)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = retrieval.similar_docs_rrf(
+        docs, emb, n_queries=2, top_m_terms=3, k_each=5, top_k=4
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["doc_id"] != r["query_id"], "self-match must be excluded"
+    assert set(per_q) == {0, 1}
+    for q, rows in per_q.items():
+        assert len(rows) == 4
+        ranks = sorted(r["rnk"] for r in rows)
+        assert ranks == [1, 2, 3, 4]
+        scores = [r["rrf_score"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert scores == sorted(scores, reverse=True)

@@ -495,3 +495,14 @@ def test_snapshot_diff_single_full_outer_equijoin(spark, sf_dir):
     assert plan.count("FullOuter") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similar_docs_rrf_no_cartesian_fusion_is_tiny(spark, sf_dir):
+    # Both component rankers keep their guarded shapes (broadcast-pruned
+    # postings; broadcast-query cosine — its 8-row nested loop is the
+    # documented pattern); fusion itself is a union + aggregate of top
+    # lists.  No corpus-sized CartesianProduct anywhere.
+    plan = _plan(L.q_similar_docs_rrf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Union" in plan

@@ -66,6 +66,7 @@ HEAVY = [
     "chunk_documents",
     "bm25_topk",
     "snapshot_diff",
+    "similar_docs_rrf",
 ]
 
 
