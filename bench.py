@@ -83,6 +83,7 @@ HEADLINE = [
     "bm25_topk",
     "snapshot_diff",
     "similar_docs_rrf",
+    "assign_splits",
 ]
 
 

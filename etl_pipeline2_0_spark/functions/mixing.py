@@ -267,3 +267,64 @@ def curriculum_buckets(
             F.lit(0),
         ).cast("int").alias("bucket"),
     )
+
+
+def split_thresholds(weights: "dict[str, float]") -> "list[tuple[str, str]]":
+    """(name, 16-hex-char upper bound) per split, cumulative in dict order.
+
+    Shared by ``assign_splits`` and its ANSI twin so both engines compare
+    against bit-identical literals (the boundary is ``floor(cum · 16^15)``
+    rendered as zero-padded hex, the same space ``_md5_below_rate`` uses).
+    The last split's bound is forced to ``'1' + 15×'0'`` — above every
+    ``'0'``-prefixed hash — so rounding never drops the tail row.
+    """
+    total = sum(weights.values())
+    out, cum = [], 0.0
+    names = list(weights)
+    for name in names:
+        cum += weights[name] / total
+        bound = "1" + "0" * 15 if name == names[-1] else f"{int(cum * _HEX15_SPACE):016x}"
+        out.append((name, bound))
+    return out
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: "dict[str, float] | None" = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row lands in
+    exactly one named split with probability proportional to its weight,
+    decided by the md5 of (id, salt) — the standard reproducible dataset
+    split (same row → same split on every run, every engine, any
+    partitioning; change ``salt`` to redraw).
+
+    ``weights`` default to {train: 0.9, val: 0.05, test: 0.05}; dict order
+    defines the hash-interval layout, and weights are normalized, so
+    {a: 2, b: 1, c: 1} works too.  Rows are assigned, never dropped —
+    the splits partition the input exactly.
+
+    Output: input rows + a ``split`` column (narrow projection, NO shuffle;
+    a write partitioned by ``split`` performs the one real shuffle).
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    h = F.concat(
+        F.lit("0"),
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(salt))),
+            1,
+            15,
+        ),
+    )
+    # CASE WHEN h < t1 THEN s1 WHEN h < t2 THEN s2 ... ELSE s_last END:
+    # ascending bounds, first match wins — identical evaluation order in
+    # the ANSI twin.
+    pairs = split_thresholds(weights)
+    expr = None
+    for name, bound in pairs[:-1]:
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(pairs[-1][0]) if expr is None else expr.otherwise(pairs[-1][0])
+    return df.withColumn("split", expr)

@@ -1799,3 +1799,36 @@ SELECT query_id, doc_id, rrf_score,
                                ORDER BY rrf_score DESC, doc_id) AS INT) AS rnk
 FROM fused QUALIFY rnk <= 5
 """
+
+
+def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic train/val/test assignment over the corpus.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.assign_splits(docs).select("doc_id", "split")
+
+
+def _sql_assign_splits() -> str:
+    # The twin's CASE bounds come from the same helper the Spark op uses,
+    # so both engines compare bit-identical hex literals.
+    from etl_pipeline2_0_spark.functions.mixing import split_thresholds
+
+    pairs = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    whens = "\n            ".join(
+        f"WHEN hx < '{bound}' THEN '{name}'" for name, bound in pairs[:-1]
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         '0' || substring(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CASE {whens}
+            ELSE '{pairs[-1][0]}' END AS split
+FROM h
+"""
+
+
+SQL_ASSIGN_SPLITS = _sql_assign_splits()

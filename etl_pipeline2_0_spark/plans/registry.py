@@ -226,6 +226,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "bm25_topk": (L.q_bm25_topk, L.SQL_BM25_TOPK),
     "snapshot_diff": (L.q_snapshot_diff, L.SQL_SNAPSHOT_DIFF),
     "similar_docs_rrf": (L.q_similar_docs_rrf, L.SQL_SIMILAR_DOCS_RRF),
+    "assign_splits": (L.q_assign_splits, L.SQL_ASSIGN_SPLITS),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

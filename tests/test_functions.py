@@ -1332,3 +1332,32 @@ def test_similar_docs_rrf_self_excluded_and_capped(spark):
         assert ranks == [1, 2, 3, 4]
         scores = [r["rrf_score"] for r in sorted(rows, key=lambda r: r["rnk"])]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_assign_splits_partition_determinism_and_rates(spark):
+    from etl_pipeline2_0_spark.functions import mixing
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = mixing.assign_splits(df, id_col="doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exact partition: every row assigned, nothing dropped or duplicated
+    assert sum(counts.values()) == 2000
+    # rates near the 0.9/0.05/0.05 targets (md5 is uniform; 2000 draws)
+    assert 1700 <= counts["train"] <= 1900
+    assert 50 <= counts["val"] <= 160
+    assert 50 <= counts["test"] <= 160
+    # deterministic: re-running yields the identical assignment
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in mixing.assign_splits(df, id_col="doc_id").collect()}
+    assert a == b
+    # a different salt redraws (some row moves)
+    c = {r["doc_id"]: r["split"]
+         for r in mixing.assign_splits(df, id_col="doc_id", salt="x").collect()}
+    assert a != c
+    # unnormalized weights normalize
+    d = mixing.assign_splits(df, weights={"a": 2.0, "b": 1.0, "c": 1.0})
+    dc = {r["split"]: r["n"] for r in
+          d.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(dc.values()) == 2000 and dc["a"] > dc["b"]

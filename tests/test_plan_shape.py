@@ -506,3 +506,11 @@ def test_similar_docs_rrf_no_cartesian_fusion_is_tiny(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Union" in plan
+
+
+def test_assign_splits_is_narrow_no_shuffle(spark, sf_dir):
+    # Split assignment is scan -> project; the one real shuffle belongs to
+    # a split-partitioned WRITE, never the assignment.
+    plan = _plan(L.q_assign_splits(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Sort" not in plan

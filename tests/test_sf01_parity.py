@@ -67,6 +67,7 @@ HEAVY = [
     "bm25_topk",
     "snapshot_diff",
     "similar_docs_rrf",
+    "assign_splits",
 ]
 
 
