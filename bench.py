@@ -84,6 +84,8 @@ HEADLINE = [
     "snapshot_diff",
     "similar_docs_rrf",
     "assign_splits",
+    "text_clean",
+    "ann_ivf_recall",
 ]
 
 

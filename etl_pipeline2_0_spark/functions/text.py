@@ -510,3 +510,19 @@ def char_bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
             ).alias("avg_logp"),
         )
     )
+
+
+def clean_text(col: Column) -> Column:
+    """Standard corpus text normalization: collapse whitespace runs
+    (space/tab/newline/CR/VT/FF) to single spaces, strip the remaining
+    C0/DEL control characters, trim edges.
+
+    Whitespace collapses FIRST so a CR/LF between words becomes a space
+    (stripping first would weld the words together); the control-char
+    class then only needs the non-whitespace C0 range.  Pure regexp chain
+    — codegen'd, no UDF, and expressible verbatim in any RE2/Java-regex
+    engine (the ANSI twin uses the identical patterns with the 'g' flag).
+    """
+    collapsed = F.regexp_replace(col, r"\s+", " ")
+    stripped = F.regexp_replace(collapsed, r"[\x00-\x08\x0E-\x1F\x7F]", "")
+    return F.trim(stripped)

@@ -1832,3 +1832,71 @@ FROM h
 
 
 SQL_ASSIGN_SPLITS = _sql_assign_splits()
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF quality metric: per-query recall@k of the coarse-quantized probe
+    # path vs the exact cosine ground truth — the IVF twin of ann_recall
+    # (which measures the LSH path).  The xxhash64-seeded centroids make
+    # the ranking deterministic but not ANSI-expressible -> rows-only,
+    # value-pinned by goldens at three SFs.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(
+        emb, q, k=5, n_centroids=16, n_probe=4
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clean_text over deterministically-dirtied corpus text (the synthetic
+    # corpus is already clean, so the query injects tabs/newlines/control
+    # chars to prove the semantics end-to-end on both engines).
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit(" \t"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("\x01x\n\ny\x7f  "),
+    )
+    return docs.select(
+        "doc_id",
+        F.length(dirty).cast("bigint").alias("dirty_len"),
+        text.clean_text(dirty).alias("clean"),
+    ).withColumn(
+        "n_removed", (F.col("dirty_len") - F.length("clean")).cast("bigint")
+    )
+
+
+SQL_TEXT_CLEAN = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         ' ' || chr(9) || COALESCE(text, '')
+             || chr(1) || 'x' || chr(10) || chr(10) || 'y' || chr(127) || '  '
+             AS d
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, CAST(length(d) AS BIGINT) AS dirty_len,
+         trim(regexp_replace(
+                regexp_replace(d, '\s+', ' ', 'g'),
+                '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')) AS clean
+  FROM dirty
+)
+SELECT doc_id, dirty_len, clean,
+       CAST(dirty_len - length(clean) AS BIGINT) AS n_removed
+FROM cleaned
+"""

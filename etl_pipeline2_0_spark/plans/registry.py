@@ -227,6 +227,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "snapshot_diff": (L.q_snapshot_diff, L.SQL_SNAPSHOT_DIFF),
     "similar_docs_rrf": (L.q_similar_docs_rrf, L.SQL_SIMILAR_DOCS_RRF),
     "assign_splits": (L.q_assign_splits, L.SQL_ASSIGN_SPLITS),
+    # --- added r8: IVF recall@k vs exact ground truth (the ann_recall
+    #     pattern applied to the IVF path; deterministic but centroid
+    #     seeding is engine-hash-specific -> rows-only, goldens ×3 SFs) ---
+    "ann_ivf_recall": (L.q_ann_ivf_recall, None),
+    "text_clean": (L.q_text_clean, L.SQL_TEXT_CLEAN),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

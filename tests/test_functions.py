@@ -1361,3 +1361,18 @@ def test_assign_splits_partition_determinism_and_rates(spark):
     dc = {r["split"]: r["n"] for r in
           d.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sum(dc.values()) == 2000 and dc["a"] > dc["b"]
+
+
+def test_clean_text_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ("  a\t\tb\r\nc  ",),          # ws runs + CRLF + edges
+            ("x\x01y\x7fz",),              # bare control chars weld-strip
+            ("line1\rline2",),             # lone CR is whitespace -> space
+            ("",),
+            (None,),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(text.clean_text(F.col("text"))).collect()]
+    assert out == ["a b c", "xyz", "line1 line2", "", None]

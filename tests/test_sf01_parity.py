@@ -68,6 +68,7 @@ HEAVY = [
     "snapshot_diff",
     "similar_docs_rrf",
     "assign_splits",
+    "text_clean",
 ]
 
 
