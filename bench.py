@@ -86,6 +86,7 @@ HEADLINE = [
     "assign_splits",
     "text_clean",
     "ann_ivf_recall",
+    "minhash_pairs_portable",
 ]
 
 

@@ -246,11 +246,18 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature: ``sig[j] = min over shingles of
     hash_j(shingle)``, with ``hash_j(s) = xxhash64(xxhash64(s), j)`` so the
     string is hashed once and each permutation re-hashes only the 8-byte
     digest.
+
+    ``portable=True`` swaps the hash family for the md5-hex15 scheme every
+    SQL engine reproduces (``hash_j(s) = int(md5(j ':' md5(s)[:15])[:15],
+    16)`` — the shingle is still md5'd once, each permutation re-hashes the
+    15-char digest prefix), trading hash speed for a full ANSI oracle twin
+    — the same portability trade ``rp_lsh_topk`` made for its planes.
 
     Shape matters here: explode → one base hash per shingle → ``groupBy(id)``
     with ``num_hashes`` MIN aggregates.  Tokenization runs exactly once per
@@ -261,14 +268,32 @@ def minhash_signatures(
     ``transform`` lambdas over the shingle expression re-evaluates it per
     lambda, which profiled ~100× slower at sf0.1.
     """
-    shingle_rows = ensure_min_parallelism(df).select(
+    exploded = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(token_shingles(F.col(text_col), k)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"s{j}")
-        for j in range(num_hashes)
-    ]
+    )
+    if portable:
+        shingle_rows = exploded.select(
+            "id", F.substring(F.md5("shingle"), 1, 15).alias("h")
+        )
+        aggs = [
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), F.col("h"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"s{j}")
+            for j in range(num_hashes)
+        ]
+    else:
+        shingle_rows = exploded.select("id", F.xxhash64("shingle").alias("h"))
+        aggs = [
+            F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"s{j}")
+            for j in range(num_hashes)
+        ]
     return (
         shingle_rows.groupBy("id")
         .agg(*aggs)
@@ -281,8 +306,11 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: int | None = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, bucket hash).
+    ``portable=True`` hashes each band slice with md5 (ANSI-reproducible)
+    instead of xxhash64; the join shape is identical.
 
     Each band's slice hashes to one bucket key; docs colliding in ANY band
     become candidates.  The join is a plain equi-join → hash shuffle on
@@ -294,21 +322,20 @@ def lsh_candidate_pairs(
     (standard production-LSH move — such buckets carry near-universal
     content, not near-duplicate signal).  Pass ``None`` to disable.
     """
+    def _bucket(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return F.md5(joined) if portable else F.xxhash64(joined)
+
     banded = signatures.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _bucket)
         ).alias("band", "bucket"),
     )
     if max_bucket_size is not None:
@@ -341,8 +368,11 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
     checkpoint: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Full shingle→minhash→band→bucket-join→verify pipeline.
+    ``portable=True`` uses the md5 hash family end-to-end (see
+    ``minhash_signatures``), making the WHOLE pipeline ANSI-oracle-able.
 
     LSH prunes candidates; exact Jaccard on the candidates only (semi-joined
     back to the shingle table) removes false positives, so the output is
@@ -354,8 +384,10 @@ def minhash_near_duplicates(
     2 moves it to J≈0.25 with ~99% recall at J=0.5 while pairs at the
     corpus noise floor (J≈0.01) collide with probability ~3e-3.
     """
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    candidates = lsh_candidate_pairs(sigs, bands, num_hashes // bands, max_bucket_size)
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, portable)
+    candidates = lsh_candidate_pairs(
+        sigs, bands, num_hashes // bands, max_bucket_size, portable
+    )
     # The candidate pair list feeds BOTH the verify join and the semi-join
     # prune below; Catalyst does not reuse the exchange across the two
     # consumers (column pruning diverges), so without a barrier the whole

@@ -1900,3 +1900,84 @@ SELECT doc_id, dirty_len, clean,
        CAST(dirty_len - length(clean) AS BIGINT) AS n_removed
 FROM cleaned
 """
+
+
+def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The portable-hash MinHash pipeline: identical plan shape to
+    # minhash_pairs (banded equi-join, semi-join-pruned verify) but with
+    # the md5-hex15 hash family, so the WHOLE shingle->minhash->band->
+    # verify pipeline carries an exact DuckDB twin — the rows-only
+    # minhash_pairs keeps the fast xxhash64 family; this query proves the
+    # pipeline's logic end-to-end against ANSI SQL.
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        docs, k=3, num_hashes=16, bands=8, threshold=0.5, portable=True
+    )
+
+
+def _sql_minhash_portable(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> str:
+    # Generated so the per-permutation md5 literals and band slicing match
+    # the Spark op exactly for any geometry.
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(CAST('0x' || substring(md5('{j}:' || b), 1, 15) AS BIGINT)) AS s{j}"
+        for j in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, {bi} AS band, md5("
+        + " || ',' || ".join(f"CAST(s{bi * r + o} AS VARCHAR)" for o in range(r))
+        + ") AS bucket FROM sig"
+        for bi in range(bands)
+    )
+    return rf"""
+WITH docs AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents
+), toks AS (
+  SELECT id, list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord FROM toks
+), sh0 AS (
+  SELECT id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), base AS (
+  SELECT id, substring(md5(shingle), 1, 15) AS b FROM sh
+), sig AS (
+  SELECT id,
+         {mins}
+  FROM base GROUP BY id
+), banded0 AS (
+{band_selects}
+), banded AS (
+  SELECT id, band, bucket FROM (
+    SELECT id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM banded0
+  ) WHERE bn <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+), scored AS (
+  SELECT id_a, id_b,
+         ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+SQL_MINHASH_PAIRS_PORTABLE = _sql_minhash_portable()

@@ -232,6 +232,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     seeding is engine-hash-specific -> rows-only, goldens ×3 SFs) ---
     "ann_ivf_recall": (L.q_ann_ivf_recall, None),
     "text_clean": (L.q_text_clean, L.SQL_TEXT_CLEAN),
+    # --- added r8: the MinHash pipeline under the md5-portable hash
+    #     family — graduates shingle->minhash->band->verify to a full
+    #     ANSI oracle (the rp_lsh_topk portability move applied to
+    #     MinHash; the xxhash64 minhash_pairs stays the fast path) ---
+    "minhash_pairs_portable": (
+        L.q_minhash_pairs_portable,
+        L.SQL_MINHASH_PAIRS_PORTABLE,
+    ),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

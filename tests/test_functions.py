@@ -1376,3 +1376,21 @@ def test_clean_text_semantics(spark):
     )
     out = [r[0] for r in df.select(text.clean_text(F.col("text"))).collect()]
     assert out == ["a b c", "xyz", "line1 line2", "", None]
+
+
+def test_minhash_portable_mode_recall(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(
+            docs, k=3, num_hashes=16, bands=8, threshold=0.5, portable=True
+        ).collect()
+    }
+    # identical docs collide in every band under any hash family
+    assert pairs[(1, 3)] == 1.0
+    # verify stage is exact: any returned jaccard is the true value
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, k=3, threshold=0.01).collect()
+    }
+    for p, j in pairs.items():
+        assert exact[p] == j

@@ -69,6 +69,7 @@ HEAVY = [
     "similar_docs_rrf",
     "assign_splits",
     "text_clean",
+    "minhash_pairs_portable",
 ]
 
 
