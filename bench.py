@@ -87,6 +87,7 @@ HEADLINE = [
     "text_clean",
     "ann_ivf_recall",
     "minhash_pairs_portable",
+    "max_concurrency",
 ]
 
 

@@ -1981,3 +1981,36 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 
 
 SQL_MINHASH_PAIRS_PORTABLE = _sql_minhash_portable()
+
+
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Peak concurrent 5-minute sessions per event type (sweep-line over
+    # derived [ts, ts+5min) intervals, two-level distributed prefix sum).
+    from etl_pipeline2_0_spark.functions import intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    return intervals.max_concurrency(iv, key_cols=["event_type"])
+
+
+SQL_MAX_CONCURRENCY = """
+WITH iv AS (
+  SELECT event_type, ts AS s, ts + INTERVAL 5 MINUTE AS e
+  FROM events WHERE ts IS NOT NULL
+), deltas AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv
+), run AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM deltas
+)
+SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent
+FROM run GROUP BY event_type
+"""

@@ -1394,3 +1394,39 @@ def test_minhash_portable_mode_recall(docs):
     }
     for p, j in pairs.items():
         assert exact[p] == j
+
+
+def test_max_concurrency_sweep_semantics(spark):
+    from datetime import datetime
+
+    from etl_pipeline2_0_spark.functions import intervals
+
+    T = datetime
+    rows = [
+        # key a: three overlapping at 10:02 (peak 3); back-to-back [00,01)
+        # [01,02) must NOT double-count at the shared instant
+        ("a", T(2024, 1, 1, 10, 0), T(2024, 1, 1, 10, 5)),
+        ("a", T(2024, 1, 1, 10, 1), T(2024, 1, 1, 10, 3)),
+        ("a", T(2024, 1, 1, 10, 2), T(2024, 1, 1, 10, 4)),
+        ("b", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1)),
+        ("b", T(2024, 1, 1, 0, 1), T(2024, 1, 1, 0, 2)),
+        # c: NULL end dropped
+        ("c", T(2024, 1, 1, 0, 0), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, start_ts timestamp, end_ts timestamp"
+    )
+    out = {
+        r["k"]: r["max_concurrent"]
+        for r in intervals.max_concurrency(df, key_cols=["k"]).collect()
+    }
+    assert out == {"a": 3, "b": 1}
+    # two-level decomposition is bit-identical for a bucket smaller than
+    # the data span (forces cross-bucket carries)
+    out_small = {
+        r["k"]: r["max_concurrent"]
+        for r in intervals.max_concurrency(
+            df, key_cols=["k"], bucket_seconds=60
+        ).collect()
+    }
+    assert out_small == out

@@ -514,3 +514,18 @@ def test_assign_splits_is_narrow_no_shuffle(spark, sf_dir):
     plan = _plan(L.q_assign_splits(spark, sf_dir))
     assert "Exchange" not in plan
     assert "Sort" not in plan
+
+
+def test_max_concurrency_two_level_no_whole_key_window(spark, sf_dir):
+    # The delta-row running sum must window over (key, _bucket) — never the
+    # key alone, which would serialize a key's whole history into one task.
+    # The only key-alone window is the bucket-offset cumulation (ordered by
+    # _bucket over #buckets rows); offsets come back via broadcast join.
+    import re
+
+    plan = _plan(L.q_max_concurrency(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"windowspecdefinition\(event_type#\d+, _bucket#\d+L?, t#\d+", plan)
+    for m in re.finditer(r"windowspecdefinition\(event_type#\d+, ([a-z_]+)#\d+", plan):
+        assert m.group(1) in ("_bucket",), plan

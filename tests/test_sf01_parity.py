@@ -70,6 +70,7 @@ HEAVY = [
     "assign_splits",
     "text_clean",
     "minhash_pairs_portable",
+    "max_concurrency",
 ]
 
 
