@@ -88,6 +88,7 @@ HEADLINE = [
     "ann_ivf_recall",
     "minhash_pairs_portable",
     "max_concurrency",
+    "corpus_drift_psi",
 ]
 
 

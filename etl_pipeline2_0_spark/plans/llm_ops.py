@@ -2014,3 +2014,102 @@ WITH iv AS (
 SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent
 FROM run GROUP BY event_type
 """
+
+
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distribution drift between two corpus snapshots: Population Stability
+    # Index (public credit-scoring/ML-monitoring metric) of the per-source
+    # token-count distribution, over fixed-width bins with Laplace
+    # smoothing.  Snapshot B is derived deterministically (doc_id % 13 = 5
+    # dropped; text doubled for doc_id % 7 = 0 — a real length shift), the
+    # same synthesis convention as snapshot_diff.
+    #
+    # PSI = sum over bins (q - p) * ln(q / p), with p/q the smoothed bin
+    # shares ((c + 0.5) / (N + 0.5 * K), K = bins observed for the source).
+    #
+    # Scale: both snapshots reduce to (source, bin) counts in ONE
+    # conditional aggregate over the tagged union; per-source totals are a
+    # tiny broadcast; the PSI sum is over ≤ #bins rows per source.
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_pipeline2_0_spark.functions.text import token_count
+
+    def snap(df, tag):
+        tc = token_count(F.col("text"))
+        return df.select(
+            "source",
+            F.least(F.floor(tc / 8), F.lit(15)).cast("int").alias("bin"),
+            F.lit(tag).alias("snap"),
+        )
+
+    a = snap(docs, "a")
+    b = snap(
+        docs.where(F.col("doc_id") % 13 != 5).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" "), F.col("text")),
+            ).otherwise(F.col("text")),
+        ),
+        "b",
+    )
+    counts = (
+        a.unionByName(b)
+        .groupBy("source", "bin")
+        .agg(
+            F.sum(F.when(F.col("snap") == "a", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("snap") == "b", 1).otherwise(0)).alias("cb"),
+        )
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("k_bins"),
+    )
+    p = (F.col("ca") + 0.5) / (F.col("na") + 0.5 * F.col("k_bins"))
+    q = (F.col("cb") + 0.5) / (F.col("nb") + 0.5 * F.col("k_bins"))
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.round(F.sum((q - p) * F.log(q / p)), 6).alias("psi"),
+            F.max("k_bins").cast("bigint").alias("n_bins"),
+        )
+    )
+
+
+SQL_CORPUS_DRIFT_PSI = r"""
+WITH a AS (
+  SELECT source,
+         LEAST(CAST(floor(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> length(x) > 0)) / 8) AS INT),
+               15) AS bin
+  FROM documents
+), b AS (
+  SELECT source,
+         LEAST(CAST(floor(len(list_filter(regexp_split_to_array(
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+                       ELSE text END, '\s+'),
+                  x -> length(x) > 0)) / 8) AS INT),
+               15) AS bin
+  FROM documents WHERE doc_id % 13 <> 5
+), tagged AS (
+  SELECT source, bin, 'a' AS snap FROM a
+  UNION ALL
+  SELECT source, bin, 'b' AS snap FROM b
+), counts AS (
+  SELECT source, bin,
+         SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM tagged GROUP BY source, bin
+), totals AS (
+  SELECT source, SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS k_bins
+  FROM counts GROUP BY source
+)
+SELECT c.source,
+       ROUND(SUM(((cb + 0.5) / (nb + 0.5 * k_bins) - (ca + 0.5) / (na + 0.5 * k_bins))
+                 * ln(((cb + 0.5) / (nb + 0.5 * k_bins))
+                      / ((ca + 0.5) / (na + 0.5 * k_bins)))), 6) AS psi,
+       CAST(MAX(k_bins) AS BIGINT) AS n_bins
+FROM counts c JOIN totals t ON c.source = t.source
+GROUP BY c.source
+"""

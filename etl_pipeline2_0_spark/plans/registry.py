@@ -243,6 +243,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- added r8: sweep-line peak concurrency (the pack_sequences
     #     two-level prefix sum applied to the time axis) ---
     "max_concurrency": (L.q_max_concurrency, L.SQL_MAX_CONCURRENCY),
+    # --- added r8: snapshot-over-snapshot distribution drift (PSI) ---
+    "corpus_drift_psi": (L.q_corpus_drift_psi, L.SQL_CORPUS_DRIFT_PSI),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

@@ -1430,3 +1430,31 @@ def test_max_concurrency_sweep_semantics(spark):
         ).collect()
     }
     assert out_small == out
+
+
+def test_psi_zero_on_identical_positive_on_shift(spark, sf_dir):
+    # PSI of a snapshot against itself is exactly 0 (p == q per bin);
+    # the derived drifted snapshot yields strictly positive PSI.
+    from etl_pipeline2_0_spark.plans.llm_ops import q_corpus_drift_psi
+    from etl_pipeline2_0_spark.sources.tables import load_table
+    from etl_pipeline2_0_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    snap = docs.select(
+        "source", F.least(F.floor(tc / 8), F.lit(15)).cast("int").alias("bin")
+    )
+    counts = snap.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    p = (F.col("c") + 0.5) / (F.col("n") + 0.5 * F.col("k"))
+    self_psi = (
+        counts.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(F.round(F.sum((p - p) * F.log(p / p)), 6).alias("psi"))
+        .collect()
+    )
+    assert all(r["psi"] == 0.0 for r in self_psi)
+    drifted = {r["source"]: r["psi"] for r in q_corpus_drift_psi(spark, sf_dir).collect()}
+    assert drifted and all(v > 0 for v in drifted.values())

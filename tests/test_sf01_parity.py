@@ -71,6 +71,7 @@ HEAVY = [
     "text_clean",
     "minhash_pairs_portable",
     "max_concurrency",
+    "corpus_drift_psi",
 ]
 
 
