@@ -191,3 +191,43 @@ def test_composed_curation_pipeline(spark, sf_dir):
     assert toks.count() == gated.where(
         F.size(F.split(F.col("text"), r"\s+")) > 0
     ).count()
+
+
+def test_composed_passage_retrieval(spark, sf_dir):
+    # The RAG composition as ONE job: chunk_documents → BM25 over the
+    # CHUNKS (passage retrieval).  Each stage is individually proven; this
+    # pins the composition contract — chunk ids are (doc, chunk) unique,
+    # BM25 ranks passages (not docs), and every hit maps back to a real
+    # source document via the synthetic chunk key.
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = retrieval.chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+    # synthetic passage key: doc_id * 1000 + chunk_id (chunk counts per doc
+    # are far below 1000 at any SF — asserted)
+    assert chunks.agg(F.max("chunk_id")).collect()[0][0] < 1000
+    passages = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("passage_id"),
+        F.col("chunk_text"),
+    )
+    n_passages = passages.count()
+    assert n_passages >= docs.where(F.length("text") > 0).count()
+
+    hits = retrieval.bm25_topk(
+        passages,
+        [(0, ["spark", "join"]), (1, ["window", "stream"])],
+        top_k=5,
+        text_col="chunk_text",
+        id_col="passage_id",
+    ).collect()
+    assert len(hits) == 10
+    doc_ids = {r["passage_id"] // 1000 for r in hits}
+    # hits land on real documents
+    real = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert doc_ids <= real
+    # per-query ranks are 1..5 and scores non-increasing
+    for q in (0, 1):
+        rows = sorted((r for r in hits if r["query_id"] == q), key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == [1, 2, 3, 4, 5]
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
