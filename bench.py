@@ -89,6 +89,7 @@ HEADLINE = [
     "minhash_pairs_portable",
     "max_concurrency",
     "corpus_drift_psi",
+    "value_outliers",
 ]
 
 

@@ -2113,3 +2113,55 @@ SELECT c.source,
 FROM counts c JOIN totals t ON c.source = t.source
 GROUP BY c.source
 """
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-quality observability: events whose value is a >3-sigma outlier
+    # within its event type.  Moments come from DECIMAL-exact sums (the
+    # house decimal-aggregation rule): sum and sum-of-squares over
+    # DECIMAL(18,2)/DECIMAL(38,4) are order-independent and bit-identical
+    # across engines, so the doubles derived from them (mean, variance, z)
+    # are too — a raw double stddev would be shuffle-order-dependent.
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum((d * d).cast("decimal(38,4)")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") - F.col("n") * mean * mean) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+SQL_VALUE_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       ROUND((value - CAST(s1 AS DOUBLE) / n)
+             / sqrt((CAST(s2 AS DOUBLE) - n * (CAST(s1 AS DOUBLE) / n)
+                                            * (CAST(s1 AS DOUBLE) / n))
+                    / (n - 1)), 6) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE ABS((value - CAST(s1 AS DOUBLE) / n)
+          / sqrt((CAST(s2 AS DOUBLE) - n * (CAST(s1 AS DOUBLE) / n)
+                                         * (CAST(s1 AS DOUBLE) / n))
+                 / (n - 1))) > 3.0
+"""

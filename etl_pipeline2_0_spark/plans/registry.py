@@ -245,6 +245,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "max_concurrency": (L.q_max_concurrency, L.SQL_MAX_CONCURRENCY),
     # --- added r8: snapshot-over-snapshot distribution drift (PSI) ---
     "corpus_drift_psi": (L.q_corpus_drift_psi, L.SQL_CORPUS_DRIFT_PSI),
+    # --- added r8: 3-sigma outlier flagging from decimal-exact moments ---
+    "value_outliers": (L.q_value_outliers, L.SQL_VALUE_OUTLIERS),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

@@ -72,6 +72,7 @@ HEAVY = [
     "minhash_pairs_portable",
     "max_concurrency",
     "corpus_drift_psi",
+    "value_outliers",
 ]
 
 
