@@ -90,6 +90,7 @@ HEADLINE = [
     "max_concurrency",
     "corpus_drift_psi",
     "value_outliers",
+    "lm_score_heldout",
 ]
 
 

@@ -443,10 +443,16 @@ def quantile_filter_stats(df, score_col, group_col: str = "source",
 
 
 def char_bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
-                          prefix_len: int = 200):
+                          prefix_len: int = 200, train_df=None):
     """Per-document mean log-probability under a corpus character-bigram LM
     with add-one smoothing — the CCNet/KenLM-style perplexity proxy, built
     from the corpus itself with no external model.
+
+    ``train_df`` (default: ``df`` itself) supplies the corpus the model
+    tables are built from, enabling the leakage-free composition: train
+    the LM on the ``train`` split, score the held-out split.  Bigrams or
+    contexts the training corpus never saw score with zero counts — the
+    add-one smoothing already covers them (ln(1 / alpha) at worst).
 
     Low (very negative) scores flag gibberish/binary-ish text whose
     character transitions don't match the corpus; a standard pretraining
@@ -468,33 +474,42 @@ def char_bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
     amplification so a few large input splits (or a post-filter skew)
     can't serialize the explode.
     """
-    d = (
-        df.select(
-            F.col(id_col),
-            F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("t"),
+    def _bigrams(frame):
+        d = (
+            frame.select(
+                F.col(id_col),
+                F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("t"),
+            )
+            .where(F.length("t") >= 2)
+            .repartition(
+                frame.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+            )
         )
-        .where(F.length("t") >= 2)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    )
-    bg = d.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
-        "t",
-    ).select(
-        F.col(id_col),
-        F.expr("substring(t, i, 2)").alias("big"),
-        F.expr("substring(t, i, 1)").alias("ctx"),
-    )
-    big_counts = bg.groupBy("big").agg(F.count(F.lit(1)).alias("bc"))
+        return d.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
+            "t",
+        ).select(
+            F.col(id_col),
+            F.expr("substring(t, i, 2)").alias("big"),
+            F.expr("substring(t, i, 1)").alias("ctx"),
+        )
+
+    bg = _bigrams(df)
+    bg_train = bg if train_df is None else _bigrams(train_df)
+    big_counts = bg_train.groupBy("big").agg(F.count(F.lit(1)).alias("bc"))
     ctx_counts = big_counts.groupBy(
         F.substring("big", 1, 1).alias("ctx")
     ).agg(F.sum("bc").alias("cc"))
     alpha = big_counts.select(
         F.countDistinct(F.substring("big", 2, 1)).alias("alpha")
     )
+    # LEFT joins: under a held-out train_df the scored side can carry
+    # bigrams/contexts the model never saw — they smooth to count 0.
+    # (For the self-trained default every key matches, so left ≡ inner.)
     return (
-        bg.join(F.broadcast(big_counts), "big")
-        .join(F.broadcast(ctx_counts), "ctx")
+        bg.join(F.broadcast(big_counts), "big", "left")
+        .join(F.broadcast(ctx_counts), "ctx", "left")
         .crossJoin(F.broadcast(alpha))
         .groupBy(id_col)
         .agg(
@@ -502,8 +517,8 @@ def char_bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
             F.round(
                 F.avg(
                     F.log(
-                        (F.col("bc") + F.lit(1.0))
-                        / (F.col("cc") + F.col("alpha"))
+                        (F.coalesce(F.col("bc"), F.lit(0)) + F.lit(1.0))
+                        / (F.coalesce(F.col("cc"), F.lit(0)) + F.col("alpha"))
                     )
                 ),
                 6,

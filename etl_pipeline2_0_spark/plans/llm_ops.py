@@ -2165,3 +2165,65 @@ WHERE ABS((value - CAST(s1 AS DOUBLE) / n)
                                          * (CAST(s1 AS DOUBLE) / n))
                  / (n - 1))) > 3.0
 """
+
+
+def q_lm_score_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-free LM scoring: train the bigram LM on the deterministic
+    # 'train' split (assign_splits) and score only the held-out docs —
+    # the split-discipline composition a real quality pipeline runs.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = mixing.assign_splits(docs)
+    train = split.where(F.col("split") == "train")
+    heldout = split.where(F.col("split") != "train")
+    return text.char_bigram_lm_scores(
+        heldout, "text", "doc_id", prefix_len=200, train_df=train
+    )
+
+
+def _sql_lm_score_heldout() -> str:
+    from etl_pipeline2_0_spark.functions.mixing import split_thresholds
+
+    (_, t_train), *_ = split_thresholds(
+        {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return rf"""
+WITH split AS (
+  SELECT doc_id, text,
+         ('0' || substring(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15))
+           < '{t_train}' AS is_train
+  FROM documents
+), d_tr AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM split
+  WHERE is_train AND length(substring(text, 1, 200)) >= 2
+), d_ho AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM split
+  WHERE NOT is_train AND length(substring(text, 1, 200)) >= 2
+), bg_tr AS (
+  SELECT substring(t, CAST(i AS INT), 2) AS big,
+         substring(t, CAST(i AS INT), 1) AS ctx
+  FROM d_tr CROSS JOIN (SELECT unnest(range(1, 200)) AS i) s
+  WHERE i <= length(t) - 1
+), bg AS (
+  SELECT doc_id, substring(t, CAST(i AS INT), 2) AS big,
+         substring(t, CAST(i AS INT), 1) AS ctx
+  FROM d_ho CROSS JOIN (SELECT unnest(range(1, 200)) AS i) s
+  WHERE i <= length(t) - 1
+), bc AS (
+  SELECT big, COUNT(*) AS bc FROM bg_tr GROUP BY 1
+), cc AS (
+  SELECT ctx, COUNT(*) AS cc FROM bg_tr GROUP BY 1
+), a AS (
+  SELECT COUNT(DISTINCT substring(big, 2, 1)) AS alpha FROM bg_tr
+)
+SELECT bg.doc_id,
+  COUNT(*) AS n_bigrams,
+  ROUND(AVG(ln((COALESCE(bc.bc, 0) + 1.0) / (COALESCE(cc.cc, 0) + a.alpha))), 6)
+    AS avg_logp
+FROM bg LEFT JOIN bc USING (big) LEFT JOIN cc ON bg.ctx = cc.ctx CROSS JOIN a
+GROUP BY bg.doc_id
+"""
+
+
+SQL_LM_SCORE_HELDOUT = _sql_lm_score_heldout()

@@ -247,6 +247,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "corpus_drift_psi": (L.q_corpus_drift_psi, L.SQL_CORPUS_DRIFT_PSI),
     # --- added r8: 3-sigma outlier flagging from decimal-exact moments ---
     "value_outliers": (L.q_value_outliers, L.SQL_VALUE_OUTLIERS),
+    # --- added r8: leakage-free LM scoring (train split -> held-out) ---
+    "lm_score_heldout": (L.q_lm_score_heldout, L.SQL_LM_SCORE_HELDOUT),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

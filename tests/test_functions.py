@@ -1458,3 +1458,26 @@ def test_psi_zero_on_identical_positive_on_shift(spark, sf_dir):
     assert all(r["psi"] == 0.0 for r in self_psi)
     drifted = {r["source"]: r["psi"] for r in q_corpus_drift_psi(spark, sf_dir).collect()}
     assert drifted and all(v > 0 for v in drifted.values())
+
+
+def test_lm_heldout_unseen_bigrams_smooth(spark):
+    # A held-out doc whose bigrams the training corpus never saw scores
+    # ln(1/alpha) per bigram — the left-join + add-one path, not a crash
+    # or a dropped row.
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "ababab"), (2, "ababab")], "doc_id bigint, text string"
+    )
+    heldout = spark.createDataFrame([(9, "cdcd")], "doc_id bigint, text string")
+    out = text.char_bigram_lm_scores(heldout, train_df=train).collect()
+    assert len(out) == 1
+    r = out[0]
+    # train alphabet = {a, b} (bigram-second chars) -> alpha = 2;
+    # every held-out bigram unseen: ln((0+1)/(0+2)) = -ln 2
+    assert r["n_bigrams"] == 3
+    assert r["avg_logp"] == round(math.log(0.5), 6)
+    # self-trained default is unchanged by the left-join refactor
+    self_scored = {r["doc_id"]: r["avg_logp"]
+                   for r in text.char_bigram_lm_scores(train).collect()}
+    assert set(self_scored) == {1, 2}

@@ -73,6 +73,7 @@ HEAVY = [
     "max_concurrency",
     "corpus_drift_psi",
     "value_outliers",
+    "lm_score_heldout",
 ]
 
 
