@@ -91,6 +91,7 @@ HEADLINE = [
     "corpus_drift_psi",
     "value_outliers",
     "lm_score_heldout",
+    "profile_columns",
 ]
 
 

@@ -2227,3 +2227,76 @@ GROUP BY bg.doc_id
 
 
 SQL_LM_SCORE_HELDOUT = _sql_lm_score_heldout()
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Column-profiling observability: per-column null count, exact distinct
+    # count, and null fraction for the documents table, long format.
+    #
+    # Shape: one column-pruned aggregate PER COLUMN, unioned — each scan
+    # reads exactly its own parquet column (total I/O = the table once),
+    # and there is no Expand blow-up from stacking countDistincts into a
+    # single aggregate.  Wide values (text) are md5'd BEFORE the distinct
+    # so the shuffle carries 32-byte digests, never document bodies —
+    # the exact_dedup discipline applied to profiling.
+    docs = load_table(spark, sf_dir, "documents")
+
+    def prof(col: str, hashed: bool = False):
+        v = F.md5(F.col(col)) if hashed else F.col(col)
+        return docs.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.count_distinct(v).alias("n_distinct"),
+        )
+
+    parts = [
+        prof("doc_id"),
+        prof("text", hashed=True),
+        prof("lang"),
+        prof("source"),
+        prof("n_chars"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+    )
+
+
+SQL_PROFILE_COLUMNS = """
+WITH p AS (
+  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+         SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         COUNT(DISTINCT doc_id) AS n_distinct
+  FROM documents
+  UNION ALL
+  SELECT 'text', COUNT(*),
+         SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT md5(text))
+  FROM documents
+  UNION ALL
+  SELECT 'lang', COUNT(*),
+         SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT lang)
+  FROM documents
+  UNION ALL
+  SELECT 'source', COUNT(*),
+         SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT source)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', COUNT(*),
+         SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT n_chars)
+  FROM documents
+)
+SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls, n_distinct,
+       ROUND(n_nulls * 1.0 / n_rows, 6) AS null_frac
+FROM p
+"""

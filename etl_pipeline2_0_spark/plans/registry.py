@@ -249,6 +249,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "value_outliers": (L.q_value_outliers, L.SQL_VALUE_OUTLIERS),
     # --- added r8: leakage-free LM scoring (train split -> held-out) ---
     "lm_score_heldout": (L.q_lm_score_heldout, L.SQL_LM_SCORE_HELDOUT),
+    # --- added r8: per-column profiling (nulls / exact distincts) ---
+    "profile_columns": (L.q_profile_columns, L.SQL_PROFILE_COLUMNS),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

@@ -74,6 +74,7 @@ HEAVY = [
     "corpus_drift_psi",
     "value_outliers",
     "lm_score_heldout",
+    "profile_columns",
 ]
 
 
