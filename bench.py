@@ -92,6 +92,7 @@ HEADLINE = [
     "value_outliers",
     "lm_score_heldout",
     "profile_columns",
+    "minhash_recall",
 ]
 
 

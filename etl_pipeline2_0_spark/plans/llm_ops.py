@@ -2300,3 +2300,73 @@ SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls, n_distinct,
        ROUND(n_nulls * 1.0 / n_rows, 6) AS null_frac
 FROM p
 """
+
+
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dedup-quality metric: recall of the (portable-hash) MinHash-LSH
+    # pipeline against the exact n-gram-Jaccard ground truth at the same
+    # threshold — the ann_recall pattern applied to the dedup family, and
+    # fully oracled because both sides are.  Subset keeps the exact
+    # all-pairs ground truth affordable at any SF; band geometry
+    # (16 hashes x 8 bands of 2) puts expected recall >= 0.9 at J = 0.5.
+    # Subset %2 (not the usual %10): the planted near-dup pairs land on
+    # random id pairs, and %2 is the sparsest subset that still catches
+    # true pairs at EVERY SF incl. the driver's sf0.01 (6 there) — %10
+    # leaves sf0.01 with zero true pairs and a vacuous metric.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    truth = dedup.jaccard_pairs(docs, k=3, threshold=0.5).select("id_a", "id_b")
+    found = dedup.minhash_near_duplicates(
+        docs, k=3, num_hashes=16, bands=8, threshold=0.5, portable=True
+    ).select("id_a", "id_b")
+    return truth.crossJoin(
+        F.broadcast(
+            truth.join(found, ["id_a", "id_b"], "semi")
+            .agg(F.count(F.lit(1)).alias("n_found"))
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.max("n_found").cast("bigint").alias("n_recalled"),
+        F.round(
+            F.max("n_found") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+SQL_MINHASH_RECALL = (
+    _sql_minhash_portable()
+    .replace("FROM documents\n", "FROM documents WHERE doc_id % 2 = 0\n", 1)
+    .rstrip()
+    .replace(
+        ")\nSELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5",
+        """), found AS (
+  SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5
+), truth AS (
+  SELECT id_a, id_b FROM scored_truth WHERE jaccard_true >= 0.5
+), agg AS (
+  SELECT COUNT(*) AS n_true_pairs,
+         SUM(CASE WHEN EXISTS (SELECT 1 FROM found f
+                               WHERE f.id_a = truth.id_a
+                                 AND f.id_b = truth.id_b)
+                  THEN 1 ELSE 0 END) AS n_recalled
+  FROM truth
+)
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_recalled AS BIGINT) AS n_recalled,
+       ROUND(n_recalled * 1.0 / GREATEST(n_true_pairs, 1), 6) AS recall
+FROM agg""",
+    )
+    .replace(
+        "), cand AS (",
+        """), truth_inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), scored_truth AS (
+  SELECT id_a, id_b,
+         ROUND(n_common * 1.0 / (sa2.n + sb2.n - n_common), 6) AS jaccard_true
+  FROM truth_inter
+  JOIN (SELECT id, COUNT(*) AS n FROM sh GROUP BY id) sa2 ON id_a = sa2.id
+  JOIN (SELECT id, COUNT(*) AS n FROM sh GROUP BY id) sb2 ON id_b = sb2.id
+), cand AS (""",
+    )
+)

@@ -251,6 +251,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "lm_score_heldout": (L.q_lm_score_heldout, L.SQL_LM_SCORE_HELDOUT),
     # --- added r8: per-column profiling (nulls / exact distincts) ---
     "profile_columns": (L.q_profile_columns, L.SQL_PROFILE_COLUMNS),
+    # --- added r8: dedup-family quality metric (recall of portable
+    #     MinHash-LSH vs exact Jaccard ground truth, fully oracled) ---
+    "minhash_recall": (L.q_minhash_recall, L.SQL_MINHASH_RECALL),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

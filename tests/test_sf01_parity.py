@@ -75,6 +75,7 @@ HEAVY = [
     "value_outliers",
     "lm_score_heldout",
     "profile_columns",
+    "minhash_recall",
 ]
 
 
