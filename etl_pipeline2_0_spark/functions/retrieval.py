@@ -12,7 +12,7 @@ doubles as the lexical half of a hybrid retriever next to the ANN family in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
