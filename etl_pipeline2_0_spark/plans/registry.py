@@ -218,10 +218,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     near frames; sample_frames → frame pHash → pigeonhole join →
     #     clip aggregate); rows-only, golden-pinned ×3 SFs ---
     "video_phash_neardup": (L.q_video_phash_neardup, None),
-    # --- added r8 (late): retrieval primitives (sliding-window context
-    #     chunking; BM25 ranked retrieval over a literal query workload)
-    #     and the crawl-over-crawl snapshot diff — all three fully oracled;
-    #     next in line for the r9 window rotation ---
+    # --- added r8 (late batch, through minhash_recall below): retrieval
+    #     primitives, snapshot intelligence, splits, portable MinHash,
+    #     intervals, observability — all oracled unless noted, all
+    #     parity-tested at sf0.001+0.01+0.1; next in line for the r9
+    #     window rotation ---
     "chunk_documents": (L.q_chunk_documents, L.SQL_CHUNK_DOCUMENTS),
     "bm25_topk": (L.q_bm25_topk, L.SQL_BM25_TOPK),
     "snapshot_diff": (L.q_snapshot_diff, L.SQL_SNAPSHOT_DIFF),
