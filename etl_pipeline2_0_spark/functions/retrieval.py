@@ -92,7 +92,10 @@ def bm25_topk(
     summed over the query's distinct terms; ties broken by doc id.
     ``queries`` is a list of (query_id, [term, ...]) or an equivalent
     (query_id, term) DataFrame; terms are matched against the same
-    lowercased ``\\W+`` tokenization as the TF-IDF family.
+    lowercased ``\\W+`` tokenization as the TF-IDF family.  N and avgdl
+    count EVERY corpus row including zero-token documents (they are
+    corpus members; dl=0 simply never matches a term) — pre-filter empties
+    upstream if the other convention is wanted.
 
     Output: (query_id, id, score, rnk).
 

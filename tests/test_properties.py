@@ -341,3 +341,132 @@ def test_perceptual_hashers_total_on_garbage(data):
         assert out is None or (
             isinstance(out, int) and -(1 << 63) <= out < (1 << 63)
         )
+
+
+# --- r8 retrieval / splits / intervals properties ---------------------------
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", max_size=30), min_size=1, max_size=4),
+    chunk=st.integers(min_value=2, max_value=6),
+    overlap=st.integers(min_value=0, max_value=4),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_covers_and_reconstructs(spark, texts, chunk, overlap):
+    # Every token of every doc appears in >=1 chunk; concatenating the
+    # stride-prefix of each chunk plus the last chunk reconstructs the
+    # tokenized document exactly.
+    from hypothesis import assume
+
+    from etl_pipeline2_0_spark.functions.retrieval import chunk_documents
+
+    assume(overlap < chunk)
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=chunk, overlap_tokens=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    import re
+
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"\W+", t.lower()) if w]
+        if not toks:
+            assert i not in by_doc
+            continue
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert [r["start_token"] for r in rows] == list(range(0, len(toks), stride))
+        rebuilt = []
+        for r in rows[:-1]:
+            rebuilt.extend(r["chunk_text"].split()[:stride])
+        rebuilt.extend(rows[-1]["chunk_text"].split())
+        assert rebuilt == toks
+
+
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    w=st.tuples(
+        st.floats(min_value=0.1, max_value=5),
+        st.floats(min_value=0.1, max_value=5),
+        st.floats(min_value=0.1, max_value=5),
+    ),
+)
+@settings(**SETTINGS)
+def test_assign_splits_is_exact_partition(spark, n, w):
+    from etl_pipeline2_0_spark.functions.mixing import assign_splits
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    weights = {"x": w[0], "y": w[1], "z": w[2]}
+    out = assign_splits(df, weights=weights).collect()
+    assert len(out) == n
+    assert {r["split"] for r in out} <= {"x", "y", "z"}
+
+
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 20)),
+        min_size=1,
+        max_size=12,
+    ),
+    bucket=st.sampled_from([60, 300, 86400]),
+)
+@settings(**SETTINGS)
+def test_max_concurrency_matches_brute_force(spark, iv, bucket):
+    # Oracle: integer sweep over minute ticks with half-open semantics.
+    from datetime import datetime, timedelta
+
+    from etl_pipeline2_0_spark.functions.intervals import max_concurrency
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("k", base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+        for s, d in iv
+    ]
+    df = spark.createDataFrame(rows, "k string, start_ts timestamp, end_ts timestamp")
+    got = max_concurrency(df, key_cols=["k"], bucket_seconds=bucket).collect()
+    expected = max(
+        sum(1 for s, d in iv if s <= t < s + d)
+        for t in range(0, 75)
+    )
+    assert got[0]["max_concurrent"] == expected
+
+
+@given(
+    docs=st.lists(st.text(alphabet="ab ", min_size=1, max_size=20), min_size=1, max_size=5),
+)
+@settings(**SETTINGS)
+def test_bm25_matches_python_reference(spark, docs):
+    # Brute-force Python BM25 over the same tokenization; query = {'a','b'}.
+    import math
+    import re
+
+    from etl_pipeline2_0_spark.functions.retrieval import bm25_topk
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, [(0, ["a", "b"])], top_k=100).collect()
+    }
+    # N and avgdl include zero-token docs — they are corpus members (the
+    # engine and its ANSI twin both count them; dl=0 just never matches).
+    toks = {i: [w for w in re.split(r"\W+", t.lower()) if w] for i, t in enumerate(docs)}
+    lens = {i: len(t) for i, t in toks.items()}
+    n = len(lens)
+    avgdl = sum(lens.values()) / n
+    df_t = {
+        q: sum(1 for t in toks.values() if q in t) for q in ("a", "b")
+    }
+    exp = {}
+    for i, t in toks.items():
+        s = 0.0
+        for q in ("a", "b"):
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df_t[q] + 0.5) / (df_t[q] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * lens[i] / avgdl))
+        if s:
+            exp[i] = round(s, 6)
+    assert got == exp
