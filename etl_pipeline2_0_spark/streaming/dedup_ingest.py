@@ -1,0 +1,89 @@
+"""Continuously-deduped corpus ingestion: each micro-batch is deduped
+WITHIN itself (exact) and AGAINST the already-accepted corpus (exact +
+near-dup n-gram Jaccard) before being appended — the production "every
+crawl batch checks in against the deduped corpus" loop, as one
+checkpointed Structured Streaming query.
+
+Built from the proven batch primitives: ``dedup.exact_dedup`` for the
+intra-batch pass and ``dedup.jaccard_pairs_incremental`` (cross-frame
+shingle-hash equi-join — work ∝ shared shingles, never |batch|×|corpus|)
+for the corpus probe.  The corpus lives as a plain parquet table; at
+100 TB it would be written bucketed on the shingle hash (see
+``sinks.bucketing``) so each batch probe co-locates, and the exact-hash
+set would be a broadcast-ahead digest table — the shapes are identical.
+
+Exactly-once: the checkpoint makes batch delivery exactly-once, and the
+dedup itself makes replays CONVERGENT — a re-delivered batch's docs are
+all exact dups of their previously-accepted copies, so a duplicate batch
+appends nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_pipeline2_0_spark.functions import dedup
+
+
+def _accept_batch(
+    batch_df: DataFrame,
+    corpus_path: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+) -> None:
+    spark = batch_df.sparkSession
+    # 1. intra-batch exact dedup (min-id keeper, the exact_dedup contract)
+    fresh = dedup.exact_dedup(batch_df, text_col=text_col, id_col=id_col)
+    if os.path.isdir(corpus_path):
+        corpus = spark.read.parquet(corpus_path)
+        # 2. exact dups vs corpus: content-hash anti-join (32-byte digests)
+        fresh = fresh.join(
+            corpus.select(F.md5(F.col(text_col)).alias("content_hash")).distinct(),
+            "content_hash",
+            "left_anti",
+        )
+        # 3. near-dups vs corpus: incremental shingle-hash probe
+        near = dedup.jaccard_pairs_incremental(
+            fresh, corpus, text_col=text_col, id_col=id_col,
+            k=k, threshold=threshold,
+        ).select(F.col("new_id").alias(id_col)).distinct()
+        fresh = fresh.join(near, id_col, "left_anti")
+    # Semi-join the ORIGINAL batch on the accepted ids so every input
+    # column survives to the corpus (exact_dedup projects to its working
+    # columns; the store keeps the full rows).
+    survivors = batch_df.join(fresh.select(id_col), id_col, "semi")
+    if not survivors.isEmpty():
+        survivors.write.mode("append").parquet(corpus_path)
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the checkpointed dedup-ingest query.  ``available_now``
+    drains the backlog and stops (batch-like catch-up); False runs
+    continuously."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _accept_batch(batch_df, corpus_path, text_col, id_col, k, threshold)
+
+    writer = stream_df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

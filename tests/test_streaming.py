@@ -83,3 +83,51 @@ def test_stream_to_partitioned_idempotent(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == expected
+
+
+def test_stream_dedup_ingest_converges(spark, tmp_path):
+    """Continuous dedup ingestion: batch 2's exact and near dups of batch-1
+    docs are rejected; fresh docs append; a replayed batch adds nothing."""
+    from etl_pipeline2_0_spark.streaming.dedup_ingest import stream_dedup_ingest
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "spark structured streaming handles late arriving data well"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # intra dup of 1
+    ]
+    b2 = [
+        (4, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of 1
+        (5, "spark structured streaming handles late arriving data badly"),  # near dup of 2
+        (6, "completely unrelated content about database query planners"),
+    ]
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_dedup_ingest(
+        stream, corpus, str(tmp_path / "ckpt"), k=3, threshold=0.5
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    # File order isn't guaranteed, but either order yields exactly one
+    # representative of the fox group, one of the streaming group, plus 6.
+    assert len(got) == 3 and 6 in got
+    assert len(got & {1, 3, 4}) == 1
+    assert len(got & {2, 5}) == 1
+
+    # Replay the same backlog with a fresh checkpoint: every doc is now an
+    # exact dup of its accepted copy (or a near/exact dup) — nothing appends.
+    q2 = stream_dedup_ingest(
+        stream, corpus, str(tmp_path / "ckpt2"), k=3, threshold=0.5
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(corpus).count() == 3
