@@ -231,3 +231,60 @@ def test_composed_passage_retrieval(spark, sf_dir):
         assert [r["rnk"] for r in rows] == [1, 2, 3, 4, 5]
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_snapshot_diff_applies_as_partition_upsert(spark, sf_dir, tmp_path):
+    # Incremental table maintenance from snapshot_diff: store snapshot A
+    # partitioned by source, diff A -> B, rewrite ONLY the partitions that
+    # contain a changed/added/removed doc (dynamic overwrite), and land
+    # bit-exactly on snapshot B — without touching unaffected partitions.
+    import os
+
+    from etl_pipeline2_0_spark.functions.dedup import snapshot_diff
+    from etl_pipeline2_0_spark.sinks.load import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Drift confined to src0 (deletes) and src1 (edits): most partitions
+    # must come through the upsert untouched.
+    snap_a = docs
+    snap_b = docs.where(
+        ~((F.col("source") == "src0") & (F.col("doc_id") % 7 == 0))
+    ).withColumn(
+        "text",
+        F.when(
+            (F.col("source") == "src1") & (F.col("doc_id") % 3 == 0),
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+    table = str(tmp_path / "corpus")
+    write_partitioned(snap_a, table, ["source"])
+    mtimes_before = {
+        d: os.path.getmtime(os.path.join(table, d))
+        for d in os.listdir(table) if d.startswith("source=")
+    }
+
+    delta = snapshot_diff(snap_a, snap_b).where(F.col("status") != "unchanged")
+    # affected sources come from either side (removed docs only exist in A)
+    affected = (
+        snap_a.join(delta.select("doc_id"), "doc_id", "semi").select("source")
+        .union(snap_b.join(delta.select("doc_id"), "doc_id", "semi").select("source"))
+        .distinct()
+    )
+    replacement = snap_b.join(F.broadcast(affected), "source", "semi")
+    write_partitioned(replacement, table, ["source"])
+
+    # Bit-exact convergence to snapshot B...
+    final = spark.read.parquet(table)
+    assert final.count() == snap_b.count()
+    assert final.join(snap_b, ["doc_id", "text", "source"], "anti").count() == 0
+    assert snap_b.join(final, ["doc_id", "text", "source"], "anti").count() == 0
+    # ...and at least one unaffected partition was genuinely left alone
+    # (same directory mtime), proving the rewrite was partition-scoped.
+    affected_dirs = {
+        f"source={r['source']}" for r in affected.collect()
+    }
+    assert affected_dirs == {"source=src0", "source=src1"}
+    untouched = set(mtimes_before) - affected_dirs
+    assert len(untouched) >= 2, "drift was synthesized source-scoped"
+    for d in sorted(untouched):
+        assert os.path.getmtime(os.path.join(table, d)) == mtimes_before[d]
