@@ -228,3 +228,53 @@ def write_shards(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
     )
+
+
+def upsert_snapshot_partitions(
+    table_path: str,
+    new_snapshot: DataFrame,
+    diff: DataFrame,
+    partition_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Partition-scoped snapshot upsert: given a stored table (snapshot A,
+    hive-partitioned on ``partition_cols``), the NEW snapshot B, and a
+    ``snapshot_diff``-shaped delta (rows with changed/added/removed ids),
+    rewrite ONLY the partitions that contain an affected document and leave
+    every clean partition's files untouched — the incremental-maintenance
+    move that turns a 100 TB full refresh into a rewrite of the drifted
+    slice.
+
+    Affected partitions are gathered from BOTH sides (a removed doc exists
+    only in the stored table; an added one only in B).  A partition whose
+    docs are ALL removed never appears in the replacement frame — dynamic
+    overwrite would silently leave it stale (the classic pitfall) — so
+    fully-vacated partitions are deleted explicitly.  Returns the
+    affected-partition-keys DataFrame (small — callers log/audit it).
+    """
+    import shutil
+
+    spark = new_snapshot.sparkSession
+    stored = spark.read.parquet(table_path)
+    delta_ids = diff.select(id_col)
+    # Materialize the affected keys BEFORE the rewrite: the plan reads the
+    # stored table's files, which the write below replaces — a lazy frame
+    # returned to the caller would resolve against deleted parquet parts.
+    affected_lazy = (
+        stored.join(delta_ids, id_col, "semi").select(*partition_cols)
+        .union(new_snapshot.join(delta_ids, id_col, "semi").select(*partition_cols))
+        .distinct()
+    )
+    affected = spark.createDataFrame(
+        affected_lazy.collect(), affected_lazy.schema
+    )
+    replacement = new_snapshot.join(F.broadcast(affected), partition_cols, "semi")
+    vacated = affected.join(
+        replacement.select(*partition_cols).distinct(), partition_cols, "anti"
+    ).collect()
+    if not replacement.isEmpty():
+        write_partitioned(replacement, table_path, partition_cols)
+    for row in vacated:  # bounded: ≤ #affected partitions
+        rel = "/".join(f"{c}={row[c]}" for c in partition_cols)
+        shutil.rmtree(os.path.join(table_path, rel), ignore_errors=True)
+    return affected

@@ -244,11 +244,13 @@ def test_snapshot_diff_applies_as_partition_upsert(spark, sf_dir, tmp_path):
     from etl_pipeline2_0_spark.sinks.load import write_partitioned
 
     docs = load_table(spark, sf_dir, "documents")
-    # Drift confined to src0 (deletes) and src1 (edits): most partitions
-    # must come through the upsert untouched.
+    # Drift confined to src0 (partial deletes), src1 (edits), and src2
+    # (FULLY removed — the vacated-partition pitfall): every other
+    # partition must come through the upsert untouched.
     snap_a = docs
     snap_b = docs.where(
         ~((F.col("source") == "src0") & (F.col("doc_id") % 7 == 0))
+        & (F.col("source") != "src2")
     ).withColumn(
         "text",
         F.when(
@@ -263,15 +265,10 @@ def test_snapshot_diff_applies_as_partition_upsert(spark, sf_dir, tmp_path):
         for d in os.listdir(table) if d.startswith("source=")
     }
 
+    from etl_pipeline2_0_spark.sinks.load import upsert_snapshot_partitions
+
     delta = snapshot_diff(snap_a, snap_b).where(F.col("status") != "unchanged")
-    # affected sources come from either side (removed docs only exist in A)
-    affected = (
-        snap_a.join(delta.select("doc_id"), "doc_id", "semi").select("source")
-        .union(snap_b.join(delta.select("doc_id"), "doc_id", "semi").select("source"))
-        .distinct()
-    )
-    replacement = snap_b.join(F.broadcast(affected), "source", "semi")
-    write_partitioned(replacement, table, ["source"])
+    affected = upsert_snapshot_partitions(table, snap_b, delta, ["source"])
 
     # Bit-exact convergence to snapshot B...
     final = spark.read.parquet(table)
@@ -283,7 +280,10 @@ def test_snapshot_diff_applies_as_partition_upsert(spark, sf_dir, tmp_path):
     affected_dirs = {
         f"source={r['source']}" for r in affected.collect()
     }
-    assert affected_dirs == {"source=src0", "source=src1"}
+    assert affected_dirs == {"source=src0", "source=src1", "source=src2"}
+    # the fully-vacated partition is GONE (dynamic overwrite alone would
+    # have left it stale)
+    assert not os.path.exists(os.path.join(table, "source=src2"))
     untouched = set(mtimes_before) - affected_dirs
     assert len(untouched) >= 2, "drift was synthesized source-scoped"
     for d in sorted(untouched):
