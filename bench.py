@@ -93,6 +93,8 @@ HEADLINE = [
     "lm_score_heldout",
     "profile_columns",
     "minhash_recall",
+    "dup_cluster_stats",
+    "knn_accuracy",
 ]
 
 

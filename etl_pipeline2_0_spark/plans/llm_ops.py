@@ -2370,3 +2370,70 @@ FROM agg""",
 ), cand AS (""",
     )
 )
+
+
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dup-cluster observability: the size distribution of near-duplicate
+    # clusters (how much of the corpus is pairwise dups vs big template
+    # families — the number that decides dedup strategy at scale).
+    comps = q_dup_components(spark, sf_dir)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+        )
+    )
+
+
+SQL_DUP_CLUSTER_STATS = f"""
+WITH comp AS ({SQL_DUP_COMPONENTS}),
+sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
+def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Label-quality metric: does the 5-NN majority label agree with each
+    # query's OWN label?  (Self is excluded from the neighbor set, so this
+    # is honest leave-one-out agreement — the standard probe for label
+    # noise in embedding space.)
+    emb = load_table(spark, sf_dir, "embeddings")
+    preds = similarity.knn_label_vote(emb, emb.where(F.col("vec_id") < 8), k=5)
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("bigint").alias("true_label"),
+    )
+    return preds.join(truth, "query_id").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+SQL_KNN_ACCURACY = f"""
+WITH pred AS ({SQL_KNN_LABEL_VOTE}),
+truth AS (
+  SELECT vec_id AS query_id, CAST(label AS BIGINT) AS true_label
+  FROM embeddings WHERE vec_id < 8
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS accuracy
+FROM pred JOIN truth USING (query_id)
+"""

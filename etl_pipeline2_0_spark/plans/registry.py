@@ -255,6 +255,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- added r8: dedup-family quality metric (recall of portable
     #     MinHash-LSH vs exact Jaccard ground truth, fully oracled) ---
     "minhash_recall": (L.q_minhash_recall, L.SQL_MINHASH_RECALL),
+    # --- added r8: dup-cluster size distribution; leave-one-out k-NN
+    #     label agreement ---
+    "dup_cluster_stats": (L.q_dup_cluster_stats, L.SQL_DUP_CLUSTER_STATS),
+    "knn_accuracy": (L.q_knn_accuracy, L.SQL_KNN_ACCURACY),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

@@ -470,3 +470,25 @@ def test_bm25_matches_python_reference(spark, docs):
         if s:
             exp[i] = round(s, 6)
     assert got == exp
+
+
+@given(s=st.text(max_size=60))
+@settings(**SETTINGS)
+def test_clean_text_idempotent_and_normalized(spark, s):
+    # clean(clean(x)) == clean(x); output has no whitespace runs, no C0/DEL
+    # controls, no whitespace edges.
+    import re
+
+    from etl_pipeline2_0_spark.functions.text import clean_text
+
+    df = spark.createDataFrame([(s,)], "text string")
+    once = df.select(clean_text(F.col("text")).alias("c")).collect()[0]["c"]
+    twice = (
+        spark.createDataFrame([(once,)], "text string")
+        .select(clean_text(F.col("text")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert twice == once
+    assert not re.search(r"\s\s", once)
+    assert not re.search(r"[\x00-\x08\x0E-\x1F\x7F]", once)
+    assert once == once.strip(" ")

@@ -76,6 +76,8 @@ HEAVY = [
     "lm_score_heldout",
     "profile_columns",
     "minhash_recall",
+    "dup_cluster_stats",
+    "knn_accuracy",
 ]
 
 
