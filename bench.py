@@ -95,6 +95,7 @@ HEADLINE = [
     "minhash_recall",
     "dup_cluster_stats",
     "knn_accuracy",
+    "simhash_pairs_portable",
 ]
 
 

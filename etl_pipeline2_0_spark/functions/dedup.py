@@ -1039,3 +1039,43 @@ def snapshot_diff(
         "hash_a",
         "hash_b",
     )
+
+
+def simhash60_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash from the md5-hex15 hash family, entirely in native
+    expressions — the ANSI-portable sibling of ``simhash64`` (whose
+    xxhash64+numpy path stays the fast production hasher).
+
+    One token explode feeds ONE hash aggregate with 60 ±1-vote SUMs (map-
+    side combinable, integer therefore order-independent); the signature
+    assembles from the vote signs as a sum of power-of-two literals.  Every
+    step (md5, hex→int, shift/and, conditional sum) exists verbatim in any
+    SQL engine, so the whole near-dup pipeline over it is oracle-checkable.
+    """
+    from etl_pipeline2_0_spark.functions.text import tokens
+
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    base = toks.select("id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(60)
+    ]
+    sig = None
+    for j in range(60):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return (
+        base.groupBy("id")
+        .agg(*votes)
+        .select("id", sig.cast("bigint").alias("simhash"))
+    )

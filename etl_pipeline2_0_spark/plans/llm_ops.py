@@ -2437,3 +2437,66 @@ SELECT COUNT(*) AS n_queries,
              / COUNT(*), 6) AS accuracy
 FROM pred JOIN truth USING (query_id)
 """
+
+
+def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash near-dup under the md5-portable native-expression hasher:
+    # same pigeonhole chunk equi-join as simhash_pairs, but the WHOLE
+    # pipeline (hash, ±1 votes, signature, banding, Hamming verify) is
+    # ANSI-expressible — graduating the SimHash family to a full oracle
+    # (the xxhash64+numpy simhash_pairs stays the fast path).
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash60_portable(docs)
+    return dedup.hamming_pairs(
+        sigs, id_col="id", sig_col="simhash", max_hamming=8, blocks=4
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_simhash_portable(max_hamming: int = 8, blocks: int = 4) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60)
+    )
+    assemble = "\n           + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60)
+    )
+    bits_per = 64 // blocks
+    mask = (1 << bits_per) - 1
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, {c} AS chunk_idx,"
+        f" (simhash >> {c * bits_per}) & {mask} AS chunk_val FROM sig"
+        for c in range(blocks)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents
+), hashes AS (
+  SELECT id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+), votes AS (
+  SELECT id,
+         {votes}
+  FROM hashes GROUP BY id
+), sig AS (
+  SELECT id,
+         CAST({assemble}
+           AS BIGINT) AS simhash
+  FROM votes
+), banded AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.id < b.id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_PAIRS_PORTABLE = _sql_simhash_portable()

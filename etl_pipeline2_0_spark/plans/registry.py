@@ -259,6 +259,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     label agreement ---
     "dup_cluster_stats": (L.q_dup_cluster_stats, L.SQL_DUP_CLUSTER_STATS),
     "knn_accuracy": (L.q_knn_accuracy, L.SQL_KNN_ACCURACY),
+    # --- added r8: SimHash under the md5-portable native hasher — the
+    #     family's full-oracle twin (xxhash64 simhash_pairs = fast path) ---
+    "simhash_pairs_portable": (
+        L.q_simhash_pairs_portable,
+        L.SQL_SIMHASH_PAIRS_PORTABLE,
+    ),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

@@ -1481,3 +1481,24 @@ def test_lm_heldout_unseen_bigrams_smooth(spark):
     self_scored = {r["doc_id"]: r["avg_logp"]
                    for r in text.char_bigram_lm_scores(train).collect()}
     assert set(self_scored) == {1, 2}
+
+
+def test_simhash_portable_identity_and_locality(docs):
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash60_portable(docs).collect()}
+    assert sigs[1] == sigs[3]          # identical text -> identical signature
+    assert 0 <= sigs[1] < (1 << 60)    # 60-bit domain
+    import math
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    # one-token-different docs land closer than unrelated ones
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[4])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.hamming_pairs(
+            dedup.simhash60_portable(docs), id_col="id", sig_col="simhash",
+            max_hamming=8, blocks=4,
+        ).collect()
+    }
+    assert pairs[(1, 3)] == 0

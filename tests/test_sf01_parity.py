@@ -78,6 +78,7 @@ HEAVY = [
     "minhash_recall",
     "dup_cluster_stats",
     "knn_accuracy",
+    "simhash_pairs_portable",
 ]
 
 
