@@ -529,3 +529,33 @@ def test_max_concurrency_two_level_no_whole_key_window(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(event_type#\d+, _bucket#\d+L?, t#\d+", plan)
     for m in re.finditer(r"windowspecdefinition\(event_type#\d+, ([a-z_]+)#\d+", plan):
         assert m.group(1) in ("_bucket",), plan
+
+
+def test_value_outliers_stats_broadcast(spark, sf_dir):
+    # The per-type moments are a tiny aggregate that must broadcast back
+    # onto the events scan — never a shuffle join of the fact table.
+    plan = _plan(L.q_value_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_columns_scans_are_column_pruned(spark, sf_dir):
+    # Each unioned aggregate must read exactly its own parquet column —
+    # total I/O = the table once, no wide scans.
+    plan = _plan(L.q_profile_columns(spark, sf_dir))
+    reads = [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]]
+    assert len(reads) == 5
+    for read in reads:
+        # exactly one struct field per scan: one name:type pair, no commas
+        assert read.count(":") == 1 and "," not in read, read
+
+
+def test_lm_heldout_model_tables_broadcast(spark, sf_dir):
+    # Both model joins (bigram counts, context counts) and the alphabet
+    # size must reach the scoring pass as broadcasts; the only SMJs allowed
+    # are none — scoring adds no full-size shuffle join.
+    plan = _plan(L.q_lm_score_heldout(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
