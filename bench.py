@@ -96,6 +96,7 @@ HEADLINE = [
     "dup_cluster_stats",
     "knn_accuracy",
     "simhash_pairs_portable",
+    "assign_splits_grouped",
 ]
 
 

@@ -2500,3 +2500,32 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
 
 
 SQL_SIMHASH_PAIRS_PORTABLE = _sql_simhash_portable()
+
+
+def q_assign_splits_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-safe (group-aware) splitting: hash the SOURCE, not the doc,
+    # so every doc of a domain lands in the same split — near-dups within
+    # a domain can't straddle train/val (standard ML-hygiene variant;
+    # same assign_splits machinery with the group as the hash key).
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.assign_splits(
+        docs, weights={"train": 0.8, "val": 0.2}, id_col="source"
+    ).select("doc_id", "source", "split")
+
+
+def _sql_assign_splits_grouped() -> str:
+    from etl_pipeline2_0_spark.functions.mixing import split_thresholds
+
+    (_, t_train), _ = split_thresholds({"train": 0.8, "val": 0.2})
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN '0' || substring(md5(CAST(source AS VARCHAR) || ':'), 1, 15)
+                 < '{t_train}'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
+SQL_ASSIGN_SPLITS_GROUPED = _sql_assign_splits_grouped()

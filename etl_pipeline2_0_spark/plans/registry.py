@@ -265,6 +265,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_simhash_pairs_portable,
         L.SQL_SIMHASH_PAIRS_PORTABLE,
     ),
+    # --- added r8: leakage-safe group-keyed split assignment ---
+    "assign_splits_grouped": (
+        L.q_assign_splits_grouped,
+        L.SQL_ASSIGN_SPLITS_GROUPED,
+    ),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

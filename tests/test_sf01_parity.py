@@ -79,6 +79,7 @@ HEAVY = [
     "dup_cluster_stats",
     "knn_accuracy",
     "simhash_pairs_portable",
+    "assign_splits_grouped",
 ]
 
 
