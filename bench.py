@@ -97,6 +97,7 @@ HEADLINE = [
     "knn_accuracy",
     "simhash_pairs_portable",
     "assign_splits_grouped",
+    "pack_texts",
 ]
 
 

@@ -151,6 +151,31 @@ def pack_sequences(
     ``bucket_width`` so #docs/bucket_width stays broadcastable (the
     default 2^20 puts a trillion-doc corpus at ~10^6 bucket rows).
     """
+    keys, packed = _assign_packs(
+        docs, budget_tokens, text_col, id_col, source_col,
+        partition_cols, bucket_width, bucket_expr,
+    )
+    return packed.groupBy(*keys, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def _assign_packs(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    partition_cols: "list[str] | None",
+    bucket_width: int,
+    bucket_expr: "Column | None",
+):
+    """The per-doc pack assignment shared by ``pack_sequences`` (stats)
+    and ``pack_texts`` (materialized sequences): returns (keys, frame with
+    keys + id + n_tokens + pack_id)."""
     keys = list(partition_cols) if partition_cols else [source_col]
     if bucket_expr is not None:
         bucket = bucket_expr
@@ -221,11 +246,53 @@ def pack_sequences(
         .drop("_r_bucket", *[f"_r_{k}" for k in keys])
         .withColumn("pack_id", F.floor(prev / F.lit(budget_tokens)).cast("bigint"))
     )
-    return packed.groupBy(*keys, "pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("pack_tokens"),
-        F.min(id_col).alias("first_doc"),
-        F.max(id_col).alias("last_doc"),
+    return keys, packed
+
+
+def pack_texts(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    partition_cols: "list[str] | None" = None,
+    bucket_width: int = 1 << 20,
+    bucket_expr: "Column | None" = None,
+    separator: str = " ",
+) -> DataFrame:
+    """Materialized sequence packing: the same assignment as
+    ``pack_sequences`` (identical two-level prefix sum, identical pack
+    ids) but emitting the TRAINING SEQUENCES — each pack's documents
+    concatenated in ``id_col`` order with ``separator`` — plus the stats.
+
+    Output: (key..., pack_id, n_docs, pack_tokens, seq_text).
+
+    Scale: document text joins back on the id key ONCE (the assignment
+    frame carries only ids+counts through its windows, so bodies never
+    ride the prefix-sum shuffles); the concat is a per-pack aggregate of
+    an id-sorted struct list — packs are ~``budget_tokens`` tokens by
+    construction, so no group is unbounded.
+    """
+    keys, packed = _assign_packs(
+        docs, budget_tokens, text_col, id_col, source_col,
+        partition_cols, bucket_width, bucket_expr,
+    )
+    bodies = docs.select(F.col(id_col), F.col(text_col).alias("_body"))
+    return (
+        packed.select(*keys, id_col, "n_tokens", "pack_id")
+        .join(bodies, id_col)
+        .groupBy(*keys, "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(id_col, "_body"))),
+                    lambda x: x["_body"],
+                ),
+                separator,
+            ).alias("seq_text"),
+        )
     )
 
 

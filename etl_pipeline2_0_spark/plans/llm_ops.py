@@ -2529,3 +2529,37 @@ FROM documents
 
 
 SQL_ASSIGN_SPLITS_GROUPED = _sql_assign_splits_grouped()
+
+
+def q_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialized packing: same 256-token packs as pack_sequences, plus
+    # the concatenated training sequence per pack.  Subset keeps the
+    # string-heavy oracle cheap; assignment logic is identical to the
+    # full-corpus pack_sequences (shared _assign_packs).
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return mixing.pack_texts(docs, budget_tokens=256)
+
+
+SQL_PACK_TEXTS = r"""
+WITH toks AS (
+  SELECT source, doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> length(x) > 0)) AS n_tokens
+  FROM documents WHERE doc_id % 5 = 0
+), packed AS (
+  SELECT source, doc_id, text, n_tokens,
+         CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+           AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+FROM packed
+GROUP BY source, pack_id
+"""

@@ -270,6 +270,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_assign_splits_grouped,
         L.SQL_ASSIGN_SPLITS_GROUPED,
     ),
+    # --- added r8: materialized training sequences (pack_sequences with
+    #     the concatenated text emitted) ---
+    "pack_texts": (L.q_pack_texts, L.SQL_PACK_TEXTS),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

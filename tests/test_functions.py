@@ -1502,3 +1502,23 @@ def test_simhash_portable_identity_and_locality(docs):
         ).collect()
     }
     assert pairs[(1, 3)] == 0
+
+
+def test_pack_texts_agrees_with_pack_sequences(spark, sf_dir):
+    from etl_pipeline2_0_spark.functions import mixing
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    stats = {
+        (r["source"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
+        for r in mixing.pack_sequences(docs, budget_tokens=256).collect()
+    }
+    texts = mixing.pack_texts(docs, budget_tokens=256).collect()
+    got = {
+        (r["source"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
+        for r in texts
+    }
+    assert got == stats  # identical assignment via the shared helper
+    # the materialized sequence carries every packed doc's tokens
+    for r in texts:
+        assert len(r["seq_text"].split()) == r["pack_tokens"]

@@ -80,6 +80,7 @@ HEAVY = [
     "knn_accuracy",
     "simhash_pairs_portable",
     "assign_splits_grouped",
+    "pack_texts",
 ]
 
 
