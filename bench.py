@@ -98,6 +98,7 @@ HEADLINE = [
     "simhash_pairs_portable",
     "assign_splits_grouped",
     "pack_texts",
+    "interleave_key",
 ]
 
 

@@ -395,3 +395,52 @@ def assign_splits(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(pairs[-1][0]) if expr is None else expr.otherwise(pairs[-1][0])
     return df.withColumn("split", expr)
+
+
+def interleave_key(
+    docs: DataFrame,
+    weights: "dict[str, float]",
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ratio-faithful dataset interleaving: every row gets an
+    ``ileave_key`` such that reading rows in key order yields the sources
+    interleaved at their weights (a weight-2 source appears twice as often
+    per unit of key space) — the HuggingFace ``interleave_datasets``
+    semantics, as a sortable key instead of an iterator.
+
+    Per row: ``rank`` = its md5-hash order position within its source
+    (dense 1..n_source, the shuffle_shards permutation), and
+    ``ileave_key = rank / weight(source)`` — source s's k-th row lands at
+    k/w_s, so by position t each source has contributed ~t·w_s rows.
+    Unknown sources get the minimum weight (appear, but last).
+
+    Scale: one window per (source) for the dense rank — keyed by source,
+    which is the SMALL axis; if one source dominates rows, swap the rank
+    for ``shuffle_shards``' hash rank quantized by the per-source count
+    (broadcast) — the key formula is unchanged.  The global order itself
+    is never materialized: downstream writers ``sortWithinPartitions`` on
+    the key (the write_shards contract), never a global sort.
+
+    Output: input rows + (ileave_key DOUBLE, src_rank).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(salt))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    min_w = min(weights.values())
+    pairs = [p for kv in weights.items() for p in (F.lit(kv[0]), F.lit(kv[1]))]
+    wmap = F.create_map(*pairs)
+    weight = F.coalesce(wmap[F.col(key_col)], F.lit(float(min_w)))
+    return docs.withColumn("src_rank", F.row_number().over(w)).withColumn(
+        "ileave_key", F.round(F.col("src_rank") / weight, 6)
+    )

@@ -2563,3 +2563,35 @@ SELECT source, pack_id,
 FROM packed
 GROUP BY source, pack_id
 """
+
+
+def q_interleave_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ratio-faithful interleaving keys over three weighted sources; the
+    # remaining sources take the minimum weight.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    return mixing.interleave_key(
+        docs, {"src0": 2.0, "src1": 1.0, "src2": 0.5}
+    ).select("doc_id", "source", "src_rank", "ileave_key")
+
+
+SQL_INTERLEAVE_KEY = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'),
+                                           1, 15) AS BIGINT),
+                    doc_id
+         ) AS src_rank
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank,
+       ROUND(src_rank / (CASE source WHEN 'src0' THEN 2.0
+                                     WHEN 'src1' THEN 1.0
+                                     ELSE 0.5 END), 6) AS ileave_key
+FROM ranked
+"""

@@ -1522,3 +1522,19 @@ def test_pack_texts_agrees_with_pack_sequences(spark, sf_dir):
     # the materialized sequence carries every packed doc's tokens
     for r in texts:
         assert len(r["seq_text"].split()) == r["pack_tokens"]
+
+
+def test_interleave_key_ratio_faithful(spark):
+    from etl_pipeline2_0_spark.functions import mixing
+
+    rows = [(i, "a" if i < 200 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = mixing.interleave_key(df, {"a": 2.0, "b": 1.0}, key_col="source")
+    ordered = [r["source"] for r in out.orderBy("ileave_key", "doc_id").collect()]
+    # In any prefix long enough, 'a' appears ~2x as often as 'b'
+    prefix = ordered[:150]
+    na, nb = prefix.count("a"), prefix.count("b")
+    assert 1.6 < na / nb < 2.5
+    # deterministic across evaluations
+    again = [r["source"] for r in out.orderBy("ileave_key", "doc_id").collect()]
+    assert again == ordered

@@ -81,6 +81,7 @@ HEAVY = [
     "simhash_pairs_portable",
     "assign_splits_grouped",
     "pack_texts",
+    "interleave_key",
 ]
 
 
