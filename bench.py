@@ -99,6 +99,7 @@ HEADLINE = [
     "assign_splits_grouped",
     "pack_texts",
     "interleave_key",
+    "doc_novelty",
 ]
 
 

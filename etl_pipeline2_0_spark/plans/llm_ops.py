@@ -2595,3 +2595,64 @@ SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank,
                                      ELSE 0.5 END), 6) AS ileave_key
 FROM ranked
 """
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Curation signal: per-document novelty = fraction of its distinct
+    # shingles appearing in NO other document (1.0 = fully novel content,
+    # ~0 = boilerplate).  One shingle explode -> doc-freq aggregate ->
+    # per-doc conditional aggregate; the shuffle carries 8-byte shingle
+    # hashes (the jaccard_pairs discipline), never shingle text.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    sh = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(dedup.token_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+    )
+    freq = sh.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        sh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+SQL_DOC_NOVELTY = r"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(t, '\W+'),
+                             x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM toks
+), sh0 AS (
+  SELECT doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), freq AS (
+  SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS novelty
+FROM sh JOIN freq USING (shingle)
+GROUP BY sh.doc_id
+"""

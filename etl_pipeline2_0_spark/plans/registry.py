@@ -275,6 +275,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "pack_texts": (L.q_pack_texts, L.SQL_PACK_TEXTS),
     # --- added r8: HF-style deterministic dataset interleaving key ---
     "interleave_key": (L.q_interleave_key, L.SQL_INTERLEAVE_KEY),
+    # --- added r8: per-doc shingle-novelty curation signal ---
+    "doc_novelty": (L.q_doc_novelty, L.SQL_DOC_NOVELTY),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

@@ -82,6 +82,7 @@ HEAVY = [
     "assign_splits_grouped",
     "pack_texts",
     "interleave_key",
+    "doc_novelty",
 ]
 
 
