@@ -416,12 +416,16 @@ def interleave_key(
     k/w_s, so by position t each source has contributed ~t·w_s rows.
     Unknown sources get the minimum weight (appear, but last).
 
-    Scale: one window per (source) for the dense rank — keyed by source,
-    which is the SMALL axis; if one source dominates rows, swap the rank
-    for ``shuffle_shards``' hash rank quantized by the per-source count
-    (broadcast) — the key formula is unchanged.  The global order itself
-    is never materialized: downstream writers ``sortWithinPartitions`` on
-    the key (the write_shards contract), never a global sort.
+    Scale: the within-source rank is a TWO-LEVEL row number (the
+    ``pack_sequences`` prefix-sum scheme on the hash axis): rows bucket by
+    the hash's top bits (monotone in h, so order is preserved), the
+    row_number windows over (source, bucket) — one bucket per task, never
+    a whole source — and per-bucket counts cumulate into exclusive rank
+    offsets over the #buckets-row list, broadcast back.  Bit-identical to
+    the one-window rank, so the ANSI oracle stays the plain form.  The
+    global order itself is never materialized: downstream writers
+    ``sortWithinPartitions`` on the key (the write_shards contract),
+    never a global sort.
 
     Output: input rows + (ileave_key DOUBLE, src_rank).
     """
@@ -436,11 +440,39 @@ def interleave_key(
         16,
         10,
     ).cast("bigint")
-    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    base = docs.withColumn("_h", h).withColumn(
+        "_ibucket", F.shiftrightunsigned(F.col("_h"), 44)
+    )
+    w_local = Window.partitionBy(key_col, "_ibucket").orderBy(
+        "_h", F.col(id_col)
+    )
+    local = base.withColumn("_local_rank", F.row_number().over(w_local))
+    bcnt = base.groupBy(key_col, "_ibucket").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    w_off = (
+        Window.partitionBy(key_col)
+        .orderBy("_ibucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bcnt.select(
+        F.col(key_col).alias("_r_key"),
+        F.col("_ibucket").alias("_r_ibucket"),
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_rank_off"),
+    )
+    cond = F.col("_ibucket").eqNullSafe(F.col("_r_ibucket")) & F.col(
+        key_col
+    ).eqNullSafe(F.col("_r_key"))
     min_w = min(weights.values())
     pairs = [p for kv in weights.items() for p in (F.lit(kv[0]), F.lit(kv[1]))]
     wmap = F.create_map(*pairs)
     weight = F.coalesce(wmap[F.col(key_col)], F.lit(float(min_w)))
-    return docs.withColumn("src_rank", F.row_number().over(w)).withColumn(
-        "ileave_key", F.round(F.col("src_rank") / weight, 6)
+    return (
+        local.join(F.broadcast(offs), cond)
+        .withColumn(
+            "src_rank",
+            (F.col("_rank_off") + F.col("_local_rank")).cast("int"),
+        )
+        .withColumn("ileave_key", F.round(F.col("src_rank") / weight, 6))
+        .drop("_h", "_ibucket", "_local_rank", "_r_key", "_r_ibucket", "_rank_off")
     )

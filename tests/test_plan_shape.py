@@ -559,3 +559,18 @@ def test_lm_heldout_model_tables_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interleave_key_two_level_no_whole_source_window(spark, sf_dir):
+    # The within-source rank must window over (source, _ibucket) — never
+    # source alone (whole-source serialization); the only source-alone
+    # window is the bucket-count offset cumulation, and offsets return via
+    # a broadcast join.
+    import re
+
+    plan = _plan(L.q_interleave_key(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"windowspecdefinition\(source#\d+, _ibucket#\d+L?, _h#\d+", plan)
+    for m in re.finditer(r"windowspecdefinition\(source#\d+, ([a-z_]+)#\d+", plan):
+        assert m.group(1) in ("_ibucket",), plan
