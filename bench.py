@@ -100,6 +100,7 @@ HEADLINE = [
     "pack_texts",
     "interleave_key",
     "doc_novelty",
+    "fk_integrity",
 ]
 
 

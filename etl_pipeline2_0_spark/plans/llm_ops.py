@@ -2656,3 +2656,74 @@ SELECT sh.doc_id,
 FROM sh JOIN freq USING (shingle)
 GROUP BY sh.doc_id
 """
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Referential-integrity audit: orphan counts for the star schema's
+    # child->parent keys — the data-quality gate a warehouse runs after
+    # every load.  Each pair is one LEFT ANTI join on the key (digest-size
+    # shuffle; the parent side reduces to distinct keys first).
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def audit(child, ckey, parent, pkey, name):
+        orphans = child.select(F.col(ckey)).join(
+            parent.select(F.col(pkey).alias(ckey)).distinct(), ckey, "anti"
+        )
+        return child.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_child"),
+        ).crossJoin(
+            F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        )
+
+    pairs = [
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        audit(li, "l_partkey", part, "p_partkey", "lineitem->part"),
+        audit(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
+        audit(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+    ]
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "relation",
+        "n_child",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_frac"),
+    )
+
+
+SQL_FK_INTEGRITY = """
+WITH a AS (
+  SELECT 'lineitem->orders' AS relation,
+         (SELECT COUNT(*) FROM lineitem) AS n_child,
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'orders->customer',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+)
+SELECT relation, n_child, n_orphans,
+       ROUND(n_orphans * 1.0 / n_child, 6) AS orphan_frac
+FROM a
+"""

@@ -277,6 +277,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "interleave_key": (L.q_interleave_key, L.SQL_INTERLEAVE_KEY),
     # --- added r8: per-doc shingle-novelty curation signal ---
     "doc_novelty": (L.q_doc_novelty, L.SQL_DOC_NOVELTY),
+    # --- added r8: star-schema referential-integrity audit ---
+    "fk_integrity": (L.q_fk_integrity, L.SQL_FK_INTEGRITY),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

@@ -83,6 +83,7 @@ HEAVY = [
     "pack_texts",
     "interleave_key",
     "doc_novelty",
+    "fk_integrity",
 ]
 
 
