@@ -1538,3 +1538,82 @@ def test_interleave_key_ratio_faithful(spark):
     # deterministic across evaluations
     again = [r["source"] for r in out.orderBy("ileave_key", "doc_id").collect()]
     assert again == ordered
+
+
+def test_fk_integrity_detects_planted_orphans(spark, sf_dir):
+    # On the clean testdata all orphan counts are 0 — prove the audit has
+    # teeth by planting orphans and seeing exactly them flagged.
+    from etl_pipeline2_0_spark.plans.llm_ops import q_fk_integrity
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    clean = {r["relation"]: r["n_orphans"] for r in q_fk_integrity(spark, sf_dir).collect()}
+    assert set(clean.values()) == {0}
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # drop 10 parent orders -> their lineitems become orphans
+    victims = orders.select("o_orderkey").limit(10)
+    broken = orders.join(victims, "o_orderkey", "anti")
+    expected = li.join(victims.withColumnRenamed("o_orderkey", "l_orderkey"),
+                       "l_orderkey", "semi").count()
+    orphans = li.select("l_orderkey").join(
+        broken.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey", "anti",
+    ).count()
+    assert expected > 0 and orphans == expected
+
+
+def test_value_outliers_detects_planted_spike(spark, sf_dir):
+    # A planted 50-sigma value must be flagged; the clean rows' flags are
+    # unchanged by construction (moments shift negligibly at n=6000).
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    spike = spark.createDataFrame(
+        [(999_999_999, "click", 1e9)], "event_id bigint, event_type string, value double"
+    )
+    d = F.col("value").cast("decimal(18,2)")
+    stats = ev.unionByName(spike).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum((d * d).cast("decimal(38,4)")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") - F.col("n") * mean * mean) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    flagged = (
+        ev.unionByName(spike)
+        .join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3.0)
+        .select("event_id")
+        .collect()
+    )
+    assert 999_999_999 in {r["event_id"] for r in flagged}
+
+
+def test_doc_novelty_boilerplate_vs_unique(spark):
+    from etl_pipeline2_0_spark.functions import dedup as dd
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, shared),
+        (2, shared),                                   # pure boilerplate pair
+        (3, "completely original essay about spark catalyst planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = df.select(
+        "doc_id", F.explode(dd.token_shingles(F.col("text"), 3)).alias("s")
+    )
+    freq = sh.groupBy("s").agg(F.count_distinct("doc_id").alias("df"))
+    nov = {
+        r["doc_id"]: r["novelty"]
+        for r in sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("novelty")
+        )
+        .collect()
+    }
+    assert nov[1] == 0.0 and nov[2] == 0.0 and nov[3] == 1.0
