@@ -492,3 +492,36 @@ def test_clean_text_idempotent_and_normalized(spark, s):
     assert not re.search(r"\s\s", once)
     assert not re.search(r"[\x00-\x08\x0E-\x1F\x7F]", once)
     assert once == once.strip(" ")
+
+
+@given(
+    a=st.dictionaries(st.integers(0, 15), st.sampled_from(["x", "y", ""]), max_size=10),
+    b=st.dictionaries(st.integers(0, 15), st.sampled_from(["x", "y", ""]), max_size=10),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_partitions_the_id_universe(spark, a, b):
+    # Statuses match an independent dict-based reference for arbitrary
+    # snapshot pairs, and diff(a, a) is all-unchanged.
+    from etl_pipeline2_0_spark.functions.dedup import snapshot_diff
+
+    schema = "doc_id bigint, text string"
+    df_a = spark.createDataFrame(list(a.items()), schema)
+    df_b = spark.createDataFrame(list(b.items()), schema)
+    got = {
+        r["doc_id"]: r["status"] for r in snapshot_diff(df_a, df_b).collect()
+    }
+    exp = {}
+    for i in set(a) | set(b):
+        if i not in a:
+            exp[i] = "added"
+        elif i not in b:
+            exp[i] = "removed"
+        else:
+            exp[i] = "changed" if a[i] != b[i] else "unchanged"
+    assert got == exp
+    if a:
+        same = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(df_a, df_a).collect()
+        }
+        assert set(same.values()) == {"unchanged"}
