@@ -101,6 +101,7 @@ HEADLINE = [
     "interleave_key",
     "doc_novelty",
     "fk_integrity",
+    "tfidf_cosine_pairs",
 ]
 
 

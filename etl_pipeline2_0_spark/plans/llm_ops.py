@@ -2727,3 +2727,90 @@ SELECT relation, n_child, n_orphans,
        ROUND(n_orphans * 1.0 / n_child, 6) AS orphan_frac
 FROM a
 """
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lexical document similarity: cosine over sparse TF-IDF vectors (the
+    # classic IR doc-doc similarity) — completes the similarity triple
+    # next to set-based Jaccard and embedding cosine.  Same idf form as
+    # tfidf_top_terms.  Relational shape: one shared-term equi-join prunes
+    # the pair space (docs sharing no term never meet); norms are per-doc
+    # aggregates; no cross join.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = F.col("tf") * (
+        F.log((F.col("n_docs") + 1) * F.lit(1.0) / (F.col("df") + 1)) + 1.0
+    )
+    weighted = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", w.alias("w"))
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = weighted.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa")
+    )
+    b = weighted.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+        )
+        .where(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = r"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 10 = 0
+), term_rows AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(t, '\W+'),
+                                    x -> length(x) > 0)) AS term
+  FROM docs
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM term_rows GROUP BY doc_id, term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM docs
+), dft AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), weighted AS (
+  SELECT doc_id, term,
+         tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1.0) AS w
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+), norms AS (
+  SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM weighted GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+  FROM weighted a JOIN weighted b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), scored AS (
+  SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms na ON id_a = na.doc_id
+  JOIN norms nb ON id_b = nb.doc_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.5
+"""

@@ -285,6 +285,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "doc_novelty": (L.q_doc_novelty, L.SQL_DOC_NOVELTY),
     # --- added r8: star-schema referential-integrity audit ---
     "fk_integrity": (L.q_fk_integrity, L.SQL_FK_INTEGRITY),
+    # --- added r8: sparse TF-IDF cosine doc similarity (the lexical
+    #     member of the similarity triple) ---
+    "tfidf_cosine_pairs": (L.q_tfidf_cosine_pairs, L.SQL_TFIDF_COSINE_PAIRS),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime; re-proven every run
     #     by the default sf0.001+sf0.1 parity suites ---

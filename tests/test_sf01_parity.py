@@ -84,6 +84,7 @@ HEAVY = [
     "interleave_key",
     "doc_novelty",
     "fk_integrity",
+    "tfidf_cosine_pairs",
 ]
 
 
