@@ -99,6 +99,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
     checkpoint: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
@@ -107,6 +108,14 @@ def jaccard_pairs(
     intersection counts → Jaccard from |A|+|B|-|A∩B|.  The shingle join key
     prunes the quadratic pair space to co-occurring docs only; skew on very
     common shingles is handled by AQE skew-join splitting.
+
+    ``max_doc_freq`` (same knob as ``jaccard_pairs_incremental``): drop
+    shingles appearing in more than that many docs from BOTH the join and
+    the size aggregates — Jaccard over the capped shingle universe.  A
+    boilerplate shingle with doc-freq d contributes d²/2 self-join rows
+    while carrying no near-dup signal; AQE skew splitting rebalances the
+    tasks but not the pair-count asymptotics, so at corpus scale pass a
+    cap (None preserves the exact-Jaccard default and the ANSI oracle).
     """
     # Join key is the 8-byte shingle HASH, not the shingle string — the
     # self-join exchange then carries (id, long) rows instead of full
@@ -130,6 +139,14 @@ def jaccard_pairs(
     # guards use it to assert pushdown/join shape on the logical form.)
     if checkpoint:
         shingled = shingled.localCheckpoint(eager=False)
+    if max_doc_freq is not None:
+        hot = (
+            shingled.groupBy("shingle_h")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_doc_freq)
+            .select("shingle_h")
+        )
+        shingled = shingled.join(hot, "shingle_h", "left_anti")
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
@@ -581,7 +598,19 @@ def hamming_pairs(
     so candidates come from equi-joins on (chunk index, chunk value) — no
     cross join — then exact popcount verification.  Shared by SimHash text
     near-dup and pHash image near-dup.
+
+    ``max_hamming < blocks`` is a hard precondition, enforced here: with
+    ``max_hamming >= blocks`` a pair's differing bits can straddle every
+    chunk and the candidate join silently misses it (a recall gap the r8
+    advisor caught in an earlier caller).  Callers needing larger radii
+    must raise ``blocks`` (candidate buckets shrink to ``64 // blocks``
+    bits — watch degenerate-bucket sizes) rather than silently degrade.
     """
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole exactness requires max_hamming < blocks "
+            f"(got max_hamming={max_hamming}, blocks={blocks})"
+        )
     bits_per = 64 // blocks
     base = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
     chunks = F.array(

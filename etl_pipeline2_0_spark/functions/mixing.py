@@ -470,8 +470,11 @@ def interleave_key(
     return (
         local.join(F.broadcast(offs), cond)
         .withColumn(
+            # bigint: a source past ~2.1B rows (plausible at 100 TB) would
+            # overflow int32 and corrupt both src_rank and the interleave
+            # order (r8 advisor finding).
             "src_rank",
-            (F.col("_rank_off") + F.col("_local_rank")).cast("int"),
+            (F.col("_rank_off") + F.col("_local_rank")).cast("bigint"),
         )
         .withColumn("ileave_key", F.round(F.col("src_rank") / weight, 6))
         .drop("_h", "_ibucket", "_local_rank", "_r_key", "_r_ibucket", "_rank_off")

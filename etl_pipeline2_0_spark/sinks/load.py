@@ -275,6 +275,42 @@ def upsert_snapshot_partitions(
     if not replacement.isEmpty():
         write_partitioned(replacement, table_path, partition_cols)
     for row in vacated:  # bounded: ≤ #affected partitions
-        rel = "/".join(f"{c}={row[c]}" for c in partition_cols)
-        shutil.rmtree(os.path.join(table_path, rel), ignore_errors=True)
+        rel = "/".join(
+            f"{c}={_escape_partition_value(row[c])}" for c in partition_cols
+        )
+        target = os.path.join(table_path, rel)
+        # Fail loudly: a vacated partition by construction came from the
+        # stored side (a new-snapshot partition always lands in
+        # ``replacement``), so its directory MUST exist — a miss means the
+        # path was built wrong and a stale partition would survive, the
+        # exact bug this function exists to prevent (r8 advisor finding).
+        if not os.path.isdir(target):
+            raise FileNotFoundError(
+                f"vacated partition directory not found: {target}"
+            )
+        shutil.rmtree(target)
     return affected
+
+
+# Characters Spark/Hive %-escape in partition directory names
+# (ExternalCatalogUtils.escapePathName / Hive FileUtils): C0 controls,
+# DEL, and the filesystem/URI specials below.
+_HIVE_SPECIALS = set('"#%\'*/:=?\\{[]^')
+
+
+def _escape_partition_value(v: object) -> str:
+    """Render a partition VALUE exactly as Spark renders it in the
+    ``col=value`` directory name: NULL → __HIVE_DEFAULT_PARTITION__,
+    booleans lowercased, and Hive %-escaping of special characters —
+    without this, deleting a vacated partition whose value contains
+    e.g. ':' or '%' would miss the %-encoded directory Spark wrote."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return "".join(
+        f"%{ord(ch):02X}"
+        if ch < "\x20" or ch == "\x7f" or ch in _HIVE_SPECIALS
+        else ch
+        for ch in str(v)
+    )

@@ -38,20 +38,40 @@ def _accept_batch(
     threshold: float,
 ) -> None:
     spark = batch_df.sparkSession
+    # Every content hash in this loop is md5(COALESCE(text, '')) — md5(NULL)
+    # is NULL, and NULL keys neither group with each other in an anti-join
+    # nor match across batches, so raw hashing would re-append a replayed
+    # batch's NULL-text docs on every redelivery, breaking replay
+    # convergence (r8 advisor finding).  Consequence: a NULL-text doc and
+    # an empty-text doc are exact dups of each other — both contentless,
+    # so the min-id keeper semantics stay sensible — and the rule is the
+    # SAME intra-batch and cross-batch.
+    coalesced = F.coalesce(F.col(text_col), F.lit(""))
     # 1. intra-batch exact dedup (min-id keeper, the exact_dedup contract)
-    fresh = dedup.exact_dedup(batch_df, text_col=text_col, id_col=id_col)
+    fresh = dedup.exact_dedup(
+        batch_df.withColumn("_probe_text", coalesced),
+        text_col="_probe_text",
+        id_col=id_col,
+    )
     if os.path.isdir(corpus_path):
         corpus = spark.read.parquet(corpus_path)
-        # 2. exact dups vs corpus: content-hash anti-join (32-byte digests)
+        # 2. exact dups vs corpus: content-hash anti-join (32-byte digests);
+        #    fresh's content_hash is already md5(coalesced text).
         fresh = fresh.join(
-            corpus.select(F.md5(F.col(text_col)).alias("content_hash")).distinct(),
+            corpus.select(F.md5(coalesced).alias("content_hash")).distinct(),
             "content_hash",
             "left_anti",
         )
-        # 3. near-dups vs corpus: incremental shingle-hash probe
+        # 3. near-dups vs corpus: incremental shingle-hash probe (both
+        #    sides shingle the coalesced text; '' yields zero shingles, so
+        #    contentless docs never produce near-dup candidates)
         near = dedup.jaccard_pairs_incremental(
-            fresh, corpus, text_col=text_col, id_col=id_col,
-            k=k, threshold=threshold,
+            fresh,
+            corpus.withColumn("_probe_text", coalesced),
+            text_col="_probe_text",
+            id_col=id_col,
+            k=k,
+            threshold=threshold,
         ).select(F.col("new_id").alias(id_col)).distinct()
         fresh = fresh.join(near, id_col, "left_anti")
     # Semi-join the ORIGINAL batch on the accepted ids so every input

@@ -57,9 +57,15 @@ def test_simhash(docs):
     assert sigs[1] != sigs[4]
     near = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in dedup.simhash_near_duplicates(docs, max_hamming=16).collect()
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
     }
     assert near[(1, 3)] == 0
+    # the pigeonhole exactness precondition is enforced, not silently
+    # degraded (r8 advisor finding)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_duplicates(docs, max_hamming=16, blocks=4)
 
 
 def test_lang_id(spark):
@@ -1498,7 +1504,7 @@ def test_simhash_portable_identity_and_locality(docs):
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in dedup.hamming_pairs(
             dedup.simhash60_portable(docs), id_col="id", sig_col="simhash",
-            max_hamming=8, blocks=4,
+            max_hamming=3, blocks=4,
         ).collect()
     }
     assert pairs[(1, 3)] == 0
@@ -1617,3 +1623,54 @@ def test_doc_novelty_boilerplate_vs_unique(spark):
         .collect()
     }
     assert nov[1] == 0.0 and nov[2] == 0.0 and nov[3] == 1.0
+
+
+def test_tfidf_cosine_pairs_max_df_cap(spark):
+    # The max_df vocabulary cap (the r8 verdict's scale-hazard flag): with
+    # no term over the cap, capped ≡ uncapped bit-for-bit; a stopword-grade
+    # term past the cap is pruned from vocabulary, weights AND norms, so
+    # pairs linked ONLY by that term disappear.
+    rows = [
+        (1, "alpha beta gamma shared"),
+        (2, "alpha beta gamma shared"),        # near-dup of 1 on real terms
+        (3, "delta epsilon zeta shared"),
+        (4, "eta theta iota shared"),          # 3&4 share ONLY the stopword
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in text.tfidf_cosine_pairs(df, max_df=None, min_cosine=0.01).collect()
+    }
+    # no term exceeds df=4, so max_df=4 is a no-op: bit-identical results
+    capped_noop = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in text.tfidf_cosine_pairs(df, max_df=4, min_cosine=0.01).collect()
+    }
+    assert capped_noop == uncapped
+
+    # cap at 3: 'shared' (df=4) is pruned — (3,4) had no other common term
+    capped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in text.tfidf_cosine_pairs(df, max_df=3, min_cosine=0.01).collect()
+    }
+    assert (3, 4) in uncapped and (3, 4) not in capped
+    assert capped[(1, 2)] == 1.0  # identical docs survive at full cosine
+
+
+def test_jaccard_pairs_max_doc_freq_cap(spark):
+    # Same degenerate-key discipline on exact n-gram Jaccard: a boilerplate
+    # shingle shared by every doc stops generating pair candidates once the
+    # doc-freq cap prunes it (Jaccard is then over the capped universe,
+    # matching jaccard_pairs_incremental's documented semantics).
+    boiler = "all rights reserved by the site"
+    rows = [
+        (1, f"unique alpha essay one two three. {boiler}"),
+        (2, f"unique beta piece four five six. {boiler}"),
+        (3, f"unique gamma note seven eight nine. {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = dedup.jaccard_pairs(df, threshold=0.01).collect()
+    assert len(uncapped) == 3  # every pair linked by the boilerplate tail
+    capped = dedup.jaccard_pairs(df, threshold=0.01, max_doc_freq=2).collect()
+    assert capped == []  # boilerplate shingles (df=3) pruned; nothing shared

@@ -288,3 +288,51 @@ def test_snapshot_diff_applies_as_partition_upsert(spark, sf_dir, tmp_path):
     assert len(untouched) >= 2, "drift was synthesized source-scoped"
     for d in sorted(untouched):
         assert os.path.getmtime(os.path.join(table, d)) == mtimes_before[d]
+
+
+def test_upsert_deletes_vacated_partition_with_escaped_value(spark, tmp_path):
+    # Partition values Spark %-encodes in directory names (':' here) and a
+    # NULL partition (__HIVE_DEFAULT_PARTITION__) must still be matched by
+    # the vacated-partition delete — the r8 advisor caught that a hand-built
+    # raw "col=value" path misses both and ignore_errors hid the failure.
+    import os
+
+    from etl_pipeline2_0_spark.functions.dedup import snapshot_diff
+    from etl_pipeline2_0_spark.sinks.load import (
+        upsert_snapshot_partitions,
+        write_partitioned,
+    )
+
+    rows_a = [
+        (1, "keep me", "plain"),
+        (2, "colon doc", "a:b"),
+        (3, "null-source doc", None),
+    ]
+    snap_a = spark.createDataFrame(rows_a, "doc_id bigint, text string, source string")
+    # B drops BOTH the colon and the NULL partitions entirely (vacated).
+    snap_b = snap_a.where(F.col("source") == "plain")
+    table = str(tmp_path / "escaped")
+    write_partitioned(snap_a, table, ["source"])
+    assert os.path.isdir(os.path.join(table, "source=a%3Ab"))
+    assert os.path.isdir(os.path.join(table, "source=__HIVE_DEFAULT_PARTITION__"))
+
+    delta = snapshot_diff(snap_a, snap_b).where(F.col("status") != "unchanged")
+    upsert_snapshot_partitions(table, snap_b, delta, ["source"])
+
+    assert not os.path.exists(os.path.join(table, "source=a%3Ab"))
+    assert not os.path.exists(
+        os.path.join(table, "source=__HIVE_DEFAULT_PARTITION__")
+    )
+    final = spark.read.parquet(table)
+    assert [r["doc_id"] for r in final.collect()] == [1]
+
+
+def test_escape_partition_value_matches_spark_rendering():
+    from etl_pipeline2_0_spark.sinks.load import _escape_partition_value
+
+    assert _escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"
+    assert _escape_partition_value(True) == "true"
+    assert _escape_partition_value("a:b") == "a%3Ab"
+    assert _escape_partition_value("50%") == "50%25"
+    assert _escape_partition_value("x\ny") == "x%0Ay"
+    assert _escape_partition_value("plain-1.2_ok") == "plain-1.2_ok"
