@@ -102,6 +102,8 @@ HEADLINE = [
     "doc_novelty",
     "fk_integrity",
     "tfidf_cosine_pairs",
+    "ann_ivf_topk_portable",
+    "ann_ivf_recall_portable",
 ]
 
 

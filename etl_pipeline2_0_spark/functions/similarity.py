@@ -577,6 +577,113 @@ def ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k under a PORTABLE, fully-relational construction — the
+    md5-portability move (rp_lsh planes, MinHash/SimHash hash families)
+    applied to the IVF coarse quantizer, so the WHOLE pipeline
+    (seed → assign → probe → re-rank) carries an exact ANSI-SQL twin.
+
+    Construction differences vs the fast-path ``ivf_topk``:
+    - **Centroids are corpus vectors**: the ``n_centroids`` rows with the
+      smallest md5-hex15(id) hash (ties by id), numbered 1..n in hash
+      order — a deterministic hash-sample, no Lloyd refinement (Lloyd's
+      driver-side numpy loop is exactly the non-ANSI part).  IVF-flat
+      with sampled centers is a legitimate coarse quantizer; recall at
+      the same (n_centroids, n_probe) is measured by
+      ``ann_ivf_recall_portable`` and floor-pinned in tests.
+    - **Assignment is relational**: each corpus vector crossJoins the
+      broadcast ``n_centroids``-row frame and keeps its argmax-cosine
+      centroid via a per-vector window (6dp-rounded sim, centroid-id
+      tiebreak — the cross-engine determinism discipline).  The fast
+      path's Arrow matmul stays the production assignment; this shape is
+      the oracle-checkable twin, still one corpus pass and a narrow
+      shuffle of (id, sim) pairs.
+
+    Output: (query_id, neighbor_id, cosine_sim, rnk), self-pairs excluded.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    hh = F.conv(
+        F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    # TakeOrdered (orderBy+limit → no full sort materialization), then a
+    # row_number over the n_centroids-row result — a "global" window over
+    # a frame already bounded at n_centroids rows.
+    seeds = c.withColumn("_hh", hh).orderBy("_hh", "neighbor_id").limit(n_centroids)
+    w_seed = Window.orderBy("_hh", "neighbor_id")
+    cents = seeds.select(
+        F.row_number().over(w_seed).alias("centroid_id"),
+        F.col("c_vec").alias("cent_vec"),
+    )
+    assign_scored = c.crossJoin(F.broadcast(cents)).select(
+        "neighbor_id",
+        "c_vec",
+        "centroid_id",
+        F.round(cosine(F.col("c_vec"), F.col("cent_vec")), 6).alias("sim"),
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        assign_scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select(
+            "neighbor_id",
+            "c_vec",
+            F.col("centroid_id").alias("cluster"),
+            norm(F.col("c_vec")).alias("c_norm"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        "q_norm",
+        "centroid_id",
+        F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 6).alias("sim"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        probe_scored.withColumn("p", F.row_number().over(w_probe))
+        .where(F.col("p") <= n_probe)
+        .select(
+            "query_id", "q_vec", "q_norm", F.col("centroid_id").alias("cluster")
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

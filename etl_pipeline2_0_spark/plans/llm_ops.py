@@ -107,9 +107,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pandas-UDF SimHash — no DuckDB twin.
+    # pandas-UDF SimHash — no DuckDB twin.  max_hamming=3 (the family
+    # default and the portable twin's setting): the earlier radius-20
+    # geometry violated the pigeonhole exactness precondition
+    # (max_hamming < blocks) that hamming_pairs now enforces.
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    return dedup.simhash_near_duplicates(docs, max_hamming=20, blocks=4)
+    return dedup.simhash_near_duplicates(docs, max_hamming=3, blocks=4)
 
 
 # ------------------------------------------------------------- similarity -
@@ -1861,6 +1864,131 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF under the md5-portable relational construction (hash-sampled
+    # centroids, windowed argmax assignment) — graduates the IVF family
+    # from rows-only to a full DuckDB oracle, the rp_lsh/MinHash/SimHash
+    # portability move applied to coarse quantization.  The xxhash64+Lloyd
+    # ivf_topk stays the production fast path.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_portable(
+        emb, emb.where(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4
+    )
+
+
+# Shared portable-IVF construction (see similarity.ivf_topk_portable):
+# centroids = the 16 corpus vectors with smallest md5-hex15(id), numbered
+# in hash order; assignment/probes by 6dp-rounded cosine with centroid-id
+# tiebreak; probes equi-join the assignment on cluster.
+_SQL_IVF_PORTABLE_CTE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+h AS (
+  SELECT vec_id, v,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS hh
+  FROM e
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) AS centroid_id,
+         v AS cv
+  FROM h
+  QUALIFY centroid_id <= 16
+), assign_scored AS (
+  SELECT a.vec_id AS neighbor_id, a.v, c.centroid_id,
+         ROUND(list_inner_product(a.v, c.cv) /
+               (SQRT(list_inner_product(a.v, a.v))
+                * SQRT(list_inner_product(c.cv, c.cv))), 6) AS sim
+  FROM e a CROSS JOIN cents c
+), assigned AS (
+  SELECT neighbor_id, v, centroid_id AS cluster
+  FROM assign_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                             ORDER BY sim DESC, centroid_id) = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+), probe_scored AS (
+  SELECT query_id, qv, c.centroid_id,
+         ROUND(list_inner_product(qv, c.cv) /
+               (SQRT(list_inner_product(qv, qv))
+                * SQRT(list_inner_product(c.cv, c.cv))), 6) AS sim
+  FROM q CROSS JOIN cents c
+), probes AS (
+  SELECT query_id, qv, centroid_id AS cluster
+  FROM probe_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, centroid_id) <= 4
+), ivf_scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         ROUND(list_inner_product(p.qv, a.v) /
+               (SQRT(list_inner_product(p.qv, p.qv))
+                * SQRT(list_inner_product(a.v, a.v))), 6) AS cosine_sim
+  FROM probes p JOIN assigned a USING (cluster)
+  WHERE a.neighbor_id <> p.query_id
+), ivf_topk AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rnk
+  FROM ivf_scored
+  QUALIFY rnk <= 5
+)
+"""
+
+SQL_ANN_IVF_TOPK_PORTABLE = _SQL_IVF_PORTABLE_CTE + """
+SELECT query_id, neighbor_id, cosine_sim, rnk FROM ivf_topk
+"""
+
+
+def q_ann_ivf_recall_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall@k of the PORTABLE IVF path vs the exact cosine ground truth —
+    # the measured-quality metric for the oracled IVF construction (the
+    # ann_recall pattern), itself fully oracled: quantization quality is
+    # now externally checkable end-to-end, not just shape-pinned.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk_portable(
+        emb, q, k=5, n_centroids=16, n_probe=4
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+SQL_ANN_IVF_RECALL_PORTABLE = _SQL_IVF_PORTABLE_CTE + """
+, exact_topk AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, a.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             ROUND(list_inner_product(qv, a.v) /
+               (SQRT(list_inner_product(qv, qv))
+                * SQRT(list_inner_product(a.v, a.v))), 6) DESC,
+             a.vec_id) AS INT) AS rnk
+    FROM e a CROSS JOIN q WHERE a.vec_id <> query_id
+  ) WHERE rnk <= 5
+), hits AS (
+  SELECT i.query_id, COUNT(*) AS n_hits
+  FROM ivf_topk i JOIN exact_topk x
+    ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+  GROUP BY i.query_id
+)
+SELECT q.query_id,
+       ROUND(COALESCE(n_hits, 0) / 5.0, 6) AS recall_at_k
+FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+"""
 
 
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,36 +84,42 @@ def test_driver_window_covers_every_query_family():
     # family — this guard keeps future reordering honest.
     from etl_pipeline2_0_spark.plans.registry import ALL_QUERIES
 
-    window = set(list(ALL_QUERIES)[:50])
+    from etl_pipeline2_0_spark.plans.registry import ALL_QUERIES as _AQ
+
+    window = set(list(_AQ)[:50])
     representatives = {
-        # dedup / similarity / text / multimodal / pipeline (LLM-ops)
-        "dedup_exact", "ngram_jaccard", "minhash_pairs", "simhash_pairs",
-        "winnow_overlap", "contamination_check", "dup_components",
-        "dedup_canonical", "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
-        "embed_neardup", "lang_id_counts", "pii_redact", "corpus_filter",
-        "tfidf_top_terms", "multimodal_meta", "media_decode",
-        "extract_doc_stats",
-        # span dedup + dataset composition + observability (first driver
-        # rows collected r7; shuffle_shards/knn_label_vote promoted r8)
-        "dedup_spans", "dedup_spans_intra", "mix_sources", "pack_sequences",
-        "filter_audit", "shuffle_shards", "knn_label_vote", "ann_recall",
-        # r8 corpus-quality battery (promoted same-round after checklist
-        # gate 2 proved them at the driver's exact SF)
-        "vocab_oov", "quantile_filter", "lm_score", "tokenize_ids",
-        # sampling / sketches (the scalar batteries left the window in r7:
-        # all eleven twice-proven r02 AND r06, the latest under the current
-        # data regime, and re-proven every run by the default sf0.001 +
-        # sf0.1 parity suites — same retirement math_funcs got in r6)
-        "hash_sample", "stratified_sample", "hll_accuracy",
-        # warehouse analytics (sessionize/scd2_intervals retired r8
-        # twice-proven r6+r7 under the NTZ fix, funnel_stages retired in
-        # ann_recall's promotion with r6+r7 rows; all re-proven every run
-        # by the default parity suites)
-        "cohort_retention",
-        # relational core / TPC-H (r7 reps: the ten newest shapes collect
-        # their first driver rows; q4/q13/q22 retired twice-proven r03+r06)
-        "q2_min_acctbal_supplier", "q12_late_shipments",
-        "q21_waiting_suppliers", "q16_supplier_part_counts",
+        # dedup family: exact, n-gram, components, portable MinHash/SimHash
+        # (the rows-only xxhash64 twins rotated out r9 — correctness now
+        # carried by the in-window portable twins + measured recall)
+        "dedup_exact", "ngram_jaccard", "dup_components",
+        "dedup_incremental", "minhash_pairs_portable",
+        "simhash_pairs_portable", "minhash_recall", "dup_cluster_stats",
+        # similarity / ANN: exact, LSH, portable IVF + measured recalls
+        "ann_topk", "ann_lsh_topk", "ann_ivf_topk_portable",
+        "ann_recall", "ann_ivf_recall_portable", "embed_neardup",
+        "knn_label_vote", "knn_accuracy",
+        # text analysis / corpus quality
+        "lang_id_counts", "pii_redact", "corpus_filter", "tfidf_top_terms",
+        "tfidf_cosine_pairs", "text_clean", "doc_novelty",
+        "vocab_oov", "quantile_filter", "lm_score", "lm_score_heldout",
+        "tokenize_ids",
+        # retrieval
+        "chunk_documents", "bm25_topk", "similar_docs_rrf",
+        # composition / splits / packing
+        "mix_sources", "pack_sequences", "pack_texts", "shuffle_shards",
+        "assign_splits", "assign_splits_grouped", "interleave_key",
+        "curriculum_buckets",
+        # snapshots / DQ / observability
+        "snapshot_diff", "corpus_drift_psi", "fk_integrity",
+        "value_outliers", "profile_columns", "dedup_rate_report",
+        "max_concurrency",
+        # warehouse analytics + heavy TPC-H joins (third-row reps)
+        "cohort_retention", "q7_volume_shipping", "q9_product_profit",
+        "q21_waiting_suppliers",
     }
     missing = representatives - window
     assert not missing, f"families outside the driver window: {sorted(missing)}"
+    # r9 invariant: the window is FULLY oracled — zero expected rows-only
+    # (`no_oracle`) driver rows for the first time since r2.
+    unoracled = [n for n in list(_AQ)[:50] if _AQ[n][1] is None]
+    assert unoracled == [], f"rows-only entries burning window slots: {unoracled}"

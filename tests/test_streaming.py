@@ -213,3 +213,71 @@ def test_stream_dedup_ingest_matches_batch_exact_dedup(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(corpus).collect()
     )
     assert stream_survivors == batch_survivors == [1, 3, 4, 6]
+
+
+def test_streaming_snapshot_upsert_loop(spark, tmp_path):
+    """Incremental table maintenance in STREAM mode (r8 verdict item 7):
+    each micro-batch delivers a full corpus snapshot; foreachBatch diffs it
+    against the stored table and applies the partition-scoped upsert.  The
+    second snapshot vacates a partition — proving the delete path (the
+    dynamic-overwrite pitfall) end-to-end inside the streaming loop,
+    matching the batch test in test_scale_ops.py."""
+    import os
+    import time
+
+    from etl_pipeline2_0_spark.functions.dedup import snapshot_diff
+    from etl_pipeline2_0_spark.sinks.load import (
+        upsert_snapshot_partitions,
+        write_partitioned,
+    )
+
+    src = str(tmp_path / "snapshots")
+    table = str(tmp_path / "table")
+    schema = "doc_id bigint, text string, source string"
+    snap1 = [(1, "alpha", "s0"), (2, "beta", "s1"), (3, "gamma", "s2")]
+    snap2 = [(1, "alpha", "s0"), (2, "beta v2", "s1")]  # s2 vacated, s1 edited
+    os.makedirs(src)
+    for i, snap in enumerate([snap1, snap2]):
+        d = os.path.join(src, f"snap{i}")
+        spark.createDataFrame(snap, schema).coalesce(1).write.parquet(d)
+        # the file source orders the backlog by modification time; pin it
+        # so snapshot 2 is guaranteed to arrive second
+        t = time.time() - 100 + i * 10
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    from pyspark.sql import functions as F
+
+    def apply_snapshot(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        snap = batch_df.select("doc_id", "text", "source")
+        if not os.path.isdir(table):
+            write_partitioned(snap, table, ["source"])
+            return
+        stored = spark.read.parquet(table)
+        delta = snapshot_diff(stored, snap).where(F.col("status") != "unchanged")
+        if delta.isEmpty():
+            return
+        upsert_snapshot_partitions(table, snap, delta, ["source"])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/snap*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_snapshot)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = {
+        (r["doc_id"], r["text"], r["source"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert final == {(1, "alpha", "s0"), (2, "beta v2", "s1")}
+    assert not os.path.exists(os.path.join(table, "source=s2"))

@@ -36,6 +36,13 @@ echo "== gate 5/6: bench at ${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} =="
 # stray Spark/py4j warning on stdout can't corrupt the captured copy.
 BENCH_OUT=/tmp/bench_local.json python bench.py || exit 1
 python -c "import json; json.load(open('/tmp/bench_local.json'))" || exit 1
+# Preserve the FULL local bench JSON in history: the driver's BENCH_r*.json
+# capture truncates its tail (r8 lost the first ~30 headline samples), so
+# the committed local run is the only complete per-query record.
+round=$(ls BENCH_r*.json 2>/dev/null | sed 's/[^0-9]//g' | sort -n | tail -1)
+cp /tmp/bench_local.json "BENCH_LOCAL_r$((${round:-0}+1)).json"
+git add "BENCH_LOCAL_r$((${round:-0}+1)).json"
+git commit -m "Record full local bench for round $((${round:-0}+1))" || true
 
 echo "== gate 6/6: driver artifacts tracked =="
 # The per-round CORRECTNESS_r*.json / BENCH_r*.json the driver writes kept
