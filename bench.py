@@ -104,6 +104,7 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "ann_ivf_topk_portable",
     "ann_ivf_recall_portable",
+    "bpe_train_merges",
 ]
 
 

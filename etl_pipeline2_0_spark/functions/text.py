@@ -332,6 +332,114 @@ def tfidf_cosine_pairs(
     )
 
 
+def bpe_train_merges(
+    df,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_word_types: int = 512,
+):
+    """Learn the first ``n_merges`` BPE merge rules from a corpus — the
+    canonical tokenizer-training operator (Sennrich et al. 2016, public),
+    expressed so the WHOLE loop carries an exact ANSI-SQL twin.
+
+    Output: (step, pair, merged, pair_cnt) — one row per learned merge,
+    ``pair`` as ``left·right``, ``merged`` the fused symbol, ``pair_cnt``
+    the frequency-weighted adjacent-pair count that won the step
+    (ties broken lexicographically on the pair for cross-engine
+    determinism).
+
+    Scale shape: the only full-corpus work is the word-frequency count
+    (one explode → map-side-combined groupBy).  BPE itself runs on the
+    word-TYPE table — bounded at ``max_word_types`` rows by a TakeOrdered
+    cut (count desc, word asc), so the k-iteration merge loop costs
+    k × O(max_word_types) regardless of corpus size; this is exactly how
+    production BPE trainers operate (on the word-frequency dict, not the
+    raw corpus).  Each iteration is fully declarative — pair explode →
+    weighted count → 1-row argmax → broadcast crossJoin + literal
+    replace — no driver-side collect anywhere.
+
+    Portability: word symbol sequences are encoded as strings with a
+    DOUBLE-separator ('a··b··c', padded '·a··b··c·').  Merging pair (a,b)
+    is then the LITERAL replace of '·a··b·' with '·ab·', which is
+    boundary-safe (a multi-char symbol ending in 'a' can never false-
+    match, the pad dot guards both sides) and overlap-correct for
+    adjacent repeats ('·a··b··a··b·' → '·ab··ab·': consuming one pad dot
+    leaves the next occurrence intact).  Literal left-to-right
+    replace-all behaves identically in Spark's JVM and DuckDB —
+    no regex engine semantics involved.  Symbols never contain '·'
+    (words are ``\\W+``-tokenized, merges concatenate).
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(max_word_types)
+        .select(
+            F.concat(
+                F.lit("·"),
+                F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), "··"),
+                F.lit("·"),
+            ).alias("sym"),
+            "cnt",
+        )
+    )
+    merges = None
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
+        # single-symbol words yield NO pairs (sequence(1,0) would run
+        # backwards under Spark's sign-inferred step — guard, same as
+        # token_shingles' short-document guard)
+        pairs = F.when(
+            F.size(syms) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat(
+                    F.element_at(syms, i), F.lit("·"), F.element_at(syms, i + 1)
+                ),
+            )
+        )
+        best = (
+            words.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_cnt"))
+            .orderBy(F.col("pair_cnt").desc(), F.col("pair"))
+            .limit(1)
+            .select(F.lit(step).alias("step"), "pair", "pair_cnt")
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        words = (
+            words.crossJoin(F.broadcast(best.select("pair")))
+            .select(
+                F.replace(
+                    F.col("sym"),
+                    F.concat(
+                        F.lit("·"),
+                        F.replace(F.col("pair"), F.lit("·"), F.lit("··")),
+                        F.lit("·"),
+                    ),
+                    F.concat(
+                        F.lit("·"),
+                        F.replace(F.col("pair"), F.lit("·"), F.lit("")),
+                        F.lit("·"),
+                    ),
+                ).alias("sym"),
+                "cnt",
+            )
+            # barrier per iteration: without it words_{i} appears twice in
+            # words_{i+1}'s lineage (directly + via best_i) and both plan
+            # analysis and execution fan out exponentially in n_merges
+            .localCheckpoint(eager=False)
+        )
+    return merges.select(
+        "step",
+        "pair",
+        F.replace(F.col("pair"), F.lit("·"), F.lit("")).alias("merged"),
+        "pair_cnt",
+    )
+
+
 def corpus_vocab(df, text_col: str = "text", vocab_size: int = 512):
     """Top-``vocab_size`` corpus vocabulary by token frequency.
 

@@ -1866,6 +1866,76 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The canonical tokenizer-training op: first 8 BPE merge rules learned
+    # from the documents corpus (word-frequency dict bounded at 512 types).
+    # Fully declarative k-iteration loop, exact k-CTE DuckDB twin — see
+    # functions/text.bpe_train_merges for the double-separator literal-
+    # replace encoding that makes the merge step engine-portable.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, n_merges=8, max_word_types=512)
+
+
+def _sql_bpe_train(n_merges: int = 8, max_word_types: int = 512) -> str:
+    # Generated k-block CTE chain mirroring the Spark loop iteration for
+    # iteration: pairs -> weighted argmax (count desc, pair asc) -> literal
+    # double-separator replace.
+    parts = [
+        rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents
+), words0 AS MATERIALIZED (
+  SELECT '·' || array_to_string(regexp_extract_all(word, '.'), '··') || '·'
+           AS sym,
+         cnt
+  FROM (
+    SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+    ORDER BY cnt DESC, word LIMIT {max_word_types}
+  )
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""", pairs{i} AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(string_split(trim(sym, '·'), '··')) - 1),
+           j -> string_split(trim(sym, '·'), '··')[j] || '·'
+                || string_split(trim(sym, '·'), '··')[j + 1])) AS pair,
+         cnt
+  FROM words{i - 1}
+), best{i} AS (
+  SELECT {i} AS step, pair, SUM(cnt) AS pair_cnt
+  FROM pairs{i} GROUP BY pair
+  ORDER BY pair_cnt DESC, pair LIMIT 1
+), words{i} AS MATERIALIZED (
+  SELECT replace(sym,
+           '·' || replace((SELECT pair FROM best{i}), '·', '··') || '·',
+           '·' || replace((SELECT pair FROM best{i}), '·', '') || '·') AS sym,
+         cnt
+  FROM words{i - 1}
+)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT step, pair, pair_cnt FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(step AS INT) AS step, pair,
+       replace(pair, '·', '') AS merged,
+       CAST(pair_cnt AS BIGINT) AS pair_cnt
+FROM (
+  {union}
+)"""
+    )
+    return "".join(parts)
+
+
+SQL_BPE_TRAIN_MERGES = _sql_bpe_train()
+
+
 def q_ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF under the md5-portable relational construction (hash-sampled
     # centroids, windowed argmax assignment) — graduates the IVF family

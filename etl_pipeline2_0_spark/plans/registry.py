@@ -132,10 +132,18 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "lang_id_counts": (L.q_lang_id_counts, L.SQL_LANG_ID_COUNTS),
     "pii_redact": (L.q_pii_redact, L.SQL_PII_REDACT),
     "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
-    "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
+    # --- first driver row: added r9 — BPE merge-rule training (the
+    #     canonical tokenizer-training op) as a fully-declarative
+    #     k-iteration loop with an exact k-CTE DuckDB twin; parity-proven
+    #     at sf0.001+0.01+0.1 this round.  Takes the slot of
+    #     tfidf_top_terms (three green rows r6/r7/r8; its family stays
+    #     represented by tfidf_cosine_pairs) ---
+    "bpe_train_merges": (L.q_bpe_train_merges, L.SQL_BPE_TRAIN_MERGES),
     # ---------- driver 50-query window ends here ----------
+    # --- demoted r9 in bpe_train_merges' promotion (green r6/r7/r8) ---
+    "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
     # --- rotated out r9: the five perennial rows-only entries (no_oracle
     #     since r2).  Correctness burden: portable twins in-window,
     #     measured recalls, ×3-SF value goldens (tests/goldens/rows_only*) ---

@@ -1701,3 +1701,48 @@ def test_ann_recall_floors(spark, sf_dir):
         for r in L.q_ann_ivf_recall_portable(spark, sf_dir).collect()
     ]
     assert sum(ivfp) / len(ivfp) >= 0.50
+
+
+def test_bpe_train_merges_known_sequence(spark):
+    # Hand-checkable BPE on a tiny corpus: "aaab" ×3 and "ab" ×2.
+    # Word types: aaab(3) -> ·a··a··a··b·, ab(2) -> ·a··b·.
+    # Step 1 pair counts: a·a = 2*3=6, a·b = 3+2=5 -> merge (a,a) -> "aa".
+    #   aaab -> ·aa··a··b·  (leftmost non-overlapping: aa + a + b)
+    # Step 2: aa·a=3, a·b=3+2=5 -> merge (a,b) -> "ab"
+    #   aaab -> ·aa··ab·, ab -> ·ab·
+    # Step 3: only pair left is aa·ab (count 3).
+    from etl_pipeline2_0_spark.functions import text as T
+
+    rows = [(1, "aaab aaab aaab ab ab")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["step"]: (r["pair"], r["merged"], r["pair_cnt"])
+        for r in T.bpe_train_merges(df, n_merges=3).collect()
+    }
+    assert out[1] == ("a·a", "aa", 6)
+    assert out[2] == ("a·b", "ab", 5)
+    assert out[3] == ("aa·ab", "aaab", 3)
+
+
+def test_bpe_train_merges_multichar_boundary_safe(spark):
+    # A symbol ENDING in 'a' next to 'b' must not false-match the (a,b)
+    # merge — the double-separator encoding's boundary guarantee.  Corpus:
+    # "xab" ×4 and "ab" ×1: step 1 merges (x,a) [xa=4 beats a·b? a·b=5!].
+    # Make xa win: "xa" ×6 and "ab" ×2 -> step1 x·a=6+? "xa"= x,a pair 6;
+    # ab = a,b pair 2 -> merge (x,a)="xa".  Then "xab" would be ·xa··b· if
+    # present.  Use: xab ×3, xa ×3, ab ×1:
+    #   x·a: 3+3=6; a·b: 3+1=4 -> step1 merges (x,a).
+    #   xab -> ·xa··b·; step2 pairs: xa·b=3, a·b=1 -> merges (xa,b).
+    # The (a,b) pair in 'xab' after step1 must NOT be mergeable by a
+    # later literal replace of '·a··b·' (position check), which step2's
+    # winning pair being (xa,b) demonstrates.
+    from etl_pipeline2_0_spark.functions import text as T
+
+    rows = [(1, "xab xab xab xa xa xa ab")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["step"]: (r["pair"], r["pair_cnt"])
+        for r in T.bpe_train_merges(df, n_merges=2).collect()
+    }
+    assert out[1] == ("x·a", 6)
+    assert out[2] == ("xa·b", 3)

@@ -99,10 +99,10 @@ def test_driver_window_covers_every_query_family():
         "ann_recall", "ann_ivf_recall_portable", "embed_neardup",
         "knn_label_vote", "knn_accuracy",
         # text analysis / corpus quality
-        "lang_id_counts", "pii_redact", "corpus_filter", "tfidf_top_terms",
+        "lang_id_counts", "pii_redact", "corpus_filter",
         "tfidf_cosine_pairs", "text_clean", "doc_novelty",
         "vocab_oov", "quantile_filter", "lm_score", "lm_score_heldout",
-        "tokenize_ids",
+        "tokenize_ids", "bpe_train_merges",
         # retrieval
         "chunk_documents", "bm25_topk", "similar_docs_rrf",
         # composition / splits / packing
