@@ -105,6 +105,7 @@ HEADLINE = [
     "ann_ivf_topk_portable",
     "ann_ivf_recall_portable",
     "bpe_train_merges",
+    "bpe_segment_words",
 ]
 
 

@@ -369,6 +369,43 @@ def bpe_train_merges(
     no regex engine semantics involved.  Symbols never contain '·'
     (words are ``\\W+``-tokenized, merges concatenate).
     """
+    merges, _ = _bpe_loop(df, text_col, n_merges, max_word_types)
+    return merges.select(
+        "step",
+        "pair",
+        F.replace(F.col("pair"), F.lit("·"), F.lit("")).alias("merged"),
+        "pair_cnt",
+    )
+
+
+def bpe_segment_words(
+    df,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_word_types: int = 512,
+):
+    """BPE APPLIED: the word-type table after ``n_merges`` learned merges —
+    each word with its final subword segmentation (the train→apply
+    companion of ``bpe_train_merges``; the training loop's terminal state
+    IS the segmentation, no separate encode pass needed).
+
+    Output: (word, pieces — space-joined subwords, n_pieces, cnt).
+    Same scale/portability story as ``bpe_train_merges``.
+    """
+    _, words = _bpe_loop(df, text_col, n_merges, max_word_types)
+    pieces = F.replace(
+        F.expr("trim(BOTH '·' FROM sym)"), F.lit("··"), F.lit(" ")
+    )
+    return words.select(
+        "word",
+        pieces.alias("pieces"),
+        F.size(F.split(pieces, " ")).cast("int").alias("n_pieces"),
+        "cnt",
+    )
+
+
+def _bpe_loop(df, text_col: str, n_merges: int, max_word_types: int):
+    """Shared BPE core: returns (merges frame, final word-type frame)."""
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -376,6 +413,7 @@ def bpe_train_merges(
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(max_word_types)
         .select(
+            "word",
             F.concat(
                 F.lit("·"),
                 F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), "··"),
@@ -412,6 +450,7 @@ def bpe_train_merges(
         words = (
             words.crossJoin(F.broadcast(best.select("pair")))
             .select(
+                "word",
                 F.replace(
                     F.col("sym"),
                     F.concat(
@@ -432,12 +471,7 @@ def bpe_train_merges(
             # analysis and execution fan out exponentially in n_merges
             .localCheckpoint(eager=False)
         )
-    return merges.select(
-        "step",
-        "pair",
-        F.replace(F.col("pair"), F.lit("·"), F.lit("")).alias("merged"),
-        "pair_cnt",
-    )
+    return merges, words
 
 
 def corpus_vocab(df, text_col: str = "text", vocab_size: int = 512):

@@ -1876,10 +1876,13 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train_merges(docs, n_merges=8, max_word_types=512)
 
 
-def _sql_bpe_train(n_merges: int = 8, max_word_types: int = 512) -> str:
+def _sql_bpe_ctes(n_merges: int = 8, max_word_types: int = 512) -> str:
     # Generated k-block CTE chain mirroring the Spark loop iteration for
     # iteration: pairs -> weighted argmax (count desc, pair asc) -> literal
-    # double-separator replace.
+    # double-separator replace.  words CTEs are MATERIALIZED: DuckDB
+    # inlines multi-referenced CTEs by default, which re-evaluates the
+    # chain exponentially in k (measured: k=6 already 4.7 s at sf0.001,
+    # materialized k=8 is 0.1 s).
     parts = [
         rf"""
 WITH toks AS (
@@ -1887,7 +1890,8 @@ WITH toks AS (
                             x -> length(x) > 0)) AS word
   FROM documents
 ), words0 AS MATERIALIZED (
-  SELECT '·' || array_to_string(regexp_extract_all(word, '.'), '··') || '·'
+  SELECT word,
+         '·' || array_to_string(regexp_extract_all(word, '.'), '··') || '·'
            AS sym,
          cnt
   FROM (
@@ -1910,19 +1914,25 @@ WITH toks AS (
   FROM pairs{i} GROUP BY pair
   ORDER BY pair_cnt DESC, pair LIMIT 1
 ), words{i} AS MATERIALIZED (
-  SELECT replace(sym,
+  SELECT word,
+         replace(sym,
            '·' || replace((SELECT pair FROM best{i}), '·', '··') || '·',
            '·' || replace((SELECT pair FROM best{i}), '·', '') || '·') AS sym,
          cnt
   FROM words{i - 1}
 )"""
         )
+    return "".join(parts)
+
+
+def _sql_bpe_train(n_merges: int = 8, max_word_types: int = 512) -> str:
     union = "\n  UNION ALL\n  ".join(
         f"SELECT step, pair, pair_cnt FROM best{i}"
         for i in range(1, n_merges + 1)
     )
-    parts.append(
-        f"""
+    return (
+        _sql_bpe_ctes(n_merges, max_word_types)
+        + f"""
 SELECT CAST(step AS INT) AS step, pair,
        replace(pair, '·', '') AS merged,
        CAST(pair_cnt AS BIGINT) AS pair_cnt
@@ -1930,10 +1940,33 @@ FROM (
   {union}
 )"""
     )
-    return "".join(parts)
 
 
 SQL_BPE_TRAIN_MERGES = _sql_bpe_train()
+
+
+def q_bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE applied: the word-type table's final segmentation after the 8
+    # learned merges (train→apply pair with q_bpe_train_merges — the
+    # training loop's terminal state IS the segmentation).
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_segment_words(docs, n_merges=8, max_word_types=512)
+
+
+def _sql_bpe_segment(n_merges: int = 8, max_word_types: int = 512) -> str:
+    return (
+        _sql_bpe_ctes(n_merges, max_word_types)
+        + f"""
+SELECT word,
+       replace(trim(sym, '·'), '··', ' ') AS pieces,
+       CAST(len(string_split(replace(trim(sym, '·'), '··', ' '), ' '))
+            AS INT) AS n_pieces,
+       CAST(cnt AS BIGINT) AS cnt
+FROM words{n_merges}"""
+    )
+
+
+SQL_BPE_SEGMENT_WORDS = _sql_bpe_segment()
 
 
 def q_ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -142,6 +142,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     represented by tfidf_cosine_pairs) ---
     "bpe_train_merges": (L.q_bpe_train_merges, L.SQL_BPE_TRAIN_MERGES),
     # ---------- driver 50-query window ends here ----------
+    # --- added r9 (past-cap; window candidate for r10): the train→apply
+    #     companion of bpe_train_merges — the word-type table's final
+    #     subword segmentation, same loop, same generated CTE twin;
+    #     parity-proven at sf0.001+0.01+0.1 ---
+    "bpe_segment_words": (L.q_bpe_segment_words, L.SQL_BPE_SEGMENT_WORDS),
     # --- demoted r9 in bpe_train_merges' promotion (green r6/r7/r8) ---
     "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
     # --- rotated out r9: the five perennial rows-only entries (no_oracle

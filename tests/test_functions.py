@@ -1746,3 +1746,34 @@ def test_bpe_train_merges_multichar_boundary_safe(spark):
     }
     assert out[1] == ("x·a", 6)
     assert out[2] == ("xa·b", 3)
+
+
+def test_bpe_segment_words_consistent_with_merges(spark):
+    # The segmentation is the training loop's terminal state: applying the
+    # learned merges by hand to each word must reproduce `pieces` exactly.
+    from etl_pipeline2_0_spark.functions import text as T
+
+    rows = [(1, "aaab aaab aaab ab ab xyz")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = [
+        (r["step"], r["pair"]) for r in T.bpe_train_merges(df, n_merges=3).collect()
+    ]
+    seg = {
+        r["word"]: (r["pieces"], r["n_pieces"], r["cnt"])
+        for r in T.bpe_segment_words(df, n_merges=3).collect()
+    }
+
+    def apply_merges(word):
+        sym = "·" + "··".join(word) + "·"
+        for _, pair in sorted(merges):
+            pat = "·" + pair.replace("·", "··") + "·"
+            rep = "·" + pair.replace("·", "") + "·"
+            sym = sym.replace(pat, rep)
+        return sym.strip("·").replace("··", " ")
+
+    for word in ["aaab", "ab", "xyz"]:
+        expect = apply_merges(word)
+        assert seg[word][0] == expect
+        assert seg[word][1] == len(expect.split(" "))
+    assert seg["aaab"] == ("aaab", 1, 3)  # fully fused after 3 merges
+    assert seg["xyz"][0] == "x y z"       # untouched by the learned merges
