@@ -574,3 +574,36 @@ def test_interleave_key_two_level_no_whole_source_window(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(source#\d+, _ibucket#\d+L?, _h#\d+", plan)
     for m in re.finditer(r"windowspecdefinition\(source#\d+, ([a-z_]+)#\d+", plan):
         assert m.group(1) in ("_ibucket",), plan
+
+
+def test_ann_ivf_portable_centroids_broadcast_no_corpus_cartesian(spark, sf_dir):
+    # The portable IVF's only nested-loop joins are against the bounded
+    # broadcast frames (16 centroids; the probe set) — the corpus side
+    # must meet them via broadcast, never a CartesianProduct, and the
+    # probe↔assignment join is a real equi-join on cluster.
+    plan = _plan(L.q_ann_ivf_topk_portable(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probes ⋈ assignment on cluster
+    # centroid seeding is a bounded TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_cosine_vocab_cap_before_postings_join(spark, sf_dir):
+    # The max_df vocabulary filter must prune df_t BEFORE the a⋈b postings
+    # join (the whole point of the cap): the optimized plan carries the
+    # df <= 256 predicate, df_t broadcasts, and no cartesian appears.
+    df = L.q_tfidf_cosine_pairs(spark, sf_dir)
+    opt = _optimized(df)
+    assert "256" in opt and "df#" in opt  # the cap predicate survived
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_train_word_table_bounded_take_ordered(spark, sf_dir):
+    # The BPE loop must run on a TakeOrdered-bounded word-type table (the
+    # corpus-size-independence claim) and each argmax is itself a bounded
+    # TakeOrdered — never a global Sort of the pair table.
+    plan = _plan(L.q_bpe_train_merges(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
