@@ -447,23 +447,37 @@ def _bpe_loop(df, text_col: str, n_merges: int, max_word_types: int):
             .select(F.lit(step).alias("step"), "pair", "pair_cnt")
         )
         merges = best if merges is None else merges.unionByName(best)
+        # LEFT join on a constant key, not a crossJoin: when the corpus
+        # runs out of pairs (every word fused to one symbol) ``best`` is
+        # EMPTY, and a crossJoin would silently drop the whole word table
+        # — hypothesis found this on the 1-word corpus {'a': 1}.  With no
+        # winning pair the symbols pass through unchanged.
         words = (
-            words.crossJoin(F.broadcast(best.select("pair")))
+            words.withColumn("_k", F.lit(1))
+            .join(
+                F.broadcast(best.select(F.lit(1).alias("_k"), "pair")),
+                "_k",
+                "left",
+            )
             .select(
                 "word",
-                F.replace(
-                    F.col("sym"),
-                    F.concat(
-                        F.lit("·"),
-                        F.replace(F.col("pair"), F.lit("·"), F.lit("··")),
-                        F.lit("·"),
-                    ),
-                    F.concat(
-                        F.lit("·"),
-                        F.replace(F.col("pair"), F.lit("·"), F.lit("")),
-                        F.lit("·"),
-                    ),
-                ).alias("sym"),
+                F.when(F.col("pair").isNull(), F.col("sym"))
+                .otherwise(
+                    F.replace(
+                        F.col("sym"),
+                        F.concat(
+                            F.lit("·"),
+                            F.replace(F.col("pair"), F.lit("·"), F.lit("··")),
+                            F.lit("·"),
+                        ),
+                        F.concat(
+                            F.lit("·"),
+                            F.replace(F.col("pair"), F.lit("·"), F.lit("")),
+                            F.lit("·"),
+                        ),
+                    )
+                )
+                .alias("sym"),
                 "cnt",
             )
             # barrier per iteration: without it words_{i} appears twice in

@@ -1915,9 +1915,11 @@ WITH toks AS (
   ORDER BY pair_cnt DESC, pair LIMIT 1
 ), words{i} AS MATERIALIZED (
   SELECT word,
-         replace(sym,
-           '·' || replace((SELECT pair FROM best{i}), '·', '··') || '·',
-           '·' || replace((SELECT pair FROM best{i}), '·', '') || '·') AS sym,
+         CASE WHEN (SELECT pair FROM best{i}) IS NULL THEN sym
+              ELSE replace(sym,
+                '·' || replace((SELECT pair FROM best{i}), '·', '··') || '·',
+                '·' || replace((SELECT pair FROM best{i}), '·', '') || '·')
+         END AS sym,
          cnt
   FROM words{i - 1}
 )"""

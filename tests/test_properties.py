@@ -525,3 +525,72 @@ def test_snapshot_diff_partitions_the_id_universe(spark, a, b):
             for r in snapshot_diff(df_a, df_a).collect()
         }
         assert set(same.values()) == {"unchanged"}
+
+
+# --- BPE merge training vs an independent Python reference ------------------
+
+
+def _py_bpe(words: dict[str, int], n_merges: int):
+    """Classic Sennrich-style BPE on a word-frequency dict: repeatedly fuse
+    the most frequent adjacent symbol pair (count desc, pair-lexicographic
+    tiebreak).  Kept deliberately independent of the engine's string
+    encoding — symbol sequences are Python tuples."""
+    syms = {w: tuple(w) for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], f"{p[0]}·{p[1]}"))
+        merges.append((step, f"{pair[0]}·{pair[1]}", counts[pair]))
+        fused = pair[0] + pair[1]
+        new_syms = {}
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == pair:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_syms[w] = tuple(out)
+        syms = new_syms
+    return merges, {w: " ".join(s) for w, s in syms.items()}
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=5),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_bpe_matches_python_reference(spark, words, k):
+    # The engine's double-separator literal-replace BPE must agree with a
+    # tuple-based reference on BOTH the learned merge sequence and the
+    # final segmentation of every word — for arbitrary small corpora,
+    # including adversarial repeats ('aaaa') where greedy left-to-right
+    # fusion order matters.
+    ref_merges, ref_seg = _py_bpe(words, k)
+    corpus = " ".join(w for w, c in sorted(words.items()) for _ in range(c))
+    df = spark.createDataFrame([(1, corpus)], "doc_id bigint, text string")
+    got_merges = [
+        (r["step"], r["pair"], r["pair_cnt"])
+        for r in sorted(
+            text_fns.bpe_train_merges(df, n_merges=k).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+    assert got_merges == ref_merges
+    got_seg = {
+        r["word"]: r["pieces"]
+        for r in text_fns.bpe_segment_words(df, n_merges=k).collect()
+    }
+    assert got_seg == ref_seg
