@@ -106,6 +106,8 @@ HEADLINE = [
     "ann_ivf_recall_portable",
     "bpe_train_merges",
     "bpe_segment_words",
+    "phrase_match",
+    "temperature_mix_weights",
 ]
 
 

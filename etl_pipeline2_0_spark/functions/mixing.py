@@ -479,3 +479,46 @@ def interleave_key(
         .withColumn("ileave_key", F.round(F.col("src_rank") / weight, 6))
         .drop("_h", "_ibucket", "_local_rank", "_r_key", "_r_ibucket", "_rank_off")
     )
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+    epoch_docs: int = 10_000,
+) -> DataFrame:
+    """Temperature-based source sampling weights (the mT5/XLM-R multilingual
+    mixing rule, public): w_i = n_i^α / Σ_j n_j^α over per-source token
+    masses.  α=1 reproduces natural proportions; α→0 flattens toward
+    uniform — the standard knob for up-sampling low-resource sources
+    without a hand-tuned mix table (``mix_sources`` then consumes the
+    weights).
+
+    Output: (source, n_tokens, weight, expected_docs) — weight rounded to
+    6dp, expected_docs = floor(epoch_docs · w_i) for a target epoch size.
+
+    Scale: one map-side-combinable aggregate to #sources rows; the
+    normalization is a broadcast crossJoin of a 1-row sum.  NULL-source
+    docs group under the NULL key like any other (groupBy is null-safe).
+    """
+    sizes = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("n_tokens")
+    )
+    powered = sizes.select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha))).alias("_p"),
+    )
+    total = powered.agg(F.sum("_p").alias("_tot"))
+    return (
+        powered.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("_p") / F.col("_tot"), 6).alias("weight"),
+            F.floor(F.lit(int(epoch_docs)) * F.col("_p") / F.col("_tot"))
+            .cast("bigint")
+            .alias("expected_docs"),
+        )
+    )

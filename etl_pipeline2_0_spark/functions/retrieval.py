@@ -247,3 +247,49 @@ def similar_docs_rrf(
         id_col=vec_id_col,
     ).withColumnRenamed("neighbor_id", id_col)
     return rrf_fuse([lexical, semantic], top_k=top_k, id_col=id_col)
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval over positional postings: documents where the
+    tokens of ``phrase`` appear ADJACENT and in order, with the occurrence
+    count — the positional-index primitive term retrieval (bm25_topk)
+    cannot express.
+
+    Output: (doc_id, n_occurrences), docs with ≥1 occurrence.
+
+    Relational shape: one positional explode (doc, pos, tok); each phrase
+    term keeps only ITS postings (a strict filter, so the joins see
+    term-frequency-sized sides, not the corpus); terms then chain-join on
+    (doc, pos offset) — k-1 equi-joins for a k-token phrase, the standard
+    positional-index intersection.  At 100 TB the postings would be a
+    materialized table bucketed by term, making each phrase query a
+    term-pruned scan + co-located position joins; here they are derived
+    inline from the same expression.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_match needs at least 2 tokens")
+    postings = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    matched = postings.where(F.col("tok") == phrase[0].lower()).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.where(F.col("tok") == term.lower()).select(
+            F.col("doc_id").alias("d_i"), F.col("pos").alias("p_i")
+        )
+        matched = matched.join(
+            nxt,
+            (F.col("doc_id") == F.col("d_i"))
+            & (F.col("p_i") == F.col("p0") + i),
+        ).select("doc_id", "p0")
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )

@@ -1866,6 +1866,63 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Positional-index phrase retrieval: documents containing the exact
+    # adjacent token phrase "table part" with occurrence counts — the
+    # positional primitive bm25's bag-of-terms ranking cannot express.
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.phrase_match(docs, ["table", "part"])
+
+
+SQL_PHRASE_MATCH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS l
+  FROM documents
+), postings AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+), p0 AS (
+  SELECT doc_id, pos FROM postings WHERE tok = 'table'
+), p1 AS (
+  SELECT doc_id, pos FROM postings WHERE tok = 'part'
+)
+SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+GROUP BY p0.doc_id
+"""
+
+
+def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mT5/XLM-R temperature sampling weights over per-source token masses
+    # (α=0.5): the principled "up-sample low-resource sources" rule whose
+    # output feeds mix_sources.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.temperature_mix_weights(docs, alpha=0.5, epoch_docs=10_000)
+
+
+SQL_TEMPERATURE_MIX_WEIGHTS = r"""
+WITH sizes AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> length(x) > 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), powered AS (
+  SELECT source, n_tokens, POW(CAST(n_tokens AS DOUBLE), 0.5) AS p FROM sizes
+), tot AS (
+  SELECT SUM(p) AS t FROM powered
+)
+SELECT source, n_tokens, ROUND(p / t, 6) AS weight,
+       CAST(FLOOR(10000 * p / t) AS BIGINT) AS expected_docs
+FROM powered CROSS JOIN tot
+"""
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The canonical tokenizer-training op: first 8 BPE merge rules learned
     # from the documents corpus (word-frequency dict bounded at 512 types).

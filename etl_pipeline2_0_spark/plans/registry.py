@@ -147,6 +147,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     subword segmentation, same loop, same generated CTE twin;
     #     parity-proven at sf0.001+0.01+0.1 ---
     "bpe_segment_words": (L.q_bpe_segment_words, L.SQL_BPE_SEGMENT_WORDS),
+    # --- added r9 (past-cap; window candidates for r10): positional-index
+    #     exact-phrase retrieval and mT5-style temperature sampling
+    #     weights — both oracled, parity-tested at 3 SFs ---
+    "phrase_match": (L.q_phrase_match, L.SQL_PHRASE_MATCH),
+    "temperature_mix_weights": (
+        L.q_temperature_mix_weights,
+        L.SQL_TEMPERATURE_MIX_WEIGHTS,
+    ),
     # --- demoted r9 in bpe_train_merges' promotion (green r6/r7/r8) ---
     "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
     # --- rotated out r9: the five perennial rows-only entries (no_oracle

@@ -1777,3 +1777,59 @@ def test_bpe_segment_words_consistent_with_merges(spark):
         assert seg[word][1] == len(expect.split(" "))
     assert seg["aaab"] == ("aaab", 1, 3)  # fully fused after 3 merges
     assert seg["xyz"][0] == "x y z"       # untouched by the learned merges
+
+
+def test_phrase_match_adjacency_and_counts(spark):
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    rows = [
+        (1, "big table part works"),           # one occurrence
+        (2, "table part and table part again"), # two occurrences
+        (3, "table of a part"),                # terms present, NOT adjacent
+        (4, "part table"),                     # wrong order
+        (5, "Table PART"),                     # case-insensitive tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in retrieval.phrase_match(df, ["table", "part"]).collect()
+    }
+    assert got == {1: 1, 2: 2, 5: 1}
+
+    # 3-token phrase chains the position joins
+    got3 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in retrieval.phrase_match(df, ["big", "table", "part"]).collect()
+    }
+    assert got3 == {1: 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retrieval.phrase_match(df, ["solo"])
+
+
+def test_temperature_mix_weights_flattens(spark):
+    # α=1 reproduces natural token proportions; α=0 is uniform; 0<α<1
+    # sits strictly between (the whole point: up-sample small sources).
+    from etl_pipeline2_0_spark.functions import mixing
+
+    rows = [(1, "a " * 99 + "a", "big"), (2, "b", "small")]  # 100 vs 1 tokens
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+    w1 = {r["source"]: r["weight"] for r in
+          mixing.temperature_mix_weights(df, alpha=1.0).collect()}
+    assert abs(w1["big"] - 100 / 101) < 1e-6
+
+    w0 = {r["source"]: r["weight"] for r in
+          mixing.temperature_mix_weights(df, alpha=0.0).collect()}
+    assert w0["big"] == w0["small"] == 0.5
+
+    wh = {r["source"]: r["weight"] for r in
+          mixing.temperature_mix_weights(df, alpha=0.5).collect()}
+    assert w0["big"] < wh["big"] < w1["big"]
+    assert abs(wh["big"] - 10 / 11) < 1e-5  # sqrt(100)/(sqrt(100)+sqrt(1))
+
+    ed = {r["source"]: r["expected_docs"] for r in
+          mixing.temperature_mix_weights(df, alpha=0.5, epoch_docs=110).collect()}
+    assert ed == {"big": 100, "small": 10}
