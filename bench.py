@@ -108,6 +108,7 @@ HEADLINE = [
     "bpe_segment_words",
     "phrase_match",
     "temperature_mix_weights",
+    "dedup_keep_best",
 ]
 
 

@@ -1108,3 +1108,51 @@ def simhash60_portable(
         .agg(*votes)
         .select("id", sig.cast("bigint").alias("simhash"))
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    score: Column | None = None,
+) -> DataFrame:
+    """Quality-aware near-dup canonicalization: cluster near-duplicates
+    (n-gram Jaccard pairs → connected components) and keep the BEST member
+    of each cluster by ``score`` — default: token count, the standard
+    "keep the longest copy" curation heuristic — instead of the arbitrary
+    min-id keeper of ``exact_dedup``/``dedup_canonical``.  Ties break to
+    the smaller id so the keeper is deterministic cross-engine.
+
+    Output: (doc_id, component, n_tokens, keep) for EVERY input doc —
+    singletons are their own component and always kept; downstream
+    filters ``keep`` for the curated corpus, or audits the dropped rows.
+
+    Scale shape: reuses the guarded jaccard/components machinery (shingle
+    equi-join, iterative min-label propagation); scoring is a narrow
+    projection; the keeper argmax windows per component (cluster-sized
+    partitions, never the corpus).
+    """
+    from etl_pipeline2_0_spark.functions.text import token_count
+
+    score_col = score if score is not None else token_count(F.col(text_col))
+    pairs = jaccard_pairs(df, text_col=text_col, id_col=id_col, k=k,
+                          threshold=threshold)
+    comp = connected_components(pairs)
+    scored = df.select(
+        F.col(id_col).alias("doc_id"), score_col.alias("n_tokens")
+    )
+    full = scored.join(
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "n_tokens",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return full.withColumn("keep", F.row_number().over(w) == 1)

@@ -998,6 +998,75 @@ WHERE d.id NOT IN (SELECT node FROM comp WHERE node <> component)
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-aware canonicalization: same pairs→components machinery as
+    # dedup_canonical, but the keeper is the LONGEST cluster member (token
+    # count, id tiebreak) — the curation-grade "keep the best copy" rule
+    # rather than the arbitrary min-id.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    return dedup.dedup_keep_best(
+        docs.select("doc_id", "text"), k=3, threshold=0.3
+    ).select(
+        "doc_id",
+        F.col("component").cast("bigint").alias("component"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "keep",
+    )
+
+
+SQL_DEDUP_KEEP_BEST = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id AS id, lower(text) AS t, text AS raw FROM documents
+  WHERE doc_id % 3 = 2
+), toks AS (
+  SELECT id, list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord FROM toks
+), sh0 AS (
+  SELECT id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.3
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT u.src, r.label FROM reach r JOIN und u ON u.dst = r.node
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+), wc AS (
+  SELECT id, len(list_filter(regexp_split_to_array(raw, '\s+'),
+                             x -> length(x) > 0)) AS n_tokens
+  FROM docs
+), allc AS (
+  SELECT d.id, COALESCE(c.component, d.id) AS component
+  FROM docs d LEFT JOIN comp c ON d.id = c.node
+), ranked AS (
+  SELECT f.id, f.component, w.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY f.component
+                            ORDER BY w.n_tokens DESC, f.id) AS rn
+  FROM allc f JOIN wc w ON f.id = w.id
+)
+SELECT id AS doc_id, CAST(component AS BIGINT) AS component,
+       CAST(n_tokens AS INT) AS n_tokens, rn = 1 AS keep
+FROM ranked
+"""
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus-level repeated-span removal (C4/RefinedWeb boilerplate op):
     # 3-word spans occurring in > 5 distinct docs are dropped from every
@@ -2322,51 +2391,17 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: both snapshots reduce to (source, bin) counts in ONE
     # conditional aggregate over the tagged union; per-source totals are a
     # tiny broadcast; the PSI sum is over ≤ #bins rows per source.
+    from etl_pipeline2_0_spark.functions.dq import corpus_drift_psi
+
     docs = load_table(spark, sf_dir, "documents")
-    from etl_pipeline2_0_spark.functions.text import token_count
-
-    def snap(df, tag):
-        tc = token_count(F.col("text"))
-        return df.select(
-            "source",
-            F.least(F.floor(tc / 8), F.lit(15)).cast("int").alias("bin"),
-            F.lit(tag).alias("snap"),
-        )
-
-    a = snap(docs, "a")
-    b = snap(
-        docs.where(F.col("doc_id") % 13 != 5).withColumn(
-            "text",
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(F.col("text"), F.lit(" "), F.col("text")),
-            ).otherwise(F.col("text")),
-        ),
-        "b",
+    snap_b = docs.where(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")),
     )
-    counts = (
-        a.unionByName(b)
-        .groupBy("source", "bin")
-        .agg(
-            F.sum(F.when(F.col("snap") == "a", 1).otherwise(0)).alias("ca"),
-            F.sum(F.when(F.col("snap") == "b", 1).otherwise(0)).alias("cb"),
-        )
-    )
-    totals = counts.groupBy("source").agg(
-        F.sum("ca").alias("na"),
-        F.sum("cb").alias("nb"),
-        F.count(F.lit(1)).alias("k_bins"),
-    )
-    p = (F.col("ca") + 0.5) / (F.col("na") + 0.5 * F.col("k_bins"))
-    q = (F.col("cb") + 0.5) / (F.col("nb") + 0.5 * F.col("k_bins"))
-    return (
-        counts.join(F.broadcast(totals), "source")
-        .groupBy("source")
-        .agg(
-            F.round(F.sum((q - p) * F.log(q / p)), 6).alias("psi"),
-            F.max("k_bins").cast("bigint").alias("n_bins"),
-        )
-    )
+    return corpus_drift_psi(docs, snap_b)
 
 
 SQL_CORPUS_DRIFT_PSI = r"""

@@ -155,6 +155,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_temperature_mix_weights,
         L.SQL_TEMPERATURE_MIX_WEIGHTS,
     ),
+    "dedup_keep_best": (L.q_dedup_keep_best, L.SQL_DEDUP_KEEP_BEST),
     # --- demoted r9 in bpe_train_merges' promotion (green r6/r7/r8) ---
     "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
     # --- rotated out r9: the five perennial rows-only entries (no_oracle

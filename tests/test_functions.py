@@ -1833,3 +1833,23 @@ def test_temperature_mix_weights_flattens(spark):
     ed = {r["source"]: r["expected_docs"] for r in
           mixing.temperature_mix_weights(df, alpha=0.5, epoch_docs=110).collect()}
     assert ed == {"big": 100, "small": 10}
+
+
+def test_dedup_keep_best_keeps_longest_member(spark):
+    # Two near-dup docs where the LONGER one has the HIGHER id: min-id
+    # canonicalization would keep 1; keep-best must keep 2 (and a
+    # singleton is always its own keeper).
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, base),
+        (2, base + " with an extra trailing clause appended"),
+        (3, "totally unrelated text about query optimizers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in dedup.dedup_keep_best(df, threshold=0.5).collect()
+    }
+    assert out[1] == (1, False)   # shorter member of the cluster: dropped
+    assert out[2] == (1, True)    # longest member wins despite higher id
+    assert out[3] == (3, True)    # singleton keeps itself

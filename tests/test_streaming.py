@@ -281,3 +281,66 @@ def test_streaming_snapshot_upsert_loop(spark, tmp_path):
     }
     assert final == {(1, "alpha", "s0"), (2, "beta v2", "s1")}
     assert not os.path.exists(os.path.join(table, "source=s2"))
+
+
+def test_streaming_drift_monitor_per_batch_psi(spark, tmp_path):
+    """Streaming observability: a foreachBatch monitor computes the PSI of
+    each arriving micro-batch against a reference corpus — the SAME
+    corpus_drift_psi computation the oracled batch query uses (shared via
+    functions/dq.py).  An in-distribution batch scores near zero; a batch
+    with doubled documents (a real length shift) scores clearly higher."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions.dq import corpus_drift_psi
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    ref = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "source"
+    )
+    # batch 1: a same-distribution slice; batch 2: every doc doubled
+    b1 = ref.where(F.col("doc_id") % 2 == 0)
+    b2 = ref.where(F.col("doc_id") % 2 == 1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" "), F.col("text"))
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate([b1, b2]):
+        d = os.path.join(src, f"b{i}")
+        b.coalesce(1).write.parquet(d)
+        t = time.time() - 100 + i * 10
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    psi_log: list[tuple[int, float]] = []
+
+    def monitor(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # whole-corpus PSI: collapse groups so each batch yields one number
+        scores = corpus_drift_psi(
+            ref.withColumn("g", F.lit("all")),
+            batch_df.withColumn("g", F.lit("all")),
+            group_col="g",
+        ).collect()
+        psi_log.append((batch_id, scores[0]["psi"]))
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert len(psi_log) == 2
+    scores = [psi for _, psi in sorted(psi_log)]
+    assert scores[0] < 0.1        # in-distribution slice: stable
+    assert scores[1] > 0.25       # doubled docs: major shift, flagged
+    assert scores[1] > scores[0] * 3
