@@ -109,6 +109,7 @@ HEADLINE = [
     "phrase_match",
     "temperature_mix_weights",
     "dedup_keep_best",
+    "bpe_encode_docs",
 ]
 
 

@@ -404,6 +404,48 @@ def bpe_segment_words(
     )
 
 
+def bpe_encode_docs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    max_word_types: int = 512,
+):
+    """Corpus-level BPE encoding stats: per document, the word count and
+    the BPE piece count under the ``n_merges``-rule tokenizer trained on
+    the same corpus — the number that actually prices a training corpus
+    (tokens-after-BPE, not whitespace words).
+
+    Words outside the trained word-type table (beyond ``max_word_types``)
+    fall back to CHARACTER pieces (length of the word) — the standard
+    worst-case for an untrained word, and exactly what a byte/char-level
+    fallback produces before any merges apply to it.
+
+    Output: (doc_id, n_words, n_pieces).
+
+    Scale: the segmentation table is ≤``max_word_types`` rows — broadcast
+    into one explode→join→aggregate pass over the corpus; no shuffle
+    other than the per-doc aggregate (map-side combinable).
+    """
+    seg = bpe_segment_words(df, text_col, n_merges, max_word_types).select(
+        "word", F.col("n_pieces").alias("_vocab_pieces")
+    )
+    doc_words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    return (
+        doc_words.join(F.broadcast(seg), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(
+                F.coalesce(F.col("_vocab_pieces"), F.length("word"))
+            ).cast("bigint").alias("n_pieces"),
+        )
+    )
+
+
 def _bpe_loop(df, text_col: str, n_merges: int, max_word_types: int):
     """Shared BPE core: returns (merges frame, final word-type frame)."""
     words = (

@@ -2097,6 +2097,39 @@ FROM words{n_merges}"""
 SQL_BPE_SEGMENT_WORDS = _sql_bpe_segment()
 
 
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus pricing under the trained tokenizer: per-doc word count and
+    # BPE piece count (vocab words use their segmentation; OOV words fall
+    # back to character pieces) — train→apply→encode, end to end.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_encode_docs(docs, n_merges=8, max_word_types=512)
+
+
+def _sql_bpe_encode(n_merges: int = 8, max_word_types: int = 512) -> str:
+    return (
+        _sql_bpe_ctes(n_merges, max_word_types)
+        + f""", seg AS (
+  SELECT word,
+         len(string_split(replace(trim(sym, '·'), '··', ' '), ' '))
+           AS vocab_pieces
+  FROM words{n_merges}
+), doc_words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(vocab_pieces, length(word))) AS BIGINT) AS n_pieces
+FROM doc_words LEFT JOIN seg USING (word)
+GROUP BY doc_id"""
+    )
+
+
+SQL_BPE_ENCODE_DOCS = _sql_bpe_encode()
+
+
 def q_ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF under the md5-portable relational construction (hash-sampled
     # centroids, windowed argmax assignment) — graduates the IVF family

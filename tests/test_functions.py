@@ -1853,3 +1853,22 @@ def test_dedup_keep_best_keeps_longest_member(spark):
     assert out[1] == (1, False)   # shorter member of the cluster: dropped
     assert out[2] == (1, True)    # longest member wins despite higher id
     assert out[3] == (3, True)    # singleton keeps itself
+
+
+def test_bpe_encode_docs_vocab_and_oov(spark):
+    # Vocab words use their trained segmentation; OOV words (outside the
+    # word-type cap) fall back to character pieces.
+    from etl_pipeline2_0_spark.functions import text as T
+
+    # 'abab' dominates training; 'zq' is kept OUT of the vocab by the cap
+    # (max_word_types=1 keeps only the most frequent word type).
+    rows = [(1, "abab abab abab"), (2, "abab zq")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in T.bpe_encode_docs(df, n_merges=3, max_word_types=1).collect()
+    }
+    # After 3 merges on the 1-word vocab, 'abab' is a single piece.
+    assert out[1] == (3, 3)
+    # doc 2: 'abab' -> 1 piece, OOV 'zq' -> 2 char pieces.
+    assert out[2] == (2, 3)

@@ -594,3 +594,44 @@ def test_bpe_matches_python_reference(spark, words, k):
         for r in text_fns.bpe_segment_words(df, n_merges=k).collect()
     }
     assert got_seg == ref_seg
+
+
+# --- phrase_match vs a Python positional-scan reference ---------------------
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    plen=st.integers(min_value=2, max_value=3),
+)
+@settings(**SETTINGS)
+def test_phrase_match_matches_python_reference(spark, docs, plen):
+    # Adversarial corpora over a 2-letter alphabet maximize overlapping and
+    # self-overlapping occurrences ("a a a" contains "a a" twice) — the
+    # positional-join formulation must count them exactly like a scan.
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    phrase = ["a", "b", "a"][:plen]
+
+    def ref_count(text):
+        toks = [t for t in text.lower().replace(" ", " ").split() if t]
+        return sum(
+            1
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i : i + len(phrase)] == phrase
+        )
+
+    expect = {
+        i: ref_count(t) for i, t in enumerate(docs) if ref_count(t) > 0
+    }
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in retrieval.phrase_match(df, phrase).collect()
+    }
+    assert got == expect
