@@ -110,6 +110,7 @@ HEADLINE = [
     "temperature_mix_weights",
     "dedup_keep_best",
     "bpe_encode_docs",
+    "embedding_drift_psi",
 ]
 
 

@@ -47,12 +47,20 @@ def corpus_drift_psi(
     aggregate over the tagged union; per-group totals are a tiny
     broadcast; the PSI sum runs over ≤ K rows per group.
     """
-    a = length_bins(snap_a, group_col, text_col, bin_width, max_bin).withColumn(
-        "snap", F.lit("a")
-    )
-    b = length_bins(snap_b, group_col, text_col, bin_width, max_bin).withColumn(
-        "snap", F.lit("b")
-    )
+    a = length_bins(snap_a, group_col, text_col, bin_width, max_bin)
+    b = length_bins(snap_b, group_col, text_col, bin_width, max_bin)
+    return psi_from_bins(a, b)
+
+
+def psi_from_bins(bins_a: DataFrame, bins_b: DataFrame) -> DataFrame:
+    """PSI over PRE-BINNED observations: both inputs are (source, bin)
+    rows, one per observation — the binning-agnostic core shared by the
+    token-length drift (``corpus_drift_psi``) and the embedding-space
+    drift (``plans.llm_ops.q_embedding_drift_psi``, which bins by IVF
+    cluster assignment).  Same smoothing, output and scale shape as
+    ``corpus_drift_psi``."""
+    a = bins_a.select("source", "bin").withColumn("snap", F.lit("a"))
+    b = bins_b.select("source", "bin").withColumn("snap", F.lit("b"))
     counts = (
         a.unionByName(b)
         .groupBy("source", "bin")

@@ -577,6 +577,50 @@ def ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def portable_centroids(c: DataFrame, n_centroids: int) -> DataFrame:
+    """The md5-portable coarse-quantizer seeds: the ``n_centroids`` corpus
+    vectors with the smallest md5-hex15(id) (ties by id), numbered 1..n in
+    hash order.  ``c`` carries (neighbor_id, c_vec).  TakeOrdered
+    (orderBy+limit — no full sort materialization), then a row_number over
+    the already-bounded n_centroids-row frame."""
+    hh = F.conv(
+        F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    seeds = c.withColumn("_hh", hh).orderBy("_hh", "neighbor_id").limit(n_centroids)
+    w_seed = Window.orderBy("_hh", "neighbor_id")
+    return seeds.select(
+        F.row_number().over(w_seed).alias("centroid_id"),
+        F.col("c_vec").alias("cent_vec"),
+    )
+
+
+def portable_assign(c: DataFrame, cents: DataFrame) -> DataFrame:
+    """Relational nearest-centroid assignment: crossJoin the broadcast
+    centroid frame, keep each vector's argmax-cosine centroid (6dp-rounded
+    sim, centroid-id tiebreak).  Output: (neighbor_id, c_vec, cluster,
+    c_norm).  Shared by ``ivf_topk_portable`` and the embedding drift
+    monitor (``plans.llm_ops.q_embedding_drift_psi``)."""
+    assign_scored = c.crossJoin(F.broadcast(cents)).select(
+        "neighbor_id",
+        "c_vec",
+        "centroid_id",
+        F.round(cosine(F.col("c_vec"), F.col("cent_vec")), 6).alias("sim"),
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    return (
+        assign_scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select(
+            "neighbor_id",
+            "c_vec",
+            F.col("centroid_id").alias("cluster"),
+            norm(F.col("c_vec")).alias("c_norm"),
+        )
+    )
+
+
 def ivf_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -612,37 +656,8 @@ def ivf_topk_portable(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    hh = F.conv(
-        F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    # TakeOrdered (orderBy+limit → no full sort materialization), then a
-    # row_number over the n_centroids-row result — a "global" window over
-    # a frame already bounded at n_centroids rows.
-    seeds = c.withColumn("_hh", hh).orderBy("_hh", "neighbor_id").limit(n_centroids)
-    w_seed = Window.orderBy("_hh", "neighbor_id")
-    cents = seeds.select(
-        F.row_number().over(w_seed).alias("centroid_id"),
-        F.col("c_vec").alias("cent_vec"),
-    )
-    assign_scored = c.crossJoin(F.broadcast(cents)).select(
-        "neighbor_id",
-        "c_vec",
-        "centroid_id",
-        F.round(cosine(F.col("c_vec"), F.col("cent_vec")), 6).alias("sim"),
-    )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("sim").desc(), F.col("centroid_id")
-    )
-    assigned = (
-        assign_scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select(
-            "neighbor_id",
-            "c_vec",
-            F.col("centroid_id").alias("cluster"),
-            norm(F.col("c_vec")).alias("c_norm"),
-        )
-    )
+    cents = portable_centroids(c, n_centroids)
+    assigned = portable_assign(c, cents)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -1992,6 +1992,99 @@ FROM powered CROSS JOIN tot
 """
 
 
+def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EMBEDDING-space drift: PSI over portable-IVF cluster occupancy — the
+    # semantic companion of corpus_drift_psi's token-length drift.  The
+    # reference snapshot (even vec_ids) trains the md5-portable centroids;
+    # the "current" snapshot (odd vec_ids, dimension 0 shifted +1.0 — a
+    # deterministic direction change, since global scaling would be
+    # cosine-invariant) is assigned to the SAME centroids, and occupancy
+    # histograms feed the shared PSI core (functions/dq.psi_from_bins).
+    # Catches what length/token stats cannot: topical/representational
+    # shift between crawls at any corpus size (both snapshots reduce to
+    # 16-bin histograms).
+    from etl_pipeline2_0_spark.functions.dq import psi_from_bins
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    cur = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(1.0)).otherwise(
+                x.cast("double")
+            ),
+        ).alias("c_vec"),
+    )
+    cents = similarity.portable_centroids(ref, 16)
+    a_bins = similarity.portable_assign(ref, cents).select(
+        F.lit("all").alias("source"), F.col("cluster").alias("bin")
+    )
+    b_bins = similarity.portable_assign(cur, cents).select(
+        F.lit("all").alias("source"), F.col("cluster").alias("bin")
+    )
+    return psi_from_bins(a_bins, b_bins)
+
+
+SQL_EMBEDDING_DRIFT_PSI = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ref AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+cur AS (
+  SELECT vec_id,
+         list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 1.0 ELSE x END)
+           AS v
+  FROM e WHERE vec_id % 2 = 1
+), h AS (
+  SELECT vec_id, v,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS hh
+  FROM ref
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) AS centroid_id,
+         v AS cv
+  FROM h
+  QUALIFY centroid_id <= 16
+), assign_a AS (
+  SELECT a.vec_id, c.centroid_id AS cluster
+  FROM ref a CROSS JOIN cents c
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY ROUND(list_inner_product(a.v, c.cv) /
+                     (SQRT(list_inner_product(a.v, a.v))
+                      * SQRT(list_inner_product(c.cv, c.cv))), 6) DESC,
+               c.centroid_id) = 1
+), assign_b AS (
+  SELECT b.vec_id, c.centroid_id AS cluster
+  FROM cur b CROSS JOIN cents c
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY b.vec_id
+      ORDER BY ROUND(list_inner_product(b.v, c.cv) /
+                     (SQRT(list_inner_product(b.v, b.v))
+                      * SQRT(list_inner_product(c.cv, c.cv))), 6) DESC,
+               c.centroid_id) = 1
+), tagged AS (
+  SELECT 'a' AS snap, cluster FROM assign_a
+  UNION ALL
+  SELECT 'b' AS snap, cluster FROM assign_b
+), counts AS (
+  SELECT cluster AS bin,
+         SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM tagged GROUP BY cluster
+), tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS k FROM counts
+)
+SELECT 'all' AS source,
+       ROUND(SUM(((cb + 0.5) / (nb + 0.5 * k) - (ca + 0.5) / (na + 0.5 * k))
+                 * ln(((cb + 0.5) / (nb + 0.5 * k))
+                      / ((ca + 0.5) / (na + 0.5 * k)))), 6) AS psi,
+       CAST(MAX(k) AS BIGINT) AS n_bins
+FROM counts CROSS JOIN tot
+"""
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The canonical tokenizer-training op: first 8 BPE merge rules learned
     # from the documents corpus (word-frequency dict bounded at 512 types).

@@ -157,6 +157,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     ),
     "dedup_keep_best": (L.q_dedup_keep_best, L.SQL_DEDUP_KEEP_BEST),
     "bpe_encode_docs": (L.q_bpe_encode_docs, L.SQL_BPE_ENCODE_DOCS),
+    "embedding_drift_psi": (
+        L.q_embedding_drift_psi,
+        L.SQL_EMBEDDING_DRIFT_PSI,
+    ),
     # --- demoted r9 in bpe_train_merges' promotion (green r6/r7/r8) ---
     "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
     # --- rotated out r9: the five perennial rows-only entries (no_oracle

@@ -1872,3 +1872,28 @@ def test_bpe_encode_docs_vocab_and_oov(spark):
     assert out[1] == (3, 3)
     # doc 2: 'abab' -> 1 piece, OOV 'zq' -> 2 char pieces.
     assert out[2] == (2, 3)
+
+
+def test_embedding_drift_psi_null_and_shift(spark, sf_dir):
+    # Identical snapshots → PSI ≈ 0 (smoothing keeps it tiny, not exactly
+    # zero only when bins differ — identical bins give exactly 0.0);
+    # the registry query's +1.0 dimension shift → major drift (>0.25).
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import similarity
+    from etl_pipeline2_0_spark.functions.dq import psi_from_bins
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    cents = similarity.portable_centroids(emb, 16)
+    bins = similarity.portable_assign(emb, cents).select(
+        F.lit("all").alias("source"), F.col("cluster").alias("bin")
+    )
+    null_psi = psi_from_bins(bins, bins).collect()[0]["psi"]
+    assert null_psi == 0.0
+
+    shifted = L.q_embedding_drift_psi(spark, sf_dir).collect()[0]["psi"]
+    assert shifted > 0.25
