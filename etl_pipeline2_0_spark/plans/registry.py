@@ -142,10 +142,18 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     represented by tfidf_cosine_pairs) ---
     "bpe_train_merges": (L.q_bpe_train_merges, L.SQL_BPE_TRAIN_MERGES),
     # ---------- driver 50-query window ends here ----------
-    # --- added r9 (past-cap; window candidate for r10): the train→apply
-    #     companion of bpe_train_merges — the word-type table's final
-    #     subword segmentation, same loop, same generated CTE twin;
-    #     parity-proven at sf0.001+0.01+0.1 ---
+    # --- R10 ROTATION PREP: the six r9-added past-cap entries below
+    #     (bpe_segment_words, phrase_match, temperature_mix_weights,
+    #     dedup_keep_best, bpe_encode_docs, embedding_drift_psi) are all
+    #     oracled and parity-proven at sf0.001+0.01+0.1 with zero driver
+    #     rows — they are the r10 promotion pool.  Demote window entries
+    #     holding two green rows after the r9 driver run (the 8 holdovers
+    #     will have 2; the 15 third-row representatives will have 3) and
+    #     promote these six first; keep the all-oracled window invariant
+    #     (test_sql_registry.py pins it). ---
+    # --- added r9 (past-cap): the train→apply companion of
+    #     bpe_train_merges — the word-type table's final subword
+    #     segmentation, same loop, same generated CTE twin ---
     "bpe_segment_words": (L.q_bpe_segment_words, L.SQL_BPE_SEGMENT_WORDS),
     # --- added r9 (past-cap; window candidates for r10): positional-index
     #     exact-phrase retrieval and mT5-style temperature sampling
