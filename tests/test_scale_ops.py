@@ -336,3 +336,55 @@ def test_escape_partition_value_matches_spark_rendering():
     assert _escape_partition_value("50%") == "50%25"
     assert _escape_partition_value("x\ny") == "x%0Ay"
     assert _escape_partition_value("plain-1.2_ok") == "plain-1.2_ok"
+
+
+def test_temperature_weights_drive_mix_sources(spark, sf_dir):
+    # The principled mixing loop end-to-end: temperature_mix_weights
+    # computes the α-sampling distribution, mix_sources consumes it.  At
+    # α=0.3 over an imbalanced corpus (src0 docs doubled in count by
+    # synthesizing extra rows), the small sources' SHARE of the mixed
+    # output must exceed their share of the input (flattening), while the
+    # output size lands near the requested total.
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import mixing
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    # imbalance: clone src0 five times with fresh ids
+    clones = [
+        base.where(F.col("source") == "src0").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100_000 * (i + 1))
+        )
+        for i in range(5)
+    ]
+    docs = base
+    for c in clones:
+        docs = docs.unionByName(c)
+
+    in_share = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total_in = sum(in_share.values())
+
+    weights = {
+        r["source"]: r["weight"]
+        for r in mixing.temperature_mix_weights(docs, alpha=0.3).collect()
+    }
+    mixed = mixing.mix_sources(
+        docs, weights, total_rows=400, key_col="source"
+    )
+    out_share = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total_out = sum(out_share.values())
+    assert 300 <= total_out <= 500  # Bernoulli sampling lands near target
+
+    # flattening: src0 dominated the input; its output share must shrink,
+    # and a small source's share must grow.
+    small = next(s for s in in_share if s != "src0")
+    assert out_share["src0"] / total_out < in_share["src0"] / total_in
+    assert out_share[small] / total_out > in_share[small] / total_in
