@@ -111,6 +111,7 @@ HEADLINE = [
     "dedup_keep_best",
     "bpe_encode_docs",
     "embedding_drift_psi",
+    "tokenizer_fertility",
 ]
 
 

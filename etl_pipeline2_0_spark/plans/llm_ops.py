@@ -2223,6 +2223,59 @@ GROUP BY doc_id"""
 SQL_BPE_ENCODE_DOCS = _sql_bpe_encode()
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer fertility by source: average BPE pieces per word under the
+    # corpus-trained tokenizer — a standard corpus-quality / language-
+    # coverage signal (gibberish and out-of-domain text fragment into many
+    # pieces; well-covered text approaches 1 piece/word).  Pure
+    # composition: bpe_encode_docs → join the doc's source → one
+    # per-source aggregate.
+    docs = load_table(spark, sf_dir, "documents")
+    enc = text.bpe_encode_docs(docs, n_merges=8, max_word_types=512)
+    return (
+        enc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.round(F.sum("n_pieces") / F.sum("n_words"), 6).alias("fertility"),
+        )
+    )
+
+
+def _sql_tokenizer_fertility(n_merges: int = 8, max_word_types: int = 512) -> str:
+    return (
+        _sql_bpe_ctes(n_merges, max_word_types)
+        + f""", seg AS (
+  SELECT word,
+         len(string_split(replace(trim(sym, '·'), '··', ' '), ' '))
+           AS vocab_pieces
+  FROM words{n_merges}
+), doc_words AS (
+  SELECT doc_id, source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents
+), enc AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_words,
+         SUM(COALESCE(vocab_pieces, length(word))) AS n_pieces
+  FROM doc_words LEFT JOIN seg USING (word)
+  GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       ROUND(SUM(n_pieces) * 1.0 / SUM(n_words), 6) AS fertility
+FROM enc GROUP BY source"""
+    )
+
+
+SQL_TOKENIZER_FERTILITY = _sql_tokenizer_fertility()
+
+
 def q_ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF under the md5-portable relational construction (hash-sampled
     # centroids, windowed argmax assignment) — graduates the IVF family

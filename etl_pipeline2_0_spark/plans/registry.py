@@ -169,6 +169,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_embedding_drift_psi,
         L.SQL_EMBEDDING_DRIFT_PSI,
     ),
+    "tokenizer_fertility": (
+        L.q_tokenizer_fertility,
+        L.SQL_TOKENIZER_FERTILITY,
+    ),
     # --- demoted r9 in bpe_train_merges' promotion (green r6/r7/r8) ---
     "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
     # --- rotated out r9: the five perennial rows-only entries (no_oracle

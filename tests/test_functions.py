@@ -1897,3 +1897,28 @@ def test_embedding_drift_psi_null_and_shift(spark, sf_dir):
 
     shifted = L.q_embedding_drift_psi(spark, sf_dir).collect()[0]["psi"]
     assert shifted > 0.25
+
+
+def test_tokenizer_fertility_orders_sources_by_coverage(spark):
+    # A source whose words the tokenizer fully learned has fertility → 1;
+    # a source of OOV gibberish decomposes to characters (fertility ≈ word
+    # length).  The per-source report must reflect that ordering.
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import text as T
+
+    rows = (
+        [(i, "hello world hello world", "clean") for i in range(8)]
+        + [(100, "zqxv wkjp", "junk")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    enc = T.bpe_encode_docs(df, n_merges=8, max_word_types=4)
+    fert = {
+        r["source"]: r["fertility"]
+        for r in enc.join(df.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.round(F.sum("n_pieces") / F.sum("n_words"), 6).alias("fertility"))
+        .collect()
+    }
+    assert fert["clean"] == 1.0     # both vocab words fully fused by 8 merges
+    assert fert["junk"] == 4.0      # OOV 4-char words -> 4 char pieces each
