@@ -50,7 +50,12 @@ def token_count(col: Column) -> Column:
     edge tokens — both found by the hypothesis property test.  Filtering
     empties reproduces Python's no-arg ``split`` exactly.
     """
-    return F.size(F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0))
+    # Explicit class == Java \s exactly ([ \t\n\x0B\f\r]); spelled out
+    # because RE2's \s (the DuckDB twins) excludes VT — the clean_text
+    # divergence class, closed corpus-wide in r9.
+    return F.size(
+        F.filter(F.split(col, r"[ \t\n\r\x0B\x0C]+"), lambda t: F.length(t) > 0)
+    )
 
 
 def title_of(col: Column, max_len: int = 50) -> Column:
@@ -86,7 +91,7 @@ def lang_id(col: Column) -> Column:
 
 def punct_ratio(col: Column) -> Column:
     """Fraction of non-space characters that are not word characters."""
-    compact = F.regexp_replace(col, r"\s+", "")
+    compact = F.regexp_replace(col, r"[ \t\n\r\x0B\x0C]+", "")
     n = F.length(compact)
     word_chars = F.length(F.regexp_replace(compact, r"\W", ""))
     return F.when(n == 0, F.lit(0.0)).otherwise((n - word_chars) / n)
@@ -159,7 +164,7 @@ def bpe_ish_token_count(col: Column) -> Column:
         F.lit(0),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(6.0)).cast("int"),
     )
-    punct = F.length(F.regexp_replace(col, r"[\w\s]", ""))
+    punct = F.length(F.regexp_replace(col, r"[\w \t\n\r\x0B\x0C]", ""))
     return subwords + punct
 
 

@@ -368,9 +368,9 @@ _STOPS_SQL = ", ".join(f"'{s}'" for s in text.EN_STOPWORDS)
 SQL_QUALITY_SCORES = rf"""
 WITH base AS (
   SELECT doc_id,
-    len(list_filter(regexp_split_to_array(text, '\s+'),
+    len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
                     x -> length(x) > 0)) AS n_tokens,
-    regexp_replace(text, '\s+', '', 'g') AS compact,
+    regexp_replace(text, '[ \x09\x0A\x0D\x0B\x0C]+', '', 'g') AS compact,
     list_filter(regexp_split_to_array(lower(text), '\W+'),
                 x -> length(x) > 0) AS toks
   FROM documents
@@ -410,7 +410,7 @@ def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_STATS_BY_SOURCE = r"""
 WITH t AS (
   SELECT source,
-    len(list_filter(regexp_split_to_array(text, '\s+'),
+    len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
                     x -> length(x) > 0)) AS wc
   FROM documents
 )
@@ -484,7 +484,7 @@ SQL_BPE_TOKEN_ESTIMATE = r"""
 WITH t AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(lower(text), '\W+'), x -> length(x) > 0) AS toks,
-    LENGTH(regexp_replace(text, '[\w\s]', '', 'g')) AS punct
+    LENGTH(regexp_replace(text, '[\w \x09\x0A\x0D\x0B\x0C]', '', 'g')) AS punct
   FROM documents
 )
 SELECT doc_id,
@@ -908,9 +908,9 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_FILTER = rf"""
 WITH base AS (
   SELECT doc_id,
-    len(list_filter(regexp_split_to_array(text, '\s+'),
+    len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
                     x -> length(x) > 0)) AS n_tokens,
-    regexp_replace(text, '\s+', '', 'g') AS compact,
+    regexp_replace(text, '[ \x09\x0A\x0D\x0B\x0C]+', '', 'g') AS compact,
     list_filter(regexp_split_to_array(lower(text), '\W+'),
                 x -> length(x) > 0) AS toks,
     len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["en"]})\b')) AS en,
@@ -1049,7 +1049,7 @@ WITH RECURSIVE docs AS (
 ), comp AS (
   SELECT node, MIN(label) AS component FROM reach GROUP BY node
 ), wc AS (
-  SELECT id, len(list_filter(regexp_split_to_array(raw, '\s+'),
+  SELECT id, len(list_filter(regexp_split_to_array(raw, '[ \x09\x0A\x0D\x0B\x0C]+'),
                              x -> length(x) > 0)) AS n_tokens
   FROM docs
 ), allc AS (
@@ -1183,7 +1183,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PACK_SEQUENCES = r"""
 WITH toks AS (
   SELECT source, doc_id,
-         len(list_filter(regexp_split_to_array(text, '\s+'),
+         len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
                          x -> length(x) > 0)) AS n_tokens
   FROM documents
 ), packed AS (
@@ -1251,9 +1251,9 @@ def q_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FILTER_AUDIT = rf"""
 WITH base AS (
   SELECT source,
-    len(list_filter(regexp_split_to_array(text, '\s+'),
+    len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
                     x -> length(x) > 0)) AS n_tokens,
-    regexp_replace(text, '\s+', '', 'g') AS compact,
+    regexp_replace(text, '[ \x09\x0A\x0D\x0B\x0C]+', '', 'g') AS compact,
     list_filter(regexp_split_to_array(lower(text), '\W+'),
                 x -> length(x) > 0) AS toks,
     len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["en"]})\b')) AS en,
@@ -1346,7 +1346,7 @@ def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUANTILE_FILTER = r"""
 WITH scored AS (
   SELECT source,
-         len(list_filter(regexp_split_to_array(text, '\s+'),
+         len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
                          x -> length(x) > 0)) AS score
   FROM documents
 ), thr AS (
@@ -1509,7 +1509,7 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CURRICULUM_BUCKETS = r"""
 WITH scored AS (
   SELECT doc_id,
-         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
                               x -> length(x) > 0)) AS DOUBLE) AS score
   FROM documents
 ), thr AS (
@@ -1978,7 +1978,7 @@ def q_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEMPERATURE_MIX_WEIGHTS = r"""
 WITH sizes AS (
   SELECT source,
-         CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
                                   x -> length(x) > 0))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ), powered AS (
@@ -2586,7 +2586,7 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_DRIFT_PSI = r"""
 WITH a AS (
   SELECT source,
-         LEAST(CAST(floor(len(list_filter(regexp_split_to_array(text, '\s+'),
+         LEAST(CAST(floor(len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
                                           x -> length(x) > 0)) / 8) AS INT),
                15) AS bin
   FROM documents
@@ -2594,7 +2594,7 @@ WITH a AS (
   SELECT source,
          LEAST(CAST(floor(len(list_filter(regexp_split_to_array(
                   CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
-                       ELSE text END, '\s+'),
+                       ELSE text END, '[ \x09\x0A\x0D\x0B\x0C]+'),
                   x -> length(x) > 0)) / 8) AS INT),
                15) AS bin
   FROM documents WHERE doc_id % 13 <> 5
@@ -3058,7 +3058,7 @@ def q_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PACK_TEXTS = r"""
 WITH toks AS (
   SELECT source, doc_id, text,
-         len(list_filter(regexp_split_to_array(text, '\s+'),
+         len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
                          x -> length(x) > 0)) AS n_tokens
   FROM documents WHERE doc_id % 5 = 0
 ), packed AS (

@@ -86,7 +86,10 @@ def test_union_by_name_commutes_with_column_order(spark, rows):
     assert len(u1) == 2 * len(rows)
 
 
-@given(s=st.text(alphabet="ab c\t\nxyz.,!", max_size=40))
+# \x0b (VT) included deliberately: Python str.split() and Java \s treat it
+# as whitespace but RE2's \s does not — the explicit whitespace class that
+# closed that divergence (r9) must keep matching Python here.
+@given(s=st.text(alphabet="ab c\t\n\x0b\x0cxyz.,!", max_size=40))
 @settings(**SETTINGS)
 def test_token_count_matches_python_split(spark, s):
     """A3 invariant: token_count(s) == len(s.split()) for any string."""
