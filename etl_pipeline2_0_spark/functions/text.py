@@ -415,6 +415,7 @@ def bpe_encode_docs(
     id_col: str = "doc_id",
     n_merges: int = 8,
     max_word_types: int = 512,
+    carry_cols: tuple = (),
 ):
     """Corpus-level BPE encoding stats: per document, the word count and
     the BPE piece count under the ``n_merges``-rule tokenizer trained on
@@ -426,7 +427,10 @@ def bpe_encode_docs(
     worst-case for an untrained word, and exactly what a byte/char-level
     fallback produces before any merges apply to it.
 
-    Output: (doc_id, n_words, n_pieces).
+    Output: (doc_id, *carry_cols, n_words, n_pieces).  ``carry_cols``
+    names per-document columns (e.g. ``source``) carried through the
+    explode and the per-doc aggregate so downstream grouping (tokenizer
+    fertility by source) needs no second join against the corpus.
 
     Scale: the segmentation table is ≤``max_word_types`` rows — broadcast
     into one explode→join→aggregate pass over the corpus; no shuffle
@@ -437,11 +441,12 @@ def bpe_encode_docs(
     )
     doc_words = df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry_cols],
         F.explode(tokens(F.col(text_col))).alias("word"),
     )
     return (
         doc_words.join(F.broadcast(seg), "word", "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry_cols)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
             F.sum(

@@ -2228,13 +2228,15 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-trained tokenizer — a standard corpus-quality / language-
     # coverage signal (gibberish and out-of-domain text fragment into many
     # pieces; well-covered text approaches 1 piece/word).  Pure
-    # composition: bpe_encode_docs → join the doc's source → one
-    # per-source aggregate.
+    # composition: bpe_encode_docs carries ``source`` through its one
+    # corpus pass (carry_cols) → one per-source aggregate — no second
+    # join against the corpus (the DuckDB twin always worked this way).
     docs = load_table(spark, sf_dir, "documents")
-    enc = text.bpe_encode_docs(docs, n_merges=8, max_word_types=512)
+    enc = text.bpe_encode_docs(
+        docs, n_merges=8, max_word_types=512, carry_cols=("source",)
+    )
     return (
-        enc.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        enc.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_words").cast("bigint").alias("n_words"),

@@ -607,3 +607,18 @@ def test_bpe_train_word_table_bounded_take_ordered(spark, sf_dir):
     plan = _plan(L.q_bpe_train_merges(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tokenizer_fertility_single_corpus_pass(spark, sf_dir):
+    # carry_cols threads `source` through bpe_encode_docs' explode +
+    # per-doc aggregate, so the fertility rollup must NOT re-join the
+    # corpus on doc_id: exactly the broadcast segmentation join remains
+    # (plus the bounded BPE-trainer joins on the ≤512-row word table),
+    # and no SortMergeJoin / shuffle-side join appears anywhere.
+    plan = _plan(L.q_tokenizer_fertility(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # documents.parquet is scanned once for the corpus pass and once by
+    # the bounded trainer (word-type table) — a doc_id re-join would add
+    # a third scan.
+    assert plan.count("documents.parquet") <= 2
