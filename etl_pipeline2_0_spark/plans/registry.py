@@ -116,63 +116,61 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "curriculum_buckets": (L.q_curriculum_buckets, L.SQL_CURRICULUM_BUCKETS),
     "lm_score_heldout": (L.q_lm_score_heldout, L.SQL_LM_SCORE_HELDOUT),
     "tfidf_cosine_pairs": (L.q_tfidf_cosine_pairs, L.SQL_TFIDF_COSINE_PAIRS),
-    # --- third-row representatives (green r7 AND r8; retained so every
-    #     capability family keeps a live row in the window — heavy TPC-H
-    #     joins, dedup, similarity, text, composition) ---
-    "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),
-    "q9_product_profit": (T.q9_product_profit, T.SQL_Q9),
+    # --- third-row representatives retained r10 (family anchors: hardest
+    #     TPC-H join, warehouse composition, dedup graph, banded embedding
+    #     dedup, text quality, mixing/packing) ---
     "q21_waiting_suppliers": (T.q21_waiting_suppliers, T.SQL_Q21),
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
-    "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
-    "dedup_incremental": (L.q_dedup_incremental, L.SQL_DEDUP_INCREMENTAL),
     "dup_components": (L.q_dup_components, L.SQL_DUP_COMPONENTS),
-    "ngram_jaccard": (L.q_ngram_jaccard, L.SQL_NGRAM_JACCARD),
-    "ann_topk": (L.q_ann_topk, L.SQL_ANN_TOPK),
     "embed_neardup": (L.q_embed_neardup, L.SQL_EMBED_NEARDUP),
-    "lang_id_counts": (L.q_lang_id_counts, L.SQL_LANG_ID_COUNTS),
     "pii_redact": (L.q_pii_redact, L.SQL_PII_REDACT),
     "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # --- first driver row: added r9 — BPE merge-rule training (the
-    #     canonical tokenizer-training op) as a fully-declarative
-    #     k-iteration loop with an exact k-CTE DuckDB twin; parity-proven
-    #     at sf0.001+0.01+0.1 this round.  Takes the slot of
-    #     tfidf_top_terms (three green rows r6/r7/r8; its family stays
-    #     represented by tfidf_cosine_pairs) ---
+    # --- first driver row r9; collecting second ---
     "bpe_train_merges": (L.q_bpe_train_merges, L.SQL_BPE_TRAIN_MERGES),
-    # ---------- driver 50-query window ends here ----------
-    # --- R10 ROTATION PREP: the six r9-added past-cap entries below
-    #     (bpe_segment_words, phrase_match, temperature_mix_weights,
-    #     dedup_keep_best, bpe_encode_docs, embedding_drift_psi) are all
-    #     oracled and parity-proven at sf0.001+0.01+0.1 with zero driver
-    #     rows — they are the r10 promotion pool.  Demote window entries
-    #     holding two green rows after the r9 driver run (the 8 holdovers
-    #     will have 2; the 15 third-row representatives will have 3) and
-    #     promote these six first; keep the all-oracled window invariant
-    #     (test_sql_registry.py pins it). ---
-    # --- added r9 (past-cap): the train→apply companion of
-    #     bpe_train_merges — the word-type table's final subword
-    #     segmentation, same loop, same generated CTE twin ---
+    # ROUND-10 ROTATION (executing the staged r9 plan): the seven r9-added
+    # oracled entries below had zero driver rows (locally parity-proven at
+    # sf0.001+0.01+0.1 for two sessions).  They take the slots of seven
+    # THRICE-green representatives (q7_volume_shipping, q9_product_profit,
+    # dedup_exact, dedup_incremental, ngram_jaccard, ann_topk,
+    # lang_id_counts — green r7+r8+r9), each family still anchored by the
+    # retained reps above plus the in-window portable twins/recalls.
+    # After this window goes green, EVERY oracle-expressible query in the
+    # repo has at least one external driver row.
+    # --- first driver rows: the BPE train→apply companions (word-type
+    #     segmentation; corpus encoding incl. carry_cols one-pass; fertility
+    #     by source) ---
     "bpe_segment_words": (L.q_bpe_segment_words, L.SQL_BPE_SEGMENT_WORDS),
-    # --- added r9 (past-cap; window candidates for r10): positional-index
-    #     exact-phrase retrieval and mT5-style temperature sampling
-    #     weights — both oracled, parity-tested at 3 SFs ---
+    "bpe_encode_docs": (L.q_bpe_encode_docs, L.SQL_BPE_ENCODE_DOCS),
+    "tokenizer_fertility": (
+        L.q_tokenizer_fertility,
+        L.SQL_TOKENIZER_FERTILITY,
+    ),
+    # --- first driver rows: positional-index exact-phrase retrieval and
+    #     mT5-style temperature sampling weights ---
     "phrase_match": (L.q_phrase_match, L.SQL_PHRASE_MATCH),
     "temperature_mix_weights": (
         L.q_temperature_mix_weights,
         L.SQL_TEMPERATURE_MIX_WEIGHTS,
     ),
+    # --- first driver rows: quality-ranked canonical dedup; PSI drift on
+    #     embedding norms/components ---
     "dedup_keep_best": (L.q_dedup_keep_best, L.SQL_DEDUP_KEEP_BEST),
-    "bpe_encode_docs": (L.q_bpe_encode_docs, L.SQL_BPE_ENCODE_DOCS),
     "embedding_drift_psi": (
         L.q_embedding_drift_psi,
         L.SQL_EMBEDDING_DRIFT_PSI,
     ),
-    "tokenizer_fertility": (
-        L.q_tokenizer_fertility,
-        L.SQL_TOKENIZER_FERTILITY,
-    ),
+    # ---------- driver 50-query window ends here ----------
+    # --- demoted r10 with three green rows each (r7+r8+r9); families
+    #     stay anchored in-window (see rotation note above) ---
+    "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),
+    "q9_product_profit": (T.q9_product_profit, T.SQL_Q9),
+    "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
+    "dedup_incremental": (L.q_dedup_incremental, L.SQL_DEDUP_INCREMENTAL),
+    "ngram_jaccard": (L.q_ngram_jaccard, L.SQL_NGRAM_JACCARD),
+    "ann_topk": (L.q_ann_topk, L.SQL_ANN_TOPK),
+    "lang_id_counts": (L.q_lang_id_counts, L.SQL_LANG_ID_COUNTS),
     # --- demoted r9 in bpe_train_merges' promotion (green r6/r7/r8) ---
     "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
     # --- rotated out r9: the five perennial rows-only entries (no_oracle

@@ -88,34 +88,35 @@ def test_driver_window_covers_every_query_family():
 
     window = set(list(_AQ)[:50])
     representatives = {
-        # dedup family: exact, n-gram, components, portable MinHash/SimHash
-        # (the rows-only xxhash64 twins rotated out r9 — correctness now
-        # carried by the in-window portable twins + measured recall)
-        "dedup_exact", "ngram_jaccard", "dup_components",
-        "dedup_incremental", "minhash_pairs_portable",
+        # dedup family: components, canonical keep-best, portable
+        # MinHash/SimHash + measured recall (exact/incremental/n-gram
+        # rotated out r10 with three green rows each)
+        "dedup_keep_best", "dup_components", "minhash_pairs_portable",
         "simhash_pairs_portable", "minhash_recall", "dup_cluster_stats",
-        # similarity / ANN: exact, LSH, portable IVF + measured recalls
-        "ann_topk", "ann_lsh_topk", "ann_ivf_topk_portable",
+        # similarity / ANN: LSH, portable IVF + measured recalls, banded
+        # embedding near-dup (exact ann_topk rotated out r10; ann_recall's
+        # ground-truth side still computes exact cosine top-k in-window)
+        "ann_lsh_topk", "ann_ivf_topk_portable",
         "ann_recall", "ann_ivf_recall_portable", "embed_neardup",
         "knn_label_vote", "knn_accuracy",
-        # text analysis / corpus quality
-        "lang_id_counts", "pii_redact", "corpus_filter",
+        # text analysis / corpus quality / tokenizer training+apply
+        "pii_redact", "corpus_filter",
         "tfidf_cosine_pairs", "text_clean", "doc_novelty",
         "vocab_oov", "quantile_filter", "lm_score", "lm_score_heldout",
-        "tokenize_ids", "bpe_train_merges",
-        # retrieval
-        "chunk_documents", "bm25_topk", "similar_docs_rrf",
-        # composition / splits / packing
+        "tokenize_ids", "bpe_train_merges", "bpe_segment_words",
+        "bpe_encode_docs", "tokenizer_fertility",
+        # retrieval (incl. exact-phrase positional retrieval)
+        "chunk_documents", "bm25_topk", "similar_docs_rrf", "phrase_match",
+        # composition / splits / packing / mixing weights
         "mix_sources", "pack_sequences", "pack_texts", "shuffle_shards",
         "assign_splits", "assign_splits_grouped", "interleave_key",
-        "curriculum_buckets",
-        # snapshots / DQ / observability
-        "snapshot_diff", "corpus_drift_psi", "fk_integrity",
-        "value_outliers", "profile_columns", "dedup_rate_report",
-        "max_concurrency",
-        # warehouse analytics + heavy TPC-H joins (third-row reps)
-        "cohort_retention", "q7_volume_shipping", "q9_product_profit",
-        "q21_waiting_suppliers",
+        "curriculum_buckets", "temperature_mix_weights",
+        # snapshots / DQ / observability (incl. embedding drift)
+        "snapshot_diff", "corpus_drift_psi", "embedding_drift_psi",
+        "fk_integrity", "value_outliers", "profile_columns",
+        "dedup_rate_report", "max_concurrency",
+        # warehouse analytics + heaviest TPC-H join
+        "cohort_retention", "q21_waiting_suppliers",
     }
     missing = representatives - window
     assert not missing, f"families outside the driver window: {sorted(missing)}"
