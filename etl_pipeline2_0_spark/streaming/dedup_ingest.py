@@ -26,17 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from etl_pipeline2_0_spark.functions import dedup
+from etl_pipeline2_0_spark.functions import dedup, mixing
 
 
-def _accept_batch(
+def _dedup_survivors(
     batch_df: DataFrame,
     corpus_path: str,
     text_col: str,
     id_col: str,
     k: int,
     threshold: float,
-) -> None:
+) -> DataFrame:
+    """The dedup acceptance core shared by both ingest loops: batch rows
+    that survive intra-batch exact dedup plus the exact + near-dup probes
+    against the accepted corpus.  Returns the surviving ORIGINAL rows
+    (every input column), unwritten."""
     spark = batch_df.sparkSession
     # Every content hash in this loop is md5(COALESCE(text, '')) — md5(NULL)
     # is NULL, and NULL keys neither group with each other in an anti-join
@@ -77,7 +81,20 @@ def _accept_batch(
     # Semi-join the ORIGINAL batch on the accepted ids so every input
     # column survives to the corpus (exact_dedup projects to its working
     # columns; the store keeps the full rows).
-    survivors = batch_df.join(fresh.select(id_col), id_col, "semi")
+    return batch_df.join(fresh.select(id_col), id_col, "semi")
+
+
+def _accept_batch(
+    batch_df: DataFrame,
+    corpus_path: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+) -> None:
+    survivors = _dedup_survivors(
+        batch_df, corpus_path, text_col, id_col, k, threshold
+    )
     if not survivors.isEmpty():
         survivors.write.mode("append").parquet(corpus_path)
 
@@ -100,6 +117,111 @@ def stream_dedup_ingest(
         if batch_df.isEmpty():
             return
         _accept_batch(batch_df, corpus_path, text_col, id_col, k, threshold)
+
+    writer = stream_df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def curate_batch(
+    batch_df: DataFrame,
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    k: int = 3,
+    threshold: float = 0.5,
+    split_weights: "dict[str, float] | None" = None,
+    split_salt: str = "",
+) -> DataFrame:
+    """One pass of the continuously-curated ingest, as a pure batch
+    transformation (the streaming loop below runs exactly this per
+    micro-batch — which is what makes batch ≡ stream testable row-exactly):
+
+      quality_gate → intra-batch exact dedup → exact + near-dup probe
+      against the accepted corpus → deterministic split assignment.
+
+    Returns the surviving original rows plus the gate's metrics
+    (pred_lang, n_tokens, quality) and the ``split`` column, unwritten.
+
+    Every stage is replay-convergent by construction: the gate is a
+    stateless projection, dedup makes a redelivered batch append nothing
+    (its docs are exact dups of their accepted copies), and splits hash
+    md5(id, salt) — same row, same split, on any engine or partitioning.
+    """
+    from etl_pipeline2_0_spark.functions import text as text_fns
+
+    gated = text_fns.quality_gate(
+        batch_df,
+        text_col=text_col,
+        id_col=id_col,
+        lang=lang,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+    )
+    # Re-attach full rows (quality_gate projects to its metric columns).
+    kept = batch_df.join(gated, id_col)
+    survivors = _dedup_survivors(
+        kept, corpus_path, text_col, id_col, k, threshold
+    )
+    return mixing.assign_splits(
+        survivors, weights=split_weights, id_col=id_col, salt=split_salt
+    )
+
+
+def stream_curated_ingest(
+    stream_df: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    k: int = 3,
+    threshold: float = 0.5,
+    split_weights: "dict[str, float] | None" = None,
+    split_salt: str = "",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The production curation loop as ONE checkpointed Structured
+    Streaming query: every arriving micro-batch is quality-gated, deduped
+    within itself and against the accepted corpus, split-assigned, and
+    appended to the corpus store partitioned by split.
+
+    The corpus store is split-partitioned parquet (``split=train/...``),
+    the layout a training job consumes directly; the dedup probe reads it
+    back whole (the split column costs the probe nothing — partition
+    pruning applies when a consumer asks for one split).
+
+    Exactly-once: checkpointed delivery + convergent curation (see
+    ``curate_batch``) — a replayed batch appends zero rows, pinned by
+    tests/test_streaming.py.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = curate_batch(
+            batch_df,
+            corpus_path,
+            text_col=text_col,
+            id_col=id_col,
+            lang=lang,
+            min_quality=min_quality,
+            min_tokens=min_tokens,
+            k=k,
+            threshold=threshold,
+            split_weights=split_weights,
+            split_salt=split_salt,
+        )
+        if not out.isEmpty():
+            out.write.mode("append").partitionBy("split").parquet(corpus_path)
 
     writer = stream_df.writeStream.foreachBatch(_write).option(
         "checkpointLocation", checkpoint

@@ -344,3 +344,85 @@ def test_streaming_drift_monitor_per_batch_psi(spark, tmp_path):
     assert scores[0] < 0.1        # in-distribution slice: stable
     assert scores[1] > 0.25       # doubled docs: major shift, flagged
     assert scores[1] > scores[0] * 3
+
+
+def test_stream_curated_ingest_composed_loop(spark, tmp_path):
+    """The composed continuously-curated ingest (r9 verdict item 2):
+    quality_gate → stream dedup → assign_splits as ONE foreachBatch loop.
+    Pins (a) batch ≡ stream row-exactly — the streamed corpus equals the
+    same primitives composed on the static frame, including the gate
+    metrics and split values; (b) replay convergence on the COMPOSED loop;
+    (c) the store is split-partitioned.  Duplicate content is confined
+    within single files so the survivor set is file-order-independent."""
+    from etl_pipeline2_0_spark.functions import dedup, mixing
+    from etl_pipeline2_0_spark.functions import text as text_fns
+    from etl_pipeline2_0_spark.streaming.dedup_ingest import (
+        curate_batch,
+        stream_curated_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    schema = "doc_id bigint, text string"
+    b1 = [
+        (1, "the data pipeline reads every file and writes the cleaned table "
+            "with all of the rows in the right order for training"),
+        (2, "the data pipeline reads every file and writes the cleaned table "
+            "with all of the rows in the right order for training"),  # intra dup of 1
+        (3, "el gato y el perro en la casa con el sol y la luna"),  # fails gate: es
+        (4, "too short"),  # fails gate: length floor
+    ]
+    b2 = [
+        (5, "a second corpus batch arrives later and it brings some new "
+            "documents that the filter keeps because they are long enough"),
+        (6, "the data pipeline reads every file and writes the cleaned table "
+            "with all of the rows in the right order for training"),  # exact dup of 1
+        (7, "!!! ??? *** ### $$$ %%% @@@ &&& ^^^ ~~~ ((( ))) [[[ ]]] {{{ }}} "
+            "+++ === --- ___ ||| ;;; ::: ,,, ..."),  # fails gate: punct soup
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(min_quality=0.5, min_tokens=10, threshold=0.99)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_curated_ingest(
+        stream, corpus, str(tmp_path / "ckpt"), split_salt="s1", **kw
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(corpus)
+    # Survivors: gate keeps 1/2/5/6, dedup keeps min-id of the dup group.
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 5]
+    # The store is split-partitioned and the gate metrics landed with it.
+    assert {"split", "pred_lang", "n_tokens", "quality"} <= set(got.columns)
+    import os
+    assert any(d.startswith("split=") for d in os.listdir(corpus))
+
+    # Batch ≡ stream: the same primitives composed on the static frame
+    # produce row-identical output (ids, gate metrics, split values).
+    static = spark.read.parquet(src)
+    gated = text_fns.quality_gate(
+        static, min_quality=0.5, min_tokens=10)
+    kept = static.join(gated, "doc_id")
+    batch_out = mixing.assign_splits(
+        kept.join(dedup.exact_dedup(kept).select("doc_id"), "doc_id", "semi"),
+        salt="s1",
+    )
+    cols = ["doc_id", "text", "pred_lang", "n_tokens", "quality", "split"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, batch_out.select(*cols).collect())
+    )
+
+    # Replay the whole backlog with a fresh checkpoint: every surviving
+    # doc is an exact dup of its accepted copy — the COMPOSED loop appends
+    # nothing (replay convergence end-to-end).
+    q2 = stream_curated_ingest(
+        stream, corpus, str(tmp_path / "ckpt2"), split_salt="s1", **kw
+    )
+    q2.awaitTermination(180)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 5]
