@@ -318,12 +318,47 @@ def minhash_signatures(
     )
 
 
+def _banded_self_join(
+    banded: DataFrame,
+    keys: list[str],
+    salt: int | None,
+    extra: dict[str, str] | None = None,
+) -> DataFrame:
+    """Canonical-pair self-join on band keys, shared by the MinHash band
+    join and the pigeonhole Hamming join.  ``salt`` spreads a hot band key
+    over ``salt`` reducers without changing the output: the left side
+    derives a deterministic salt from its id (never rand() — retried tasks
+    must reproduce it), the right side replicates once per salt value, and
+    (keys + salt) becomes the join key, so each qualifying pair meets
+    exactly once — at the left row's salt.  ``extra`` carries additional
+    output columns as {alias: "side.col"}."""
+    from etl_pipeline2_0_spark.operators.skew import _salt_of
+
+    left, right = banded, banded
+    join_keys = list(keys)
+    if salt:
+        left = banded.withColumn("__salt", _salt_of(F.col("id"), salt))
+        right = banded.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("__salt", F.col("__salt").cast("int"))
+        join_keys.append("__salt")
+    a, b = left.alias("a"), right.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for k in join_keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    cols = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")] + [
+        F.col(src).alias(name) for name, src in (extra or {}).items()
+    ]
+    return a.join(b, cond).select(*cols).distinct()
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: int | None = 1000,
     portable: bool = False,
+    salt: int | None = None,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, bucket hash).
     ``portable=True`` hashes each band slice with md5 (ANSI-reproducible)
@@ -338,6 +373,17 @@ def lsh_candidate_pairs(
     quadratic.  Buckets over the cap are dropped before the self-join
     (standard production-LSH move — such buckets carry near-universal
     content, not near-duplicate signal).  Pass ``None`` to disable.
+
+    ``salt`` spreads SURVIVING hot buckets (legitimate near-dup clusters
+    just under the cap — e.g. a template that dodges the doc-freq guard)
+    over ``salt`` reducers: the left side takes a deterministic salt from
+    its id, the right side replicates once per salt value, and the join
+    key grows to (band, bucket, salt) — every qualifying pair still meets
+    exactly once (at the left row's salt), so the output is IDENTICAL to
+    the unsalted join (pinned by tests/test_scale_ops.py), only the
+    shuffle layout changes.  Cost: ``salt``× replication of the banded
+    frame's right side — use single digits, and only when bucket-size
+    telemetry shows concentration.
     """
     def _bucket(b):
         joined = F.concat_ws(
@@ -362,17 +408,7 @@ def lsh_candidate_pairs(
             .where(F.col("__bucket_n") <= max_bucket_size)
             .drop("__bucket_n")
         )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return _banded_self_join(banded, ["band", "bucket"], salt)
 
 
 def minhash_near_duplicates(
@@ -386,6 +422,7 @@ def minhash_near_duplicates(
     max_bucket_size: int | None = 1000,
     checkpoint: bool = True,
     portable: bool = False,
+    band_salt: int | None = None,
 ) -> DataFrame:
     """Full shingle→minhash→band→bucket-join→verify pipeline.
     ``portable=True`` uses the md5 hash family end-to-end (see
@@ -403,7 +440,7 @@ def minhash_near_duplicates(
     """
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, portable)
     candidates = lsh_candidate_pairs(
-        sigs, bands, num_hashes // bands, max_bucket_size, portable
+        sigs, bands, num_hashes // bands, max_bucket_size, portable, band_salt
     )
     # The candidate pair list feeds BOTH the verify join and the semi-join
     # prune below; Catalyst does not reuse the exchange across the two
@@ -590,6 +627,7 @@ def hamming_pairs(
     sig_col: str = "simhash",
     max_hamming: int = 3,
     blocks: int = 4,
+    salt: int | None = None,
 ) -> DataFrame:
     """Pairs of 64-bit signatures within Hamming distance ``max_hamming``.
 
@@ -598,6 +636,11 @@ def hamming_pairs(
     so candidates come from equi-joins on (chunk index, chunk value) — no
     cross join — then exact popcount verification.  Shared by SimHash text
     near-dup and pHash image near-dup.
+
+    ``salt`` spreads a hot (chunk index, chunk value) key — e.g. a chunk
+    that is all-zeros across a templated corpus slice — over ``salt``
+    reducers via the shared salted self-join; output is identical to the
+    unsalted join (see ``_banded_self_join``).
 
     ``max_hamming < blocks`` is a hard precondition, enforced here: with
     ``max_hamming >= blocks`` a pair's differing bits can straddle every
@@ -626,21 +669,11 @@ def hamming_pairs(
         "sig",
         F.posexplode(chunks).alias("chunk_idx", "chunk_val"),
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sh_a"),
-            F.col("b.sig").alias("sh_b"),
-        )
-        .distinct()
+    candidates = _banded_self_join(
+        chunked,
+        ["chunk_idx", "chunk_val"],
+        salt,
+        extra={"sh_a": "a.sig", "sh_b": "b.sig"},
     )
     return (
         candidates.withColumn(
@@ -657,6 +690,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    band_salt: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``
     (pigeonhole chunk equi-join — see ``hamming_pairs``)."""
@@ -666,6 +700,7 @@ def simhash_near_duplicates(
         sig_col="simhash",
         max_hamming=max_hamming,
         blocks=blocks,
+        salt=band_salt,
     )
 
 
