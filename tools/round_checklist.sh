@@ -32,6 +32,25 @@ echo "== gate 4/6: composed export pipeline at bench scale =="
 python tools/check_export_pipeline.py || exit 1
 
 echo "== gate 5/6: bench at ${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} =="
+# Quiet-host discipline (r9 verdict item 5): BENCH_r09 was captured at
+# loadavg 5.0 and showed four phantom 1.7–2.3× regressions the quiet-host
+# local bench disproved.  Refuse to RECORD a headline bench on a loaded
+# host; wait (up to ~10 min) for load to drain instead of recording noise.
+# Override threshold via BENCH_MAX_LOADAVG for hosts with different core
+# counts.
+max_load="${BENCH_MAX_LOADAVG:-2.0}"
+for i in $(seq 1 20); do
+  load1=$(cut -d' ' -f1 /proc/loadavg)
+  ok=$(python -c "print(1 if $load1 <= $max_load else 0)")
+  [ "$ok" = "1" ] && break
+  echo "loadavg $load1 > $max_load — waiting for a quiet host ($i/20)"
+  sleep 30
+done
+if [ "$ok" != "1" ]; then
+  echo "host never quieted below $max_load; NOT recording a headline bench" >&2
+  exit 1
+fi
+echo "loadavg_start=$load1 (threshold $max_load)"
 # BENCH_OUT: bench.py writes the JSON payload to the file itself, so a
 # stray Spark/py4j warning on stdout can't corrupt the captured copy.
 BENCH_OUT=/tmp/bench_local.json python bench.py || exit 1
