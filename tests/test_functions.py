@@ -1922,3 +1922,78 @@ def test_tokenizer_fertility_orders_sources_by_coverage(spark):
     }
     assert fert["clean"] == 1.0     # both vocab words fully fused by 8 merges
     assert fert["junk"] == 4.0      # OOV 4-char words -> 4 char pieces each
+
+
+def test_phrase_match_planted_positions_negative_control(spark):
+    """Adversarial phrase retrieval control (r9 verdict item 6): a corpus
+    planted so every plausible off-by-one fails — gap, reversal, overlap,
+    and boundary occurrences all have known exact counts."""
+    from etl_pipeline2_0_spark.functions import retrieval
+
+    rows = [
+        (1, "alpha beta starts here and later alpha beta again"),   # 2
+        (2, "alpha gap beta never adjacent alpha x beta"),          # 0 (gap)
+        (3, "beta alpha reversed order only beta alpha"),           # 0
+        (4, "alpha alpha beta overlapping prefix run"),             # 1
+        (5, "trailing occurrence ends with alpha beta"),            # 1 (end)
+        (6, "alpha, beta punctuation separated still adjacent"),    # 1
+        (7, "nothing relevant whatsoever in this one"),             # 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in retrieval.phrase_match(df, ["alpha", "beta"]).collect()
+    }
+    assert got == {1: 2, 4: 1, 5: 1, 6: 1}
+
+    # 3-token phrase: partial suffix repeats must not double-count.
+    df3 = spark.createDataFrame(
+        [(1, "one two three two three"), (2, "one two two three")],
+        "doc_id bigint, text string",
+    )
+    got3 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in retrieval.phrase_match(df3, ["one", "two", "three"]).collect()
+    }
+    assert got3 == {1: 1}
+
+
+def test_tokenizer_fertility_ranks_gibberish_highest_negative_control(spark):
+    """Fertility negative control (r9 verdict item 6): a corpus with one
+    planted gibberish source must rank it the MOST fertile (its unique
+    word types never earn merges / fall back to char pieces), while a
+    repetitive natural source trains merges and lands near 1 piece/word."""
+    # Natural source: few distinct words, heavily repeated → BPE learns
+    # their full spellings within 8 merges (short words).
+    natural = [
+        (i, "src_nat", "aba cab aba cab bac aba cab bac aba cab")
+        for i in range(8)
+    ]
+    # Gibberish source: every word unique, long, shares no pair statistics.
+    gibberish = [
+        (100 + i,
+         "src_gib",
+         " ".join(
+             "".join(chr(97 + (i * 31 + j * 7 + k * 13 + i * j * k) % 26)
+                     for k in range(10))
+             for j in range(10)
+         ))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        natural + gibberish, "doc_id bigint, source string, text string"
+    )
+    enc = text.bpe_encode_docs(
+        df, n_merges=8, max_word_types=512, carry_cols=("source",)
+    )
+    fert = {
+        r["source"]: r["fert"]
+        for r in enc.groupBy("source")
+        .agg((F.sum("n_pieces") / F.sum("n_words")).alias("fert"))
+        .collect()
+    }
+    assert fert["src_gib"] > fert["src_nat"]
+    # The margin must be structural, not noise: gibberish words fragment
+    # to near-char-level (>5 pieces/word here), trained words to ≤2.
+    assert fert["src_gib"] > 5.0
+    assert fert["src_nat"] <= 2.0
