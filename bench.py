@@ -112,6 +112,8 @@ HEADLINE = [
     "bpe_encode_docs",
     "embedding_drift_psi",
     "tokenizer_fertility",
+    "dsir_weights",
+    "dsir_sample",
     "doc_pipeline_sf01",
 ]
 

@@ -522,3 +522,165 @@ def temperature_mix_weights(
             .alias("expected_docs"),
         )
     )
+
+
+# ------------------------------------------------------- DSIR selection ----
+
+
+def _word_ngrams(col: Column, k: int) -> Column:
+    """All (non-distinct) k-token word n-grams of a lowercased text —
+    occurrence counts matter for importance estimation, so unlike
+    ``dedup.token_shingles`` duplicates are KEPT.  Fewer than k tokens
+    yields an empty array (ANSI guard: sequence(1,0) runs backwards)."""
+    toks = F.filter(F.split(F.lower(col), r"\W+"), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+) -> DataFrame:
+    """DSIR featurization (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): every unigram and bigram hashed
+    into ``num_buckets`` buckets; one output row per OCCURRENCE.
+
+    The bucket hash is the repo's portable md5-hex15 scheme, so the DuckDB
+    twin reproduces bucket ids exactly.  Output: (doc_id, bucket).
+    """
+    grams = F.concat(
+        _word_ngrams(F.col(text_col), 1), _word_ngrams(F.col(text_col), 2)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(grams).alias("_g"),
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(num_buckets),
+        ).alias("bucket"),
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: how much more likely the
+    doc's hashed-n-gram features are under the TARGET distribution than
+    under the raw-corpus distribution,
+
+        log w(x) = Σ_features [ log p_target(b) − log p_raw(b) ],
+
+    with add-``smoothing`` estimates over ``num_buckets`` buckets.  Docs
+    scoring high look like the target domain; feeding the weights to
+    ``dsir_gumbel_sample`` reproduces the paper's importance resampling.
+
+    Scale shape: two bounded aggregates (≤ num_buckets rows each) build
+    the log-ratio table, which BROADCASTS back onto one exploded corpus
+    pass — no shuffle wider than the per-doc sum, corpus-size-linear.
+    Zero-token docs have no features and drop out (weight log 1 = 0 with
+    no evidence — emit them via a left join downstream if needed).
+
+    Output: (doc_id, n_features, log_weight).
+    """
+    feats = hashed_ngram_features(df, text_col, id_col, num_buckets)
+    tfeats = hashed_ngram_features(target_df, text_col, id_col, num_buckets)
+    # Side-tagged union → ONE map-side-combinable aggregate builds both
+    # marginals (a full-outer join of the two count tables would compile
+    # to a SortMergeJoin and re-derive the corpus aggregate per consumer).
+    dist = (
+        feats.select(
+            "bucket", F.lit(1).alias("is_raw"), F.lit(0).alias("is_tgt")
+        )
+        .unionAll(
+            tfeats.select(
+                "bucket", F.lit(0).alias("is_raw"), F.lit(1).alias("is_tgt")
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.sum("is_raw").alias("c_raw"), F.sum("is_tgt").alias("c_tgt"))
+    )
+    # dist is ≤ num_buckets rows but feeds two consumers (totals + ratio);
+    # the lazy barrier materializes the corpus aggregate exactly once, so
+    # the whole job is two corpus passes: build the ratio table, score.
+    dist = dist.localCheckpoint(eager=False)
+    totals = dist.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    a = float(smoothing)
+    b = float(num_buckets)
+    ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_tgt") + a) / (F.col("t_tgt") + a * b))
+            - F.log((F.col("c_raw") + a) / (F.col("t_raw") + a * b))
+        ).alias("log_ratio"),
+    )
+    return (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.round(F.sum("log_ratio"), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_gumbel_sample(
+    df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8192,
+    smoothing: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """DSIR's importance RESAMPLING step: k docs sampled without
+    replacement with probability ∝ exp(log_weight), via the Gumbel-top-k
+    trick — rank by log_weight + Gumbel noise and keep the top k.
+
+    The Gumbel draw is deterministic-portable: u = (md5-hex15(id:salt)+1)
+    / (16^15+2) ∈ (0,1), g = −ln(−ln u) — same row, same draw, any
+    engine, any partitioning; change ``salt`` to redraw.  The top-k is a
+    bounded TakeOrdered, never a global sort.
+
+    Output: (doc_id, log_weight, sample_key), the k selected docs.
+    """
+    w = dsir_log_weights(
+        df, target_df, text_col, id_col, num_buckets, smoothing
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.lit(salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_HEX15_SPACE) + 2.0)
+    return (
+        w.select(
+            "doc_id",
+            "log_weight",
+            F.round(F.col("log_weight") - F.log(-F.log(u)), 6).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+        .limit(int(k))
+    )

@@ -3302,3 +3302,90 @@ WITH docs AS (
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.5
 """
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram
+    # features, target = the src0 slice (the "domain" being selected for),
+    # raw = the whole corpus.  Portable md5 buckets → full DuckDB twin.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.dsir_log_weights(
+        docs, docs.where(F.col("source") == "src0"), num_buckets=2048
+    )
+
+
+# Shared DSIR CTE chain: portable md5-hex15 bucket of every unigram and
+# bigram OCCURRENCE (counts matter — no DISTINCT), add-1-smoothed
+# target/raw log-ratio per bucket, per-doc feature-sum.
+_SQL_DSIR_CTES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM toks
+), bigrams AS (
+  SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS g
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), grams AS (
+  SELECT doc_id, tok AS g FROM tok_rows
+  UNION ALL
+  SELECT doc_id, g FROM bigrams WHERE g IS NOT NULL
+), feats AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 2048 AS bucket
+  FROM grams
+), raw_c AS (
+  SELECT bucket, COUNT(*) AS c_raw FROM feats GROUP BY bucket
+), tgt_c AS (
+  SELECT bucket, COUNT(*) AS c_tgt
+  FROM feats JOIN documents USING (doc_id)
+  WHERE source = 'src0' GROUP BY bucket
+), dist AS (
+  SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+         COALESCE(c_raw, 0) AS c_raw, COALESCE(c_tgt, 0) AS c_tgt
+  FROM raw_c r FULL OUTER JOIN tgt_c t ON r.bucket = t.bucket
+), tot AS (
+  SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM dist
+), ratio AS (
+  SELECT bucket,
+         ln((c_tgt + 1.0) / (t_tgt + 2048.0))
+           - ln((c_raw + 1.0) / (t_raw + 2048.0)) AS log_ratio
+  FROM dist CROSS JOIN tot
+), weights AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_features,
+         ROUND(SUM(log_ratio), 6) AS log_weight
+  FROM feats JOIN ratio USING (bucket)
+  GROUP BY doc_id
+)
+"""
+
+SQL_DSIR_WEIGHTS = _SQL_DSIR_CTES + "SELECT * FROM weights"
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR's resampling step: 100 docs without replacement ∝ exp(weight)
+    # via deterministic-portable Gumbel-top-k (md5-uniform noise).
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.dsir_gumbel_sample(
+        docs, docs.where(F.col("source") == "src0"), k=100, num_buckets=2048
+    )
+
+
+SQL_DSIR_SAMPLE = _SQL_DSIR_CTES + r"""
+SELECT doc_id, log_weight,
+       ROUND(log_weight - ln(-ln(
+         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15)
+               AS BIGINT) + 1.0) / 1152921504606846978.0
+       )), 6) AS sample_key
+FROM weights
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
+"""

@@ -162,6 +162,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.SQL_EMBEDDING_DRIFT_PSI,
     ),
     # ---------- driver 50-query window ends here ----------
+    # --- added r10 (past-cap; r11 promotion pool): DSIR importance
+    #     resampling (Xie et al. 2023) — hashed unigram+bigram log-weights
+    #     against a target slice, and the Gumbel-top-k resample.  Portable
+    #     md5 buckets/noise → full DuckDB twins, parity-tested at 3 SFs ---
+    "dsir_weights": (L.q_dsir_weights, L.SQL_DSIR_WEIGHTS),
+    "dsir_sample": (L.q_dsir_sample, L.SQL_DSIR_SAMPLE),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -1997,3 +1997,39 @@ def test_tokenizer_fertility_ranks_gibberish_highest_negative_control(spark):
     # to near-char-level (>5 pieces/word here), trained words to ≤2.
     assert fert["src_gib"] > 5.0
     assert fert["src_nat"] <= 2.0
+
+
+def test_dsir_weights_rank_target_domain_docs_higher(spark):
+    """DSIR negative control: docs sharing the target slice's vocabulary
+    must out-weigh docs from a disjoint vocabulary, and the Gumbel
+    resample must be deterministic under a fixed salt."""
+    from etl_pipeline2_0_spark.functions import mixing
+
+    med = [
+        "the patient showed acute symptoms and the doctor prescribed a treatment",
+        "clinical trials measure the treatment effect on patient outcomes",
+        "the doctor reviewed the patient chart before the clinical rounds",
+    ]
+    legal = [
+        "the court ruled the contract clause void under statutory law",
+        "the defendant appealed the verdict citing procedural error",
+        "counsel filed the motion before the appellate court deadline",
+    ]
+    rows = [(i, "med", t) for i, t in enumerate(med)] + [
+        (10 + i, "legal", t) for i, t in enumerate(legal)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    target = df.where(F.col("source") == "med")
+    w = mixing.dsir_log_weights(df, target, num_buckets=1024)
+    by_src = {
+        r["source"]: r["avg_w"]
+        for r in w.join(df.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.avg("log_weight").alias("avg_w"))
+        .collect()
+    }
+    assert by_src["med"] > by_src["legal"]
+
+    s1 = sorted(r["doc_id"] for r in mixing.dsir_gumbel_sample(df, target, k=3, salt="a").collect())
+    s2 = sorted(r["doc_id"] for r in mixing.dsir_gumbel_sample(df, target, k=3, salt="a").collect())
+    assert s1 == s2  # deterministic redraw

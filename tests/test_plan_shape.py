@@ -622,3 +622,14 @@ def test_tokenizer_fertility_single_corpus_pass(spark, sf_dir):
     # the bounded trainer (word-type table) — a doc_id re-join would add
     # a third scan.
     assert plan.count("documents.parquet") <= 2
+
+
+def test_dsir_ratio_table_broadcast_no_wide_join(spark, sf_dir):
+    # The bucket log-ratio table (≤ num_buckets rows) must BROADCAST back
+    # onto the exploded corpus pass — the per-doc weight aggregate is the
+    # only wide shuffle; no SortMergeJoin, no cartesian (the totals
+    # crossJoin is a 1-row broadcast, same plan class as W1).
+    plan = _plan(L.q_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
