@@ -114,6 +114,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "dsir_weights",
     "dsir_sample",
+    "gopher_rules",
     "doc_pipeline_sf01",
 ]
 

@@ -3389,3 +3389,57 @@ FROM weights
 ORDER BY sample_key DESC, doc_id
 LIMIT 100
 """
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Gopher heuristic rule battery (Rae et al. 2021 Table A1) at the
+    # paper's published thresholds — per-doc metrics + keep verdict.
+    from etl_pipeline2_0_spark.functions import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs)
+
+
+SQL_GOPHER_RULES = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                     x -> length(x) > 0) AS toks,
+         string_split(text, chr(10)) AS lines,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS wtoks
+  FROM documents
+), metrics AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0
+                    / len(toks) END, 6) AS mean_word_len,
+         ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE len(regexp_extract_all(text, '(#|\.\.\.|…)')) * 1.0
+                    / len(toks) END, 6) AS symbol_ratio,
+         ROUND(len(list_filter(lines,
+                 l -> regexp_matches(l, '^[ \x09]*[-*•]'))) * 1.0
+               / len(lines), 6) AS bullet_line_frac,
+         ROUND(len(list_filter(lines,
+                 l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) * 1.0
+               / len(lines), 6) AS ellipsis_line_frac,
+         ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE len(list_filter(toks,
+                      w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+                    / len(toks) END, 6) AS alpha_word_frac,
+         CAST(len(list_intersect(list_distinct(wtoks),
+              ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stopword_hits
+  FROM base
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_stopword_hits >= 2) AS keep
+FROM metrics
+"""

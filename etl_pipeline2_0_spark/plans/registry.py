@@ -168,6 +168,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     md5 buckets/noise → full DuckDB twins, parity-tested at 3 SFs ---
     "dsir_weights": (L.q_dsir_weights, L.SQL_DSIR_WEIGHTS),
     "dsir_sample": (L.q_dsir_sample, L.SQL_DSIR_SAMPLE),
+    # --- added r10 (past-cap; r11 promotion pool): the Gopher heuristic
+    #     rule battery (Rae et al. 2021 Table A1) at published thresholds,
+    #     rounded-metric keep decisions for engine-identical boundaries ---
+    "gopher_rules": (L.q_gopher_rules, L.SQL_GOPHER_RULES),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -2033,3 +2033,37 @@ def test_dsir_weights_rank_target_domain_docs_higher(spark):
     s1 = sorted(r["doc_id"] for r in mixing.dsir_gumbel_sample(df, target, k=3, salt="a").collect())
     s2 = sorted(r["doc_id"] for r in mixing.dsir_gumbel_sample(df, target, k=3, salt="a").collect())
     assert s1 == s2  # deterministic redraw
+
+
+def test_gopher_rules_planted_violations_negative_control(spark):
+    """Each Gopher rule gets one planted violator that fails ONLY that
+    rule (plus a clean doc that passes all) — adversarial against a
+    plausible threshold/aggregation slip in any single rule."""
+    ok_words = ("the data and the model have to be trained with care "
+                "because that process will shape all of the results we "
+                "see later on in every case study we publish here now "
+                "for the benefit of all readers everywhere today friends "
+                "and the final review of that work will have to be done "
+                "with the same care that we gave to all earlier stages")
+    rows = [
+        (1, ok_words),                                     # clean: keep
+        (2, "the of and to " * 5),                         # 20 words < 50
+        (3, " ".join(["to", "of", "be"] * 20)),            # mean len 2 < 3
+        (4, ok_words + " " + "#### " * 10),                # symbol soup
+        (5, "\n".join("- " + ok_words for _ in range(10))),  # all bullets
+        (6, "\n".join(ok_words + " ..." for _ in range(10))),  # ellipses
+        (7, ok_words + " " + " ".join(["123456"] * 40)),   # digits, no alpha
+        (8, " ".join(["zebra", "quartz", "melon"] * 20)),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.gopher_quality_flags(df).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["n_words"] < 50
+    assert got[3]["keep"] is False and got[3]["mean_word_len"] < 3.0
+    assert got[4]["keep"] is False and got[4]["symbol_ratio"] > 0.1
+    assert got[5]["keep"] is False and got[5]["bullet_line_frac"] > 0.9
+    assert got[6]["keep"] is False and got[6]["ellipsis_line_frac"] > 0.3
+    assert got[7]["keep"] is False and got[7]["alpha_word_frac"] < 0.8
+    assert got[8]["keep"] is False and got[8]["n_stopword_hits"] < 2
+    # each violator fails exactly its own rule's metric band, with the
+    # clean doc proving every band is satisfiable simultaneously
