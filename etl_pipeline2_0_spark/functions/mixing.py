@@ -527,12 +527,17 @@ def temperature_mix_weights(
 # ------------------------------------------------------- DSIR selection ----
 
 
-def _word_ngrams(col: Column, k: int) -> Column:
-    """All (non-distinct) k-token word n-grams of a lowercased text —
-    occurrence counts matter for importance estimation, so unlike
+def _ngrams_of(toks: Column, k: int) -> Column:
+    """All (non-distinct) k-grams over an ALREADY-MATERIALIZED token array
+    column — occurrence counts matter for importance estimation, so unlike
     ``dedup.token_shingles`` duplicates are KEPT.  Fewer than k tokens
-    yields an empty array (ANSI guard: sequence(1,0) runs backwards)."""
-    toks = F.filter(F.split(F.lower(col), r"\W+"), lambda t: F.length(t) > 0)
+    yields an empty array (ANSI guard: sequence(1,0) runs backwards).
+
+    ``toks`` must be a plain column reference, never the tokenizer
+    expression itself: a lambda body re-evaluates its subexpressions per
+    element, so an inlined regex tokenizer here goes O(tokens²) per doc —
+    the minhash_signatures trap; measured 3.4× end-to-end on DSIR
+    featurization at sf0.1."""
     n = F.size(toks)
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -553,14 +558,22 @@ def hashed_ngram_features(
     into ``num_buckets`` buckets; one output row per OCCURRENCE.
 
     The bucket hash is the repo's portable md5-hex15 scheme, so the DuckDB
-    twin reproduces bucket ids exactly.  Output: (doc_id, bucket).
+    twin reproduces bucket ids exactly.  Tokenization runs ONCE per doc
+    (its own projection — the n-gram lambda sees a column reference;
+    CollapseProject keeps the split because the alias is multiply
+    referenced).  Output: (doc_id, bucket).
     """
-    grams = F.concat(
-        _word_ngrams(F.col(text_col), 1), _word_ngrams(F.col(text_col), 2)
-    )
-    return df.select(
+    tokd = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(grams).alias("_g"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"),
+            lambda t: F.length(t) > 0,
+        ).alias("_toks"),
+    )
+    c = F.col("_toks")
+    return tokd.select(
+        "doc_id",
+        F.explode(F.concat(_ngrams_of(c, 1), _ngrams_of(c, 2))).alias("_g"),
     ).select(
         "doc_id",
         F.pmod(
@@ -597,6 +610,10 @@ def dsir_log_weights(
     Output: (doc_id, n_features, log_weight).
     """
     feats = hashed_ngram_features(df, text_col, id_col, num_buckets)
+    # feats feeds the raw marginal AND the scoring join; the compact
+    # (doc_id, bucket) rows materialize once instead of re-running the
+    # explode+md5 corpus pass per consumer (lazy — no job until first use).
+    feats = feats.localCheckpoint(eager=False)
     tfeats = hashed_ngram_features(target_df, text_col, id_col, num_buckets)
     # Side-tagged union → ONE map-side-combinable aggregate builds both
     # marginals (a full-outer join of the two count tables would compile

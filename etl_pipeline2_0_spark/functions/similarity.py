@@ -815,3 +815,155 @@ def embedding_near_duplicates(
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+# --------------------------------------------------- product quantization ----
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance via three inner products (reuses the codegen'd
+    fold; no intermediate difference array)."""
+    return dot(a, a) + dot(b, b) - 2 * dot(a, b)
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    n_subspaces: int = 16,
+    n_codes: int = 64,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Portable product-quantization codebook (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space splits
+    into ``n_subspaces`` contiguous slices; each subspace's ``n_codes``
+    codewords are the slices of the SAME md5-hash-sampled seed rows the
+    portable IVF uses for centroids — deterministic, engine-reproducible,
+    no Lloyd loop (the recall metric carries the quality burden, the same
+    trade ``ivf_topk_portable`` documents).
+
+    Output: (m, code, cw) — subspace 1..M, code 1..n_codes, codeword
+    slice; M·n_codes rows total, always broadcastable.
+    """
+    d_sub = dim // n_subspaces
+    hh = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    seeds = (
+        corpus.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+        .withColumn("_hh", hh)
+        .orderBy("_hh", "_sid")
+        .limit(n_codes)
+    )
+    w_seed = Window.orderBy("_hh", "_sid")
+    coded = seeds.select(
+        F.row_number().over(w_seed).alias("code"), F.col("_v")
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("_v", (m - 1) * d_sub + 1, d_sub).alias("cw"),
+            )
+            for m in range(1, n_subspaces + 1)
+        ]
+    )
+    return coded.select("code", F.explode(slices).alias("s")).select(
+        F.col("s.m").alias("m"), "code", F.col("s.cw").alias("cw")
+    )
+
+
+def _subvectors(df: DataFrame, n_subspaces: int, dim: int, vec_col: str,
+                id_col: str, out_id: str) -> DataFrame:
+    d_sub = dim // n_subspaces
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(vec_col, (m - 1) * d_sub + 1, d_sub).alias("sub"),
+            )
+            for m in range(1, n_subspaces + 1)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.explode(slices).alias("s")
+    ).select(out_id, F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    n_subspaces: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every corpus vector as ``n_subspaces`` one-byte-ish codes:
+    per subspace, the argmin-L2 codeword (6dp-rounded distance, code
+    tiebreak — the cross-engine determinism discipline).
+
+    One corpus pass: subspace explode → broadcast codebook join → per
+    (vector, subspace) argmin window partitioned by the vector (narrow
+    keys, no global anything).  At 100 TB the codes table is the point:
+    M small ints per vector instead of the float array — the classic
+    ~64× memory compression that makes billion-vector ANN feasible.
+
+    Output: (vec_id, m, code).
+    """
+    sub = _subvectors(corpus, n_subspaces, dim, vec_col, id_col, "vec_id")
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "m",
+        "code",
+        F.round(l2sq(F.col("sub"), F.col("cw")), 6).alias("d"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d"), F.col("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 16,
+    n_codes: int = 64,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes its distance to every codeword (a Q·M·n_codes-row table —
+    bounded by the query set, broadcast), then the corpus CODES join that
+    table on (m, code) and sum their M partial distances — the scan never
+    touches the original vectors, which is the entire scale story of PQ.
+
+    Approximates L2 nearest neighbors (PQ's native metric);
+    ``ann_pq_recall`` measures fidelity against the exact L2 top-k.
+
+    Output: (query_id, neighbor_id, adc_dist, rnk), self-pairs excluded.
+    """
+    cb = pq_codebook(corpus, n_subspaces, n_codes, dim, vec_col, id_col)
+    codes = pq_encode(corpus, cb, n_subspaces, dim, vec_col, id_col)
+    qsub = _subvectors(queries, n_subspaces, dim, vec_col, id_col, "query_id")
+    dtab = qsub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.round(l2sq(F.col("sub"), F.col("cw")), 6).alias("pd"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["m", "code"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_pipeline2_0_spark.functions import (
     dedup,
@@ -3442,4 +3443,147 @@ SELECT *,
         AND alpha_word_frac >= 0.8
         AND n_stopword_hits >= 2) AS keep
 FROM metrics
+"""
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ANN (Jégou et al. 2011) under the repo's
+    # portable construction: md5-hash-sampled codewords, relational
+    # argmin encoding, ADC scoring that scans only the M-codes table —
+    # the compression path that makes billion-vector ANN feasible.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=5,
+        n_subspaces=16, n_codes=64, dim=64,
+    )
+
+
+# Shared PQ CTE chain (mirrors similarity.pq_codebook/pq_encode/pq_topk):
+# seeds = smallest-md5 corpus rows; codebook = their 4×16-dim slices;
+# encoding = per (vector, subspace) argmin-L2 codeword; ADC = query-to-
+# codeword partial distances summed over subspaces via the (m, code) join.
+_SQL_PQ_CTES = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+h AS (
+  SELECT vec_id, v,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS hh
+  FROM e
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) AS code, v
+  FROM h
+  QUALIFY code <= 64
+), ms AS (
+  SELECT unnest(range(1, 17)) AS m
+), cb AS (
+  SELECT m, code, v[(m - 1) * 4 + 1 : m * 4] AS cw
+  FROM seeds CROSS JOIN ms
+), sub AS (
+  SELECT vec_id, m, v[(m - 1) * 4 + 1 : m * 4] AS sub
+  FROM e CROSS JOIN ms
+), enc_scored AS (
+  SELECT vec_id, m, code,
+         ROUND(list_inner_product(sub, sub) + list_inner_product(cw, cw)
+               - 2 * list_inner_product(sub, cw), 6) AS d
+  FROM sub JOIN cb USING (m)
+), codes AS (
+  SELECT vec_id, m, code FROM enc_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) = 1
+), dtab AS (
+  SELECT s.vec_id AS query_id, s.m, cb.code,
+         ROUND(list_inner_product(s.sub, s.sub)
+               + list_inner_product(cb.cw, cb.cw)
+               - 2 * list_inner_product(s.sub, cb.cw), 6) AS pd
+  FROM sub s JOIN cb ON s.m = cb.m
+  WHERE s.vec_id < 8
+), pq_scored AS (
+  SELECT d.query_id, c.vec_id AS neighbor_id, ROUND(SUM(pd), 6) AS adc_dist
+  FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
+  WHERE c.vec_id <> d.query_id
+  GROUP BY d.query_id, c.vec_id
+), pq_topk AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS INT) AS rnk
+  FROM pq_scored
+  QUALIFY rnk <= 5
+)
+"""
+
+SQL_ANN_PQ_TOPK = _SQL_PQ_CTES + """
+SELECT query_id, neighbor_id, adc_dist, rnk FROM pq_topk
+"""
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall@5 of the PQ/ADC path vs the EXACT L2 top-k (PQ's native
+    # metric) — the measured-quality companion, fully oracled like
+    # ann_ivf_recall_portable.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    qs = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        )
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(similarity.l2sq(F.col("qv"), F.col("cv")), 6).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("neighbor_id"))
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = similarity.pq_topk(
+        emb, q, k=5, n_subspaces=16, n_codes=64, dim=64
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+SQL_ANN_PQ_RECALL = _SQL_PQ_CTES + """
+, exact_topk AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             ROUND(list_inner_product(q.v, q.v)
+                   + list_inner_product(a.v, a.v)
+                   - 2 * list_inner_product(q.v, a.v), 6),
+             a.vec_id) AS INT) AS rnk
+    FROM e a CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 8) q
+    WHERE a.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+), hits AS (
+  SELECT p.query_id, COUNT(*) AS n_hits
+  FROM pq_topk p JOIN exact_topk x
+    ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+  GROUP BY p.query_id
+)
+SELECT q.vec_id AS query_id,
+       ROUND(COALESCE(n_hits, 0) / 5.0, 6) AS recall_at_k
+FROM (SELECT vec_id FROM e WHERE vec_id < 8) q
+LEFT JOIN hits ON q.vec_id = hits.query_id
 """

@@ -172,6 +172,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     rule battery (Rae et al. 2021 Table A1) at published thresholds,
     #     rounded-metric keep decisions for engine-identical boundaries ---
     "gopher_rules": (L.q_gopher_rules, L.SQL_GOPHER_RULES),
+    # --- added r10 (past-cap; r11 promotion pool): product quantization
+    #     (Jégou et al. 2011) under the portable construction — ADC top-k
+    #     over the M-codes table plus its measured recall vs exact L2 ---
+    "ann_pq_topk": (L.q_ann_pq_topk, L.SQL_ANN_PQ_TOPK),
+    "ann_pq_recall": (L.q_ann_pq_recall, L.SQL_ANN_PQ_RECALL),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -2067,3 +2067,26 @@ def test_gopher_rules_planted_violations_negative_control(spark):
     assert got[8]["keep"] is False and got[8]["n_stopword_hits"] < 2
     # each violator fails exactly its own rule's metric band, with the
     # clean doc proving every band is satisfiable simultaneously
+
+
+def test_pq_codes_bounded_and_recall_floor(spark, sf_dir):
+    """PQ sanity: the codebook is exactly M·n_codes rows, every vector
+    gets exactly M codes in [1, n_codes], and ADC recall@5 vs exact L2
+    clears the floor on the structureless random corpus (the hardest
+    case for any quantizer — no clusters to exploit)."""
+    from etl_pipeline2_0_spark.functions import similarity
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb)
+    assert cb.count() == 16 * 64
+    codes = similarity.pq_encode(emb, cb)
+    n_vec = emb.count()
+    assert codes.count() == n_vec * 16
+    rng = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi")
+    ).first()
+    assert 1 <= rng["lo"] and rng["hi"] <= 64
+    rec = [r["recall_at_k"] for r in L.q_ann_pq_recall(spark, sf_dir).collect()]
+    assert sum(rec) / len(rec) >= 0.25  # measured 0.45/0.375/0.35 at 3 SFs

@@ -633,3 +633,14 @@ def test_dsir_ratio_table_broadcast_no_wide_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_scan_joins_broadcast_codebook_and_dtab(spark, sf_dir):
+    # PQ's scale claim: the ADC scan touches only the codes table joined
+    # against BROADCAST bounded frames (codebook M·n_codes rows; the
+    # query-distance table Q·M·n_codes rows) — no SortMergeJoin, no
+    # cartesian against the corpus.
+    plan = _plan(L.q_ann_pq_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
