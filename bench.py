@@ -115,6 +115,8 @@ HEADLINE = [
     "dsir_weights",
     "dsir_sample",
     "gopher_rules",
+    "ann_pq_topk",
+    "ann_pq_recall",
     "doc_pipeline_sf01",
 ]
 

@@ -847,7 +847,7 @@ def pq_codebook(
     """
     d_sub = dim // n_subspaces
     hh = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        F.substring(F.md5(F.col("_sid").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
     seeds = (
         corpus.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
