@@ -117,6 +117,7 @@ HEADLINE = [
     "gopher_rules",
     "ann_pq_topk",
     "ann_pq_recall",
+    "cms_heavy_hitters",
     "doc_pipeline_sf01",
 ]
 

@@ -3587,3 +3587,62 @@ SELECT q.vec_id AS query_id,
 FROM (SELECT vec_id FROM e WHERE vec_id < 8) q
 LEFT JOIN hits ON q.vec_id = hits.query_id
 """
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-min-sketch heavy hitters: the exact top-20 corpus tokens with
+    # their sketch estimates side by side — the accuracy harness for the
+    # fixed-memory frequency pass that would feed the dedup doc-freq caps
+    # at 100 TB (the hll_accuracy pattern, applied to frequencies).
+    from etl_pipeline2_0_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\W+"), lambda t: F.length(t) > 0
+            )
+        ).alias("item")
+    )
+    sk = sketches.cms_sketch(occ, depth=4, width=256)
+    exact = (
+        occ.groupBy(F.col("item"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("item"))
+        .limit(20)
+    )
+    est = sketches.cms_estimate(exact.select("item"), sk, depth=4, width=256)
+    return exact.join(est, "item").select(
+        F.col("item").alias("token"), "exact_cnt", "cms_est"
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = r"""
+WITH occ AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents
+), rows_ AS (
+  SELECT unnest([0, 1, 2, 3]) AS row
+), cells AS (
+  SELECT row,
+         CAST('0x' || substring(md5(CAST(row AS VARCHAR) || ':' || tok),
+                                1, 15) AS BIGINT) % 256 AS bucket
+  FROM occ CROSS JOIN rows_
+), sketch AS (
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row, bucket
+), exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM occ GROUP BY tok
+  QUALIFY ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, tok) <= 20
+), probes AS (
+  SELECT tok, exact_cnt, row,
+         CAST('0x' || substring(md5(CAST(row AS VARCHAR) || ':' || tok),
+                                1, 15) AS BIGINT) % 256 AS bucket
+  FROM exact CROSS JOIN rows_
+)
+SELECT tok AS token, exact_cnt, MIN(cnt) AS cms_est
+FROM probes JOIN sketch USING (row, bucket)
+GROUP BY tok, exact_cnt
+"""

@@ -177,6 +177,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     over the M-codes table plus its measured recall vs exact L2 ---
     "ann_pq_topk": (L.q_ann_pq_topk, L.SQL_ANN_PQ_TOPK),
     "ann_pq_recall": (L.q_ann_pq_recall, L.SQL_ANN_PQ_RECALL),
+    # --- added r10 (past-cap; r11 promotion pool): count-min-sketch
+    #     heavy hitters (Cormode & Muthukrishnan 2005) — the fixed-memory
+    #     frequency sketch that feeds the dedup doc-freq caps at scale,
+    #     evaluated against the exact top-20 (hll_accuracy pattern) ---
+    "cms_heavy_hitters": (L.q_cms_heavy_hitters, L.SQL_CMS_HEAVY_HITTERS),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

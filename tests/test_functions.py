@@ -2090,3 +2090,24 @@ def test_pq_codes_bounded_and_recall_floor(spark, sf_dir):
     assert 1 <= rng["lo"] and rng["hi"] <= 64
     rec = [r["recall_at_k"] for r in L.q_ann_pq_recall(spark, sf_dir).collect()]
     assert sum(rec) / len(rec) >= 0.25  # measured 0.45/0.375/0.35 at 3 SFs
+
+
+def test_cms_one_sided_error_and_planted_heavy_hitter(spark):
+    """Count-min property pin: estimates NEVER undercount (min over
+    row-salted buckets; collisions only add), and a planted heavy hitter
+    dominates both exact and estimated counts."""
+    from etl_pipeline2_0_spark.functions import sketches
+
+    rows = [("boiler",)] * 500 + [(f"rare{i}",) for i in range(200)]
+    occ = spark.createDataFrame(rows, "item string")
+    sk = sketches.cms_sketch(occ, depth=4, width=64)  # narrow: collisions
+    exact = occ.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = sketches.cms_estimate(exact.select("item"), sk, depth=4, width=64)
+    joined = exact.join(est, "item").collect()
+    assert len(joined) == 201
+    for r in joined:
+        assert r["cms_est"] >= r["exact_cnt"]  # one-sided guarantee
+    top = max(joined, key=lambda r: r["cms_est"])
+    assert top["item"] == "boiler" and top["exact_cnt"] == 500
+    # the sketch is bounded regardless of item cardinality
+    assert sk.count() <= 4 * 64
