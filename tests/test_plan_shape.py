@@ -644,3 +644,10 @@ def test_pq_adc_scan_joins_broadcast_codebook_and_dtab(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_sample_topk_is_take_ordered(spark, sf_dir):
+    # Gumbel-top-k must compile to a bounded TakeOrdered, never a global
+    # Sort materialization.
+    plan = _plan(L.q_dsir_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
