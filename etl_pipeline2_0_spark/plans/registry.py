@@ -162,6 +162,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.SQL_EMBEDDING_DRIFT_PSI,
     ),
     # ---------- driver 50-query window ends here ----------
+    # R11 ROTATION PREP: the six r10-added past-cap entries below
+    # (dsir_weights, dsir_sample, gopher_rules, ann_pq_topk,
+    # ann_pq_recall, cms_heavy_hitters) are all oracled and parity-proven
+    # at sf0.001+0.01+0.1 with zero driver rows — the r11 promotion pool.
+    # Demote six in-window entries that will then hold ≥2 green rows
+    # (after the r10 driver run the 8 r8-holdovers have 3, the 21 r9
+    # first-row batch have 2) and promote these six; keep the all-oracled
+    # window invariant and family representatives
+    # (test_sql_registry.py pins both).
     # --- added r10 (past-cap; r11 promotion pool): DSIR importance
     #     resampling (Xie et al. 2023) — hashed unigram+bigram log-weights
     #     against a target slice, and the Gumbel-top-k resample.  Portable
