@@ -85,3 +85,64 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str = "item",
+    num_hashes: int = 4,
+    num_bits: int = 4096,
+) -> DataFrame:
+    """Build a Bloom filter as a RELATION: the distinct set-bit positions
+    of ``num_hashes`` row-salted md5 hashes per item (≤ ``num_bits`` rows,
+    always broadcastable).  The classic membership sketch for
+    decontamination at scale — the eval set's filter ships to every
+    executor instead of the eval set itself.
+
+    Output: (bit,).
+    """
+    rows = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return (
+        items.select(F.col(item_col).alias("_it"), F.explode(rows).alias("row"))
+        .select(_cms_bucket(F.col("_it"), F.col("row"), num_bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    item_col: str = "item",
+    num_hashes: int = 4,
+    num_bits: int = 4096,
+) -> DataFrame:
+    """Probe each candidate against the filter: ``maybe_present`` iff ALL
+    ``num_hashes`` of its bit positions are set.  One-sided like every
+    Bloom filter — false positives possible (rate ~(1-e^{-kn/m})^k),
+    false negatives IMPOSSIBLE (property-pinned in tests).
+
+    The filter broadcasts; candidates stay distributed — the probe is a
+    broadcast semi-style join + per-item count, corpus-size-linear.
+
+    Output: (item, maybe_present).
+    """
+    rows = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    probes = candidates.select(
+        F.col(item_col).alias("item"), F.explode(rows).alias("row")
+    ).select("item", _cms_bucket(F.col("item"), F.col("row"), num_bits).alias("bit"))
+    hits = (
+        probes.join(F.broadcast(bloom), "bit")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("_n_set"))
+    )
+    return (
+        candidates.select(F.col(item_col).alias("item"))
+        .distinct()
+        .join(hits, "item", "left")
+        .select(
+            "item",
+            (F.coalesce(F.col("_n_set"), F.lit(0)) == num_hashes).alias(
+                "maybe_present"
+            ),
+        )
+    )

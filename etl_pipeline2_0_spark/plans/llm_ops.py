@@ -3646,3 +3646,97 @@ SELECT tok AS token, exact_cnt, MIN(cnt) AS cms_est
 FROM probes JOIN sketch USING (row, bucket)
 GROUP BY tok, exact_cnt
 """
+
+
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decontamination at sketch scale: the eval set (every 97th doc, the
+    # contamination_check convention) ships as a ≤4096-row Bloom-bit
+    # relation instead of its shingle set; each training doc reports its
+    # shingle count, the bloom-flagged count, and the EXACT contaminated
+    # count side by side — the false-positive overhead is the visible
+    # difference, and false negatives are structurally impossible.
+    from etl_pipeline2_0_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    eval_sh = eval_set.select(
+        F.explode(dedup.token_shingles(F.col("text"), 3)).alias("item")
+    ).distinct()
+    pairs = corpus.select(
+        "doc_id", F.explode(dedup.token_shingles(F.col("text"), 3)).alias("item")
+    )
+    bloom = sketches.bloom_build(eval_sh, num_hashes=4, num_bits=4096)
+    verdicts = sketches.bloom_probe(
+        pairs.select("item").distinct(), bloom, num_hashes=4, num_bits=4096
+    )
+    exact = eval_sh.withColumn("_in_eval", F.lit(1))
+    return (
+        pairs.join(verdicts, "item")
+        .join(exact.select("item", "_in_eval"), "item", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bloom_flagged"),
+            F.sum(F.coalesce(F.col("_in_eval"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_exact_contaminated"),
+        )
+    )
+
+
+SQL_BLOOM_CONTAMINATION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM tok
+), sh0 AS (
+  SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w || ' '
+           || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), pairs AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0
+), rows_ AS (
+  SELECT unnest([0, 1, 2, 3]) AS row
+), bloom AS (
+  SELECT DISTINCT
+         CAST('0x' || substring(md5(CAST(row AS VARCHAR) || ':' || shingle),
+                                1, 15) AS BIGINT) % 4096 AS bit
+  FROM eval_sh CROSS JOIN rows_
+), cand AS (
+  SELECT DISTINCT shingle FROM pairs
+), probes AS (
+  SELECT shingle, row,
+         CAST('0x' || substring(md5(CAST(row AS VARCHAR) || ':' || shingle),
+                                1, 15) AS BIGINT) % 4096 AS bit
+  FROM cand CROSS JOIN rows_
+), verdicts AS (
+  SELECT c.shingle,
+         COALESCE(h.n_set, 0) = 4 AS maybe_present
+  FROM cand c LEFT JOIN (
+    SELECT shingle, COUNT(*) AS n_set
+    FROM probes JOIN bloom USING (bit)
+    GROUP BY shingle
+  ) h ON c.shingle = h.shingle
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN v.maybe_present THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_flagged,
+       CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_contaminated
+FROM pairs p
+JOIN verdicts v ON p.shingle = v.shingle
+LEFT JOIN eval_sh e ON p.shingle = e.shingle
+GROUP BY p.doc_id
+"""

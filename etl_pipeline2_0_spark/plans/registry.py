@@ -191,6 +191,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     frequency sketch that feeds the dedup doc-freq caps at scale,
     #     evaluated against the exact top-20 (hll_accuracy pattern) ---
     "cms_heavy_hitters": (L.q_cms_heavy_hitters, L.SQL_CMS_HEAVY_HITTERS),
+    # --- added r10 (past-cap; r11 promotion pool): Bloom-filter
+    #     decontamination — the eval set ships as a ≤4096-row bit
+    #     relation; per-doc bloom verdicts vs exact containment make the
+    #     FP overhead visible and FNs structurally impossible ---
+    "bloom_contamination": (
+        L.q_bloom_contamination,
+        L.SQL_BLOOM_CONTAMINATION,
+    ),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -2111,3 +2111,23 @@ def test_cms_one_sided_error_and_planted_heavy_hitter(spark):
     assert top["item"] == "boiler" and top["exact_cnt"] == 500
     # the sketch is bounded regardless of item cardinality
     assert sk.count() <= 4 * 64
+
+
+def test_bloom_probe_no_false_negatives_planted(spark):
+    """Bloom property pin: every item actually IN the filter's build set
+    must probe maybe_present (FNs impossible); with a tiny filter the
+    planted out-of-set items show the expected false POSITIVES only."""
+    from etl_pipeline2_0_spark.functions import sketches
+
+    present = [(f"in{i}",) for i in range(50)]
+    absent = [(f"out{i}",) for i in range(200)]
+    items = spark.createDataFrame(present, "item string")
+    bloom = sketches.bloom_build(items, num_hashes=4, num_bits=256)
+    cand = spark.createDataFrame(present + absent, "item string")
+    got = {
+        r["item"]: r["maybe_present"]
+        for r in sketches.bloom_probe(cand, bloom, num_hashes=4, num_bits=256).collect()
+    }
+    assert all(got[f"in{i}"] for i in range(50))  # no false negatives
+    fp = sum(1 for i in range(200) if got[f"out{i}"])
+    assert fp < 200  # saturation sanity: the filter still discriminates
