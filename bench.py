@@ -118,6 +118,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_pq_recall",
     "cms_heavy_hitters",
+    "bloom_contamination",
     "doc_pipeline_sf01",
 ]
 
