@@ -1,0 +1,78 @@
+"""Streaming sketch maintenance.
+
+Sketches are MERGEABLE — a count-min table over (batch A ∪ batch B) is
+the cell-wise sum of the per-batch tables — so a foreachBatch loop can
+maintain the corpus frequency sketch incrementally with a bounded store
+(≤ depth·width rows), never re-scanning history.  The streamed sketch
+equals the batch sketch EXACTLY (no approximation drift from streaming;
+the only approximation is CMS's own one-sided error), which is pinned
+row-exactly in tests/test_streaming.py.
+
+At 100 TB this is the production shape for the heavy-hitter feed behind
+the dedup doc-freq caps: the crawl stream keeps the sketch current at
+micro-batch cost; consumers broadcast-join the ≤ d·w-row table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_pipeline2_0_spark.functions import sketches
+
+
+def _merge_sketch(batch_cells: DataFrame, store_path: str) -> None:
+    spark = batch_cells.sparkSession
+    if os.path.isdir(store_path):
+        prev = spark.read.parquet(store_path)
+        merged = (
+            batch_cells.unionByName(prev)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+    else:
+        merged = batch_cells
+    # The store is ≤ depth·width rows — rewrite-in-place is the cheap,
+    # atomic-enough move at this size (overwrite stages to _temporary
+    # then commits).  Collecting to the driver would also be bounded,
+    # but keeping it a table lets consumers broadcast-join it directly.
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        store_path
+    )
+
+
+def stream_cms_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 256,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a count-min sketch over a stream of item OCCURRENCES as
+    one checkpointed query: each micro-batch's cell counts merge into the
+    bounded parquet store by cell-wise addition.
+
+    Exactly-once on the sketch VALUES requires exactly-once batch
+    delivery (the checkpoint) — unlike the dedup ingest, a replayed
+    batch WOULD double-count, which is inherent to any counting sketch;
+    the checkpointed file source guarantees each file feeds exactly one
+    committed batch.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cells = sketches.cms_sketch(batch_df, item_col, depth, width)
+        _merge_sketch(cells, store_path)
+
+    writer = stream_df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

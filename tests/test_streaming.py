@@ -426,3 +426,45 @@ def test_stream_curated_ingest_composed_loop(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 5]
+
+
+def test_stream_cms_sketch_equals_batch_sketch(spark, tmp_path):
+    """Streaming sketch maintenance (mergeability): the count-min table
+    maintained incrementally over micro-batches equals the one-shot batch
+    sketch ROW-EXACTLY — merging is cell-wise addition, so streaming adds
+    zero approximation on top of CMS's own one-sided error."""
+    from etl_pipeline2_0_spark.functions import sketches
+    from etl_pipeline2_0_spark.streaming.sketch import stream_cms_ingest
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "sketch")
+    b1 = [("alpha",)] * 30 + [("beta",)] * 5 + [(f"x{i}",) for i in range(40)]
+    b2 = [("alpha",)] * 20 + [("gamma",)] * 7 + [(f"y{i}",) for i in range(40)]
+    spark.createDataFrame(b1, "item string").coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, "item string").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_cms_ingest(stream, store, str(tmp_path / "ckpt"), depth=4, width=64)
+    q.awaitTermination(180)
+
+    streamed = sorted(map(tuple, spark.read.parquet(store).collect()))
+    batch = sorted(
+        map(tuple, sketches.cms_sketch(
+            spark.read.parquet(src), depth=4, width=64).collect())
+    )
+    assert streamed == batch
+    assert len(streamed) <= 4 * 64
+    # and the merged sketch still answers point queries with the
+    # one-sided guarantee over the FULL stream
+    est = {
+        r["item"]: r["cms_est"]
+        for r in sketches.cms_estimate(
+            spark.createDataFrame([("alpha",), ("gamma",)], "item string"),
+            spark.read.parquet(store), depth=4, width=64,
+        ).collect()
+    }
+    assert est["alpha"] >= 50 and est["gamma"] >= 7
