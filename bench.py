@@ -119,6 +119,7 @@ HEADLINE = [
     "ann_pq_recall",
     "cms_heavy_hitters",
     "bloom_contamination",
+    "split_leakage",
     "doc_pipeline_sf01",
 ]
 

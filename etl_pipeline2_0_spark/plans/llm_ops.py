@@ -3748,3 +3748,73 @@ JOIN verdicts v ON p.shingle = v.shingle
 LEFT JOIN eval_sh e ON p.shingle = e.shingle
 GROUP BY p.doc_id
 """
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Split-leakage audit: assign the standard deterministic train/val/
+    # test splits, then measure each VAL doc's shingle containment against
+    # the TRAIN side — near-dup leakage across the split boundary is
+    # exactly what makes validation loss lie.  Pure composition:
+    # assign_splits → contamination_check, both already oracled.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = mixing.assign_splits(docs)
+    train = s.where(F.col("split") == "train")
+    val = s.where(F.col("split") == "val")
+    return dedup.contamination_check(train, val, k=3).select(
+        F.col("eval_id").alias("doc_id"),
+        "n_shingles",
+        "n_contaminated",
+        "containment",
+    )
+
+
+def _sql_split_leakage() -> str:
+    from etl_pipeline2_0_spark.functions.mixing import split_thresholds
+
+    pairs = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    whens = "\n            ".join(
+        f"WHEN hx < '{bound}' THEN '{name}'" for name, bound in pairs[:-1]
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE {whens}
+              ELSE '{pairs[-1][0]}' END AS split
+  FROM (
+    SELECT doc_id, text,
+           '0' || substring(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15) AS hx
+    FROM documents
+  )
+), tok AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM s WHERE split IN ('train', 'val')
+), tok_rows AS (
+  SELECT doc_id, split, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM tok
+), sh3 AS (
+  SELECT doc_id, split,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT doc_id, split, shingle FROM sh3 WHERE shingle IS NOT NULL
+), train_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+), val_sh AS (
+  SELECT doc_id, shingle FROM sh WHERE split = 'val'
+)
+SELECT v.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS containment
+FROM val_sh v LEFT JOIN train_sh t USING (shingle)
+GROUP BY v.doc_id
+"""
+
+
+SQL_SPLIT_LEAKAGE = _sql_split_leakage()

@@ -199,6 +199,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_bloom_contamination,
         L.SQL_BLOOM_CONTAMINATION,
     ),
+    # --- added r10 (past-cap; r11 promotion pool): split-leakage audit —
+    #     assign_splits → val-vs-train shingle containment; the DQ metric
+    #     that catches near-dup leakage across the split boundary ---
+    "split_leakage": (L.q_split_leakage, L.SQL_SPLIT_LEAKAGE),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),
