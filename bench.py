@@ -120,6 +120,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "bloom_contamination",
     "split_leakage",
+    "gopher_audit",
     "doc_pipeline_sf01",
 ]
 

@@ -3818,3 +3818,54 @@ GROUP BY v.doc_id
 
 
 SQL_SPLIT_LEAKAGE = _sql_split_leakage()
+
+
+def q_gopher_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-rule attrition for the Gopher battery (the filter_audit pattern):
+    # how many docs each rule rejects, individually and overall — the
+    # number a corpus build actually tunes against.  One conditional
+    # aggregate over the flags frame; no second corpus pass.
+    from etl_pipeline2_0_spark.functions import text
+
+    flags = text.gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+    c = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        c(~((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)), "fail_word_count"),
+        c(~((F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)), "fail_mean_word_len"),
+        c(F.col("symbol_ratio") > 0.1, "fail_symbol_ratio"),
+        c(F.col("bullet_line_frac") > 0.9, "fail_bullet_lines"),
+        c(F.col("ellipsis_line_frac") > 0.3, "fail_ellipsis_lines"),
+        c(F.col("alpha_word_frac") < 0.8, "fail_alpha_words"),
+        c(F.col("n_stopword_hits") < 2, "fail_stopwords"),
+        c(~F.col("keep"), "n_rejected"),
+        F.round(F.avg(F.when(F.col("keep"), 1.0).otherwise(0.0)), 6).alias("keep_rate"),
+    )
+
+
+def _sql_gopher_audit() -> str:
+    metrics = SQL_GOPHER_RULES.strip()
+    return f"""
+WITH flags AS ({metrics})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT (n_words >= 50 AND n_words <= 100000)
+                THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+       CAST(SUM(CASE WHEN NOT (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_symbol_ratio,
+       CAST(SUM(CASE WHEN bullet_line_frac > 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_bullet_lines,
+       CAST(SUM(CASE WHEN ellipsis_line_frac > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_ellipsis_lines,
+       CAST(SUM(CASE WHEN alpha_word_frac < 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_alpha_words,
+       CAST(SUM(CASE WHEN n_stopword_hits < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_stopwords,
+       CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+       ROUND(AVG(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM flags
+"""
+
+
+SQL_GOPHER_AUDIT = _sql_gopher_audit()

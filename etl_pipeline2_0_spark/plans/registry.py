@@ -203,6 +203,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     assign_splits → val-vs-train shingle containment; the DQ metric
     #     that catches near-dup leakage across the split boundary ---
     "split_leakage": (L.q_split_leakage, L.SQL_SPLIT_LEAKAGE),
+    # --- added r10 (past-cap; r11 promotion pool): per-rule Gopher
+    #     attrition rollup (the filter_audit pattern) ---
+    "gopher_audit": (L.q_gopher_audit, L.SQL_GOPHER_AUDIT),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),
