@@ -2131,3 +2131,36 @@ def test_bloom_probe_no_false_negatives_planted(spark):
     assert all(got[f"in{i}"] for i in range(50))  # no false negatives
     fp = sum(1 for i in range(200) if got[f"out{i}"])
     assert fp < 200  # saturation sanity: the filter still discriminates
+
+
+def test_split_leakage_detects_planted_cross_split_duplicate(spark):
+    """Negative control: a val doc that duplicates a train doc must audit
+    at containment 1.0; a unique val doc near 0.  The split sides are
+    discovered from the real hash assignment first, then the duplicate is
+    planted across the discovered boundary."""
+    from etl_pipeline2_0_spark.functions import dedup, mixing
+
+    ids = spark.createDataFrame([(i,) for i in range(300)], "doc_id bigint")
+    splits = {r["doc_id"]: r["split"] for r in mixing.assign_splits(ids).collect()}
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    val_ids = [i for i, s in splits.items() if s == "val"]
+    assert len(val_ids) >= 2  # 300 ids at 5% — holds for this hash
+    leaked_val, clean_val = val_ids[0], val_ids[1]
+    shared = "the exact same sentence repeated across the split boundary verbatim"
+    rows = [(train_ids[0], shared), (leaked_val, shared),
+            (clean_val, "entirely unrelated words nobody else uses anywhere")] + [
+        (i, f"filler document number {i} with its own distinct content")
+        for i in train_ids[1:20]
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    s = mixing.assign_splits(docs)
+    out = {
+        r["eval_id"]: r["containment"]
+        for r in dedup.contamination_check(
+            s.where(F.col("split") == "train"),
+            s.where(F.col("split") == "val"),
+            k=3,
+        ).collect()
+    }
+    assert out[leaked_val] == 1.0
+    assert out[clean_val] == 0.0

@@ -651,3 +651,21 @@ def test_dsir_sample_topk_is_take_ordered(spark, sf_dir):
     # Sort materialization.
     plan = _plan(L.q_dsir_sample(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_and_bloom_sketches_broadcast(spark, sf_dir):
+    # Both sketch consumers must meet their bounded sketch/bit relation
+    # via broadcast — the probe side never shuffles against the corpus.
+    for q in (L.q_cms_heavy_hitters, L.q_bloom_contamination):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_train_shingles_deduped_before_join(spark, sf_dir):
+    # The train side must collapse to DISTINCT shingles before the
+    # containment join (contamination_check's contract) and the val side
+    # meets it without a cartesian.
+    plan = _plan(L.q_split_leakage(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # distinct + final rollup
