@@ -121,6 +121,7 @@ HEADLINE = [
     "bloom_contamination",
     "split_leakage",
     "gopher_audit",
+    "ccnet_buckets",
     "doc_pipeline_sf01",
 ]
 

@@ -3869,3 +3869,82 @@ FROM flags
 
 
 SQL_GOPHER_AUDIT = _sql_gopher_audit()
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet's defining move (Wenzek et al. 2020): partition each LANGUAGE
+    # by LM perplexity into head/middle/tail terciles — head feeds
+    # training, tail gets dropped or down-weighted.  Pure composition of
+    # oracled primitives: char-bigram lm_score + lang_id + per-group
+    # exact percentiles (the quantile_filter idiom).  Bucket decisions
+    # compare 6dp-ROUNDED score vs 6dp-ROUNDED thresholds so both
+    # engines agree at boundaries.
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.char_bigram_lm_scores(docs, "text", "doc_id", prefix_len=200)
+    langs = docs.select("doc_id", text.lang_id(F.col("text")).alias("lang"))
+    j = scored.join(langs, "doc_id").select("doc_id", "lang", "avg_logp")
+    thr = j.groupBy("lang").agg(
+        F.round(F.percentile("avg_logp", 2.0 / 3), 6).alias("t_head"),
+        F.round(F.percentile("avg_logp", 1.0 / 3), 6).alias("t_mid"),
+    )
+    return j.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_logp",
+        F.when(F.col("avg_logp") >= F.col("t_head"), "head")
+        .when(F.col("avg_logp") >= F.col("t_mid"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+SQL_CCNET_BUCKETS = rf"""
+WITH d AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM documents
+  WHERE length(substring(text, 1, 200)) >= 2
+), bg AS (
+  SELECT doc_id, substring(t, CAST(i AS INT), 2) AS big,
+         substring(t, CAST(i AS INT), 1) AS ctx
+  FROM d CROSS JOIN (SELECT unnest(range(1, 200)) AS i) s
+  WHERE i <= length(t) - 1
+), bc AS (
+  SELECT big, COUNT(*) AS bc FROM bg GROUP BY 1
+), cc AS (
+  SELECT ctx, COUNT(*) AS cc FROM bg GROUP BY 1
+), a AS (
+  SELECT COUNT(DISTINCT substring(big, 2, 1)) AS alpha FROM bg
+), scores AS (
+  SELECT bg.doc_id,
+         ROUND(AVG(ln((bc.bc + 1.0) / (cc.cc + a.alpha))), 6) AS avg_logp
+  FROM bg JOIN bc USING (big) JOIN cc ON bg.ctx = cc.ctx CROSS JOIN a
+  GROUP BY bg.doc_id
+), lang_scored AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["en"]})\b')) AS en,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["es"]})\b')) AS es,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["fr"]})\b')) AS fr,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["de"]})\b')) AS de
+  FROM documents
+), langs AS (
+  SELECT doc_id, CASE
+      WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+      WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+      WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+      WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+      ELSE 'de' END AS lang
+  FROM lang_scored
+), j AS (
+  SELECT s.doc_id, l.lang, s.avg_logp
+  FROM scores s JOIN langs l USING (doc_id)
+), thr AS (
+  SELECT lang,
+         ROUND(quantile_cont(avg_logp, 2.0 / 3), 6) AS t_head,
+         ROUND(quantile_cont(avg_logp, 1.0 / 3), 6) AS t_mid
+  FROM j GROUP BY 1
+)
+SELECT j.doc_id, j.lang, j.avg_logp,
+       CASE WHEN j.avg_logp >= t.t_head THEN 'head'
+            WHEN j.avg_logp >= t.t_mid THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN thr t USING (lang)
+"""

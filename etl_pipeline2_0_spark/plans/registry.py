@@ -206,6 +206,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- added r10 (past-cap; r11 promotion pool): per-rule Gopher
     #     attrition rollup (the filter_audit pattern) ---
     "gopher_audit": (L.q_gopher_audit, L.SQL_GOPHER_AUDIT),
+    # --- added r10 (past-cap; r11 promotion pool): CCNet head/middle/
+    #     tail partition — per-language LM-perplexity terciles (Wenzek
+    #     et al. 2020), composed from lm_score + lang_id + per-group
+    #     exact percentiles ---
+    "ccnet_buckets": (L.q_ccnet_buckets, L.SQL_CCNET_BUCKETS),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),
