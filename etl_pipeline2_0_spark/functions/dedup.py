@@ -1198,3 +1198,108 @@ def dedup_keep_best(
         F.col("n_tokens").desc(), F.col("doc_id")
     )
     return full.withColumn("keep", F.row_number().over(w) == 1)
+
+
+# ------------------------------------------------- exact substring dedup ----
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): remove every token covered by a
+    ``k``-token run whose exact text also occurs in ANOTHER document.
+    Any cross-document duplicated substring of >= k tokens is a chain of
+    duplicated k-grams, so marking the k-gram hits and erasing their
+    covered positions removes exactly the paper's targets (all copies,
+    not all-but-one) — the distributed k-gram formulation of the paper's
+    suffix-array scan.  One-sided approximation: a position whose k-gram
+    matches doc A on the left words and doc B on the right words is also
+    erased ("chimera" overlap), i.e. removal is a superset of the
+    single-source definition — the conservative direction for training
+    data.
+
+    Differs from ``dedup_spans``: spans are FIXED k-word tiles dropped
+    only when boilerplate-frequent (df > cap); this erases at token
+    granularity from the first shared token, at df >= 2, so a passage
+    pasted into just two documents is scrubbed from both.
+
+    Scale design (100 TB):
+      - tokens/k-grams are narrow projections off ONE whitespace split
+        (materialized alias — no re-split per expression, no regex in a
+        per-element lambda);
+      - duplicated-gram detection is one groupBy(gram-text) with an
+        early ``count_distinct(id)`` — the same shuffle class as
+        ``dedup_spans``'s frequency pass, AQE-skew-safe;
+      - covered positions come from ``explode(sequence(s, s+k-1))`` +
+        distinct, and the erase is a LEFT ANTI equi-join on
+        (doc, position) — linear, never a per-position array scan;
+      - reassembly is one groupBy(doc) of bounded per-doc state.
+    Nothing is collected; no window spans the corpus.
+
+    Returns (doc_id, n_tokens, n_removed, kept_text) for EVERY input doc
+    (fully-erased docs surface with kept_text = '').
+    """
+    w = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"[ \t\n\r\x0B\x0C]+"),
+        lambda t: F.length(t) > 0,
+    )
+    base = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), w.alias("toks")
+    )
+    base = base.localCheckpoint(eager=False)  # feeds grams, positions, output
+    n = F.size(F.col("toks"))
+    # Start positions 1..n-k+1 (ANSI guard: sequence() runs BACKWARDS on an
+    # empty range, so short docs take the empty-array branch).
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.array_join(F.slice(F.col("toks"), s, k), " ").alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.s", "g.gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("gdf"))
+        .where(F.col("gdf") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select("doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))).alias("pos"))
+        .distinct()
+    )
+    tok_rows = base.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = (
+        tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("n_removed"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )

@@ -860,23 +860,51 @@ def gopher_quality_flags(
     n_stopword_hits, keep).
     """
     t = F.col(text_col)
-    toks = tokens(t)  # whitespace words, per the paper
+    # Whitespace words on the RAW text, per the paper and the twin's
+    # regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+') — NOT the
+    # lowercased \W+ tokens() split (on punctuated text the two diverge
+    # in n_words / mean_word_len / alpha_word_frac; advisor r10 high).
+    # Materialized once in a base projection (the multiply-referenced
+    # alias survives CollapseProject — the documented lambda-inlining
+    # discipline) so the split runs once per row, not once per metric.
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_t"),
+        F.filter(
+            F.split(t, r"[ \t\n\r\x0B\x0C]+"), lambda x: F.length(x) > 0
+        ).alias("_toks"),
+        F.split(t, "\n").alias("_lines"),
+        F.filter(
+            F.split(F.lower(t), r"\W+"), lambda x: F.length(x) > 0
+        ).alias("_wtoks"),
+    )
+    toks = F.col("_toks")
     n_words = F.size(toks)
-    mean_len = F.round(mean_token_len(t), 6)
-    sym = F.size(F.regexp_extract_all(t, F.lit(r"(#|\.\.\.|…)"), F.lit(0)))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_len = F.round(
+        F.when(n_words == 0, F.lit(0.0)).otherwise(total_len / n_words), 6
+    )
+    sym = F.size(
+        F.regexp_extract_all(F.col("_t"), F.lit(r"(#|\.\.\.|…)"), F.lit(0))
+    )
     symbol_ratio = F.round(
         F.when(n_words == 0, F.lit(0.0)).otherwise(sym / n_words), 6
     )
-    lines = F.split(t, "\n")
+    lines = F.col("_lines")
     n_lines = F.size(lines)  # split never yields an empty array
     bullet_frac = F.round(
-        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        # [ \t]* matches the twin's [ \x09]* exactly; Java \s would also
+        # eat \r/\x0B/\f and diverge on \r\n-ended lines.
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[ \t]*[-*•]")))
         / n_lines,
         6,
     )
     ellipsis_frac = F.round(
+        # \z not $: Java's $ also matches BEFORE a final \r line
+        # terminator (so "...\r" would count); RE2's $ (the twin) is
+        # end-of-text only.  Found by the punctuated-corpus parity test.
         F.size(
-            F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+            F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)\z"))
         )
         / n_lines,
         6,
@@ -887,13 +915,12 @@ def gopher_quality_flags(
         ),
         6,
     )
-    wtoks = F.filter(F.split(F.lower(t), r"\W+"), lambda x: F.length(x) > 0)
     probe = F.array(
         *[F.lit(s) for s in ["the", "be", "to", "of", "and", "that", "have", "with"]]
     )
-    n_stop = F.size(F.array_intersect(F.array_distinct(wtoks), probe))
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
+    n_stop = F.size(F.array_intersect(F.array_distinct(F.col("_wtoks")), probe))
+    out = base.select(
+        F.col("doc_id"),
         n_words.cast("bigint").alias("n_words"),
         mean_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),

@@ -1106,6 +1106,58 @@ GROUP BY doc_id
 """
 
 
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-substring dedup (Lee et al. 2022): erase every token covered
+    # by an 8-token run that also appears verbatim in another document —
+    # all copies scrubbed, token-granular, df >= 2.  The distributed
+    # k-gram formulation of the paper's suffix-array scan; see
+    # functions/dedup.py dedup_substrings for the scale design.
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_substrings(docs.select("doc_id", "text"), k=8)
+
+
+def _sql_dedup_substrings(k: int = 8) -> str:
+    # Generated so ``k`` is single-sourced with the registry call.
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''),
+                     '[ \\x09\\x0A\\x0D\\x0B\\x0C]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, s,
+         array_to_string(toks[s : s + {k} - 1], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, len(toks) - {k} + 2)) AS s
+        FROM base WHERE len(toks) >= {k})
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT DISTINCT doc_id, s + i AS pos
+  FROM (SELECT doc_id, s, unnest(range(0, {k})) AS i
+        FROM grams JOIN dup USING (gram))
+), tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM base
+), kept AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS kept_text
+  FROM tok_rows t ANTI JOIN covered c
+    ON t.doc_id = c.doc_id AND t.pos = c.pos
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(len(b.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(k.kept_text, '') AS kept_text
+FROM base b LEFT JOIN kept k USING (doc_id)
+"""
+
+
+SQL_DEDUP_SUBSTRINGS = _sql_dedup_substrings()
+
+
 def q_dedup_spans_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Within-document repeated-span trimming (template/nav-block removal):
     # keep the first occurrence of each 2-word span per doc.  Doc-keyed
@@ -3380,16 +3432,27 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DSIR_SAMPLE = _SQL_DSIR_CTES + r"""
+def _sql_dsir_sample(salt: str = "", k: int = 100) -> str:
+    # Generated from the SAME salt and hex15 space the Spark side uses
+    # (mixing._HEX15_SPACE) — one source of truth, so changing either in
+    # mixing.dsir_gumbel_sample can't silently break the twin (advisor
+    # r10).  ``salt`` must be SQL-literal-safe (registry uses default "").
+    from etl_pipeline2_0_spark.functions.mixing import _HEX15_SPACE
+
+    space = float(_HEX15_SPACE) + 2.0
+    return _SQL_DSIR_CTES + f"""
 SELECT doc_id, log_weight,
        ROUND(log_weight - ln(-ln(
-         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15)
-               AS BIGINT) + 1.0) / 1152921504606846978.0
+         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'),
+               1, 15) AS BIGINT) + 1.0) / {space:.1f}
        )), 6) AS sample_key
 FROM weights
 ORDER BY sample_key DESC, doc_id
-LIMIT 100
+LIMIT {k}
 """
+
+
+SQL_DSIR_SAMPLE = _sql_dsir_sample()
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,14 +52,22 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     zero driver rows) is promoted, plus the two r9-new portable-IVF
     #     entries: 26 first-time driver rows.
     #
-    # --- holdovers collecting their second driver row (first row r8) ---
-    "shuffle_shards": (L.q_shuffle_shards, L.SQL_SHUFFLE_SHARDS),
-    "knn_label_vote": (L.q_knn_label_vote, L.SQL_KNN_LABEL_VOTE),
-    "vocab_oov": (L.q_vocab_oov, L.SQL_VOCAB_OOV),
-    "quantile_filter": (L.q_quantile_filter, L.SQL_QUANTILE_FILTER),
-    "lm_score": (L.q_lm_score, L.SQL_LM_SCORE),
-    "tokenize_ids": (L.q_tokenize_ids, L.SQL_TOKENIZE_IDS),
-    "ann_lsh_topk": (L.q_ann_lsh_topk, L.SQL_ANN_LSH_TOPK),
+    # ROUND-11 ROTATION (executing the staged r10 plan): the ten r10-added
+    # oracled entries (DSIR pair, Gopher pair, PQ pair, CMS heavy hitters,
+    # Bloom decontamination, split_leakage, ccnet_buckets) had zero driver
+    # rows despite ×3-SF local parity for two sessions — promoted below.
+    # Demoted to make room: the seven remaining thrice-green r8-holdovers
+    # (shuffle_shards, knn_label_vote, vocab_oov, quantile_filter,
+    # lm_score, tokenize_ids, ann_lsh_topk — green r8+r9+r10) and three
+    # four-row retained reps (cohort_retention, mix_sources,
+    # pack_sequences).  Family anchoring after the swap: LSH stays
+    # measured via ann_recall (LSH-vs-exact recall@k), lm_score via
+    # lm_score_heldout + ccnet_buckets (which composes it), tokenize_ids
+    # via the four BPE entries, mixing/packing via
+    # temperature_mix_weights/interleave_key/pack_texts, warehouse via
+    # q21; test_sql_registry.py pins the updated representative set and
+    # the all-oracled invariant.
+    # --- holdover collecting its third driver row (LSH quality metric) ---
     "ann_recall": (L.q_ann_recall, L.SQL_ANN_RECALL),
     # --- first driver rows: the r8 measured-quality metrics (the families
     #     the judge watches closest get external quality numbers first) ---
@@ -120,13 +128,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     TPC-H join, warehouse composition, dedup graph, banded embedding
     #     dedup, text quality, mixing/packing) ---
     "q21_waiting_suppliers": (T.q21_waiting_suppliers, T.SQL_Q21),
-    "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "dup_components": (L.q_dup_components, L.SQL_DUP_COMPONENTS),
     "embed_neardup": (L.q_embed_neardup, L.SQL_EMBED_NEARDUP),
     "pii_redact": (L.q_pii_redact, L.SQL_PII_REDACT),
     "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
-    "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
-    "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
     # --- first driver row r9; collecting second ---
     "bpe_train_merges": (L.q_bpe_train_merges, L.SQL_BPE_TRAIN_MERGES),
     # ROUND-10 ROTATION (executing the staged r9 plan): the seven r9-added
@@ -161,56 +166,60 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_embedding_drift_psi,
         L.SQL_EMBEDDING_DRIFT_PSI,
     ),
-    # ---------- driver 50-query window ends here ----------
-    # R11 ROTATION PREP: the six r10-added past-cap entries below
-    # (dsir_weights, dsir_sample, gopher_rules, ann_pq_topk,
-    # ann_pq_recall, cms_heavy_hitters) are all oracled and parity-proven
-    # at sf0.001+0.01+0.1 with zero driver rows — the r11 promotion pool.
-    # Demote six in-window entries that will then hold ≥2 green rows
-    # (after the r10 driver run the 8 r8-holdovers have 3, the 21 r9
-    # first-row batch have 2) and promote these six; keep the all-oracled
-    # window invariant and family representatives
-    # (test_sql_registry.py pins both).
-    # --- added r10 (past-cap; r11 promotion pool): DSIR importance
-    #     resampling (Xie et al. 2023) — hashed unigram+bigram log-weights
-    #     against a target slice, and the Gumbel-top-k resample.  Portable
-    #     md5 buckets/noise → full DuckDB twins, parity-tested at 3 SFs ---
+    # --- first driver rows (promoted r11): DSIR importance resampling
+    #     (Xie et al. 2023) — hashed unigram+bigram log-weights against a
+    #     target slice, and the Gumbel-top-k resample.  Portable md5
+    #     buckets/noise → full DuckDB twins, parity-tested at 3 SFs ---
     "dsir_weights": (L.q_dsir_weights, L.SQL_DSIR_WEIGHTS),
     "dsir_sample": (L.q_dsir_sample, L.SQL_DSIR_SAMPLE),
-    # --- added r10 (past-cap; r11 promotion pool): the Gopher heuristic
-    #     rule battery (Rae et al. 2021 Table A1) at published thresholds,
-    #     rounded-metric keep decisions for engine-identical boundaries ---
+    # --- first driver rows (promoted r11): the Gopher heuristic rule
+    #     battery (Rae et al. 2021 Table A1) at published thresholds,
+    #     whitespace-word semantics (advisor-r10 fix), and its per-rule
+    #     attrition rollup ---
     "gopher_rules": (L.q_gopher_rules, L.SQL_GOPHER_RULES),
-    # --- added r10 (past-cap; r11 promotion pool): product quantization
+    "gopher_audit": (L.q_gopher_audit, L.SQL_GOPHER_AUDIT),
+    # --- first driver rows (promoted r11): product quantization
     #     (Jégou et al. 2011) under the portable construction — ADC top-k
     #     over the M-codes table plus its measured recall vs exact L2 ---
     "ann_pq_topk": (L.q_ann_pq_topk, L.SQL_ANN_PQ_TOPK),
     "ann_pq_recall": (L.q_ann_pq_recall, L.SQL_ANN_PQ_RECALL),
-    # --- added r10 (past-cap; r11 promotion pool): count-min-sketch
-    #     heavy hitters (Cormode & Muthukrishnan 2005) — the fixed-memory
-    #     frequency sketch that feeds the dedup doc-freq caps at scale,
-    #     evaluated against the exact top-20 (hll_accuracy pattern) ---
+    # --- first driver rows (promoted r11): count-min-sketch heavy
+    #     hitters (Cormode & Muthukrishnan 2005) — the fixed-memory
+    #     frequency sketch that feeds the dedup doc-freq caps at scale —
+    #     and Bloom-filter decontamination (FNs structurally impossible,
+    #     FP overhead visible vs exact containment) ---
     "cms_heavy_hitters": (L.q_cms_heavy_hitters, L.SQL_CMS_HEAVY_HITTERS),
-    # --- added r10 (past-cap; r11 promotion pool): Bloom-filter
-    #     decontamination — the eval set ships as a ≤4096-row bit
-    #     relation; per-doc bloom verdicts vs exact containment make the
-    #     FP overhead visible and FNs structurally impossible ---
     "bloom_contamination": (
         L.q_bloom_contamination,
         L.SQL_BLOOM_CONTAMINATION,
     ),
-    # --- added r10 (past-cap; r11 promotion pool): split-leakage audit —
-    #     assign_splits → val-vs-train shingle containment; the DQ metric
-    #     that catches near-dup leakage across the split boundary ---
+    # --- first driver rows (promoted r11): split-leakage audit (the DQ
+    #     metric catching near-dup leakage across the split boundary) and
+    #     the CCNet head/middle/tail per-language perplexity terciles
+    #     (Wenzek et al. 2020) ---
     "split_leakage": (L.q_split_leakage, L.SQL_SPLIT_LEAKAGE),
-    # --- added r10 (past-cap; r11 promotion pool): per-rule Gopher
-    #     attrition rollup (the filter_audit pattern) ---
-    "gopher_audit": (L.q_gopher_audit, L.SQL_GOPHER_AUDIT),
-    # --- added r10 (past-cap; r11 promotion pool): CCNet head/middle/
-    #     tail partition — per-language LM-perplexity terciles (Wenzek
-    #     et al. 2020), composed from lm_score + lang_id + per-group
-    #     exact percentiles ---
     "ccnet_buckets": (L.q_ccnet_buckets, L.SQL_CCNET_BUCKETS),
+    # ---------- driver 50-query window ends here ----------
+    # --- demoted r11 (see rotation note above): seven thrice-green
+    #     r8-holdovers (r8+r9+r10) and three four-row retained reps;
+    #     every one re-proven locally each session by the default
+    #     sf0.001+sf0.1 parity suites ---
+    "shuffle_shards": (L.q_shuffle_shards, L.SQL_SHUFFLE_SHARDS),
+    "knn_label_vote": (L.q_knn_label_vote, L.SQL_KNN_LABEL_VOTE),
+    "vocab_oov": (L.q_vocab_oov, L.SQL_VOCAB_OOV),
+    "quantile_filter": (L.q_quantile_filter, L.SQL_QUANTILE_FILTER),
+    "lm_score": (L.q_lm_score, L.SQL_LM_SCORE),
+    "tokenize_ids": (L.q_tokenize_ids, L.SQL_TOKENIZE_IDS),
+    "ann_lsh_topk": (L.q_ann_lsh_topk, L.SQL_ANN_LSH_TOPK),
+    "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
+    "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
+    "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
+    # --- added r11 (past-cap; r12 promotion pool): exact-substring dedup
+    #     (Lee et al. 2022) — token-granular erasure of every cross-doc
+    #     duplicated 8-token run, the distributed k-gram formulation of
+    #     the paper's suffix-array scan; full DuckDB twin, planted
+    #     shared-passage negative control ---
+    "dedup_substrings": (L.q_dedup_substrings, L.SQL_DEDUP_SUBSTRINGS),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -15,8 +15,6 @@ micro-batch cost; consumers broadcast-join the ≤ d·w-row table.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -24,9 +22,21 @@ from pyspark.sql.streaming import StreamingQuery
 from etl_pipeline2_0_spark.functions import sketches
 
 
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) via the Hadoop API — existence checks and
+    renames that are correct on HDFS/S3A, not just the driver's local
+    disk (an ``os.path`` check silently reports a remote store absent,
+    which would reset the sketch every batch)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
 def _merge_sketch(batch_cells: DataFrame, store_path: str) -> None:
     spark = batch_cells.sparkSession
-    if os.path.isdir(store_path):
+    fs, store = _hadoop_fs(spark, store_path)
+    if fs.exists(store):
         prev = spark.read.parquet(store_path)
         merged = (
             batch_cells.unionByName(prev)
@@ -35,13 +45,19 @@ def _merge_sketch(batch_cells: DataFrame, store_path: str) -> None:
         )
     else:
         merged = batch_cells
-    # The store is ≤ depth·width rows — rewrite-in-place is the cheap,
-    # atomic-enough move at this size (overwrite stages to _temporary
-    # then commits).  Collecting to the driver would also be bounded,
-    # but keeping it a table lets consumers broadcast-join it directly.
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        store_path
-    )
+    # Write to a sibling temp dir, then swap via rename (atomic on HDFS,
+    # best-effort elsewhere).  Reading prev from `store` while writing to
+    # `tmp` means the source is never overwritten mid-plan — no eager
+    # checkpoint needed, and an executor loss mid-write leaves the old
+    # store intact.  The store is ≤ depth·width rows either way.
+    tmp_str = store_path.rstrip("/") + "._tmp_merge"
+    _, tmp = _hadoop_fs(spark, tmp_str)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    merged.write.mode("overwrite").parquet(tmp_str)
+    if fs.exists(store):
+        fs.delete(store, True)
+    fs.rename(tmp, store)
 
 
 def stream_cms_ingest(

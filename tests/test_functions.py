@@ -2054,6 +2054,10 @@ def test_gopher_rules_planted_violations_negative_control(spark):
         (6, "\n".join(ok_words + " ..." for _ in range(10))),  # ellipses
         (7, ok_words + " " + " ".join(["123456"] * 40)),   # digits, no alpha
         (8, " ".join(["zebra", "quartz", "melon"] * 20)),  # no stopwords
+        # 9: punctuated/hyphenated — whitespace words ("state-of-the-art"
+        # is ONE word of length 16), the class of doc where the r10
+        # lowercased-\W+ tokenization silently diverged from the twin.
+        (9, " ".join(["state-of-the-art"] * 30) + " " + ok_words),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r["doc_id"]: r for r in text.gopher_quality_flags(df).collect()}
@@ -2067,6 +2071,50 @@ def test_gopher_rules_planted_violations_negative_control(spark):
     assert got[8]["keep"] is False and got[8]["n_stopword_hits"] < 2
     # each violator fails exactly its own rule's metric band, with the
     # clean doc proving every band is satisfiable simultaneously
+    # 9: whitespace-word semantics pinned by hand — str.split() is the
+    # same class as the engine split, so these are paper-true numbers
+    ws = rows[8][1].split()
+    assert got[9]["n_words"] == len(ws)
+    assert got[9]["mean_word_len"] == round(sum(map(len, ws)) / len(ws), 6)
+
+
+def test_gopher_rules_punctuated_corpus_matches_twin(spark):
+    """Engine-vs-twin parity on a PUNCTUATED corpus — the input class the
+    synthetic documents table never exercises (advisor r10 high: the \\W+
+    tokenization divergence was invisible because every parity doc was
+    punctuation-free).  Hyphens, \\r\\n line endings, ellipsis bullets,
+    digit runs — every metric must match DuckDB exactly."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+
+    base = ("the model and the data have to be reviewed with care so "
+            "that all of the results we publish will be useful ") * 3
+    rows = [
+        (1, base + "state-of-the-art re-ranking (v2.1) costs $3.50 — cheap!"),
+        (2, "- bullet one...\r\n- bullet two\r\nplain line\n\t- tabbed"),
+        (3, base + " don't can't won't it's O'Brien e.g. i.e. etc."),
+        (4, "#hash ## tags ### everywhere " + base + " ..."),
+        (5, base.replace(" ", "\x0B", 7) + " mixed\x0Cwhitespace\ttabs"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r.asDict() for r in text.gopher_quality_flags(sdf).collect()
+    }
+    con = _duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        r["doc_id"]: dict(r)
+        for _, r in con.sql(L.SQL_GOPHER_RULES).fetchdf().iterrows()
+    }
+    assert set(got) == set(want)
+    for did in got:
+        for col in ("n_words", "mean_word_len", "symbol_ratio",
+                    "bullet_line_frac", "ellipsis_line_frac",
+                    "alpha_word_frac", "n_stopword_hits", "keep"):
+            assert got[did][col] == want[did][col], (did, col, got[did][col], want[did][col])
 
 
 def test_pq_codes_bounded_and_recall_floor(spark, sf_dir):
@@ -2164,3 +2212,62 @@ def test_split_leakage_detects_planted_cross_split_duplicate(spark):
     }
     assert out[leaked_val] == 1.0
     assert out[clean_val] == 0.0
+
+
+def test_dedup_substrings_planted_shared_passage(spark):
+    """Lee et al. exact-substring semantics on a planted corpus: a 10-word
+    passage pasted into docs 1 AND 2 is erased from BOTH (all copies, not
+    all-but-one); each doc's unique prefix/suffix survives verbatim; an
+    untouched doc passes through whole; word overlap SHORTER than k stays."""
+    passage = "the quick brown fox jumps over the lazy sleeping dog"  # 10 words
+    rows = [
+        (1, "alpha beta " + passage + " gamma delta"),
+        (2, "omega " + passage),
+        (3, "completely unrelated text with enough words here"),
+        # 4/5 share only a 4-word run (< k=5 window needs 5 consecutive)
+        (4, "one two three four aa bb cc"),
+        (5, "one two three four dd ee ff"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup.dedup_substrings(df, k=5).collect()}
+    assert len(out) == 5
+    assert out[1]["kept_text"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 10
+    assert out[2]["kept_text"] == "omega"
+    assert out[2]["n_removed"] == 10
+    assert out[3]["n_removed"] == 0
+    assert out[3]["kept_text"] == rows[2][1]
+    assert out[4]["n_removed"] == 0 and out[5]["n_removed"] == 0
+
+
+def test_dedup_substrings_full_erase_and_empty_doc(spark):
+    """Exact duplicate docs erase to '' (every position covered); empty
+    and NULL docs survive with zero counts — the all-docs output contract."""
+    dup = "p q r s t u v w"  # 8 words, k=5 -> 4 start positions cover all
+    rows = [(1, dup), (2, dup), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup.dedup_substrings(df, k=5).collect()}
+    assert out[1]["kept_text"] == "" and out[1]["n_removed"] == 8
+    assert out[2]["kept_text"] == "" and out[2]["n_removed"] == 8
+    for d in (3, 4):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["n_removed"] == 0
+        assert out[d]["kept_text"] == ""
+
+
+def test_dedup_substrings_chimera_superset_documented(spark):
+    """The documented one-sided approximation: a position bridging two
+    different source matches is erased too (removal ⊇ single-source).
+    Docs 2/3 each share a distinct 5-gram with doc 1; the bridge token in
+    doc 1 sits inside windows matching either source and is erased."""
+    rows = [
+        (1, "a b c d e X f g h i j"),
+        (2, "a b c d e X zzz"),      # shares "a b c d e X" head with 1
+        (3, "zzz X f g h i j"),      # shares "X f g h i j" tail with 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup.dedup_substrings(df, k=5).collect()}
+    assert out[1]["n_removed"] == 11  # everything: both shared runs + bridge
+    assert out[1]["kept_text"] == ""
+    assert out[2]["kept_text"] == "zzz"
+    assert out[3]["kept_text"] == "zzz"

@@ -93,30 +93,40 @@ def test_driver_window_covers_every_query_family():
         # rotated out r10 with three green rows each)
         "dedup_keep_best", "dup_components", "minhash_pairs_portable",
         "simhash_pairs_portable", "minhash_recall", "dup_cluster_stats",
-        # similarity / ANN: LSH, portable IVF + measured recalls, banded
-        # embedding near-dup (exact ann_topk rotated out r10; ann_recall's
-        # ground-truth side still computes exact cosine top-k in-window)
-        "ann_lsh_topk", "ann_ivf_topk_portable",
+        # similarity / ANN: portable IVF + measured recalls, PQ + measured
+        # recall, banded embedding near-dup; LSH stays measured via
+        # ann_recall (LSH-candidates-vs-exact recall@k), whose ground-truth
+        # side also computes exact cosine top-k in-window; kNN via its
+        # measured accuracy (knn_label_vote rotated out r11, 3 green rows)
+        "ann_ivf_topk_portable", "ann_pq_topk", "ann_pq_recall",
         "ann_recall", "ann_ivf_recall_portable", "embed_neardup",
-        "knn_label_vote", "knn_accuracy",
+        "knn_accuracy",
         # text analysis / corpus quality / tokenizer training+apply
-        "pii_redact", "corpus_filter",
-        "tfidf_cosine_pairs", "text_clean", "doc_novelty",
-        "vocab_oov", "quantile_filter", "lm_score", "lm_score_heldout",
-        "tokenize_ids", "bpe_train_merges", "bpe_segment_words",
+        # (lm_score composed in-window by lm_score_heldout + ccnet_buckets;
+        # vocab_oov/quantile_filter/tokenize_ids rotated out r11 with 3
+        # green rows, anchored by the Gopher battery + BPE entries)
+        "pii_redact", "corpus_filter", "gopher_rules", "gopher_audit",
+        "ccnet_buckets", "tfidf_cosine_pairs", "text_clean", "doc_novelty",
+        "lm_score_heldout", "bpe_train_merges", "bpe_segment_words",
         "bpe_encode_docs", "tokenizer_fertility",
+        # data selection (DSIR importance resampling)
+        "dsir_weights", "dsir_sample",
+        # frequency/membership sketches
+        "cms_heavy_hitters", "bloom_contamination",
         # retrieval (incl. exact-phrase positional retrieval)
         "chunk_documents", "bm25_topk", "similar_docs_rrf", "phrase_match",
-        # composition / splits / packing / mixing weights
-        "mix_sources", "pack_sequences", "pack_texts", "shuffle_shards",
-        "assign_splits", "assign_splits_grouped", "interleave_key",
-        "curriculum_buckets", "temperature_mix_weights",
-        # snapshots / DQ / observability (incl. embedding drift)
+        # composition / splits / packing / mixing weights (mix_sources/
+        # pack_sequences/shuffle_shards rotated out r11 with 3-4 green
+        # rows; the family stays anchored by the entries below)
+        "pack_texts", "assign_splits", "assign_splits_grouped",
+        "interleave_key", "curriculum_buckets", "temperature_mix_weights",
+        # snapshots / DQ / observability (incl. embedding drift and the
+        # cross-split leakage audit)
         "snapshot_diff", "corpus_drift_psi", "embedding_drift_psi",
         "fk_integrity", "value_outliers", "profile_columns",
-        "dedup_rate_report", "max_concurrency",
-        # warehouse analytics + heaviest TPC-H join
-        "cohort_retention", "q21_waiting_suppliers",
+        "dedup_rate_report", "max_concurrency", "split_leakage",
+        # heaviest TPC-H join (cohort_retention rotated out r11, 4 rows)
+        "q21_waiting_suppliers",
     }
     missing = representatives - window
     assert not missing, f"families outside the driver window: {sorted(missing)}"
