@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_pipeline2_0_spark.functions import sketches
 from etl_pipeline2_0_spark.operators.partitioning import ensure_min_parallelism
 
 # ---------------------------------------------------------------- exact ----
@@ -108,6 +109,9 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     checkpoint: bool = True,
+    freq_source: str = "exact",
+    cms_depth: int = 4,
+    cms_width: int = 65536,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
@@ -123,6 +127,18 @@ def jaccard_pairs(
     while carrying no near-dup signal; AQE skew splitting rebalances the
     tasks but not the pair-count asymptotics, so at corpus scale pass a
     cap (None preserves the exact-Jaccard default and the ANSI oracle).
+
+    ``freq_source`` picks how the cap measures doc-frequency:
+      - ``"exact"`` (default): per-key aggregate + anti-join — exact, but
+        at 100 TB that aggregate shuffles billions of shingle keys.
+      - ``"cms"``: a count-min sketch (``cms_depth`` × ``cms_width``)
+        replaces the exact aggregate; the shingle table is probed
+        MAP-SIDE against the broadcast sketch (sketches.py
+        cms_estimate_map_side), so the only added shuffle is the bounded
+        ≤ d·w sketch build.  One-sided error: estimates only overcount,
+        so the dropped-key set is a SUPERSET of the exact cap's — the
+        sketch can over-prune boilerplate, never under-prune (direction
+        property-pinned in tests; inflation bounded by ~e·N/width).
     """
     # Join key is the 8-byte shingle HASH, not the shingle string — the
     # self-join exchange then carries (id, long) rows instead of full
@@ -147,13 +163,26 @@ def jaccard_pairs(
     if checkpoint:
         shingled = shingled.localCheckpoint(eager=False)
     if max_doc_freq is not None:
-        hot = (
-            shingled.groupBy("shingle_h")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .where(F.col("df_") > max_doc_freq)
-            .select("shingle_h")
-        )
-        shingled = shingled.join(hot, "shingle_h", "left_anti")
+        if freq_source == "cms":
+            key = F.col("shingle_h").cast("string")
+            sk = sketches.cms_sketch(
+                shingled.select(key.alias("item")), "item", cms_depth, cms_width
+            )
+            shingled = (
+                sketches.cms_estimate_map_side(
+                    shingled, key, sk, cms_depth, cms_width, out_col="__est"
+                )
+                .where(F.col("__est") <= max_doc_freq)
+                .drop("__est")
+            )
+        else:
+            hot = (
+                shingled.groupBy("shingle_h")
+                .agg(F.count(F.lit(1)).alias("df_"))
+                .where(F.col("df_") > max_doc_freq)
+                .select("shingle_h")
+            )
+            shingled = shingled.join(hot, "shingle_h", "left_anti")
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
@@ -365,7 +394,11 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket_size: int | None = 1000,
     portable: bool = False,
-    salt: int | None = None,
+    salt: int | str | None = None,
+    bucket_freq_source: str = "exact",
+    cms_depth: int = 4,
+    cms_width: int = 65536,
+    auto_salt_target_rows: int = 200_000,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, bucket hash).
     ``portable=True`` hashes each band slice with md5 (ANSI-reproducible)
@@ -390,7 +423,20 @@ def lsh_candidate_pairs(
     the unsalted join (pinned by tests/test_scale_ops.py), only the
     shuffle layout changes.  Cost: ``salt``× replication of the banded
     frame's right side — use single digits, and only when bucket-size
-    telemetry shows concentration.
+    telemetry shows concentration.  ``salt="auto"`` derives the factor
+    from that telemetry itself (see ``_auto_band_salt``): the top
+    surviving bucket size — read from the CMS sketch when one is built,
+    else one exact aggregate — divided by ``auto_salt_target_rows``,
+    clamped to [1, 16]; 1 means unsalted.
+
+    ``bucket_freq_source="cms"`` measures bucket sizes with a count-min
+    sketch instead of the exact per-bucket window count: the banded table
+    is probed MAP-SIDE against the broadcast ≤ cms_depth·cms_width
+    sketch, removing the (band, bucket) shuffle the window needs — at
+    100 TB the banded table then moves only once (into the self-join).
+    One-sided: estimated sizes only overcount, so the sketch cap drops a
+    SUPERSET of the exact cap's buckets (never under-prunes; direction
+    pinned in tests).
     """
     def _bucket(b):
         joined = F.concat_ws(
@@ -408,14 +454,75 @@ def lsh_candidate_pairs(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _bucket)
         ).alias("band", "bucket"),
     )
+    sk = None
     if max_bucket_size is not None:
-        wb = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bucket_n", F.count(F.lit(1)).over(wb))
-            .where(F.col("__bucket_n") <= max_bucket_size)
-            .drop("__bucket_n")
+        if bucket_freq_source == "cms":
+            key = F.concat_ws(":", F.col("band").cast("string"),
+                              F.col("bucket").cast("string"))
+            sk = sketches.cms_sketch(
+                banded.select(key.alias("item")), "item", cms_depth, cms_width
+            ).localCheckpoint(eager=False)  # feeds the probe AND auto-salt
+            banded = (
+                sketches.cms_estimate_map_side(
+                    banded, key, sk, cms_depth, cms_width, out_col="__est"
+                )
+                .where(F.col("__est") <= max_bucket_size)
+                .drop("__est")
+            )
+        else:
+            wb = Window.partitionBy("band", "bucket")
+            banded = (
+                banded.withColumn("__bucket_n", F.count(F.lit(1)).over(wb))
+                .where(F.col("__bucket_n") <= max_bucket_size)
+                .drop("__bucket_n")
+            )
+    if salt == "auto":
+        salt = _auto_band_salt(
+            banded, sk, max_bucket_size, auto_salt_target_rows
         )
     return _banded_self_join(banded, ["band", "bucket"], salt)
+
+
+def _auto_band_salt(
+    banded: DataFrame,
+    sketch: DataFrame | None,
+    max_bucket_size: int | None,
+    target_rows: int,
+) -> int | None:
+    """Derive the band-join salt from measured bucket concentration
+    (r10 verdict item 7): salt = ceil(top surviving bucket size /
+    ``target_rows``), clamped to [1, 16]; 1 → None (unsalted).
+
+    The top-size estimate is the cheapest sound one available:
+      - with a CMS ``sketch``, min over hash rows of the row's max cell —
+        every bucket's true size is ≤ its cell in EVERY row, so this
+        upper-bounds the hottest bucket from ≤ d·w rows (no corpus pass);
+      - otherwise one exact (band,bucket) count aggregate (same shuffle
+        class the exact cap's window already pays).
+    A cap bounds surviving sizes too, so the estimate is min'd with it.
+    Over-estimates only over-salt (layout, never output — salted ≡
+    unsalted is pinned in tests/test_scale_ops.py).
+    """
+    if sketch is not None:
+        top = (
+            sketch.groupBy("row")
+            .agg(F.max("cnt").alias("mx"))
+            .agg(F.min("mx"))
+            .first()[0]
+        )
+    else:
+        top = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+    if top is None:
+        return None
+    if max_bucket_size is not None:
+        top = min(int(top), int(max_bucket_size))
+    salt = max(1, min(16, -(-int(top) // int(target_rows))))
+    return None if salt == 1 else salt
 
 
 def minhash_near_duplicates(
@@ -429,7 +536,8 @@ def minhash_near_duplicates(
     max_bucket_size: int | None = 1000,
     checkpoint: bool = True,
     portable: bool = False,
-    band_salt: int | None = None,
+    band_salt: int | str | None = None,
+    bucket_freq_source: str = "exact",
 ) -> DataFrame:
     """Full shingle→minhash→band→bucket-join→verify pipeline.
     ``portable=True`` uses the md5 hash family end-to-end (see
@@ -447,7 +555,8 @@ def minhash_near_duplicates(
     """
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, portable)
     candidates = lsh_candidate_pairs(
-        sigs, bands, num_hashes // bands, max_bucket_size, portable, band_salt
+        sigs, bands, num_hashes // bands, max_bucket_size, portable,
+        band_salt, bucket_freq_source,
     )
     # The candidate pair list feeds BOTH the verify join and the semi-join
     # prune below; Catalyst does not reuse the exchange across the two

@@ -146,3 +146,54 @@ def bloom_probe(
             ),
         )
     )
+
+
+def cms_estimate_map_side(
+    df: DataFrame,
+    item: Column,
+    sketch: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Attach a CMS frequency estimate to EVERY row of ``df`` with zero
+    per-key shuffle: the ≤ depth·width sketch is reshaped to ONE row
+    holding a map<hash_row, map<bucket, cnt>>, broadcast, and probed with
+    pure column expressions (min over the depth bucket lookups).
+
+    This is the form the dedup doc-freq caps need at 100 TB: the exact
+    cap computes a per-key aggregate over billions of shingle keys (a
+    full shuffle of the shingle table); this adds one bounded aggregate
+    (the sketch build) plus a broadcast — the probed table never moves.
+    Same one-sided guarantee as ``cms_estimate``: collisions only ADD,
+    so ``out_col`` ≥ the true occurrence count for every row.
+    """
+    one = (
+        sketch.groupBy("row")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "cnt"))
+            ).alias("m")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("row", "m"))
+            ).alias("__cms")
+        )
+    )
+    lookups = [
+        F.coalesce(
+            F.try_element_at(
+                F.try_element_at(F.col("__cms"), F.lit(r)),
+                _cms_bucket(item, F.lit(r), width),
+            ),
+            F.lit(0),
+        )
+        for r in range(depth)
+    ]
+    est = lookups[0] if depth == 1 else F.least(*lookups)
+    return (
+        df.crossJoin(F.broadcast(one))
+        .withColumn(out_col, est)
+        .drop("__cms")
+    )

@@ -188,6 +188,12 @@ def stream_curated_ingest(
     split_weights: "dict[str, float] | None" = None,
     split_salt: str = "",
     available_now: bool = True,
+    psi_reference: DataFrame | None = None,
+    metrics_path: str | None = None,
+    cms_store: str | None = None,
+    group_col: str = "source",
+    cms_depth: int = 4,
+    cms_width: int = 256,
 ) -> StreamingQuery:
     """The production curation loop as ONE checkpointed Structured
     Streaming query: every arriving micro-batch is quality-gated, deduped
@@ -202,11 +208,33 @@ def stream_curated_ingest(
     Exactly-once: checkpointed delivery + convergent curation (see
     ``curate_batch``) — a replayed batch appends zero rows, pinned by
     tests/test_streaming.py.
+
+    Observability (r10 verdict item 8) — the composed loop carries the
+    same monitors its components have:
+      - ``psi_reference`` + ``metrics_path``: each ARRIVING batch's
+        per-``group_col`` token-length PSI against the reference corpus
+        (the exact ``dq.corpus_drift_psi`` computation the oracled batch
+        query runs) appends (batch_id, source, psi, n_bins) rows to
+        ``metrics_path`` — an in-distribution batch logs a small PSI, a
+        shifted batch a large one (pinned in tests).  Measured PRE-gate
+        so upstream drift is visible even when the gate absorbs it.
+      - ``cms_store``: the ACCEPTED rows' token occurrences merge into
+        the bounded streaming count-min store (``streaming.sketch``
+        machinery — cell-wise add, ≤ depth·width rows), keeping the
+        heavy-hitter feed behind the dedup doc-freq caps current.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if psi_reference is not None and metrics_path is not None:
+            from etl_pipeline2_0_spark.functions.dq import corpus_drift_psi
+
+            corpus_drift_psi(
+                psi_reference, batch_df, group_col=group_col, text_col=text_col
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(metrics_path)
         out = curate_batch(
             batch_df,
             corpus_path,
@@ -221,7 +249,28 @@ def stream_curated_ingest(
             split_salt=split_salt,
         )
         if not out.isEmpty():
+            # The curated frame feeds the corpus append AND the sketch
+            # update; materialize once so the gate+dedup subtree doesn't
+            # run twice per batch.
+            if cms_store is not None:
+                out = out.localCheckpoint(eager=False)
             out.write.mode("append").partitionBy("split").parquet(corpus_path)
+            if cms_store is not None:
+                from etl_pipeline2_0_spark.functions import sketches
+                from etl_pipeline2_0_spark.streaming.sketch import _merge_sketch
+
+                toks = out.select(
+                    F.explode(
+                        F.split(
+                            F.coalesce(F.col(text_col), F.lit("")),
+                            r"[ \t\n\r\x0B\x0C]+",
+                        )
+                    ).alias("item")
+                ).where(F.length("item") > 0)
+                _merge_sketch(
+                    sketches.cms_sketch(toks, "item", cms_depth, cms_width),
+                    cms_store,
+                )
 
     writer = stream_df.writeStream.foreachBatch(_write).option(
         "checkpointLocation", checkpoint

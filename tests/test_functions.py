@@ -2271,3 +2271,61 @@ def test_dedup_substrings_chimera_superset_documented(spark):
     assert out[1]["kept_text"] == ""
     assert out[2]["kept_text"] == "zzz"
     assert out[3]["kept_text"] == "zzz"
+
+
+def test_cms_adversarial_width_inflation_visible_and_bounded(spark):
+    """The accuracy-vs-memory contract the 100 TB story depends on: with
+    item cardinality >> width, collisions MUST inflate some estimates
+    (the error is real, not hidden) and the inflation stays within the
+    Cormode-Muthukrishnan bound est - true <= e*N/width for every item
+    (deterministic here: the md5 hash family is fixed)."""
+    import math
+
+    from etl_pipeline2_0_spark.functions import sketches
+
+    width, depth = 32, 4
+    # 400 distinct items (12.5x width) + one heavy item; N = 700 occurrences
+    rows = [(f"item{i}",) for i in range(400)] + [("heavy",)] * 300
+    occ = spark.createDataFrame(rows, "item string")
+    n_total = len(rows)
+    sk = sketches.cms_sketch(occ, depth=depth, width=width)
+    exact = occ.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    est = sketches.cms_estimate(exact.select("item"), sk, depth=depth, width=width)
+    joined = exact.join(est, "item").collect()
+    assert len(joined) == 401
+    overs = [r["cms_est"] - r["cnt"] for r in joined]
+    assert all(o >= 0 for o in overs)          # one-sided, still
+    assert max(o for o in overs) > 0           # saturation is VISIBLE
+    bound = math.e * n_total / width           # ~59.4
+    assert max(overs) <= bound                 # ...and bounded (CM 2005)
+    # the heavy hitter still dominates every estimate
+    top = max(joined, key=lambda r: r["cms_est"])
+    assert top["item"] == "heavy"
+
+
+def test_bloom_adversarial_saturation_fp_rate_bounded(spark):
+    """Bloom counterpart: build with n >> bits/10 so the filter is heavily
+    loaded; false positives MUST appear (the error is real) and the FP
+    rate stays within 2x the textbook (1 - e^{-kn/m})^k prediction, while
+    false negatives remain impossible at any load."""
+    import math
+
+    from etl_pipeline2_0_spark.functions import sketches
+
+    k_h, m_bits = 4, 128
+    present = [(f"in{i}",) for i in range(80)]   # n=80, m=128: loaded
+    absent = [(f"out{i}",) for i in range(400)]
+    items = spark.createDataFrame(present, "item string")
+    bloom = sketches.bloom_build(items, num_hashes=k_h, num_bits=m_bits)
+    cand = spark.createDataFrame(present + absent, "item string")
+    got = {
+        r["item"]: r["maybe_present"]
+        for r in sketches.bloom_probe(
+            cand, bloom, num_hashes=k_h, num_bits=m_bits
+        ).collect()
+    }
+    assert all(got[f"in{i}"] for i in range(80))      # FNs impossible
+    fp = sum(1 for i in range(400) if got[f"out{i}"])
+    p_theory = (1.0 - math.exp(-k_h * 80 / m_bits)) ** k_h
+    assert fp > 0                                     # saturation VISIBLE
+    assert fp / 400.0 <= 2.0 * p_theory               # ...and bounded

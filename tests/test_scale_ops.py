@@ -449,3 +449,187 @@ def test_salted_band_joins_identical_pairs_on_skewed_corpus(spark):
 
     # The salted plan actually joins on the widened key (salt present).
     assert "__salt" in spread._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _skewed_cms_corpus(spark):
+    rows = [
+        (i, "breaking news update number %d the market moved today and "
+            "analysts expect further volatility in the coming week" % i)
+        for i in range(30)
+    ] + [
+        (100 + i, "unique story %d about topic%d with distinct narrative "
+                  "content and no shared boilerplate at all here" % (i, i))
+        for i in range(20)
+    ] + [
+        # a small near-dup cluster UNDER the cap (df=4 <= 10): its shared
+        # shingles survive capping, so capped runs still emit pairs
+        (200 + i, "rare shared passage about the quiet harbor town %d" % (i % 2))
+        for i in range(4)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_cms_cap_wide_sketch_equals_exact_cap(spark):
+    """freq_source='cms' with a collision-free (wide) sketch must produce
+    EXACTLY the exact-aggregate cap's output for both the Jaccard doc-freq
+    cap and the LSH bucket cap — same pairs, same values.  This pins that
+    the sketch path changes the MEASUREMENT mechanism only, not the cap
+    semantics."""
+    from etl_pipeline2_0_spark.functions import dedup
+
+    df = _skewed_cms_corpus(spark)
+    exact = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(df, threshold=0.3, max_doc_freq=10).collect()
+    )
+    via_cms = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(
+            df, threshold=0.3, max_doc_freq=10,
+            freq_source="cms", cms_width=1 << 18,
+        ).collect()
+    )
+    assert exact == via_cms and exact  # non-vacuous: pairs survive the cap
+
+    sigs = dedup.minhash_signatures(df)
+    e_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket_size=25).collect()
+    )
+    c_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, max_bucket_size=25,
+            bucket_freq_source="cms", cms_width=1 << 18,
+        ).collect()
+    )
+    assert e_pairs == c_pairs
+
+
+def test_cms_cap_narrow_sketch_over_prunes_only(spark):
+    """One-sided direction pin: with a deliberately NARROW sketch (forced
+    collisions), the map-side estimate must satisfy est >= exact count for
+    EVERY shingle key — so the cms cap's dropped-key set is a superset of
+    the exact cap's (over-prune possible, under-prune impossible)."""
+    from etl_pipeline2_0_spark.functions import dedup, sketches
+
+    df = _skewed_cms_corpus(spark)
+    shingled = (
+        df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(dedup.token_shingles(F.col("text"), 3)).alias("sh"),
+        )
+        .select("id", F.xxhash64("sh").cast("string").alias("item"))
+    )
+    sk = sketches.cms_sketch(shingled, "item", depth=4, width=32)  # narrow
+    est = sketches.cms_estimate_map_side(
+        shingled, F.col("item"), sk, depth=4, width=32
+    ).groupBy("item").agg(F.min("cms_est").alias("est"))
+    exact = shingled.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = exact.join(est, "item").collect()
+    assert joined
+    assert all(r["est"] >= r["cnt"] for r in joined)
+    # the narrow width really does collide (inflation visible somewhere)
+    assert any(r["est"] > r["cnt"] for r in joined)
+
+
+def test_cms_bucket_cap_plan_has_no_window_shuffle(spark):
+    """Plan pin for the 100 TB claim: the cms bucket cap must not compile
+    to the exact cap's Window (whole banded-table shuffle on
+    (band,bucket)); the sketch must arrive via broadcast."""
+    from etl_pipeline2_0_spark.functions import dedup
+
+    df = _skewed_cms_corpus(spark)
+    sigs = dedup.minhash_signatures(df)
+    plan = (
+        dedup.lsh_candidate_pairs(
+            sigs, max_bucket_size=25, bucket_freq_source="cms"
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+    exact_plan = (
+        dedup.lsh_candidate_pairs(sigs, max_bucket_size=25)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in exact_plan  # the shuffle the sketch path removes
+
+
+def test_auto_salt_selects_from_concentration_and_preserves_output(spark):
+    """salt='auto' (r10 verdict item 7): the factor derives from the
+    measured top bucket size / target reducer rows, and the auto-salted
+    join emits EXACTLY the unsalted pairs.  With a tiny target the skewed
+    corpus must force salt >= 2 (non-vacuous); with the default 200k
+    target the same corpus must resolve to unsalted (no pointless
+    replication on small data)."""
+    from etl_pipeline2_0_spark.functions import dedup
+
+    df = _skewed_cms_corpus(spark)
+    sigs = dedup.minhash_signatures(df)
+
+    # the concentration estimate really drives the factor: the 30-doc hot
+    # cluster's band bucket forces salt >= 2 at target 8, and the default
+    # 200k target resolves to unsalted on the same data
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * 4 + 1, 4),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    assert dedup._auto_band_salt(banded, None, None, target_rows=8) >= 2
+    assert dedup._auto_band_salt(banded, None, None, target_rows=200_000) is None
+
+    unsalted = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket_size=None).collect()
+    )
+    auto = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, max_bucket_size=None, salt="auto", auto_salt_target_rows=8
+        ).collect()
+    )
+    assert auto == unsalted and auto
+
+    # sketch-sourced top estimate: cms mode derives salt from the d*w
+    # sketch (no extra corpus aggregate) and still matches exactly
+    auto_cms = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, max_bucket_size=1000, bucket_freq_source="cms",
+            cms_width=1 << 18, salt="auto", auto_salt_target_rows=8,
+        ).collect()
+    )
+    exact_capped = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket_size=1000).collect()
+    )
+    assert auto_cms == exact_capped
+
+
+def test_llm_pipeline_composition_golden(spark):
+    """Row-count golden for the composed LLM-curation bench row
+    (bench._llm_pipeline: gopher gate → ccnet head → minhash dedup →
+    dsir resample → splits → packing).  Every stage is individually
+    oracled; this pins the COMPOSITION — a regression in any stage's
+    contract (gate keep-set, tercile boundary, dedup survivors, sample
+    draw, split hash, pack assignment) moves these counts."""
+    import bench
+
+    out = sorted(
+        (r["split"], r["n_packs"], r["n_docs"])
+        for r in bench._llm_pipeline(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert out == [("test", 1, 16), ("train", 7, 216), ("val", 1, 18)]

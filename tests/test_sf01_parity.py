@@ -85,6 +85,30 @@ HEAVY = [
     "doc_novelty",
     "fk_integrity",
     "tfidf_cosine_pairs",
+    # r9/r10 batch: tokenizer train/apply (iterative broadcast loop),
+    # positional phrase join, selection/sketch/quality families — the
+    # newest AQE-replan-sensitive shapes.
+    "bpe_train_merges",
+    "bpe_segment_words",
+    "bpe_encode_docs",
+    "tokenizer_fertility",
+    "phrase_match",
+    "temperature_mix_weights",
+    "dedup_keep_best",
+    "embedding_drift_psi",
+    "dsir_weights",
+    "dsir_sample",
+    "gopher_rules",
+    "gopher_audit",
+    "ann_pq_topk",
+    "ann_pq_recall",
+    "cms_heavy_hitters",
+    "bloom_contamination",
+    "split_leakage",
+    "ccnet_buckets",
+    # r11: the k-gram substring-erase chain (gram aggregate + anti-join +
+    # per-doc reassembly) at 10x rows.
+    "dedup_substrings",
 ]
 
 

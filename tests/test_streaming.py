@@ -468,3 +468,75 @@ def test_stream_cms_sketch_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert est["alpha"] >= 50 and est["gamma"] >= 7
+
+
+def test_stream_curated_ingest_monitors_psi_and_cms(spark, tmp_path):
+    """Observability on the COMPOSED curation loop (r10 verdict item 8):
+    with psi_reference/metrics_path/cms_store wired, each batch logs its
+    per-source token-length PSI vs the reference (in-distribution batch
+    small, length-shifted batch clearly larger) and the accepted tokens
+    maintain the bounded streaming CMS store (est >= true occurrence
+    count for a probed token)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import sketches
+    from etl_pipeline2_0_spark.streaming.dedup_ingest import stream_curated_ingest
+
+    base = ("the model training corpus needs long english documents that "
+            "clearly pass the quality gate with many ordinary words " )
+    ref_rows = [(i, base + f"ref tail {i}", "s0") for i in range(24)]
+    schema = "doc_id bigint, text string, source string"
+    ref = spark.createDataFrame(ref_rows, schema)
+
+    b1 = [(100 + i, base + f"batch tail {i}", "s0") for i in range(12)]
+    b2 = [
+        (200 + i, (base + base + base + base) + f"shifted tail {i}", "s0")
+        for i in range(12)
+    ]  # 4x length: a real token-length shift vs the reference
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate([b1, b2]):
+        d = os.path.join(src, f"b{i}")
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(d)
+        t = time.time() - 100 + i * 10
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    corpus = str(tmp_path / "corpus")
+    metrics = str(tmp_path / "metrics")
+    cms_store = str(tmp_path / "cms")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = stream_curated_ingest(
+        stream, corpus, str(tmp_path / "ckpt"),
+        min_quality=0.0, min_tokens=1, threshold=0.99,
+        psi_reference=ref, metrics_path=metrics,
+        cms_store=cms_store, cms_width=512,
+    )
+    q.awaitTermination(180)
+
+    logged = {r["batch_id"]: r["psi"] for r in spark.read.parquet(metrics).collect()}
+    assert len(logged) == 2
+    in_dist, shifted = logged[min(logged)], logged[max(logged)]
+    assert shifted > in_dist        # the shift is visible...
+    assert shifted > 0.25           # ...and "major" on the PSI scale
+    assert in_dist < 0.25
+
+    # CMS store: bounded, and the estimate upper-bounds the true count of
+    # a token every accepted doc contains ('training' appears once per doc)
+    accepted = spark.read.parquet(corpus)
+    n_docs = accepted.count()
+    assert n_docs == 24  # both batches pass the permissive gate, no dups
+    sk = spark.read.parquet(cms_store)
+    assert sk.count() <= 4 * 512
+    est = sketches.cms_estimate(
+        spark.createDataFrame([("training",)], "item string"), sk, width=512
+    ).first()["cms_est"]
+    assert est >= n_docs
