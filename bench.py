@@ -123,6 +123,9 @@ HEADLINE = [
     "gopher_audit",
     "ccnet_buckets",
     "dedup_substrings",
+    "dedup_lines",
+    "quality_classifier",
+    "doremi_weights",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

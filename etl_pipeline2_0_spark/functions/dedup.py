@@ -1412,3 +1412,86 @@ def dedup_substrings(
         (F.size("toks") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("n_removed"),
         F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Exact LINE-level dedup (the MassiveText / RefinedWeb curation
+    step; Rae et al. 2021 §A1.2 "repeated lines", Penedo et al. 2023):
+    a line whose exact text occurs in more than ``max_doc_freq`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, license headers)
+    and is removed from EVERY document; surviving lines are reassembled
+    in original order.  Lines shorter than ``min_line_chars`` after
+    trimming never count as boilerplate (blank lines and one-word
+    headings would otherwise erase each other corpus-wide).
+
+    Differs from the rest of the dedup battery: ``dedup_exact`` keys on
+    whole docs, ``dedup_spans``/``dedup_substrings`` on k-TOKEN windows
+    crossing line breaks — this is the newline-delimited unit the
+    published corpus pipelines treat as its own pass.
+
+    Scale design (100 TB):
+      - the line table is one narrow projection off a single
+        ``split(text, '\\n')`` (posexplode keeps reassembly order);
+      - boilerplate detection is a groupBy on the 8-byte ``xxhash64`` of
+        the line (never the line string — the exchange carries longs)
+        with an early ``count_distinct(doc)``, the dedup_spans shuffle
+        class, AQE-skew-safe;
+      - removal is a LEFT ANTI equi-join on the hash, applied only to
+        dup-eligible lines; ineligible lines bypass the join entirely;
+      - reassembly is one groupBy(doc) of bounded per-doc state; docs
+        whose every line is boilerplate surface with text '' (count
+        columns make the attrition auditable).  Nothing is collected.
+
+    Returns (doc_id, n_lines, n_dropped, text) for EVERY input doc.
+    """
+    lines = (
+        ensure_min_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+            ).alias("pos", "line"),
+        )
+        .withColumn(
+            "eligible", F.length(F.trim(F.col("line"))) >= min_line_chars
+        )
+        .withColumn("line_h", F.xxhash64("line"))
+    )
+    # lines feeds the frequency aggregate AND the reassembly join; the
+    # lazy barrier materializes the split exactly once.
+    lines = lines.localCheckpoint(eager=False)
+    hot = (
+        lines.where("eligible")
+        .groupBy("line_h")
+        .agg(F.count_distinct("doc_id").alias("ldf"))
+        .where(F.col("ldf") > max_doc_freq)
+        .select("line_h")
+    )
+    kept = lines.join(hot, "line_h", "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return totals.join(out, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )

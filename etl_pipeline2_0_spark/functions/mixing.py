@@ -701,3 +701,85 @@ def dsir_gumbel_sample(
         .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
         .limit(int(k))
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    steps: int = 10,
+    eta: float = 1.0,
+    smooth: float = 0.01,
+    prefix_len: int = 200,
+) -> DataFrame:
+    """Domain reweighting via exponentiated-gradient ascent — the DoReMi
+    update (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
+    Language Model Pretraining"), static-proxy variant: the per-domain
+    excess loss is measured ONCE from the corpus's own char-bigram LM
+    (the CCNet perplexity proxy, ``text.char_bigram_lm_scores``) instead
+    of being re-estimated by a proxy model each step,
+
+        excess(d) = max(0, L(d) − min_d' L(d'))          (clipped, §3.1)
+        w ← (1−smooth) · normalize(w · exp(η·excess)) + smooth/D,
+
+    iterated ``steps`` times from uniform.  High-perplexity (hard)
+    domains gain weight, the uniform-smoothing term keeps every domain
+    sampled — the paper's Group-DRO shape with its per-step clipping and
+    smoothing intact.
+
+    Scale shape: ONE corpus scoring pass (two passes inside the LM
+    build), then one tiny aggregate to D = #domains rows; the EG loop
+    runs on that D-row frame (crossJoin-agg normalizers, never a global
+    window), so iteration cost is independent of corpus size — the BPE
+    broadcast-loop discipline.  Nothing is collected.
+
+    Returns (domain, loss, excess, weight) rounded to 6 dp; weights sum
+    to 1 up to rounding.
+    """
+    from etl_pipeline2_0_spark.functions import text as _text
+
+    scored = _text.char_bigram_lm_scores(df, text_col, id_col, prefix_len)
+    dom = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain"))
+        .join(scored, "doc_id")
+        .groupBy("domain")
+        .agg(F.avg(-F.col("avg_logp")).alias("loss"))
+    )
+    base = dom.crossJoin(
+        F.broadcast(
+            dom.agg(
+                F.min("loss").alias("_mn"),
+                F.count(F.lit(1)).cast("double").alias("_nd"),
+            )
+        )
+    ).select(
+        "domain",
+        "loss",
+        F.greatest(F.col("loss") - F.col("_mn"), F.lit(0.0)).alias("excess"),
+        "_nd",
+    )
+    # The boost factor is static across steps (static proxy ⇒ exp() runs
+    # once; the loop is pure rational arithmetic — engine-portable).
+    base = base.withColumn(
+        "boost", F.exp(F.lit(float(eta)) * F.col("excess"))
+    ).localCheckpoint(eager=False)
+    w = base.withColumn("w", F.lit(1.0) / F.col("_nd"))
+    s = float(smooth)
+    for _ in range(int(steps)):
+        z = w.agg(F.sum(F.col("w") * F.col("boost")).alias("_z"))
+        w = (
+            w.crossJoin(F.broadcast(z))
+            .withColumn(
+                "w",
+                F.lit(1.0 - s) * F.col("w") * F.col("boost") / F.col("_z")
+                + F.lit(s) / F.col("_nd"),
+            )
+            .drop("_z")
+        )
+    return w.select(
+        "domain",
+        F.round("loss", 6).alias("loss"),
+        F.round("excess", 6).alias("excess"),
+        F.round("w", 6).alias("weight"),
+    )

@@ -941,3 +941,120 @@ def gopher_quality_flags(
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
         & (F.col("n_stopword_hits") >= min_stopword_hits),
     )
+
+
+def _hashed_unigram_rows(
+    df, text_col: str, id_col: str, num_buckets: int
+):
+    """One (doc_id, bucket) row per token OCCURRENCE, buckets from the
+    repo's portable md5-hex15 scheme (the ``hashed_ngram_features``
+    convention, unigrams only — fastText's default word features).
+    Tokenization runs ONCE per doc in its own projection (the
+    lambda-inlining trap, see mixing._ngrams_of)."""
+    tokd = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"),
+            lambda t: F.length(t) > 0,
+        ).alias("_toks"),
+    )
+    return tokd.select(
+        "doc_id", F.explode("_toks").alias("_t")
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(num_buckets),
+        ).alias("bucket"),
+    )
+
+
+def quality_classifier_scores(
+    df,
+    pos_df,
+    neg_df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    smoothing: float = 1.0,
+):
+    """Seed-trained quality classifier (the CCNet / LLaMA curation move:
+    Wenzek et al. 2020 §4.4, Touvron et al. 2023 train a fastText-style
+    linear model on a "looks like Wikipedia" seed and keep high-scoring
+    pages).  Multinomial Naive Bayes over hashed unigram counts IS a
+    linear classifier of that shape, and its training is pure counting —
+    so both train and inference stay in native aggregates:
+
+        score(x) = ln(n_pos/n_neg)                       (doc prior)
+                 + Σ_tok [ ln p(b(tok)|pos) − ln p(b(tok)|neg) ]
+
+    with add-``smoothing`` estimates over ``num_buckets`` hashed buckets,
+    trained on ``pos_df`` (quality seed) vs ``neg_df`` (raw/reject seed).
+    ``label`` = score > 0.  Docs with zero tokens score exactly the
+    prior (no evidence either way).
+
+    Scale shape: training is one side-tagged union aggregate bounded by
+    ``num_buckets`` rows (the dsir_log_weights idiom); the learned
+    log-odds table BROADCASTS onto a single exploded corpus pass — the
+    scored corpus never shuffles wider than the per-doc sum, and the
+    seeds are read once each regardless of corpus size.
+
+    Returns (doc_id, n_features, score, label).
+    """
+    pos = _hashed_unigram_rows(pos_df, text_col, id_col, num_buckets)
+    neg = _hashed_unigram_rows(neg_df, text_col, id_col, num_buckets)
+    dist = (
+        pos.select("bucket", F.lit(1).alias("is_p"), F.lit(0).alias("is_n"))
+        .unionAll(
+            neg.select(
+                "bucket", F.lit(0).alias("is_p"), F.lit(1).alias("is_n")
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.sum("is_p").alias("c_pos"), F.sum("is_n").alias("c_neg"))
+        .localCheckpoint(eager=False)  # feeds totals AND the odds table
+    )
+    totals = dist.agg(
+        F.sum("c_pos").alias("t_pos"), F.sum("c_neg").alias("t_neg")
+    )
+    priors = pos_df.select(F.lit(1).alias("is_p")).unionAll(
+        neg_df.select(F.lit(0).alias("is_p"))
+    ).agg(
+        F.log(
+            F.sum("is_p").cast("double")
+            / F.sum(F.lit(1) - F.col("is_p")).cast("double")
+        ).alias("log_prior")
+    )
+    a = float(smoothing)
+    b = float(num_buckets)
+    odds = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_pos") + a) / (F.col("t_pos") + a * b))
+            - F.log((F.col("c_neg") + a) / (F.col("t_neg") + a * b))
+        ).alias("log_odds"),
+    )
+    feats = _hashed_unigram_rows(df, text_col, id_col, num_buckets)
+    scored = (
+        feats.join(F.broadcast(odds), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.sum("log_odds").alias("evidence"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(priors))
+        .select(
+            "doc_id",
+            F.coalesce("n_features", F.lit(0)).cast("bigint").alias(
+                "n_features"
+            ),
+            F.round(
+                F.col("log_prior") + F.coalesce("evidence", F.lit(0.0)), 6
+            ).alias("score"),
+        )
+        .withColumn("label", F.col("score") > 0)
+    )

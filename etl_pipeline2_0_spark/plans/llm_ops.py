@@ -4011,3 +4011,180 @@ SELECT j.doc_id, j.lang, j.avg_logp,
             ELSE 'tail' END AS bucket
 FROM j JOIN thr t USING (lang)
 """
+
+
+# ------------------------------------------------ line-level exact dedup -
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MassiveText/RefinedWeb exact line dedup: boilerplate lines (shared
+    # across >1 distinct docs) removed from every doc, order-preserving
+    # reassembly.  The synthetic corpus has no cross-doc duplicate lines
+    # (verified), so this row proves the split→count→anti-join→rebuild
+    # plan parity end-to-end; the drop path is pinned by the planted
+    # boilerplate fixtures in tests/test_functions.py.
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_lines(docs)
+
+
+SQL_DEDUP_LINES = r"""
+WITH ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+), lines AS (
+  SELECT doc_id, unnest(arr) AS line, generate_subscripts(arr, 1) AS pos
+  FROM ls
+), hot AS (
+  SELECT line FROM lines WHERE length(trim(line)) >= 10
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) > 1
+), kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM hot)
+), tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY 1
+), reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, t.n_lines,
+       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(r.text, '') AS text
+FROM tot t LEFT JOIN reb r USING (doc_id)
+"""
+
+
+# ------------------------------------- seed-trained quality classifier -
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/LLaMA-style seed classifier: src0 docs as the quality seed,
+    # src1 as the reject seed, hashed-unigram NB log-odds over the whole
+    # corpus.  Portable md5-hex15 buckets → exact DuckDB twin.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_classifier_scores(
+        docs,
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") == "src1"),
+        num_buckets=4096,
+    )
+
+
+SQL_QUALITY_CLASSIFIER = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(unnest(toks)), 1, 15) AS BIGINT)
+           % 4096 AS bucket
+  FROM toks
+), pos_c AS (
+  SELECT bucket, COUNT(*) AS c_pos
+  FROM feats JOIN documents USING (doc_id)
+  WHERE source = 'src0' GROUP BY 1
+), neg_c AS (
+  SELECT bucket, COUNT(*) AS c_neg
+  FROM feats JOIN documents USING (doc_id)
+  WHERE source = 'src1' GROUP BY 1
+), dist AS (
+  SELECT COALESCE(p.bucket, n.bucket) AS bucket,
+         COALESCE(c_pos, 0) AS c_pos, COALESCE(c_neg, 0) AS c_neg
+  FROM pos_c p FULL OUTER JOIN neg_c n ON p.bucket = n.bucket
+), tot AS (
+  SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg FROM dist
+), prior AS (
+  SELECT ln(SUM(CASE WHEN source = 'src0' THEN 1.0 ELSE 0 END)
+            / SUM(CASE WHEN source = 'src1' THEN 1.0 ELSE 0 END))
+           AS log_prior
+  FROM documents
+), odds AS (
+  SELECT bucket,
+         ln((c_pos + 1.0) / (t_pos + 4096.0))
+           - ln((c_neg + 1.0) / (t_neg + 4096.0)) AS log_odds
+  FROM dist CROSS JOIN tot
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         SUM(log_odds) AS evidence
+  FROM feats JOIN odds USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(s.n_features, 0) AS n_features,
+       ROUND(p.log_prior + COALESCE(s.evidence, 0.0), 6) AS score,
+       ROUND(p.log_prior + COALESCE(s.evidence, 0.0), 6) > 0 AS label
+FROM documents d LEFT JOIN scored s USING (doc_id) CROSS JOIN prior p
+"""
+
+
+# --------------------------------------------- DoReMi domain reweighting -
+
+# One source of truth for the EG hyperparameters: the Spark call and the
+# generated twin both read these (the advisor-r10 DSIR-salt lesson).
+_DOREMI = {"steps": 10, "eta": 1.0, "smooth": 0.01}
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.doremi_weights(docs, **_DOREMI)
+
+
+def _sql_doremi_weights(steps: int, eta: float, smooth: float) -> str:
+    # The LM-score CTEs are SQL_LM_SCORE's, re-inlined (the CCNet twin
+    # pattern); the EG loop is a k-step MATERIALIZED CTE chain (the BPE
+    # twin lesson: DuckDB inlines multi-referenced CTEs exponentially
+    # otherwise).  exp() runs once in `base`; the loop itself is pure
+    # rational arithmetic, so the engines agree at 6 dp.
+    chain = []
+    prev = "w0"
+    for i in range(1, steps + 1):
+        chain.append(
+            f""", w{i} AS MATERIALIZED (
+  SELECT domain, loss, excess, nd, boost,
+         (1.0 - {smooth}) * w * boost / SUM(w * boost) OVER ()
+           + {smooth} / nd AS w
+  FROM {prev}
+)"""
+        )
+        prev = f"w{i}"
+    steps_sql = "".join(chain)
+    return rf"""
+WITH d AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM documents
+  WHERE length(substring(text, 1, 200)) >= 2
+), bg AS (
+  SELECT doc_id, substring(t, CAST(i AS INT), 2) AS big,
+         substring(t, CAST(i AS INT), 1) AS ctx
+  FROM d CROSS JOIN (SELECT unnest(range(1, 200)) AS i) s
+  WHERE i <= length(t) - 1
+), bc AS (
+  SELECT big, COUNT(*) AS bc FROM bg GROUP BY 1
+), cc AS (
+  SELECT ctx, COUNT(*) AS cc FROM bg GROUP BY 1
+), a AS (
+  SELECT COUNT(DISTINCT substring(big, 2, 1)) AS alpha FROM bg
+), scores AS (
+  SELECT bg.doc_id,
+         ROUND(AVG(ln((bc.bc + 1.0) / (cc.cc + a.alpha))), 6) AS avg_logp
+  FROM bg JOIN bc USING (big) JOIN cc ON bg.ctx = cc.ctx CROSS JOIN a
+  GROUP BY bg.doc_id
+), dom AS (
+  SELECT source AS domain, AVG(-avg_logp) AS loss
+  FROM scores JOIN documents USING (doc_id) GROUP BY 1
+), base AS MATERIALIZED (
+  SELECT domain, loss,
+         GREATEST(loss - MIN(loss) OVER (), 0.0) AS excess,
+         CAST(COUNT(*) OVER () AS DOUBLE) AS nd,
+         exp({eta} * GREATEST(loss - MIN(loss) OVER (), 0.0)) AS boost
+  FROM dom
+), w0 AS MATERIALIZED (
+  SELECT domain, loss, excess, nd, boost, 1.0 / nd AS w FROM base
+){steps_sql}
+SELECT domain, ROUND(loss, 6) AS loss, ROUND(excess, 6) AS excess,
+       ROUND(w, 6) AS weight
+FROM {prev}
+"""
+
+
+SQL_DOREMI_WEIGHTS = _sql_doremi_weights(**_DOREMI)

@@ -220,6 +220,19 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     the paper's suffix-array scan; full DuckDB twin, planted
     #     shared-passage negative control ---
     "dedup_substrings": (L.q_dedup_substrings, L.SQL_DEDUP_SUBSTRINGS),
+    # --- added r11 (past-cap; r12 promotion pool): exact LINE dedup
+    #     (MassiveText/RefinedWeb boilerplate-line removal), the
+    #     CCNet/LLaMA seed-trained quality classifier (hashed-unigram NB
+    #     log-odds, a fastText-shaped linear model trained by counting),
+    #     and DoReMi domain reweighting (Xie et al. 2023 EG loop over
+    #     char-bigram-LM excess loss) — all with full DuckDB twins and
+    #     planted negative controls ---
+    "dedup_lines": (L.q_dedup_lines, L.SQL_DEDUP_LINES),
+    "quality_classifier": (
+        L.q_quality_classifier,
+        L.SQL_QUALITY_CLASSIFIER,
+    ),
+    "doremi_weights": (L.q_doremi_weights, L.SQL_DOREMI_WEIGHTS),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -2329,3 +2329,134 @@ def test_bloom_adversarial_saturation_fp_rate_bounded(spark):
     p_theory = (1.0 - math.exp(-k_h * 80 / m_bits)) ** k_h
     assert fp > 0                                     # saturation VISIBLE
     assert fp / 400.0 <= 2.0 * p_theory               # ...and bounded
+
+
+# ------------------------------------------------------ line-level dedup --
+
+
+def test_dedup_lines_drops_boilerplate_from_every_doc(spark):
+    """MassiveText/RefinedWeb line-dedup semantics on a planted corpus: a
+    boilerplate line shared by 3 docs is removed from ALL of them (not
+    all-but-one); unique lines survive in original order; a SHORT shared
+    line (< min_line_chars) is never treated as boilerplate."""
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (1, "unique first line\n" + boiler + "\nunique third line"),
+        (2, boiler + "\nanother unique line"),
+        (3, "opening words here\n" + boiler),
+        (4, "ok\nstandalone content line"),
+        (5, "ok\nother standalone content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup.dedup_lines(df).collect()}
+    assert out[1]["text"] == "unique first line\nunique third line"
+    assert out[1]["n_lines"] == 3 and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "another unique line"
+    assert out[3]["text"] == "opening words here"
+    # "ok" is shared by docs 4 and 5 but shorter than min_line_chars —
+    # kept in both (the blank-line/heading protection).
+    assert out[4]["text"] == rows[3][1]
+    assert out[5]["text"] == rows[4][1]
+
+
+def test_dedup_lines_full_erase_threshold_and_null(spark):
+    """A doc made entirely of boilerplate surfaces with text '' (counts
+    intact); max_doc_freq raises the bar (df=2 ≤ 2 keeps the line); NULL
+    text behaves as one empty line, always kept."""
+    b1, b2 = "repeated boilerplate alpha", "repeated boilerplate beta"
+    rows = [(1, b1 + "\n" + b2), (2, b1 + "\n" + b2 + "\nown line"),
+            (3, b1), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup.dedup_lines(df).collect()}
+    assert out[1]["text"] == "" and out[1]["n_dropped"] == 2
+    assert out[2]["text"] == "own line"
+    assert out[3]["text"] == "" and out[3]["n_lines"] == 1
+    assert out[4]["text"] == "" and out[4]["n_lines"] == 1 and out[4]["n_dropped"] == 0
+    relaxed = {r["doc_id"]: r
+               for r in dedup.dedup_lines(df, max_doc_freq=3).collect()}
+    assert relaxed[1]["text"] == rows[0][1]  # df 3 and 2 both ≤ 3
+    assert relaxed[3]["text"] == b1
+
+
+# ---------------------------------------- seed-trained quality classifier --
+
+
+def test_quality_classifier_separates_seed_vocabularies(spark):
+    """NB log-odds over hashed unigrams: docs speaking the positive
+    seed's vocabulary score > 0, the negative seed's < 0; a zero-token
+    doc scores exactly the doc-count log-prior (no evidence)."""
+    import math
+
+    pos = spark.createDataFrame(
+        [(100, "good clean prose " * 5), (101, "clean good writing " * 5)],
+        "doc_id bigint, text string",
+    )
+    neg = spark.createDataFrame(
+        [(200, "spam junk casino " * 5), (201, "junk spam pills " * 5)],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "good clean prose writing"), (2, "casino spam pills junk"),
+         (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in text.quality_classifier_scores(corpus, pos, neg).collect()}
+    assert out[1]["label"] is True and out[1]["score"] > 0
+    assert out[2]["label"] is False and out[2]["score"] < 0
+    assert out[3]["n_features"] == 0
+    assert out[3]["score"] == pytest.approx(math.log(2 / 2), abs=1e-6)
+
+
+def test_quality_classifier_prior_shifts_empty_docs(spark):
+    """The prior is the seed DOC-count log-ratio: with 3 pos vs 1 neg
+    seed docs an evidence-free doc scores ln(3) — the fastText bias
+    term, pinned so a silent prior drop can't pass."""
+    import math
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    pos = mk([(100, "aa bb"), (101, "aa cc"), (102, "bb cc")])
+    neg = mk([(200, "zz yy")])
+    out = text.quality_classifier_scores(mk([(1, "")]), pos, neg).collect()
+    assert out[0]["score"] == pytest.approx(math.log(3.0), abs=1e-6)
+    assert out[0]["label"] is True
+
+
+# ------------------------------------------------ DoReMi domain weights --
+
+
+def test_doremi_weights_direction_simplex_and_floor(spark):
+    """EG reweighting on a corpus with one out-of-distribution domain:
+    weights form a simplex (sum 1), the high-perplexity domain gains
+    weight over the in-distribution ones, and the uniform-smoothing term
+    floors every domain at smooth/D."""
+    from etl_pipeline2_0_spark.functions import mixing
+
+    normal = [(i, "src_easy", "the common words repeat the common words again and again")
+              for i in range(40)]
+    odd = [(100 + i, "src_hard", "zxqv jkwp qqyz vvkx zzpw xkjq wwqz pzkv")
+           for i in range(40)]
+    df = spark.createDataFrame(
+        normal + odd, "doc_id bigint, source string, text string"
+    )
+    out = {r["domain"]: r for r in mixing.doremi_weights(df).collect()}
+    assert set(out) == {"src_easy", "src_hard"}
+    total = sum(r["weight"] for r in out.values())
+    assert total == pytest.approx(1.0, abs=1e-5)
+    assert out["src_hard"]["loss"] > out["src_easy"]["loss"]
+    assert out["src_hard"]["weight"] > out["src_easy"]["weight"]
+    assert out["src_easy"]["excess"] == 0.0
+    assert min(r["weight"] for r in out.values()) >= 0.01 / 2 - 1e-9
+
+
+def test_doremi_weights_eta_zero_is_uniform(spark):
+    """η = 0 kills the gradient: boost ≡ 1 and the loop is a no-op —
+    every domain stays at exactly 1/D regardless of loss spread (the
+    negative control for an accidentally-inverted excess sign)."""
+    from etl_pipeline2_0_spark.functions import mixing
+
+    rows = [(1, "a", "hello world text"), (2, "b", "zxqv jkwp qqyz"),
+            (3, "c", "more ordinary words"), (4, "d", "wvpk zzxq yqqw")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = mixing.doremi_weights(df, eta=0.0).collect()
+    assert all(r["weight"] == pytest.approx(0.25, abs=1e-6) for r in out)

@@ -109,6 +109,9 @@ HEAVY = [
     # r11: the k-gram substring-erase chain (gram aggregate + anti-join +
     # per-doc reassembly) at 10x rows.
     "dedup_substrings",
+    "dedup_lines",
+    "quality_classifier",
+    "doremi_weights",
 ]
 
 
