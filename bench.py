@@ -126,6 +126,8 @@ HEADLINE = [
     "dedup_lines",
     "quality_classifier",
     "doremi_weights",
+    "c4_rules",
+    "zipf_stats",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

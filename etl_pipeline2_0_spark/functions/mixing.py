@@ -767,6 +767,11 @@ def doremi_weights(
     w = base.withColumn("w", F.lit(1.0) / F.col("_nd"))
     s = float(smooth)
     for _ in range(int(steps)):
+        # Per-step lineage barrier (the BPE-loop discipline): without it
+        # each step's normalizer nests the whole prior tree, and the
+        # 10-deep plan costs ~10 s in planning/overhead at sf0.1
+        # (measured); with it the loop is `steps` trivial D-row jobs.
+        w = w.localCheckpoint(eager=False)
         z = w.agg(F.sum(F.col("w") * F.col("boost")).alias("_z"))
         w = (
             w.crossJoin(F.broadcast(z))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword marker sets for the n-gram/stopword language-ID
 # heuristic.  ASCII-only on purpose: identical regex semantics in Java
@@ -1057,4 +1058,142 @@ def quality_classifier_scores(
             ).alias("score"),
         )
         .withColumn("label", F.col("score") > 0)
+    )
+
+
+C4_BADWORDS = ("badword1", "badword2")  # stand-in for the blocklist C4 cites
+
+
+def c4_quality_flags(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    badwords: tuple[str, ...] = C4_BADWORDS,
+):
+    """The C4 cleaning rule battery (Raffel et al. 2020 §2.2): line rules
+    — keep only lines that end in terminal punctuation (. ! ? ") AND
+    contain ≥ ``min_words_per_line`` words — plus page rules — drop any
+    page with fewer than ``min_sentences`` sentences, containing
+    "lorem ipsum", a curly brace ``{``, or a blocklisted word.  The
+    blocklist ships as a tiny neutral placeholder (the paper points at an
+    external list; pass your own).
+
+    Returns per-doc metrics + verdict, the ``gopher_quality_flags``
+    shape: (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, has_badword, keep, clean_text) where ``clean_text`` is
+    the retained lines rejoined (what C4 would actually train on; ''
+    when keep is false semantics are left to the caller — the column
+    always holds the line-filtered text so rule attribution stays
+    visible).
+
+    Scale: pure narrow projections off ONE line split materialized per
+    doc — no shuffle, no UDF; runs at scan speed like the Gopher
+    battery.  Sentences are counted as terminal-punctuation runs on the
+    raw page (the paper's sentence proxy at corpus scale).
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+    lower = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    word_n = lambda c: F.size(
+        F.filter(
+            F.split(c, r"[ \t\r\x0B\x0C]+"), lambda t: F.length(t) > 0
+        )
+    )
+    line_ok = lambda ln: (
+        F.rtrim(ln).rlike('[.!?"]$') & (word_n(ln) >= min_words_per_line)
+    )
+    kept = F.filter(lines, line_ok)
+    badword_hit = None
+    for w in badwords:
+        hit = F.contains(lower, F.lit(w))
+        badword_hit = hit if badword_hit is None else (badword_hit | hit)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"[.!?]"),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ).cast("bigint").alias("n_sentences"),
+        F.contains(lower, F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit("{")
+        ).alias("has_brace"),
+        (badword_hit if badword_hit is not None else F.lit(False)).alias(
+            "has_badword"
+        ),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_badword")
+        & (F.col("n_kept_lines") > 0),
+    )
+
+
+def zipf_token_stats(
+    df,
+    text_col: str = "text",
+    top_k: int = 100,
+):
+    """Zipf rank–frequency observability: the ``top_k`` most frequent
+    tokens with rank, count, corpus frequency share, and the fitted
+    log-log slope (OLS of ln(count) on ln(rank) over the top-k — a
+    healthy natural-language corpus sits near −1; synthetic or
+    templated text shows up immediately as a flat or convex curve).
+
+    Scale: one token-count aggregate (map-side combinable), a bounded
+    top-k (TakeOrdered, never a global sort), and the regression runs
+    over k rows.  Ties break lexicographically so ranks — and therefore
+    the slope — are deterministic across engines.
+
+    Returns (rank, token, cnt, frac, slope) — ``slope`` repeated on
+    every row (crossJoin-agg broadcast, the total_items_window idiom).
+    """
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    counts = counts.localCheckpoint(eager=False)  # feeds top-k AND total
+    total = counts.agg(F.sum("cnt").cast("double").alias("_tot"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("token"))
+            ).cast("bigint"),
+        )
+    )
+    slope = top.agg(
+        F.round(
+            F.covar_pop(F.log("rank"), F.log("cnt"))
+            / F.var_pop(F.log("rank")),
+            6,
+        ).alias("slope")
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(slope))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_tot"), 6).alias("frac"),
+            "slope",
+        )
     )

@@ -4188,3 +4188,121 @@ FROM {prev}
 
 
 SQL_DOREMI_WEIGHTS = _sql_doremi_weights(**_DOREMI)
+
+
+# ------------------------------------------------- C4 rule battery -------
+
+# The deterministic "dirtying" recipe (the q_text_clean precedent): the
+# synthetic corpus has no punctuation, braces, or blocklist hits, so the
+# raw battery would be constant — the advisor-r10 lesson that invisible
+# rule paths hide divergence.  Literal-replace + doc_id-keyed injections
+# (identical expressions in both engines) give every C4 rule real
+# variance: multi-line docs, mid-text sentences, terminal-punct endings,
+# braces, "lorem ipsum", a blocklisted word.
+def _c4_dirty_col() -> F.Column:
+    t0 = F.coalesce(F.col("text"), F.lit(""))
+    t1 = F.replace(t0, F.lit(" merge "), F.lit("\n"))
+    t2 = F.replace(t1, F.lit(" spark "), F.lit(". spark "))
+    t3 = F.concat(
+        t2, F.when(F.col("doc_id") % 3 == 0, F.lit(".")).otherwise(F.lit(""))
+    )
+    t4 = F.when(F.col("doc_id") % 17 == 0, F.concat(t3, F.lit(" {"))).otherwise(t3)
+    t5 = F.when(
+        F.col("doc_id") % 23 == 0, F.concat(F.lit("lorem ipsum "), t4)
+    ).otherwise(t4)
+    return F.when(
+        F.col("doc_id") % 29 == 0, F.concat(t5, F.lit(" badword1"))
+    ).otherwise(t5)
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The C4 cleaning battery (Raffel et al. 2020 §2.2) over the dirtied
+    # corpus: line-level terminal-punctuation + ≥5-word retention, page
+    # rules (≥3 sentences, lorem ipsum, brace, blocklist).
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", _c4_dirty_col()
+    )
+    return text.c4_quality_flags(docs)
+
+
+SQL_C4_RULES = r"""
+WITH dirty AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 29 = 0 THEN t5 || ' badword1' ELSE t5 END AS t
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 23 = 0 THEN 'lorem ipsum ' || t4 ELSE t4 END AS t5
+    FROM (
+      SELECT doc_id,
+        CASE WHEN doc_id % 17 = 0 THEN t3 || ' {' ELSE t3 END AS t4
+      FROM (
+        SELECT doc_id,
+          t2 || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END AS t3
+        FROM (
+          SELECT doc_id,
+            replace(replace(COALESCE(text, ''), ' merge ', chr(10)),
+                    ' spark ', '. spark ') AS t2
+          FROM documents
+        )
+      )
+    )
+  )
+), m AS (
+  SELECT doc_id,
+    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+    list_filter(
+      string_split(t, chr(10)),
+      ln -> regexp_matches(rtrim(ln), '[.!?"]$')
+            AND len(list_filter(
+                  regexp_split_to_array(ln, '[ \t\r\x0B\x0C]+'),
+                  w -> length(w) > 0)) >= 5
+    ) AS kept,
+    CAST(len(list_filter(regexp_split_to_array(t, '[.!?]'),
+                         s -> length(trim(s)) > 0)) AS BIGINT)
+      AS n_sentences,
+    contains(lower(t), 'lorem ipsum') AS has_lorem,
+    contains(t, '{') AS has_brace,
+    (contains(lower(t), 'badword1') OR contains(lower(t), 'badword2'))
+      AS has_badword
+  FROM dirty
+)
+SELECT doc_id, n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       n_sentences, has_lorem, has_brace, has_badword,
+       COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+       (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+        AND NOT has_badword AND len(kept) > 0) AS keep
+FROM m
+"""
+
+
+# --------------------------------------------- Zipf rank-frequency -------
+
+
+def q_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.zipf_token_stats(docs, top_k=100)
+
+
+SQL_ZIPF_STATS = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents
+), c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c
+), top AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+           AS rank
+  FROM c ORDER BY cnt DESC, token LIMIT 100
+), s AS (
+  SELECT ROUND(covar_pop(ln(rank), ln(cnt)) / var_pop(ln(rank)), 6)
+           AS slope
+  FROM top
+)
+SELECT rank, token, cnt, ROUND(cnt / t.tot, 6) AS frac, s.slope
+FROM top CROSS JOIN t CROSS JOIN s
+"""

@@ -233,6 +233,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.SQL_QUALITY_CLASSIFIER,
     ),
     "doremi_weights": (L.q_doremi_weights, L.SQL_DOREMI_WEIGHTS),
+    # --- added r11 (past-cap; r12 promotion pool, wave 3): the C4
+    #     cleaning battery (Raffel et al. 2020 §2.2) over a
+    #     deterministically-dirtied corpus so EVERY rule path has
+    #     variance (advisor-r10 lesson), and Zipf rank-frequency
+    #     observability with a fitted log-log slope ---
+    "c4_rules": (L.q_c4_rules, L.SQL_C4_RULES),
+    "zipf_stats": (L.q_zipf_stats, L.SQL_ZIPF_STATS),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

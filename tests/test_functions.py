@@ -2460,3 +2460,87 @@ def test_doremi_weights_eta_zero_is_uniform(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
     out = mixing.doremi_weights(df, eta=0.0).collect()
     assert all(r["weight"] == pytest.approx(0.25, abs=1e-6) for r in out)
+
+
+# ------------------------------------------------------- C4 rule battery --
+
+
+def test_c4_rules_line_and_page_semantics(spark):
+    """Raffel et al. §2.2 on a planted page: only terminal-punctuation
+    lines with ≥5 words survive the line filter; pages with <3
+    sentences, lorem ipsum, a brace, or a blocklisted word are rejected;
+    a clean multi-sentence page keeps."""
+    good = ("This is a perfectly reasonable first sentence.\n"
+            "Here is another well formed line.\n"
+            "And a third sentence closes it out.")
+    rows = [
+        (1, good),
+        (2, "Too few words.\nThis line has enough words to pass easily.\n"
+            "Ending without punctuation means removal"),
+        (3, "Lorem ipsum dolor sit amet is template filler.\n"
+            "A second sentence sits here nicely.\n"
+            "And a third one for the count."),
+        (4, good + "\nvar x = { nested: true };"),
+        (5, "Only one sentence lives on this page."),
+        (6, good.replace("third", "badword1")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in text.c4_quality_flags(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["n_kept_lines"] == 3 and out[1]["clean_text"] == good
+    # doc 2: line 1 has <5 words, line 3 lacks terminal punct -> 1 kept
+    assert out[2]["n_kept_lines"] == 1
+    assert out[3]["keep"] is False and out[3]["has_lorem"]
+    assert out[4]["keep"] is False and out[4]["has_brace"]
+    assert out[5]["keep"] is False and out[5]["n_sentences"] == 1
+    assert out[6]["keep"] is False and out[6]["has_badword"]
+
+
+def test_c4_rules_quote_terminal_and_empty(spark):
+    """A line ending in a closing quote counts as terminal (the paper's
+    rule); empty/NULL docs survive with zero counts and keep=False."""
+    rows = [(1, 'He said "this quoted line is definitely long enough."'),
+            (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in text.c4_quality_flags(df).collect()}
+    assert out[1]["n_kept_lines"] == 1
+    for d in (2, 3):
+        assert out[d]["n_kept_lines"] == 0 and out[d]["keep"] is False
+
+
+# -------------------------------------------------- Zipf rank-frequency --
+
+
+def test_zipf_stats_ranks_fracs_and_slope(spark):
+    """Hand-checkable corpus: counts aa=4, bb=2, cc=1 give ranks 1..3,
+    fracs n/7, and the OLS slope of ln(cnt) on ln(rank) over the three
+    points (computed by hand ≈ -1.0397)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aa aa bb cc"), (2, "aa aa bb")], "doc_id bigint, text string"
+    )
+    out = {r["rank"]: r for r in text.zipf_token_stats(df, top_k=10).collect()}
+    assert [out[i]["token"] for i in (1, 2, 3)] == ["aa", "bb", "cc"]
+    assert out[1]["cnt"] == 4 and out[3]["cnt"] == 1
+    assert out[1]["frac"] == pytest.approx(4 / 7, abs=1e-6)
+    xs = [math.log(i) for i in (1, 2, 3)]
+    ys = [math.log(c) for c in (4, 2, 1)]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert out[1]["slope"] == pytest.approx(slope, abs=1e-6)
+    assert all(out[i]["slope"] == out[1]["slope"] for i in (2, 3))
+
+
+def test_zipf_stats_tie_break_is_lexicographic(spark):
+    """Equal counts order by token text, so ranks (and the slope) are
+    engine-deterministic — the negative control for a nondeterministic
+    top-k that would flap the driver hash."""
+    df = spark.createDataFrame(
+        [(1, "zz aa mm"), (2, "aa zz mm")], "doc_id bigint, text string"
+    )
+    out = [r["token"] for r in
+           text.zipf_token_stats(df, top_k=3).orderBy("rank").collect()]
+    assert out == ["aa", "mm", "zz"]

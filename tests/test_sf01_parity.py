@@ -112,6 +112,8 @@ HEAVY = [
     "dedup_lines",
     "quality_classifier",
     "doremi_weights",
+    "c4_rules",
+    "zipf_stats",
 ]
 
 
