@@ -128,6 +128,8 @@ HEADLINE = [
     "doremi_weights",
     "c4_rules",
     "zipf_stats",
+    "pack_efficiency",
+    "heaps_growth",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]
@@ -272,6 +274,13 @@ def main() -> None:
     RUNS = 3
     loadavg_start = os.getloadavg()
     keys = [n.split(": ")[-1] for n in HEADLINE]
+    # BENCH_ONLY=k1,k2 restricts the run to a named subset — used to
+    # supplement an existing record with late-added queries without
+    # re-paying the full ~12 min sweep (merge the outputs by key).
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        wanted = {k.strip() for k in only.split(",") if k.strip()}
+        keys = [k for k in keys if k in wanted]
     fns = {
         key: EXTRA_BENCH[key] if key in EXTRA_BENCH else ALL_QUERIES[key][0]
         for key in keys

@@ -788,3 +788,54 @@ def doremi_weights(
         F.round("excess", 6).alias("excess"),
         F.round("w", 6).alias("weight"),
     )
+
+
+def pack_efficiency(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Packing-efficiency audit over ``pack_sequences``: per source, how
+    well the streaming packer fills its ``budget_tokens`` sequences —
+    the number a pipeline owner watches before paying for a smarter
+    (bin-packing) packer.  Fill = pack_tokens / budget; the LAST pack of
+    a source is usually a partial fill and streaming packs may overflow
+    by at most one document, so both tails are reported:
+
+      (source, n_packs, total_tokens, avg_fill, p10_fill, p90_fill,
+       overflow_frac, underfill_tokens)
+
+    where ``underfill_tokens`` sums max(0, budget − pack_tokens) —
+    tokens of padding a trainer would burn at this packing.
+
+    Scale: one aggregate over pack_sequences' per-pack output (already
+    ≪ corpus rows); exact per-source percentiles over pack counts, not
+    docs.  Rounded to 6 dp for the engine-parity contract.
+    """
+    packs = pack_sequences(
+        docs, budget_tokens, text_col, id_col, source_col,
+        bucket_width=bucket_width,
+    )
+    fill = F.col("pack_tokens") / F.lit(float(budget_tokens))
+    return (
+        packs.withColumn("fill", fill)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+            F.sum("pack_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("fill"), 6).alias("avg_fill"),
+            F.round(F.percentile("fill", 0.1), 6).alias("p10_fill"),
+            F.round(F.percentile("fill", 0.9), 6).alias("p90_fill"),
+            F.round(
+                F.avg(F.when(F.col("fill") > 1.0, 1.0).otherwise(0.0)), 6
+            ).alias("overflow_frac"),
+            F.sum(
+                F.greatest(
+                    F.lit(budget_tokens) - F.col("pack_tokens"), F.lit(0)
+                )
+            ).cast("bigint").alias("underfill_tokens"),
+        )
+    )

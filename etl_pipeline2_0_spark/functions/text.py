@@ -1197,3 +1197,69 @@ def zipf_token_stats(
             "slope",
         )
     )
+
+
+def heaps_vocab_growth(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+):
+    """Heaps'-law observability: vocabulary growth as the corpus is
+    consumed in ``id_col`` order, reported at ``n_buckets`` checkpoints —
+    a healthy natural corpus grows types ∝ tokens^β with β ≈ 0.4–0.6;
+    templated or looping text flattens immediately, runaway vocabularies
+    (OCR noise, binary spill) curve upward.
+
+    Bucketing is a monotone function of the id against its broadcast
+    max (one bounded aggregate — never a global row_number), so the
+    curve is deterministic and the assignment is a narrow projection.
+    A token TYPE counts as new in the first bucket it appears in
+    (min-bucket aggregate over the token table — one shuffle bounded by
+    vocabulary size); the cumulative curve is a window over the
+    ``n_buckets``-row result, not the corpus.
+
+    Returns (bucket, n_docs, n_tokens, cum_tokens, new_types,
+    cum_types) — one row per non-empty bucket.
+    """
+    mx = df.agg(
+        (F.max(F.col(id_col)).cast("double") + 1.0).alias("_mx")
+    )
+    base = df.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.floor(
+                F.col(id_col).cast("double") * n_buckets / F.col("_mx")
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        ).alias("bucket"),
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"),
+            lambda t: F.length(t) > 0,
+        ).alias("_toks"),
+    )
+    base = base.localCheckpoint(eager=False)  # feeds doc stats AND types
+    per_bucket = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("_toks")).cast("bigint").alias("n_tokens"),
+    )
+    first_seen = (
+        base.select("bucket", F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .withColumn("cum_types", F.sum("new_types").over(w).cast("bigint"))
+        .select(
+            "bucket", "n_docs", "n_tokens", "cum_tokens",
+            "new_types", "cum_types",
+        )
+    )

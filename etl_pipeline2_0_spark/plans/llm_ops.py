@@ -4306,3 +4306,83 @@ WITH toks AS (
 SELECT rank, token, cnt, ROUND(cnt / t.tot, 6) AS frac, s.slope
 FROM top CROSS JOIN t CROSS JOIN s
 """
+
+
+# --------------------------------------------- packing-efficiency audit --
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.pack_efficiency(docs, budget_tokens=256, bucket_width=1024)
+
+
+SQL_PACK_EFFICIENCY = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                         x -> length(x) > 0)) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+           AS BIGINT) AS pack_id
+  FROM toks
+), packs AS (
+  SELECT source, pack_id, SUM(n_tokens) AS pack_tokens,
+         SUM(n_tokens) / 256.0 AS fill
+  FROM packed GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(fill), 6) AS avg_fill,
+       ROUND(quantile_cont(fill, 0.1), 6) AS p10_fill,
+       ROUND(quantile_cont(fill, 0.9), 6) AS p90_fill,
+       ROUND(AVG(CASE WHEN fill > 1.0 THEN 1.0 ELSE 0.0 END), 6)
+         AS overflow_frac,
+       CAST(SUM(GREATEST(256 - pack_tokens, 0)) AS BIGINT)
+         AS underfill_tokens
+FROM packs GROUP BY 1
+"""
+
+
+# ------------------------------------------------ Heaps' vocab growth ----
+
+
+def q_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.heaps_vocab_growth(docs, n_buckets=10)
+
+
+SQL_HEAPS_GROWTH = r"""
+WITH mx AS (
+  SELECT CAST(MAX(doc_id) AS DOUBLE) + 1.0 AS m FROM documents
+), base AS (
+  SELECT LEAST(CAST(floor(CAST(doc_id AS DOUBLE) * 10 / mx.m) AS INT), 9)
+           AS bucket,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents CROSS JOIN mx
+), per_bucket AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+  FROM base GROUP BY 1
+), first_seen AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+    SELECT tok, MIN(bucket) AS bucket
+    FROM (SELECT bucket, unnest(toks) AS tok FROM base)
+    GROUP BY 1
+  ) GROUP BY 1
+)
+SELECT p.bucket, p.n_docs, p.n_tokens,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+         AS cum_tokens,
+       COALESCE(f.new_types, 0) AS new_types,
+       CAST(SUM(COALESCE(f.new_types, 0)) OVER (ORDER BY p.bucket)
+         AS BIGINT) AS cum_types
+FROM per_bucket p LEFT JOIN first_seen f USING (bucket)
+"""

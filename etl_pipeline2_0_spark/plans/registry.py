@@ -240,6 +240,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     observability with a fitted log-log slope ---
     "c4_rules": (L.q_c4_rules, L.SQL_C4_RULES),
     "zipf_stats": (L.q_zipf_stats, L.SQL_ZIPF_STATS),
+    # --- added r11 (past-cap; r12 promotion pool, wave 4): packing
+    #     waste audit over pack_sequences (fill percentiles, overflow
+    #     fraction, padding burn) and Heaps'-law vocabulary-growth
+    #     checkpoints (templated text flattens, OCR noise curves up) ---
+    "pack_efficiency": (L.q_pack_efficiency, L.SQL_PACK_EFFICIENCY),
+    "heaps_growth": (L.q_heaps_growth, L.SQL_HEAPS_GROWTH),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -2544,3 +2544,66 @@ def test_zipf_stats_tie_break_is_lexicographic(spark):
     out = [r["token"] for r in
            text.zipf_token_stats(df, top_k=3).orderBy("rank").collect()]
     assert out == ["aa", "mm", "zz"]
+
+
+# ------------------------------------------------ packing-efficiency audit --
+
+
+def test_pack_efficiency_hand_computed(spark):
+    """Budget 10, one source, docs of 4/4/4/7/3 tokens in id order: packs
+    are {4,4,4}=12 (overflow), {7,3}=10 (exact) — n_packs 2, avg_fill
+    1.1, overflow_frac 0.5, underfill 0."""
+    from etl_pipeline2_0_spark.functions import mixing
+
+    rows = [(1, "s", "a b c d"), (2, "s", "a b c d"), (3, "s", "a b c d"),
+            (4, "s", "a b c d e f g"), (5, "s", "a b c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = mixing.pack_efficiency(df, budget_tokens=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_packs"] == 2 and r["total_tokens"] == 22
+    assert r["avg_fill"] == pytest.approx(1.1, abs=1e-6)
+    assert r["overflow_frac"] == pytest.approx(0.5, abs=1e-6)
+    assert r["underfill_tokens"] == 0
+
+
+def test_pack_efficiency_underfill_counts_padding(spark):
+    """A lone 3-token doc in a 10-token budget burns 7 padding tokens —
+    the negative control for a GREATEST() sign flip."""
+    from etl_pipeline2_0_spark.functions import mixing
+
+    df = spark.createDataFrame(
+        [(1, "s", "a b c")], "doc_id bigint, source string, text string"
+    )
+    r = mixing.pack_efficiency(df, budget_tokens=10).collect()[0]
+    assert r["underfill_tokens"] == 7
+    assert r["overflow_frac"] == 0.0
+
+
+# --------------------------------------------------- Heaps' vocab growth --
+
+
+def test_heaps_growth_counts_types_at_first_bucket(spark):
+    """Two buckets (ids 0..3, n_buckets=2): types seen in bucket 0 never
+    recount in bucket 1; cum_types is monotone and ends at the exact
+    distinct-token count; cum_tokens at the last bucket is the corpus
+    token total."""
+    rows = [(0, "aa bb"), (1, "aa cc"), (2, "aa dd"), (3, "dd ee ff")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["bucket"]: r
+           for r in text.heaps_vocab_growth(df, n_buckets=2).collect()}
+    assert out[0]["n_docs"] == 2 and out[1]["n_docs"] == 2
+    assert out[0]["new_types"] == 3          # aa bb cc
+    assert out[1]["new_types"] == 3          # dd ee ff
+    assert out[1]["cum_types"] == 6
+    assert out[1]["cum_tokens"] == 9
+
+
+def test_heaps_growth_flat_for_templated_text(spark):
+    """The detector property: a corpus that repeats one template adds
+    zero new types after the first bucket."""
+    rows = [(i, "same tokens every time") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = text.heaps_vocab_growth(df, n_buckets=4).orderBy("bucket").collect()
+    assert out[0]["new_types"] == 4
+    assert all(r["new_types"] == 0 for r in out[1:])

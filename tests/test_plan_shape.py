@@ -669,3 +669,42 @@ def test_split_leakage_train_shingles_deduped_before_join(spark, sf_dir):
     plan = _plan(L.q_split_leakage(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # distinct + final rollup
+
+
+def test_dedup_lines_hash_join_no_cartesian(spark, sf_dir):
+    # The boilerplate-removal anti-join keys on the 8-byte line hash
+    # (exchange carries longs, not line text) and nothing goes cartesian.
+    # The xxhash64 expression itself sits behind the lazy localCheckpoint
+    # (Scan ExistingRDD), so assert on the join key it produced.
+    plan = _plan(L.q_dedup_lines(spark, sf_dir))
+    assert "LeftAnti" in plan and "line_h" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_odds_table_broadcast(spark, sf_dir):
+    # The learned log-odds table must BROADCAST onto the scoring pass —
+    # a shuffle join here would move the exploded corpus by bucket.
+    plan = _plan(L.q_quality_classifier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doremi_scoring_no_corpus_window(spark, sf_dir):
+    # All normalizers are crossJoin-agg over the D-row domain frame;
+    # no Window may touch the corpus-scale side.
+    plan = _plan(L.q_doremi_weights(spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_dir):
+    # The top-k must compile to TakeOrderedAndProject, never a global
+    # Sort over the full vocabulary.
+    plan = _plan(L.q_zipf_stats(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_c4_rules_scan_speed_no_shuffle(spark, sf_dir):
+    # The C4 battery is pure narrow projections: no Exchange at all
+    # (the Gopher-battery "runs at scan speed" property).
+    plan = _plan(L.q_c4_rules(spark, sf_dir))
+    assert "Exchange" not in plan or plan.count("Exchange") == 0

@@ -114,6 +114,8 @@ HEAVY = [
     "doremi_weights",
     "c4_rules",
     "zipf_stats",
+    "pack_efficiency",
+    "heaps_growth",
 ]
 
 
