@@ -130,6 +130,8 @@ HEADLINE = [
     "zipf_stats",
     "pack_efficiency",
     "heaps_growth",
+    "gopher_repetition",
+    "unimax_alloc",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -839,3 +839,123 @@ def pack_efficiency(
             ).cast("bigint").alias("underfill_tokens"),
         )
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    budget_frac: float = 1.0,
+    epoch_cap: float = 2.0,
+) -> DataFrame:
+    """UniMax sampling (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual Pretraining"):
+    allocate a total token budget across groups (languages/domains) as
+    uniformly as possible, capping every group at ``epoch_cap`` epochs of
+    its own data.  The paper's sequential greedy loop has a closed
+    waterfilling form: sort groups by cap ascending; group i is capped iff
+    cap_i · (slots remaining) ≤ budget remaining, and capped groups form a
+    PREFIX of that order (caps ascending ⇒ once the uniform share drops
+    below a cap it stays below every later cap), so the cut index k is the
+    first violation minus one and every group past k gets the equal share
+    (B − Σ_{i≤k} cap_i) / (L − k).
+
+    Budget is ``budget_frac`` × total corpus tokens (whitespace words, the
+    ``token_count`` class).  Output, one row per group:
+    (``group_col``, n_tokens, cap_tokens, alloc_tokens, epochs, capped),
+    doubles rounded to 6dp.
+
+    Scale shape: one narrow projection + hash aggregate collapses the
+    corpus to ONE ROW PER GROUP (map-side combine; the shuffle carries
+    per-partition partials).  Everything after — the global-order window,
+    the two scalar aggregates, the broadcast joins — runs on that
+    group-count-sized relation (languages/domains: at most thousands of
+    rows at 100 TB), so the single-partition window is bounded by
+    construction, never by data volume.  All double arithmetic is
+    fixed-order (window ordered by (cap, group)), so the DuckDB twin
+    reproduces bit-identical flags and allocations.
+    """
+    ws_toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"[ \t\n\r\x0B\x0C]+"),
+        lambda x: F.length(x) > 0,
+    )
+    per = (
+        df.select(F.col(group_col).alias("grp"), F.size(ws_toks).alias("nt"))
+        .groupBy("grp")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("int").alias("_L"),
+    )
+    w = Window.orderBy("cap_tokens", "grp")
+    staged = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "n_tokens",
+            "_L",
+            (F.lit(float(epoch_cap)) * F.col("n_tokens")).alias("cap_tokens"),
+            (F.lit(float(budget_frac)) * F.col("_total")).alias("_B"),
+        )
+        .select(
+            "*",
+            F.row_number().over(w).alias("_idx"),
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ).alias("_cum_before"),
+        )
+        .select(
+            "*",
+            (
+                F.col("cap_tokens") * (F.col("_L") - F.col("_idx") + 1)
+                <= F.col("_B") - F.col("_cum_before")
+            ).alias("_flag"),
+        )
+    )
+    # First violation index; NULL means every group is capped (budget
+    # exceeds epoch_cap × corpus).  Flags past the first violation are
+    # meaningless (their _cum_before includes uncapped rows) and ignored.
+    cut = staged.agg(
+        F.min(F.when(~F.col("_flag"), F.col("_idx"))).alias("_f")
+    )
+    staged2 = staged.crossJoin(F.broadcast(cut))
+    spent = staged2.agg(
+        F.sum(
+            F.when(
+                F.col("_f").isNull() | (F.col("_idx") < F.col("_f")),
+                F.col("cap_tokens"),
+            ).otherwise(0.0)
+        ).alias("_spent"),
+        F.sum(
+            F.when(
+                F.col("_f").isNotNull() & (F.col("_idx") >= F.col("_f")),
+                1,
+            ).otherwise(0)
+        ).cast("int").alias("_n_uncapped"),
+    )
+    capped = F.col("_f").isNull() | (F.col("_idx") < F.col("_f"))
+    share = F.when(
+        F.col("_n_uncapped") > 0,
+        (F.col("_B") - F.col("_spent")) / F.col("_n_uncapped"),
+    ).otherwise(F.lit(0.0))
+    alloc = F.when(capped, F.col("cap_tokens")).otherwise(share)
+    return (
+        staged2.crossJoin(F.broadcast(spent))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            F.round("cap_tokens", 6).alias("cap_tokens"),
+            F.round(alloc, 6).alias("alloc_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0, alloc / F.col("n_tokens")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("epochs"),
+            capped.alias("capped"),
+        )
+    )

@@ -1263,3 +1263,197 @@ def heaps_vocab_growth(
             "new_types", "cum_types",
         )
     )
+
+
+def gopher_repetition_flags(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_ngram_char_frac: tuple = ((2, 0.20), (3, 0.18), (4, 0.16)),
+    max_dup_ngram_char_frac: tuple = (
+        (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10),
+    ),
+):
+    """The MassiveText repetition filter battery (Rae et al. 2021 Table A1,
+    the repetition half — ``gopher_quality_flags`` is the quality half).
+    Defaults are the paper's published thresholds.
+
+    Per-document metrics, each also surfaced as a column for per-rule
+    attrition audits:
+      - ``dup_line_frac`` / ``dup_para_frac``: fraction of line/paragraph
+        OCCURRENCES that repeat an earlier identical unit
+        ((n − n_distinct) / n).  Lines split on ``\\n``, paragraphs on
+        ``\\n\\n``, empties dropped.
+      - ``dup_line_char_frac`` / ``dup_para_char_frac``: fraction of unit
+        characters in those repeated occurrences (Σ(c−1)·len / Σ c·len).
+      - ``top_{2,3,4}gram_char_frac``: characters covered by the single
+        most frequent n-gram (count · len(gram) / doc chars), per the
+        paper's definition.
+      - ``dup_{5..10}gram_char_frac``: occurrence-weighted share of n-gram
+        characters belonging to grams seen ≥2× (Σ_{c≥2} c·len / Σ c·len).
+        The paper de-duplicates overlapping character POSITIONS; this is
+        the standard relational reimplementation (occurrence-weighted,
+        overlaps counted per occurrence) — slightly stricter, and exactly
+        replayable in SQL, which the positional scan is not.
+
+    ``keep`` ANDs all 13 rules on the 6dp-ROUNDED metrics so the DuckDB
+    twin decides identically at float boundaries.
+
+    Scale shape: ONE explode over a per-doc struct stream
+    (lines ∪ paragraphs ∪ n-grams for every configured n, ~Σn ≈ 9× the
+    token stream) → hash aggregate on (doc, kind, unit) (map-side combine
+    collapses repeats before the shuffle) → hash aggregate on (doc, kind)
+    → conditional-aggregate pivot on doc.  Token/line/paragraph arrays are
+    materialized ONCE in their own projection (multiply-referenced aliases
+    survive CollapseProject — the documented lambda-inlining discipline);
+    n-grams build by zip_with against shifted arrays, never per-position
+    re-tokenization.  A per-doc sentinel unit keeps empty documents in the
+    output without a re-join against the input.
+
+    The ONE shuffle moves raw documents, not units: base is hash-
+    partitioned by doc_id BEFORE the explode, and doc_id-partitioning
+    satisfies the clustered-distribution requirement of all three
+    downstream aggregates (their grouping keys all contain doc_id), so
+    the ~9×-token unit stream never crosses the network — at 100 TB the
+    difference between shuffling the corpus once and shuffling nine
+    token-streams' worth of n-grams three times.
+    """
+    top_ns = dict(max_top_ngram_char_frac)
+    dup_ns = dict(max_dup_ngram_char_frac)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).alias("_chars"),
+        F.filter(
+            F.split(t, "\n"), lambda x: F.length(x) > 0
+        ).alias("_lines"),
+        F.filter(
+            F.split(t, "\n\n"), lambda x: F.length(x) > 0
+        ).alias("_paras"),
+        F.filter(
+            F.split(t, r"[ \t\n\r\x0B\x0C]+"), lambda x: F.length(x) > 0
+        ).alias("_toks"),
+    ).repartition("doc_id")
+
+    # Incremental gram ladder: the (n+1)-gram array is the n-gram array
+    # zip_with'd against the n-shifted token array, so the whole 2..10
+    # family costs max_n−1 passes (not Σ(n−1) independent rebuilds with
+    # quadratic re-concatenation).  Each level is its own projection
+    # alias referenced twice (next level + the unit stream), which
+    # survives CollapseProject — the documented lambda-inlining
+    # discipline.  Null tail slots propagate down the ladder and are
+    # filtered per level.
+    ns = sorted({*top_ns, *dup_ns})
+    for n in range(2, max(ns) + 1):
+        prev = F.col(f"_g{n - 1}") if n > 2 else F.col("_toks")
+        base = base.select(
+            "*",
+            F.zip_with(
+                prev,
+                F.slice(F.col("_toks"), n, F.size(F.col("_toks")) + 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ).alias(f"_g{n}"),
+        )
+
+    def _grams(n: int) -> Column:
+        return F.filter(F.col(f"_g{n}"), lambda x: x.isNotNull())
+
+    def _tagged(kind: str, arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda x: F.struct(
+                F.lit(kind).alias("kind"), x.alias("unit")
+            ),
+        )
+
+    units = F.concat(
+        # Sentinel: one unit per doc, matched by no metric — keeps docs
+        # with no lines/tokens in the pivot without an extra join.
+        F.array(
+            F.struct(F.lit("_").alias("kind"), F.lit("").alias("unit"))
+        ),
+        _tagged("L", F.col("_lines")),
+        _tagged("P", F.col("_paras")),
+        *[
+            _tagged(f"g{n}", _grams(n))
+            for n in sorted({*top_ns, *dup_ns})
+        ],
+    )
+    ex = base.select(
+        "doc_id", "_chars", F.explode(units).alias("u")
+    )
+    per_unit = ex.groupBy(
+        "doc_id",
+        F.col("u.kind").alias("kind"),
+        F.col("u.unit").alias("unit"),
+    ).agg(F.count(F.lit(1)).alias("c"), F.max("_chars").alias("_chars"))
+    ulen = F.length(F.col("unit"))
+    per_kind = per_unit.groupBy("doc_id", "kind").agg(
+        F.sum("c").alias("n_units"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * ulen).alias("all_chars"),
+        F.sum((F.col("c") - 1) * ulen).alias("rep_chars"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * ulen).otherwise(0)
+        ).alias("dup_occ_chars"),
+        F.max(F.col("c") * ulen).alias("top_chars"),
+        F.max("_chars").alias("doc_chars"),
+    )
+
+    def _kind_frac(kind: str, num: Column, den: Column) -> Column:
+        frac = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+        return F.round(
+            F.coalesce(
+                F.max(F.when(F.col("kind") == kind, frac)), F.lit(0.0)
+            ),
+            6,
+        )
+
+    aggs = [
+        _kind_frac(
+            "L", (F.col("n_units") - F.col("n_distinct")).cast("double"),
+            F.col("n_units").cast("double"),
+        ).alias("dup_line_frac"),
+        _kind_frac(
+            "L", F.col("rep_chars").cast("double"),
+            F.col("all_chars").cast("double"),
+        ).alias("dup_line_char_frac"),
+        _kind_frac(
+            "P", (F.col("n_units") - F.col("n_distinct")).cast("double"),
+            F.col("n_units").cast("double"),
+        ).alias("dup_para_frac"),
+        _kind_frac(
+            "P", F.col("rep_chars").cast("double"),
+            F.col("all_chars").cast("double"),
+        ).alias("dup_para_char_frac"),
+    ]
+    for n in sorted(top_ns):
+        aggs.append(
+            _kind_frac(
+                f"g{n}", F.col("top_chars").cast("double"),
+                F.col("doc_chars").cast("double"),
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in sorted(dup_ns):
+        aggs.append(
+            _kind_frac(
+                f"g{n}", F.col("dup_occ_chars").cast("double"),
+                F.col("all_chars").cast("double"),
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    out = per_kind.groupBy("doc_id").agg(*aggs)
+    keep = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_para_frac") <= max_dup_para_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("dup_para_char_frac") <= max_dup_para_char_frac)
+    )
+    for n, th in top_ns.items():
+        keep = keep & (F.col(f"top_{n}gram_char_frac") <= th)
+    for n, th in dup_ns.items():
+        keep = keep & (F.col(f"dup_{n}gram_char_frac") <= th)
+    return out.withColumn("keep", keep)

@@ -4386,3 +4386,258 @@ SELECT p.bucket, p.n_docs, p.n_tokens,
          AS BIGINT) AS cum_types
 FROM per_bucket p LEFT JOIN first_seen f USING (bucket)
 """
+
+
+# ------------------------------------- Gopher repetition battery ---------
+
+
+# Deterministic repetition dirt (the c4_rules lesson: the synthetic corpus
+# is single-line and near-duplicate-free, so every rule path needs planted
+# variance): ' table ' → blank line (paragraph breaks), ' merge ' →
+# newline (line breaks), every 7th doc re-appends its first line (dup
+# lines), every 13th its first paragraph (dup paragraphs), every 5th a
+# 12-word phrase TWICE (dup 5..10-grams within one doc).
+_REP_PHRASE = (
+    " alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+)
+
+
+def _rep_dirty_col() -> F.Column:
+    t0 = F.coalesce(F.col("text"), F.lit(""))
+    t1 = F.replace(t0, F.lit(" table "), F.lit("\n\n"))
+    t2 = F.replace(t1, F.lit(" merge "), F.lit("\n"))
+    t3 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t2, F.lit("\n"), F.element_at(F.split(t2, "\n"), 1)),
+    ).otherwise(t2)
+    t4 = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(t3, F.lit("\n\n"), F.element_at(F.split(t3, "\n\n"), 1)),
+    ).otherwise(t3)
+    return F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t4, F.lit(_REP_PHRASE), F.lit(_REP_PHRASE)),
+    ).otherwise(t4)
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The MassiveText repetition battery (Rae et al. 2021 Table A1,
+    # repetition half) at the paper's thresholds, over the dirtied corpus.
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", _rep_dirty_col()
+    )
+    return text.gopher_repetition_flags(docs)
+
+
+def _sql_rep_gram_branch(n: int) -> str:
+    return f"""
+  SELECT doc_id, doc_chars, 'g{n}' AS kind,
+         unnest(list_transform(range(1, greatest(len(toks) - {n} + 2, 1)),
+                i -> array_to_string(toks[i:i + {n - 1}], ' '))) AS unit
+  FROM base"""
+
+
+SQL_GOPHER_REPETITION = (
+    r"""
+WITH dirty AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN t4 || '"""
+    + _REP_PHRASE
+    + _REP_PHRASE
+    + r"""' ELSE t4 END AS t
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 13 = 0
+           THEN t3 || chr(10) || chr(10)
+                || string_split(t3, chr(10) || chr(10))[1]
+           ELSE t3 END AS t4
+    FROM (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+             THEN t2 || chr(10) || string_split(t2, chr(10))[1]
+             ELSE t2 END AS t3
+      FROM (
+        SELECT doc_id,
+          replace(replace(COALESCE(text, ''),
+                          ' table ', chr(10) || chr(10)),
+                  ' merge ', chr(10)) AS t2
+        FROM documents
+      )
+    )
+  )
+), base AS MATERIALIZED (
+  SELECT doc_id, length(t) AS doc_chars,
+         list_filter(string_split(t, chr(10)),
+                     x -> length(x) > 0) AS lines,
+         list_filter(string_split(t, chr(10) || chr(10)),
+                     x -> length(x) > 0) AS paras,
+         list_filter(regexp_split_to_array(t, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                     x -> length(x) > 0) AS toks
+  FROM dirty
+), units AS (
+  SELECT doc_id, doc_chars, '_' AS kind, '' AS unit FROM base
+  UNION ALL
+  SELECT doc_id, doc_chars, 'L', unnest(lines) FROM base
+  UNION ALL
+  SELECT doc_id, doc_chars, 'P', unnest(paras) FROM base
+"""
+    + "".join(
+        "  UNION ALL" + _sql_rep_gram_branch(n) + "\n"
+        for n in range(2, 11)
+    )
+    + r"""), per_unit AS (
+  SELECT doc_id, kind, unit, COUNT(*) AS c, MAX(doc_chars) AS doc_chars
+  FROM units GROUP BY 1, 2, 3
+), per_kind AS (
+  SELECT doc_id, kind,
+         SUM(c) AS n_units,
+         COUNT(*) AS n_distinct,
+         SUM(c * length(unit)) AS all_chars,
+         SUM((c - 1) * length(unit)) AS rep_chars,
+         SUM(CASE WHEN c >= 2 THEN c * length(unit) ELSE 0 END)
+           AS dup_occ_chars,
+         MAX(c * length(unit)) AS top_chars,
+         MAX(doc_chars) AS doc_chars
+  FROM per_unit GROUP BY 1, 2
+), pivoted AS (
+  SELECT doc_id,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'L' THEN
+      CASE WHEN n_units > 0
+           THEN (n_units - n_distinct) * 1.0 / n_units ELSE 0.0 END
+      END), 0.0), 6) AS dup_line_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'L' THEN
+      CASE WHEN all_chars > 0
+           THEN rep_chars * 1.0 / all_chars ELSE 0.0 END
+      END), 0.0), 6) AS dup_line_char_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'P' THEN
+      CASE WHEN n_units > 0
+           THEN (n_units - n_distinct) * 1.0 / n_units ELSE 0.0 END
+      END), 0.0), 6) AS dup_para_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'P' THEN
+      CASE WHEN all_chars > 0
+           THEN rep_chars * 1.0 / all_chars ELSE 0.0 END
+      END), 0.0), 6) AS dup_para_char_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'g2' THEN
+      CASE WHEN doc_chars > 0
+           THEN top_chars * 1.0 / doc_chars ELSE 0.0 END
+      END), 0.0), 6) AS top_2gram_char_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'g3' THEN
+      CASE WHEN doc_chars > 0
+           THEN top_chars * 1.0 / doc_chars ELSE 0.0 END
+      END), 0.0), 6) AS top_3gram_char_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'g4' THEN
+      CASE WHEN doc_chars > 0
+           THEN top_chars * 1.0 / doc_chars ELSE 0.0 END
+      END), 0.0), 6) AS top_4gram_char_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'g5' THEN
+      CASE WHEN all_chars > 0
+           THEN dup_occ_chars * 1.0 / all_chars ELSE 0.0 END
+      END), 0.0), 6) AS dup_5gram_char_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'g6' THEN
+      CASE WHEN all_chars > 0
+           THEN dup_occ_chars * 1.0 / all_chars ELSE 0.0 END
+      END), 0.0), 6) AS dup_6gram_char_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'g7' THEN
+      CASE WHEN all_chars > 0
+           THEN dup_occ_chars * 1.0 / all_chars ELSE 0.0 END
+      END), 0.0), 6) AS dup_7gram_char_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'g8' THEN
+      CASE WHEN all_chars > 0
+           THEN dup_occ_chars * 1.0 / all_chars ELSE 0.0 END
+      END), 0.0), 6) AS dup_8gram_char_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'g9' THEN
+      CASE WHEN all_chars > 0
+           THEN dup_occ_chars * 1.0 / all_chars ELSE 0.0 END
+      END), 0.0), 6) AS dup_9gram_char_frac,
+    ROUND(COALESCE(MAX(CASE WHEN kind = 'g10' THEN
+      CASE WHEN all_chars > 0
+           THEN dup_occ_chars * 1.0 / all_chars ELSE 0.0 END
+      END), 0.0), 6) AS dup_10gram_char_frac
+  FROM per_kind GROUP BY 1
+)
+SELECT *,
+       (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        AND top_2gram_char_frac <= 0.20
+        AND top_3gram_char_frac <= 0.18
+        AND top_4gram_char_frac <= 0.16
+        AND dup_5gram_char_frac <= 0.15
+        AND dup_6gram_char_frac <= 0.14
+        AND dup_7gram_char_frac <= 0.13
+        AND dup_8gram_char_frac <= 0.12
+        AND dup_9gram_char_frac <= 0.11
+        AND dup_10gram_char_frac <= 0.10) AS keep
+FROM pivoted
+"""
+)
+
+
+# ------------------------------------------------ UniMax allocation ------
+
+
+def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UniMax (Chung et al. 2023): epoch-capped waterfilling of a one-epoch
+    # token budget across languages.  At these corpus shares (en ≈ 2.7×
+    # the others) the four small languages hit the 1.2-epoch cap and
+    # English absorbs the remaining budget — the cut lands mid-list, so
+    # both branches of the closed form carry driver rows.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.unimax_allocation(
+        docs, group_col="lang", budget_frac=1.0, epoch_cap=1.2
+    )
+
+
+SQL_UNIMAX_ALLOC = r"""
+WITH per AS (
+  SELECT lang AS grp,
+         CAST(SUM(len(list_filter(
+             regexp_split_to_array(COALESCE(text, ''),
+                                   '[ \x09\x0A\x0D\x0B\x0C]+'),
+             x -> length(x) > 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS INT) AS L
+  FROM per
+), flagged AS (
+  SELECT *,
+         (cap_tokens * (L - idx + 1) <= B - cum_before) AS flag
+  FROM (
+    SELECT grp, n_tokens, L,
+           1.2 * n_tokens AS cap_tokens,
+           1.0 * total AS B,
+           CAST(ROW_NUMBER() OVER (ORDER BY 1.2 * n_tokens, grp) AS INT)
+             AS idx,
+           COALESCE(SUM(1.2 * n_tokens) OVER (
+               ORDER BY 1.2 * n_tokens, grp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+             AS cum_before
+    FROM per CROSS JOIN tot
+  )
+), cut AS (
+  SELECT MIN(CASE WHEN NOT flag THEN idx END) AS f FROM flagged
+), pool AS (
+  SELECT SUM(CASE WHEN f IS NULL OR idx < f
+                  THEN cap_tokens ELSE 0.0 END) AS spent_caps,
+         CAST(SUM(CASE WHEN f IS NOT NULL AND idx >= f
+                       THEN 1 ELSE 0 END) AS INT) AS n_uncapped
+  FROM flagged CROSS JOIN cut
+)
+SELECT grp AS lang, n_tokens,
+       ROUND(cap_tokens, 6) AS cap_tokens,
+       ROUND(CASE WHEN f IS NULL OR idx < f THEN cap_tokens
+                  WHEN n_uncapped > 0
+                  THEN (B - spent_caps) / n_uncapped
+                  ELSE 0.0 END, 6) AS alloc_tokens,
+       ROUND(CASE WHEN n_tokens > 0 THEN
+               (CASE WHEN f IS NULL OR idx < f THEN cap_tokens
+                     WHEN n_uncapped > 0
+                     THEN (B - spent_caps) / n_uncapped
+                     ELSE 0.0 END) / n_tokens
+             ELSE 0.0 END, 6) AS epochs,
+       (f IS NULL OR idx < f) AS capped
+FROM flagged CROSS JOIN cut CROSS JOIN pool
+"""

@@ -246,6 +246,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     checkpoints (templated text flattens, OCR noise curves up) ---
     "pack_efficiency": (L.q_pack_efficiency, L.SQL_PACK_EFFICIENCY),
     "heaps_growth": (L.q_heaps_growth, L.SQL_HEAPS_GROWTH),
+    # --- added r11 (past-cap; r12 promotion pool, wave 5): the
+    #     MassiveText repetition battery (Rae et al. 2021 Table A1,
+    #     repetition half — the quality half is gopher_rules) over a
+    #     deterministically-dirtied corpus, and UniMax epoch-capped
+    #     budget waterfilling across languages (Chung et al. 2023) ---
+    "gopher_repetition": (L.q_gopher_repetition, L.SQL_GOPHER_REPETITION),
+    "unimax_alloc": (L.q_unimax_alloc, L.SQL_UNIMAX_ALLOC),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

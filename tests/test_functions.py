@@ -2607,3 +2607,138 @@ def test_heaps_growth_flat_for_templated_text(spark):
     out = text.heaps_vocab_growth(df, n_buckets=4).orderBy("bucket").collect()
     assert out[0]["new_types"] == 4
     assert all(r["new_types"] == 0 for r in out[1:])
+
+
+def _ref_repetition(txt: str) -> dict:
+    """Straight-line reference for the MassiveText repetition metrics —
+    collections.Counter over the same unit definitions as the engine."""
+    from collections import Counter
+
+    def _metrics_units(units):
+        c = Counter(units)
+        n = sum(c.values())
+        if n == 0:
+            return 0.0, 0.0
+        dup = (n - len(c)) / n
+        all_ch = sum(k * len(u) for u, k in c.items())
+        rep_ch = sum((k - 1) * len(u) for u, k in c.items())
+        return round(dup, 6), round(rep_ch / all_ch, 6) if all_ch else 0.0
+
+    lines = [x for x in txt.split("\n") if x]
+    paras = [x for x in txt.split("\n\n") if x]
+    toks = [x for x in __import__("re").split(r"[ \t\n\r\x0B\x0C]+", txt) if x]
+    out = {}
+    out["dup_line_frac"], out["dup_line_char_frac"] = _metrics_units(lines)
+    out["dup_para_frac"], out["dup_para_char_frac"] = _metrics_units(paras)
+    for n in range(2, 11):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        if n <= 4:
+            top = max((k * len(g) for g, k in c.items()), default=0)
+            out[f"top_{n}gram_char_frac"] = (
+                round(top / len(txt), 6) if txt else 0.0
+            )
+        else:
+            all_ch = sum(k * len(g) for g, k in c.items())
+            dup_ch = sum(k * len(g) for g, k in c.items() if k >= 2)
+            out[f"dup_{n}gram_char_frac"] = (
+                round(dup_ch / all_ch, 6) if all_ch else 0.0
+            )
+    return out
+
+
+def test_gopher_repetition_matches_reference_on_planted_corpus(spark):
+    """Engine metrics equal a straight-line Counter reference on docs
+    planted to light up every metric family: dup lines, dup paragraphs,
+    a doubled 10-token phrase (dup 5..10-grams), a spammy top-2-gram doc,
+    a clean doc, an empty doc, a single-token doc."""
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "x y\nx y\nz w q r s t u v"),                    # dup lines
+        (2, "p q r\n\np q r\n\nm n o b c d e f g h"),        # dup paras
+        (3, "intro words here " + phrase + " " + phrase),    # dup n-grams
+        (4, "spam ham " * 12 + "end"),                       # top 2-gram
+        # clean: long and diverse enough that no single n-gram covers a
+        # threshold share of the characters (the paper's rules presume
+        # non-trivial docs; a 10-word doc "fails" top_2gram vacuously)
+        (5, " ".join(f"w{i}token{i * 7 % 91}" for i in range(80))),
+        (6, ""),                                             # empty
+        (7, "solo"),                                         # single token
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.gopher_repetition_flags(df).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}  # empty doc not dropped
+    for doc_id, txt in rows:
+        ref = _ref_repetition(txt)
+        for k, v in ref.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v)
+    # directional keeps: each planted pathology actually trips its rule
+    assert got[1]["dup_line_frac"] == round(1 / 3, 6)
+    assert got[1]["keep"] is False
+    assert got[2]["dup_para_frac"] > 0.30 and got[2]["keep"] is False
+    assert got[3]["dup_10gram_char_frac"] > 0.10 and got[3]["keep"] is False
+    assert got[4]["top_2gram_char_frac"] > 0.20 and got[4]["keep"] is False
+    assert got[5]["keep"] is True
+    # degenerate docs: every metric 0, keep True
+    for d in (6, 7):
+        assert got[d]["keep"] is True
+        assert all(
+            v == 0.0
+            for k, v in got[d].items()
+            if k not in ("doc_id", "keep")
+        )
+
+
+def test_unimax_waterfilling_hand_computed(spark):
+    """Three hand-solved UniMax instances: mid-list cut, all-capped
+    (budget exceeds epoch_cap × corpus), and a multi-group uncapped tail
+    sharing the remainder equally.  Exact allocations and flags."""
+    from etl_pipeline2_0_spark.functions import mixing
+
+    def mk(counts):
+        rows = []
+        for i, (grp, n) in enumerate(counts.items()):
+            rows.append((i, grp, ("t " * n).strip()))
+        return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+    # caps: a=200, b=200, c=1600; B=1000 → a,b capped; c gets 600.
+    out = {
+        r["lang"]: r
+        for r in mixing.unimax_allocation(
+            mk({"a": 100, "b": 100, "c": 800}),
+            budget_frac=1.0, epoch_cap=2.0,
+        ).collect()
+    }
+    assert out["a"]["alloc_tokens"] == 200.0 and out["a"]["capped"] is True
+    assert out["b"]["alloc_tokens"] == 200.0 and out["b"]["epochs"] == 2.0
+    assert out["c"]["alloc_tokens"] == 600.0 and out["c"]["capped"] is False
+    assert out["c"]["epochs"] == 0.75
+    assert sum(r["alloc_tokens"] for r in out.values()) == 1000.0
+
+    # budget 10× corpus: every group capped, budget deliberately unspent.
+    out = {
+        r["lang"]: r
+        for r in mixing.unimax_allocation(
+            mk({"a": 100, "b": 100, "c": 800}),
+            budget_frac=10.0, epoch_cap=2.0,
+        ).collect()
+    }
+    assert all(r["capped"] is True for r in out.values())
+    assert all(r["epochs"] == 2.0 for r in out.values())
+
+    # two uncapped groups split the remainder equally.
+    out = {
+        r["lang"]: r
+        for r in mixing.unimax_allocation(
+            mk({"a": 100, "b": 450, "c": 450}),
+            budget_frac=1.0, epoch_cap=2.0,
+        ).collect()
+    }
+    assert out["a"]["alloc_tokens"] == 200.0 and out["a"]["capped"] is True
+    assert out["b"]["alloc_tokens"] == 400.0 and out["b"]["capped"] is False
+    assert out["c"]["alloc_tokens"] == 400.0
+    assert out["b"]["epochs"] == round(400 / 450, 6)
+    assert sum(r["alloc_tokens"] for r in out.values()) == 1000.0

@@ -708,3 +708,29 @@ def test_c4_rules_scan_speed_no_shuffle(spark, sf_dir):
     # (the Gopher-battery "runs at scan speed" property).
     plan = _plan(L.q_c4_rules(spark, sf_dir))
     assert "Exchange" not in plan or plan.count("Exchange") == 0
+
+
+def test_gopher_repetition_single_doc_exchange(spark, sf_dir):
+    # The repetition battery's ONE shuffle moves raw documents (hash by
+    # doc_id, pre-explode); doc_id-partitioning satisfies all three
+    # downstream aggregates, so the ~9×-token exploded unit stream never
+    # crosses the network.  One Generate, one Exchange, zero cartesians.
+    plan = _plan(L.q_gopher_repetition(spark, sf_dir))
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_unimax_window_bounded_by_group_aggregate(spark, sf_dir):
+    # The corpus collapses to one row per language BEFORE the global
+    # waterfilling window — the window and both scalar cuts run on the
+    # group-sized relation via broadcast joins, never on document rows.
+    df = L.q_unimax_alloc(spark, sf_dir)
+    opt = _optimized(df)
+    # In the optimized plan the Window must sit strictly ABOVE the
+    # corpus-collapsing Aggregate (appear before it in top-down order).
+    assert opt.index("Window") < opt.index("Relation")
+    assert "Aggregate [grp#" in opt
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

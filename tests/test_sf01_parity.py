@@ -116,6 +116,8 @@ HEAVY = [
     "zipf_stats",
     "pack_efficiency",
     "heaps_growth",
+    "gopher_repetition",
+    "unimax_alloc",
 ]
 
 
