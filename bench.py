@@ -177,7 +177,14 @@ def _llm_pipeline(spark, sf_dir):
         .where("keep")
         .select("doc_id")
     )
-    kept = docs.join(keep, "doc_id", "semi")
+    # Stage barriers: each intermediate below is consumed by 2-3
+    # downstream branches (scored+langs+semi; pairs+anti; target+sample+
+    # sel).  Without a barrier the lazy DAG re-executes the whole
+    # upstream chain per consumer — multiplicatively through the
+    # diamond stack (measured 20.6 s → the barrier'd number at sf0.1).
+    # At 100 TB these are the stage checkpoints a real curation run
+    # writes between phases anyway.
+    kept = docs.join(keep, "doc_id", "semi").localCheckpoint(eager=False)
     scored = text.char_bigram_lm_scores(kept, "text", "doc_id", prefix_len=200)
     langs = kept.select("doc_id", text.lang_id(F.col("text")).alias("lang"))
     j = scored.join(langs, "doc_id")
@@ -189,13 +196,13 @@ def _llm_pipeline(spark, sf_dir):
         .where(F.col("avg_logp") >= F.col("t_head"))
         .select("doc_id")
     )
-    head = kept.join(head_ids, "doc_id", "semi")
+    head = kept.join(head_ids, "doc_id", "semi").localCheckpoint(eager=False)
     pairs = dedup.minhash_near_duplicates(head, threshold=0.7)
     deduped = head.join(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(),
         "doc_id",
         "left_anti",
-    )
+    ).localCheckpoint(eager=False)
     target = deduped.where(F.col("source") == "src0")
     sample = mixing.dsir_gumbel_sample(deduped, target, k=2000)
     sel = deduped.join(sample.select("doc_id"), "doc_id", "semi")
