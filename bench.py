@@ -132,6 +132,10 @@ HEADLINE = [
     "heaps_growth",
     "gopher_repetition",
     "unimax_alloc",
+    "entropy_stats",
+    "langid_confusion",
+    "data_budget_plan",
+    "quota_sample",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -959,3 +959,93 @@ def unimax_allocation(
             capped.alias("capped"),
         )
     )
+
+
+def data_budget_plan(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    epochs: float = 4.0,
+    r_star: float = 15.4,
+) -> DataFrame:
+    """Data-constrained scaling planner (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): repeating a corpus past
+    one epoch yields exponentially diminishing value, with fitted decay
+    constant R*_D ≈ 15.4 repeat-epochs.  For each group with U unique
+    tokens trained for E epochs, the effective (loss-equivalent fresh)
+    token count is
+
+        D' = min(E, 1)·U  +  U · R* · (1 − exp(−max(E − 1, 0) / R*))
+
+    so E = 1 gives exactly U, and E → ∞ saturates at U·(1 + R*).
+    Output: (``group_col``, n_tokens, requested_tokens, effective_tokens,
+    efficiency = D'/D), 6dp-rounded.
+
+    Scale shape: one hash aggregate collapses the corpus to a row per
+    group (map-side combined); the formula is a pure projection after.
+    """
+    ws_toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"[ \t\n\r\x0B\x0C]+"),
+        lambda x: F.length(x) > 0,
+    )
+    per = (
+        df.select(F.col(group_col).alias("grp"), F.size(ws_toks).alias("nt"))
+        .groupBy("grp")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    u = F.col("n_tokens").cast("double")
+    e = F.lit(float(epochs))
+    rs = F.lit(float(r_star))
+    requested = e * u
+    effective = F.least(e, F.lit(1.0)) * u + u * rs * (
+        F.lit(1.0) - F.exp(-F.greatest(e - 1, F.lit(0.0)) / rs)
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        F.round(requested, 6).alias("requested_tokens"),
+        F.round(effective, 6).alias("effective_tokens"),
+        F.round(
+            F.when(requested > 0, effective / requested).otherwise(F.lit(0.0)),
+            6,
+        ).alias("efficiency"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    quota: int = 50,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: within each group, keep
+    the ``quota`` rows with the smallest md5(id:salt) — a reproducible
+    uniform draw (the repo's md5-threshold convention), exactly
+    replayable in SQL.  Strata smaller than the quota are kept whole.
+
+    Output: (``group_col``, ``id_col``, rnk) with rnk ∈ [1, quota].
+
+    Scale shape: one shuffle by group + a per-group ranking window.  The
+    window partitions by the stratum key, so parallelism is the number
+    of strata; heavily-skewed strata rank more rows but carry no state
+    beyond the running counter.
+    """
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    w = Window.partitionBy("grp").orderBy("_key", id_col)
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col),
+            key.alias("_key"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= quota)
+        .select(
+            F.col("grp").alias(group_col),
+            id_col,
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

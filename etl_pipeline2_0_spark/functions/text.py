@@ -1457,3 +1457,72 @@ def gopher_repetition_flags(
     for n, th in dup_ns.items():
         keep = keep & (F.col(f"dup_{n}gram_char_frac") <= th)
     return out.withColumn("keep", keep)
+
+
+def entropy_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Shannon entropy (nats) of the character and token
+    distributions — the standard cheap detector for encoded blobs
+    (base64/hex runs score HIGH char entropy with LOW token entropy) and
+    degenerate repetition (both LOW).  Characters are the non-whitespace
+    stream; tokens are whitespace words.
+
+    Output: (doc_id, n_chars, n_tokens, char_entropy, token_entropy),
+    entropies 6dp-rounded via H = ln(n) − Σ c·ln(c) / n over the unit
+    counts, so the DuckDB twin replays it term for term.
+
+    Scale shape: same skeleton as ``gopher_repetition_flags`` — ONE
+    shuffle of raw documents (hash by doc_id, pre-explode), one explode
+    of a tagged unit stream (chars ∪ tokens), two partition-local hash
+    aggregates, conditional-aggregate pivot.  A per-doc sentinel unit
+    keeps empty documents in the output.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.regexp_replace(t, r"[ \t\n\r\x0B\x0C]+", ""), ""),
+            lambda x: F.length(x) > 0,
+        ).alias("_chars"),
+        F.filter(
+            F.split(t, r"[ \t\n\r\x0B\x0C]+"), lambda x: F.length(x) > 0
+        ).alias("_toks"),
+    ).repartition("doc_id")
+    units = F.concat(
+        F.array(
+            F.struct(F.lit("_").alias("kind"), F.lit("").alias("unit"))
+        ),
+        F.transform(
+            F.col("_chars"),
+            lambda x: F.struct(F.lit("C").alias("kind"), x.alias("unit")),
+        ),
+        F.transform(
+            F.col("_toks"),
+            lambda x: F.struct(F.lit("T").alias("kind"), x.alias("unit")),
+        ),
+    )
+    ex = base.select("doc_id", F.explode(units).alias("u"))
+    per_unit = ex.groupBy(
+        "doc_id",
+        F.col("u.kind").alias("kind"),
+        F.col("u.unit").alias("unit"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_kind = per_unit.groupBy("doc_id", "kind").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("clnc"),
+    )
+
+    def _kind(kind: str, expr):
+        return F.coalesce(
+            F.max(F.when(F.col("kind") == kind, expr)), F.lit(0.0)
+        )
+
+    ent = F.when(
+        F.col("n") > 0,
+        F.log(F.col("n").cast("double")) - F.col("clnc") / F.col("n"),
+    ).otherwise(F.lit(0.0))
+    return per_kind.groupBy("doc_id").agg(
+        _kind("C", F.col("n").cast("double")).cast("bigint").alias("n_chars"),
+        _kind("T", F.col("n").cast("double")).cast("bigint").alias("n_tokens"),
+        F.round(_kind("C", ent), 6).alias("char_entropy"),
+        F.round(_kind("T", ent), 6).alias("token_entropy"),
+    )

@@ -4641,3 +4641,180 @@ SELECT grp AS lang, n_tokens,
        (f IS NULL OR idx < f) AS capped
 FROM flagged CROSS JOIN cut CROSS JOIN pool
 """
+
+
+# ------------------------------------------------- entropy stats ---------
+
+
+def q_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Char/token Shannon entropy per doc — the cheap encoded-blob /
+    # degenerate-repetition detector.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.entropy_stats(docs)
+
+
+SQL_ENTROPY_STATS = r"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             regexp_replace(COALESCE(text, ''),
+                            '[ \x09\x0A\x0D\x0B\x0C]+', '', 'g'), ''),
+             x -> length(x) > 0) AS chars,
+         list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                           '[ \x09\x0A\x0D\x0B\x0C]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), units AS (
+  SELECT doc_id, '_' AS kind, '' AS unit FROM base
+  UNION ALL SELECT doc_id, 'C', unnest(chars) FROM base
+  UNION ALL SELECT doc_id, 'T', unnest(toks) FROM base
+), per_unit AS (
+  SELECT doc_id, kind, unit, COUNT(*) AS c FROM units GROUP BY 1, 2, 3
+), per_kind AS (
+  SELECT doc_id, kind, SUM(c) AS n,
+         SUM(c * ln(c)) AS clnc
+  FROM per_unit GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(COALESCE(MAX(CASE WHEN kind = 'C' THEN n END), 0) AS BIGINT)
+    AS n_chars,
+  CAST(COALESCE(MAX(CASE WHEN kind = 'T' THEN n END), 0) AS BIGINT)
+    AS n_tokens,
+  ROUND(COALESCE(MAX(CASE WHEN kind = 'C' THEN
+    CASE WHEN n > 0 THEN ln(n) - clnc / n ELSE 0.0 END END), 0.0), 6)
+    AS char_entropy,
+  ROUND(COALESCE(MAX(CASE WHEN kind = 'T' THEN
+    CASE WHEN n > 0 THEN ln(n) - clnc / n ELSE 0.0 END END), 0.0), 6)
+    AS token_entropy
+FROM per_kind GROUP BY 1
+"""
+
+
+# ------------------------------------------- language-ID confusion -------
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Confusion audit of the n-gram language detector against the
+    # labeled lang column: per (true, predicted) counts, per-true-lang
+    # recall share, and the corpus-wide accuracy — the DQ rollup that
+    # tells a curation run its language router is drifting.
+    docs = load_table(spark, sf_dir, "documents")
+    cm = (
+        docs.select(
+            F.col("lang"), text.lang_id(F.col("text")).alias("pred_lang")
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    per_true = cm.groupBy("lang").agg(F.sum("n_docs").alias("_tl"))
+    tot = cm.agg(
+        F.sum("n_docs").cast("double").alias("_n"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n_docs"))
+            .otherwise(F.lit(0))
+        ).cast("double").alias("_ok"),
+    )
+    return (
+        cm.join(F.broadcast(per_true), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_tl"), 6).alias("frac_of_true"),
+            F.round(F.col("_ok") / F.col("_n"), 6).alias("overall_accuracy"),
+        )
+    )
+
+
+SQL_LANGID_CONFUSION = rf"""
+WITH scored AS (
+  SELECT lang,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["en"]})\b')) AS en,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["es"]})\b')) AS es,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["fr"]})\b')) AS fr,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["de"]})\b')) AS de
+  FROM documents
+), pred AS (
+  SELECT lang, CASE
+      WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+      WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+      WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+      WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+      ELSE 'de' END AS pred_lang
+  FROM scored
+), cm AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+), per_true AS (
+  SELECT lang, SUM(n_docs) AS tl FROM cm GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN lang = pred_lang THEN n_docs ELSE 0 END)
+              AS DOUBLE) AS ok
+  FROM cm
+)
+SELECT cm.lang, cm.pred_lang, cm.n_docs,
+       ROUND(cm.n_docs * 1.0 / per_true.tl, 6) AS frac_of_true,
+       ROUND(tot.ok / tot.n, 6) AS overall_accuracy
+FROM cm JOIN per_true USING (lang) CROSS JOIN tot
+"""
+
+
+# ------------------------------------------ data-constrained planner -----
+
+
+def q_data_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Muennighoff et al. 2023 repeat-decay planner at 4 requested epochs
+    # and the paper's fitted R* = 15.4.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.data_budget_plan(
+        docs, group_col="source", epochs=4.0, r_star=15.4
+    )
+
+
+SQL_DATA_BUDGET_PLAN = r"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(
+             regexp_split_to_array(COALESCE(text, ''),
+                                   '[ \x09\x0A\x0D\x0B\x0C]+'),
+             x -> length(x) > 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT source, n_tokens,
+       ROUND(4.0 * n_tokens, 6) AS requested_tokens,
+       ROUND(1.0 * n_tokens
+             + n_tokens * 15.4 * (1.0 - exp(-(4.0 - 1.0) / 15.4)), 6)
+         AS effective_tokens,
+       ROUND((1.0 * n_tokens
+              + n_tokens * 15.4 * (1.0 - exp(-(4.0 - 1.0) / 15.4)))
+             / (4.0 * n_tokens), 6) AS efficiency
+FROM per
+"""
+
+
+# ----------------------------------------------- stratified sample -------
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic 40-per-language quota sample (md5-rank draw) —
+    # distinct from the TPC-H part-table stratified_sample entry.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.stratified_sample(
+        docs, group_col="lang", quota=40
+    )
+
+
+SQL_QUOTA_SAMPLE = r"""
+SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+         PARTITION BY lang
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':'), doc_id
+       ) AS INT) AS rnk
+FROM documents
+QUALIFY rnk <= 40
+"""

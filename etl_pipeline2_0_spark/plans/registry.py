@@ -253,6 +253,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     budget waterfilling across languages (Chung et al. 2023) ---
     "gopher_repetition": (L.q_gopher_repetition, L.SQL_GOPHER_REPETITION),
     "unimax_alloc": (L.q_unimax_alloc, L.SQL_UNIMAX_ALLOC),
+    # --- added r11 (past-cap; r12 promotion pool, wave 6): char/token
+    #     Shannon entropy (encoded-blob detector), language-ID confusion
+    #     audit, the Muennighoff 2023 repeat-decay budget planner, and
+    #     deterministic per-stratum quota sampling ---
+    "entropy_stats": (L.q_entropy_stats, L.SQL_ENTROPY_STATS),
+    "langid_confusion": (L.q_langid_confusion, L.SQL_LANGID_CONFUSION),
+    "data_budget_plan": (L.q_data_budget_plan, L.SQL_DATA_BUDGET_PLAN),
+    "quota_sample": (L.q_quota_sample, L.SQL_QUOTA_SAMPLE),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -2742,3 +2742,122 @@ def test_unimax_waterfilling_hand_computed(spark):
     assert out["c"]["alloc_tokens"] == 400.0
     assert out["b"]["epochs"] == round(400 / 450, 6)
     assert sum(r["alloc_tokens"] for r in out.values()) == 1000.0
+
+
+def test_entropy_stats_hand_computed(spark):
+    """Entropy values against hand/Counter-computed Shannon H in nats:
+    uniform chars (ln k), degenerate repetition (0), an encoded-blob
+    shape (HIGH char entropy, ZERO token entropy), an empty doc that
+    must survive with all-zero stats."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "aaaa"),                 # char H = 0, one token
+        (2, "abcd"),                 # 4 uniform chars: H = ln 4
+        (3, "xy xy xy xy"),          # token H = 0 (one type)
+        (4, "Zk9/q3+RbT1mWc8d"),     # 16 distinct chars, ONE token
+        (5, ""),                     # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.entropy_stats(df).collect()}
+
+    def _h(units):
+        c = Counter(units)
+        n = sum(c.values())
+        return round(math.log(n) - sum(k * math.log(k) for k in c.values()) / n, 6) if n else 0.0
+
+    for doc_id, txt in rows:
+        import re as _re
+        chars = list(_re.sub(r"[ \t\n\r\x0B\x0C]+", "", txt))
+        toks = [x for x in _re.split(r"[ \t\n\r\x0B\x0C]+", txt) if x]
+        assert got[doc_id]["char_entropy"] == _h(chars), doc_id
+        assert got[doc_id]["token_entropy"] == _h(toks), doc_id
+        assert got[doc_id]["n_chars"] == len(chars)
+        assert got[doc_id]["n_tokens"] == len(toks)
+    assert got[1]["char_entropy"] == 0.0
+    assert got[2]["char_entropy"] == round(math.log(4), 6)
+    assert got[3]["token_entropy"] == 0.0
+    # the blob signature: char entropy high, token entropy zero
+    assert got[4]["char_entropy"] == round(math.log(16), 6)
+    assert got[4]["token_entropy"] == 0.0
+    assert got[5] == {
+        "doc_id": 5, "n_chars": 0, "n_tokens": 0,
+        "char_entropy": 0.0, "token_entropy": 0.0,
+    }
+
+
+def test_data_budget_plan_paper_limits(spark):
+    """The Muennighoff repeat-decay formula at its pinned points:
+    1 epoch ⇒ effective = unique tokens exactly (efficiency 1.0);
+    sub-epoch ⇒ effective = requested (no repeat, no penalty);
+    efficiency strictly decreases with epochs; the E → ∞ ceiling is
+    U·(1 + R*)."""
+    import math
+
+    from etl_pipeline2_0_spark.functions import mixing
+
+    df = spark.createDataFrame(
+        [(1, "s", "t " * 100)], "doc_id bigint, source string, text string"
+    )
+
+    def run(e):
+        return mixing.data_budget_plan(df, epochs=e, r_star=15.4).collect()[0]
+
+    one = run(1.0)
+    assert one["effective_tokens"] == 100.0 and one["efficiency"] == 1.0
+    half = run(0.5)
+    assert half["effective_tokens"] == 50.0 and half["efficiency"] == 1.0
+    four = run(4.0)
+    want = 100 + 100 * 15.4 * (1 - math.exp(-3 / 15.4))
+    assert four["effective_tokens"] == round(want, 6)
+    eight = run(8.0)
+    assert eight["efficiency"] < four["efficiency"] < 1.0
+    huge = run(10_000.0)
+    assert huge["effective_tokens"] == round(100 * (1 + 15.4), 6)
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    """Quota honored per stratum, small strata kept whole, and the draw
+    is a deterministic function of (id, salt) — same frame twice gives
+    identical rows; a different salt gives a different draw."""
+    from etl_pipeline2_0_spark.functions import mixing
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out1 = mixing.stratified_sample(df, quota=20).collect()
+    out2 = mixing.stratified_sample(df, quota=20).collect()
+    by_lang = {}
+    for r in out1:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang["big"]) == 20          # quota binds
+    assert len(by_lang["small"]) == 10        # kept whole
+    assert all(1 <= r["rnk"] <= 20 for r in out1)
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    salted = mixing.stratified_sample(df, quota=20, salt="v2").collect()
+    assert {r["doc_id"] for r in salted if r["lang"] == "big"} != {
+        r["doc_id"] for r in out1 if r["lang"] == "big"
+    }
+
+
+def test_langid_confusion_hand_computed(spark):
+    """Planted confusion: 2 true-en docs predicted en, 1 true-es doc
+    predicted en (marker bleed), 1 true-zh doc with no markers → und.
+    Counts, per-true-lang shares, and overall accuracy by hand."""
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+
+    rows = [
+        (1, "en", "the cat and the dog"),
+        (2, "en", "that was the plan for it"),
+        (3, "es", "the of and is that"),   # en markers in an es-labeled doc
+        (4, "zh", "wq zzz qqq"),           # no markers anywhere
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    cm = (
+        df.select(F.col("lang"), text.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    got = {(r["lang"], r["pred_lang"]): r["n_docs"] for r in cm}
+    assert got == {("en", "en"): 2, ("es", "en"): 1, ("zh", "und"): 1}

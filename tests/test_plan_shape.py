@@ -734,3 +734,36 @@ def test_unimax_window_bounded_by_group_aggregate(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_entropy_stats_single_doc_exchange(spark, sf_dir):
+    # Same contract as the repetition battery: the one shuffle moves raw
+    # documents; the exploded char/token stream aggregates locally.
+    plan = _plan(L.q_entropy_stats(spark, sf_dir))
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_data_budget_plan_pure_aggregate(spark, sf_dir):
+    # One hash aggregate to a row per source, formula as projection —
+    # no window, no explode, no join anywhere.
+    plan = _plan(L.q_data_budget_plan(spark, sf_dir))
+    assert "Window" not in plan and "Generate" not in plan
+    assert "Join" not in plan
+
+
+def test_quota_sample_window_partitioned_by_stratum(spark, sf_dir):
+    # The ranking window must partition by the stratum key — never a
+    # global single-partition sort.
+    plan = _plan(L.q_quota_sample(spark, sf_dir))
+    assert "Exchange hashpartitioning(grp" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_langid_confusion_broadcast_rollups(spark, sf_dir):
+    # Per-true-lang totals and the accuracy scalar meet the confusion
+    # matrix via broadcast; nothing cartesian.
+    plan = _plan(L.q_langid_confusion(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

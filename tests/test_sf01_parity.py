@@ -118,6 +118,10 @@ HEAVY = [
     "heaps_growth",
     "gopher_repetition",
     "unimax_alloc",
+    "entropy_stats",
+    "langid_confusion",
+    "data_budget_plan",
+    "quota_sample",
 ]
 
 
