@@ -136,6 +136,8 @@ HEADLINE = [
     "langid_confusion",
     "data_budget_plan",
     "quota_sample",
+    "prototypicality",
+    "domain_concentration",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

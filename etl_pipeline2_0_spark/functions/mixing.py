@@ -1049,3 +1049,54 @@ def stratified_sample(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def domain_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-concentration dashboard row: how unevenly the token mass is
+    spread over domains.  One output row with the standard concentration
+    measures over per-group token shares p_i:
+      - ``hhi``: Herfindahl–Hirschman index Σ p_i² (1/n uniform → 1.0
+        monopoly),
+      - ``entropy`` (nats) and ``effective_groups`` = exp(H) — the
+        "equivalent number of equally-sized domains",
+      - ``gini``: (2 Σ i·p_(i) − (n+1)) / n over ascending-sorted shares,
+      - ``top_share``: the largest single domain's share.
+    All 6dp-rounded; the DuckDB twin replays the sort-rank Gini exactly.
+
+    Scale shape: one hash aggregate to a row per group, one bounded
+    window over that group-sized relation, one final scalar aggregate.
+    """
+    ws_toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"[ \t\n\r\x0B\x0C]+"),
+        lambda x: F.length(x) > 0,
+    )
+    per = (
+        df.select(F.col(group_col).alias("grp"), F.size(ws_toks).alias("nt"))
+        .groupBy("grp")
+        .agg(F.sum("nt").cast("double").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_total"))
+    shared = per.crossJoin(F.broadcast(tot)).select(
+        "grp", (F.col("n_tokens") / F.col("_total")).alias("p")
+    )
+    w = Window.orderBy("p", "grp")
+    ranked = shared.select(
+        "p", F.row_number().over(w).cast("double").alias("i")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.round(F.sum(F.col("p") * F.col("p")), 6).alias("hhi"),
+        F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+        F.round(F.exp(-F.sum(F.col("p") * F.log("p"))), 6).alias(
+            "effective_groups"
+        ),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("p")) - (n + 1)) / n, 6
+        ).alias("gini"),
+        F.round(F.max("p"), 6).alias("top_share"),
+    )

@@ -993,3 +993,67 @@ def pq_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= k
     )
+
+
+def prototypicality(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    drop_frac: float = 0.2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """D4-style prototype pruning (Tirumala et al. 2023, "D4: Improving
+    LLM Pretraining via Document De-Duplication and Diversification"):
+    after SemDeDup removes near-duplicates, the documents CLOSEST to
+    their cluster centroid are the redundant "easy" mass — D4 drops the
+    most prototypical fraction of every cluster to diversify the corpus.
+
+    Relational form under the repo's md5-portable IVF construction
+    (``portable_centroids``): assign each vector to its argmax-cosine
+    centroid, rank within cluster by similarity to the centroid
+    (6dp-rounded, id tiebreak; rank 1 = most prototypical), and keep a
+    row iff its rank percentile exceeds ``drop_frac``.
+
+    Output: (vec_id, cluster, proto_sim, proto_rank, cluster_size,
+    proto_pct, keep).
+
+    Scale shape: one broadcast crossJoin against the n_centroids-row
+    frame (the corpus never self-joins), one per-vector argmax window,
+    one per-cluster ranking window — both partitioned, never global.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cents = portable_centroids(c, n_centroids)
+    scored = c.crossJoin(F.broadcast(cents)).select(
+        F.col("neighbor_id").alias("vec_id"),
+        "centroid_id",
+        F.round(cosine(F.col("c_vec"), F.col("cent_vec")), 6).alias("sim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cluster"), "sim")
+    )
+    w_rank = Window.partitionBy("cluster").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    w_size = Window.partitionBy("cluster")
+    ranked = assigned.select(
+        "vec_id",
+        "cluster",
+        F.col("sim").alias("proto_sim"),
+        F.row_number().over(w_rank).cast("int").alias("proto_rank"),
+        F.count(F.lit(1)).over(w_size).cast("bigint").alias("cluster_size"),
+    )
+    pct = F.round(
+        F.col("proto_rank") / F.col("cluster_size").cast("double"), 6
+    )
+    return ranked.select(
+        "*",
+        pct.alias("proto_pct"),
+        (pct > drop_frac).alias("keep"),
+    )

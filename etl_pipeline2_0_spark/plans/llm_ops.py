@@ -4818,3 +4818,89 @@ SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
 FROM documents
 QUALIFY rnk <= 40
 """
+
+
+# ----------------------------------------------- D4 prototypicality ------
+
+
+def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D4 prototype pruning (Tirumala et al. 2023) under the md5-portable
+    # IVF construction: drop the 20% most-prototypical of each cluster.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.prototypicality(emb, n_centroids=16, drop_frac=0.2)
+
+
+SQL_PROTOTYPICALITY = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+h AS (
+  SELECT vec_id, v,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS hh
+  FROM e
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) AS centroid_id,
+         v AS cv
+  FROM h
+  QUALIFY centroid_id <= 16
+), assign_scored AS (
+  SELECT a.vec_id, c.centroid_id,
+         ROUND(list_inner_product(a.v, c.cv) /
+               (SQRT(list_inner_product(a.v, a.v))
+                * SQRT(list_inner_product(c.cv, c.cv))), 6) AS sim
+  FROM e a CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, centroid_id AS cluster, sim
+  FROM assign_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, centroid_id) = 1
+), ranked AS (
+  SELECT vec_id, cluster, sim AS proto_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+              ORDER BY sim DESC, vec_id) AS INT) AS proto_rank,
+         CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+           AS cluster_size
+  FROM assigned
+)
+SELECT *,
+       ROUND(proto_rank * 1.0 / cluster_size, 6) AS proto_pct,
+       (ROUND(proto_rank * 1.0 / cluster_size, 6) > 0.2) AS keep
+FROM ranked
+"""
+
+
+# -------------------------------------------- domain concentration -------
+
+
+def q_domain_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-row concentration dashboard over per-source token shares:
+    # HHI, entropy, effective domains, Gini, top share.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.domain_concentration(docs, group_col="source")
+
+
+SQL_DOMAIN_CONCENTRATION = r"""
+WITH per AS (
+  SELECT source AS grp,
+         CAST(SUM(len(list_filter(
+             regexp_split_to_array(COALESCE(text, ''),
+                                   '[ \x09\x0A\x0D\x0B\x0C]+'),
+             x -> length(x) > 0))) AS DOUBLE) AS n_tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT SUM(n_tokens) AS total FROM per
+), ranked AS (
+  SELECT n_tokens / total AS p,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens / total, grp)
+              AS DOUBLE) AS i
+  FROM per CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       ROUND(SUM(p * p), 6) AS hhi,
+       ROUND(-SUM(p * ln(p)), 6) AS entropy,
+       ROUND(exp(-SUM(p * ln(p))), 6) AS effective_groups,
+       ROUND((2 * SUM(i * p) - (COUNT(*) + 1)) / COUNT(*), 6) AS gini,
+       ROUND(MAX(p), 6) AS top_share
+FROM ranked
+"""

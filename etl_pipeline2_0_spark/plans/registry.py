@@ -261,6 +261,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "langid_confusion": (L.q_langid_confusion, L.SQL_LANGID_CONFUSION),
     "data_budget_plan": (L.q_data_budget_plan, L.SQL_DATA_BUDGET_PLAN),
     "quota_sample": (L.q_quota_sample, L.SQL_QUOTA_SAMPLE),
+    # --- added r11 (past-cap; r12 promotion pool, wave 7): D4 prototype
+    #     pruning over IVF clusters (Tirumala et al. 2023) and the
+    #     domain-concentration dashboard (HHI / entropy / Gini) ---
+    "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
+    "domain_concentration": (
+        L.q_domain_concentration,
+        L.SQL_DOMAIN_CONCENTRATION,
+    ),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

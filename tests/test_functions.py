@@ -2861,3 +2861,70 @@ def test_langid_confusion_hand_computed(spark):
     )
     got = {(r["lang"], r["pred_lang"]): r["n_docs"] for r in cm}
     assert got == {("en", "en"): 2, ("es", "en"): 1, ("zh", "und"): 1}
+
+
+def test_prototypicality_drops_closest_to_centroid(spark):
+    """Single-cluster corpus: the drop_frac most-prototypical rows (the
+    ones with highest cosine to the centroid, computed independently in
+    Python) are exactly the keep=False set, percentiles are rank/size."""
+    import math
+
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    vecs = {i: [1.0, float(i) / 10.0, 0.5, 0.0] for i in range(10)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in S.prototypicality(
+        df, n_centroids=1, drop_frac=0.2
+    ).collect()}
+    assert len(out) == 10
+    assert all(r["cluster"] == 1 for r in out.values())
+    assert all(r["cluster_size"] == 10 for r in out.values())
+    # the centroid is the md5-smallest vec_id; replicate the draw
+    import hashlib
+
+    hh = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in vecs}
+    cent = vecs[min(hh, key=lambda i: (hh[i], i))]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), 6)
+
+    sims = {i: cos(v, cent) for i, v in vecs.items()}
+    order = sorted(vecs, key=lambda i: (-sims[i], i))
+    dropped = {i for i in out if out[i]["keep"] is False}
+    assert dropped == set(order[:2])          # pct .1 and .2 ≤ drop_frac
+    for i in vecs:
+        assert out[i]["proto_sim"] == sims[i]
+        assert out[i]["proto_pct"] == round(out[i]["proto_rank"] / 10, 6)
+
+
+def test_domain_concentration_hand_computed(spark):
+    """50/30/20 token split: HHI .38, entropy 1.029653, Gini 0.2,
+    top_share 0.5; a perfectly uniform corpus scores Gini 0 and
+    effective_groups = n."""
+    import math
+
+    from etl_pipeline2_0_spark.functions import mixing
+
+    def mk(counts):
+        return spark.createDataFrame(
+            [(i, s, ("t " * n).strip()) for i, (s, n) in enumerate(counts)],
+            "doc_id bigint, source string, text string",
+        )
+
+    r = mixing.domain_concentration(mk([("a", 50), ("b", 30), ("c", 20)])).collect()[0]
+    assert r["n_groups"] == 3
+    assert r["hhi"] == 0.38
+    h = -(0.5 * math.log(0.5) + 0.3 * math.log(0.3) + 0.2 * math.log(0.2))
+    assert r["entropy"] == round(h, 6)
+    assert r["effective_groups"] == round(math.exp(h), 6)
+    assert r["gini"] == 0.2
+    assert r["top_share"] == 0.5
+
+    u = mixing.domain_concentration(mk([("a", 25), ("b", 25), ("c", 25), ("d", 25)])).collect()[0]
+    assert u["gini"] == 0.0
+    assert u["hhi"] == 0.25
+    assert u["effective_groups"] == 4.0

@@ -767,3 +767,19 @@ def test_langid_confusion_broadcast_rollups(spark, sf_dir):
     plan = _plan(L.q_langid_confusion(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prototypicality_broadcast_centroids_partitioned_windows(spark, sf_dir):
+    # The corpus meets the 16-row centroid frame via broadcast (never a
+    # corpus self-join) and both windows are key-partitioned.
+    plan = _plan(L.q_prototypicality(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cluster" in plan
+
+
+def test_domain_concentration_window_after_collapse(spark, sf_dir):
+    # The Gini ranking window runs on the group-sized relation, strictly
+    # above the corpus-collapsing aggregate.
+    opt = _optimized(L.q_domain_concentration(spark, sf_dir))
+    assert opt.index("Window") < opt.index("Relation")
+    assert "Aggregate [grp#" in opt

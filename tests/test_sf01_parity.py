@@ -122,6 +122,8 @@ HEAVY = [
     "langid_confusion",
     "data_budget_plan",
     "quota_sample",
+    "prototypicality",
+    "domain_concentration",
 ]
 
 
