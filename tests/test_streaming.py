@@ -540,3 +540,110 @@ def test_stream_curated_ingest_monitors_psi_and_cms(spark, tmp_path):
         spark.createDataFrame([("training",)], "item string"), sk, width=512
     ).first()["cms_est"]
     assert est >= n_docs
+
+
+def test_stream_stratified_reservoir_equals_batch_sample(spark, tmp_path):
+    """The running per-stratum reservoir after three micro-batches equals
+    mixing.stratified_sample over the concatenated data ROW FOR ROW (the
+    md5 smallest-k draw is monotone-mergeable), and a replayed backlog
+    changes nothing."""
+    from etl_pipeline2_0_spark.functions import mixing
+    from etl_pipeline2_0_spark.streaming.reservoir import (
+        stream_stratified_reservoir,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "reservoir")
+    schema = "doc_id bigint, lang string"
+    batches = [
+        [(i, "a" if i % 3 else "b") for i in range(0, 30)],
+        [(i, "a" if i % 3 else "b") for i in range(30, 60)],
+        [(i, "a" if i % 3 else "b") for i in range(60, 90)],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_stratified_reservoir(
+        stream, store, str(tmp_path / "ckpt"), quota=8
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["grp"], r["id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = {
+        (r["lang"], r["doc_id"])
+        for r in mixing.stratified_sample(full, quota=8).collect()
+    }
+    assert got == want and len(got) == 16  # quota binds in both strata
+
+    # replayed backlog: same rows, nothing changes
+    q2 = stream_stratified_reservoir(
+        stream, store, str(tmp_path / "ckpt2"), quota=8
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        (r["grp"], r["id"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got2 == got
+
+
+def test_stream_mix_weights_monitor_equals_batch(spark, tmp_path):
+    """After the backlog drains, the emitted weights table equals
+    mixing.temperature_mix_weights over the full data exactly (same
+    arithmetic, same rounding)."""
+    from etl_pipeline2_0_spark.functions import mixing
+    from etl_pipeline2_0_spark.streaming.reservoir import (
+        stream_mix_weights_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "doc_id bigint, source string, text string"
+    batches = [
+        [(1, "big", "t " * 300), (2, "small", "t " * 10)],
+        [(3, "big", "t " * 200), (4, "small", "t " * 40)],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_mix_weights_monitor(
+        stream,
+        str(tmp_path / "counts"),
+        str(tmp_path / "weights"),
+        str(tmp_path / "ckpt"),
+        alpha=0.5,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["source"]: (r["n_tokens"], r["weight"])
+        for r in spark.read.parquet(str(tmp_path / "weights")).collect()
+    }
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = {
+        r["source"]: (r["n_tokens"], r["weight"])
+        for r in mixing.temperature_mix_weights(full, alpha=0.5).collect()
+    }
+    assert got == want
+    assert got["big"][0] == 500 and got["small"][0] == 50
