@@ -138,6 +138,7 @@ HEADLINE = [
     "quota_sample",
     "prototypicality",
     "domain_concentration",
+    "edit_neardup",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

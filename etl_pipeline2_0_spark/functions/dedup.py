@@ -1495,3 +1495,111 @@ def dedup_lines(
         .alias("n_dropped"),
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist``, by PassJoin
+    partitioning (Li, Deng & Feng 2011, "PASS-JOIN: A Partition-based
+    Method for Similarity Joins" — public): split every string into
+    d+1 contiguous chunks; if ed(a, b) ≤ d then at least one chunk of a
+    occurs VERBATIM in b, on a's length grid, within ±d of its canonical
+    position.  Candidates therefore come from an EQUI-JOIN of
+    (chunk_idx, grid_length, piece) keys — chunks on one side, the
+    bounded (2d+1)² window of partner-grid substrings on the other —
+    and every candidate is verified with the native ``levenshtein``
+    (exact, not approximate: output ≡ the brute-force O(n²) join,
+    pinned by test).
+
+    Strings shorter than d+1 characters are excluded (no d+1-way
+    partition exists); pairs are canonical (id_a < id_b) with the
+    verified distance.
+
+    Scale shape: per string, d+1 chunk keys and ≤ (d+1)(2d+1)² window
+    keys (75 at d=2) — linear explode, hash-partitionable equi-join,
+    never an all-pairs product; the verification join touches only
+    surviving candidates.
+    """
+    from itertools import product
+
+    m = max_dist + 1
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("s"),
+        F.length(text_col).alias("L"),
+    ).where(F.length(text_col) >= m)
+
+    def _gstart(i, lp):
+        # 1-based start of chunk i on a length-lp grid
+        return F.floor((i - 1) * lp / m).cast("int") + 1
+
+    def _glen(i, lp):
+        return (F.floor(i * lp / m) - F.floor((i - 1) * lp / m)).cast("int")
+
+    idx = F.explode(
+        F.array(*[F.lit(i) for i in range(1, m + 1)])
+    ).alias("i")
+    chunks = s.select("id", "s", "L", idx).select(
+        F.col("id").alias("id_a"),
+        F.col("i"),
+        F.col("L").alias("grid_len"),
+        F.col("s").substr(_gstart(F.col("i"), F.col("L")),
+                          _glen(F.col("i"), F.col("L"))).alias("piece"),
+    )
+    combos = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("i"), F.lit(dl).alias("dl"),
+                F.lit(dq).alias("dq"),
+            )
+            for i, dl, dq in product(
+                range(1, m + 1),
+                range(-max_dist, max_dist + 1),
+                range(-max_dist, max_dist + 1),
+            )
+        ])
+    ).alias("c")
+    lp = F.col("L") + F.col("c.dl")
+    q = _gstart(F.col("c.i"), lp) + F.col("c.dq")
+    ln = _glen(F.col("c.i"), lp)
+    subs = (
+        s.select("id", "s", "L", combos)
+        .where(
+            (lp >= m) & (ln >= 1) & (q >= 1) & (q + ln - 1 <= F.col("L"))
+        )
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("c.i").alias("i"),
+            lp.cast("bigint").alias("grid_len"),
+            F.col("s").substr(q, ln).alias("piece"),
+        )
+    )
+    cand = (
+        chunks.join(subs, ["i", "grid_len", "piece"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = s.select(F.col("id").alias("id_a"), F.col("s").alias("_sa"),
+                 F.col("L").alias("_la"))
+    b = s.select(F.col("id").alias("id_b"), F.col("s").alias("_sb"),
+                 F.col("L").alias("_lb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(
+            (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+            & (F.levenshtein("_sa", "_sb") <= max_dist)
+        )
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("_sa", "_sb").cast("int").alias("dist"),
+        )
+    )

@@ -4904,3 +4904,60 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
        ROUND(MAX(p), 6) AS top_share
 FROM ranked
 """
+
+
+# ------------------------------------------- edit-distance near-dup ------
+
+
+def q_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PassJoin edit-distance self-join (Li et al. 2011) over 24-char doc
+    # prefixes: all pairs within Levenshtein distance 2, candidates from
+    # the chunk/substring equi-join, exact-verified.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("text")
+    )
+    return dedup.edit_distance_pairs(docs, max_dist=2)
+
+
+SQL_EDIT_NEARDUP = r"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, substring(text, 1, 24) AS s,
+         length(substring(text, 1, 24)) AS L
+  FROM documents
+  WHERE length(substring(text, 1, 24)) >= 3
+), chunks AS (
+  SELECT doc_id AS id_a, i, L AS grid_len,
+         substring(s, CAST(floor((i - 1) * L / 3) AS INT) + 1,
+                   CAST(floor(i * L / 3) AS INT)
+                   - CAST(floor((i - 1) * L / 3) AS INT)) AS piece
+  FROM s CROSS JOIN (SELECT unnest(range(1, 4)) AS i)
+), subs AS (
+  SELECT doc_id AS id_b, i, lp AS grid_len,
+         substring(s, q, CAST(floor(i * lp / 3) AS INT)
+                          - CAST(floor((i - 1) * lp / 3) AS INT)) AS piece
+  FROM s
+  CROSS JOIN (SELECT unnest(range(1, 4)) AS i)
+  CROSS JOIN (SELECT unnest(range(-2, 3)) AS dl)
+  CROSS JOIN (SELECT unnest(range(-2, 3)) AS dq)
+  , LATERAL (SELECT L + dl AS lp) t1
+  , LATERAL (SELECT CAST(floor((i - 1) * lp / 3) AS INT) + 1 + dq AS q) t2
+  WHERE lp >= 3
+    AND q >= 1
+    AND CAST(floor(i * lp / 3) AS INT)
+        - CAST(floor((i - 1) * lp / 3) AS INT) >= 1
+    AND q + (CAST(floor(i * lp / 3) AS INT)
+             - CAST(floor((i - 1) * lp / 3) AS INT)) - 1 <= L
+), cand AS (
+  SELECT DISTINCT LEAST(c.id_a, u.id_b) AS id_a,
+                  GREATEST(c.id_a, u.id_b) AS id_b
+  FROM chunks c JOIN subs u
+    ON c.i = u.i AND c.grid_len = u.grid_len AND c.piece = u.piece
+  WHERE c.id_a <> u.id_b
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM cand
+JOIN s a ON a.doc_id = cand.id_a
+JOIN s b ON b.doc_id = cand.id_b
+WHERE abs(a.L - b.L) <= 2 AND levenshtein(a.s, b.s) <= 2
+"""

@@ -264,6 +264,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- added r11 (past-cap; r12 promotion pool, wave 7): D4 prototype
     #     pruning over IVF clusters (Tirumala et al. 2023) and the
     #     domain-concentration dashboard (HHI / entropy / Gini) ---
+    # --- added r11 (past-cap; r12 promotion pool, wave 9): PassJoin
+    #     edit-distance similarity self-join (Li et al. 2011) — exact
+    #     Levenshtein pairs from a chunk/substring equi-join ---
+    "edit_neardup": (L.q_edit_neardup, L.SQL_EDIT_NEARDUP),
     "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
     "domain_concentration": (
         L.q_domain_concentration,

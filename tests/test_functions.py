@@ -2928,3 +2928,52 @@ def test_domain_concentration_hand_computed(spark):
     assert u["gini"] == 0.0
     assert u["hhi"] == 0.25
     assert u["effective_groups"] == 4.0
+
+
+def test_edit_distance_pairs_equals_brute_force(spark):
+    """PassJoin output must equal the brute-force O(n²) Levenshtein join
+    exactly — the filter is sound (no pair within d is missed) and every
+    candidate is verified (no pair beyond d survives).  Corpus plants
+    substitutions, insertions, deletions, transposition-like double
+    edits, near-misses at d+1, and short strings at the length floor."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown fux"),        # 1 sub of 1
+        (3, "the quick browne fox"),       # 1 ins of 1
+        (4, "the quik brwn fox"),          # 2 del of 1
+        (5, "the quick brown foxes!!"),    # 4 edits of 1 — out
+        (6, "zzz completely different"),
+        (7, "zzz completely different"),   # exact dup of 6
+        (8, "abc"),                        # at the length floor
+        (9, "abd"),                        # 1 sub of 8
+        (10, "ab"),                        # below floor: excluded
+        (11, "eht quick brown fox"),       # 2 subs of 1 (swap-ish)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in D.edit_distance_pairs(df, max_dist=2).collect()
+    }
+    # brute force via the engine's own levenshtein (unit-cost semantics)
+    a = df.selectExpr("doc_id id_a", "text ta")
+    b = df.selectExpr("doc_id id_b", "text tb")
+    want = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.join(b, SF.col("id_a") < SF.col("id_b"))
+        .where(SF.length("ta") >= 3)
+        .where(SF.length("tb") >= 3)
+        .select(
+            "id_a", "id_b",
+            SF.levenshtein("ta", "tb").cast("int").alias("dist"),
+        )
+        .where(SF.col("dist") <= 2)
+        .collect()
+    }
+    assert got == want
+    assert (1, 2, 1) in got and (1, 3, 1) in got and (1, 4, 2) in got
+    assert (6, 7, 0) in got and (8, 9, 1) in got and (1, 11, 2) in got
+    assert not any(5 in (p[0], p[1]) or 10 in (p[0], p[1]) for p in got)

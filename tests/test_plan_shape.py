@@ -783,3 +783,13 @@ def test_domain_concentration_window_after_collapse(spark, sf_dir):
     opt = _optimized(L.q_domain_concentration(spark, sf_dir))
     assert opt.index("Window") < opt.index("Relation")
     assert "Aggregate [grp#" in opt
+
+
+def test_edit_neardup_candidates_equijoin(spark, sf_dir):
+    # PassJoin candidates must come from the (chunk_idx, grid_len, piece)
+    # hash equi-join — never an all-pairs product; verification joins key
+    # on ids.
+    plan = _plan(L.q_edit_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "piece" in plan

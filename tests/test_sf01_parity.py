@@ -124,6 +124,7 @@ HEAVY = [
     "quota_sample",
     "prototypicality",
     "domain_concentration",
+    "edit_neardup",
 ]
 
 
