@@ -139,6 +139,7 @@ HEADLINE = [
     "prototypicality",
     "domain_concentration",
     "edit_neardup",
+    "hist_quantiles",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

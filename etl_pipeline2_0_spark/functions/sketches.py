@@ -197,3 +197,79 @@ def cms_estimate_map_side(
         .withColumn(out_col, est)
         .drop("__cms")
     )
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Fixed-width histogram sketch: (bin, cnt) over ``n_bins`` equal
+    bins on [lo, hi), values outside clamped to the edge bins.  The
+    fixed-memory, trivially MERGEABLE (sum cnt by bin) alternative to an
+    exact percentile aggregate — the quantile member of the sketch
+    family (CMS for frequency, Bloom for membership, HLL for
+    cardinality).  NULL values are dropped.
+
+    Scale: one narrow projection + hash aggregate to ≤ n_bins rows
+    (map-side combined); merging streams/partitions is a bin-wise sum.
+    """
+    w = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col).cast("double") - lo) / w).cast("int")
+    binned = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(binned.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from a ``hist_sketch``: for each q, walk the
+    cumulative bin counts to the first bin where cum ≥ q·N and
+    interpolate linearly inside it.  Estimation error is bounded by one
+    bin width for in-range data (pinned by test).
+
+    Output: (q, estimate), 6dp-rounded.  All windows run on the
+    ≤ n_bins-row sketch relation — bounded by construction.
+    """
+    from pyspark.sql.window import Window
+
+    w = (hi - lo) / n_bins
+    tot = sketch.agg(F.sum("cnt").cast("double").alias("_n"))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        sketch.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("cnt").over(wcum).cast("double"))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    )
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hits = (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= F.col("q") * F.col("_n"))
+    )
+    w_first = Window.partitionBy("q").orderBy("bin")
+    first = (
+        hits.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+    )
+    frac = (F.col("q") * F.col("_n") - F.col("cum_before")) / F.col("cnt")
+    return first.select(
+        "q",
+        F.round(F.lit(lo) + (F.col("bin") + frac) * F.lit(w), 6).alias(
+            "estimate"
+        ),
+    )

@@ -4961,3 +4961,46 @@ JOIN s a ON a.doc_id = cand.id_a
 JOIN s b ON b.doc_id = cand.id_b
 WHERE abs(a.L - b.L) <= 2 AND levenshtein(a.s, b.s) <= 2
 """
+
+
+# ---------------------------------------------- histogram quantiles ------
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantiles of l_extendedprice from a 128-bin mergeable histogram
+    # sketch — the fixed-memory alternative to the exact percentile
+    # aggregate (error ≤ one bin width, pinned by test).
+    from etl_pipeline2_0_spark.functions import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = sketches.hist_sketch(li, "l_extendedprice", 900.0, 105000.0, 128)
+    return sketches.hist_quantiles(sk, 900.0, 105000.0, 128)
+
+
+SQL_HIST_QUANTILES = r"""
+WITH binned AS (
+  SELECT LEAST(GREATEST(CAST(floor(
+           (CAST(l_extendedprice AS DOUBLE) - 900.0)
+           / ((105000.0 - 900.0) / 128)) AS INT), 0), 127) AS bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), sk AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM sk
+), cum AS (
+  SELECT bin, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bin) AS DOUBLE) AS cum
+  FROM sk
+), qs AS (
+  SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q
+), hit AS (
+  SELECT q, bin, cnt, cum - cnt AS cum_before, n
+  FROM cum CROSS JOIN tot CROSS JOIN qs
+  WHERE cum >= q * n
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) = 1
+)
+SELECT q,
+       ROUND(900.0 + (bin + (q * n - cum_before) / cnt)
+             * ((105000.0 - 900.0) / 128), 6) AS estimate
+FROM hit
+"""

@@ -291,6 +291,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     edit-distance similarity self-join (Li et al. 2011) — exact
     #     Levenshtein pairs from a chunk/substring equi-join ---
     "edit_neardup": (L.q_edit_neardup, L.SQL_EDIT_NEARDUP),
+    # --- added r11 (past-cap; r12 promotion pool, wave 10): mergeable
+    #     fixed-width histogram sketch quantiles — the quantile member
+    #     of the sketch family (CMS/Bloom/HLL), error ≤ one bin width ---
+    "hist_quantiles": (L.q_hist_quantiles, L.SQL_HIST_QUANTILES),
     "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
     "domain_concentration": (
         L.q_domain_concentration,

@@ -92,3 +92,48 @@ def stream_cms_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_hist_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a fixed-width histogram sketch over a stream as one
+    checkpointed query — each micro-batch's (bin, cnt) rows merge into
+    the bounded store by bin-wise addition (the same mergeability that
+    makes the batch sketch partition-safe).  Like the CMS ingest,
+    exactly-once on the VALUES relies on exactly-once batch delivery."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cells = sketches.hist_sketch(batch_df, value_col, lo, hi, n_bins)
+        spark = batch_df.sparkSession
+        fs, store = _hadoop_fs(spark, store_path)
+        if fs.exists(store):
+            cells = (
+                cells.unionByName(spark.read.parquet(store_path))
+                .groupBy("bin")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        tmp_str = store_path.rstrip("/") + "._tmp_merge"
+        _, tmp = _hadoop_fs(spark, tmp_str)
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        cells.write.mode("overwrite").parquet(tmp_str)
+        if fs.exists(store):
+            fs.delete(store, True)
+        fs.rename(tmp, store)
+
+    writer = stream_df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2977,3 +2977,54 @@ def test_edit_distance_pairs_equals_brute_force(spark):
     assert (1, 2, 1) in got and (1, 3, 1) in got and (1, 4, 2) in got
     assert (6, 7, 0) in got and (8, 9, 1) in got and (1, 11, 2) in got
     assert not any(5 in (p[0], p[1]) or 10 in (p[0], p[1]) for p in got)
+
+
+def test_hist_sketch_mergeable_and_quantile_error_bound(spark):
+    """The histogram sketch merges by bin-wise sum (split ∪ merge ≡
+    whole-corpus sketch), quantile estimates land within one bin width
+    of the exact percentile on uniform data, out-of-range values clamp
+    to the edge bins, and a single-bin corpus pins the interpolation."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import sketches as SK
+
+    lo, hi, nb = 0.0, 10_000.0, 100
+    width = (hi - lo) / nb
+    df = spark.range(10_000).select(SF.col("id").cast("double").alias("v"))
+    whole = {r["bin"]: r["cnt"] for r in SK.hist_sketch(df, "v", lo, hi, nb).collect()}
+    h1 = SK.hist_sketch(df.where("v < 4000"), "v", lo, hi, nb)
+    h2 = SK.hist_sketch(df.where("v >= 4000"), "v", lo, hi, nb)
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in h1.unionByName(h2)
+        .groupBy("bin")
+        .agg(SF.sum("cnt").cast("bigint").alias("cnt"))
+        .collect()
+    }
+    assert merged == whole
+
+    est = {
+        r["q"]: r["estimate"]
+        for r in SK.hist_quantiles(
+            SK.hist_sketch(df, "v", lo, hi, nb), lo, hi, nb
+        ).collect()
+    }
+    exact = {q: df.agg(SF.percentile("v", q)).collect()[0][0] for q in est}
+    for q in est:
+        assert abs(est[q] - exact[q]) <= width, (q, est[q], exact[q])
+
+    # clamping: a value far outside [lo, hi) lands in an edge bin
+    oob = SK.hist_sketch(
+        spark.createDataFrame([(-50.0,), (99_999.0,)], "v double"),
+        "v", lo, hi, nb,
+    ).collect()
+    assert {r["bin"] for r in oob} == {0, nb - 1}
+
+    # single-bin corpus: every quantile interpolates inside that bin
+    one = SK.hist_quantiles(
+        SK.hist_sketch(
+            spark.createDataFrame([(500.0,)] * 8, "v double"), "v", lo, hi, nb
+        ),
+        lo, hi, nb,
+    ).collect()
+    assert all(500.0 <= r["estimate"] < 500.0 + width for r in one)

@@ -793,3 +793,12 @@ def test_edit_neardup_candidates_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "piece" in plan
+
+
+def test_hist_quantiles_windows_on_sketch_relation(spark, sf_dir):
+    # The corpus collapses to the ≤128-row sketch before any window —
+    # the cumulative walk and first-hit windows never touch lineitem
+    # rows.
+    opt = _optimized(L.q_hist_quantiles(spark, sf_dir))
+    assert opt.index("Window") < opt.index("Relation")
+    assert "Aggregate [bin#" in opt

@@ -125,6 +125,7 @@ HEAVY = [
     "prototypicality",
     "domain_concentration",
     "edit_neardup",
+    "hist_quantiles",
 ]
 
 

@@ -647,3 +647,36 @@ def test_stream_mix_weights_monitor_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert got["big"][0] == 500 and got["small"][0] == 50
+
+
+def test_stream_hist_sketch_equals_batch(spark, tmp_path):
+    """The streamed histogram store after the backlog drains equals the
+    batch sketch over the concatenated data bin-for-bin."""
+    from etl_pipeline2_0_spark.functions import sketches as SK
+    from etl_pipeline2_0_spark.streaming.sketch import stream_hist_ingest
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "hist")
+    schema = "v double"
+    b1 = [(float(i),) for i in range(0, 500)]
+    b2 = [(float(i),) for i in range(500, 1000)]
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_hist_ingest(
+        stream, store, str(tmp_path / "ckpt"), "v", 0.0, 1000.0, 20
+    )
+    q.awaitTermination(180)
+    got = {r["bin"]: r["cnt"] for r in spark.read.parquet(store).collect()}
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        r["bin"]: r["cnt"]
+        for r in SK.hist_sketch(full, "v", 0.0, 1000.0, 20).collect()
+    }
+    assert got == want and len(got) == 20
