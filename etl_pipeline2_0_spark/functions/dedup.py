@@ -1502,6 +1502,7 @@ def edit_distance_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_dist: int = 2,
+    other: DataFrame = None,
 ) -> DataFrame:
     """All pairs within Levenshtein distance ``max_dist``, by PassJoin
     partitioning (Li, Deng & Feng 2011, "PASS-JOIN: A Partition-based
@@ -1523,15 +1524,28 @@ def edit_distance_pairs(
     keys (75 at d=2) — linear explode, hash-partitionable equi-join,
     never an all-pairs product; the verification join touches only
     surviving candidates.
+
+    With ``other`` set this becomes a cross-table FUZZY JOIN: chunks
+    come from ``df`` (left), window substrings from ``other`` (right) —
+    partitioning either member of a within-d pair satisfies the
+    pigeonhole theorem, so one orientation covers every pair.  Output
+    ids are then (left id, right id) uncanonicalized, and equal ids are
+    kept (the two tables are distinct keyspaces).
     """
     from itertools import product
 
     m = max_dist + 1
-    s = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("s"),
-        F.length(text_col).alias("L"),
-    ).where(F.length(text_col) >= m)
+
+    def _prep(frame):
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("s"),
+            F.length(text_col).alias("L"),
+        ).where(F.length(text_col) >= m)
+
+    cross = other is not None
+    s = _prep(df)
+    s_right = _prep(other) if cross else s
 
     def _gstart(i, lp):
         # 1-based start of chunk i on a length-lp grid
@@ -1567,7 +1581,7 @@ def edit_distance_pairs(
     q = _gstart(F.col("c.i"), lp) + F.col("c.dq")
     ln = _glen(F.col("c.i"), lp)
     subs = (
-        s.select("id", "s", "L", combos)
+        s_right.select("id", "s", "L", combos)
         .where(
             (lp >= m) & (ln >= 1) & (q >= 1) & (q + ln - 1 <= F.col("L"))
         )
@@ -1578,19 +1592,22 @@ def edit_distance_pairs(
             F.col("s").substr(q, ln).alias("piece"),
         )
     )
-    cand = (
-        chunks.join(subs, ["i", "grid_len", "piece"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+    cand = chunks.join(subs, ["i", "grid_len", "piece"])
+    if cross:
+        cand = cand.select("id_a", "id_b").distinct()
+    else:
+        cand = (
+            cand.where(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
     a = s.select(F.col("id").alias("id_a"), F.col("s").alias("_sa"),
                  F.col("L").alias("_la"))
-    b = s.select(F.col("id").alias("id_b"), F.col("s").alias("_sb"),
-                 F.col("L").alias("_lb"))
+    b = s_right.select(F.col("id").alias("id_b"), F.col("s").alias("_sb"),
+                       F.col("L").alias("_lb"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

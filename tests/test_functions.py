@@ -3028,3 +3028,39 @@ def test_hist_sketch_mergeable_and_quantile_error_bound(spark):
         lo, hi, nb,
     ).collect()
     assert all(500.0 <= r["estimate"] < 500.0 + width for r in one)
+
+
+def test_edit_distance_fuzzy_join_cross_table(spark):
+    """Cross-table mode ≡ brute-force Levenshtein join between two
+    distinct tables (ids uncanonicalized, equal ids allowed — distinct
+    keyspaces), and the self-join path is unchanged by the refactor."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    left = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "tiny")],
+        "doc_id bigint, text string",
+    )
+    right = spark.createDataFrame(
+        [(1, "alpha betas"), (2, "gamma kelta"), (3, "unrelated str"),
+         (4, "alpha beta")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in D.edit_distance_pairs(left, max_dist=2, other=right).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in left.selectExpr("doc_id id_a", "text ta")
+        .crossJoin(right.selectExpr("doc_id id_b", "text tb"))
+        .select(
+            "id_a", "id_b",
+            SF.levenshtein("ta", "tb").cast("int").alias("dist"),
+        )
+        .where(SF.col("dist") <= 2)
+        .collect()
+    }
+    assert got == want
+    assert (1, 1, 1) in got and (1, 4, 0) in got and (2, 2, 1) in got

@@ -638,3 +638,92 @@ def test_phrase_match_matches_python_reference(spark, docs, plen):
         for r in retrieval.phrase_match(df, phrase).collect()
     }
     assert got == expect
+
+
+# --- r11 text metrics vs straight-line references ---------------------------
+
+_doc_text = st.text(
+    alphabet="ab xy.\t\n-#…", min_size=0, max_size=60
+)
+
+
+@given(txt=_doc_text)
+@settings(**SETTINGS)
+def test_gopher_repetition_matches_counter_reference(spark, txt):
+    """Engine repetition metrics ≡ the Counter reference on ARBITRARY
+    text — whitespace runs, newlines, punctuation, empty strings — so
+    the unit definitions can't silently drift from the parity corpus's
+    benign shape (the advisor-r10 lesson, applied proactively)."""
+    from tests.test_functions import _ref_repetition
+
+    from etl_pipeline2_0_spark.functions import text as T
+
+    df = spark.createDataFrame([(1, txt)], "doc_id bigint, text string")
+    got = T.gopher_repetition_flags(df).collect()[0].asDict()
+    for k, v in _ref_repetition(txt).items():
+        assert got[k] == v, (k, got[k], v, repr(txt))
+
+
+@given(txt=_doc_text)
+@settings(**SETTINGS)
+def test_entropy_stats_matches_counter_reference(spark, txt):
+    import math
+    import re
+    from collections import Counter
+
+    from etl_pipeline2_0_spark.functions import text as T
+
+    df = spark.createDataFrame([(1, txt)], "doc_id bigint, text string")
+    got = T.entropy_stats(df).collect()[0].asDict()
+
+    def _h(units):
+        c = Counter(units)
+        n = sum(c.values())
+        if n == 0:
+            return 0.0
+        return round(
+            math.log(n) - sum(k * math.log(k) for k in c.values()) / n, 6
+        )
+
+    chars = list(re.sub(r"[ \t\n\r\x0B\x0C]+", "", txt))
+    toks = [x for x in re.split(r"[ \t\n\r\x0B\x0C]+", txt) if x]
+    assert got["char_entropy"] == _h(chars), repr(txt)
+    assert got["token_entropy"] == _h(toks), repr(txt)
+    assert got["n_chars"] == len(chars) and got["n_tokens"] == len(toks)
+
+
+@given(
+    strs=st.lists(
+        st.text(alphabet="abc", min_size=3, max_size=8),
+        min_size=2,
+        max_size=7,
+    )
+)
+@settings(**SETTINGS)
+def test_edit_distance_pairs_matches_brute_force_random(spark, strs):
+    """PassJoin ≡ brute force on random short strings over a tiny
+    alphabet (maximizes near-collisions — the adversarial regime for a
+    partition filter)."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in D.edit_distance_pairs(df, max_dist=2).collect()
+    }
+    a = df.selectExpr("doc_id id_a", "text ta")
+    b = df.selectExpr("doc_id id_b", "text tb")
+    want = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.join(b, SF.col("id_a") < SF.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            SF.levenshtein("ta", "tb").cast("int").alias("dist"),
+        )
+        .where(SF.col("dist") <= 2)
+        .collect()
+    }
+    assert got == want
