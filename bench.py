@@ -140,6 +140,7 @@ HEADLINE = [
     "domain_concentration",
     "edit_neardup",
     "hist_quantiles",
+    "kcenter_coreset",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -1057,3 +1057,92 @@ def prototypicality(
         pct.alias("proto_pct"),
         (pct > drop_frac).alias("keep"),
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the classic 2-approximation for k-center, the standard
+    diversity-sampling baseline for training-data subset selection):
+    seed with the md5-smallest id, then repeatedly add the point whose
+    cosine distance to its NEAREST selected center is largest.
+
+    Deterministic cross-engine: distances are 6dp-rounded before every
+    min/argmax, ties break by id, and each step EXCLUDES already-picked
+    ids (so exact-duplicate points can never re-pick a center).  Output:
+    (rnk, vec_id, sel_dist) — sel_dist is the point's distance to the
+    centers chosen before it (the coverage radius the selection had just
+    before adding it; 0.0 for the seed).
+
+    Scale shape: k−1 bounded iterations, each ONE corpus pass — the new
+    center broadcasts (1 row), min_dist updates map-side, the argmax is
+    a TakeOrdered (orderBy+limit(1), never a full sort) — with a lazy
+    localCheckpoint per step so plans stay flat (the BPE loop
+    discipline).  k is a constant (coreset sizes are human-chosen);
+    corpus size only enters through the per-pass scan.
+    """
+    seed_h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    pts = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    seed = (
+        pts.withColumn("_hh", seed_h)
+        .orderBy("_hh", "vec_id")
+        .limit(1)
+        .select("vec_id", "v")
+    )
+    picked = seed.select(
+        F.lit(1).alias("rnk"), "vec_id", F.lit(0.0).alias("sel_dist")
+    )
+    center = seed.select(
+        F.col("vec_id").alias("_cid"), F.col("v").alias("_cv")
+    )
+    state = (
+        pts.crossJoin(F.broadcast(center))
+        .where(F.col("vec_id") != F.col("_cid"))
+        .select(
+            "vec_id",
+            "v",
+            F.round(1 - cosine(F.col("v"), F.col("_cv")), 6).alias("md"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = picked
+    for rnk in range(2, k + 1):
+        nxt = (
+            state.orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("_cid"),
+                F.col("v").alias("_cv"),
+                F.col("md").alias("_cmd"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            nxt.select(
+                F.lit(rnk).alias("rnk"),
+                F.col("_cid").alias("vec_id"),
+                F.col("_cmd").alias("sel_dist"),
+            )
+        )
+        state = (
+            state.crossJoin(F.broadcast(nxt))
+            .where(F.col("vec_id") != F.col("_cid"))
+            .select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("md"),
+                    F.round(1 - cosine(F.col("v"), F.col("_cv")), 6),
+                ).alias("md"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return out

@@ -5004,3 +5004,63 @@ SELECT q,
              * ((105000.0 - 900.0) / 128), 6) AS estimate
 FROM hit
 """
+
+
+# ------------------------------------------------ k-center coreset -------
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Greedy farthest-point k-center selection (Gonzalez 1985) over the
+    # embeddings corpus — the diversity-sampling coreset baseline.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kcenter_coreset(emb, k=6)
+
+
+def _sql_kcenter(k: int = 6) -> str:
+    # k-step materialized CTE chain (the BPE-twin pattern: multi-
+    # referenced iterative CTEs must be AS MATERIALIZED or DuckDB
+    # inlines them exponentially).  Each step excludes the just-picked
+    # id, mirroring the engine exactly.
+    def cos(row: str, cent: str) -> str:
+        return (
+            f"ROUND(1 - list_inner_product({row}.v, {cent}.cv)"
+            f" / (SQRT(list_inner_product({row}.v, {row}.v))"
+            f" * SQRT(list_inner_product({cent}.cv, {cent}.cv))), 6)"
+        )
+
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "h AS (SELECT vec_id, v, CAST('0x' ||"
+        " substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+        " AS hh FROM e)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v AS cv FROM h"
+        " QUALIFY ROW_NUMBER() OVER (ORDER BY hh, vec_id) = 1)",
+        "d1 AS MATERIALIZED (SELECT e.vec_id, e.v,"
+        f" {cos('e', 'c1')} AS md"
+        " FROM e CROSS JOIN c1 WHERE e.vec_id <> c1.vec_id)",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"c{j} AS MATERIALIZED (SELECT vec_id, v AS cv, md"
+            f" FROM d{j - 1}"
+            " QUALIFY ROW_NUMBER() OVER (ORDER BY md DESC, vec_id) = 1)"
+        )
+        if j < k:
+            parts.append(
+                f"d{j} AS MATERIALIZED (SELECT d.vec_id, d.v,"
+                f" LEAST(d.md, {cos('d', f'c{j}')}) AS md"
+                f" FROM d{j - 1} d CROSS JOIN c{j}"
+                f" WHERE d.vec_id <> c{j}.vec_id)"
+            )
+    selects = [
+        "SELECT CAST(1 AS INT) AS rnk, vec_id,"
+        " CAST(0.0 AS DOUBLE) AS sel_dist FROM c1"
+    ] + [
+        f"SELECT CAST({j} AS INT), vec_id, md FROM c{j}"
+        for j in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+SQL_KCENTER_CORESET = _sql_kcenter(6)

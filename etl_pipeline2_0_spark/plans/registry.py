@@ -295,6 +295,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     fixed-width histogram sketch quantiles — the quantile member
     #     of the sketch family (CMS/Bloom/HLL), error ≤ one bin width ---
     "hist_quantiles": (L.q_hist_quantiles, L.SQL_HIST_QUANTILES),
+    # --- added r11 (past-cap; r12 promotion pool, wave 11): greedy
+    #     farthest-point k-center coreset (Gonzalez 1985) — iterative
+    #     diversity selection with a materialized k-step CTE twin ---
+    "kcenter_coreset": (L.q_kcenter_coreset, L.SQL_KCENTER_CORESET),
     "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
     "domain_concentration": (
         L.q_domain_concentration,

@@ -3064,3 +3064,67 @@ def test_edit_distance_fuzzy_join_cross_table(spark):
     }
     assert got == want
     assert (1, 1, 1) in got and (1, 4, 0) in got and (2, 2, 1) in got
+
+
+def test_kcenter_coreset_matches_greedy_reference(spark):
+    """Engine selection ≡ an independent Python farthest-point greedy
+    (same 6dp rounding, id tiebreak, picked-id exclusion); selection
+    distances are non-increasing (the coverage radius shrinks); a
+    corpus of identical vectors picks k DISTINCT ids at distance 0 (the
+    exclusion guard — without it the argmax would re-pick a center)."""
+    import hashlib
+    import math
+
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [1.0, 0.05, 0.0, 0.0],
+        3: [0.05, 1.0, 0.0, 0.0],
+        4: [0.7, 0.7, 0.0, 0.0],
+        5: [0.0, 0.0, 1.0, 0.0],
+        6: [0.6, 0.0, 0.8, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = [
+        (r["rnk"], r["vec_id"], r["sel_dist"])
+        for r in S.kcenter_coreset(df, k=5).orderBy("rnk").collect()
+    ]
+
+    def cosd(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(1 - d / (na * nb), 6)
+
+    hh = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        for i in vecs
+    }
+    seed = min(vecs, key=lambda i: (hh[i], i))
+    want = [(1, seed, 0.0)]
+    md = {i: cosd(vecs[i], vecs[seed]) for i in vecs if i != seed}
+    for rnk in range(2, 6):
+        nxt = max(md, key=lambda i: (md[i], -i))
+        want.append((rnk, nxt, md[nxt]))
+        nv = vecs[nxt]
+        md = {
+            i: min(d, cosd(vecs[i], nv))
+            for i, d in md.items()
+            if i != nxt
+        }
+    assert got == want
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    sel = S.kcenter_coreset(dup, k=4).collect()
+    assert len({r["vec_id"] for r in sel}) == 4
+    assert all(r["sel_dist"] == 0.0 for r in sel if r["rnk"] > 1)

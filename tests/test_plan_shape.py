@@ -802,3 +802,11 @@ def test_hist_quantiles_windows_on_sketch_relation(spark, sf_dir):
     opt = _optimized(L.q_hist_quantiles(spark, sf_dir))
     assert opt.index("Window") < opt.index("Relation")
     assert "Aggregate [bin#" in opt
+
+
+def test_kcenter_argmax_is_take_ordered(spark, sf_dir):
+    # Each greedy step's argmax must compile to TakeOrderedAndProject
+    # (orderBy+limit(1)), never a full corpus sort; centers broadcast.
+    plan = _plan(L.q_kcenter_coreset(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -126,6 +126,7 @@ HEAVY = [
     "domain_concentration",
     "edit_neardup",
     "hist_quantiles",
+    "kcenter_coreset",
 ]
 
 
