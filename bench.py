@@ -141,6 +141,7 @@ HEADLINE = [
     "edit_neardup",
     "hist_quantiles",
     "kcenter_coreset",
+    "retrieval_pairs",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

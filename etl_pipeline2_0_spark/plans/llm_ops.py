@@ -5064,3 +5064,40 @@ def _sql_kcenter(k: int = 6) -> str:
 
 
 SQL_KCENTER_CORESET = _sql_kcenter(6)
+
+
+# ------------------------------------------------- retrieval pairs -------
+
+
+def q_retrieval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Contrastive training-pair mining for retriever models (the DPR /
+    # sentence-transformers recipe, public): per query, BM25 rank the
+    # corpus, take the top ranks as positives and a deterministic
+    # deeper-rank band as HARD negatives (lexically related but
+    # non-top — the negatives that actually teach a dense retriever).
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    ranked = retrieval.bm25_topk(docs, _BM25_QUERIES, top_k=25)
+    return ranked.where(
+        (F.col("rnk") <= 2) | ((F.col("rnk") >= 20) & (F.col("rnk") <= 25))
+    ).select(
+        "query_id",
+        "doc_id",
+        "score",
+        "rnk",
+        F.when(F.col("rnk") <= 2, F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("label"),
+    )
+
+
+# Reuse the BM25 CTE chain verbatim; only the final projection differs.
+SQL_RETRIEVAL_PAIRS = (
+    SQL_BM25_TOPK.rsplit("SELECT CAST(query_id AS INT)", 1)[0]
+    + """SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
+       CAST(rnk AS INT) AS rnk,
+       CASE WHEN rnk <= 2 THEN 'pos' ELSE 'neg' END AS label
+FROM ranked WHERE rnk <= 2 OR (rnk >= 20 AND rnk <= 25)
+"""
+)

@@ -299,6 +299,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     farthest-point k-center coreset (Gonzalez 1985) — iterative
     #     diversity selection with a materialized k-step CTE twin ---
     "kcenter_coreset": (L.q_kcenter_coreset, L.SQL_KCENTER_CORESET),
+    # --- added r11 (past-cap; r12 promotion pool, wave 11): BM25-mined
+    #     contrastive training pairs (top ranks positive, a deterministic
+    #     deeper-rank band as hard negatives) ---
+    "retrieval_pairs": (L.q_retrieval_pairs, L.SQL_RETRIEVAL_PAIRS),
     "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
     "domain_concentration": (
         L.q_domain_concentration,

@@ -3128,3 +3128,29 @@ def test_kcenter_coreset_matches_greedy_reference(spark):
     sel = S.kcenter_coreset(dup, k=4).collect()
     assert len({r["vec_id"] for r in sel}) == 4
     assert all(r["sel_dist"] == 0.0 for r in sel if r["rnk"] > 1)
+
+
+def test_retrieval_pairs_bands_and_hardness(spark):
+    """Pair-mining invariants on a planted corpus: positives are exactly
+    the top-2 BM25 ranks, negatives exactly the 20..25 band, every
+    negative scores strictly below every positive of its query, and
+    labels partition the output."""
+    from etl_pipeline2_0_spark.functions import retrieval as R
+
+    rows = [(i, f"w{i} common term shared alpha" + " pad" * (i % 7))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ranked = R.bm25_topk(df, [(0, ["common", "alpha"])], top_k=25)
+    pairs = ranked.where(
+        (F.col("rnk") <= 2) | ((F.col("rnk") >= 20) & (F.col("rnk") <= 25))
+    ).select(
+        "query_id", "doc_id", "score", "rnk",
+        F.when(F.col("rnk") <= 2, F.lit("pos")).otherwise(F.lit("neg"))
+        .alias("label"),
+    ).collect()
+    pos = [r for r in pairs if r["label"] == "pos"]
+    neg = [r for r in pairs if r["label"] == "neg"]
+    assert {r["rnk"] for r in pos} == {1, 2}
+    assert {r["rnk"] for r in neg} == {20, 21, 22, 23, 24, 25}
+    assert max(r["score"] for r in neg) < min(r["score"] for r in pos)
+    assert len(pos) + len(neg) == len(pairs)

@@ -127,6 +127,7 @@ HEAVY = [
     "edit_neardup",
     "hist_quantiles",
     "kcenter_coreset",
+    "retrieval_pairs",
 ]
 
 
