@@ -68,27 +68,33 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # q21; test_sql_registry.py pins the updated representative set and
     # the all-oracled invariant.
     #
-    # ROUND-12 ROTATION (STAGED — execute next round): the seventeen
+    # ROUND-12 ROTATION (STAGED — execute next round): the TWENTY
     # r11-added oracled entries (dedup_substrings, dedup_lines,
     # quality_classifier, doremi_weights, c4_rules, zipf_stats,
     # pack_efficiency, heaps_growth, gopher_repetition, unimax_alloc,
     # entropy_stats, langid_confusion, data_budget_plan, quota_sample,
-    # edit_neardup, prototypicality, domain_concentration) sit past the
+    # edit_neardup, prototypicality, domain_concentration,
+    # hist_quantiles, kcenter_coreset, retrieval_pairs) sit past the
     # 50-slot cap with ×3-SF local parity and zero driver rows — promote
-    # all seventeen.  Demote seventeen thrice-green r8/r9 holdovers:
+    # all twenty.  Demote twenty thrice-green r8/r9 holdovers:
     # chunk_documents, bm25_topk, similar_docs_rrf, corpus_drift_psi,
     # assign_splits, assign_splits_grouped, pack_texts, interleave_key,
     # fk_integrity, value_outliers, profile_columns, dedup_rate_report,
     # text_clean, max_concurrency, doc_novelty, curriculum_buckets,
-    # lm_score_heldout.  Family anchoring after the swap: retrieval via
-    # phrase_match (in-window), snapshots via snapshot_diff (retained),
-    # DQ via split_leakage + the promoted langid_confusion, splits via
-    # split_leakage + quota_sample, packing via pack_efficiency, text
-    # quality via entropy_stats/gopher_repetition/c4_rules, drift via
-    # embedding_drift_psi, LM scoring via ccnet_buckets; the promoted
-    # set itself carries the dedup (substrings/lines/edit), selection
-    # (doremi/unimax/data_budget), and semantic (prototypicality)
-    # families.  test_sql_registry.py re-pins after the reorder.
+    # lm_score_heldout, ann_ivf_topk_portable, ann_ivf_recall_portable,
+    # tfidf_cosine_pairs.  Family anchoring after the swap: retrieval
+    # via phrase_match (in-window) + the promoted retrieval_pairs
+    # (which exercises the full BM25 chain), IVF via the PQ pair + the
+    # promoted prototypicality (portable centroids + assignment),
+    # snapshots via snapshot_diff (retained), DQ via split_leakage +
+    # the promoted langid_confusion, splits via split_leakage +
+    # quota_sample, packing via pack_efficiency, text quality via
+    # entropy_stats/gopher_repetition/c4_rules, drift via
+    # embedding_drift_psi, LM scoring via ccnet_buckets, percentiles
+    # via hist_quantiles; the promoted set itself carries the dedup
+    # (substrings/lines/edit), selection (doremi/unimax/data_budget/
+    # kcenter), and semantic families.  test_sql_registry.py re-pins
+    # after the reorder.
     #
     # --- holdover collecting its third driver row (LSH quality metric) ---
     "ann_recall": (L.q_ann_recall, L.SQL_ANN_RECALL),
