@@ -142,6 +142,8 @@ HEADLINE = [
     "hist_quantiles",
     "kcenter_coreset",
     "retrieval_pairs",
+    "minhash_precision",
+    "minhash_band_efficiency",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

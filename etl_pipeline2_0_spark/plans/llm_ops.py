@@ -5101,3 +5101,122 @@ SQL_RETRIEVAL_PAIRS = (
 FROM ranked WHERE rnk <= 2 OR (rnk >= 20 AND rnk <= 25)
 """
 )
+
+
+def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The complement of minhash_recall: what fraction of the LSH
+    # pipeline's reported pairs are TRUE near-dups (exact Jaccard >= t).
+    # Because the pipeline exact-verifies every candidate, precision is
+    # 1.0 BY CONTRACT — this row is the external trip-wire that flips
+    # the moment a future change ships estimate-only pairs (the failure
+    # mode that silently deletes non-duplicates at 100 TB).  The
+    # variance-bearing companion is minhash_band_efficiency (candidate
+    # selectivity).  Same subset, geometry, and portable hashes as the
+    # recall metric, so the numbers are directly comparable.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    truth = dedup.jaccard_pairs(docs, k=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    found = dedup.minhash_near_duplicates(
+        docs, k=3, num_hashes=16, bands=8, threshold=0.5, portable=True
+    ).select("id_a", "id_b")
+    return found.crossJoin(
+        F.broadcast(
+            found.join(truth, ["id_a", "id_b"], "semi")
+            .agg(F.count(F.lit(1)).alias("n_correct"))
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_found"),
+        F.max("n_correct").cast("bigint").alias("n_correct"),
+        F.round(
+            F.max("n_correct") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+        ).alias("precision"),
+    )
+
+
+# Same CTE chain as the recall twin; only the outer aggregate flips
+# (count over FOUND, membership probe against TRUTH).
+SQL_MINHASH_PRECISION = SQL_MINHASH_RECALL.replace(
+    """), agg AS (
+  SELECT COUNT(*) AS n_true_pairs,
+         SUM(CASE WHEN EXISTS (SELECT 1 FROM found f
+                               WHERE f.id_a = truth.id_a
+                                 AND f.id_b = truth.id_b)
+                  THEN 1 ELSE 0 END) AS n_recalled
+  FROM truth
+)
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_recalled AS BIGINT) AS n_recalled,
+       ROUND(n_recalled * 1.0 / GREATEST(n_true_pairs, 1), 6) AS recall
+FROM agg""",
+    """), agg AS (
+  SELECT COUNT(*) AS n_found,
+         SUM(CASE WHEN EXISTS (SELECT 1 FROM truth t
+                               WHERE t.id_a = found.id_a
+                                 AND t.id_b = found.id_b)
+                  THEN 1 ELSE 0 END) AS n_correct
+  FROM found
+)
+SELECT CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_correct AS BIGINT) AS n_correct,
+       ROUND(n_correct * 1.0 / GREATEST(n_found, 1), 6) AS precision
+FROM agg""",
+)
+assert SQL_MINHASH_PRECISION != SQL_MINHASH_RECALL
+
+
+def q_minhash_band_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Band-geometry observability: how many LSH candidate pairs survive
+    # exact verification.  minhash_precision pins the verified OUTPUT at
+    # 1.0 (the pipeline contract); this measures the CANDIDATE stream's
+    # selectivity — the number that says whether bands are too loose
+    # (verification compute wasted) or too tight (recall at risk) before
+    # a 100 TB run.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", 3, 16, True)
+    cand = dedup.lsh_candidate_pairs(sigs, 8, 2, 1000, True)
+    verified = dedup.minhash_near_duplicates(
+        docs, k=3, num_hashes=16, bands=8, threshold=0.5, portable=True
+    )
+    return (
+        cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        .crossJoin(
+            F.broadcast(
+                verified.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_verified")
+                )
+            )
+        )
+        .select(
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.col("n_verified")
+                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6,
+            ).alias("efficiency"),
+        )
+    )
+
+
+SQL_MINHASH_BAND_EFFICIENCY = (
+    _sql_minhash_portable()
+    .replace("FROM documents\n", "FROM documents WHERE doc_id % 2 = 0\n", 1)
+    .rstrip()
+    .replace(
+        ")\nSELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5",
+        """), agg AS (
+  SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM scored WHERE jaccard >= 0.5) AS n_verified
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_verified AS BIGINT) AS n_verified,
+       ROUND(n_verified * 1.0 / GREATEST(n_candidates, 1), 6) AS efficiency
+FROM agg""",
+    )
+)
+assert "n_candidates" in SQL_MINHASH_BAND_EFFICIENCY

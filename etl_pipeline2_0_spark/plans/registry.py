@@ -309,6 +309,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     contrastive training pairs (top ranks positive, a deterministic
     #     deeper-rank band as hard negatives) ---
     "retrieval_pairs": (L.q_retrieval_pairs, L.SQL_RETRIEVAL_PAIRS),
+    # --- added r11 (past-cap; r12 promotion pool, wave 11): LSH dedup
+    #     precision — the complement of minhash_recall (what a
+    #     destructive dedup would wrongly delete) ---
+    "minhash_precision": (L.q_minhash_precision, L.SQL_MINHASH_PRECISION),
+    "minhash_band_efficiency": (
+        L.q_minhash_band_efficiency,
+        L.SQL_MINHASH_BAND_EFFICIENCY,
+    ),
     "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
     "domain_concentration": (
         L.q_domain_concentration,

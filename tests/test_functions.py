@@ -3154,3 +3154,40 @@ def test_retrieval_pairs_bands_and_hardness(spark):
     assert {r["rnk"] for r in neg} == {20, 21, 22, 23, 24, 25}
     assert max(r["score"] for r in neg) < min(r["score"] for r in pos)
     assert len(pos) + len(neg) == len(pairs)
+
+
+def test_minhash_precision_contract_and_band_efficiency(spark):
+    """On a borderline corpus (true Jaccard just under the threshold),
+    LSH banding produces candidates that exact verification rejects —
+    so band efficiency drops below 1 while the verified output's
+    precision stays 1.0 by contract (the estimate-only failure mode
+    this pair of metrics exists to catch)."""
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    rows, did = [], 0
+    for p in range(12):
+        common = " ".join(f"c{p}t{i}" for i in range(13))
+        rows.append((did, common + " " + " ".join(f"a{p}u{i}" for i in range(6))))
+        rows.append((did + 1, common + " " + " ".join(f"b{p}v{i}" for i in range(6))))
+        did += 2
+    # one genuine near-dup pair so the verified set is non-empty
+    rows.append((100, "z q r s t u v w x y " * 3))
+    rows.append((101, "z q r s t u v w x y " * 3 + "tail"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sigs = D.minhash_signatures(df, "text", "doc_id", 3, 16, True)
+    cand = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(sigs, 8, 2, 1000, True).collect()}
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_duplicates(
+            df, k=3, num_hashes=16, bands=8, threshold=0.5, portable=True
+        ).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(df, k=3, threshold=0.5).collect()
+    }
+    assert verified == truth & verified          # precision contract: no FPs
+    assert (100, 101) in verified
+    assert len(cand) > len(verified)             # rejects exist...
+    assert verified < cand                        # ...and efficiency < 1

@@ -128,6 +128,8 @@ HEAVY = [
     "hist_quantiles",
     "kcenter_coreset",
     "retrieval_pairs",
+    "minhash_precision",
+    "minhash_band_efficiency",
 ]
 
 
