@@ -93,8 +93,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # embedding_drift_psi, LM scoring via ccnet_buckets, percentiles
     # via hist_quantiles; the promoted set itself carries the dedup
     # (substrings/lines/edit), selection (doremi/unimax/data_budget/
-    # kcenter), and semantic families.  test_sql_registry.py re-pins
-    # after the reorder.
+    # kcenter), and semantic families.  The two late metric rows
+    # (minhash_precision, minhash_band_efficiency) queue for the r13
+    # pool — minhash_recall anchors that family in-window meanwhile.
+    # test_sql_registry.py re-pins after the reorder.
     #
     # --- holdover collecting its third driver row (LSH quality metric) ---
     "ann_recall": (L.q_ann_recall, L.SQL_ANN_RECALL),
