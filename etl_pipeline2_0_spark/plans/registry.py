@@ -68,7 +68,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # q21; test_sql_registry.py pins the updated representative set and
     # the all-oracled invariant.
     #
-    # ROUND-12 ROTATION (STAGED — execute next round): the TWENTY
+    # ROUND-12 ROTATION (EXECUTED this round, as staged r11): the TWENTY
     # r11-added oracled entries (dedup_substrings, dedup_lines,
     # quality_classifier, doremi_weights, c4_rules, zipf_stats,
     # pack_efficiency, heaps_growth, gopher_repetition, unimax_alloc,
@@ -105,40 +105,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "minhash_recall": (L.q_minhash_recall, L.SQL_MINHASH_RECALL),
     "knn_accuracy": (L.q_knn_accuracy, L.SQL_KNN_ACCURACY),
     "dup_cluster_stats": (L.q_dup_cluster_stats, L.SQL_DUP_CLUSTER_STATS),
-    # --- first driver rows: added r9 — IVF under the md5-portable
-    #     relational construction (hash-sampled centroids, windowed argmax
-    #     assignment), graduating the LAST rows-only ANN family to a full
-    #     DuckDB oracle, plus its measured recall (floor-pinned in tests);
-    #     parity-proven at sf0.001+0.01+0.1 this round ---
-    "ann_ivf_topk_portable": (
-        L.q_ann_ivf_topk_portable,
-        L.SQL_ANN_IVF_TOPK_PORTABLE,
-    ),
-    "ann_ivf_recall_portable": (
-        L.q_ann_ivf_recall_portable,
-        L.SQL_ANN_IVF_RECALL_PORTABLE,
-    ),
-    # --- first driver rows: r8 retrieval primitives ---
-    "chunk_documents": (L.q_chunk_documents, L.SQL_CHUNK_DOCUMENTS),
-    "bm25_topk": (L.q_bm25_topk, L.SQL_BM25_TOPK),
-    "similar_docs_rrf": (L.q_similar_docs_rrf, L.SQL_SIMILAR_DOCS_RRF),
-    # --- first driver rows: r8 snapshot intelligence ---
+    # --- second driver row: r8 snapshot intelligence ---
     "snapshot_diff": (L.q_snapshot_diff, L.SQL_SNAPSHOT_DIFF),
-    "corpus_drift_psi": (L.q_corpus_drift_psi, L.SQL_CORPUS_DRIFT_PSI),
-    # --- first driver rows: r8 splits / packing / interleaving ---
-    "assign_splits": (L.q_assign_splits, L.SQL_ASSIGN_SPLITS),
-    "assign_splits_grouped": (
-        L.q_assign_splits_grouped,
-        L.SQL_ASSIGN_SPLITS_GROUPED,
-    ),
-    "pack_texts": (L.q_pack_texts, L.SQL_PACK_TEXTS),
-    "interleave_key": (L.q_interleave_key, L.SQL_INTERLEAVE_KEY),
-    # --- first driver rows: r8 data-quality / observability battery ---
-    "fk_integrity": (L.q_fk_integrity, L.SQL_FK_INTEGRITY),
-    "value_outliers": (L.q_value_outliers, L.SQL_VALUE_OUTLIERS),
-    "profile_columns": (L.q_profile_columns, L.SQL_PROFILE_COLUMNS),
-    "dedup_rate_report": (L.q_dedup_rate_report, L.SQL_DEDUP_RATE_REPORT),
-    # --- first driver rows: r8 portable dedup (full-oracle twins of the
+    # --- second driver rows: r8 portable dedup (full-oracle twins of the
     #     xxhash64 fast paths) ---
     "minhash_pairs_portable": (
         L.q_minhash_pairs_portable,
@@ -148,13 +117,6 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_simhash_pairs_portable,
         L.SQL_SIMHASH_PAIRS_PORTABLE,
     ),
-    # --- first driver rows: remaining r8 oracled additions ---
-    "text_clean": (L.q_text_clean, L.SQL_TEXT_CLEAN),
-    "max_concurrency": (L.q_max_concurrency, L.SQL_MAX_CONCURRENCY),
-    "doc_novelty": (L.q_doc_novelty, L.SQL_DOC_NOVELTY),
-    "curriculum_buckets": (L.q_curriculum_buckets, L.SQL_CURRICULUM_BUCKETS),
-    "lm_score_heldout": (L.q_lm_score_heldout, L.SQL_LM_SCORE_HELDOUT),
-    "tfidf_cosine_pairs": (L.q_tfidf_cosine_pairs, L.SQL_TFIDF_COSINE_PAIRS),
     # --- third-row representatives retained r10 (family anchors: hardest
     #     TPC-H join, warehouse composition, dedup graph, banded embedding
     #     dedup, text quality, mixing/packing) ---
@@ -230,7 +192,90 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     (Wenzek et al. 2020) ---
     "split_leakage": (L.q_split_leakage, L.SQL_SPLIT_LEAKAGE),
     "ccnet_buckets": (L.q_ccnet_buckets, L.SQL_CCNET_BUCKETS),
+    # --- first driver rows (promoted r12): exact-substring dedup
+    #     (Lee et al. 2022) — token-granular erasure of every cross-doc
+    #     duplicated 8-token run, the distributed k-gram formulation of
+    #     the paper's suffix-array scan; exact LINE dedup (MassiveText/
+    #     RefinedWeb boilerplate-line removal); PassJoin edit-distance
+    #     self-join (Li et al. 2011) ---
+    "dedup_substrings": (L.q_dedup_substrings, L.SQL_DEDUP_SUBSTRINGS),
+    "dedup_lines": (L.q_dedup_lines, L.SQL_DEDUP_LINES),
+    "edit_neardup": (L.q_edit_neardup, L.SQL_EDIT_NEARDUP),
+    # --- first driver rows (promoted r12): the CCNet/LLaMA seed-trained
+    #     quality classifier (hashed-unigram NB log-odds) and the
+    #     selection/mixing loop family — DoReMi EG reweighting (Xie et
+    #     al. 2023), UniMax epoch-capped waterfilling (Chung et al.
+    #     2023), the Muennighoff 2023 repeat-decay budget planner,
+    #     deterministic per-stratum quota sampling ---
+    "quality_classifier": (
+        L.q_quality_classifier,
+        L.SQL_QUALITY_CLASSIFIER,
+    ),
+    "doremi_weights": (L.q_doremi_weights, L.SQL_DOREMI_WEIGHTS),
+    "unimax_alloc": (L.q_unimax_alloc, L.SQL_UNIMAX_ALLOC),
+    "data_budget_plan": (L.q_data_budget_plan, L.SQL_DATA_BUDGET_PLAN),
+    "quota_sample": (L.q_quota_sample, L.SQL_QUOTA_SAMPLE),
+    # --- first driver rows (promoted r12): the C4 cleaning battery
+    #     (Raffel et al. 2020 §2.2) and the MassiveText repetition
+    #     battery (Rae et al. 2021 Table A1, repetition half) over a
+    #     deterministically-dirtied corpus ---
+    "c4_rules": (L.q_c4_rules, L.SQL_C4_RULES),
+    "gopher_repetition": (L.q_gopher_repetition, L.SQL_GOPHER_REPETITION),
+    # --- first driver rows (promoted r12): corpus observability —
+    #     Zipf rank-frequency slope, Heaps'-law vocab growth, char/token
+    #     Shannon entropy, lang-ID confusion audit, packing waste audit,
+    #     domain concentration (HHI/entropy/Gini), mergeable
+    #     histogram-sketch quantiles ---
+    "zipf_stats": (L.q_zipf_stats, L.SQL_ZIPF_STATS),
+    "heaps_growth": (L.q_heaps_growth, L.SQL_HEAPS_GROWTH),
+    "entropy_stats": (L.q_entropy_stats, L.SQL_ENTROPY_STATS),
+    "langid_confusion": (L.q_langid_confusion, L.SQL_LANGID_CONFUSION),
+    "pack_efficiency": (L.q_pack_efficiency, L.SQL_PACK_EFFICIENCY),
+    "domain_concentration": (
+        L.q_domain_concentration,
+        L.SQL_DOMAIN_CONCENTRATION,
+    ),
+    "hist_quantiles": (L.q_hist_quantiles, L.SQL_HIST_QUANTILES),
+    # --- first driver rows (promoted r12): embedding-space selection —
+    #     D4 prototype pruning over IVF clusters (Tirumala et al. 2023),
+    #     greedy farthest-point k-center coreset (Gonzalez 1985), and
+    #     BM25-mined contrastive retrieval training pairs ---
+    "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
+    "kcenter_coreset": (L.q_kcenter_coreset, L.SQL_KCENTER_CORESET),
+    "retrieval_pairs": (L.q_retrieval_pairs, L.SQL_RETRIEVAL_PAIRS),
     # ---------- driver 50-query window ends here ----------
+    # --- demoted r12 (see rotation note above): twenty thrice-green
+    #     r8/r9 holdovers; every one re-proven locally each session by
+    #     the default sf0.001+sf0.1 parity suites ---
+    "ann_ivf_topk_portable": (
+        L.q_ann_ivf_topk_portable,
+        L.SQL_ANN_IVF_TOPK_PORTABLE,
+    ),
+    "ann_ivf_recall_portable": (
+        L.q_ann_ivf_recall_portable,
+        L.SQL_ANN_IVF_RECALL_PORTABLE,
+    ),
+    "chunk_documents": (L.q_chunk_documents, L.SQL_CHUNK_DOCUMENTS),
+    "bm25_topk": (L.q_bm25_topk, L.SQL_BM25_TOPK),
+    "similar_docs_rrf": (L.q_similar_docs_rrf, L.SQL_SIMILAR_DOCS_RRF),
+    "corpus_drift_psi": (L.q_corpus_drift_psi, L.SQL_CORPUS_DRIFT_PSI),
+    "assign_splits": (L.q_assign_splits, L.SQL_ASSIGN_SPLITS),
+    "assign_splits_grouped": (
+        L.q_assign_splits_grouped,
+        L.SQL_ASSIGN_SPLITS_GROUPED,
+    ),
+    "pack_texts": (L.q_pack_texts, L.SQL_PACK_TEXTS),
+    "interleave_key": (L.q_interleave_key, L.SQL_INTERLEAVE_KEY),
+    "fk_integrity": (L.q_fk_integrity, L.SQL_FK_INTEGRITY),
+    "value_outliers": (L.q_value_outliers, L.SQL_VALUE_OUTLIERS),
+    "profile_columns": (L.q_profile_columns, L.SQL_PROFILE_COLUMNS),
+    "dedup_rate_report": (L.q_dedup_rate_report, L.SQL_DEDUP_RATE_REPORT),
+    "text_clean": (L.q_text_clean, L.SQL_TEXT_CLEAN),
+    "max_concurrency": (L.q_max_concurrency, L.SQL_MAX_CONCURRENCY),
+    "doc_novelty": (L.q_doc_novelty, L.SQL_DOC_NOVELTY),
+    "curriculum_buckets": (L.q_curriculum_buckets, L.SQL_CURRICULUM_BUCKETS),
+    "lm_score_heldout": (L.q_lm_score_heldout, L.SQL_LM_SCORE_HELDOUT),
+    "tfidf_cosine_pairs": (L.q_tfidf_cosine_pairs, L.SQL_TFIDF_COSINE_PAIRS),
     # --- demoted r11 (see rotation note above): seven thrice-green
     #     r8-holdovers (r8+r9+r10) and three four-row retained reps;
     #     every one re-proven locally each session by the default
@@ -245,84 +290,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # --- added r11 (past-cap; r12 promotion pool): exact-substring dedup
-    #     (Lee et al. 2022) — token-granular erasure of every cross-doc
-    #     duplicated 8-token run, the distributed k-gram formulation of
-    #     the paper's suffix-array scan; full DuckDB twin, planted
-    #     shared-passage negative control ---
-    "dedup_substrings": (L.q_dedup_substrings, L.SQL_DEDUP_SUBSTRINGS),
-    # --- added r11 (past-cap; r12 promotion pool): exact LINE dedup
-    #     (MassiveText/RefinedWeb boilerplate-line removal), the
-    #     CCNet/LLaMA seed-trained quality classifier (hashed-unigram NB
-    #     log-odds, a fastText-shaped linear model trained by counting),
-    #     and DoReMi domain reweighting (Xie et al. 2023 EG loop over
-    #     char-bigram-LM excess loss) — all with full DuckDB twins and
-    #     planted negative controls ---
-    "dedup_lines": (L.q_dedup_lines, L.SQL_DEDUP_LINES),
-    "quality_classifier": (
-        L.q_quality_classifier,
-        L.SQL_QUALITY_CLASSIFIER,
-    ),
-    "doremi_weights": (L.q_doremi_weights, L.SQL_DOREMI_WEIGHTS),
-    # --- added r11 (past-cap; r12 promotion pool, wave 3): the C4
-    #     cleaning battery (Raffel et al. 2020 §2.2) over a
-    #     deterministically-dirtied corpus so EVERY rule path has
-    #     variance (advisor-r10 lesson), and Zipf rank-frequency
-    #     observability with a fitted log-log slope ---
-    "c4_rules": (L.q_c4_rules, L.SQL_C4_RULES),
-    "zipf_stats": (L.q_zipf_stats, L.SQL_ZIPF_STATS),
-    # --- added r11 (past-cap; r12 promotion pool, wave 4): packing
-    #     waste audit over pack_sequences (fill percentiles, overflow
-    #     fraction, padding burn) and Heaps'-law vocabulary-growth
-    #     checkpoints (templated text flattens, OCR noise curves up) ---
-    "pack_efficiency": (L.q_pack_efficiency, L.SQL_PACK_EFFICIENCY),
-    "heaps_growth": (L.q_heaps_growth, L.SQL_HEAPS_GROWTH),
-    # --- added r11 (past-cap; r12 promotion pool, wave 5): the
-    #     MassiveText repetition battery (Rae et al. 2021 Table A1,
-    #     repetition half — the quality half is gopher_rules) over a
-    #     deterministically-dirtied corpus, and UniMax epoch-capped
-    #     budget waterfilling across languages (Chung et al. 2023) ---
-    "gopher_repetition": (L.q_gopher_repetition, L.SQL_GOPHER_REPETITION),
-    "unimax_alloc": (L.q_unimax_alloc, L.SQL_UNIMAX_ALLOC),
-    # --- added r11 (past-cap; r12 promotion pool, wave 6): char/token
-    #     Shannon entropy (encoded-blob detector), language-ID confusion
-    #     audit, the Muennighoff 2023 repeat-decay budget planner, and
-    #     deterministic per-stratum quota sampling ---
-    "entropy_stats": (L.q_entropy_stats, L.SQL_ENTROPY_STATS),
-    "langid_confusion": (L.q_langid_confusion, L.SQL_LANGID_CONFUSION),
-    "data_budget_plan": (L.q_data_budget_plan, L.SQL_DATA_BUDGET_PLAN),
-    "quota_sample": (L.q_quota_sample, L.SQL_QUOTA_SAMPLE),
-    # --- added r11 (past-cap; r12 promotion pool, wave 7): D4 prototype
-    #     pruning over IVF clusters (Tirumala et al. 2023) and the
-    #     domain-concentration dashboard (HHI / entropy / Gini) ---
-    # --- added r11 (past-cap; r12 promotion pool, wave 9): PassJoin
-    #     edit-distance similarity self-join (Li et al. 2011) — exact
-    #     Levenshtein pairs from a chunk/substring equi-join ---
-    "edit_neardup": (L.q_edit_neardup, L.SQL_EDIT_NEARDUP),
-    # --- added r11 (past-cap; r12 promotion pool, wave 10): mergeable
-    #     fixed-width histogram sketch quantiles — the quantile member
-    #     of the sketch family (CMS/Bloom/HLL), error ≤ one bin width ---
-    "hist_quantiles": (L.q_hist_quantiles, L.SQL_HIST_QUANTILES),
-    # --- added r11 (past-cap; r12 promotion pool, wave 11): greedy
-    #     farthest-point k-center coreset (Gonzalez 1985) — iterative
-    #     diversity selection with a materialized k-step CTE twin ---
-    "kcenter_coreset": (L.q_kcenter_coreset, L.SQL_KCENTER_CORESET),
-    # --- added r11 (past-cap; r12 promotion pool, wave 11): BM25-mined
-    #     contrastive training pairs (top ranks positive, a deterministic
-    #     deeper-rank band as hard negatives) ---
-    "retrieval_pairs": (L.q_retrieval_pairs, L.SQL_RETRIEVAL_PAIRS),
-    # --- added r11 (past-cap; r12 promotion pool, wave 11): LSH dedup
+    # --- added r11 (past-cap; r13 promotion pool): LSH dedup
     #     precision — the complement of minhash_recall (what a
-    #     destructive dedup would wrongly delete) ---
+    #     destructive dedup would wrongly delete) — and the banded-join
+    #     efficiency metric (candidate volume per true pair) ---
     "minhash_precision": (L.q_minhash_precision, L.SQL_MINHASH_PRECISION),
     "minhash_band_efficiency": (
         L.q_minhash_band_efficiency,
         L.SQL_MINHASH_BAND_EFFICIENCY,
-    ),
-    "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
-    "domain_concentration": (
-        L.q_domain_concentration,
-        L.SQL_DOMAIN_CONCENTRATION,
     ),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---

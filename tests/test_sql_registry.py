@@ -89,42 +89,50 @@ def test_driver_window_covers_every_query_family():
     window = set(list(_AQ)[:50])
     representatives = {
         # dedup family: components, canonical keep-best, portable
-        # MinHash/SimHash + measured recall (exact/incremental/n-gram
-        # rotated out r10 with three green rows each)
+        # MinHash/SimHash + measured recall, exact substring/line dedup
+        # (Lee 2022 / MassiveText), PassJoin edit-distance
         "dedup_keep_best", "dup_components", "minhash_pairs_portable",
         "simhash_pairs_portable", "minhash_recall", "dup_cluster_stats",
-        # similarity / ANN: portable IVF + measured recalls, PQ + measured
-        # recall, banded embedding near-dup; LSH stays measured via
-        # ann_recall (LSH-candidates-vs-exact recall@k), whose ground-truth
-        # side also computes exact cosine top-k in-window; kNN via its
-        # measured accuracy (knn_label_vote rotated out r11, 3 green rows)
-        "ann_ivf_topk_portable", "ann_pq_topk", "ann_pq_recall",
-        "ann_recall", "ann_ivf_recall_portable", "embed_neardup",
-        "knn_accuracy",
+        "dedup_substrings", "dedup_lines", "edit_neardup",
+        # similarity / ANN: PQ + measured recall, banded embedding
+        # near-dup, D4 prototypicality (portable IVF centroids +
+        # assignment — the IVF anchor after ann_ivf_*_portable rotated
+        # out r12 with 3 green rows), k-center coreset; LSH stays
+        # measured via ann_recall, kNN via knn_accuracy
+        "ann_pq_topk", "ann_pq_recall", "ann_recall", "embed_neardup",
+        "knn_accuracy", "prototypicality", "kcenter_coreset",
         # text analysis / corpus quality / tokenizer training+apply
-        # (lm_score composed in-window by lm_score_heldout + ccnet_buckets;
-        # vocab_oov/quantile_filter/tokenize_ids rotated out r11 with 3
-        # green rows, anchored by the Gopher battery + BPE entries)
+        # (lm_score composed in-window by ccnet_buckets; text_clean/
+        # doc_novelty/lm_score_heldout/tfidf_cosine_pairs rotated out
+        # r12 with 3 green rows — quality anchored by the Gopher/C4/
+        # repetition batteries + the seed-trained classifier)
         "pii_redact", "corpus_filter", "gopher_rules", "gopher_audit",
-        "ccnet_buckets", "tfidf_cosine_pairs", "text_clean", "doc_novelty",
-        "lm_score_heldout", "bpe_train_merges", "bpe_segment_words",
-        "bpe_encode_docs", "tokenizer_fertility",
-        # data selection (DSIR importance resampling)
-        "dsir_weights", "dsir_sample",
-        # frequency/membership sketches
-        "cms_heavy_hitters", "bloom_contamination",
-        # retrieval (incl. exact-phrase positional retrieval)
-        "chunk_documents", "bm25_topk", "similar_docs_rrf", "phrase_match",
-        # composition / splits / packing / mixing weights (mix_sources/
-        # pack_sequences/shuffle_shards rotated out r11 with 3-4 green
-        # rows; the family stays anchored by the entries below)
-        "pack_texts", "assign_splits", "assign_splits_grouped",
-        "interleave_key", "curriculum_buckets", "temperature_mix_weights",
-        # snapshots / DQ / observability (incl. embedding drift and the
-        # cross-split leakage audit)
-        "snapshot_diff", "corpus_drift_psi", "embedding_drift_psi",
-        "fk_integrity", "value_outliers", "profile_columns",
-        "dedup_rate_report", "max_concurrency", "split_leakage",
+        "ccnet_buckets", "c4_rules", "gopher_repetition",
+        "quality_classifier", "entropy_stats", "langid_confusion",
+        "bpe_train_merges", "bpe_segment_words", "bpe_encode_docs",
+        "tokenizer_fertility",
+        # data selection / mixing-optimization loops (DSIR, DoReMi,
+        # UniMax, repeat-decay budgets, quota sampling)
+        "dsir_weights", "dsir_sample", "doremi_weights", "unimax_alloc",
+        "data_budget_plan", "quota_sample",
+        # frequency/membership/quantile sketches
+        "cms_heavy_hitters", "bloom_contamination", "hist_quantiles",
+        # retrieval (exact-phrase positional retrieval in-window; the
+        # full BM25 chain exercised by the promoted contrastive-pairs
+        # miner after chunk/bm25/rrf rotated out r12 with 3 green rows)
+        "phrase_match", "retrieval_pairs",
+        # composition / splits / packing / mixing weights (assign_splits*/
+        # pack_texts/interleave_key/curriculum_buckets rotated out r12
+        # with 3 green rows; splits anchored by split_leakage +
+        # quota_sample, packing by pack_efficiency)
+        "temperature_mix_weights", "pack_efficiency",
+        # snapshots / DQ / observability (fk_integrity/value_outliers/
+        # profile_columns/dedup_rate_report/max_concurrency/
+        # corpus_drift_psi rotated out r12 with 3 green rows; DQ stays
+        # anchored by the leakage/drift/confusion/concentration rows)
+        "snapshot_diff", "embedding_drift_psi", "split_leakage",
+        "langid_confusion", "domain_concentration", "zipf_stats",
+        "heaps_growth",
         # heaviest TPC-H join (cohort_retention rotated out r11, 4 rows)
         "q21_waiting_suppliers",
     }
