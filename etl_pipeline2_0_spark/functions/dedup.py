@@ -1516,9 +1516,11 @@ def edit_distance_pairs(
     (exact, not approximate: output ≡ the brute-force O(n²) join,
     pinned by test).
 
-    Strings shorter than d+1 characters are excluded (no d+1-way
-    partition exists); pairs are canonical (id_a < id_b) with the
-    verified distance.
+    Strings shorter than d+1 characters are excluded from the CHUNKED
+    side (no d+1-way partition exists) — in self-join mode that means
+    both sides, since every string must be partitionable; in cross mode
+    only ``df``.  Pairs are canonical (id_a < id_b) with the verified
+    distance.
 
     Scale shape: per string, d+1 chunk keys and ≤ (d+1)(2d+1)² window
     keys (75 at d=2) — linear explode, hash-partitionable equi-join,
@@ -1536,16 +1538,23 @@ def edit_distance_pairs(
 
     m = max_dist + 1
 
-    def _prep(frame):
-        return frame.select(
+    def _prep(frame, min_len=True):
+        out = frame.select(
             F.col(id_col).alias("id"),
             F.col(text_col).alias("s"),
             F.length(text_col).alias("L"),
-        ).where(F.length(text_col) >= m)
+        )
+        return out.where(F.col("L") >= m) if min_len else out
 
     cross = other is not None
     s = _prep(df)
-    s_right = _prep(other) if cross else s
+    # Only the CHUNKED side needs the d+1-way partition to exist
+    # (pigeonhole partitions one member of each pair); in cross mode the
+    # right side keeps its short strings — their window substrings are
+    # bounded by the subs WHERE clauses, so e.g. left "abc" vs right "a"
+    # at d=2 is found (advisor-r11 fix: filtering both sides silently
+    # dropped pairs whose right string was shorter than d+1).
+    s_right = _prep(other, min_len=False) if cross else s
 
     def _gstart(i, lp):
         # 1-based start of chunk i on a length-lp grid

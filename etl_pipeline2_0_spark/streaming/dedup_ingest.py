@@ -214,14 +214,24 @@ def stream_curated_ingest(
       - ``psi_reference`` + ``metrics_path``: each ARRIVING batch's
         per-``group_col`` token-length PSI against the reference corpus
         (the exact ``dq.corpus_drift_psi`` computation the oracled batch
-        query runs) appends (batch_id, source, psi, n_bins) rows to
-        ``metrics_path`` — an in-distribution batch logs a small PSI, a
-        shifted batch a large one (pinned in tests).  Measured PRE-gate
-        so upstream drift is visible even when the gate absorbs it.
+        query runs) writes (source, psi, n_bins) rows to ``metrics_path``
+        partitioned by batch_id, each batch's partition overwritten — so
+        a crash-replayed micro-batch rewrites rather than duplicates its
+        rows (idempotent, matching the exactly-once claim).  Measured
+        PRE-gate so upstream drift is visible even when the gate absorbs
+        it.
       - ``cms_store``: the ACCEPTED rows' token occurrences merge into
         the bounded streaming count-min store (``streaming.sketch``
         machinery — cell-wise add, ≤ depth·width rows), keeping the
         heavy-hitter feed behind the dedup doc-freq caps current.
+        Caveat: the CMS update is AT-MOST-ONCE per batch — it runs after
+        the corpus append, and a replayed batch dedups to an empty
+        curated frame (nothing re-appends, so nothing re-merges); a
+        crash in the window between the corpus append committing and
+        the sketch merge committing permanently omits that batch's
+        token counts from the sketch.  Acceptable for its consumer (the
+        heavy-hitter cap feed tolerates undercount); use the exact
+        aggregate if exactness is required.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -230,11 +240,37 @@ def stream_curated_ingest(
         if psi_reference is not None and metrics_path is not None:
             from etl_pipeline2_0_spark.functions.dq import corpus_drift_psi
 
-            corpus_drift_psi(
-                psi_reference, batch_df, group_col=group_col, text_col=text_col
-            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(metrics_path)
+            # Idempotent under replay (advisor-r11 fix): the metric rows
+            # are partitioned by batch_id and that batch's partition is
+            # OVERWRITTEN under dynamic partitionOverwriteMode, so a
+            # crash-replayed micro-batch rewrites its own rows instead
+            # of appending duplicates (same set/restore discipline as
+            # sinks/load.upsert_snapshot_partitions).  The conf must be
+            # set on the METRIC frame's session — the PSI join of the
+            # micro-batch clone's frame against the caller-session
+            # psi_reference can bind the result to the caller session,
+            # where a conf set on batch_df.sparkSession never lands.
+            metric_df = corpus_drift_psi(
+                psi_reference,
+                batch_df,
+                group_col=group_col,
+                text_col=text_col,
+            ).withColumn("batch_id", F.lit(batch_id))
+            sess = metric_df.sparkSession
+            prev_mode = sess.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            try:
+                sess.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                metric_df.write.mode("overwrite").partitionBy(
+                    "batch_id"
+                ).parquet(metrics_path)
+            finally:
+                sess.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
         out = curate_batch(
             batch_df,
             corpus_path,

@@ -29,21 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
-from etl_pipeline2_0_spark.streaming.sketch import _hadoop_fs
-
-
-def _swap_in(df: DataFrame, store_path: str) -> None:
-    """Write df to a sibling temp dir, then rename over the store."""
-    spark = df.sparkSession
-    fs, store = _hadoop_fs(spark, store_path)
-    tmp_str = store_path.rstrip("/") + "._tmp_merge"
-    _, tmp = _hadoop_fs(spark, tmp_str)
-    if fs.exists(tmp):
-        fs.delete(tmp, True)
-    df.write.mode("overwrite").parquet(tmp_str)
-    if fs.exists(store):
-        fs.delete(store, True)
-    fs.rename(tmp, store)
+from etl_pipeline2_0_spark.streaming.sketch import _read_store, _swap_in
 
 
 def _merge_reservoir(
@@ -55,7 +41,6 @@ def _merge_reservoir(
     salt: str,
 ) -> None:
     spark = batch_df.sparkSession
-    fs, store = _hadoop_fs(spark, store_path)
     cand = batch_df.select(
         F.col(group_col).alias("grp"),
         F.col(id_col).alias("id"),
@@ -63,8 +48,9 @@ def _merge_reservoir(
             F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
         ).alias("_key"),
     )
-    if fs.exists(store):
-        cand = cand.unionByName(spark.read.parquet(store_path))
+    prev = _read_store(spark, store_path)
+    if prev is not None:
+        cand = cand.unionByName(prev)
     w = Window.partitionBy("grp").orderBy("_key", "id")
     merged = (
         cand.dropDuplicates(["grp", "id"])
@@ -128,15 +114,15 @@ def stream_mix_weights_monitor(
         from etl_pipeline2_0_spark.functions.text import token_count
 
         spark = batch_df.sparkSession
-        fs, store = _hadoop_fs(spark, counts_path)
         cnts = batch_df.groupBy(F.col(group_col).alias("source")).agg(
             F.sum(token_count(F.col(text_col)))
             .cast("bigint")
             .alias("n_tokens")
         )
-        if fs.exists(store):
+        prev = _read_store(spark, counts_path)
+        if prev is not None:
             cnts = (
-                cnts.unionByName(spark.read.parquet(counts_path))
+                cnts.unionByName(prev)
                 .groupBy("source")
                 .agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))
             )

@@ -33,11 +33,53 @@ def _hadoop_fs(spark, path_str: str):
     return fs, path
 
 
+def _read_store(spark, store_path: str):
+    """Read the store if present, first recovering from an interrupted
+    swap: if only the ``._old`` aside copy exists (driver died between
+    ``_swap_in``'s two renames) it is renamed back before reading.
+    Returns None when no store exists."""
+    fs, store = _hadoop_fs(spark, store_path)
+    _, old = _hadoop_fs(spark, store_path.rstrip("/") + "._old")
+    if not fs.exists(store) and fs.exists(old):
+        fs.rename(old, store)
+    if not fs.exists(store):
+        return None
+    return spark.read.parquet(store_path)
+
+
+def _swap_in(df: DataFrame, store_path: str) -> None:
+    """Write ``df`` to a sibling temp dir, then swap it in with a
+    crash-recoverable two-rename dance: the current store is renamed
+    ASIDE (``._old``) before the temp dir is renamed in, and the aside
+    copy is deleted LAST.  A failure at any point leaves either the old
+    store in place, the old store under ``._old`` (recovered by
+    ``_read_store``), or the new store committed — never nothing.
+    (Advisor-r11 fix: the previous delete-then-rename had a window
+    where a driver crash lost the ENTIRE accumulated store, not just
+    the in-flight batch.)  Reading prev from ``store`` while writing to
+    ``tmp`` means the source is never overwritten mid-plan — no eager
+    checkpoint needed, and an executor loss mid-write leaves the old
+    store intact."""
+    spark = df.sparkSession
+    fs, store = _hadoop_fs(spark, store_path)
+    _, tmp = _hadoop_fs(spark, store_path.rstrip("/") + "._tmp_merge")
+    _, old = _hadoop_fs(spark, store_path.rstrip("/") + "._old")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    df.write.mode("overwrite").parquet(store_path.rstrip("/") + "._tmp_merge")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(store):
+        fs.rename(store, old)
+    fs.rename(tmp, store)
+    if fs.exists(old):
+        fs.delete(old, True)
+
+
 def _merge_sketch(batch_cells: DataFrame, store_path: str) -> None:
     spark = batch_cells.sparkSession
-    fs, store = _hadoop_fs(spark, store_path)
-    if fs.exists(store):
-        prev = spark.read.parquet(store_path)
+    prev = _read_store(spark, store_path)
+    if prev is not None:
         merged = (
             batch_cells.unionByName(prev)
             .groupBy("row", "bucket")
@@ -45,19 +87,8 @@ def _merge_sketch(batch_cells: DataFrame, store_path: str) -> None:
         )
     else:
         merged = batch_cells
-    # Write to a sibling temp dir, then swap via rename (atomic on HDFS,
-    # best-effort elsewhere).  Reading prev from `store` while writing to
-    # `tmp` means the source is never overwritten mid-plan — no eager
-    # checkpoint needed, and an executor loss mid-write leaves the old
-    # store intact.  The store is ≤ depth·width rows either way.
-    tmp_str = store_path.rstrip("/") + "._tmp_merge"
-    _, tmp = _hadoop_fs(spark, tmp_str)
-    if fs.exists(tmp):
-        fs.delete(tmp, True)
-    merged.write.mode("overwrite").parquet(tmp_str)
-    if fs.exists(store):
-        fs.delete(store, True)
-    fs.rename(tmp, store)
+    # The store is ≤ depth·width rows either way.
+    _swap_in(merged, store_path)
 
 
 def stream_cms_ingest(
@@ -114,22 +145,14 @@ def stream_hist_ingest(
         if batch_df.isEmpty():
             return
         cells = sketches.hist_sketch(batch_df, value_col, lo, hi, n_bins)
-        spark = batch_df.sparkSession
-        fs, store = _hadoop_fs(spark, store_path)
-        if fs.exists(store):
+        prev = _read_store(batch_df.sparkSession, store_path)
+        if prev is not None:
             cells = (
-                cells.unionByName(spark.read.parquet(store_path))
+                cells.unionByName(prev)
                 .groupBy("bin")
                 .agg(F.sum("cnt").cast("bigint").alias("cnt"))
             )
-        tmp_str = store_path.rstrip("/") + "._tmp_merge"
-        _, tmp = _hadoop_fs(spark, tmp_str)
-        if fs.exists(tmp):
-            fs.delete(tmp, True)
-        cells.write.mode("overwrite").parquet(tmp_str)
-        if fs.exists(store):
-            fs.delete(store, True)
-        fs.rename(tmp, store)
+        _swap_in(cells, store_path)
 
     writer = stream_df.writeStream.foreachBatch(_write).option(
         "checkpointLocation", checkpoint

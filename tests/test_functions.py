@@ -3039,12 +3039,16 @@ def test_edit_distance_fuzzy_join_cross_table(spark):
     from etl_pipeline2_0_spark.functions import dedup as D
 
     left = spark.createDataFrame(
-        [(1, "alpha beta"), (2, "gamma delta"), (3, "tiny")],
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "tiny"), (4, "abc")],
         "doc_id bigint, text string",
     )
+    # Right rows 5/6 are SHORTER than max_dist+1: they cannot be
+    # partitioned, but cross mode only chunks the left side, so pairs
+    # like ("abc", "a") at d=2 must still surface (advisor-r11 fix —
+    # the old both-sides length filter silently dropped them).
     right = spark.createDataFrame(
         [(1, "alpha betas"), (2, "gamma kelta"), (3, "unrelated str"),
-         (4, "alpha beta")],
+         (4, "alpha beta"), (5, "a"), (6, "ac")],
         "doc_id bigint, text string",
     )
     got = {
@@ -3064,6 +3068,7 @@ def test_edit_distance_fuzzy_join_cross_table(spark):
     }
     assert got == want
     assert (1, 1, 1) in got and (1, 4, 0) in got and (2, 2, 1) in got
+    assert (4, 5, 2) in got and (4, 6, 1) in got
 
 
 def test_kcenter_coreset_matches_greedy_reference(spark):

@@ -632,4 +632,7 @@ def test_llm_pipeline_composition_golden(spark):
         (r["split"], r["n_packs"], r["n_docs"])
         for r in bench._llm_pipeline(spark, "/root/testdata/sf0.001").collect()
     )
-    assert out == [("test", 1, 16), ("train", 7, 216), ("val", 1, 18)]
+    # Re-pinned r12: the CCNet stage now keeps the true head tercile
+    # (>= 2/3 percentile of avg_logp per lang), halving survivors vs the
+    # r11 golden which kept the top two-thirds (advisor-r11 fix).
+    assert out == [("test", 1, 9), ("train", 4, 104), ("val", 1, 13)]
