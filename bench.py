@@ -144,6 +144,7 @@ HEADLINE = [
     "retrieval_pairs",
     "minhash_precision",
     "minhash_band_efficiency",
+    "kn_score",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

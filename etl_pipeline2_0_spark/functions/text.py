@@ -801,6 +801,122 @@ def char_bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def kneser_ney_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    train_df=None,
+):
+    """Per-document mean log-probability under an interpolated Kneser-Ney
+    word-bigram LM (Kneser & Ney 1995; Chen & Goodman 1998 §2.7 — the
+    smoothing family KenLM implements, which CCNet/LLaMA use for
+    perplexity filtering).  The add-k char-bigram proxy
+    (``char_bigram_lm_scores``) over-penalizes rare-but-real words; KN's
+    continuation probability fixes exactly that, making this the higher
+    -fidelity quality scorer of the two.
+
+        P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1)
+                 + D · N1+(w1,•) / c(w1) · P_cont(w2)
+        P_cont(w2) = (N1+(•,w2) + 1) / (B + V + 1)
+
+    where ``D`` is the absolute discount, ``N1+`` are the distinct-
+    follower / distinct-predecessor type counts, ``B`` the number of
+    distinct bigram types and ``V`` the training vocabulary; P_cont is
+    add-one smoothed over the type space so out-of-vocabulary words and
+    unseen contexts stay finite (an unseen context backs off to P_cont
+    alone — the standard interpolated-KN unigram fallback).
+
+    ``train_df`` (default: ``df`` itself) supplies the training corpus,
+    enabling leakage-free train-on-A / score-B composition; every unseen
+    bigram/context/word path above is then exercised.
+
+    Scale shape: ONE training-corpus aggregate (the bigram count table,
+    vocab²-bounded and in practice Zipf-small) — the context, continuation
+    and total tables all derive from it, never from a second corpus scan —
+    then one scoring pass joining the model tables back (broadcast here;
+    at 100 TB a word-bigram table can exceed broadcast, in which case the
+    same plan runs as a shuffle equi-join on w1/w2 — the keys are already
+    right).  Token arrays materialize in their own projection (the
+    lambda-inlining O(tokens²) trap).
+
+    Output: (doc_id, n_bigrams, avg_logp) for docs with ≥ 2 tokens,
+    rounded to 6 dp.
+    """
+    d = float(discount)
+    if not 0.0 <= d <= 1.0:
+        raise ValueError(f"discount must be in [0, 1], got {discount}")
+
+    def _bigram_rows(frame):
+        tokd = frame.select(
+            F.col(id_col).alias("doc_id"),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"),
+                lambda t: F.length(t) > 0,
+            ).alias("_toks"),
+        )
+        c = F.col("_toks")
+        n = F.size(c)
+        pairs = F.when(
+            n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+        ).otherwise(
+            F.zip_with(
+                F.slice(c, 1, n - 1),
+                F.slice(c, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        )
+        return tokd.select("doc_id", F.explode(pairs).alias("p")).select(
+            "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+
+    bg = _bigram_rows(df)
+    if train_df is None:
+        # Self-trained: bg feeds the model build AND the scoring pass —
+        # barrier the diamond so the tokenize+explode runs once.
+        bg = bg.localCheckpoint(eager=False)
+        bg_train = bg
+    else:
+        bg_train = _bigram_rows(train_df)
+    bc = bg_train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bc")
+    )
+    # bc feeds four consumers (scoring join, context, continuation,
+    # totals) — one barrier materializes the only training-corpus-wide
+    # aggregate exactly once.
+    bc = bc.localCheckpoint(eager=False)
+    ctx = bc.groupBy("w1").agg(
+        F.sum("bc").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1w"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1c"))
+    tot = bc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("B"),
+        F.countDistinct("w2").cast("bigint").alias("V"),
+    )
+    scored = (
+        bg.join(F.broadcast(bc), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    pcont = (F.coalesce(F.col("n1c"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("B") + F.col("V") + F.lit(1.0)
+    )
+    p_seen = (
+        F.greatest(
+            F.coalesce(F.col("bc"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        )
+        / F.col("c1")
+        + F.lit(d) * F.col("n1w") / F.col("c1") * pcont
+    )
+    prob = F.when(F.col("c1").isNull(), pcont).otherwise(p_seen)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(F.log(prob)), 6).alias("avg_logp"),
+    )
+
+
 def clean_text(col: Column) -> Column:
     """Standard corpus text normalization: collapse whitespace runs
     (space/tab/newline/CR/VT/FF) to single spaces, strip the remaining

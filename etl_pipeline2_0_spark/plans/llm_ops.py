@@ -5220,3 +5220,62 @@ FROM agg""",
     )
 )
 assert "n_candidates" in SQL_MINHASH_BAND_EFFICIENCY
+
+
+# ------------------------------------- interpolated Kneser-Ney LM scoring -
+
+
+def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interpolated Kneser-Ney word-bigram LM (the KenLM/CCNet smoothing
+    # family) trained LEAKAGE-FREE on the non-src0 slice, scoring the
+    # WHOLE corpus — so the unseen-bigram / unseen-context / OOV fallback
+    # paths are all exercised by the oracle, not just the seen path.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.kneser_ney_scores(
+        docs, train_df=docs.where(F.col("source") != "src0")
+    )
+
+
+SQL_KN_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, source, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS ord
+  FROM toks
+), bg AS (
+  SELECT doc_id, source, tok AS w1,
+         LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+  FROM tok_rows
+), bg2 AS (
+  SELECT doc_id, source, w1, w2 FROM bg WHERE w2 IS NOT NULL
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS bc
+  FROM bg2 WHERE source <> 'src0' GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, SUM(bc) AS c1, COUNT(*) AS n1w FROM bc GROUP BY 1
+), cont AS (
+  SELECT w2, COUNT(*) AS n1c FROM bc GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS b_types, COUNT(DISTINCT w2) AS v FROM bc
+), probs AS (
+  SELECT g.doc_id,
+         CASE WHEN x.c1 IS NULL
+              THEN (COALESCE(n.n1c, 0) + 1.0) / (t.b_types + t.v + 1.0)
+              ELSE GREATEST(COALESCE(b.bc, 0) - 0.75, 0.0) / x.c1
+                   + 0.75 * x.n1w / x.c1
+                     * ((COALESCE(n.n1c, 0) + 1.0) / (t.b_types + t.v + 1.0))
+         END AS prob
+  FROM bg2 g
+  LEFT JOIN bc b USING (w1, w2)
+  LEFT JOIN ctx x USING (w1)
+  LEFT JOIN cont n USING (w2)
+  CROSS JOIN tot t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln(prob)), 6) AS avg_logp
+FROM probs GROUP BY doc_id
+"""

@@ -299,6 +299,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_minhash_band_efficiency,
         L.SQL_MINHASH_BAND_EFFICIENCY,
     ),
+    # --- added r12 (past-cap; r13 promotion pool): interpolated
+    #     Kneser-Ney word-bigram LM scoring (Kneser & Ney 1995; the
+    #     KenLM/CCNet smoothing family), trained leakage-free on the
+    #     non-src0 slice so the oracle exercises every unseen-bigram/
+    #     context/OOV fallback path ---
+    "kn_score": (L.q_kn_score, L.SQL_KN_SCORE),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

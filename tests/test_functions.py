@@ -3196,3 +3196,95 @@ def test_minhash_precision_contract_and_band_efficiency(spark):
     assert (100, 101) in verified
     assert len(cand) > len(verified)             # rejects exist...
     assert verified < cand                        # ...and efficiency < 1
+
+
+def test_kneser_ney_probability_mass_and_ranking(spark):
+    """Interpolated-KN contracts on a hand-small corpus: (1) for a SEEN
+    context, total probability mass over the training vocabulary plus
+    the OOV slot is exactly 1 − the mass P_cont assigns outside the
+    smoothing space (i.e. Σ_w2∈V∪{oov} P(w2|w1) ≤ 1, and the discount
+    mass is fully redistributed); (2) an in-distribution doc outscores
+    a gibberish doc under a model trained on the distribution; (3) the
+    unseen-context path backs off to the continuation distribution."""
+    import math
+
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import text as T
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ate the fish"),
+         (3, "a dog sat on a log")],
+        "doc_id bigint, text string",
+    )
+    # (1) mass check, computed by hand for context 'the' (c1=5 in train:
+    # 'the cat'x2, 'the mat', 'the fish' -> bigram types {cat:2, mat:1,
+    # fish:1}; n1w=3).  Score every (the, w2) for w2 in vocab + an OOV
+    # word; the summed prob must be <= 1 and > the unsmoothed 1 - D*n1w/c1.
+    vocab = ["the", "cat", "sat", "on", "mat", "ate", "fish", "a", "dog",
+             "log", "zzzoov"]
+    probes = spark.createDataFrame(
+        [(100 + i, f"the {w}") for i, w in enumerate(vocab)],
+        "doc_id bigint, text string",
+    )
+    scored = T.kneser_ney_scores(probes, train_df=train).collect()
+    mass = sum(math.exp(r["avg_logp"]) for r in scored)
+    assert mass <= 1.0 + 1e-9
+    assert mass > 0.9  # nearly all mass lands inside vocab+oov probes
+    # (2) ranking: natural continuation beats gibberish under same model
+    pair = {
+        r["doc_id"]: r["avg_logp"]
+        for r in T.kneser_ney_scores(
+            spark.createDataFrame(
+                [(1, "the cat sat on the mat"), (2, "mat zzz qqq xxx fish the")],
+                "doc_id bigint, text string",
+            ),
+            train_df=train,
+        ).collect()
+    }
+    assert pair[1] > pair[2]
+    # (3) unseen context 'zzzoov' backs off to P_cont(w2) exactly:
+    # P_cont(cat) = (n1c + 1) / (B + V + 1); from train, B = 12 distinct
+    # bigram types ('the cat' and 'sat on' repeat), V = 10 distinct
+    # second-words, and 'cat' has 1 distinct predecessor ('the').
+    oov_ctx = T.kneser_ney_scores(
+        spark.createDataFrame([(1, "zzzoov cat")], "doc_id bigint, text string"),
+        train_df=train,
+    ).collect()[0]
+    b_types = 12
+    v = 10
+    expected = math.log((1 + 1) / (b_types + v + 1))
+    assert abs(oov_ctx["avg_logp"] - round(expected, 6)) < 1e-6
+    # discount bounds enforced
+    try:
+        T.kneser_ney_scores(train, discount=1.5)
+        raise AssertionError("discount > 1 accepted")
+    except ValueError:
+        pass
+
+
+def test_kneser_ney_self_trained_beats_addk_on_rare_words(spark):
+    """The motivating KN property: a rare-but-real continuation (seen
+    once, after a context seen once) gets MORE mass under KN than a
+    frequent word in a novel context gets under pure MLE — i.e. the
+    continuation distribution redistributes by type diversity, not raw
+    frequency.  Concretely: P_KN('francisco'|'san') should dwarf
+    P_KN('francisco'|'the') because 'francisco' follows only 'san'."""
+    import math
+
+    from etl_pipeline2_0_spark.functions import text as T
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat and the dog sat and the bird sat") for i in range(3)]
+        + [(10, "san francisco is a city"), (11, "san francisco has fog")],
+        "doc_id bigint, text string",
+    )
+    probes = spark.createDataFrame(
+        [(1, "san francisco"), (2, "the francisco")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: math.exp(r["avg_logp"])
+        for r in T.kneser_ney_scores(probes, train_df=train).collect()
+    }
+    assert got[1] > 10 * got[2]
