@@ -145,6 +145,7 @@ HEADLINE = [
     "minhash_precision",
     "minhash_band_efficiency",
     "kn_score",
+    "langid_rank",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -1642,3 +1642,121 @@ def entropy_stats(df, text_col: str = "text", id_col: str = "doc_id"):
         F.round(_kind("C", ent), 6).alias("char_entropy"),
         F.round(_kind("T", ent), 6).alias("token_entropy"),
     )
+
+
+def cavnar_trenkle_langid(
+    df,
+    train_df=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    profile_size: int = 100,
+    doc_profile_size: int = 20,
+    prefix_len: int = 300,
+):
+    """TRAINED language identification by character-trigram rank profiles
+    (Cavnar & Trenkle 1994, "N-Gram-Based Text Categorization" — the
+    classic out-of-place method behind textcat/langdetect lineages),
+    complementing the fixed-marker heuristic ``lang_id``.
+
+    Training: per label, count trigrams over the lowercased ``prefix_len``
+    -char prefix, keep the ``profile_size`` most frequent as a RANK
+    profile (1 = most frequent; ties broken by gram ascending, mirrored
+    in the oracle).  Classification: build each doc's own
+    ``doc_profile_size``-gram rank profile the same way, score every
+    language by the out-of-place distance
+
+        dist(doc, L) = Σ_g |rank_doc(g) − rank_L(g)|,
+
+    charging ``profile_size`` for grams absent from L's profile; predict
+    the argmin (ties → label ascending).
+
+    ``train_df`` (default ``df``) supplies the labeled training slice —
+    pass a disjoint slice for honest held-out accuracy.
+
+    Scale shape: the language profiles are a ≤ n_langs·profile_size-row
+    BROADCAST; doc profiles are a bounded top-k per doc (one aggregate +
+    one window over doc_id-partitioned data); scoring is doc_profile ×
+    n_langs (a constant fan-out, not a shuffle) with a broadcast-hash
+    join against the profiles.  Docs with no trigram in the prefix are
+    excluded (no profile exists).
+
+    Output: (doc_id, <label_col>, pred_lang, dist) — one row per doc with
+    its true label carried through for confusion rollups.
+    """
+    from pyspark.sql.window import Window
+
+    def _grams(frame, keep_label: bool):
+        cols = [F.col(id_col).alias("doc_id")] + (
+            [F.col(label_col).alias("_lab")] if keep_label else []
+        )
+        d = frame.select(
+            *cols,
+            F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("t"),
+        ).where(F.length("t") >= 3)
+        return d.select(
+            *[c for c in ("doc_id", "_lab") if keep_label or c == "doc_id"],
+            F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"),
+            "t",
+        ).select(
+            *[c for c in ("doc_id", "_lab") if keep_label or c == "doc_id"],
+            F.expr("substring(t, i, 3)").alias("gram"),
+        )
+
+    tr = train_df if train_df is not None else df
+    lang_counts = (
+        _grams(tr, keep_label=True)
+        .groupBy("_lab", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_lang = Window.partitionBy("_lab").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    lang_prof = (
+        lang_counts.withColumn("rank_lang", F.row_number().over(w_lang))
+        .where(F.col("rank_lang") <= profile_size)
+        .select(F.col("_lab").alias("cand_lang"), "gram", "rank_lang")
+    )
+    langs = lang_prof.select("cand_lang").distinct()
+
+    doc_counts = (
+        _grams(df, keep_label=False)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    doc_prof = (
+        doc_counts.withColumn("rank_doc", F.row_number().over(w_doc))
+        .where(F.col("rank_doc") <= doc_profile_size)
+        .select("doc_id", "gram", "rank_doc")
+    )
+    dist = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lang_prof), ["cand_lang", "gram"], "left")
+        .groupBy("doc_id", "cand_lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("rank_doc") - F.col("rank_lang")),
+                    F.lit(profile_size),
+                )
+            )
+            .cast("bigint")
+            .alias("dist")
+        )
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(
+        F.col("dist").asc(), F.col("cand_lang").asc()
+    )
+    picked = (
+        dist.withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "dist")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(label_col))
+        .join(picked, "doc_id")
+        .select("doc_id", label_col, "pred_lang", "dist")
+    )

@@ -5279,3 +5279,71 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        ROUND(AVG(ln(prob)), 6) AS avg_logp
 FROM probs GROUP BY doc_id
 """
+
+
+# --------------------------- Cavnar-Trenkle trained language-ID confusion -
+
+
+def q_langid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trained char-trigram rank-profile language ID (Cavnar & Trenkle
+    # 1994) with an honest held-out split: profiles train on even
+    # doc_ids, odd doc_ids are classified; output is the held-out
+    # confusion matrix over (true, predicted) labels.
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.cavnar_trenkle_langid(
+        docs.where(F.col("doc_id") % 2 == 1),
+        train_df=docs.where(F.col("doc_id") % 2 == 0),
+    )
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+SQL_LANGID_RANK = r"""
+WITH pref AS (
+  SELECT doc_id, lang, lower(substring(text, 1, 300)) AS t
+  FROM documents WHERE length(lower(substring(text, 1, 300))) >= 3
+), grams AS (
+  SELECT doc_id, lang, substring(t, i, 3) AS gram
+  FROM pref, LATERAL (
+    SELECT unnest(generate_series(1, length(t) - 2)) AS i
+  )
+), lang_counts AS (
+  SELECT lang AS cand_lang, gram, COUNT(*) AS cnt
+  FROM grams WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), lang_prof AS (
+  SELECT cand_lang, gram,
+         ROW_NUMBER() OVER (PARTITION BY cand_lang
+                            ORDER BY cnt DESC, gram ASC) AS rank_lang
+  FROM lang_counts
+  QUALIFY rank_lang <= 100
+), langs AS (
+  SELECT DISTINCT cand_lang FROM lang_prof
+), doc_counts AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt
+  FROM grams WHERE doc_id % 2 = 1 GROUP BY 1, 2
+), doc_prof AS (
+  SELECT doc_id, gram,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram ASC) AS rank_doc
+  FROM doc_counts
+  QUALIFY rank_doc <= 20
+), dist AS (
+  SELECT d.doc_id, l.cand_lang,
+         SUM(COALESCE(ABS(d.rank_doc - p.rank_lang), 100)) AS dist
+  FROM doc_prof d
+  CROSS JOIN langs l
+  LEFT JOIN lang_prof p
+    ON p.cand_lang = l.cand_lang AND p.gram = d.gram
+  GROUP BY 1, 2
+), picked AS (
+  SELECT doc_id, cand_lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY dist ASC, cand_lang ASC) AS rn
+  FROM dist
+  QUALIFY rn = 1
+)
+SELECT doc.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents doc JOIN picked p USING (doc_id)
+GROUP BY 1, 2
+"""

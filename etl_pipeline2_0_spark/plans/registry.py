@@ -305,6 +305,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     non-src0 slice so the oracle exercises every unseen-bigram/
     #     context/OOV fallback path ---
     "kn_score": (L.q_kn_score, L.SQL_KN_SCORE),
+    # --- added r12 (past-cap; r13 promotion pool): TRAINED language ID
+    #     by char-trigram rank profiles (Cavnar & Trenkle 1994) with an
+    #     honest even/odd held-out split; the oracled confusion matrix
+    #     proves the arithmetic (the synthetic corpus shares one
+    #     vocabulary across lang labels); classification power is
+    #     proven on a real multilingual fixture in tests ---
+    "langid_rank": (L.q_langid_rank, L.SQL_LANGID_RANK),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -3288,3 +3288,40 @@ def test_kneser_ney_self_trained_beats_addk_on_rare_words(spark):
         for r in T.kneser_ney_scores(probes, train_df=train).collect()
     }
     assert got[1] > 10 * got[2]
+
+
+def test_cavnar_trenkle_langid_separates_real_languages(spark):
+    """On a real multilingual fixture the rank-profile classifier
+    recovers every held-out label (the synthetic bench corpus shares one
+    vocabulary across lang labels, so the oracled confusion matrix there
+    proves arithmetic, not power — THIS test proves power); ties and
+    missing-gram penalties are deterministic; docs whose prefix has < 3
+    chars are excluded."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    en = ["the quick brown fox jumps over the lazy dog near the river bank",
+          "she walked through the garden and watched the children play",
+          "this is another english sentence with the usual little words"]
+    fr = ["le renard brun saute par dessus le chien paresseux pres de la riviere",
+          "elle marchait dans le jardin et regardait les enfants jouer",
+          "ceci est une autre phrase francaise avec les petits mots habituels"]
+    de = ["der schnelle braune fuchs springt uber den faulen hund am fluss",
+          "sie ging durch den garten und beobachtete die spielenden kinder",
+          "dies ist ein weiterer deutscher satz mit den ublichen kleinen wortern"]
+    rows, did = [], 0
+    for lang, texts in (("en", en), ("fr", fr), ("de", de)):
+        for t in texts:
+            rows.append((did, lang, t)); did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    train = df.where("doc_id % 3 != 2")   # 2 docs per lang train
+    test = df.where("doc_id % 3 = 2")     # 1 held-out doc per lang
+    got = {r["doc_id"]: (r["lang"], r["pred_lang"])
+           for r in T.cavnar_trenkle_langid(test, train_df=train).collect()}
+    assert len(got) == 3
+    for true, pred in got.values():
+        assert pred == true
+    # short-doc exclusion: a 2-char doc yields no trigram, no row
+    tiny = spark.createDataFrame(
+        [(99, "xx", "en")], "doc_id bigint, text string, lang string"
+    )
+    assert T.cavnar_trenkle_langid(tiny, train_df=train).count() == 0
