@@ -146,6 +146,7 @@ HEADLINE = [
     "minhash_band_efficiency",
     "kn_score",
     "langid_rank",
+    "mmr_select",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -1146,3 +1146,118 @@ def kcenter_coreset(
             .localCheckpoint(eager=False)
         )
     return out
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 6,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998 —
+    the classic relevance-vs-redundancy re-ranker, used verbatim for
+    diverse few-shot / RAG example selection): greedily pick k items
+    maximizing
+
+        MMR(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s),
+
+    where rel is cosine similarity to the single-row ``query`` frame and
+    sim is candidate-candidate cosine.  λ=1 degenerates to pure top-k
+    relevance, λ=0 to pure anti-redundancy; the k-center coreset is the
+    relevance-free cousin (it maximizes distance-to-selected with no
+    query).
+
+    Deterministic cross-engine: rel/sim/score round to 6 dp before every
+    comparison, ties break by id ascending, picked ids are excluded.
+    Output: (rnk, vec_id, relevance, score) — score is the MMR objective
+    at pick time (= λ·rel for the rnk-1 seed).
+
+    Scale shape: identical to ``kcenter_coreset`` — k−1 bounded
+    iterations, each one corpus pass with a 1-row broadcast of the new
+    pick, running max-sim updated map-side, argmax via orderBy+limit(1)
+    (TakeOrdered), lazy localCheckpoint per step keeping plans flat.
+    """
+    lam = float(lam)
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    q = query.select(F.col(vec_col).alias("_qv")).limit(1)
+    pts = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.round(cosine(F.col("v"), F.col("_qv")), 6).alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seed = (
+        pts.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "v", "rel")
+        .localCheckpoint(eager=False)
+    )
+    out = seed.select(
+        F.lit(1).alias("rnk"),
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        F.round(F.lit(lam) * F.col("rel"), 6).alias("score"),
+    )
+    center = seed.select(F.col("vec_id").alias("_cid"), F.col("v").alias("_cv"))
+    state = (
+        pts.crossJoin(F.broadcast(center))
+        .where(F.col("vec_id") != F.col("_cid"))
+        .select(
+            "vec_id",
+            "v",
+            "rel",
+            F.round(cosine(F.col("v"), F.col("_cv")), 6).alias("ms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for rnk in range(2, k + 1):
+        scored = state.select(
+            "vec_id",
+            "v",
+            "rel",
+            "ms",
+            F.round(
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("ms"), 6
+            ).alias("score"),
+        )
+        nxt = (
+            scored.orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("_cid"),
+                F.col("v").alias("_cv"),
+                F.col("rel").alias("_crel"),
+                F.col("score").alias("_cscore"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            nxt.select(
+                F.lit(rnk).alias("rnk"),
+                F.col("_cid").alias("vec_id"),
+                F.col("_crel").alias("relevance"),
+                F.col("_cscore").alias("score"),
+            )
+        )
+        state = (
+            state.crossJoin(F.broadcast(nxt))
+            .where(F.col("vec_id") != F.col("_cid"))
+            .select(
+                "vec_id",
+                "v",
+                "rel",
+                F.greatest(
+                    F.col("ms"),
+                    F.round(cosine(F.col("v"), F.col("_cv")), 6),
+                ).alias("ms"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return out

@@ -5347,3 +5347,76 @@ SELECT doc.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
 FROM documents doc JOIN picked p USING (doc_id)
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------ MMR diverse top-k selection --
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Maximal Marginal Relevance (Carbonell & Goldstein 1998): diverse
+    # top-6 against the vec_id-0 query embedding at the canonical
+    # lambda = 0.7; candidates are the rest of the embeddings table.
+    from etl_pipeline2_0_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_select(
+        emb.where(F.col("vec_id") != 0),
+        emb.where(F.col("vec_id") == 0),
+        k=6,
+        lam=0.7,
+    )
+
+
+def _sql_mmr(k: int = 6, lam: float = 0.7) -> str:
+    # k-step materialized CTE chain (the kcenter-twin pattern).  The
+    # (1 - lam) literal is emitted via repr from the SAME Python float
+    # the Spark side uses, so e.g. lam=0.7 yields 0.30000000000000004 in
+    # BOTH engines — a hand-written 0.3 would silently diverge at 6 dp.
+    lam_r, one_m_lam_r = repr(float(lam)), repr(1.0 - float(lam))
+
+    def cos(row: str, cent: str, cv: str = "cv") -> str:
+        return (
+            f"ROUND(list_inner_product({row}.v, {cent}.{cv})"
+            f" / (SQRT(list_inner_product({row}.v, {row}.v))"
+            f" * SQRT(list_inner_product({cent}.{cv}, {cent}.{cv}))), 6)"
+        )
+
+    score = f"ROUND({lam_r} * rel - {one_m_lam_r} * ms, 6)"
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "q AS (SELECT v AS cv FROM e WHERE vec_id = 0)",
+        "p AS MATERIALIZED (SELECT e.vec_id, e.v,"
+        f" {cos('e', 'q')} AS rel"
+        " FROM e CROSS JOIN q WHERE e.vec_id <> 0)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v AS cv, rel FROM p"
+        " QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) = 1)",
+        "d1 AS MATERIALIZED (SELECT p.vec_id, p.v, p.rel,"
+        f" {cos('p', 'c1')} AS ms"
+        " FROM p CROSS JOIN c1 WHERE p.vec_id <> c1.vec_id)",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"c{j} AS MATERIALIZED (SELECT vec_id, v AS cv, rel,"
+            f" {score} AS score FROM d{j - 1}"
+            f" QUALIFY ROW_NUMBER() OVER (ORDER BY {score} DESC, vec_id)"
+            " = 1)"
+        )
+        if j < k:
+            parts.append(
+                f"d{j} AS MATERIALIZED (SELECT d.vec_id, d.v, d.rel,"
+                f" GREATEST(d.ms, {cos('d', f'c{j}')}) AS ms"
+                f" FROM d{j - 1} d CROSS JOIN c{j}"
+                f" WHERE d.vec_id <> c{j}.vec_id)"
+            )
+    selects = [
+        "SELECT CAST(1 AS INT) AS rnk, vec_id, rel AS relevance,"
+        f" ROUND({lam_r} * rel, 6) AS score FROM c1"
+    ] + [
+        f"SELECT CAST({j} AS INT), vec_id, rel, score FROM c{j}"
+        for j in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+SQL_MMR_SELECT = _sql_mmr(6, 0.7)

@@ -312,6 +312,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     vocabulary across lang labels); classification power is
     #     proven on a real multilingual fixture in tests ---
     "langid_rank": (L.q_langid_rank, L.SQL_LANGID_RANK),
+    # --- added r12 (past-cap; r13 promotion pool): Maximal Marginal
+    #     Relevance diverse top-k (Carbonell & Goldstein 1998) — the
+    #     relevance-aware cousin of kcenter_coreset; k-step materialized
+    #     CTE twin, (1-lambda) literal repr-generated so both engines
+    #     compute the identical double ---
+    "mmr_select": (L.q_mmr_select, L.SQL_MMR_SELECT),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

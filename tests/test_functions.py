@@ -3325,3 +3325,43 @@ def test_cavnar_trenkle_langid_separates_real_languages(spark):
         [(99, "xx", "en")], "doc_id bigint, text string, lang string"
     )
     assert T.cavnar_trenkle_langid(tiny, train_df=train).count() == 0
+
+
+def test_mmr_select_balances_relevance_and_redundancy(spark):
+    """MMR contracts: (1) lambda=1 is EXACTLY relevance top-k; (2) at
+    moderate lambda an exact duplicate of the seed — the most relevant
+    candidate — is deferred in favor of a diverse runner-up (the whole
+    point of MMR); (3) every picked id is distinct; (4) lambda outside
+    [0,1] raises."""
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    # query along x; c1 = dup of best, c2 = slightly less relevant but
+    # orthogonal-ish, c3 = diverse mid relevance
+    rows = [
+        (1, [1.0, 0.0, 0.0]),   # rel 1.0
+        (2, [1.0, 0.0, 0.0]),   # exact duplicate of 1
+        (3, [0.8, 0.6, 0.0]),   # rel 0.8, sim to 1 = 0.8
+        (4, [0.0, 1.0, 0.0]),   # rel 0.0, orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])],
+                              "vec_id bigint, embedding array<double>")
+    # lambda=1: pure relevance order 1,2 (tie -> id), then 3, then 4
+    pure = [r["vec_id"] for r in sorted(
+        S.mmr_select(emb, q, k=4, lam=1.0).collect(), key=lambda r: r["rnk"])]
+    assert pure == [1, 2, 3, 4]
+    # lambda=0.5: seed is 1; duplicate 2 has score 0.5*1-0.5*1=0 while
+    # 3 scores 0.5*0.8-0.5*0.8=0 (tie at 0 -> id 2 wins)... use 0.6 to
+    # break cleanly: score(2)=0.6-0.4=0.2, score(3)=0.48-0.32=0.16,
+    # score(4)=0-0=0 -> order 1,2,3,4 still.  Drop to lam=0.3:
+    # score(2)=0.3-0.7=-0.4, score(3)=0.24-0.56=-0.32, score(4)=0.
+    # -> pick 4 before 3 before 2: the duplicate goes LAST.
+    div = [r["vec_id"] for r in sorted(
+        S.mmr_select(emb, q, k=4, lam=0.3).collect(), key=lambda r: r["rnk"])]
+    assert div[0] == 1 and div[1] == 4 and div[-1] == 2
+    assert len(set(div)) == 4
+    try:
+        S.mmr_select(emb, q, k=2, lam=1.5)
+        raise AssertionError("lam > 1 accepted")
+    except ValueError:
+        pass
