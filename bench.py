@@ -147,6 +147,7 @@ HEADLINE = [
     "kn_score",
     "langid_rank",
     "mmr_select",
+    "minhash_decontam",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -1629,3 +1629,131 @@ def edit_distance_pairs(
             F.levenshtein("_sa", "_sb").cast("int").alias("dist"),
         )
     )
+
+
+def minhash_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-corpus NEAR-DUP decontamination: every (train, eval) pair
+    whose shingle Jaccard ≥ ``threshold``, found by banded MinHash LSH
+    BETWEEN the two corpora — the fuzzy complement of the exact
+    ``contamination_check`` (verbatim n-gram containment) and the
+    cross-table cousin of ``minhash_near_duplicates``.  This is the
+    GPT-3/Llama decontamination shape: drop from TRAIN anything
+    near-duplicating an eval/benchmark doc, where paraphrase-level edits
+    defeat exact matching.
+
+    Both sides sign with the SAME hash family and band geometry, so a
+    within-threshold pair collides in some band with the usual
+    1-(1-J^r)^b probability; candidates come from an EQUI-JOIN of train
+    bands against eval bands (never an all-pairs product), then exact
+    Jaccard verifies each candidate (output is exact-above-threshold
+    among LSH-recalled pairs).
+
+    ``max_bucket_size`` caps (band, bucket) membership counted across
+    BOTH sides — a boilerplate bucket hot on either side would otherwise
+    go quadratic in the cross join (same production-LSH guard as the
+    self-join path).
+
+    Scale shape: the eval/benchmark side is typically tiny (thousands of
+    docs vs billions) — its banded table broadcasts, making the candidate
+    join map-side; verification re-shingles only docs appearing in a
+    candidate (semi-join pruned), so the train corpus is scanned once for
+    signatures and once (candidate-pruned) for verification.
+
+    Output: (eval_id, train_id, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+
+    def _band(sig):
+        def _bucket(b):
+            joined = F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.col("signature"), b * rows_per_band + 1, rows_per_band
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            )
+            return F.md5(joined) if portable else F.xxhash64(joined)
+
+        return sig.select(
+            "id",
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _bucket)
+            ).alias("band", "bucket"),
+        )
+
+    bt = _band(
+        minhash_signatures(train_df, text_col, id_col, k, num_hashes, portable)
+    )
+    be = _band(
+        minhash_signatures(eval_df, text_col, id_col, k, num_hashes, portable)
+    )
+    if max_bucket_size is not None:
+        # One union-side count per (band, bucket); hot keys leave BOTH
+        # sides.  The count table is (band, bucket)-keyed and small — it
+        # broadcasts into two anti-joins.
+        hot = (
+            bt.select("band", "bucket")
+            .unionAll(be.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .where(F.col("bn") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        bt = bt.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        be = be.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    cand = (
+        bt.select("band", "bucket", F.col("id").alias("train_id"))
+        .join(
+            be.select("band", "bucket", F.col("id").alias("eval_id")),
+            ["band", "bucket"],
+        )
+        .select("eval_id", "train_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _shingled(frame, ids, out_id):
+        return (
+            ensure_min_parallelism(frame)
+            .join(ids, F.col(id_col) == ids["id"], "left_semi")
+            .select(
+                F.col(id_col).alias(out_id),
+                token_shingles(F.col(text_col), k).alias(f"_sh_{out_id}"),
+            )
+        )
+
+    st = _shingled(
+        train_df, cand.select(F.col("train_id").alias("id")).distinct(),
+        "train_id",
+    )
+    se = _shingled(
+        eval_df, cand.select(F.col("eval_id").alias("id")).distinct(),
+        "eval_id",
+    )
+    return (
+        cand.join(st, "train_id")
+        .join(se, "eval_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sh_train_id", "_sh_eval_id"))
+                / F.size(F.array_union("_sh_train_id", "_sh_eval_id")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("eval_id", "train_id", "jaccard")
+    )

@@ -5420,3 +5420,95 @@ def _sql_mmr(k: int = 6, lam: float = 0.7) -> str:
 
 
 SQL_MMR_SELECT = _sql_mmr(6, 0.7)
+
+
+# ---------------------------------- cross-corpus MinHash decontamination -
+
+
+def q_minhash_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GPT-3/Llama-style fuzzy decontamination: even doc_ids play the
+    # training corpus, odd doc_ids the eval/benchmark set; banded MinHash
+    # LSH between the two sides, exact-Jaccard verified (md5-portable
+    # hash family end-to-end -> full DuckDB twin).
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_decontaminate(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        num_hashes=16,
+        bands=8,
+        threshold=0.5,
+        portable=True,
+    )
+
+
+def _sql_minhash_decontam(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> str:
+    # Same generated signature/banding CTEs as _sql_minhash_portable
+    # (one geometry, one hash family); the pair join becomes even-side ×
+    # odd-side instead of canonical self-join, and the bucket cap counts
+    # across BOTH sides (= the whole corpus, since the sides partition it).
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(CAST('0x' || substring(md5('{j}:' || b), 1, 15) AS BIGINT)) AS s{j}"
+        for j in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, {bi} AS band, md5("
+        + " || ',' || ".join(f"CAST(s{bi * r + o} AS VARCHAR)" for o in range(r))
+        + ") AS bucket FROM sig"
+        for bi in range(bands)
+    )
+    return rf"""
+WITH docs AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents
+), toks AS (
+  SELECT id, list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord FROM toks
+), sh0 AS (
+  SELECT id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), base AS (
+  SELECT id, substring(md5(shingle), 1, 15) AS b FROM sh
+), sig AS (
+  SELECT id,
+         {mins}
+  FROM base GROUP BY id
+), banded0 AS (
+{band_selects}
+), banded AS (
+  SELECT id, band, bucket FROM (
+    SELECT id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM banded0
+  ) WHERE bn <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT e.id AS eval_id, t.id AS train_id
+  FROM banded t
+  JOIN banded e ON t.band = e.band AND t.bucket = e.bucket
+  WHERE t.id % 2 = 0 AND e.id % 2 = 1
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT c.eval_id, c.train_id, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.id = c.train_id
+  JOIN sh b ON b.id = c.eval_id AND b.shingle = a.shingle
+  GROUP BY c.eval_id, c.train_id
+), scored AS (
+  SELECT eval_id, train_id,
+         ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON train_id = sa.id
+  JOIN sizes sb ON eval_id = sb.id
+)
+SELECT eval_id, train_id, jaccard FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+SQL_MINHASH_DECONTAM = _sql_minhash_decontam()

@@ -318,6 +318,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     CTE twin, (1-lambda) literal repr-generated so both engines
     #     compute the identical double ---
     "mmr_select": (L.q_mmr_select, L.SQL_MMR_SELECT),
+    # --- added r12 (past-cap; r13 promotion pool): cross-corpus MinHash
+    #     decontamination (the GPT-3/Llama fuzzy train-vs-benchmark
+    #     sweep) — banded LSH BETWEEN two corpora, exact-Jaccard
+    #     verified, md5-portable end-to-end; the fuzzy complement of
+    #     contamination_check and the cross-table cousin of
+    #     minhash_pairs_portable ---
+    "minhash_decontam": (L.q_minhash_decontam, L.SQL_MINHASH_DECONTAM),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

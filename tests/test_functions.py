@@ -3365,3 +3365,38 @@ def test_mmr_select_balances_relevance_and_redundancy(spark):
         raise AssertionError("lam > 1 accepted")
     except ValueError:
         pass
+
+
+def test_minhash_decontaminate_finds_planted_cross_corpus_neardups(spark):
+    """A planted eval doc that near-duplicates a train doc (one word
+    changed) is flagged with high Jaccard; unrelated docs are not; pairs
+    WITHIN one corpus are never reported (cross-table semantics); exact
+    copies score 1.0."""
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun")
+    train = spark.createDataFrame(
+        [(2, base),
+         (4, base.replace("afternoon", "morning")),   # near-dup of 2
+         (6, "completely different text about database query engines and "
+             "distributed joins with partitioned shuffles everywhere")],
+        "doc_id bigint, text string",
+    )
+    evald = spark.createDataFrame(
+        [(1, base),                                    # exact copy of 2
+         (3, base.replace("lazy", "sleepy")),          # near-dup of 2
+         (5, "totally unrelated benchmark question about chemistry "
+             "reactions and molecular bonds in organic compounds")],
+        "doc_id bigint, text string",
+    )
+    got = {(r["eval_id"], r["train_id"]): r["jaccard"]
+           for r in D.minhash_decontaminate(
+               train, evald, threshold=0.5, portable=True).collect()}
+    assert got[(1, 2)] == 1.0                 # exact copy
+    assert (3, 2) in got and got[(3, 2)] >= 0.5
+    assert all(e != 5 for e, _ in got)        # unrelated eval doc clean
+    assert all(t != 6 for _, t in got)        # unrelated train doc clean
+    # near-dup WITHIN train (2 vs 4) must not appear as a pair: output
+    # ids always span the two corpora
+    assert all(e % 2 == 1 and t % 2 == 0 for e, t in got)
