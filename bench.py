@@ -148,6 +148,7 @@ HEADLINE = [
     "langid_rank",
     "mmr_select",
     "minhash_decontam",
+    "domain_quality_rollup",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -84,3 +84,66 @@ def psi_from_bins(bins_a: DataFrame, bins_b: DataFrame) -> DataFrame:
             F.max("k_bins").cast("bigint").alias("n_bins"),
         )
     )
+
+
+def domain_quality_rollup(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+    dup_rate_max: float = 0.2,
+) -> DataFrame:
+    """Per-domain curation dashboard (the RefinedWeb/FineWeb move of
+    filtering at DOMAIN granularity, not just per-doc: a domain whose
+    aggregate quality is poor or whose content is mostly self-copies gets
+    dropped wholesale before per-doc filters ever run): per ``domain_col``
+    group, document/token volume, mean composite quality, exact-dup rate
+    (1 − distinct text hashes / docs), and a ``flagged`` verdict — quality
+    below the cross-domain MEDIAN or dup rate above ``dup_rate_max``.
+
+    The median is computed over the per-domain aggregate rows (one row
+    per domain), so "flagged" always marks the weaker half on quality —
+    a relative gate, which is how production domain triage works (review
+    the worst cohort first), plus the absolute dup-rate tripwire.
+
+    Scale shape: one corpus pass into a per-domain hash aggregate
+    (map-side combinable: count, sum, avg, count-distinct via the hash);
+    the domain table (thousands of rows at web scale) then self-joins
+    against its own 1-row median aggregate via broadcast.  No window over
+    the corpus, no second scan.
+
+    Output: (source, n_docs, n_tokens, avg_quality, dup_rate, flagged).
+    """
+    from etl_pipeline2_0_spark.functions.text import quality_score
+
+    per_dom = (
+        df.select(
+            F.col(domain_col).alias("source"),
+            token_count(F.col(text_col)).alias("_tc"),
+            quality_score(F.col(text_col)).alias("_q"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_tc").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("_q"), 6).alias("avg_quality"),
+            F.round(
+                1.0 - F.countDistinct("_h") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .localCheckpoint(eager=False)  # feeds the median AND the verdict
+    )
+    med = per_dom.agg(
+        F.percentile("avg_quality", 0.5).alias("_med")
+    )
+    return per_dom.crossJoin(F.broadcast(med)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "avg_quality",
+        "dup_rate",
+        (
+            (F.col("avg_quality") < F.col("_med"))
+            | (F.col("dup_rate") > F.lit(float(dup_rate_max)))
+        ).alias("flagged"),
+    )

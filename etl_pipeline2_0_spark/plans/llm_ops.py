@@ -5512,3 +5512,55 @@ SELECT eval_id, train_id, jaccard FROM scored WHERE jaccard >= {threshold}
 
 
 SQL_MINHASH_DECONTAM = _sql_minhash_decontam()
+
+
+# ------------------------------------------- per-domain quality rollup ---
+
+
+def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RefinedWeb/FineWeb-style DOMAIN-granularity triage: per-source
+    # volume, mean composite quality, exact-dup rate, and a flagged
+    # verdict (below-median quality or dup rate > 0.2).
+    from etl_pipeline2_0_spark.functions import dq
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dq.domain_quality_rollup(docs)
+
+
+SQL_DOMAIN_QUALITY_ROLLUP = rf"""
+WITH base AS (
+  SELECT doc_id, source, md5(text) AS h,
+    len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                    x -> length(x) > 0)) AS n_tokens,
+    regexp_replace(text, '[ \x09\x0A\x0D\x0B\x0C]+', '', 'g') AS compact,
+    list_filter(regexp_split_to_array(lower(text), '\W+'),
+                x -> length(x) > 0) AS toks
+  FROM documents
+), ratios AS (
+  SELECT doc_id, source, h, n_tokens,
+    CASE WHEN LENGTH(compact) = 0 THEN 0.0
+         ELSE (LENGTH(compact) - LENGTH(regexp_replace(compact, '\W', '', 'g')))
+              / LENGTH(compact) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> x IN ({_STOPS_SQL}))) / len(toks)
+         END AS stopword_ratio
+  FROM base
+), scored AS (
+  SELECT doc_id, source, h, n_tokens,
+    ROUND((LEAST(n_tokens / 100.0, 1.0) + LEAST(stopword_ratio * 4, 1.0)
+           + (1.0 - LEAST(punct_ratio * 4, 1.0))) / 3, 6) AS quality
+  FROM ratios
+), per_dom AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         ROUND(AVG(quality), 6) AS avg_quality,
+         ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6) AS dup_rate
+  FROM scored GROUP BY source
+), med AS (
+  SELECT quantile_cont(avg_quality, 0.5) AS m FROM per_dom
+)
+SELECT source, n_docs, n_tokens, avg_quality, dup_rate,
+       (avg_quality < med.m OR dup_rate > 0.2) AS flagged
+FROM per_dom CROSS JOIN med
+"""

@@ -325,6 +325,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     contamination_check and the cross-table cousin of
     #     minhash_pairs_portable ---
     "minhash_decontam": (L.q_minhash_decontam, L.SQL_MINHASH_DECONTAM),
+    # --- added r12 (past-cap; r13 promotion pool): per-domain quality
+    #     rollup (RefinedWeb/FineWeb domain-granularity triage) —
+    #     volume, mean quality, exact-dup rate, below-median /
+    #     dup-tripwire flag, one corpus pass ---
+    "domain_quality_rollup": (
+        L.q_domain_quality_rollup,
+        L.SQL_DOMAIN_QUALITY_ROLLUP,
+    ),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

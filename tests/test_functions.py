@@ -3400,3 +3400,27 @@ def test_minhash_decontaminate_finds_planted_cross_corpus_neardups(spark):
     # near-dup WITHIN train (2 vs 4) must not appear as a pair: output
     # ids always span the two corpora
     assert all(e % 2 == 1 and t % 2 == 0 for e, t in got)
+
+
+def test_domain_quality_rollup_flags_dup_heavy_and_low_quality(spark):
+    """A domain that is mostly self-copies trips the dup-rate tripwire
+    even with high per-doc quality; a punctuation-soup domain lands
+    below the cross-domain quality median and is flagged; a healthy
+    domain above the median with unique docs is not."""
+    from etl_pipeline2_0_spark.functions import dq
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "along the river bank with many common little words to say")
+    rows = (
+        [(i, good + f" unique tail {i}", "healthy") for i in range(6)]
+        + [(10 + i, good, "copies") for i in range(6)]      # 6 identical
+        + [(20 + i, "$$$ ### !!! %%% ^^^ &&& *** ((( )))", "soup")
+           for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r["source"]: r for r in dq.domain_quality_rollup(df).collect()}
+    assert not got["healthy"]["flagged"]
+    assert got["copies"]["flagged"] and got["copies"]["dup_rate"] > 0.8
+    assert got["soup"]["flagged"] and got["soup"]["avg_quality"] < 0.4
+    assert got["healthy"]["dup_rate"] == 0.0
+    assert got["healthy"]["n_docs"] == 6
