@@ -1642,6 +1642,7 @@ def minhash_decontaminate(
     threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
     portable: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Cross-corpus NEAR-DUP decontamination: every (train, eval) pair
     whose shingle Jaccard ≥ ``threshold``, found by banded MinHash LSH
@@ -1722,8 +1723,12 @@ def minhash_decontaminate(
         )
         .select("eval_id", "train_id")
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    # cand feeds the verify join AND both semi-join prunes — barrier it
+    # (same rationale as minhash_near_duplicates; checkpoint=False only
+    # for plan-shape inspection).
+    if checkpoint:
+        cand = cand.localCheckpoint(eager=False)
 
     def _shingled(frame, ids, out_id):
         return (

@@ -810,3 +810,64 @@ def test_kcenter_argmax_is_take_ordered(spark, sf_dir):
     plan = _plan(L.q_kcenter_coreset(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kn_score_model_tables_broadcast(spark, sf_dir):
+    # The bigram-count, context and continuation tables must broadcast
+    # back onto the scoring pass (3 BroadcastHashJoins); the totals
+    # crossJoin is a 1-row BroadcastNestedLoop; never a cartesian or a
+    # corpus-wide SortMergeJoin.
+    plan = _plan(L.q_kn_score(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_langid_rank_profiles_broadcast(spark, sf_dir):
+    # Language profiles (<= n_langs * 100 rows) broadcast into the
+    # doc-profile scoring join; the langs fan-out is a 1-row-per-lang
+    # BroadcastNestedLoop, not a cartesian of anything corpus-sized.
+    plan = _plan(L.q_langid_rank(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_select_steps_stay_bounded(spark, sf_dir):
+    # Each greedy step materializes behind a lazy checkpoint (the
+    # kcenter discipline — plans stay flat); the final union must carry
+    # NO corpus-wide exchange or cartesian of its own.
+    plan = _plan(L.q_mmr_select(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_decontam_equijoin_and_broadcast_cap(spark, sf_dir):
+    # Candidates come from a (band, bucket) EQUI-join between the two
+    # corpora (never an all-pairs product); the hot-bucket cap applies
+    # as a broadcast anti-join on both sides; verification re-shingles
+    # only candidate docs (two LeftSemi prunes).  checkpoint=False
+    # exposes the candidate subtree the production path hides behind
+    # its lazy barrier.
+    from etl_pipeline2_0_spark.functions import dedup as D
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = D.minhash_decontaminate(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        num_hashes=16, bands=8, portable=True, checkpoint=False,
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftAnti") >= 2
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_domain_quality_rollup_single_pass(spark, sf_dir):
+    # One corpus pass into a per-domain hash aggregate; the median join
+    # is a 1-row broadcast.  Two exchanges total (domain agg + the
+    # checkpoint boundary), no window over the corpus.
+    plan = _plan(L.q_domain_quality_rollup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3
