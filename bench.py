@@ -149,6 +149,7 @@ HEADLINE = [
     "mmr_select",
     "minhash_decontam",
     "domain_quality_rollup",
+    "threshold_sweep",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -1760,3 +1760,91 @@ def cavnar_trenkle_langid(
         .join(picked, "doc_id")
         .select("doc_id", label_col, "pred_lang", "dist")
     )
+
+
+def threshold_sweep(
+    df,
+    score_col: str,
+    weight_col: str | None = None,
+    n_steps: int = 10,
+    step: float = 0.1,
+):
+    """Filter-calibration curve: for every candidate threshold t in
+    {0, step, 2·step, …, (n_steps−1)·step}, how many documents (and how
+    much token mass) a ``score >= t`` filter would KEEP.  This is the
+    sweep every curation run tunes its quality gate against (e.g. the
+    FineWeb-Edu classifier-threshold study) — computing it per-threshold
+    with separate passes is the naive O(n_steps · corpus) plan.
+
+    Scale shape: ONE corpus pass into a ≤ n_steps+1-row bucket histogram
+    (scores quantize to integer micro-units so bucket edges align with
+    thresholds EXACTLY — ``floor(q·10)`` in doubles misbuckets boundary
+    scores like 0.3 whose double is just below the decimal literal),
+    then the cumulative kept-counts come from a window over that tiny
+    aggregate.  The corpus is never rescanned per threshold.
+
+    ``weight_col`` (e.g. a token count) adds kept-mass columns; omitted,
+    only doc counts are emitted.  Scores must lie in [0, n_steps·step).
+
+    Output: (threshold, n_docs, frac_docs[, n_weight, frac_weight]),
+    fractions rounded to 6 dp.
+    """
+    unit = int(round(step * 1_000_000))
+    micro = F.round(F.col(score_col) * 1_000_000).cast("bigint")
+    bucket = F.least(
+        F.floor(micro / unit).cast("int"), F.lit(n_steps - 1)
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("bigint").alias("_w"))
+    hist = df.select(
+        bucket.alias("_b"), *([F.col(weight_col)] if weight_col else [])
+    ).groupBy("_b").agg(*aggs)
+    from pyspark.sql.window import Window
+
+    # kept at threshold k = everything in buckets >= k: a suffix sum
+    # over the tiny histogram + the grand total for fractions.
+    w = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "_b",
+        F.sum("_n").over(w).alias("_kept"),
+        *([F.sum("_w").over(w).alias("_kept_w")] if weight_col else []),
+    )
+    tot = hist.agg(
+        F.sum("_n").alias("_tot"),
+        *([F.sum("_w").alias("_tot_w")] if weight_col else []),
+    )
+    # Every threshold 0..n_steps-1 must appear even when its bucket is
+    # empty: kept(k) = kept of the smallest non-empty bucket >= k.
+    grid = (
+        df.sparkSession.range(n_steps)
+        .select(F.col("id").cast("int").alias("_k"))
+    )
+    filled = (
+        grid.join(cum, grid["_k"] <= cum["_b"], "left")
+        .groupBy("_k")
+        .agg(
+            F.max("_kept").alias("_kept"),
+            *([F.max("_kept_w").alias("_kept_w")] if weight_col else []),
+        )
+    )
+    out_cols = [
+        F.round(F.col("_k") * F.lit(float(step)), 6).alias("threshold"),
+        F.coalesce(F.col("_kept"), F.lit(0)).alias("n_docs"),
+    ]
+    sel = filled.crossJoin(F.broadcast(tot))
+    out_cols.append(
+        F.round(
+            F.coalesce(F.col("_kept"), F.lit(0)) / F.col("_tot"), 6
+        ).alias("frac_docs")
+    )
+    if weight_col is not None:
+        out_cols += [
+            F.coalesce(F.col("_kept_w"), F.lit(0)).alias("n_weight"),
+            F.round(
+                F.coalesce(F.col("_kept_w"), F.lit(0)) / F.col("_tot_w"), 6
+            ).alias("frac_weight"),
+        ]
+    return sel.select(*out_cols)

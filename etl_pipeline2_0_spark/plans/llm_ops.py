@@ -5564,3 +5564,73 @@ SELECT source, n_docs, n_tokens, avg_quality, dup_rate,
        (avg_quality < med.m OR dup_rate > 0.2) AS flagged
 FROM per_dom CROSS JOIN med
 """
+
+
+# ------------------------------------------ filter threshold calibration -
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-gate calibration curve (the FineWeb-Edu threshold-study
+    # shape): docs and token mass kept at every candidate quality
+    # threshold 0.0 .. 0.9, from ONE corpus pass + a 10-row sweep.
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        text.quality_score(F.col("text")).alias("q"),
+        text.token_count(F.col("text")).alias("tc"),
+    )
+    return text.threshold_sweep(scored, "q", weight_col="tc")
+
+
+SQL_THRESHOLD_SWEEP = rf"""
+WITH base AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                    x -> length(x) > 0)) AS n_tokens,
+    regexp_replace(text, '[ \x09\x0A\x0D\x0B\x0C]+', '', 'g') AS compact,
+    list_filter(regexp_split_to_array(lower(text), '\W+'),
+                x -> length(x) > 0) AS toks
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN LENGTH(compact) = 0 THEN 0.0
+         ELSE (LENGTH(compact) - LENGTH(regexp_replace(compact, '\W', '', 'g')))
+              / LENGTH(compact) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> x IN ({_STOPS_SQL}))) / len(toks)
+         END AS stopword_ratio
+  FROM base
+), scored AS (
+  SELECT n_tokens AS tc,
+    ROUND((LEAST(n_tokens / 100.0, 1.0) + LEAST(stopword_ratio * 4, 1.0)
+           + (1.0 - LEAST(punct_ratio * 4, 1.0))) / 3, 6) AS q
+  FROM ratios
+), hist AS (
+  SELECT LEAST(CAST(FLOOR(CAST(ROUND(q * 1000000) AS BIGINT) / 100000)
+                    AS INT), 9) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(tc) AS BIGINT) AS w
+  FROM scored GROUP BY 1
+), cum AS (
+  SELECT b,
+         SUM(n) OVER (ORDER BY b DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS kept,
+         SUM(w) OVER (ORDER BY b DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS kept_w
+  FROM hist
+), tot AS (
+  SELECT SUM(n) AS tot_n, SUM(w) AS tot_w FROM hist
+), grid AS (
+  SELECT unnest(generate_series(0, 9)) AS k
+), filled AS (
+  SELECT g.k, MAX(c.kept) AS kept, MAX(c.kept_w) AS kept_w
+  FROM grid g LEFT JOIN cum c ON g.k <= c.b
+  GROUP BY g.k
+)
+SELECT ROUND(CAST(k AS DOUBLE) * 0.1, 6) AS threshold,
+       COALESCE(kept, 0) AS n_docs,
+       ROUND(COALESCE(kept, 0) * 1.0 / tot_n, 6) AS frac_docs,
+       COALESCE(kept_w, 0) AS n_weight,
+       ROUND(COALESCE(kept_w, 0) * 1.0 / tot_w, 6) AS frac_weight
+FROM filled CROSS JOIN tot
+"""

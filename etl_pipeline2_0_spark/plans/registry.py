@@ -290,6 +290,20 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
+    # ROUND-13 ROTATION (STAGED — execute next round): promote the two
+    # r11 late metric rows (minhash_precision, minhash_band_efficiency)
+    # plus the r12-added oracled entries (kn_score, langid_rank,
+    # mmr_select, minhash_decontam, domain_quality_rollup,
+    # threshold_sweep) — all ×3-SF parity-proven with zero driver rows.
+    # Demote the same count of thrice-green holdovers, keeping family
+    # anchors: candidates in green-row order are snapshot_diff,
+    # minhash_pairs_portable, simhash_pairs_portable (anchored by
+    # minhash_precision/band_efficiency + minhash_decontam after the
+    # swap), q21_waiting_suppliers, dup_components, embed_neardup,
+    # pii_redact, corpus_filter (quality anchored by the Gopher/C4
+    # batteries + quality_classifier + threshold_sweep).
+    # test_sql_registry.py re-pins after the reorder.
+    #
     # --- added r11 (past-cap; r13 promotion pool): LSH dedup
     #     precision — the complement of minhash_recall (what a
     #     destructive dedup would wrongly delete) — and the banded-join
@@ -333,6 +347,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_domain_quality_rollup,
         L.SQL_DOMAIN_QUALITY_ROLLUP,
     ),
+    # --- added r12 (past-cap; r13 promotion pool): quality-gate
+    #     calibration curve (docs + token mass kept per candidate
+    #     threshold) from one corpus pass + a 10-row sweep; integer
+    #     micro-unit buckets so boundary scores land exactly ---
+    "threshold_sweep": (L.q_threshold_sweep, L.SQL_THRESHOLD_SWEEP),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

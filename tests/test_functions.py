@@ -3424,3 +3424,28 @@ def test_domain_quality_rollup_flags_dup_heavy_and_low_quality(spark):
     assert got["soup"]["flagged"] and got["soup"]["avg_quality"] < 0.4
     assert got["healthy"]["dup_rate"] == 0.0
     assert got["healthy"]["n_docs"] == 6
+
+
+def test_threshold_sweep_exact_boundary_buckets(spark):
+    """The sweep's kept-counts agree with brute-force per-threshold
+    filters INCLUDING at exact decimal boundaries (0.3 stored as a
+    double sits just below the literal — the integer micro-unit
+    bucketing must not misplace it), empty buckets still emit grid
+    rows, and the weighted columns track token mass."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import text as T
+
+    rows = [(0.0, 10), (0.3, 20), (0.3, 5), (0.55, 1), (0.9, 100),
+            (0.15, 7), (0.999999, 2)]
+    df = spark.createDataFrame(rows, "q double, tc bigint")
+    got = {round(r["threshold"], 6): (r["n_docs"], r["n_weight"])
+           for r in T.threshold_sweep(df, "q", weight_col="tc").collect()}
+    assert len(got) == 10
+    for k in range(10):
+        t = k / 10.0
+        want_n = sum(1 for q, _ in rows if round(q * 1e6) >= round(t * 1e6))
+        want_w = sum(w for q, w in rows if round(q * 1e6) >= round(t * 1e6))
+        assert got[round(t, 6)] == (want_n, want_w), f"t={t}"
+    # boundary doc 0.3 is kept at threshold 0.3 (the floor(q*10) trap)
+    assert got[0.3][0] == 5
