@@ -5628,9 +5628,9 @@ WITH base AS (
   GROUP BY g.k
 )
 SELECT ROUND(CAST(k AS DOUBLE) * 0.1, 6) AS threshold,
-       COALESCE(kept, 0) AS n_docs,
+       CAST(COALESCE(kept, 0) AS BIGINT) AS n_docs,
        ROUND(COALESCE(kept, 0) * 1.0 / tot_n, 6) AS frac_docs,
-       COALESCE(kept_w, 0) AS n_weight,
+       CAST(COALESCE(kept_w, 0) AS BIGINT) AS n_weight,
        ROUND(COALESCE(kept_w, 0) * 1.0 / tot_w, 6) AS frac_weight
 FROM filled CROSS JOIN tot
 """
