@@ -1100,3 +1100,153 @@ def domain_concentration(
         ).alias("gini"),
         F.round(F.max("p"), 6).alias("top_share"),
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    density: float = 0.05,
+    max_span: int = 3,
+    salt: str = "",
+) -> DataFrame:
+    """T5-style span-corruption example construction (Raffel et al. 2020
+    §3.1.4 — the denoising objective behind T5/UL2 pretraining): replace
+    deterministic token spans with ordered sentinels, emitting the
+    (inputs, targets) pair a seq2seq trainer consumes,
+
+        inputs:  "tok tok <extra_id_0> tok <extra_id_1> tok …"
+        targets: "<extra_id_0> dropped toks <extra_id_1> … <extra_id_N>"
+
+    Span placement is hash-deterministic (the repo's md5 scheme, never
+    rand() — retried tasks and the DuckDB twin reproduce it exactly):
+    token i starts a span when md5(doc:i:s:salt) mod 1e6 < density·1e6,
+    with length 1 + md5(doc:i:l:salt) mod ``max_span``; overlapping or
+    adjacent-by-coverage spans MERGE into one sentinel, exactly like the
+    paper's implementation.
+
+    Scale shape: one tokenize + posexplode per doc (pre-partitioned by
+    id so every downstream window — coverage lookback, span ordinal,
+    reassembly — shares ONE exchange), windows are doc-partitioned
+    (never global), and the reassembly is a per-doc ordered string_agg.
+    Whitespace tokenization (``token_count`` semantics) keeps raw
+    tokens; sentinels follow the T5 vocabulary convention.
+
+    Output: (doc_id, n_tokens, n_spans, inputs, targets); docs with zero
+    tokens are dropped (no example to build).
+    """
+    from pyspark.sql.window import Window
+
+    thr = int(float(density) * 1_000_000)
+    tokd = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.col(text_col), r"[ \t\n\r\x0B\x0C]+"),
+            lambda t: F.length(t) > 0,
+        ).alias("_toks"),
+    ).where(F.size("_toks") > 0)
+    tokd = tokd.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    rows = tokd.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "tok")
+    ).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), "tok"
+    )
+
+    def _h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("pos").cast("string"),
+                        F.lit(tag),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    marked = rows.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.pmod(_h("s"), F.lit(1_000_000)) < thr).alias("is_start"),
+        (F.lit(1) + F.pmod(_h("l"), F.lit(int(max_span))))
+        .cast("int")
+        .alias("span_len"),
+    )
+    w_cov = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(int(max_span) - 1), 0)
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    covered = (
+        F.max(
+            F.when(F.col("is_start"), F.col("pos") + F.col("span_len"))
+        ).over(w_cov)
+        > F.col("pos")
+    )
+    c = marked.withColumn("covered", F.coalesce(covered, F.lit(False)))
+    c = c.withColumn(
+        "new_span",
+        F.col("covered")
+        & ~F.coalesce(F.lag("covered", 1).over(w_ord), F.lit(False)),
+    ).withColumn(
+        "span_k",
+        (F.sum(F.col("new_span").cast("int")).over(w_ord) - 1).cast("int"),
+    )
+    sentinel = lambda k: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), k.cast("string"), F.lit(">")
+    )
+    pieces = c.select(
+        "doc_id",
+        "pos",
+        "new_span",
+        F.when(~F.col("covered"), F.col("tok"))
+        .when(F.col("new_span"), sentinel(F.col("span_k")))
+        .alias("p_in"),
+        F.when(
+            F.col("new_span"),
+            F.concat(sentinel(F.col("span_k")), F.lit(" "), F.col("tok")),
+        )
+        .when(F.col("covered"), F.col("tok"))
+        .alias("p_tg"),
+    )
+
+    def _joined(col):
+        return F.array_join(
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col(col)))
+                    ),
+                    lambda x: x[col],
+                ),
+                lambda x: x.isNotNull(),
+            ),
+            " ",
+        )
+
+    agg = pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("new_span").cast("int")).cast("bigint").alias("n_spans"),
+        _joined("p_in").alias("inputs"),
+        _joined("p_tg").alias("_tg"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "inputs",
+        F.when(F.col("n_spans") == 0, F.lit("")).otherwise(
+            F.concat(F.col("_tg"), F.lit(" "), sentinel(F.col("n_spans")))
+        ).alias("targets"),
+    )

@@ -5634,3 +5634,79 @@ SELECT ROUND(CAST(k AS DOUBLE) * 0.1, 6) AS threshold,
        ROUND(COALESCE(kept_w, 0) * 1.0 / tot_w, 6) AS frac_weight
 FROM filled CROSS JOIN tot
 """
+
+
+# --------------------------------------- T5 span-corruption construction -
+
+
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5 denoising-objective example construction (Raffel et al. 2020
+    # §3.1.4): deterministic md5-placed corruption spans -> sentinel
+    # inputs + ordered targets, 5% density, spans of 1-3 tokens.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.span_corrupt(docs, density=0.05, max_span=3)
+
+
+SQL_SPAN_CORRUPT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), rows0 AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM toks WHERE len(toks) > 0
+), marked AS (
+  SELECT doc_id, pos, tok,
+    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+          CAST(pos AS VARCHAR) || ':s:'), 1, 15) AS BIGINT) % 1000000)
+      < 50000 AS is_start,
+    1 + (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+          CAST(pos AS VARCHAR) || ':l:'), 1, 15) AS BIGINT) % 3) AS span_len
+  FROM rows0
+), cov AS (
+  SELECT doc_id, pos, tok,
+    COALESCE(MAX(CASE WHEN is_start THEN pos + span_len END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) > pos,
+             FALSE) AS covered
+  FROM marked
+), sp AS (
+  SELECT doc_id, pos, tok, covered,
+    covered AND NOT COALESCE(
+      LAG(covered) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+      AS new_span
+  FROM cov
+), numbered AS (
+  SELECT doc_id, pos, tok, covered, new_span,
+    CAST(SUM(CASE WHEN new_span THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS span_k
+  FROM sp
+), pieces AS (
+  SELECT doc_id, pos, new_span,
+    CASE WHEN NOT covered THEN tok
+         WHEN new_span THEN '<extra_id_' || CAST(span_k AS VARCHAR) || '>'
+    END AS p_in,
+    CASE WHEN new_span
+           THEN '<extra_id_' || CAST(span_k AS VARCHAR) || '> ' || tok
+         WHEN covered THEN tok
+    END AS p_tg
+  FROM numbered
+), agg AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN new_span THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+    COALESCE(string_agg(p_in, ' ' ORDER BY pos)
+               FILTER (WHERE p_in IS NOT NULL), '') AS inputs,
+    COALESCE(string_agg(p_tg, ' ' ORDER BY pos)
+               FILTER (WHERE p_tg IS NOT NULL), '') AS tg
+  FROM pieces GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_spans, inputs,
+       CASE WHEN n_spans = 0 THEN ''
+            ELSE tg || ' <extra_id_' || CAST(n_spans AS VARCHAR) || '>'
+       END AS targets
+FROM agg
+"""
