@@ -150,6 +150,7 @@ HEADLINE = [
     "minhash_decontam",
     "domain_quality_rollup",
     "threshold_sweep",
+    "span_corrupt",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -352,6 +352,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     threshold) from one corpus pass + a 10-row sweep; integer
     #     micro-unit buckets so boundary scores land exactly ---
     "threshold_sweep": (L.q_threshold_sweep, L.SQL_THRESHOLD_SWEEP),
+    # --- added r12 (past-cap; r13 promotion pool): T5 span-corruption
+    #     example construction (Raffel et al. 2020 §3.1.4) — md5-placed
+    #     merged spans, sentinel inputs + ordered targets; splice-back
+    #     reconstruction invariant pinned in tests ---
+    "span_corrupt": (L.q_span_corrupt, L.SQL_SPAN_CORRUPT),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

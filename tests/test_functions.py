@@ -3449,3 +3449,52 @@ def test_threshold_sweep_exact_boundary_buckets(spark):
         assert got[round(t, 6)] == (want_n, want_w), f"t={t}"
     # boundary doc 0.3 is kept at threshold 0.3 (the floor(q*10) trap)
     assert got[0.3][0] == 5
+
+
+def test_span_corrupt_reconstruction_roundtrip(spark):
+    """The T5 invariant: splicing each target span back into its
+    sentinel slot in `inputs` reproduces the original token stream
+    EXACTLY, for every doc; sentinel ids are ordered 0..n_spans-1 with
+    the final <extra_id_n> terminator; span placement is deterministic
+    across runs; zero-token docs are dropped."""
+    import re
+
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    docs = [(i, " ".join(f"w{i}t{j}" for j in range(40))) for i in range(30)]
+    docs.append((99, "   "))  # whitespace-only -> dropped
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r
+           for r in M.span_corrupt(df, density=0.15, max_span=3).collect()}
+    assert 99 not in out and len(out) == 30
+    some_spans = 0
+    for i, text in docs[:-1]:
+        r = out[i]
+        orig = text.split()
+        assert r["n_tokens"] == len(orig)
+        if r["n_spans"] == 0:
+            assert r["inputs"] == " ".join(orig) and r["targets"] == ""
+            continue
+        some_spans += 1
+        # parse targets: <extra_id_0> toks... <extra_id_1> ... <extra_id_n>
+        parts = re.split(r"<extra_id_(\d+)>", r["targets"])
+        # parts = ['', '0', ' span0 ', '1', ' span1 ', ..., 'n', '']
+        spans = {}
+        for j in range(1, len(parts) - 1, 2):
+            spans[int(parts[j])] = parts[j + 1].strip().split()
+        terminator = int(parts[-2])
+        assert terminator == r["n_spans"]
+        rebuilt = []
+        for tok in r["inputs"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            rebuilt.extend(spans[int(m.group(1))] if m else [tok])
+        assert rebuilt == orig, f"doc {i} roundtrip failed"
+        # sentinels appear in order 0..n-1 in inputs
+        ks = [int(m.group(1)) for m in
+              re.finditer(r"<extra_id_(\d+)>", r["inputs"])]
+        assert ks == list(range(r["n_spans"]))
+    assert some_spans > 10  # density 0.15 over 40 tokens: spans are common
+    # determinism
+    again = {r["doc_id"]: r["inputs"]
+             for r in M.span_corrupt(df, density=0.15, max_span=3).collect()}
+    assert all(again[i] == out[i]["inputs"] for i, _ in docs[:-1])
