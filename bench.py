@@ -151,6 +151,7 @@ HEADLINE = [
     "domain_quality_rollup",
     "threshold_sweep",
     "span_corrupt",
+    "unigram_train",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

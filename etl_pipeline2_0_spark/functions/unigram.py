@@ -1,0 +1,287 @@
+"""Unigram-LM tokenizer training (SentencePiece's model family).
+
+Implements Kudo 2018 ("Subword Regularization: Improving Neural Network
+Translation Models with Multiple Subword Candidates" — the unigram
+language model SentencePiece trains) in the hard-EM (Viterbi) variant:
+
+  1. candidate vocabulary = every substring (length ≤ ``max_piece_len``)
+     of the bounded word-TYPE table, seeded with frequency-weighted
+     substring-occurrence counts;
+  2. E-step: Viterbi-best segmentation of every word type under the
+     current piece log-probabilities;
+  3. M-step: re-estimate piece probabilities from the frequency-weighted
+     Viterbi usage counts (add-one smoothed so unused candidates stay
+     finite);
+  4. after ``em_iters`` rounds, prune to the ``vocab_size`` highest-count
+     pieces, never dropping single characters (coverage guarantee —
+     every word stays segmentable).
+
+Everything is expressed RELATIONALLY so the whole loop carries an exact
+DuckDB twin: the Viterbi DP unrolls as ``max_word_len`` bounded
+argmax-join steps (forward) plus ``max_word_len`` backpointer-walk steps
+(backward) per EM round, all over the ≤ ``max_word_types``-row type
+table — the same bounded-loop discipline as the BPE trainer
+(``text.bpe_train_merges``), and like it COMPLETELY corpus-size-
+independent after the one full-corpus word count.
+
+Determinism contract (mirrored verbatim in the SQL twin): log-probs and
+path costs round to 6 dp at every materialization; every argmax breaks
+ties by (cost desc, span length desc, piece asc); the word-type cut is
+(freq desc, word asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _word_types(
+    df: DataFrame,
+    text_col: str,
+    max_word_types: int,
+    max_word_len: int,
+) -> DataFrame:
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("word")
+    ).where(F.length("word") <= max_word_len)
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(max_word_types)
+        .localCheckpoint(eager=False)
+    )
+
+
+def _spans(wt: DataFrame, max_piece_len: int) -> DataFrame:
+    """All (word, i, j, piece) substring spans, 0 ≤ i < j ≤ len(word),
+    j − i ≤ max_piece_len.  ≤ types · len · max_piece_len rows."""
+    L = F.length("word")
+    return (
+        wt.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(0), L - 1)).alias("i"),
+        )
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.col("i") + 1,
+                    F.least(F.col("i") + max_piece_len, F.length("word")),
+                )
+            ).alias("j"),
+        )
+        .select(
+            "word",
+            "freq",
+            "i",
+            "j",
+            F.expr("substring(word, i + 1, j - i)").alias("piece"),
+        )
+    )
+
+
+def _viterbi_usage(
+    spans_p: DataFrame,
+    wt: DataFrame,
+    max_word_len: int,
+) -> DataFrame:
+    """One E-step: Viterbi-segment every word type under the piece
+    log-probs carried on ``spans_p`` (word, i, j, piece, logp); return
+    frequency-weighted piece usage counts (piece, c).
+
+    The DP runs as a JVM-side higher-order FOLD per word (collect the
+    word's spans once, ``aggregate`` over positions building the
+    cost+backpointer array, a second bounded fold walks the pointers
+    back) — one stage per E-step instead of the 2·max_word_len argmax
+    joins the relational formulation costs (measured ~4× end-to-end;
+    the zip_with/codegen discipline).  The DuckDB twin keeps the
+    unrolled-CTE relational construction — identical recurrence,
+    identical 6 dp rounding and (cost desc, span-length desc, piece asc)
+    tie-break, so values agree exactly.
+    """
+    wordspans = (
+        spans_p.groupBy("word")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("i").alias("i"),
+                    F.col("j").alias("j"),
+                    F.col("piece").alias("piece"),
+                    F.col("logp").alias("logp"),
+                )
+            ).alias("sp")
+        )
+        .join(wt, "word")
+    )
+
+    def _cmp(a, b):
+        # (cost desc, span length desc, piece asc) — mirrored in the
+        # twin's ROW_NUMBER ordering.
+        return (
+            F.when(a["cost"] > b["cost"], F.lit(-1))
+            .when(a["cost"] < b["cost"], F.lit(1))
+            .when(a["len"] > b["len"], F.lit(-1))
+            .when(a["len"] < b["len"], F.lit(1))
+            .when(a["piece"] < b["piece"], F.lit(-1))
+            .when(a["piece"] > b["piece"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    sp = F.col("sp")
+    init = F.array(
+        F.struct(
+            F.lit(0.0).alias("cost"),
+            F.lit(-1).alias("bp_i"),
+            F.lit(None).cast("string").alias("bp_piece"),
+        )
+    )
+
+    def _forward(acc, j):
+        cands = F.filter(sp, lambda s: s["j"] == j)
+        scored = F.transform(
+            cands,
+            lambda s: F.struct(
+                F.round(
+                    F.element_at(acc, s["i"] + 1)["cost"] + s["logp"], 6
+                ).alias("cost"),
+                (s["j"] - s["i"]).alias("len"),
+                s["piece"].alias("piece"),
+                s["i"].alias("i"),
+            ),
+        )
+        best = F.element_at(F.array_sort(scored, _cmp), 1)
+        # Positions past the word's length have no candidates: carry a
+        # null entry so indices stay aligned (never dereferenced — the
+        # backward walk starts at len(word)).
+        nxt = F.when(
+            F.size(cands) == 0,
+            F.struct(
+                F.lit(None).cast("double").alias("cost"),
+                F.lit(-1).alias("bp_i"),
+                F.lit(None).cast("string").alias("bp_piece"),
+            ),
+        ).otherwise(
+            F.struct(
+                best["cost"].alias("cost"),
+                best["i"].alias("bp_i"),
+                best["piece"].alias("bp_piece"),
+            )
+        )
+        return F.concat(acc, F.array(nxt))
+
+    dp_col = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.length("word"), F.lit(max_word_len))),
+        init,
+        _forward,
+    )
+    withdp = wordspans.select("word", "freq", dp_col.alias("dp"))
+
+    def _backward(acc, _):
+        ent = F.element_at(F.col("dp"), acc["pos"] + 1)
+        return F.when(acc["pos"] <= 0, acc).otherwise(
+            F.struct(
+                ent["bp_i"].alias("pos"),
+                F.concat(
+                    acc["pieces"], F.array(ent["bp_piece"])
+                ).alias("pieces"),
+            )
+        )
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.length("word"), F.lit(max_word_len))),
+        F.struct(
+            F.length("word").cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("pieces"),
+        ),
+        _backward,
+    )
+    return (
+        withdp.select("freq", F.explode(walk["pieces"]).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("c"))
+    )
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    em_iters: int = 2,
+    max_piece_len: int = 4,
+    max_word_types: int = 256,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Train a unigram-LM tokenizer vocabulary (Kudo 2018, Viterbi
+    hard-EM; the model family SentencePiece ships) — see module
+    docstring for the algorithm and determinism contract.
+
+    Output: (piece, n_uses, logp) — the pruned ``vocab_size``-piece
+    vocabulary with final frequency-weighted Viterbi usage counts and
+    add-one-smoothed log-probabilities.  Single-character pieces are
+    never pruned (coverage).
+
+    Scale: ONE full-corpus pass (the word count feeding the type cut);
+    the EM loop runs entirely on ≤ max_word_types·max_word_len·
+    max_piece_len-row relations.
+    """
+    wt = _word_types(df, text_col, max_word_types, max_word_len)
+    spans = _spans(wt, max_piece_len).localCheckpoint(eager=False)
+    cand = (
+        spans.groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n"))
+    for _ in range(em_iters):
+        tot = cand.agg(F.sum("c").alias("t"))
+        probs = (
+            cand.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(n_cand))
+            .select(
+                "piece",
+                F.round(
+                    F.log((F.col("c") + 1.0) / (F.col("t") + F.col("n"))), 6
+                ).alias("logp"),
+            )
+        )
+        spans_p = spans.join(F.broadcast(probs), "piece").select(
+            "word", "i", "j", "piece", "logp"
+        )
+        used = _viterbi_usage(spans_p, wt, max_word_len)
+        # Unused candidates persist with c = 0 (smoothed next round /
+        # in the final logp) so the candidate set is EM-invariant.
+        cand = (
+            cand.select("piece")
+            .join(used, "piece", "left")
+            .select("piece", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+            .localCheckpoint(eager=False)
+        )
+    tot = cand.agg(F.sum("c").alias("t"))
+    scored = (
+        cand.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "piece",
+            F.col("c").cast("bigint").alias("n_uses"),
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("t") + F.col("n"))), 6
+            ).alias("logp"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("n_uses").desc(), F.col("piece").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_rank))
+        .where((F.col("_rn") <= vocab_size) | (F.length("piece") == 1))
+        .select("piece", "n_uses", "logp")
+    )

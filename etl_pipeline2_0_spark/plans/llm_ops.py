@@ -5710,3 +5710,144 @@ SELECT doc_id, n_tokens, n_spans, inputs,
        END AS targets
 FROM agg
 """
+
+
+# ------------------------------ unigram-LM tokenizer training (Kudo 2018) -
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SentencePiece-family unigram-LM vocabulary, Viterbi hard-EM over
+    # the bounded word-type table (2 EM rounds, pieces <= 4 chars,
+    # vocab 200 + all single chars).
+    from etl_pipeline2_0_spark.functions import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_train(
+        docs, vocab_size=200, em_iters=2, max_piece_len=4,
+        max_word_types=256, max_word_len=12,
+    )
+
+
+def _sql_unigram_train(
+    vocab_size: int = 200,
+    em_iters: int = 2,
+    max_piece_len: int = 4,
+    max_word_types: int = 256,
+    max_word_len: int = 12,
+) -> str:
+    # The Spark side folds the Viterbi DP JVM-side; this twin unrolls the
+    # SAME recurrence as max_word_len argmax CTEs (forward) plus
+    # max_word_len backpointer hops (backward) per EM round — identical
+    # 6 dp rounding, identical (cost desc, span-len desc, piece asc)
+    # tie-break, so values agree exactly.  Multi-referenced CTEs are
+    # MATERIALIZED (the BPE-twin lesson: DuckDB inlines them
+    # exponentially otherwise).
+    L = max_word_len
+    parts = [
+        r"""wt AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> length(x) > 0)) AS word
+    FROM documents
+  ) WHERE length(word) <= """ + str(L) + f"""
+  GROUP BY word ORDER BY freq DESC, word ASC LIMIT {max_word_types}
+)""",
+        f"""spans AS MATERIALIZED (
+  SELECT word, freq, i, j, substring(word, i + 1, j - i) AS piece
+  FROM (
+    SELECT word, freq, unnest(generate_series(0, length(word) - 1)) AS i
+    FROM wt
+  ), LATERAL (
+    SELECT unnest(generate_series(i + 1,
+                                  LEAST(i + {max_piece_len},
+                                        length(word)))) AS j
+  )
+)""",
+        """cand0 AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS c FROM spans GROUP BY piece
+)""",
+        "ncand AS (SELECT COUNT(*) AS n FROM cand0)",
+    ]
+    for it in range(1, em_iters + 1):
+        prev = f"cand{it - 1}"
+        parts += [
+            f"tot{it} AS (SELECT SUM(c) AS t FROM {prev})",
+            f"""probs{it} AS MATERIALIZED (
+  SELECT piece, ROUND(ln((c + 1.0) / (t + n)), 6) AS logp
+  FROM {prev} CROSS JOIN tot{it} CROSS JOIN ncand
+)""",
+            f"""sp{it} AS MATERIALIZED (
+  SELECT s.word, s.i, s.j, s.piece, p.logp
+  FROM spans s JOIN probs{it} p USING (piece)
+)""",
+            f"""bu{it}_0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, 0.0 AS cost,
+         CAST(NULL AS INT) AS bp_i, CAST(NULL AS VARCHAR) AS bp_piece
+  FROM wt
+)""",
+        ]
+        for j in range(1, L + 1):
+            parts += [
+                f"""b{it}_{j} AS MATERIALIZED (
+  SELECT word, {j} AS pos, cost, i AS bp_i, piece AS bp_piece FROM (
+    SELECT s.word, s.i, s.piece, ROUND(b.cost + s.logp, 6) AS cost,
+           ROW_NUMBER() OVER (PARTITION BY s.word
+                              ORDER BY ROUND(b.cost + s.logp, 6) DESC,
+                                       (s.j - s.i) DESC, s.piece ASC) AS rn
+    FROM sp{it} s
+    JOIN bu{it}_{j - 1} b ON b.word = s.word AND b.pos = s.i
+    WHERE s.j = {j}
+  ) WHERE rn = 1
+)""",
+                f"""bu{it}_{j} AS MATERIALIZED (
+  SELECT * FROM bu{it}_{j - 1} UNION ALL SELECT * FROM b{it}_{j}
+)""",
+            ]
+        parts.append(
+            f"""cur{it}_0 AS (
+  SELECT word, freq, CAST(length(word) AS INT) AS pos FROM wt
+)"""
+        )
+        for s in range(1, L + 1):
+            parts += [
+                f"""hop{it}_{s} AS MATERIALIZED (
+  SELECT c.word, c.freq, b.bp_i, b.bp_piece
+  FROM cur{it}_{s - 1} c
+  JOIN bu{it}_{L} b ON b.word = c.word AND b.pos = c.pos
+  WHERE c.pos > 0
+)""",
+                f"""cur{it}_{s} AS (
+  SELECT word, freq, bp_i AS pos FROM hop{it}_{s}
+)""",
+            ]
+        used_union = "\n  UNION ALL\n".join(
+            f"  SELECT freq, bp_piece AS piece FROM hop{it}_{s}"
+            for s in range(1, L + 1)
+        )
+        parts += [
+            f"used{it} AS (\n{used_union}\n)",
+            f"""cand{it} AS MATERIALIZED (
+  SELECT c0.piece,
+         CAST(COALESCE(u.c, 0) AS BIGINT) AS c
+  FROM cand0 c0
+  LEFT JOIN (SELECT piece, SUM(freq) AS c FROM used{it} GROUP BY piece) u
+    USING (piece)
+)""",
+        ]
+    last = f"cand{em_iters}"
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+tot_f AS (SELECT SUM(c) AS t FROM {last}),
+scored AS (
+  SELECT piece, CAST(c AS BIGINT) AS n_uses,
+         ROUND(ln((c + 1.0) / (t + n)), 6) AS logp,
+         ROW_NUMBER() OVER (ORDER BY c DESC, piece ASC) AS rn
+  FROM {last} CROSS JOIN tot_f CROSS JOIN ncand
+)
+SELECT piece, n_uses, logp FROM scored
+WHERE rn <= {vocab_size} OR length(piece) = 1
+"""
+    )
+
+
+SQL_UNIGRAM_TRAIN = _sql_unigram_train()

@@ -294,7 +294,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # r11 late metric rows (minhash_precision, minhash_band_efficiency)
     # plus the r12-added oracled entries (kn_score, langid_rank,
     # mmr_select, minhash_decontam, domain_quality_rollup,
-    # threshold_sweep) — all ×3-SF parity-proven with zero driver rows.
+    # threshold_sweep, span_corrupt, and any later r12 additions below)
+    # — all ×3-SF parity-proven with zero driver rows.
     # Demote the same count of thrice-green holdovers, keeping family
     # anchors: candidates in green-row order are snapshot_diff,
     # minhash_pairs_portable, simhash_pairs_portable (anchored by
@@ -357,6 +358,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     merged spans, sentinel inputs + ordered targets; splice-back
     #     reconstruction invariant pinned in tests ---
     "span_corrupt": (L.q_span_corrupt, L.SQL_SPAN_CORRUPT),
+    # --- added r12 (past-cap; r13 promotion pool): unigram-LM tokenizer
+    #     training (Kudo 2018, the SentencePiece model family) — Viterbi
+    #     hard-EM over the bounded word-type table, JVM-side DP fold
+    #     with an unrolled-CTE DuckDB twin; matches an independent
+    #     Python EM replica exactly (tests) ---
+    "unigram_train": (L.q_unigram_train, L.SQL_UNIGRAM_TRAIN),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -3498,3 +3498,77 @@ def test_span_corrupt_reconstruction_roundtrip(spark):
     again = {r["doc_id"]: r["inputs"]
              for r in M.span_corrupt(df, density=0.15, max_span=3).collect()}
     assert all(again[i] == out[i]["inputs"] for i, _ in docs[:-1])
+
+
+def test_unigram_train_matches_reference_viterbi_em(spark):
+    """The engine's unigram-LM trainer (Viterbi hard-EM) reproduces an
+    independent pure-Python replica EXACTLY on a small corpus — same
+    candidate seeding, same 6dp rounding, same (cost desc, len desc,
+    piece asc) tie-break — and the vocabulary keeps every single char
+    (coverage: any word stays segmentable)."""
+    import math
+    from collections import Counter
+
+    from etl_pipeline2_0_spark.functions import unigram as U
+
+    text = "the playground play ground the playground play the ground"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id bigint, text string"
+    )
+    got = {r["piece"]: (r["n_uses"], r["logp"])
+           for r in U.unigram_train(
+               docs, vocab_size=30, em_iters=2, max_piece_len=4,
+               max_word_types=256, max_word_len=12).collect()}
+
+    # ---- independent replica ----
+    words = Counter()
+    for _ in range(3):
+        for w in text.split():
+            words[w] += 1
+    spans = {}   # (word) -> list of (i, j, piece)
+    cand = Counter()
+    for w, f in words.items():
+        sp = []
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + 4, len(w)) + 1):
+                sp.append((i, j, w[i:j]))
+                cand[w[i:j]] += f
+        spans[w] = sp
+    n_cand = len(cand)
+    counts = dict(cand)
+    for _ in range(2):  # EM rounds
+        tot = sum(counts.values())
+        logp = {p: round(math.log((c + 1.0) / (tot + n_cand)), 6)
+                for p, c in counts.items()}
+        new = {p: 0 for p in counts}
+        for w, f in words.items():
+            best = {0: (0.0, None, None)}
+            for j in range(1, len(w) + 1):
+                options = []
+                for (i, jj, piece) in spans[w]:
+                    if jj == j and i in best:
+                        c = round(best[i][0] + logp[piece], 6)
+                        options.append((-c, -(jj - i), piece, i))
+                options.sort()
+                c, l, piece, i = options[0]
+                best[j] = (-c, i, piece)
+            pos = len(w)
+            while pos > 0:
+                _, i, piece = best[pos]
+                new[piece] += f
+                pos = i
+        counts = new
+    tot = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {}
+    for rn, (p, c) in enumerate(ranked, 1):
+        if rn <= 30 or len(p) == 1:
+            want[p] = (c, round(math.log((c + 1.0) / (tot + n_cand)), 6))
+    assert got == want
+    # coverage: every char of every word type survives pruning
+    chars = {ch for w in words for ch in w}
+    assert chars <= set(got)
+    # subword discovery: multi-char pieces carry real usage mass ('play'
+    # is used by both 'play' and 'playground'); chars alone would not
+    assert got["play"][0] >= 12
+    assert sum(c for p, (c, _) in got.items() if len(p) >= 3) > 0
