@@ -152,6 +152,7 @@ HEADLINE = [
     "threshold_sweep",
     "span_corrupt",
     "unigram_train",
+    "unigram_segment_words",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -91,14 +91,14 @@ def _spans(wt: DataFrame, max_piece_len: int) -> DataFrame:
     )
 
 
-def _viterbi_usage(
+def _viterbi_segments(
     spans_p: DataFrame,
     wt: DataFrame,
     max_word_len: int,
 ) -> DataFrame:
-    """One E-step: Viterbi-segment every word type under the piece
+    """One E-step core: Viterbi-segment every word type under the piece
     log-probs carried on ``spans_p`` (word, i, j, piece, logp); return
-    frequency-weighted piece usage counts (piece, c).
+    (word, freq, pieces) with the ordered best segmentation.
 
     The DP runs as a JVM-side higher-order FOLD per word (collect the
     word's spans once, ``aggregate`` over positions building the
@@ -206,8 +206,22 @@ def _viterbi_usage(
         ),
         _backward,
     )
+    # The backward walk emits pieces END-first; reverse for reading order.
+    return withdp.select(
+        "word", "freq", F.reverse(walk["pieces"]).alias("pieces")
+    )
+
+
+def _viterbi_usage(
+    spans_p: DataFrame,
+    wt: DataFrame,
+    max_word_len: int,
+) -> DataFrame:
+    """Frequency-weighted piece usage counts (piece, c) from the
+    Viterbi-best segmentations."""
     return (
-        withdp.select("freq", F.explode(walk["pieces"]).alias("piece"))
+        _viterbi_segments(spans_p, wt, max_word_len)
+        .select("freq", F.explode("pieces").alias("piece"))
         .groupBy("piece")
         .agg(F.sum("freq").cast("bigint").alias("c"))
     )
@@ -235,6 +249,22 @@ def unigram_train(
     the EM loop runs entirely on ≤ max_word_types·max_word_len·
     max_piece_len-row relations.
     """
+    _, _, vocab = _train(
+        df, text_col, vocab_size, em_iters, max_piece_len,
+        max_word_types, max_word_len,
+    )
+    return vocab
+
+
+def _train(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int,
+    em_iters: int,
+    max_piece_len: int,
+    max_word_types: int,
+    max_word_len: int,
+):
     wt = _word_types(df, text_col, max_word_types, max_word_len)
     spans = _spans(wt, max_piece_len).localCheckpoint(eager=False)
     cand = (
@@ -279,9 +309,47 @@ def unigram_train(
             ).alias("logp"),
         )
     )
+    # Single-partition rank window over the BOUNDED candidate table
+    # (≤ types·len·piece_len rows — the sketch-relation exemption).
     w_rank = Window.orderBy(F.col("n_uses").desc(), F.col("piece").asc())
-    return (
+    vocab = (
         scored.withColumn("_rn", F.row_number().over(w_rank))
         .where((F.col("_rn") <= vocab_size) | (F.length("piece") == 1))
         .select("piece", "n_uses", "logp")
+        .localCheckpoint(eager=False)
+    )
+    return wt, spans, vocab
+
+
+def unigram_segment_words(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    em_iters: int = 2,
+    max_piece_len: int = 4,
+    max_word_types: int = 256,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Apply side of the unigram trainer (the ``bpe_segment_words``
+    mirror): Viterbi-segment every word type under the PRUNED trained
+    vocabulary — exactly the segmentation an inference tokenizer would
+    emit, coverage-guaranteed because single-char pieces survive
+    pruning.
+
+    Output: (word, freq, n_pieces, pieces) with pieces space-joined in
+    reading order.
+    """
+    wt, spans, vocab = _train(
+        df, text_col, vocab_size, em_iters, max_piece_len,
+        max_word_types, max_word_len,
+    )
+    spans_v = spans.join(
+        F.broadcast(vocab.select("piece", "logp")), "piece"
+    ).select("word", "i", "j", "piece", "logp")
+    seg = _viterbi_segments(spans_v, wt, max_word_len)
+    return seg.select(
+        "word",
+        "freq",
+        F.size("pieces").cast("int").alias("n_pieces"),
+        F.array_join("pieces", " ").alias("pieces"),
     )

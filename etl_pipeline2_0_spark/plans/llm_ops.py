@@ -5835,19 +5835,101 @@ def _sql_unigram_train(
 )""",
         ]
     last = f"cand{em_iters}"
-    return (
-        "WITH " + ",\n".join(parts) + f""",
-tot_f AS (SELECT SUM(c) AS t FROM {last}),
-scored AS (
+    parts += [
+        f"tot_f AS (SELECT SUM(c) AS t FROM {last})",
+        f"""scored AS (
   SELECT piece, CAST(c AS BIGINT) AS n_uses,
          ROUND(ln((c + 1.0) / (t + n)), 6) AS logp,
          ROW_NUMBER() OVER (ORDER BY c DESC, piece ASC) AS rn
   FROM {last} CROSS JOIN tot_f CROSS JOIN ncand
-)
-SELECT piece, n_uses, logp FROM scored
-WHERE rn <= {vocab_size} OR length(piece) = 1
+)""",
+        f"""vocab AS MATERIALIZED (
+  SELECT piece, n_uses, logp FROM scored
+  WHERE rn <= {vocab_size} OR length(piece) = 1
+)""",
+    ]
+    return parts
+
+
+def _sql_unigram_train_sql() -> str:
+    parts = _sql_unigram_train()
+    return "WITH " + ",\n".join(parts) + "\nSELECT piece, n_uses, logp FROM vocab"
+
+
+def _sql_unigram_segment_sql(max_word_len: int = 12) -> str:
+    # Extends the train CTE chain with one more Viterbi pass under the
+    # PRUNED vocab, then reassembles each word's segmentation in reading
+    # order (hops emit end-first -> ORDER BY step DESC).
+    L = max_word_len
+    parts = _sql_unigram_train()
+    parts += [
+        """spv AS MATERIALIZED (
+  SELECT s.word, s.i, s.j, s.piece, v.logp
+  FROM spans s JOIN vocab v USING (piece)
+)""",
+        """bvu_0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, 0.0 AS cost,
+         CAST(NULL AS INT) AS bp_i, CAST(NULL AS VARCHAR) AS bp_piece
+  FROM wt
+)""",
+    ]
+    for j in range(1, L + 1):
+        parts += [
+            f"""bv_{j} AS MATERIALIZED (
+  SELECT word, {j} AS pos, cost, i AS bp_i, piece AS bp_piece FROM (
+    SELECT s.word, s.i, s.piece, ROUND(b.cost + s.logp, 6) AS cost,
+           ROW_NUMBER() OVER (PARTITION BY s.word
+                              ORDER BY ROUND(b.cost + s.logp, 6) DESC,
+                                       (s.j - s.i) DESC, s.piece ASC) AS rn
+    FROM spv s
+    JOIN bvu_{j - 1} b ON b.word = s.word AND b.pos = s.i
+    WHERE s.j = {j}
+  ) WHERE rn = 1
+)""",
+            f"""bvu_{j} AS MATERIALIZED (
+  SELECT * FROM bvu_{j - 1} UNION ALL SELECT * FROM bv_{j}
+)""",
+        ]
+    parts.append(
+        "curv_0 AS (SELECT word, freq, CAST(length(word) AS INT) AS pos"
+        " FROM wt)"
+    )
+    for s in range(1, L + 1):
+        parts += [
+            f"""hopv_{s} AS MATERIALIZED (
+  SELECT c.word, c.freq, b.bp_i, b.bp_piece
+  FROM curv_{s - 1} c
+  JOIN bvu_{L} b ON b.word = c.word AND b.pos = c.pos
+  WHERE c.pos > 0
+)""",
+            f"curv_{s} AS (SELECT word, freq, bp_i AS pos FROM hopv_{s})",
+        ]
+    used_union = "\n  UNION ALL\n".join(
+        f"  SELECT word, freq, {s} AS step, bp_piece AS piece FROM hopv_{s}"
+        for s in range(1, L + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+segv AS (\n{used_union}\n)
+SELECT word, freq,
+       CAST(COUNT(*) AS INT) AS n_pieces,
+       string_agg(piece, ' ' ORDER BY step DESC) AS pieces
+FROM segv GROUP BY word, freq
 """
     )
 
 
-SQL_UNIGRAM_TRAIN = _sql_unigram_train()
+SQL_UNIGRAM_TRAIN = _sql_unigram_train_sql()
+SQL_UNIGRAM_SEGMENT = _sql_unigram_segment_sql()
+
+
+def q_unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Apply side of the unigram trainer: Viterbi segmentation of every
+    # word type under the pruned trained vocabulary.
+    from etl_pipeline2_0_spark.functions import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_segment_words(
+        docs, vocab_size=200, em_iters=2, max_piece_len=4,
+        max_word_types=256, max_word_len=12,
+    )

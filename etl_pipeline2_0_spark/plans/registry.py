@@ -364,6 +364,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     with an unrolled-CTE DuckDB twin; matches an independent
     #     Python EM replica exactly (tests) ---
     "unigram_train": (L.q_unigram_train, L.SQL_UNIGRAM_TRAIN),
+    "unigram_segment_words": (
+        L.q_unigram_segment_words,
+        L.SQL_UNIGRAM_SEGMENT,
+    ),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -3572,3 +3572,24 @@ def test_unigram_train_matches_reference_viterbi_em(spark):
     # is used by both 'play' and 'playground'); chars alone would not
     assert got["play"][0] >= 12
     assert sum(c for p, (c, _) in got.items() if len(p) >= 3) > 0
+
+
+def test_unigram_segment_words_concat_invariant(spark):
+    """Every word type's Viterbi segmentation under the pruned vocab
+    concatenates back to the word exactly (coverage guarantee: single
+    chars survive pruning, so no word is unsegmentable), and compound
+    words segment into their high-frequency parts."""
+    from etl_pipeline2_0_spark.functions import unigram as U
+
+    text = "the playground play ground the playground play the ground"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id bigint, text string"
+    )
+    seg = {r["word"]: r for r in U.unigram_segment_words(
+        docs, vocab_size=30, em_iters=2).collect()}
+    assert set(seg) == {"the", "playground", "play", "ground"}
+    for w, r in seg.items():
+        assert r["pieces"].replace(" ", "") == w
+        assert r["n_pieces"] == len(r["pieces"].split())
+    # the compound reuses the standalone words' pieces
+    assert seg["playground"]["n_pieces"] <= 3
