@@ -153,6 +153,7 @@ HEADLINE = [
     "span_corrupt",
     "unigram_train",
     "unigram_segment_words",
+    "unigram_fertility",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

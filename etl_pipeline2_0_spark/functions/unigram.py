@@ -353,3 +353,91 @@ def unigram_segment_words(
         F.size("pieces").cast("int").alias("n_pieces"),
         F.array_join("pieces", " ").alias("pieces"),
     )
+
+
+def unigram_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_size: int = 200,
+    em_iters: int = 2,
+    max_piece_len: int = 4,
+    max_word_types: int = 256,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Tokenizer fertility (pieces per word) by ``group_col`` under the
+    trained unigram vocabulary — the ``tokenizer_fertility`` mirror for
+    the unigram family, so the two tokenizers' coverage is directly
+    comparable on the same corpus.
+
+    Unlike training (whose word types all came from the corpus slice the
+    candidates were built on), scoring ALL corpus words can hit
+    UNSEGMENTABLE ones — a word containing a character the pruned vocab
+    never saw has no Viterbi path; such words count in ``n_words`` but
+    not in the fertility denominator (``n_covered``), mirroring how
+    production tokenizers report <unk> coverage separately.  Words
+    longer than ``max_word_len`` are likewise excluded from coverage.
+
+    Scale: the vocabulary trains on the bounded type table as usual; the
+    scoring DP runs per DISTINCT word (type-level cost, not corpus
+    cost), and the per-(group, word) occurrence counts come from one
+    map-side-combinable aggregate joined back against the ≤ |distinct
+    words|-row segmentation table.
+
+    Output: (group, n_words, n_covered, n_pieces, fertility).
+    """
+    _, _, vocab = _train(
+        df, text_col, vocab_size, em_iters, max_piece_len,
+        max_word_types, max_word_len,
+    )
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("word"),
+    )
+    sw = toks.groupBy("grp", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wt_all = (
+        sw.where(F.length("word") <= max_word_len)
+        .select("word")
+        .distinct()
+        .select("word", F.lit(1).cast("bigint").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    spans_all = _spans(wt_all, max_piece_len).join(
+        F.broadcast(vocab.select("piece", "logp")), "piece"
+    ).select("word", "i", "j", "piece", "logp")
+    seg = _viterbi_segments(spans_all, wt_all, max_word_len)
+    per_word = seg.select(
+        "word",
+        F.size("pieces").cast("bigint").alias("wp"),
+        (~F.exists("pieces", lambda p: p.isNull())).alias("covered"),
+    )
+    joined = sw.join(per_word, "word", "left").select(
+        "grp",
+        "cnt",
+        F.coalesce(F.col("covered"), F.lit(False)).alias("covered"),
+        F.coalesce(F.col("wp"), F.lit(0)).alias("wp"),
+    )
+    return joined.groupBy(F.col("grp").alias(group_col)).agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.when(F.col("covered"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_covered"),
+        F.sum(F.when(F.col("covered"), F.col("cnt") * F.col("wp")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pieces"),
+        F.round(
+            F.sum(F.when(F.col("covered"), F.col("cnt") * F.col("wp")).otherwise(0))
+            / F.greatest(
+                F.sum(F.when(F.col("covered"), F.col("cnt")).otherwise(0)),
+                F.lit(1),
+            ),
+            6,
+        ).alias("fertility"),
+    )

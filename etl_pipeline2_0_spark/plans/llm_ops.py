@@ -5856,71 +5856,154 @@ def _sql_unigram_train_sql() -> str:
     return "WITH " + ",\n".join(parts) + "\nSELECT piece, n_uses, logp FROM vocab"
 
 
-def _sql_unigram_segment_sql(max_word_len: int = 12) -> str:
-    # Extends the train CTE chain with one more Viterbi pass under the
-    # PRUNED vocab, then reassembles each word's segmentation in reading
-    # order (hops emit end-first -> ORDER BY step DESC).
-    L = max_word_len
-    parts = _sql_unigram_train()
-    parts += [
-        """spv AS MATERIALIZED (
-  SELECT s.word, s.i, s.j, s.piece, v.logp
-  FROM spans s JOIN vocab v USING (piece)
-)""",
-        """bvu_0 AS MATERIALIZED (
+def _sql_dp_chain(tag: str, wt_cte: str, spans_cte: str, L: int) -> list:
+    # One Viterbi pass as unrolled CTEs over ``wt_cte`` words with
+    # ``spans_cte`` (word, i, j, piece, logp) spans: forward argmax
+    # steps {tag}_j with running union {tag}u_j, then backward
+    # backpointer hops {tag}h_s.  Callers assemble segmentations from
+    # the hops ({tag}seg: word, freq, step, piece — end-first order).
+    parts = [
+        f"""{tag}u_0 AS MATERIALIZED (
   SELECT word, 0 AS pos, 0.0 AS cost,
          CAST(NULL AS INT) AS bp_i, CAST(NULL AS VARCHAR) AS bp_piece
-  FROM wt
+  FROM {wt_cte}
 )""",
     ]
     for j in range(1, L + 1):
         parts += [
-            f"""bv_{j} AS MATERIALIZED (
+            f"""{tag}_{j} AS MATERIALIZED (
   SELECT word, {j} AS pos, cost, i AS bp_i, piece AS bp_piece FROM (
     SELECT s.word, s.i, s.piece, ROUND(b.cost + s.logp, 6) AS cost,
            ROW_NUMBER() OVER (PARTITION BY s.word
                               ORDER BY ROUND(b.cost + s.logp, 6) DESC,
                                        (s.j - s.i) DESC, s.piece ASC) AS rn
-    FROM spv s
-    JOIN bvu_{j - 1} b ON b.word = s.word AND b.pos = s.i
+    FROM {spans_cte} s
+    JOIN {tag}u_{j - 1} b ON b.word = s.word AND b.pos = s.i
     WHERE s.j = {j}
   ) WHERE rn = 1
 )""",
-            f"""bvu_{j} AS MATERIALIZED (
-  SELECT * FROM bvu_{j - 1} UNION ALL SELECT * FROM bv_{j}
+            f"""{tag}u_{j} AS MATERIALIZED (
+  SELECT * FROM {tag}u_{j - 1} UNION ALL SELECT * FROM {tag}_{j}
 )""",
         ]
     parts.append(
-        "curv_0 AS (SELECT word, freq, CAST(length(word) AS INT) AS pos"
-        " FROM wt)"
+        f"{tag}c_0 AS (SELECT word, freq, CAST(length(word) AS INT) AS pos"
+        f" FROM {wt_cte})"
     )
     for s in range(1, L + 1):
         parts += [
-            f"""hopv_{s} AS MATERIALIZED (
+            f"""{tag}h_{s} AS MATERIALIZED (
   SELECT c.word, c.freq, b.bp_i, b.bp_piece
-  FROM curv_{s - 1} c
-  JOIN bvu_{L} b ON b.word = c.word AND b.pos = c.pos
+  FROM {tag}c_{s - 1} c
+  JOIN {tag}u_{L} b ON b.word = c.word AND b.pos = c.pos
   WHERE c.pos > 0
 )""",
-            f"curv_{s} AS (SELECT word, freq, bp_i AS pos FROM hopv_{s})",
+            f"{tag}c_{s} AS (SELECT word, freq, bp_i AS pos FROM {tag}h_{s})",
         ]
     used_union = "\n  UNION ALL\n".join(
-        f"  SELECT word, freq, {s} AS step, bp_piece AS piece FROM hopv_{s}"
+        f"  SELECT word, freq, {s} AS step, bp_piece AS piece"
+        f" FROM {tag}h_{s}"
         for s in range(1, L + 1)
     )
+    parts.append(f"{tag}seg AS (\n{used_union}\n)")
+    return parts
+
+
+def _sql_unigram_segment_sql(max_word_len: int = 12) -> str:
+    # Extends the train CTE chain with one more Viterbi pass under the
+    # PRUNED vocab, then reassembles each word's segmentation in reading
+    # order (hops emit end-first -> ORDER BY step DESC).
+    parts = _sql_unigram_train()
+    parts.append(
+        """spv AS MATERIALIZED (
+  SELECT s.word, s.i, s.j, s.piece, v.logp
+  FROM spans s JOIN vocab v USING (piece)
+)"""
+    )
+    parts += _sql_dp_chain("bv", "wt", "spv", max_word_len)
     return (
-        "WITH " + ",\n".join(parts) + f""",
-segv AS (\n{used_union}\n)
+        "WITH " + ",\n".join(parts) + """
 SELECT word, freq,
        CAST(COUNT(*) AS INT) AS n_pieces,
        string_agg(piece, ' ' ORDER BY step DESC) AS pieces
-FROM segv GROUP BY word, freq
+FROM bvseg GROUP BY word, freq
+"""
+    )
+
+
+def _sql_unigram_fertility_sql(max_word_len: int = 12) -> str:
+    # Fertility by source under the trained vocab: the DP chain runs
+    # over ALL distinct corpus words (length-capped); uncovered words
+    # (no Viterbi path under the pruned vocab, or too long) count in
+    # n_words but not the fertility denominator.
+    parts = _sql_unigram_train()
+    parts += [
+        r"""toksrc AS MATERIALIZED (
+  SELECT source AS grp,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents
+)""",
+        """sw AS MATERIALIZED (
+  SELECT grp, word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toksrc GROUP BY 1, 2
+)""",
+        f"""wta AS MATERIALIZED (
+  SELECT DISTINCT word, CAST(1 AS BIGINT) AS freq FROM sw
+  WHERE length(word) <= {max_word_len}
+)""",
+        f"""spa AS MATERIALIZED (
+  SELECT t.word, t.i, t.j, substring(t.word, t.i + 1, t.j - t.i) AS piece,
+         v.logp
+  FROM (
+    SELECT word, i, unnest(generate_series(i + 1,
+                           LEAST(i + 4, length(word)))) AS j
+    FROM (
+      SELECT word, unnest(generate_series(0, length(word) - 1)) AS i
+      FROM wta
+    )
+  ) t JOIN vocab v ON v.piece = substring(t.word, t.i + 1, t.j - t.i)
+)""",
+    ]
+    parts += _sql_dp_chain("fa", "wta", "spa", max_word_len)
+    parts.append(
+        """perw AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wp FROM faseg GROUP BY word
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT sw.grp AS source,
+       CAST(SUM(sw.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN p.wp IS NOT NULL THEN sw.cnt ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN p.wp IS NOT NULL THEN sw.cnt * p.wp ELSE 0 END)
+            AS BIGINT) AS n_pieces,
+       ROUND(SUM(CASE WHEN p.wp IS NOT NULL THEN sw.cnt * p.wp ELSE 0 END)
+             * 1.0 /
+             GREATEST(SUM(CASE WHEN p.wp IS NOT NULL THEN sw.cnt
+                               ELSE 0 END), 1), 6) AS fertility
+FROM sw LEFT JOIN perw p USING (word)
+GROUP BY sw.grp
 """
     )
 
 
 SQL_UNIGRAM_TRAIN = _sql_unigram_train_sql()
 SQL_UNIGRAM_SEGMENT = _sql_unigram_segment_sql()
+SQL_UNIGRAM_FERTILITY = _sql_unigram_fertility_sql()
+
+
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pieces-per-word by source under the trained unigram vocab — the
+    # tokenizer_fertility mirror, directly comparable with the BPE row.
+    from etl_pipeline2_0_spark.functions import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_fertility(
+        docs, vocab_size=200, em_iters=2, max_piece_len=4,
+        max_word_types=256, max_word_len=12,
+    )
 
 
 def q_unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:

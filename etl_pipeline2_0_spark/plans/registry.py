@@ -368,6 +368,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_unigram_segment_words,
         L.SQL_UNIGRAM_SEGMENT,
     ),
+    "unigram_fertility": (
+        L.q_unigram_fertility,
+        L.SQL_UNIGRAM_FERTILITY,
+    ),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -3593,3 +3593,28 @@ def test_unigram_segment_words_concat_invariant(spark):
         assert r["n_pieces"] == len(r["pieces"].split())
     # the compound reuses the standalone words' pieces
     assert seg["playground"]["n_pieces"] <= 3
+
+
+def test_unigram_fertility_counts_uncovered_words(spark):
+    """Fertility accounting: words with characters outside the trained
+    vocab (or longer than the word-length cap) count in n_words but are
+    excluded from n_covered and the fertility ratio; covered mass
+    satisfies n_pieces >= n_covered (>= 1 piece per word)."""
+    from etl_pipeline2_0_spark.functions import unigram as U
+
+    base = "the playground play ground " * 5
+    rows = [(i, base, "clean") for i in range(3)]
+    # 'qqxyz' introduces chars q/x/y/z never seen in training types IF
+    # training is restricted... here training sees all docs, so instead
+    # make the odd word LONGER than max_word_len to force exclusion.
+    longword = "a" * 20
+    rows += [(10 + i, base + " " + longword, "dirty") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r["source"]: r for r in U.unigram_fertility(
+        df, vocab_size=30, em_iters=1).collect()}
+    assert got["clean"]["n_words"] == got["clean"]["n_covered"] == 60
+    assert got["dirty"]["n_words"] == 63          # 60 + 3 long words
+    assert got["dirty"]["n_covered"] == 60        # long word uncovered
+    for r in got.values():
+        assert r["n_pieces"] >= r["n_covered"]
+        assert r["fertility"] >= 1.0
