@@ -154,6 +154,7 @@ HEADLINE = [
     "unigram_train",
     "unigram_segment_words",
     "unigram_fertility",
+    "fim_transform",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -1250,3 +1250,82 @@ def span_corrupt(
             F.concat(F.col("_tg"), F.lit(" "), sentinel(F.col("n_spans")))
         ).alias("targets"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Fill-in-the-middle example construction (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle" — the
+    FIM transformation applied to a deterministic fraction of docs in
+    code/text pretraining mixes): split the document at two hash-chosen
+    character cuts into (prefix, middle, suffix) and emit the re-ordered
+    sequence with sentinel tags,
+
+        PSM: <PRE> prefix <SUF> suffix <MID> middle
+        SPM: <SUF> suffix <PRE> prefix <MID> middle
+
+    mode chosen 50/50 by hash (the paper's joint PSM+SPM training).
+    Docs outside the ``fim_rate`` fraction (or shorter than 3 chars)
+    pass through with mode 'none' — exactly the rate semantics of
+    production FIM mixes.  All choices are md5-deterministic (doc id +
+    ``salt``): retried tasks and the DuckDB twin reproduce the examples
+    bit-for-bit.
+
+    Scale shape: a single narrow projection — no shuffle, no explode;
+    runs at scan speed like the Gopher battery.
+
+    Output: (doc_id, mode, n_chars, fim_text).
+    """
+    thr = int(float(fim_rate) * 100)
+
+    def _h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(id_col).cast("string"),
+                        F.lit(tag),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    L = F.length(text_col)
+    do_fim = (F.pmod(_h("fim"), F.lit(100)) < thr) & (L >= 3)
+    c1 = (F.lit(1) + F.pmod(_h("c1"), L)).cast("int")
+    c2 = (F.lit(1) + F.pmod(_h("c2"), L)).cast("int")
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    t = F.col(text_col)
+    prefix = t.substr(F.lit(1), lo - 1)
+    middle = t.substr(lo, hi - lo)
+    suffix = t.substr(hi, L - hi + 1)
+    spm = F.pmod(_h("mode"), F.lit(2)) == 1
+    psm_text = F.concat(
+        F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+    )
+    spm_text = F.concat(
+        F.lit("<SUF>"), suffix, F.lit("<PRE>"), prefix, F.lit("<MID>"), middle
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(~do_fim, F.lit("none"))
+        .when(spm, F.lit("spm"))
+        .otherwise(F.lit("psm"))
+        .alias("mode"),
+        L.cast("bigint").alias("n_chars"),
+        F.when(~do_fim, t)
+        .when(spm, spm_text)
+        .otherwise(psm_text)
+        .alias("fim_text"),
+    )

@@ -6016,3 +6016,53 @@ def q_unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, vocab_size=200, em_iters=2, max_piece_len=4,
         max_word_types=256, max_word_len=12,
     )
+
+
+# ---------------------------------------------- fill-in-middle transform -
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FIM example construction (Bavarian et al. 2022) at the canonical
+    # 50% rate, PSM/SPM joint 50/50, md5-deterministic cuts.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.fim_transform(docs, fim_rate=0.5)
+
+
+SQL_FIM_TRANSFORM = r"""
+WITH h AS (
+  SELECT doc_id, text, length(text) AS L,
+    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fim:'), 1, 15)
+         AS BIGINT) % 100 AS h_fim,
+    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':c1:'), 1, 15)
+         AS BIGINT) AS h_c1,
+    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':c2:'), 1, 15)
+         AS BIGINT) AS h_c2,
+    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mode:'), 1, 15)
+         AS BIGINT) % 2 AS h_mode
+  FROM documents
+), cuts AS (
+  SELECT doc_id, text, L,
+         (h_fim < 50 AND L >= 3) AS do_fim, h_mode,
+         LEAST(1 + h_c1 % L, 1 + h_c2 % L) AS lo,
+         GREATEST(1 + h_c1 % L, 1 + h_c2 % L) AS hi
+  FROM h
+), parts AS (
+  SELECT doc_id, text, L, do_fim, h_mode,
+         substring(text, 1, lo - 1) AS prefix,
+         substring(text, lo, hi - lo) AS middle,
+         substring(text, hi, L - hi + 1) AS suffix
+  FROM cuts
+)
+SELECT doc_id,
+       CASE WHEN NOT do_fim THEN 'none'
+            WHEN h_mode = 1 THEN 'spm' ELSE 'psm' END AS mode,
+       CAST(L AS BIGINT) AS n_chars,
+       CASE WHEN NOT do_fim THEN text
+            WHEN h_mode = 1
+              THEN '<SUF>' || suffix || '<PRE>' || prefix || '<MID>' || middle
+            ELSE '<PRE>' || prefix || '<SUF>' || suffix || '<MID>' || middle
+       END AS fim_text
+FROM parts
+"""

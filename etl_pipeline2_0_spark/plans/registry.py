@@ -372,6 +372,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_unigram_fertility,
         L.SQL_UNIGRAM_FERTILITY,
     ),
+    # --- added r12 (past-cap; r13 promotion pool): fill-in-the-middle
+    #     example construction (Bavarian et al. 2022) — md5-deterministic
+    #     cuts, joint PSM/SPM, rate-gated; reconstruction invariant
+    #     pinned in tests; runs at scan speed (narrow projection) ---
+    "fim_transform": (L.q_fim_transform, L.SQL_FIM_TRANSFORM),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

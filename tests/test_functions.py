@@ -3618,3 +3618,39 @@ def test_unigram_fertility_counts_uncovered_words(spark):
     for r in got.values():
         assert r["n_pieces"] >= r["n_covered"]
         assert r["fertility"] >= 1.0
+
+
+def test_fim_transform_reconstruction_and_rate(spark):
+    """FIM invariants: for every transformed doc, reassembling
+    prefix+middle+suffix from the tagged segments reproduces the
+    original text exactly (both PSM and SPM orders); 'none' rows pass
+    through verbatim; fim_rate=0 transforms nothing; rate=1 transforms
+    every doc with >= 3 chars; the transform is deterministic."""
+    import re
+
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    docs = [(i, f"doc {i} body with some characters {i*7}") for i in range(40)]
+    docs.append((99, "ab"))  # too short -> always 'none'
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    text_of = dict(docs)
+    out = {r["doc_id"]: r for r in M.fim_transform(df, fim_rate=1.0).collect()}
+    assert out[99]["mode"] == "none" and out[99]["fim_text"] == "ab"
+    for i, t in docs[:-1]:
+        r = out[i]
+        assert r["mode"] in ("psm", "spm")
+        if r["mode"] == "psm":
+            m = re.fullmatch(r"<PRE>(.*)<SUF>(.*)<MID>(.*)", r["fim_text"],
+                             re.S)
+            pre, suf, mid = m.groups()
+        else:
+            m = re.fullmatch(r"<SUF>(.*)<PRE>(.*)<MID>(.*)", r["fim_text"],
+                             re.S)
+            suf, pre, mid = m.groups()
+        assert pre + mid + suf == t, f"doc {i}"
+    none = M.fim_transform(df, fim_rate=0.0).collect()
+    assert all(r["mode"] == "none" for r in none)
+    assert {r["doc_id"]: r["fim_text"] for r in none} == text_of
+    again = {r["doc_id"]: r["fim_text"]
+             for r in M.fim_transform(df, fim_rate=1.0).collect()}
+    assert again == {k: v["fim_text"] for k, v in out.items()}
