@@ -871,3 +871,34 @@ def test_domain_quality_rollup_single_pass(spark, sf_dir):
     plan = _plan(L.q_domain_quality_rollup(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 3
+
+
+def test_span_corrupt_single_exchange(spark, sf_dir):
+    # The doc_id pre-partition is the ONLY exchange — the coverage
+    # lookback, span ordinal, and reassembly windows all reuse it
+    # (pre-partitioning-before-explode discipline); no cartesian, no
+    # global window.
+    plan = _plan(L.q_span_corrupt(spark, sf_dir))
+    assert plan.count("Exchange ") == 1
+    assert "CartesianProduct" not in plan
+    assert ", 5]" not in plan.split("Window")[0]  # sanity: plan parsed
+
+
+def test_fim_transform_runs_at_scan_speed(spark, sf_dir):
+    # A single narrow projection: no exchange, no join, no window.
+    plan = _plan(L.q_fim_transform(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_unigram_queries_no_cartesian(spark, sf_dir):
+    # The EM loop's corpus-independent tables live behind lazy
+    # checkpoints; the visible plans must stay cartesian-free and the
+    # vocab joins broadcast.
+    for q in (L.q_unigram_train, L.q_unigram_segment_words,
+              L.q_unigram_fertility):
+        plan = _plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+    seg = _plan(L.q_unigram_segment_words(spark, sf_dir))
+    assert seg.count("BroadcastHashJoin") >= 2
