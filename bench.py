@@ -155,6 +155,8 @@ HEADLINE = [
     "unigram_segment_words",
     "unigram_fertility",
     "fim_transform",
+    "sentence_chunk",
+    "crop_pairs",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
 ]

@@ -293,3 +293,147 @@ def phrase_match(
         matched.groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
     )
+
+
+def sentence_chunk(
+    docs: DataFrame,
+    budget_tokens: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-BOUNDARY chunking for RAG indexing: split each document
+    into sentences, then greedily pack consecutive sentences into chunks
+    of ~``budget_tokens`` whitespace tokens — the semantic-chunking
+    alternative to the fixed sliding window (``chunk_documents``), which
+    can cut mid-sentence.  A sentence longer than the budget gets its own
+    chunk (never split — sentence integrity is the point).
+
+    Sentence splitting is the portable regex ``[^.!?]+[.!?]*`` (runs of
+    non-terminators plus their trailing terminators) — NO lookbehind, so
+    Java regex (Spark) and RE2 (the DuckDB twin) agree byte-for-byte.
+    Assignment is the streaming rule chunk_id = floor(exclusive-prefix-
+    sum(tokens)/budget) — the per-doc cousin of ``pack_sequences``.
+
+    Scale shape: one posexplode + doc-partitioned window + per-(doc,
+    chunk) aggregate — all on the same doc_id clustering, one exchange.
+
+    Output: (doc_id, chunk_id, n_sentences, n_tokens, chunk_text).
+    """
+    from etl_pipeline2_0_spark.functions.text import token_count
+    from pyspark.sql.window import Window
+
+    sents = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0
+                    ),
+                    lambda s: F.trim(s),
+                ),
+                lambda s: F.length(s) > 0,
+            )
+        ).alias("pos", "sent"),
+    ).withColumn("n_tok", token_count(F.col("sent")))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = sents.withColumn(
+        "chunk_id",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+            / F.lit(int(budget_tokens))
+        ).cast("int"),
+    )
+    return assigned.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda x: x["sent"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+def crop_pairs(
+    docs: DataFrame,
+    crop_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Contrastive positive-pair mining by random cropping (the
+    Contriever / ICT recipe: two crops of the same document form a
+    positive pair for dense-retriever pretraining): per document, two
+    md5-deterministic ``crop_tokens``-token windows, emitted with their
+    overlap so downstream filtering can enforce view diversity (pairs
+    with near-total overlap teach nothing).
+
+    Docs with fewer than ``crop_tokens`` tokens are skipped (no full
+    crop exists).  Deterministic: same doc + salt → same pair, on any
+    engine or partitioning.
+
+    Scale shape: a single narrow projection over the token array — no
+    shuffle, no explode (crops come from ``slice`` on the materialized
+    array); the BM25-mined hard negatives (``retrieval_pairs``) complete
+    the training triple.
+
+    Output: (doc_id, a_start, b_start, overlap_tokens, crop_a, crop_b).
+    """
+    k = int(crop_tokens)
+    tokd = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.col(text_col), r"[ \t\n\r\x0B\x0C]+"),
+            lambda t: F.length(t) > 0,
+        ).alias("_toks"),
+    ).where(F.size("_toks") >= k)
+
+    def _h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.lit(tag),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    span = F.size("_toks") - F.lit(k) + 1
+    a = (F.lit(1) + F.pmod(_h("a"), span)).cast("int")
+    b = (F.lit(1) + F.pmod(_h("b"), span)).cast("int")
+    sel = tokd.select(
+        "doc_id", "_toks", a.alias("a_start"), b.alias("b_start")
+    )
+    overlap = F.greatest(
+        F.lit(0),
+        F.least(F.col("a_start"), F.col("b_start"))
+        + F.lit(k)
+        - F.greatest(F.col("a_start"), F.col("b_start")),
+    )
+    return sel.select(
+        "doc_id",
+        "a_start",
+        "b_start",
+        overlap.cast("int").alias("overlap_tokens"),
+        F.array_join(F.slice("_toks", F.col("a_start"), F.lit(k)), " ").alias(
+            "crop_a"
+        ),
+        F.array_join(F.slice("_toks", F.col("b_start"), F.lit(k)), " ").alias(
+            "crop_b"
+        ),
+    )

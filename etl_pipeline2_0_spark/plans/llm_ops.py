@@ -6066,3 +6066,80 @@ SELECT doc_id,
        END AS fim_text
 FROM parts
 """
+
+
+# -------------------------------------------- sentence-boundary chunking -
+
+
+def q_sentence_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semantic (sentence-integral) RAG chunking at a 40-token budget —
+    # the boundary-respecting alternative to the sliding window.
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.sentence_chunk(docs, budget_tokens=40)
+
+
+SQL_SENTENCE_CHUNK = r"""
+WITH raw AS (
+  SELECT doc_id, trim(unnest(regexp_extract_all(text, '[^.!?]+[.!?]*'))) AS sent,
+         generate_subscripts(regexp_extract_all(text, '[^.!?]+[.!?]*'), 1)
+           AS pos
+  FROM documents
+), sents AS (
+  SELECT doc_id, pos, sent,
+         len(list_filter(regexp_split_to_array(sent,
+                         '[ \x09\x0A\x0D\x0B\x0C]+'),
+                         x -> length(x) > 0)) AS n_tok
+  FROM raw WHERE length(sent) > 0
+), assigned AS (
+  SELECT doc_id, pos, sent, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 40) AS INT) AS chunk_id
+  FROM sents
+)
+SELECT doc_id, chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       string_agg(sent, ' ' ORDER BY pos) AS chunk_text
+FROM assigned GROUP BY doc_id, chunk_id
+"""
+
+
+# ------------------------------------------ contrastive crop-pair mining -
+
+
+def q_crop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Contriever/ICT positive pairs: two deterministic 16-token crops
+    # per document with overlap accounting.
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.crop_pairs(docs, crop_tokens=16)
+
+
+SQL_CROP_PAIRS = r"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) - 16 + 1 AS span
+  FROM tokd WHERE len(toks) >= 16
+), starts AS (
+  SELECT doc_id, toks,
+    CAST(1 + CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':a:'),
+                   1, 15) AS BIGINT) % span AS INT) AS a_start,
+    CAST(1 + CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':b:'),
+                   1, 15) AS BIGINT) % span AS INT) AS b_start
+  FROM sized
+)
+SELECT doc_id, a_start, b_start,
+       CAST(GREATEST(0, LEAST(a_start, b_start) + 16
+                        - GREATEST(a_start, b_start)) AS INT)
+         AS overlap_tokens,
+       array_to_string(list_slice(toks, a_start, a_start + 15), ' ')
+         AS crop_a,
+       array_to_string(list_slice(toks, b_start, b_start + 15), ' ')
+         AS crop_b
+FROM starts
+"""

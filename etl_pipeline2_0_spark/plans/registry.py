@@ -377,6 +377,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     cuts, joint PSM/SPM, rate-gated; reconstruction invariant
     #     pinned in tests; runs at scan speed (narrow projection) ---
     "fim_transform": (L.q_fim_transform, L.SQL_FIM_TRANSFORM),
+    # --- added r12 (past-cap; r13 promotion pool): sentence-integral
+    #     RAG chunking (semantic alternative to the sliding window; RE2-
+    #     safe sentence regex, no lookbehind) and Contriever/ICT
+    #     contrastive crop pairs with overlap accounting ---
+    "sentence_chunk": (L.q_sentence_chunk, L.SQL_SENTENCE_CHUNK),
+    "crop_pairs": (L.q_crop_pairs, L.SQL_CROP_PAIRS),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -3654,3 +3654,52 @@ def test_fim_transform_reconstruction_and_rate(spark):
     again = {r["doc_id"]: r["fim_text"]
              for r in M.fim_transform(df, fim_rate=1.0).collect()}
     assert again == {k: v["fim_text"] for k, v in out.items()}
+
+
+def test_sentence_chunk_respects_boundaries_and_budget(spark):
+    """Chunks never split a sentence (each chunk_text is a concatenation
+    of whole input sentences); consecutive sentences pack until the
+    running token budget rolls over; an over-budget sentence still gets
+    a chunk; token totals are conserved."""
+    from etl_pipeline2_0_spark.functions import retrieval as R
+
+    s1 = "one two three."            # 3 tokens
+    s2 = "four five six seven!"      # 4 tokens
+    s3 = "eight nine?"               # 2 tokens
+    s4 = " ".join(f"w{i}" for i in range(15)) + "."  # 15 tokens > budget
+    doc = f"{s1} {s2} {s3} {s4}"
+    df = spark.createDataFrame([(1, doc)], "doc_id bigint, text string")
+    out = sorted(
+        R.sentence_chunk(df, budget_tokens=8).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # prefix sums: s1 starts at 0 -> chunk 0; s2 at 3 -> chunk 0;
+    # s3 at 7 -> chunk 0; s4 at 9 -> chunk 1.
+    assert len(out) == 2
+    assert out[0]["chunk_text"] == f"{s1} {s2} {s3}"
+    assert out[0]["n_sentences"] == 3 and out[0]["n_tokens"] == 9
+    assert out[1]["chunk_text"] == s4 and out[1]["n_sentences"] == 1
+    assert sum(r["n_tokens"] for r in out) == 24
+
+
+def test_crop_pairs_views_and_overlap(spark):
+    """Crop contracts: both crops are exact contiguous token windows of
+    the source doc; overlap_tokens matches the index arithmetic; short
+    docs are skipped; crops are deterministic across runs."""
+    from etl_pipeline2_0_spark.functions import retrieval as R
+
+    toks = [f"t{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "too short")],
+        "doc_id bigint, text string",
+    )
+    out = R.crop_pairs(df, crop_tokens=16).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1
+    r = out[0]
+    a, b = r["a_start"], r["b_start"]
+    assert r["crop_a"] == " ".join(toks[a - 1:a - 1 + 16])
+    assert r["crop_b"] == " ".join(toks[b - 1:b - 1 + 16])
+    want_overlap = max(0, min(a, b) + 16 - max(a, b))
+    assert r["overlap_tokens"] == want_overlap
+    again = R.crop_pairs(df, crop_tokens=16).collect()[0]
+    assert (again["crop_a"], again["crop_b"]) == (r["crop_a"], r["crop_b"])
