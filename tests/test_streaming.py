@@ -680,3 +680,46 @@ def test_stream_hist_sketch_equals_batch(spark, tmp_path):
         for r in SK.hist_sketch(full, "v", 0.0, 1000.0, 20).collect()
     }
     assert got == want and len(got) == 20
+
+
+def test_swap_in_crash_window_is_recoverable(spark, tmp_path):
+    """The advisor-r11 fix contract: at EVERY intermediate state of the
+    two-rename swap (old store renamed aside; new store committed with
+    the aside copy still present), _read_store recovers a usable store —
+    the delete-then-rename window that lost the whole accumulated store
+    no longer exists."""
+    import os
+
+    from etl_pipeline2_0_spark.streaming.sketch import (
+        _hadoop_fs, _read_store, _swap_in,
+    )
+
+    store = str(tmp_path / "store")
+    v1 = spark.createDataFrame([(1, 10)], "k int, v int")
+    _swap_in(v1, store)
+    assert [r["v"] for r in _read_store(spark, store).collect()] == [10]
+
+    # Simulate a crash BETWEEN the two renames: store moved aside,
+    # replacement not yet renamed in.
+    fs, p = _hadoop_fs(spark, store)
+    _, old = _hadoop_fs(spark, store + "._old")
+    fs.rename(p, old)
+    assert not fs.exists(p)
+    got = _read_store(spark, store)            # recovers from ._old
+    assert [r["v"] for r in got.collect()] == [10]
+    assert fs.exists(p)                        # renamed back in place
+
+    # Simulate a crash AFTER the new store committed but before the
+    # aside copy was deleted: reader must prefer the committed store.
+    v2 = spark.createDataFrame([(1, 20)], "k int, v int")
+    tmp2 = store + "._stale_old_sim"
+    v2.write.mode("overwrite").parquet(tmp2)
+    _, t2 = _hadoop_fs(spark, tmp2)
+    fs.rename(p, old)     # old v1 aside
+    fs.rename(t2, p)      # new v2 committed, ._old still present
+    got = _read_store(spark, store)
+    assert [r["v"] for r in got.collect()] == [20]
+    # a subsequent swap clears the stale aside copy
+    _swap_in(spark.createDataFrame([(1, 30)], "k int, v int"), store)
+    assert not fs.exists(old)
+    assert [r["v"] for r in _read_store(spark, store).collect()] == [30]
