@@ -159,6 +159,7 @@ HEADLINE = [
     "crop_pairs",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
+    "examples_pipeline_sf01",
 ]
 
 
@@ -244,6 +245,40 @@ def _llm_pipeline(spark, sf_dir):
     )
 
 
+def _examples_pipeline(spark, sf_dir):
+    """Composed training-example construction chain as ONE tracked bench
+    row: sentence-integral chunking → fill-in-the-middle transform at
+    the canonical 50% rate → token-budget packing of the transformed
+    examples, partitioned by FIM mode.  Each stage is individually
+    benched and oracled; this row watches the COMPOSITION (exchange
+    reuse across chunk→transform→pack).  Row-count golden in
+    tests/test_scale_ops.py."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import mixing, retrieval
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = retrieval.sentence_chunk(docs, budget_tokens=40).select(
+        (F.col("doc_id") * 100_000 + F.col("chunk_id")).alias("ex_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    # fim_transform normalizes its id column to `doc_id` (here carrying
+    # the composite ex_id values).
+    fim = mixing.fim_transform(chunks, text_col="text", id_col="ex_id")
+    packed = mixing.pack_sequences(
+        fim,
+        budget_tokens=512,
+        text_col="fim_text",
+        id_col="doc_id",
+        partition_cols=["mode"],
+    )
+    return packed.groupBy("mode").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").cast("bigint").alias("n_examples"),
+    )
+
+
 # Bench-only rows: real capabilities measured at bench scale that are not
 # registry queries (the registry carries the correctness burden elsewhere —
 # the doc pipeline via the fixture/golden suites, the LLM chain via its
@@ -251,6 +286,7 @@ def _llm_pipeline(spark, sf_dir):
 EXTRA_BENCH = {
     "doc_pipeline_sf01": _doc_pipeline,
     "llm_pipeline_sf01": _llm_pipeline,
+    "examples_pipeline_sf01": _examples_pipeline,
 }
 
 

@@ -636,3 +636,20 @@ def test_llm_pipeline_composition_golden(spark):
     # (>= 2/3 percentile of avg_logp per lang), halving survivors vs the
     # r11 golden which kept the top two-thirds (advisor-r11 fix).
     assert out == [("test", 1, 9), ("train", 4, 104), ("val", 1, 13)]
+
+
+def test_examples_pipeline_composition_golden(spark):
+    """Row-count golden for the composed training-example bench row
+    (bench._examples_pipeline: sentence chunking → FIM at 50% →
+    token-budget packing by mode).  Each stage is individually oracled;
+    this pins the COMPOSITION — a change in chunk boundaries, FIM rate
+    arithmetic, or pack assignment moves these counts."""
+    import bench
+
+    out = sorted(
+        (r["mode"], r["n_packs"], r["n_examples"])
+        for r in bench._examples_pipeline(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert out == [("none", 27, 242), ("psm", 13, 121), ("spm", 16, 137)]
