@@ -157,6 +157,7 @@ HEADLINE = [
     "fim_transform",
     "sentence_chunk",
     "crop_pairs",
+    "bitext_mine",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

@@ -1261,3 +1261,110 @@ def mmr_select(
             .localCheckpoint(eager=False)
         )
     return out
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_blocks: int = 16,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+    LASER/CCMatrix recipe behind most mined parallel corpora): for each
+    source embedding, take its best-cosine target and keep the pair when
+    the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((ms(x) + mt(y)) / 2)
+
+    clears ``margin_threshold``, where ms/mt are each side's mean cosine
+    to its k nearest neighbors on the OTHER side — the normalization
+    that kills hub sentences which are "close to everything".
+
+    Exact formulation (required by the oracle): all cross-side pairs are
+    scored, enumerated as the repo's salted-block equi-join (one side
+    keyed by pmod(xxhash64(id), blocks), the other replicated per block)
+    — a distributed, spill-safe hash join, never a nested-loop cartesian;
+    block choice cannot affect the output.  At 100 TB the pair space
+    comes from the ANN candidates instead (``ivf_topk`` /
+    ``rp_lsh_topk`` feed the same margin arithmetic); the kNN-mean
+    relations are one bounded aggregate per side either way.
+
+    Output: (src_id, tgt_id, cosine_sim, margin) for pairs clearing the
+    threshold; ties in the per-source argmax break by target id.
+    """
+    from pyspark.sql.window import Window
+
+    sa = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("_sv"),
+        norm(F.col(vec_col)).alias("_sn"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(exact_blocks)).alias("blk"),
+    )
+    tb = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("_tv"),
+        norm(F.col(vec_col)).alias("_tn"),
+        F.explode(F.sequence(F.lit(0), F.lit(exact_blocks - 1))).alias("blk"),
+    )
+    pairs = (
+        sa.join(tb.hint("shuffle_hash"), "blk")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                dot(F.col("_sv"), F.col("_tv"))
+                / (F.col("_sn") * F.col("_tn")),
+                6,
+            ).alias("cos"),
+        )
+        # pairs feed three consumers (both kNN means + the argmax) —
+        # one barrier materializes the scored pair table once.
+        .localCheckpoint(eager=False)
+    )
+    w_s = Window.partitionBy("src_id").orderBy(
+        F.col("cos").desc(), F.col("tgt_id").asc()
+    )
+    w_t = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos").desc(), F.col("src_id").asc()
+    )
+    # The kNN means stay UNROUNDED: a mean of k six-dp values lands on
+    # quarter-steps of the 7th decimal, so rounding it at 6 dp sits
+    # exactly on a half boundary about half the time — where Spark
+    # (HALF_UP on the true double) and DuckDB (x*1e6 can round UP to the
+    # .5 before its half-away round) disagree.  Only the final margin
+    # rounds (advisor-class lesson, caught by the sf0.001 parity).
+    ms = (
+        pairs.withColumn("_rn", F.row_number().over(w_s))
+        .where(F.col("_rn") <= k)
+        .groupBy("src_id")
+        .agg(F.avg("cos").alias("_ms"))
+    )
+    mt = (
+        pairs.withColumn("_rn", F.row_number().over(w_t))
+        .where(F.col("_rn") <= k)
+        .groupBy("tgt_id")
+        .agg(F.avg("cos").alias("_mt"))
+    )
+    cand = (
+        pairs.withColumn("_rn", F.row_number().over(w_s))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    margin = F.round(
+        F.col("cos") / ((F.col("_ms") + F.col("_mt")) / 2.0), 6
+    )
+    return (
+        cand.join(F.broadcast(ms), "src_id")
+        .join(F.broadcast(mt), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.col("cos").alias("cosine_sim"),
+            margin.alias("margin"),
+        )
+        .where(F.col("margin") >= margin_threshold)
+    )

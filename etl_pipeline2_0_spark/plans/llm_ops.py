@@ -6143,3 +6143,62 @@ SELECT doc_id, a_start, b_start,
          AS crop_b
 FROM starts
 """
+
+
+# -------------------------------------------- margin-based bitext mining -
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LASER/CCMatrix margin mining: labels 0-4 play the source language,
+    # 5-9 the target; ratio margin over k=4 cross-side neighbors.
+    from etl_pipeline2_0_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bitext_mine(
+        emb.where(F.col("label") < 5),
+        emb.where(F.col("label") >= 5),
+        k=4,
+        margin_threshold=1.0,
+    )
+
+
+SQL_BITEXT_MINE = r"""
+WITH s AS (
+  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE label < 5
+), t AS (
+  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
+  FROM embeddings WHERE label >= 5
+), pairs AS MATERIALIZED (
+  SELECT src_id, tgt_id,
+         ROUND(list_inner_product(sv, tv)
+               / (SQRT(list_inner_product(sv, sv))
+                  * SQRT(list_inner_product(tv, tv))), 6) AS cos
+  FROM s CROSS JOIN t
+), ms AS (
+  SELECT src_id, AVG(cos) AS m_s FROM (
+    SELECT src_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY src_id
+                              ORDER BY cos DESC, tgt_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= 4 GROUP BY src_id
+), mt AS (
+  SELECT tgt_id, AVG(cos) AS m_t FROM (
+    SELECT tgt_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY tgt_id
+                              ORDER BY cos DESC, src_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= 4 GROUP BY tgt_id
+), cand AS (
+  SELECT src_id, tgt_id, cos FROM (
+    SELECT src_id, tgt_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY src_id
+                              ORDER BY cos DESC, tgt_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT c.src_id, c.tgt_id, c.cos AS cosine_sim,
+       ROUND(c.cos / ((ms.m_s + mt.m_t) / 2.0), 6) AS margin
+FROM cand c JOIN ms USING (src_id) JOIN mt USING (tgt_id)
+WHERE ROUND(c.cos / ((ms.m_s + mt.m_t) / 2.0), 6) >= 1.0
+"""

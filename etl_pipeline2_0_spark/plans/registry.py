@@ -383,6 +383,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     contrastive crop pairs with overlap accounting ---
     "sentence_chunk": (L.q_sentence_chunk, L.SQL_SENTENCE_CHUNK),
     "crop_pairs": (L.q_crop_pairs, L.SQL_CROP_PAIRS),
+    # --- added r12 (past-cap; r13 promotion pool): margin-based bitext
+    #     mining (Artetxe & Schwenk 2019, the LASER/CCMatrix recipe) —
+    #     ratio margin over cross-side kNN means; hub suppression pinned
+    #     in tests; kNN means stay UNROUNDED (a mean of k six-dp values
+    #     sits on a 6dp half-boundary ~half the time — the engines round
+    #     it oppositely; only the final margin rounds) ---
+    "bitext_mine": (L.q_bitext_mine, L.SQL_BITEXT_MINE),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -3703,3 +3703,38 @@ def test_crop_pairs_views_and_overlap(spark):
     assert r["overlap_tokens"] == want_overlap
     again = R.crop_pairs(df, crop_tokens=16).collect()[0]
     assert (again["crop_a"], again["crop_b"]) == (r["crop_a"], r["crop_b"])
+
+
+def test_bitext_mine_margin_suppresses_hubs(spark):
+    """Margin semantics (Artetxe & Schwenk): a genuine translation pair
+    (near-identical embeddings) mines with a high margin, while a HUB
+    target that is moderately close to EVERY source — absolute cosine
+    higher than unrelated pairs — is suppressed because its kNN mean is
+    as high as any single similarity (ratio ~1).  Raw cosine top-1 would
+    happily pair sources with the hub; the margin is the fix."""
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    import math
+    hub = [1.0 / math.sqrt(3.0)] * 3
+    hub2 = [0.57, 0.58, 0.58]
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(11, [0.99, 0.141, 0.0]),   # near-dup of src 1
+         (12, hub), (14, hub2),      # generic targets, close to everything
+         (13, [0.05, 0.02, 0.9])],   # near-ish dup of src 3
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r["src_id"]: r for r in S.bitext_mine(
+        src, tgt, k=2, margin_threshold=0.0).collect()}
+    assert got[1]["tgt_id"] == 11 and got[1]["margin"] > 1.2
+    assert got[3]["tgt_id"] == 13 and got[3]["margin"] > 1.2
+    # src 2's best target IS a hub (cos ~0.58 beats 0.141/0.02), but its
+    # own neighborhood mean matches that cosine, so the RATIO margin
+    # lands near 1 — a threshold of 1.05 rejects the hub pairing while a
+    # raw cosine top-1 would have accepted it.
+    assert got[2]["tgt_id"] in (12, 14) and got[2]["margin"] < 1.05
+    mined = S.bitext_mine(src, tgt, k=2, margin_threshold=1.05).collect()
+    assert {r["src_id"] for r in mined} == {1, 3}
