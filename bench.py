@@ -154,6 +154,7 @@ HEADLINE = [
     "unigram_train",
     "unigram_segment_words",
     "unigram_fertility",
+    "unigram_encode_docs",
     "fim_transform",
     "sentence_chunk",
     "crop_pairs",

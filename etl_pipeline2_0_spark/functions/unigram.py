@@ -441,3 +441,71 @@ def unigram_fertility(
             6,
         ).alias("fertility"),
     )
+
+
+def unigram_encode_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200,
+    em_iters: int = 2,
+    max_piece_len: int = 4,
+    max_word_types: int = 256,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Corpus pricing under the trained unigram tokenizer (the
+    ``bpe_encode_docs`` mirror): per-document word count and total piece
+    count, with uncovered words (no Viterbi path under the pruned vocab,
+    or longer than ``max_word_len``) counted separately — train → apply
+    → encode, end to end in one call.
+
+    Scale: vocabulary training and the per-DISTINCT-word segmentation DP
+    are corpus-size-independent (type-level); the corpus pass is one
+    tokenize + explode + join against the ≤ |distinct words|-row
+    piece-count table, aggregated per doc map-side.
+
+    Output: (doc_id, n_words, n_covered, n_pieces).
+    """
+    _, _, vocab = _train(
+        df, text_col, vocab_size, em_iters, max_piece_len,
+        max_word_types, max_word_len,
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("word"),
+    )
+    dw = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wt_all = (
+        dw.where(F.length("word") <= max_word_len)
+        .select("word")
+        .distinct()
+        .select("word", F.lit(1).cast("bigint").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    spans_all = _spans(wt_all, max_piece_len).join(
+        F.broadcast(vocab.select("piece", "logp")), "piece"
+    ).select("word", "i", "j", "piece", "logp")
+    seg = _viterbi_segments(spans_all, wt_all, max_word_len)
+    per_word = seg.where(
+        ~F.exists("pieces", lambda p: p.isNull())
+    ).select("word", F.size("pieces").cast("bigint").alias("wp"))
+    joined = dw.join(per_word, "word", "left")
+    return joined.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.when(F.col("wp").isNotNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_covered"),
+        F.sum(
+            F.when(F.col("wp").isNotNull(), F.col("cnt") * F.col("wp"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pieces"),
+    )

@@ -6202,3 +6202,69 @@ SELECT c.src_id, c.tgt_id, c.cos AS cosine_sim,
 FROM cand c JOIN ms USING (src_id) JOIN mt USING (tgt_id)
 WHERE ROUND(c.cos / ((ms.m_s + mt.m_t) / 2.0), 6) >= 1.0
 """
+
+
+def q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus pricing under the trained unigram tokenizer — the
+    # bpe_encode_docs mirror with uncovered-word accounting.
+    from etl_pipeline2_0_spark.functions import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_encode_docs(
+        docs, vocab_size=200, em_iters=2, max_piece_len=4,
+        max_word_types=256, max_word_len=12,
+    )
+
+
+def _sql_unigram_encode_sql(max_word_len: int = 12) -> str:
+    # The fertility twin's DP chain keyed per DOC instead of per source.
+    parts = _sql_unigram_train()
+    parts += [
+        r"""tokdoc AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents
+)""",
+        """dw AS MATERIALIZED (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tokdoc GROUP BY 1, 2
+)""",
+        f"""wta AS MATERIALIZED (
+  SELECT DISTINCT word, CAST(1 AS BIGINT) AS freq FROM dw
+  WHERE length(word) <= {max_word_len}
+)""",
+        f"""spa AS MATERIALIZED (
+  SELECT t.word, t.i, t.j, substring(t.word, t.i + 1, t.j - t.i) AS piece,
+         v.logp
+  FROM (
+    SELECT word, i, unnest(generate_series(i + 1,
+                           LEAST(i + 4, length(word)))) AS j
+    FROM (
+      SELECT word, unnest(generate_series(0, length(word) - 1)) AS i
+      FROM wta
+    )
+  ) t JOIN vocab v ON v.piece = substring(t.word, t.i + 1, t.j - t.i)
+)""",
+    ]
+    parts += _sql_dp_chain("fa", "wta", "spa", max_word_len)
+    parts.append(
+        """perw AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wp FROM faseg GROUP BY word
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT dw.doc_id,
+       CAST(SUM(dw.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN p.wp IS NOT NULL THEN dw.cnt ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN p.wp IS NOT NULL THEN dw.cnt * p.wp ELSE 0 END)
+            AS BIGINT) AS n_pieces
+FROM dw LEFT JOIN perw p USING (word)
+GROUP BY dw.doc_id
+"""
+    )
+
+
+SQL_UNIGRAM_ENCODE = _sql_unigram_encode_sql()

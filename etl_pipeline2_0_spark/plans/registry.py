@@ -372,6 +372,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_unigram_fertility,
         L.SQL_UNIGRAM_FERTILITY,
     ),
+    "unigram_encode_docs": (
+        L.q_unigram_encode_docs,
+        L.SQL_UNIGRAM_ENCODE,
+    ),
     # --- added r12 (past-cap; r13 promotion pool): fill-in-the-middle
     #     example construction (Bavarian et al. 2022) — md5-deterministic
     #     cuts, joint PSM/SPM, rate-gated; reconstruction invariant

@@ -3738,3 +3738,32 @@ def test_bitext_mine_margin_suppresses_hubs(spark):
     assert got[2]["tgt_id"] in (12, 14) and got[2]["margin"] < 1.05
     mined = S.bitext_mine(src, tgt, k=2, margin_threshold=1.05).collect()
     assert {r["src_id"] for r in mined} == {1, 3}
+
+
+def test_unigram_encode_docs_consistent_with_fertility(spark):
+    """Per-doc encode totals roll up to the per-source fertility totals
+    exactly (same vocab, same segmentations, two aggregations of one
+    truth), and n_pieces >= n_covered."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import unigram as U
+
+    text = "the playground play ground " * 3
+    docs = spark.createDataFrame(
+        [(i, text, "s0" if i < 2 else "s1") for i in range(4)],
+        "doc_id bigint, text string, source string",
+    )
+    enc = U.unigram_encode_docs(docs, vocab_size=30, em_iters=1)
+    fert = {r["source"]: r for r in U.unigram_fertility(
+        docs, vocab_size=30, em_iters=1).collect()}
+    joined = enc.join(docs.select("doc_id", "source"), "doc_id")
+    roll = {r["source"]: r for r in joined.groupBy("source").agg(
+        SF.sum("n_words").alias("w"),
+        SF.sum("n_covered").alias("c"),
+        SF.sum("n_pieces").alias("p")).collect()}
+    for s in ("s0", "s1"):
+        assert roll[s]["w"] == fert[s]["n_words"]
+        assert roll[s]["c"] == fert[s]["n_covered"]
+        assert roll[s]["p"] == fert[s]["n_pieces"]
+    for r in enc.collect():
+        assert r["n_pieces"] >= r["n_covered"] > 0
