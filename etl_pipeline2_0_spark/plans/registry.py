@@ -290,19 +290,27 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # ROUND-13 ROTATION (STAGED — execute next round): promote the two
-    # r11 late metric rows (minhash_precision, minhash_band_efficiency)
-    # plus the r12-added oracled entries (kn_score, langid_rank,
-    # mmr_select, minhash_decontam, domain_quality_rollup,
-    # threshold_sweep, span_corrupt, and any later r12 additions below)
-    # — all ×3-SF parity-proven with zero driver rows.
-    # Demote the same count of thrice-green holdovers, keeping family
-    # anchors: candidates in green-row order are snapshot_diff,
-    # minhash_pairs_portable, simhash_pairs_portable (anchored by
-    # minhash_precision/band_efficiency + minhash_decontam after the
+    # ROUND-13 ROTATION (STAGED — execute next round): SEVENTEEN
+    # promotions — the two r11 late metric rows (minhash_precision,
+    # minhash_band_efficiency) plus the fifteen r12-added oracled
+    # entries (kn_score, langid_rank, mmr_select, minhash_decontam,
+    # domain_quality_rollup, threshold_sweep, span_corrupt,
+    # unigram_train, unigram_segment_words, unigram_fertility,
+    # unigram_encode_docs, fim_transform, sentence_chunk, crop_pairs,
+    # bitext_mine) — all ×3-SF parity-proven with zero driver rows.
+    # Demote seventeen thrice-green holdovers, keeping family anchors:
+    # candidates in green-row order are snapshot_diff,
+    # minhash_pairs_portable, simhash_pairs_portable (dedup-LSH anchored
+    # by minhash_precision/band_efficiency + minhash_decontam after the
     # swap), q21_waiting_suppliers, dup_components, embed_neardup,
     # pii_redact, corpus_filter (quality anchored by the Gopher/C4
-    # batteries + quality_classifier + threshold_sweep).
+    # batteries + quality_classifier + threshold_sweep), phrase_match
+    # (retrieval anchored by retrieval_pairs + sentence_chunk +
+    # crop_pairs), bpe_segment_words/bpe_encode_docs/tokenizer_fertility
+    # (tokenizers anchored by bpe_train_merges + the four promoted
+    # unigram rows), temperature_mix_weights, dedup_keep_best,
+    # embedding_drift_psi, gopher_rules or gopher_audit (keep one),
+    # dsir_weights or dsir_sample (keep one).
     # test_sql_registry.py re-pins after the reorder.
     #
     # --- added r11 (past-cap; r13 promotion pool): LSH dedup
