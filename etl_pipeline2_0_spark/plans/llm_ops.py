@@ -6268,3 +6268,43 @@ GROUP BY dw.doc_id
 
 
 SQL_UNIGRAM_ENCODE = _sql_unigram_encode_sql()
+
+
+# ---------------------------------------- int8 embedding quantization ----
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Symmetric per-vector int8 quantization with exact reconstruction
+    # error — the 4x storage cut a billion-vector store takes.
+    from etl_pipeline2_0_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embed_quantize(emb)
+
+
+SQL_EMBED_QUANTIZE = r"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT id, v, len(v) AS dim,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT id, v, dim, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS INT))
+         END AS codes
+  FROM s
+), err AS (
+  SELECT id, dim, scale, codes,
+    list_sum(list_transform(list_zip(v, codes),
+             p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))) AS num,
+    list_sum(list_transform(v, x -> x * x)) AS den
+  FROM q
+)
+SELECT id, CAST(dim AS INT) AS dim, ROUND(scale, 6) AS scale, codes,
+       ROUND(CASE WHEN den = 0 THEN 0.0 ELSE SQRT(num) / SQRT(den) END, 6)
+         AS rel_err
+FROM err
+"""

@@ -402,6 +402,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     sits on a 6dp half-boundary ~half the time — the engines round
     #     it oppositely; only the final margin rounds) ---
     "bitext_mine": (L.q_bitext_mine, L.SQL_BITEXT_MINE),
+    # --- added r12 (past-cap; r13 promotion pool): symmetric int8
+    #     embedding quantization (the faiss QT_8bit scheme — the 4x
+    #     storage cut a billion-vector store takes) with exact
+    #     reconstruction-error accounting; scan-speed projection ---
+    "embed_quantize": (L.q_embed_quantize, L.SQL_EMBED_QUANTIZE),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

@@ -3767,3 +3767,36 @@ def test_unigram_encode_docs_consistent_with_fertility(spark):
         assert roll[s]["p"] == fert[s]["n_pieces"]
     for r in enc.collect():
         assert r["n_pieces"] >= r["n_covered"] > 0
+
+
+def test_embed_quantize_roundtrip_and_bounds(spark):
+    """int8 quantization contracts: codes bounded to [-127, 127]; the
+    dequantized vector reconstructs the original within the reported
+    rel_err; a zero vector quantizes to zero codes with scale 0 and
+    error 0; a one-hot vector quantizes exactly (rel_err 0)."""
+    import math
+
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    rows = [
+        (1, [0.5, -0.25, 0.125, 0.0625]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [1e-3, -2e-3, 3.3e-3, -4.7e-3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r["id"]: r for r in S.embed_quantize(df).collect()}
+    for i, v in rows:
+        r = got[i]
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        if i == 2:
+            assert r["scale"] == 0.0 and r["rel_err"] == 0.0
+            assert all(c == 0 for c in r["codes"])
+            continue
+        scale = max(abs(x) for x in v) / 127.0
+        deq = [c * scale for c in r["codes"]]
+        err = math.sqrt(sum((a - b) ** 2 for a, b in zip(v, deq)))
+        nrm = math.sqrt(sum(a * a for a in v))
+        assert abs(err / nrm - r["rel_err"]) < 1e-4
+        assert r["rel_err"] < 0.01  # int8 keeps <1% L2 error here
+    assert got[3]["rel_err"] == 0.0  # one-hot is exactly representable
