@@ -6275,11 +6275,22 @@ SQL_UNIGRAM_ENCODE = _sql_unigram_encode_sql()
 
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Symmetric per-vector int8 quantization with exact reconstruction
-    # error — the 4x storage cut a billion-vector store takes.
+    # error — the 4x storage cut a billion-vector store takes.  The code
+    # array serializes to a canonical CSV string for the cross-engine
+    # value hash (the tokenize_ids convention).
     from etl_pipeline2_0_spark.functions import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embed_quantize(emb)
+    out = similarity.embed_quantize(emb)
+    return out.select(
+        "id",
+        "dim",
+        "scale",
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda x: x.cast("string"))
+        ).alias("codes"),
+        "rel_err",
+    )
 
 
 SQL_EMBED_QUANTIZE = r"""
@@ -6303,7 +6314,8 @@ WITH e AS (
     list_sum(list_transform(v, x -> x * x)) AS den
   FROM q
 )
-SELECT id, CAST(dim AS INT) AS dim, ROUND(scale, 6) AS scale, codes,
+SELECT id, CAST(dim AS INT) AS dim, ROUND(scale, 6) AS scale,
+       array_to_string(codes, ',') AS codes,
        ROUND(CASE WHEN den = 0 THEN 0.0 ELSE SQRT(num) / SQRT(den) END, 6)
          AS rel_err
 FROM err
