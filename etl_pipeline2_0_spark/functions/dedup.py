@@ -1519,8 +1519,10 @@ def edit_distance_pairs(
     Strings shorter than d+1 characters are excluded from the CHUNKED
     side (no d+1-way partition exists) — in self-join mode that means
     both sides, since every string must be partitionable; in cross mode
-    only ``df``.  Pairs are canonical (id_a < id_b) with the verified
-    distance.
+    short LEFT strings are recovered by a brute-force residual join
+    (bounded: left length ≤ d ⇒ right length ≤ 2d), so no cross pair
+    is lost (advisor-r12 fix).  Pairs are canonical (id_a < id_b) with
+    the verified distance.
 
     Scale shape: per string, d+1 chunk keys and ≤ (d+1)(2d+1)² window
     keys (75 at d=2) — linear explode, hash-partitionable equi-join,
@@ -1617,7 +1619,7 @@ def edit_distance_pairs(
                  F.col("L").alias("_la"))
     b = s_right.select(F.col("id").alias("id_b"), F.col("s").alias("_sb"),
                        F.col("L").alias("_lb"))
-    return (
+    verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .where(
@@ -1629,6 +1631,39 @@ def edit_distance_pairs(
             F.levenshtein("_sa", "_sb").cast("int").alias("dist"),
         )
     )
+    if not cross:
+        return verified
+    # advisor-r12: in cross mode the pigeonhole partition only covers
+    # pairs whose LEFT member is chunkable, so left strings shorter
+    # than d+1 chars were silently dropped (e.g. df "a" vs other "abc"
+    # at d=2).  Brute-force the residual: a left string of length ≤ d
+    # can only pair with right strings of length ≤ 2d, so both slices
+    # are bounded by construction (broadcast + length-band condition —
+    # a BNLJ over trivially short strings, never the full corpora).
+    # Disjoint from `verified` (which requires left L ≥ d+1), so a
+    # plain union, no dedup needed.
+    short = (
+        _prep(df, min_len=False)
+        .where(F.col("L") < m)
+        .select(F.col("id").alias("id_a"), F.col("s").alias("_sa"),
+                F.col("L").alias("_la"))
+    )
+    resid = (
+        F.broadcast(short)
+        .join(
+            s_right.where(F.col("L") <= 2 * max_dist).select(
+                F.col("id").alias("id_b"), F.col("s").alias("_sb"),
+                F.col("L").alias("_lb"),
+            ),
+            F.abs(F.col("_la") - F.col("_lb")) <= F.lit(max_dist),
+        )
+        .where(F.levenshtein("_sa", "_sb") <= max_dist)
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("_sa", "_sb").cast("int").alias("dist"),
+        )
+    )
+    return verified.unionByName(resid)
 
 
 def minhash_decontaminate(

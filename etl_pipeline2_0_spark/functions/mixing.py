@@ -20,6 +20,14 @@ from etl_pipeline2_0_spark.functions.text import token_count
 _HEX15_SPACE = 16**15
 
 
+def rate_to_units(rate: float, unit: int) -> int:
+    """Integer threshold for an md5-mod-``unit`` rate gate, rounded to
+    the nearest unit (advisor-r12: truncation made 0.29 select at 28%
+    in ``fim_transform`` and at 289999/1e6 in ``span_corrupt``).  The
+    DuckDB twins embed literals from this same computation."""
+    return int(round(float(rate) * unit))
+
+
 def _md5_below_rate(key: Column, rate: Column) -> Column:
     """Deterministic per-row Bernoulli(rate) via md5 prefix comparison.
 
@@ -1137,7 +1145,7 @@ def span_corrupt(
     """
     from pyspark.sql.window import Window
 
-    thr = int(float(density) * 1_000_000)
+    thr = rate_to_units(density, 1_000_000)
     tokd = df.select(
         F.col(id_col).alias("doc_id"),
         F.filter(
@@ -1281,7 +1289,7 @@ def fim_transform(
 
     Output: (doc_id, mode, n_chars, fim_text).
     """
-    thr = int(float(fim_rate) * 100)
+    thr = rate_to_units(fim_rate, 100)
 
     def _h(tag):
         return F.conv(

@@ -1429,10 +1429,12 @@ def embed_quantize(
             6,
         ),
     )
-    return scored.select(
-        "id",
-        "dim",
-        F.round(F.col("scale"), 6).alias("scale"),
-        "codes",
-        "rel_err",
-    )
+    # Emit the UNROUNDED scale (advisor-r12): rounding to 6 dp made the
+    # emitted scale diverge from the one the codes were computed with
+    # (~1% hidden reconstruction error for low-norm/high-dim vectors)
+    # and collapsed any max|x| < ~6e-5 onto the 0.0 zero-vector
+    # sentinel, making dequantization impossible.  The scale is a
+    # single IEEE division on an exactly-converted double, so it is
+    # bitwise reproducible cross-engine without rounding; consumers
+    # dequantize with exactly the emitted value.
+    return scored.select("id", "dim", "scale", "codes", "rel_err")

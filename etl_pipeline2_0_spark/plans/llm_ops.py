@@ -6314,7 +6314,7 @@ WITH e AS (
     list_sum(list_transform(v, x -> x * x)) AS den
   FROM q
 )
-SELECT id, CAST(dim AS INT) AS dim, ROUND(scale, 6) AS scale,
+SELECT id, CAST(dim AS INT) AS dim, scale,
        array_to_string(codes, ',') AS codes,
        ROUND(CASE WHEN den = 0 THEN 0.0 ELSE SQRT(num) / SQRT(den) END, 6)
          AS rel_err

@@ -3038,8 +3038,13 @@ def test_edit_distance_fuzzy_join_cross_table(spark):
 
     from etl_pipeline2_0_spark.functions import dedup as D
 
+    # Left row 5 is SHORTER than max_dist+1 (cannot be chunked): the
+    # brute-force short-left residual must recover its pairs — "ab" vs
+    # right "a"/"ac" at d=2 (advisor-r12 fix: these were silently
+    # dropped because only chunkable left strings entered the join).
     left = spark.createDataFrame(
-        [(1, "alpha beta"), (2, "gamma delta"), (3, "tiny"), (4, "abc")],
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "tiny"), (4, "abc"),
+         (5, "ab")],
         "doc_id bigint, text string",
     )
     # Right rows 5/6 are SHORTER than max_dist+1: they cannot be
@@ -3069,6 +3074,8 @@ def test_edit_distance_fuzzy_join_cross_table(spark):
     assert got == want
     assert (1, 1, 1) in got and (1, 4, 0) in got and (2, 2, 1) in got
     assert (4, 5, 2) in got and (4, 6, 1) in got
+    # short-left residual pairs (left "ab" is unchunkable at d=2)
+    assert (5, 5, 1) in got and (5, 6, 1) in got
 
 
 def test_kcenter_coreset_matches_greedy_reference(spark):
@@ -3656,6 +3663,21 @@ def test_fim_transform_reconstruction_and_rate(spark):
     assert again == {k: v["fim_text"] for k, v in out.items()}
 
 
+def test_rate_to_units_rounds_not_truncates():
+    """advisor-r12: int() truncation put fim_rate=0.29 at 28% and
+    span density=0.29 at 289999 micro-units — thresholds now round to
+    the nearest unit, and exact registry rates are unchanged."""
+    from etl_pipeline2_0_spark.functions.mixing import rate_to_units
+
+    assert rate_to_units(0.29, 100) == 29
+    assert rate_to_units(0.29, 1_000_000) == 290_000
+    # exact multiples (the registry's literals) are unchanged
+    assert rate_to_units(0.5, 100) == 50
+    assert rate_to_units(0.05, 1_000_000) == 50_000
+    assert rate_to_units(0.15, 1_000_000) == 150_000
+    assert rate_to_units(0.0, 100) == 0 and rate_to_units(1.0, 100) == 100
+
+
 def test_sentence_chunk_respects_boundaries_and_budget(spark):
     """Chunks never split a sentence (each chunk_text is a concatenation
     of whole input sentences); consecutive sentences pack until the
@@ -3783,6 +3805,10 @@ def test_embed_quantize_roundtrip_and_bounds(spark):
         (2, [0.0, 0.0, 0.0, 0.0]),
         (3, [0.0, 0.0, 1.0, 0.0]),
         (4, [1e-3, -2e-3, 3.3e-3, -4.7e-3]),
+        # advisor-r12: max|x| < ~6e-5 used to round the emitted scale
+        # to 0.0, colliding with the zero-vector sentinel — the emitted
+        # scale is now unrounded, so tiny vectors stay dequantizable.
+        (5, [5e-5, -2.5e-5, 1.25e-5, -5e-5]),
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     got = {r["id"]: r for r in S.embed_quantize(df).collect()}
@@ -3793,10 +3819,14 @@ def test_embed_quantize_roundtrip_and_bounds(spark):
             assert r["scale"] == 0.0 and r["rel_err"] == 0.0
             assert all(c == 0 for c in r["codes"])
             continue
-        scale = max(abs(x) for x in v) / 127.0
-        deq = [c * scale for c in r["codes"]]
+        # scale==0 must mean "zero vector", never "rounded away"
+        assert r["scale"] > 0.0
+        # dequantize with the EMITTED scale (advisor-r12: recomputing a
+        # full-precision scale here masked a rounded emitted scale)
+        deq = [c * r["scale"] for c in r["codes"]]
         err = math.sqrt(sum((a - b) ** 2 for a, b in zip(v, deq)))
         nrm = math.sqrt(sum(a * a for a in v))
         assert abs(err / nrm - r["rel_err"]) < 1e-4
         assert r["rel_err"] < 0.01  # int8 keeps <1% L2 error here
     assert got[3]["rel_err"] == 0.0  # one-hot is exactly representable
+    assert got[5]["scale"] == pytest.approx(5e-5 / 127.0, rel=1e-12)
