@@ -98,98 +98,48 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # pool — minhash_recall anchors that family in-window meanwhile.
     # test_sql_registry.py re-pins after the reorder.
     #
-    # --- holdover collecting its third driver row (LSH quality metric) ---
-    "ann_recall": (L.q_ann_recall, L.SQL_ANN_RECALL),
-    # --- first driver rows: the r8 measured-quality metrics (the families
-    #     the judge watches closest get external quality numbers first) ---
+    # ROUND-13 ROTATION (EXECUTED this round, as staged r12): EIGHTEEN
+    # promotions — the two r11 late metric rows (minhash_precision,
+    # minhash_band_efficiency), the fifteen staged r12-added oracled
+    # entries, plus the late-added embed_quantize (the staged 17-entry
+    # note predates it) — all ×3-SF parity-proven with zero driver rows
+    # until now.  Demoted eighteen multi-green holdovers (green rounds
+    # in parentheses), families re-anchored: ann_recall (r8-r12, five
+    # rows — ANN recall anchored by ann_pq_recall + minhash_recall
+    # in-window), snapshot_diff, minhash_pairs_portable,
+    # simhash_pairs_portable (r9-r12 — dedup-LSH anchored by
+    # minhash_recall + the promoted precision/band_efficiency/decontam),
+    # q21_waiting_suppliers (r7-r12), dup_components, embed_neardup,
+    # pii_redact, corpus_filter (nine rows each — quality anchored by
+    # the Gopher/C4 batteries + quality_classifier + the promoted
+    # threshold_sweep/domain_quality_rollup), bpe_segment_words,
+    # bpe_encode_docs, tokenizer_fertility (r10-r12 — tokenizers
+    # anchored by bpe_train_merges + the four promoted unigram rows),
+    # phrase_match (retrieval anchored by retrieval_pairs + the promoted
+    # sentence_chunk/crop_pairs), temperature_mix_weights,
+    # dedup_keep_best, embedding_drift_psi (r10-r12), and one of each
+    # twice-green pair: gopher_audit (gopher_rules stays) and
+    # dsir_sample (dsir_weights stays).  test_sql_registry.py re-pins
+    # the representative set and the all-oracled invariant.
+    # --- holdovers collecting rows: r8 measured-quality metrics ---
     "minhash_recall": (L.q_minhash_recall, L.SQL_MINHASH_RECALL),
     "knn_accuracy": (L.q_knn_accuracy, L.SQL_KNN_ACCURACY),
     "dup_cluster_stats": (L.q_dup_cluster_stats, L.SQL_DUP_CLUSTER_STATS),
-    # --- second driver row: r8 snapshot intelligence ---
-    "snapshot_diff": (L.q_snapshot_diff, L.SQL_SNAPSHOT_DIFF),
-    # --- second driver rows: r8 portable dedup (full-oracle twins of the
-    #     xxhash64 fast paths) ---
-    "minhash_pairs_portable": (
-        L.q_minhash_pairs_portable,
-        L.SQL_MINHASH_PAIRS_PORTABLE,
-    ),
-    "simhash_pairs_portable": (
-        L.q_simhash_pairs_portable,
-        L.SQL_SIMHASH_PAIRS_PORTABLE,
-    ),
-    # --- third-row representatives retained r10 (family anchors: hardest
-    #     TPC-H join, warehouse composition, dedup graph, banded embedding
-    #     dedup, text quality, mixing/packing) ---
-    "q21_waiting_suppliers": (T.q21_waiting_suppliers, T.SQL_Q21),
-    "dup_components": (L.q_dup_components, L.SQL_DUP_COMPONENTS),
-    "embed_neardup": (L.q_embed_neardup, L.SQL_EMBED_NEARDUP),
-    "pii_redact": (L.q_pii_redact, L.SQL_PII_REDACT),
-    "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
-    # --- first driver row r9; collecting second ---
+    # --- holdover: BPE tokenizer-training family anchor (first row r9) ---
     "bpe_train_merges": (L.q_bpe_train_merges, L.SQL_BPE_TRAIN_MERGES),
-    # ROUND-10 ROTATION (executing the staged r9 plan): the seven r9-added
-    # oracled entries below had zero driver rows (locally parity-proven at
-    # sf0.001+0.01+0.1 for two sessions).  They take the slots of seven
-    # THRICE-green representatives (q7_volume_shipping, q9_product_profit,
-    # dedup_exact, dedup_incremental, ngram_jaccard, ann_topk,
-    # lang_id_counts — green r7+r8+r9), each family still anchored by the
-    # retained reps above plus the in-window portable twins/recalls.
-    # After this window goes green, EVERY oracle-expressible query in the
-    # repo has at least one external driver row.
-    # --- first driver rows: the BPE train→apply companions (word-type
-    #     segmentation; corpus encoding incl. carry_cols one-pass; fertility
-    #     by source) ---
-    "bpe_segment_words": (L.q_bpe_segment_words, L.SQL_BPE_SEGMENT_WORDS),
-    "bpe_encode_docs": (L.q_bpe_encode_docs, L.SQL_BPE_ENCODE_DOCS),
-    "tokenizer_fertility": (
-        L.q_tokenizer_fertility,
-        L.SQL_TOKENIZER_FERTILITY,
-    ),
-    # --- first driver rows: positional-index exact-phrase retrieval and
-    #     mT5-style temperature sampling weights ---
-    "phrase_match": (L.q_phrase_match, L.SQL_PHRASE_MATCH),
-    "temperature_mix_weights": (
-        L.q_temperature_mix_weights,
-        L.SQL_TEMPERATURE_MIX_WEIGHTS,
-    ),
-    # --- first driver rows: quality-ranked canonical dedup; PSI drift on
-    #     embedding norms/components ---
-    "dedup_keep_best": (L.q_dedup_keep_best, L.SQL_DEDUP_KEEP_BEST),
-    "embedding_drift_psi": (
-        L.q_embedding_drift_psi,
-        L.SQL_EMBEDDING_DRIFT_PSI,
-    ),
-    # --- first driver rows (promoted r11): DSIR importance resampling
-    #     (Xie et al. 2023) — hashed unigram+bigram log-weights against a
-    #     target slice, and the Gumbel-top-k resample.  Portable md5
-    #     buckets/noise → full DuckDB twins, parity-tested at 3 SFs ---
+    # --- holdovers (promoted r11, green r11+r12): DSIR importance
+    #     resampling, the Gopher rule battery, PQ ADC top-k + measured
+    #     recall, CMS heavy hitters, Bloom decontamination, split-leakage
+    #     audit, CCNet perplexity terciles ---
     "dsir_weights": (L.q_dsir_weights, L.SQL_DSIR_WEIGHTS),
-    "dsir_sample": (L.q_dsir_sample, L.SQL_DSIR_SAMPLE),
-    # --- first driver rows (promoted r11): the Gopher heuristic rule
-    #     battery (Rae et al. 2021 Table A1) at published thresholds,
-    #     whitespace-word semantics (advisor-r10 fix), and its per-rule
-    #     attrition rollup ---
     "gopher_rules": (L.q_gopher_rules, L.SQL_GOPHER_RULES),
-    "gopher_audit": (L.q_gopher_audit, L.SQL_GOPHER_AUDIT),
-    # --- first driver rows (promoted r11): product quantization
-    #     (Jégou et al. 2011) under the portable construction — ADC top-k
-    #     over the M-codes table plus its measured recall vs exact L2 ---
     "ann_pq_topk": (L.q_ann_pq_topk, L.SQL_ANN_PQ_TOPK),
     "ann_pq_recall": (L.q_ann_pq_recall, L.SQL_ANN_PQ_RECALL),
-    # --- first driver rows (promoted r11): count-min-sketch heavy
-    #     hitters (Cormode & Muthukrishnan 2005) — the fixed-memory
-    #     frequency sketch that feeds the dedup doc-freq caps at scale —
-    #     and Bloom-filter decontamination (FNs structurally impossible,
-    #     FP overhead visible vs exact containment) ---
     "cms_heavy_hitters": (L.q_cms_heavy_hitters, L.SQL_CMS_HEAVY_HITTERS),
     "bloom_contamination": (
         L.q_bloom_contamination,
         L.SQL_BLOOM_CONTAMINATION,
     ),
-    # --- first driver rows (promoted r11): split-leakage audit (the DQ
-    #     metric catching near-dup leakage across the split boundary) and
-    #     the CCNet head/middle/tail per-language perplexity terciles
-    #     (Wenzek et al. 2020) ---
     "split_leakage": (L.q_split_leakage, L.SQL_SPLIT_LEAKAGE),
     "ccnet_buckets": (L.q_ccnet_buckets, L.SQL_CCNET_BUCKETS),
     # --- first driver rows (promoted r12): exact-substring dedup
@@ -243,6 +193,79 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
     "kcenter_coreset": (L.q_kcenter_coreset, L.SQL_KCENTER_CORESET),
     "retrieval_pairs": (L.q_retrieval_pairs, L.SQL_RETRIEVAL_PAIRS),
+    # --- first driver rows (promoted r13): LSH dedup precision — the
+    #     complement of minhash_recall (what a destructive dedup would
+    #     wrongly delete) — and the banded-join efficiency metric
+    #     (candidate volume per true pair) ---
+    "minhash_precision": (L.q_minhash_precision, L.SQL_MINHASH_PRECISION),
+    "minhash_band_efficiency": (
+        L.q_minhash_band_efficiency,
+        L.SQL_MINHASH_BAND_EFFICIENCY,
+    ),
+    # --- first driver rows (promoted r13): interpolated Kneser-Ney
+    #     word-bigram LM scoring (Kneser & Ney 1995; the KenLM/CCNet
+    #     smoothing family), trained leakage-free on the non-src0 slice
+    #     so the oracle exercises every unseen-bigram/context/OOV
+    #     fallback path ---
+    "kn_score": (L.q_kn_score, L.SQL_KN_SCORE),
+    # --- first driver rows (promoted r13): TRAINED language ID by
+    #     char-trigram rank profiles (Cavnar & Trenkle 1994) with an
+    #     honest even/odd held-out split ---
+    "langid_rank": (L.q_langid_rank, L.SQL_LANGID_RANK),
+    # --- first driver rows (promoted r13): Maximal Marginal Relevance
+    #     diverse top-k (Carbonell & Goldstein 1998) — the
+    #     relevance-aware cousin of kcenter_coreset ---
+    "mmr_select": (L.q_mmr_select, L.SQL_MMR_SELECT),
+    # --- first driver rows (promoted r13): cross-corpus MinHash
+    #     decontamination (the GPT-3/Llama fuzzy train-vs-benchmark
+    #     sweep) — banded LSH BETWEEN two corpora, exact-Jaccard
+    #     verified, md5-portable end-to-end ---
+    "minhash_decontam": (L.q_minhash_decontam, L.SQL_MINHASH_DECONTAM),
+    # --- first driver rows (promoted r13): per-domain quality triage
+    #     rollup and the quality-gate calibration sweep (docs + token
+    #     mass kept per candidate threshold, one corpus pass) ---
+    "domain_quality_rollup": (
+        L.q_domain_quality_rollup,
+        L.SQL_DOMAIN_QUALITY_ROLLUP,
+    ),
+    "threshold_sweep": (L.q_threshold_sweep, L.SQL_THRESHOLD_SWEEP),
+    # --- first driver rows (promoted r13): T5 span corruption (Raffel
+    #     et al. 2020 §3.1.4) and fill-in-the-middle (Bavarian et al.
+    #     2022) example construction — md5-deterministic, reconstruction
+    #     invariants pinned in tests ---
+    "span_corrupt": (L.q_span_corrupt, L.SQL_SPAN_CORRUPT),
+    "fim_transform": (L.q_fim_transform, L.SQL_FIM_TRANSFORM),
+    # --- first driver rows (promoted r13): unigram-LM tokenizer family
+    #     (Kudo 2018, the SentencePiece model class) — Viterbi hard-EM
+    #     over the bounded word-type table, JVM-side DP fold with an
+    #     unrolled-CTE DuckDB twin ---
+    "unigram_train": (L.q_unigram_train, L.SQL_UNIGRAM_TRAIN),
+    "unigram_segment_words": (
+        L.q_unigram_segment_words,
+        L.SQL_UNIGRAM_SEGMENT,
+    ),
+    "unigram_fertility": (
+        L.q_unigram_fertility,
+        L.SQL_UNIGRAM_FERTILITY,
+    ),
+    "unigram_encode_docs": (
+        L.q_unigram_encode_docs,
+        L.SQL_UNIGRAM_ENCODE,
+    ),
+    # --- first driver rows (promoted r13): sentence-integral RAG
+    #     chunking and Contriever/ICT contrastive crop pairs ---
+    "sentence_chunk": (L.q_sentence_chunk, L.SQL_SENTENCE_CHUNK),
+    "crop_pairs": (L.q_crop_pairs, L.SQL_CROP_PAIRS),
+    # --- first driver rows (promoted r13): margin-based bitext mining
+    #     (Artetxe & Schwenk 2019, the LASER/CCMatrix recipe) — exact
+    #     oracle mode; the ANN-fed scale path is a separate rows-only
+    #     recall metric ---
+    "bitext_mine": (L.q_bitext_mine, L.SQL_BITEXT_MINE),
+    # --- first driver row (promoted r13): symmetric int8 embedding
+    #     quantization (faiss QT_8bit scheme) with exact
+    #     reconstruction-error accounting; emits the unrounded scale
+    #     (advisor-r12 fix) ---
+    "embed_quantize": (L.q_embed_quantize, L.SQL_EMBED_QUANTIZE),
     # ---------- driver 50-query window ends here ----------
     # --- demoted r12 (see rotation note above): twenty thrice-green
     #     r8/r9 holdovers; every one re-proven locally each session by
@@ -290,123 +313,45 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # ROUND-13 ROTATION (STAGED — execute next round): SEVENTEEN
-    # promotions — the two r11 late metric rows (minhash_precision,
-    # minhash_band_efficiency) plus the fifteen r12-added oracled
-    # entries (kn_score, langid_rank, mmr_select, minhash_decontam,
-    # domain_quality_rollup, threshold_sweep, span_corrupt,
-    # unigram_train, unigram_segment_words, unigram_fertility,
-    # unigram_encode_docs, fim_transform, sentence_chunk, crop_pairs,
-    # bitext_mine) — all ×3-SF parity-proven with zero driver rows.
-    # Demote seventeen thrice-green holdovers, keeping family anchors:
-    # candidates in green-row order are snapshot_diff,
-    # minhash_pairs_portable, simhash_pairs_portable (dedup-LSH anchored
-    # by minhash_precision/band_efficiency + minhash_decontam after the
-    # swap), q21_waiting_suppliers, dup_components, embed_neardup,
-    # pii_redact, corpus_filter (quality anchored by the Gopher/C4
-    # batteries + quality_classifier + threshold_sweep), phrase_match
-    # (retrieval anchored by retrieval_pairs + sentence_chunk +
-    # crop_pairs), bpe_segment_words/bpe_encode_docs/tokenizer_fertility
-    # (tokenizers anchored by bpe_train_merges + the four promoted
-    # unigram rows), temperature_mix_weights, dedup_keep_best,
-    # embedding_drift_psi, gopher_rules or gopher_audit (keep one),
-    # dsir_weights or dsir_sample (keep one).
-    # test_sql_registry.py re-pins after the reorder.
-    #
-    # --- added r11 (past-cap; r13 promotion pool): LSH dedup
-    #     precision — the complement of minhash_recall (what a
-    #     destructive dedup would wrongly delete) — and the banded-join
-    #     efficiency metric (candidate volume per true pair) ---
-    "minhash_precision": (L.q_minhash_precision, L.SQL_MINHASH_PRECISION),
-    "minhash_band_efficiency": (
-        L.q_minhash_band_efficiency,
-        L.SQL_MINHASH_BAND_EFFICIENCY,
+    # --- demoted r13 (see rotation note above): eighteen multi-green
+    #     holdovers — five-row ann_recall, the r9-cohort snapshot/
+    #     portable-dedup rows, the nine-row r01-family reps, the r10
+    #     cohort, and one of each twice-green r11 pair; every one
+    #     re-proven locally each session by the default sf0.001+sf0.1
+    #     parity suites ---
+    "ann_recall": (L.q_ann_recall, L.SQL_ANN_RECALL),
+    "snapshot_diff": (L.q_snapshot_diff, L.SQL_SNAPSHOT_DIFF),
+    "minhash_pairs_portable": (
+        L.q_minhash_pairs_portable,
+        L.SQL_MINHASH_PAIRS_PORTABLE,
     ),
-    # --- added r12 (past-cap; r13 promotion pool): interpolated
-    #     Kneser-Ney word-bigram LM scoring (Kneser & Ney 1995; the
-    #     KenLM/CCNet smoothing family), trained leakage-free on the
-    #     non-src0 slice so the oracle exercises every unseen-bigram/
-    #     context/OOV fallback path ---
-    "kn_score": (L.q_kn_score, L.SQL_KN_SCORE),
-    # --- added r12 (past-cap; r13 promotion pool): TRAINED language ID
-    #     by char-trigram rank profiles (Cavnar & Trenkle 1994) with an
-    #     honest even/odd held-out split; the oracled confusion matrix
-    #     proves the arithmetic (the synthetic corpus shares one
-    #     vocabulary across lang labels); classification power is
-    #     proven on a real multilingual fixture in tests ---
-    "langid_rank": (L.q_langid_rank, L.SQL_LANGID_RANK),
-    # --- added r12 (past-cap; r13 promotion pool): Maximal Marginal
-    #     Relevance diverse top-k (Carbonell & Goldstein 1998) — the
-    #     relevance-aware cousin of kcenter_coreset; k-step materialized
-    #     CTE twin, (1-lambda) literal repr-generated so both engines
-    #     compute the identical double ---
-    "mmr_select": (L.q_mmr_select, L.SQL_MMR_SELECT),
-    # --- added r12 (past-cap; r13 promotion pool): cross-corpus MinHash
-    #     decontamination (the GPT-3/Llama fuzzy train-vs-benchmark
-    #     sweep) — banded LSH BETWEEN two corpora, exact-Jaccard
-    #     verified, md5-portable end-to-end; the fuzzy complement of
-    #     contamination_check and the cross-table cousin of
-    #     minhash_pairs_portable ---
-    "minhash_decontam": (L.q_minhash_decontam, L.SQL_MINHASH_DECONTAM),
-    # --- added r12 (past-cap; r13 promotion pool): per-domain quality
-    #     rollup (RefinedWeb/FineWeb domain-granularity triage) —
-    #     volume, mean quality, exact-dup rate, below-median /
-    #     dup-tripwire flag, one corpus pass ---
-    "domain_quality_rollup": (
-        L.q_domain_quality_rollup,
-        L.SQL_DOMAIN_QUALITY_ROLLUP,
+    "simhash_pairs_portable": (
+        L.q_simhash_pairs_portable,
+        L.SQL_SIMHASH_PAIRS_PORTABLE,
     ),
-    # --- added r12 (past-cap; r13 promotion pool): quality-gate
-    #     calibration curve (docs + token mass kept per candidate
-    #     threshold) from one corpus pass + a 10-row sweep; integer
-    #     micro-unit buckets so boundary scores land exactly ---
-    "threshold_sweep": (L.q_threshold_sweep, L.SQL_THRESHOLD_SWEEP),
-    # --- added r12 (past-cap; r13 promotion pool): T5 span-corruption
-    #     example construction (Raffel et al. 2020 §3.1.4) — md5-placed
-    #     merged spans, sentinel inputs + ordered targets; splice-back
-    #     reconstruction invariant pinned in tests ---
-    "span_corrupt": (L.q_span_corrupt, L.SQL_SPAN_CORRUPT),
-    # --- added r12 (past-cap; r13 promotion pool): unigram-LM tokenizer
-    #     training (Kudo 2018, the SentencePiece model family) — Viterbi
-    #     hard-EM over the bounded word-type table, JVM-side DP fold
-    #     with an unrolled-CTE DuckDB twin; matches an independent
-    #     Python EM replica exactly (tests) ---
-    "unigram_train": (L.q_unigram_train, L.SQL_UNIGRAM_TRAIN),
-    "unigram_segment_words": (
-        L.q_unigram_segment_words,
-        L.SQL_UNIGRAM_SEGMENT,
+    "q21_waiting_suppliers": (T.q21_waiting_suppliers, T.SQL_Q21),
+    "dup_components": (L.q_dup_components, L.SQL_DUP_COMPONENTS),
+    "embed_neardup": (L.q_embed_neardup, L.SQL_EMBED_NEARDUP),
+    "pii_redact": (L.q_pii_redact, L.SQL_PII_REDACT),
+    "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
+    "bpe_segment_words": (L.q_bpe_segment_words, L.SQL_BPE_SEGMENT_WORDS),
+    "bpe_encode_docs": (L.q_bpe_encode_docs, L.SQL_BPE_ENCODE_DOCS),
+    "tokenizer_fertility": (
+        L.q_tokenizer_fertility,
+        L.SQL_TOKENIZER_FERTILITY,
     ),
-    "unigram_fertility": (
-        L.q_unigram_fertility,
-        L.SQL_UNIGRAM_FERTILITY,
+    "phrase_match": (L.q_phrase_match, L.SQL_PHRASE_MATCH),
+    "temperature_mix_weights": (
+        L.q_temperature_mix_weights,
+        L.SQL_TEMPERATURE_MIX_WEIGHTS,
     ),
-    "unigram_encode_docs": (
-        L.q_unigram_encode_docs,
-        L.SQL_UNIGRAM_ENCODE,
+    "dedup_keep_best": (L.q_dedup_keep_best, L.SQL_DEDUP_KEEP_BEST),
+    "embedding_drift_psi": (
+        L.q_embedding_drift_psi,
+        L.SQL_EMBEDDING_DRIFT_PSI,
     ),
-    # --- added r12 (past-cap; r13 promotion pool): fill-in-the-middle
-    #     example construction (Bavarian et al. 2022) — md5-deterministic
-    #     cuts, joint PSM/SPM, rate-gated; reconstruction invariant
-    #     pinned in tests; runs at scan speed (narrow projection) ---
-    "fim_transform": (L.q_fim_transform, L.SQL_FIM_TRANSFORM),
-    # --- added r12 (past-cap; r13 promotion pool): sentence-integral
-    #     RAG chunking (semantic alternative to the sliding window; RE2-
-    #     safe sentence regex, no lookbehind) and Contriever/ICT
-    #     contrastive crop pairs with overlap accounting ---
-    "sentence_chunk": (L.q_sentence_chunk, L.SQL_SENTENCE_CHUNK),
-    "crop_pairs": (L.q_crop_pairs, L.SQL_CROP_PAIRS),
-    # --- added r12 (past-cap; r13 promotion pool): margin-based bitext
-    #     mining (Artetxe & Schwenk 2019, the LASER/CCMatrix recipe) —
-    #     ratio margin over cross-side kNN means; hub suppression pinned
-    #     in tests; kNN means stay UNROUNDED (a mean of k six-dp values
-    #     sits on a 6dp half-boundary ~half the time — the engines round
-    #     it oppositely; only the final margin rounds) ---
-    "bitext_mine": (L.q_bitext_mine, L.SQL_BITEXT_MINE),
-    # --- added r12 (past-cap; r13 promotion pool): symmetric int8
-    #     embedding quantization (the faiss QT_8bit scheme — the 4x
-    #     storage cut a billion-vector store takes) with exact
-    #     reconstruction-error accounting; scan-speed projection ---
-    "embed_quantize": (L.q_embed_quantize, L.SQL_EMBED_QUANTIZE),
+    "gopher_audit": (L.q_gopher_audit, L.SQL_GOPHER_AUDIT),
+    "dsir_sample": (L.q_dsir_sample, L.SQL_DSIR_SAMPLE),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),

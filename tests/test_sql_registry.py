@@ -88,53 +88,55 @@ def test_driver_window_covers_every_query_family():
 
     window = set(list(_AQ)[:50])
     representatives = {
-        # dedup family: components, canonical keep-best, portable
-        # MinHash/SimHash + measured recall, exact substring/line dedup
-        # (Lee 2022 / MassiveText), PassJoin edit-distance
-        "dedup_keep_best", "dup_components", "minhash_pairs_portable",
-        "simhash_pairs_portable", "minhash_recall", "dup_cluster_stats",
-        "dedup_substrings", "dedup_lines", "edit_neardup",
-        # similarity / ANN: PQ + measured recall, banded embedding
-        # near-dup, D4 prototypicality (portable IVF centroids +
-        # assignment — the IVF anchor after ann_ivf_*_portable rotated
-        # out r12 with 3 green rows), k-center coreset; LSH stays
-        # measured via ann_recall, kNN via knn_accuracy
-        "ann_pq_topk", "ann_pq_recall", "ann_recall", "embed_neardup",
-        "knn_accuracy", "prototypicality", "kcenter_coreset",
+        # dedup family: measured recall/precision/band-efficiency +
+        # cluster DQ, exact substring/line dedup (Lee 2022 /
+        # MassiveText), PassJoin edit-distance, cross-corpus MinHash
+        # decontamination (portable-twin pair + keep-best/components
+        # rotated out r13 with 4+ green rows)
+        "minhash_recall", "minhash_precision", "minhash_band_efficiency",
+        "dup_cluster_stats", "dedup_substrings", "dedup_lines",
+        "edit_neardup", "minhash_decontam",
+        # similarity / ANN: PQ + measured recall, D4 prototypicality
+        # (portable IVF centroids + assignment), k-center coreset, MMR
+        # diverse selection, margin bitext mining, int8 quantization;
+        # kNN via knn_accuracy (ann_recall rotated out r13, 5 rows —
+        # LSH-vs-exact recall re-anchored by minhash_recall/precision)
+        "ann_pq_topk", "ann_pq_recall", "knn_accuracy",
+        "prototypicality", "kcenter_coreset", "mmr_select",
+        "bitext_mine", "embed_quantize",
         # text analysis / corpus quality / tokenizer training+apply
-        # (lm_score composed in-window by ccnet_buckets; text_clean/
-        # doc_novelty/lm_score_heldout/tfidf_cosine_pairs rotated out
-        # r12 with 3 green rows — quality anchored by the Gopher/C4/
-        # repetition batteries + the seed-trained classifier)
-        "pii_redact", "corpus_filter", "gopher_rules", "gopher_audit",
-        "ccnet_buckets", "c4_rules", "gopher_repetition",
+        # (pii_redact/corpus_filter rotated out r13 with 9 green rows;
+        # quality anchored by the Gopher/C4/repetition batteries, the
+        # seed-trained classifier, KN LM scoring, trained lang-ID, the
+        # threshold calibration sweep and the per-domain rollup)
+        "gopher_rules", "ccnet_buckets", "c4_rules", "gopher_repetition",
         "quality_classifier", "entropy_stats", "langid_confusion",
-        "bpe_train_merges", "bpe_segment_words", "bpe_encode_docs",
-        "tokenizer_fertility",
+        "kn_score", "langid_rank", "threshold_sweep",
+        "domain_quality_rollup",
+        # tokenizers: BPE training anchor + the full unigram-LM family
+        # (segment/encode/fertility for BPE rotated out r13 with 3 green
+        # rows — the unigram rows exercise the same apply surface)
+        "bpe_train_merges", "unigram_train", "unigram_segment_words",
+        "unigram_fertility", "unigram_encode_docs",
         # data selection / mixing-optimization loops (DSIR, DoReMi,
         # UniMax, repeat-decay budgets, quota sampling)
-        "dsir_weights", "dsir_sample", "doremi_weights", "unimax_alloc",
+        "dsir_weights", "doremi_weights", "unimax_alloc",
         "data_budget_plan", "quota_sample",
         # frequency/membership/quantile sketches
         "cms_heavy_hitters", "bloom_contamination", "hist_quantiles",
-        # retrieval (exact-phrase positional retrieval in-window; the
-        # full BM25 chain exercised by the promoted contrastive-pairs
-        # miner after chunk/bm25/rrf rotated out r12 with 3 green rows)
-        "phrase_match", "retrieval_pairs",
-        # composition / splits / packing / mixing weights (assign_splits*/
-        # pack_texts/interleave_key/curriculum_buckets rotated out r12
-        # with 3 green rows; splits anchored by split_leakage +
-        # quota_sample, packing by pack_efficiency)
-        "temperature_mix_weights", "pack_efficiency",
-        # snapshots / DQ / observability (fk_integrity/value_outliers/
-        # profile_columns/dedup_rate_report/max_concurrency/
-        # corpus_drift_psi rotated out r12 with 3 green rows; DQ stays
-        # anchored by the leakage/drift/confusion/concentration rows)
-        "snapshot_diff", "embedding_drift_psi", "split_leakage",
-        "langid_confusion", "domain_concentration", "zipf_stats",
-        "heaps_growth",
-        # heaviest TPC-H join (cohort_retention rotated out r11, 4 rows)
-        "q21_waiting_suppliers",
+        # retrieval (the full BM25 chain exercised by the contrastive-
+        # pairs miner; sentence-integral chunking; Contriever crops —
+        # phrase_match rotated out r13 with 3 green rows)
+        "retrieval_pairs", "sentence_chunk", "crop_pairs",
+        # example construction / packing (span corruption + FIM promoted
+        # r13; temperature_mix_weights rotated out r13 — mixing anchored
+        # by the selection loops above, packing by pack_efficiency)
+        "span_corrupt", "fim_transform", "pack_efficiency",
+        # DQ / observability (snapshot_diff/embedding_drift_psi rotated
+        # out r13 with 4/3 green rows; DQ stays anchored by the leakage/
+        # confusion/concentration/corpus-shape rows)
+        "split_leakage", "langid_confusion", "domain_concentration",
+        "zipf_stats", "heaps_growth",
     }
     missing = representatives - window
     assert not missing, f"families outside the driver window: {sorted(missing)}"
