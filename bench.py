@@ -159,6 +159,7 @@ HEADLINE = [
     "sentence_chunk",
     "crop_pairs",
     "bitext_mine",
+    "bitext_recall",
     "embed_quantize",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",

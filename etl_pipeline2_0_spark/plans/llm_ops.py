@@ -6204,6 +6204,165 @@ WHERE ROUND(c.cos / ((ms.m_s + mt.m_t) / 2.0), 6) >= 1.0
 """
 
 
+def q_bitext_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mined-pair recall of the IVF-fed bitext path (the 100 TB
+    # configuration: cluster-scoped candidate equi-joins, never the
+    # cross product) vs the exact all-pairs path — the ann_recall
+    # template applied to mining; fully oracled because the IVF side
+    # uses the md5-portable coarse quantizer.
+    from etl_pipeline2_0_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bitext_mine_recall(
+        emb.where(F.col("label") < 5),
+        emb.where(F.col("label") >= 5),
+        k=4,
+        margin_threshold=1.0,
+        n_centroids=16,
+        n_probe=4,
+    )
+
+
+SQL_BITEXT_RECALL = r"""
+WITH s AS (
+  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE label < 5
+), t AS (
+  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
+  FROM embeddings WHERE label >= 5
+), pairs AS MATERIALIZED (
+  SELECT src_id, tgt_id,
+         ROUND(list_inner_product(sv, tv)
+               / (SQRT(list_inner_product(sv, sv))
+                  * SQRT(list_inner_product(tv, tv))), 6) AS cos
+  FROM s CROSS JOIN t
+), ms AS (
+  SELECT src_id, AVG(cos) AS m_s FROM (
+    SELECT src_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY src_id
+                              ORDER BY cos DESC, tgt_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= 4 GROUP BY src_id
+), mt AS (
+  SELECT tgt_id, AVG(cos) AS m_t FROM (
+    SELECT tgt_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY tgt_id
+                              ORDER BY cos DESC, src_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= 4 GROUP BY tgt_id
+), cand AS (
+  SELECT src_id, tgt_id, cos FROM (
+    SELECT src_id, tgt_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY src_id
+                              ORDER BY cos DESC, tgt_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+), exact_mined AS MATERIALIZED (
+  SELECT c.src_id, c.tgt_id
+  FROM cand c JOIN ms USING (src_id) JOIN mt USING (tgt_id)
+  WHERE ROUND(c.cos / ((ms.m_s + mt.m_t) / 2.0), 6) >= 1.0
+), cents AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, tgt_id) AS INT)
+           AS centroid_id,
+         tv AS cv
+  FROM (
+    SELECT tgt_id, tv,
+           CAST('0x' || substring(md5(CAST(tgt_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS hh
+    FROM t
+  )
+  QUALIFY centroid_id <= 16
+), s_probe AS MATERIALIZED (
+  SELECT src_id, sv, centroid_id AS cluster FROM (
+    SELECT s.src_id, s.sv, c.centroid_id,
+           ROUND(list_inner_product(s.sv, c.cv) /
+                 (SQRT(list_inner_product(s.sv, s.sv))
+                  * SQRT(list_inner_product(c.cv, c.cv))), 6) AS sim
+    FROM s CROSS JOIN cents c
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY sim DESC, centroid_id) <= 4
+), s_home AS MATERIALIZED (
+  SELECT src_id, sv, centroid_id AS cluster FROM (
+    SELECT s.src_id, s.sv, c.centroid_id,
+           ROUND(list_inner_product(s.sv, c.cv) /
+                 (SQRT(list_inner_product(s.sv, s.sv))
+                  * SQRT(list_inner_product(c.cv, c.cv))), 6) AS sim
+    FROM s CROSS JOIN cents c
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY sim DESC, centroid_id) = 1
+), t_probe AS MATERIALIZED (
+  SELECT tgt_id, tv, centroid_id AS cluster FROM (
+    SELECT t.tgt_id, t.tv, c.centroid_id,
+           ROUND(list_inner_product(t.tv, c.cv) /
+                 (SQRT(list_inner_product(t.tv, t.tv))
+                  * SQRT(list_inner_product(c.cv, c.cv))), 6) AS sim
+    FROM t CROSS JOIN cents c
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY tgt_id
+                               ORDER BY sim DESC, centroid_id) <= 4
+), t_home AS MATERIALIZED (
+  SELECT tgt_id, tv, centroid_id AS cluster FROM (
+    SELECT t.tgt_id, t.tv, c.centroid_id,
+           ROUND(list_inner_product(t.tv, c.cv) /
+                 (SQRT(list_inner_product(t.tv, t.tv))
+                  * SQRT(list_inner_product(c.cv, c.cv))), 6) AS sim
+    FROM t CROSS JOIN cents c
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY tgt_id
+                               ORDER BY sim DESC, centroid_id) = 1
+), annpairs AS MATERIALIZED (
+  SELECT DISTINCT src_id, tgt_id, cos FROM (
+    SELECT p.src_id, h.tgt_id,
+           ROUND(list_inner_product(p.sv, h.tv) /
+                 (SQRT(list_inner_product(p.sv, p.sv))
+                  * SQRT(list_inner_product(h.tv, h.tv))), 6) AS cos
+    FROM s_probe p JOIN t_home h USING (cluster)
+    UNION ALL
+    SELECT h.src_id, p.tgt_id,
+           ROUND(list_inner_product(h.sv, p.tv) /
+                 (SQRT(list_inner_product(h.sv, h.sv))
+                  * SQRT(list_inner_product(p.tv, p.tv))), 6) AS cos
+    FROM s_home h JOIN t_probe p USING (cluster)
+  )
+), ams AS (
+  SELECT src_id, AVG(cos) AS m_s FROM (
+    SELECT src_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY src_id
+                              ORDER BY cos DESC, tgt_id ASC) AS rn
+    FROM annpairs
+  ) WHERE rn <= 4 GROUP BY src_id
+), amt AS (
+  SELECT tgt_id, AVG(cos) AS m_t FROM (
+    SELECT tgt_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY tgt_id
+                              ORDER BY cos DESC, src_id ASC) AS rn
+    FROM annpairs
+  ) WHERE rn <= 4 GROUP BY tgt_id
+), acand AS (
+  SELECT src_id, tgt_id, cos FROM (
+    SELECT src_id, tgt_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY src_id
+                              ORDER BY cos DESC, tgt_id ASC) AS rn
+    FROM annpairs
+  ) WHERE rn = 1
+), ann_mined AS MATERIALIZED (
+  SELECT c.src_id, c.tgt_id
+  FROM acand c JOIN ams USING (src_id) JOIN amt USING (tgt_id)
+  WHERE ROUND(c.cos / ((ams.m_s + amt.m_t) / 2.0), 6) >= 1.0
+), counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM exact_mined) AS n_exact,
+    (SELECT COUNT(*) FROM ann_mined) AS n_ann,
+    (SELECT COUNT(*) FROM exact_mined e JOIN ann_mined a
+       ON e.src_id = a.src_id AND e.tgt_id = a.tgt_id) AS n_common
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_ann AS BIGINT) AS n_ann,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CASE WHEN n_exact = 0 THEN 1.0
+                  ELSE n_common * 1.0 / n_exact END, 6) AS recall
+FROM counts
+"""
+
+
 def q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus pricing under the trained unigram tokenizer — the
     # bpe_encode_docs mirror with uncovered-word accounting.

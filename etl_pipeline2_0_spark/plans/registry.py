@@ -313,6 +313,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
+    # --- added r13 (past-cap; r14 promotion pool): mined-pair recall of
+    #     the IVF-fed bitext path (the 100 TB configuration — cluster-
+    #     scoped candidate equi-joins, never the cross product) vs the
+    #     exact all-pairs path; fully oracled via the md5-portable
+    #     coarse quantizer ---
+    "bitext_recall": (L.q_bitext_recall, L.SQL_BITEXT_RECALL),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

@@ -3762,6 +3762,45 @@ def test_bitext_mine_margin_suppresses_hubs(spark):
     assert {r["src_id"] for r in mined} == {1, 3}
 
 
+def test_bitext_ivf_mode_and_recall_metric(spark, sf_dir):
+    """The ANN(IVF)-fed mode shares the exact path's margin arithmetic:
+    with full probing (n_probe == n_centroids) the candidate space IS
+    the cross product, so the two modes must mine the SAME pairs; the
+    recall metric's counts must be internally consistent and its
+    reduced-probe recall above a floor on the synthetic corpus."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import similarity as S
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.where(SF.col("label") < 5)
+    tgt = emb.where(SF.col("label") >= 5)
+    exact = {
+        (r["src_id"], r["tgt_id"], r["margin"])
+        for r in S.bitext_mine(
+            src, tgt, k=4, margin_threshold=1.0, method="exact"
+        ).collect()
+    }
+    full_probe = {
+        (r["src_id"], r["tgt_id"], r["margin"])
+        for r in S.bitext_mine(
+            src, tgt, k=4, margin_threshold=1.0, method="ivf",
+            n_centroids=8, n_probe=8,
+        ).collect()
+    }
+    assert full_probe == exact  # full probing ≡ exact, margins included
+    row = S.bitext_mine_recall(
+        src, tgt, k=4, margin_threshold=1.0, n_centroids=16, n_probe=4
+    ).first()
+    assert row["n_exact"] == len(exact)
+    assert row["n_common"] <= min(row["n_exact"], row["n_ann"])
+    assert row["recall"] == round(row["n_common"] / row["n_exact"], 6)
+    # structure-less random embeddings are IVF's worst case; even there
+    # 4/16 probing keeps the majority of exact-mined pairs
+    assert row["recall"] >= 0.5
+
+
 def test_unigram_encode_docs_consistent_with_fertility(spark):
     """Per-doc encode totals roll up to the per-source fertility totals
     exactly (same vocab, same segmentations, two aggregations of one

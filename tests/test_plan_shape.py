@@ -902,3 +902,87 @@ def test_unigram_queries_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan
     seg = _plan(L.q_unigram_segment_words(spark, sf_dir))
     assert seg.count("BroadcastHashJoin") >= 2
+
+
+def test_bitext_exact_mode_shuffle_hash_not_bnlj(spark, sf_dir):
+    # The exact all-pairs enumeration must be the salted-BLOCK equi-join
+    # (pmod(xxhash64) keys on one side, per-block replication on the
+    # other) executed as a ShuffledHashJoin — a distributed, spill-safe
+    # cartesian-in-disguise — never a BroadcastNestedLoopJoin or a real
+    # CartesianProduct.  checkpoint=False exposes the pair subtree the
+    # production path hides behind its lazy barrier.
+    from etl_pipeline2_0_spark.functions import similarity
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.bitext_mine(
+        emb.where(F.col("label") < 5), emb.where(F.col("label") >= 5),
+        k=4, margin_threshold=1.0, method="exact", checkpoint=False,
+    )
+    plan = _plan(df)
+    assert "pmod(xxhash64" in plan           # salted-block keys present
+    assert plan.count("ShuffledHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitext_ivf_mode_no_block_replication(spark, sf_dir):
+    # The ANN-fed mode (the 100 TB configuration) must source candidates
+    # from cluster-scoped EQUI-joins: no salted-block replication, no
+    # cartesian; the only nested-loop joins are the broadcast crosses
+    # against the 16-row centroid frame.
+    from etl_pipeline2_0_spark.functions import similarity
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.bitext_mine(
+        emb.where(F.col("label") < 5), emb.where(F.col("label") >= 5),
+        k=4, margin_threshold=1.0, method="ivf", checkpoint=False,
+    )
+    plan = _plan(df)
+    assert "pmod(xxhash64" not in plan       # no block-replicated join
+    assert "CartesianProduct" not in plan
+    # cluster-keyed candidate joins present (hash joins on `cluster`)
+    assert "cluster" in plan
+
+
+def test_sentence_chunk_single_doc_exchange(spark, sf_dir):
+    # One doc_id exchange feeds the sentence ordinal window and the
+    # per-doc reassembly — no join, no cartesian, no global window.
+    plan = _plan(L.q_sentence_chunk(spark, sf_dir))
+    assert plan.count("Exchange ") <= 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_crop_pairs_runs_at_scan_speed(spark, sf_dir):
+    # md5-deterministic crops are a pure narrow projection: no exchange,
+    # no join, no window — parquet-scan speed at any corpus size.
+    plan = _plan(L.q_crop_pairs(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_embed_quantize_runs_at_scan_speed(spark, sf_dir):
+    # Quantization is transform/aggregate lambdas over the vector column
+    # — no exchange, no join, no window; the operator's whole point is
+    # scan-speed 4x compression.
+    plan = _plan(L.q_embed_quantize(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_threshold_sweep_histogram_not_per_threshold_passes(spark, sf_dir):
+    # The calibration curve must come from ONE corpus scoring pass into
+    # an integer micro-unit histogram plus a suffix sum over the tiny
+    # sweep frame — never a scan per candidate threshold (the window
+    # runs over the bounded histogram, not the corpus) and never a
+    # cartesian; the threshold fan-out is a 1-row broadcast.
+    plan = _plan(L.q_threshold_sweep(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") <= 1
+    # corpus is scanned once: a single parquet scan of documents
+    assert plan.count("Scan parquet") <= 2
