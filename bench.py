@@ -155,6 +155,7 @@ HEADLINE = [
     "unigram_segment_words",
     "unigram_fertility",
     "unigram_encode_docs",
+    "tokenizer_compare",
     "fim_transform",
     "sentence_chunk",
     "crop_pairs",

@@ -509,3 +509,121 @@ def unigram_encode_docs(
         .cast("bigint")
         .alias("n_pieces"),
     )
+
+
+def tokenizer_compare(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_merges: int = 8,
+    max_word_types_bpe: int = 512,
+    vocab_size: int = 200,
+    em_iters: int = 2,
+    max_piece_len: int = 4,
+    max_word_types: int = 256,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Side-by-side corpus pricing of the two trained tokenizer families
+    — the table an actual tokenizer decision needs: per ``group_col``,
+    fertility (pieces per covered word) and OOV rate (occurrence share
+    outside the trained vocabulary) for BPE vs unigram-LM on the SAME
+    corpus under the SAME word tokenization, plus the deltas.  Both
+    families train inside the call with their registry budgets (the
+    knobs are exposed so a caller can equalize vocab budgets).
+
+    Coverage semantics per family: a word is BPE-covered when it sits in
+    the trained word-type table (uncovered words fall back to character
+    pieces in ``bpe_encode_docs`` — excluded here so fertility compares
+    trained segmentation quality, not fallback); unigram-covered when a
+    Viterbi path exists under the pruned vocab and the word is within
+    ``max_word_len`` (the ``unigram_fertility`` contract).
+
+    Scale: both trainers are corpus-size-independent after their bounded
+    word-type cuts; the comparison itself is ONE shared per-(group,
+    word) occurrence aggregate left-joined against the two ≤ |word
+    type|-row segmentation tables, then one per-group aggregate.
+
+    Output: (group_col, n_words, bpe_covered, bpe_pieces, uni_covered,
+    uni_pieces, bpe_fertility, uni_fertility, bpe_oov_rate,
+    uni_oov_rate, fertility_delta).
+    """
+    from etl_pipeline2_0_spark.functions.text import (
+        bpe_segment_words,
+        tokens,
+    )
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    sw = (
+        toks.groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bseg = bpe_segment_words(
+        df, text_col, n_merges, max_word_types_bpe
+    ).select("word", F.col("n_pieces").cast("bigint").alias("_bwp"))
+    _, _, vocab = _train(
+        df, text_col, vocab_size, em_iters, max_piece_len,
+        max_word_types, max_word_len,
+    )
+    wt_all = (
+        sw.where(F.length("word") <= max_word_len)
+        .select("word")
+        .distinct()
+        .select("word", F.lit(1).cast("bigint").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    spans_all = _spans(wt_all, max_piece_len).join(
+        F.broadcast(vocab.select("piece", "logp")), "piece"
+    ).select("word", "i", "j", "piece", "logp")
+    seg = _viterbi_segments(spans_all, wt_all, max_word_len)
+    uni_word = seg.where(
+        ~F.exists("pieces", lambda p: p.isNull())
+    ).select("word", F.size("pieces").cast("bigint").alias("_uwp"))
+    joined = sw.join(F.broadcast(bseg), "word", "left").join(
+        uni_word, "word", "left"
+    )
+    agg = joined.groupBy(F.col("grp").alias(group_col)).agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.when(F.col("_bwp").isNotNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("bpe_covered"),
+        F.sum(
+            F.when(
+                F.col("_bwp").isNotNull(), F.col("cnt") * F.col("_bwp")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bpe_pieces"),
+        F.sum(F.when(F.col("_uwp").isNotNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("uni_covered"),
+        F.sum(
+            F.when(
+                F.col("_uwp").isNotNull(), F.col("cnt") * F.col("_uwp")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("uni_pieces"),
+    )
+    bpe_f = F.col("bpe_pieces") / F.greatest(F.col("bpe_covered"), F.lit(1))
+    uni_f = F.col("uni_pieces") / F.greatest(F.col("uni_covered"), F.lit(1))
+    return agg.select(
+        group_col,
+        "n_words",
+        "bpe_covered",
+        "bpe_pieces",
+        "uni_covered",
+        "uni_pieces",
+        F.round(bpe_f, 6).alias("bpe_fertility"),
+        F.round(uni_f, 6).alias("uni_fertility"),
+        F.round(
+            F.lit(1.0) - F.col("bpe_covered") / F.col("n_words"), 6
+        ).alias("bpe_oov_rate"),
+        F.round(
+            F.lit(1.0) - F.col("uni_covered") / F.col("n_words"), 6
+        ).alias("uni_oov_rate"),
+        F.round(uni_f - bpe_f, 6).alias("fertility_delta"),
+    )

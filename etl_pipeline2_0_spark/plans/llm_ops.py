@@ -5994,6 +5994,105 @@ SQL_UNIGRAM_SEGMENT = _sql_unigram_segment_sql()
 SQL_UNIGRAM_FERTILITY = _sql_unigram_fertility_sql()
 
 
+def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The tokenizer decision table: per-source fertility + OOV rate for
+    # BPE vs unigram-LM trained on the same corpus under the same word
+    # tokenization, with the fertility delta — one shared occurrence
+    # aggregate joined against both trained segmentation tables.
+    from etl_pipeline2_0_spark.functions import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.tokenizer_compare(
+        docs, n_merges=8, max_word_types_bpe=512, vocab_size=200,
+        em_iters=2, max_piece_len=4, max_word_types=256, max_word_len=12,
+    )
+
+
+def _sql_tokenizer_compare(
+    n_merges: int = 8,
+    max_word_types_bpe: int = 512,
+    max_word_len: int = 12,
+) -> str:
+    # Composes the BPE merge-chain CTEs with the unigram train + scoring
+    # DP chain (no CTE name overlap between the families), then one
+    # grouped aggregate over the shared per-(source, word) occurrence
+    # table left-joined against both segmentation tables.
+    bpe = _sql_bpe_ctes(n_merges, max_word_types_bpe)
+    parts = _sql_unigram_train()
+    parts += [
+        r"""toksrc AS MATERIALIZED (
+  SELECT source AS grp,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents
+)""",
+        """sw AS MATERIALIZED (
+  SELECT grp, word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toksrc GROUP BY 1, 2
+)""",
+        f"""wta AS MATERIALIZED (
+  SELECT DISTINCT word, CAST(1 AS BIGINT) AS freq FROM sw
+  WHERE length(word) <= {max_word_len}
+)""",
+        f"""spa AS MATERIALIZED (
+  SELECT t.word, t.i, t.j, substring(t.word, t.i + 1, t.j - t.i) AS piece,
+         v.logp
+  FROM (
+    SELECT word, i, unnest(generate_series(i + 1,
+                           LEAST(i + 4, length(word)))) AS j
+    FROM (
+      SELECT word, unnest(generate_series(0, length(word) - 1)) AS i
+      FROM wta
+    )
+  ) t JOIN vocab v ON v.piece = substring(t.word, t.i + 1, t.j - t.i)
+)""",
+    ]
+    parts += _sql_dp_chain("fa", "wta", "spa", max_word_len)
+    parts += [
+        """perw AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wp FROM faseg GROUP BY word
+)""",
+        f"""bseg AS MATERIALIZED (
+  SELECT word,
+         CAST(len(string_split(replace(trim(sym, '·'), '··', ' '), ' '))
+              AS BIGINT) AS bp
+  FROM words{n_merges}
+)""",
+        """cmp AS (
+  SELECT sw.grp AS source,
+         CAST(SUM(sw.cnt) AS BIGINT) AS n_words,
+         CAST(SUM(CASE WHEN b.bp IS NOT NULL THEN sw.cnt ELSE 0 END)
+              AS BIGINT) AS bpe_covered,
+         CAST(SUM(CASE WHEN b.bp IS NOT NULL THEN sw.cnt * b.bp ELSE 0 END)
+              AS BIGINT) AS bpe_pieces,
+         CAST(SUM(CASE WHEN p.wp IS NOT NULL THEN sw.cnt ELSE 0 END)
+              AS BIGINT) AS uni_covered,
+         CAST(SUM(CASE WHEN p.wp IS NOT NULL THEN sw.cnt * p.wp ELSE 0 END)
+              AS BIGINT) AS uni_pieces
+  FROM sw LEFT JOIN bseg b USING (word) LEFT JOIN perw p USING (word)
+  GROUP BY sw.grp
+)""",
+    ]
+    return (
+        bpe + ",\n" + ",\n".join(parts) + """
+SELECT source, n_words, bpe_covered, bpe_pieces, uni_covered, uni_pieces,
+       ROUND(bpe_pieces * 1.0 / GREATEST(bpe_covered, 1), 6)
+         AS bpe_fertility,
+       ROUND(uni_pieces * 1.0 / GREATEST(uni_covered, 1), 6)
+         AS uni_fertility,
+       ROUND(1.0 - bpe_covered * 1.0 / n_words, 6) AS bpe_oov_rate,
+       ROUND(1.0 - uni_covered * 1.0 / n_words, 6) AS uni_oov_rate,
+       ROUND(uni_pieces * 1.0 / GREATEST(uni_covered, 1)
+             - bpe_pieces * 1.0 / GREATEST(bpe_covered, 1), 6)
+         AS fertility_delta
+FROM cmp
+"""
+    )
+
+
+SQL_TOKENIZER_COMPARE = _sql_tokenizer_compare()
+
+
 def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pieces-per-word by source under the trained unigram vocab — the
     # tokenizer_fertility mirror, directly comparable with the BPE row.

@@ -319,6 +319,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     exact all-pairs path; fully oracled via the md5-portable
     #     coarse quantizer ---
     "bitext_recall": (L.q_bitext_recall, L.SQL_BITEXT_RECALL),
+    # --- added r13 (past-cap; r14 promotion pool): the tokenizer
+    #     decision table — per-source fertility + OOV rate for BPE vs
+    #     unigram-LM trained on the same corpus under the same word
+    #     tokenization, with the fertility delta; one shared occurrence
+    #     aggregate against both trained segmentation tables ---
+    "tokenizer_compare": (L.q_tokenizer_compare, L.SQL_TOKENIZER_COMPARE),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

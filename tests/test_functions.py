@@ -3869,3 +3869,36 @@ def test_embed_quantize_roundtrip_and_bounds(spark):
         assert r["rel_err"] < 0.01  # int8 keeps <1% L2 error here
     assert got[3]["rel_err"] == 0.0  # one-hot is exactly representable
     assert got[5]["scale"] == pytest.approx(5e-5 / 127.0, rel=1e-12)
+
+
+def test_tokenizer_compare_consistent_with_family_rows(spark, sf_dir):
+    """The comparison table's per-family numbers must agree with the
+    families' own fertility operators on the same corpus (one truth,
+    two projections), and the deltas must be arithmetic of the row."""
+    from etl_pipeline2_0_spark.functions import unigram as U
+
+    cmp_rows = {r["source"]: r for r in U.tokenizer_compare(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        n_merges=8, max_word_types_bpe=512, vocab_size=200, em_iters=2,
+        max_piece_len=4, max_word_types=256, max_word_len=12,
+    ).collect()}
+    uni = {r["source"]: r for r in U.unigram_fertility(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        vocab_size=200, em_iters=2, max_piece_len=4,
+        max_word_types=256, max_word_len=12,
+    ).collect()}
+    assert set(cmp_rows) == set(uni)
+    for src, r in cmp_rows.items():
+        assert r["n_words"] == uni[src]["n_words"]
+        assert r["uni_covered"] == uni[src]["n_covered"]
+        assert r["uni_pieces"] == uni[src]["n_pieces"]
+        assert r["uni_fertility"] == uni[src]["fertility"]
+        assert r["bpe_covered"] <= r["n_words"]
+        assert r["fertility_delta"] == round(
+            r["uni_pieces"] / max(r["uni_covered"], 1)
+            - r["bpe_pieces"] / max(r["bpe_covered"], 1), 6)
+        # trained-word fertility is at least 1 piece per word
+        if r["bpe_covered"]:
+            assert r["bpe_fertility"] >= 1.0
+        if r["uni_covered"]:
+            assert r["uni_fertility"] >= 1.0
