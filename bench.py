@@ -165,6 +165,7 @@ HEADLINE = [
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
+    "decontam_pipeline_sf01",
 ]
 
 
@@ -250,6 +251,74 @@ def _llm_pipeline(spark, sf_dir):
     )
 
 
+def _decontam_pipeline(spark, sf_dir):
+    """Layered benchmark decontamination as ONE tracked bench row (r12
+    verdict item 5): Bloom shingle prefilter (membership sketch, false
+    negatives impossible) → banded-MinHash LSH verify with exact-Jaccard
+    gate → per-source drop accounting.  A real curation run layers the
+    three registry decontamination ops exactly this way — the cheap
+    FN-free sketch prunes the corpus so the LSH+verify pass touches only
+    suspects.  Soundness of the layering: Jaccard(A, B) ≥ 0.5 implies
+    train-side shingle containment |A∩B|/|A| ≥ 0.5, and the Bloom
+    estimate can only OVER-count membership (no false negatives), so a
+    containment-0.5 Bloom gate cannot drop a true near-duplicate.  Even
+    doc_ids play the training corpus, odd the eval set (the
+    q_minhash_decontam split).  Row-count golden in
+    tests/test_scale_ops.py."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import dedup, sketches
+    from etl_pipeline2_0_spark.functions.dedup import token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    eval_df = docs.where(F.col("doc_id") % 2 == 1)
+    NUM_BITS, NUM_HASHES = 1 << 18, 4
+    ev_sh = eval_df.select(
+        F.explode(token_shingles(F.col("text"), 3)).alias("item")
+    ).distinct()
+    bloom = sketches.bloom_build(
+        ev_sh, num_hashes=NUM_HASHES, num_bits=NUM_BITS
+    ).localCheckpoint(eager=False)
+    tr_sh = train.select(
+        "doc_id", F.explode(token_shingles(F.col("text"), 3)).alias("item")
+    )
+    probed = sketches.bloom_probe(
+        tr_sh.select("item").distinct(), bloom,
+        num_hashes=NUM_HASHES, num_bits=NUM_BITS,
+    )
+    suspect_ids = (
+        tr_sh.join(probed, "item")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("_containment_est")
+        )
+        .where(F.col("_containment_est") >= 0.5)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    suspects = train.join(suspect_ids, "doc_id", "semi")
+    pairs = dedup.minhash_decontaminate(
+        suspects, eval_df, k=3, num_hashes=16, bands=8, threshold=0.5,
+    )
+    dropped = pairs.select(F.col("train_id").alias("doc_id")).distinct()
+    return (
+        train.join(suspect_ids.withColumn("_s", F.lit(1)), "doc_id", "left")
+        .join(dropped.withColumn("_d", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.sum(F.coalesce(F.col("_s"), F.lit(0)))
+            .cast("bigint").alias("n_suspect"),
+            F.sum(F.coalesce(F.col("_d"), F.lit(0)))
+            .cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
 def _examples_pipeline(spark, sf_dir):
     """Composed training-example construction chain as ONE tracked bench
     row: sentence-integral chunking → fill-in-the-middle transform at
@@ -292,6 +361,7 @@ EXTRA_BENCH = {
     "doc_pipeline_sf01": _doc_pipeline,
     "llm_pipeline_sf01": _llm_pipeline,
     "examples_pipeline_sf01": _examples_pipeline,
+    "decontam_pipeline_sf01": _decontam_pipeline,
 }
 
 

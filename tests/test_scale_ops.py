@@ -653,3 +653,40 @@ def test_examples_pipeline_composition_golden(spark):
         ).collect()
     )
     assert out == [("none", 27, 242), ("psm", 13, 121), ("spm", 16, 137)]
+
+
+def test_decontam_pipeline_composition_golden(spark):
+    """Row-count golden for the layered decontamination bench row
+    (bench._decontam_pipeline: Bloom containment prefilter → MinHash
+    LSH verify → per-source accounting).  Each layer is individually
+    oracled; this pins the COMPOSITION, and the layering must be LOSSLESS:
+    the dropped set equals what the full (unprefiltered) LSH+verify run
+    drops — the Bloom gate may only shrink the suspect set, never the
+    answer."""
+    import bench
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import dedup
+
+    out = sorted(
+        (r["source"], r["n_train"], r["n_suspect"], r["n_dropped"])
+        for r in bench._decontam_pipeline(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert out == [
+        ("src0", 25, 1, 1), ("src10", 25, 8, 3), ("src12", 25, 2, 0),
+        ("src14", 25, 3, 2), ("src16", 25, 5, 3), ("src18", 25, 0, 0),
+        ("src2", 25, 6, 0), ("src4", 25, 5, 2), ("src6", 25, 2, 0),
+        ("src8", 25, 1, 0),
+    ]
+    # losslessness: prefiltered pipeline == full LSH run, doc for doc
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = dedup.minhash_decontaminate(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        k=3, num_hashes=16, bands=8, threshold=0.5,
+    )
+    assert full.select("train_id").distinct().count() == sum(
+        n for (_, _, _, n) in out
+    )
