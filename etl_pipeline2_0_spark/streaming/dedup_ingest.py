@@ -174,6 +174,74 @@ def curate_batch(
     )
 
 
+_FIM_PSM_RE = r"(?s)^<PRE>(.*?)<SUF>(.*?)<MID>(.*)$"
+_FIM_SPM_RE = r"(?s)^<SUF>(.*?)<PRE>(.*?)<MID>(.*)$"
+
+
+def _write_fim_examples(
+    accepted: DataFrame,
+    examples_path: str,
+    batch_id: int,
+    text_col: str,
+    id_col: str,
+    fim_rate: float,
+    fim_salt: str,
+    validate: bool,
+) -> None:
+    """FIM-transform one batch's accepted rows and overwrite their
+    batch_id partition (see ``stream_curated_ingest`` docstring for the
+    exactly-once argument).  With ``validate``, the reconstruction
+    invariant — sentinel-parsed prefix+middle+suffix equals the original
+    text — is asserted over EVERY example before writing."""
+    ex = mixing.fim_transform(
+        accepted, text_col=text_col, id_col=id_col,
+        fim_rate=fim_rate, salt=fim_salt,
+    ).withColumn("batch_id", F.lit(batch_id))
+    if validate:
+        orig = accepted.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_orig")
+        )
+        rec = (
+            F.when(F.col("mode") == "none", F.col("fim_text"))
+            .when(
+                F.col("mode") == "psm",
+                F.concat(
+                    F.regexp_extract("fim_text", _FIM_PSM_RE, 1),
+                    F.regexp_extract("fim_text", _FIM_PSM_RE, 3),
+                    F.regexp_extract("fim_text", _FIM_PSM_RE, 2),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.regexp_extract("fim_text", _FIM_SPM_RE, 2),
+                    F.regexp_extract("fim_text", _FIM_SPM_RE, 3),
+                    F.regexp_extract("fim_text", _FIM_SPM_RE, 1),
+                ),
+            )
+        )
+        bad = (
+            ex.join(orig, "doc_id")
+            .where(rec != F.coalesce(F.col("_orig"), F.lit("")))
+            .count()
+        )
+        if bad:
+            raise RuntimeError(
+                f"FIM reconstruction invariant violated for {bad} "
+                f"example(s) in batch {batch_id}; refusing to write"
+            )
+    sess = ex.sparkSession
+    prev_mode = sess.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    try:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ex.write.mode("overwrite").partitionBy("batch_id").parquet(
+            examples_path
+        )
+    finally:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
 def stream_curated_ingest(
     stream_df: DataFrame,
     corpus_path: str,
@@ -194,6 +262,10 @@ def stream_curated_ingest(
     group_col: str = "source",
     cms_depth: int = 4,
     cms_width: int = 256,
+    examples_path: str | None = None,
+    fim_rate: float = 0.5,
+    fim_salt: str = "",
+    examples_validate: bool = True,
 ) -> StreamingQuery:
     """The production curation loop as ONE checkpointed Structured
     Streaming query: every arriving micro-batch is quality-gated, deduped
@@ -232,6 +304,21 @@ def stream_curated_ingest(
         token counts from the sketch.  Acceptable for its consumer (the
         heavy-hitter cap feed tolerates undercount); use the exact
         aggregate if exactness is required.
+      - ``examples_path`` (r12 verdict item 6): each batch's ACCEPTED
+        rows also emit fill-in-the-middle training examples
+        (``mixing.fim_transform`` at ``fim_rate``, md5-deterministic),
+        written batch_id-partitioned with that partition OVERWRITTEN —
+        and written BEFORE the corpus append, which makes the example
+        store EXACTLY-once: a crash between the two writes replays the
+        batch, the dedup probe still accepts it (its rows never reached
+        the corpus), and the regenerated examples overwrite their own
+        partition bit-for-bit (hash-deterministic transform); a crash
+        after the corpus append replays to an empty accepted frame and
+        touches neither store.  With ``examples_validate`` the
+        FIM reconstruction invariant (prefix+middle+suffix round-trips
+        to the original text) is asserted per batch before anything is
+        written — a corrupted transform fails the batch instead of
+        poisoning the example store.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -285,11 +372,16 @@ def stream_curated_ingest(
             split_salt=split_salt,
         )
         if not out.isEmpty():
-            # The curated frame feeds the corpus append AND the sketch
-            # update; materialize once so the gate+dedup subtree doesn't
-            # run twice per batch.
-            if cms_store is not None:
+            # The curated frame feeds the corpus append AND the sketch/
+            # example writes; materialize once so the gate+dedup subtree
+            # doesn't run per consumer.
+            if cms_store is not None or examples_path is not None:
                 out = out.localCheckpoint(eager=False)
+            if examples_path is not None:
+                _write_fim_examples(
+                    out, examples_path, batch_id, text_col, id_col,
+                    fim_rate, fim_salt, examples_validate,
+                )
             out.write.mode("append").partitionBy("split").parquet(corpus_path)
             if cms_store is not None:
                 from etl_pipeline2_0_spark.functions import sketches

@@ -723,3 +723,96 @@ def test_swap_in_crash_window_is_recoverable(spark, tmp_path):
     _swap_in(spark.createDataFrame([(1, 30)], "k int, v int"), store)
     assert not fs.exists(old)
     assert [r["v"] for r in _read_store(spark, store).collect()] == [30]
+
+
+def test_stream_fim_examples_equals_batch(spark, tmp_path):
+    """Streaming example-construction (r12 verdict item 6): the curated
+    ingest emits FIM training examples per accepted batch.  Pins
+    (a) the example store ≡ fim_transform over the accepted corpus rows,
+    row-exactly (same md5-deterministic cuts on either path);
+    (b) the per-batch reconstruction invariant held (the loop asserts it
+    before writing — a corrupt transform raises instead of landing);
+    (c) replay convergence: a full-backlog replay appends no corpus rows
+    and leaves the example store unchanged (batch_id partitions of an
+    empty accepted frame are never touched)."""
+    import re
+
+    from etl_pipeline2_0_spark.streaming.dedup_ingest import (
+        stream_curated_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    examples = str(tmp_path / "examples")
+    schema = "doc_id bigint, text string"
+    b1 = [
+        (1, "the data pipeline reads every file and writes the cleaned "
+            "table with all of the rows in the right order for training"),
+        (2, "el gato y el perro en la casa con el sol y la luna"),  # gate: es
+    ]
+    b2 = [
+        (5, "a second corpus batch arrives later and it brings some new "
+            "documents that the filter keeps because they are long enough"),
+        (6, "the data pipeline reads every file and writes the cleaned "
+            "table with all of the rows in the right order for training"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(
+        min_quality=0.5, min_tokens=10, threshold=0.99,
+        examples_path=examples, fim_rate=1.0, fim_salt="fs",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_curated_ingest(stream, corpus, str(tmp_path / "ckpt"), **kw)
+    q.awaitTermination(180)
+
+    got_corpus = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    )
+    assert got_corpus == [1, 5]
+    ex = spark.read.parquet(examples)
+    # (a) batch ≡ stream: same transform over the accepted corpus rows
+    from etl_pipeline2_0_spark.functions import mixing
+
+    batch_ex = mixing.fim_transform(
+        spark.read.parquet(corpus), fim_rate=1.0, salt="fs"
+    )
+    cols = ["doc_id", "mode", "n_chars", "fim_text"]
+    assert sorted(map(tuple, ex.select(*cols).collect())) == sorted(
+        map(tuple, batch_ex.select(*cols).collect())
+    )
+    # each accepted doc produced exactly one example, in its own batch
+    assert sorted((r["doc_id"], r["batch_id"] is not None)
+                  for r in ex.collect()) == [(1, True), (5, True)]
+    # (b) independent reconstruction check of what actually landed
+    originals = {r["doc_id"]: r["text"]
+                 for r in spark.read.parquet(corpus).collect()}
+    for r in ex.collect():
+        t = originals[r["doc_id"]]
+        if r["mode"] == "none":
+            assert r["fim_text"] == t
+        elif r["mode"] == "psm":
+            m = re.match(r"(?s)^<PRE>(.*?)<SUF>(.*?)<MID>(.*)$",
+                         r["fim_text"])
+            pre, suf, mid = m.groups()
+            assert pre + mid + suf == t
+        else:
+            m = re.match(r"(?s)^<SUF>(.*?)<PRE>(.*?)<MID>(.*)$",
+                         r["fim_text"])
+            suf, pre, mid = m.groups()
+            assert pre + mid + suf == t
+    # (c) replay the whole backlog with a fresh checkpoint: corpus and
+    # example store both unchanged
+    before = sorted(map(tuple, ex.select(*cols, "batch_id").collect()))
+    q2 = stream_curated_ingest(stream, corpus, str(tmp_path / "ckpt2"), **kw)
+    q2.awaitTermination(180)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 5]
+    assert sorted(map(tuple, spark.read.parquet(examples)
+                  .select(*cols, "batch_id").collect())) == before
