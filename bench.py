@@ -156,6 +156,7 @@ HEADLINE = [
     "unigram_fertility",
     "unigram_encode_docs",
     "tokenizer_compare",
+    "moore_lewis",
     "fim_transform",
     "sentence_chunk",
     "crop_pairs",

@@ -1848,3 +1848,67 @@ def threshold_sweep(
             ).alias("frac_weight"),
         ]
     return sel.select(*out_cols)
+
+
+def moore_lewis_select(
+    df,
+    target_df,
+    general_df=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 200,
+    threshold: float = 0.0,
+):
+    """Moore–Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010, "Intelligent Selection of Language Model Training Data"
+    — the classic in-domain selection recipe; XenC / modern "domain
+    upsampling" pipelines implement exactly this): score every candidate
+    document under an IN-DOMAIN LM trained on ``target_df`` and a
+    GENERAL LM trained on ``general_df`` (default: the candidate corpus
+    itself), and keep documents whose per-token log-probability delta
+
+        ce_delta = logp_target − logp_general
+
+    clears ``threshold`` — text that looks more like the target domain
+    than like the background corpus.  The perplexity-space complement of
+    ``dsir_log_weights`` (hashed n-gram importance ratios): DSIR weights
+    by feature-count ratios, Moore–Lewis by LM score difference; both
+    select FOR a target slice.
+
+    Both LMs are the corpus-trained char-bigram model of
+    ``char_bigram_lm_scores`` (add-one smoothing, ``prefix_len``-bounded
+    scoring), so the whole operator stays relational and carries an
+    exact DuckDB twin.
+
+    Scale shape: two bounded model-table builds (each one aggregate over
+    its training slice, ≤ |alphabet|² rows, broadcast back) + ONE
+    scoring pass per model over the candidates; the join of the two
+    score tables is id-keyed.  No full-size shuffle beyond the per-doc
+    aggregates.
+
+    Output: (id, n_bigrams, logp_target, logp_general, ce_delta, keep)
+    for candidates with ≥ 2 chars in the prefix; ce_delta rounded 6 dp.
+    """
+    sc_t = char_bigram_lm_scores(
+        df, text_col, id_col, prefix_len, train_df=target_df
+    ).select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("avg_logp").alias("logp_target"),
+    )
+    sc_g = char_bigram_lm_scores(
+        df, text_col, id_col, prefix_len,
+        train_df=general_df if general_df is not None else df,
+    ).select(F.col(id_col), F.col("avg_logp").alias("logp_general"))
+    delta = F.round(F.col("logp_target") - F.col("logp_general"), 6)
+    return (
+        sc_t.join(sc_g, id_col)
+        .select(
+            id_col,
+            "n_bigrams",
+            "logp_target",
+            "logp_general",
+            delta.alias("ce_delta"),
+            (delta >= F.lit(float(threshold))).alias("keep"),
+        )
+    )

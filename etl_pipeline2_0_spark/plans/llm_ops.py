@@ -2790,6 +2790,59 @@ GROUP BY bg.doc_id
 SQL_LM_SCORE_HELDOUT = _sql_lm_score_heldout()
 
 
+def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Moore-Lewis 2010 cross-entropy-difference selection: in-domain LM
+    # trained on the src0 slice (the DSIR target convention), general LM
+    # on the whole corpus; keep candidates whose per-char logp delta
+    # clears 0 — the perplexity-space complement of dsir_weights.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.moore_lewis_select(
+        docs, docs.where(F.col("source") == "src0"),
+        prefix_len=200, threshold=0.0,
+    )
+
+
+SQL_MOORE_LEWIS = r"""
+WITH d_all AS (
+  SELECT doc_id, source, lower(substring(text, 1, 200)) AS t
+  FROM documents
+  WHERE length(substring(text, 1, 200)) >= 2
+), bg AS (
+  SELECT doc_id, source,
+         substring(t, CAST(i AS INT), 2) AS big,
+         substring(t, CAST(i AS INT), 1) AS ctx
+  FROM d_all CROSS JOIN (SELECT unnest(range(1, 200)) AS i) s
+  WHERE i <= length(t) - 1
+), bg_t AS MATERIALIZED (
+  SELECT big, ctx FROM bg WHERE source = 'src0'
+), bc_t AS (SELECT big, COUNT(*) AS bc FROM bg_t GROUP BY 1),
+cc_t AS (SELECT ctx, COUNT(*) AS cc FROM bg_t GROUP BY 1),
+a_t AS (SELECT COUNT(DISTINCT substring(big, 2, 1)) AS alpha FROM bg_t),
+bc_g AS (SELECT big, COUNT(*) AS bc FROM bg GROUP BY 1),
+cc_g AS (SELECT ctx, COUNT(*) AS cc FROM bg GROUP BY 1),
+a_g AS (SELECT COUNT(DISTINCT substring(big, 2, 1)) AS alpha FROM bg),
+scored AS (
+  SELECT bg.doc_id,
+    COUNT(*) AS n_bigrams,
+    ROUND(AVG(ln((COALESCE(t.bc, 0) + 1.0)
+                 / (COALESCE(ct.cc, 0) + a_t.alpha))), 6) AS logp_target,
+    ROUND(AVG(ln((COALESCE(g.bc, 0) + 1.0)
+                 / (COALESCE(cg.cc, 0) + a_g.alpha))), 6) AS logp_general
+  FROM bg
+  LEFT JOIN bc_t t USING (big)
+  LEFT JOIN cc_t ct ON bg.ctx = ct.ctx
+  LEFT JOIN bc_g g ON bg.big = g.big
+  LEFT JOIN cc_g cg ON bg.ctx = cg.ctx
+  CROSS JOIN a_t CROSS JOIN a_g
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, logp_target, logp_general,
+       ROUND(logp_target - logp_general, 6) AS ce_delta,
+       ROUND(logp_target - logp_general, 6) >= 0.0 AS keep
+FROM scored
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Column-profiling observability: per-column null count, exact distinct
     # count, and null fraction for the documents table, long format.

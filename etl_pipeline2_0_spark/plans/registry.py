@@ -325,6 +325,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     tokenization, with the fertility delta; one shared occurrence
     #     aggregate against both trained segmentation tables ---
     "tokenizer_compare": (L.q_tokenizer_compare, L.SQL_TOKENIZER_COMPARE),
+    # --- added r13 (past-cap; r14 promotion pool): Moore-Lewis 2010
+    #     cross-entropy-difference selection — in-domain vs general
+    #     char-bigram LM score delta, the perplexity-space complement
+    #     of the DSIR hashed-feature importance pair ---
+    "moore_lewis": (L.q_moore_lewis, L.SQL_MOORE_LEWIS),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

@@ -3902,3 +3902,42 @@ def test_tokenizer_compare_consistent_with_family_rows(spark, sf_dir):
             assert r["bpe_fertility"] >= 1.0
         if r["uni_covered"]:
             assert r["uni_fertility"] >= 1.0
+
+
+def test_moore_lewis_select_semantics(spark):
+    """Moore–Lewis contract: a candidate that matches the target domain
+    scores a positive cross-entropy delta and is kept; one matching only
+    the background scores negative and is dropped; the delta is exactly
+    the difference of the two LM scores (pinned against independent
+    char_bigram_lm_scores runs)."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import text as T
+
+    target = spark.createDataFrame(
+        [(100 + i, "aba bab abab baba abba baab" * 3) for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    general = spark.createDataFrame(
+        [(200 + i, "xyz zyx xzy yxz zzy xxy" * 3) for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, "abab baba abab abba"),   # target-like
+         (2, "xyz zyx xzy yxz")],      # background-like
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in T.moore_lewis_select(
+        cands, target, general_df=general, threshold=0.0
+    ).collect()}
+    assert out[1]["ce_delta"] > 0 and out[1]["keep"]
+    assert out[2]["ce_delta"] < 0 and not out[2]["keep"]
+    # delta ≡ difference of the two scorers run independently
+    st = {r["doc_id"]: r["avg_logp"] for r in T.char_bigram_lm_scores(
+        cands, train_df=target).collect()}
+    sg = {r["doc_id"]: r["avg_logp"] for r in T.char_bigram_lm_scores(
+        cands, train_df=general).collect()}
+    for i in (1, 2):
+        assert out[i]["logp_target"] == st[i]
+        assert out[i]["logp_general"] == sg[i]
+        assert out[i]["ce_delta"] == round(st[i] - sg[i], 6)
