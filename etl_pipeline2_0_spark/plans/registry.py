@@ -313,6 +313,19 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
+    # ROUND-14 ROTATION (STAGED — execute next round): THREE promotions,
+    # the r13-added oracled entries below (bitext_recall,
+    # tokenizer_compare, moore_lewis) — ×SF parity-proven, zero driver
+    # rows.  Demote three multi-green holdovers, keeping family anchors:
+    # candidates in green-row order are minhash_recall (r9-r13 after the
+    # r13 window goes green — LSH quality anchored by the promoted
+    # precision/band_efficiency + minhash_decontam), knn_accuracy or
+    # dup_cluster_stats (r9-r13 — ANN anchored by the PQ pair +
+    # mmr_select/embed_quantize, dedup DQ by dup-family rows), and
+    # bpe_train_merges ONLY if tokenizer_compare promotes (it composes
+    # the full BPE chain, keeping the family anchored).
+    # test_sql_registry.py re-pins after the reorder.
+    #
     # --- added r13 (past-cap; r14 promotion pool): mined-pair recall of
     #     the IVF-fed bitext path (the 100 TB configuration — cluster-
     #     scoped candidate equi-joins, never the cross product) vs the
