@@ -151,6 +151,7 @@ HEADLINE = [
     "domain_quality_rollup",
     "threshold_sweep",
     "span_corrupt",
+    "ul2_mix",
     "unigram_train",
     "unigram_segment_words",
     "unigram_fertility",

@@ -1337,3 +1337,118 @@ def fim_transform(
         .otherwise(psm_text)
         .alias("fim_text"),
     )
+
+
+def ul2_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    r_density: float = 0.15,
+    r_span: int = 3,
+    x_density: float = 0.5,
+    x_span: int = 8,
+) -> DataFrame:
+    """UL2 mixture-of-denoisers example construction (Tay et al. 2022,
+    "UL2: Unifying Language Learning Paradigms" — the R/X/S denoiser mix
+    behind UL2/PaLM-2-style pretraining): each document is
+    hash-assigned one paradigm,
+
+      R (regular):   T5 span corruption at ``r_density``/``r_span``,
+      X (extreme):   heavy corruption at ``x_density``/``x_span``,
+      S (sequential): prefix-LM — a hash-chosen cut inside the middle
+                      half of the token stream; inputs = prefix,
+                      targets = continuation,
+
+    with the paper's paradigm token ([R]/[X]/[S]) prepended to inputs.
+    Everything is md5-deterministic (doc id + ``salt``): retried tasks
+    and the DuckDB twin reproduce the mix bit-for-bit.
+
+    Composition contract: R and X are exactly ``span_corrupt`` on the
+    mode-filtered slices (same thresholds, same merge semantics), so the
+    splice-back reconstruction invariant holds per paradigm; S keeps
+    prefix + ' ' + targets == the whitespace-normalized token stream.
+    Docs with zero tokens are dropped (no example); S additionally needs
+    ≥ 2 tokens (a non-empty prefix AND continuation).
+
+    Scale shape: the mode gate is a narrow projection; R/X inherit
+    span_corrupt's one-exchange shape on their slices; S is one
+    tokenize + two array slices — no shuffle at all.  The union is
+    partition-local.
+
+    Output: (doc_id, denoiser, n_tokens, n_spans, inputs, targets);
+    n_spans is 0 for the S paradigm.
+    """
+    def _h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(id_col).cast("string"),
+                        F.lit(tag),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    base = df.withColumn("_ul2m", _h("ul2") % 3)
+
+    def _branded(out, token, name):
+        return out.select(
+            "doc_id",
+            F.lit(name).alias("denoiser"),
+            "n_tokens",
+            "n_spans",
+            F.concat(F.lit(token + " "), F.col("inputs")).alias("inputs"),
+            "targets",
+        )
+
+    r_out = _branded(
+        span_corrupt(
+            base.where(F.col("_ul2m") == 0), text_col, id_col,
+            r_density, r_span, salt,
+        ),
+        "[R]", "r",
+    )
+    x_out = _branded(
+        span_corrupt(
+            base.where(F.col("_ul2m") == 1), text_col, id_col,
+            x_density, x_span, salt,
+        ),
+        "[X]", "x",
+    )
+    tokd = (
+        base.where(F.col("_ul2m") == 2)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.filter(
+                F.split(F.col(text_col), r"[ \t\n\r\x0B\x0C]+"),
+                lambda t: F.length(t) > 0,
+            ).alias("_toks"),
+            _h("cut").alias("_hc"),
+        )
+        .where(F.size("_toks") >= 2)
+    )
+    n = F.size("_toks")
+    lo = F.greatest(F.lit(1), F.floor(n / 4)).cast("int")
+    cut = (lo + F.pmod(F.col("_hc"), F.greatest(n - 2 * lo + 1, F.lit(1)))
+           ).cast("int")
+    s_out = tokd.select(
+        "doc_id",
+        F.lit("s").alias("denoiser"),
+        n.cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_spans"),
+        F.concat(
+            F.lit("[S] "), F.array_join(F.slice(F.col("_toks"), 1, cut), " ")
+        ).alias("inputs"),
+        F.array_join(
+            F.slice(F.col("_toks"), cut + 1, n - cut), " "
+        ).alias("targets"),
+    )
+    return r_out.unionByName(x_out).unionByName(s_out)

@@ -5765,6 +5765,138 @@ FROM agg
 """
 
 
+def q_ul2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UL2 mixture-of-denoisers (Tay et al. 2022): R (T5 spans at
+    # 0.15/3), X (extreme at 0.5/8), S (prefix-LM cut in the middle
+    # half), hash-assigned per doc with the paradigm token prepended.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.ul2_mix(docs)
+
+
+def _sql_ul2_span_chain(tag: str, mode: int, thr: int, span_mod: int) -> str:
+    # One span-corruption CTE chain (the SQL_SPAN_CORRUPT structure)
+    # restricted to the docs hash-assigned to ``mode``, with the
+    # density/span literals parameterized; CTE names suffixed by tag.
+    lookback = span_mod - 1
+    return f"""toks{tag} AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \\x09\\x0A\\x0D\\x0B\\x0C]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+  WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ul2:'),
+              1, 15) AS BIGINT) % 3) = {mode}
+), rows{tag} AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM toks{tag} WHERE len(toks) > 0
+), marked{tag} AS (
+  SELECT doc_id, pos, tok,
+    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+          CAST(pos AS VARCHAR) || ':s:'), 1, 15) AS BIGINT) % 1000000)
+      < {thr} AS is_start,
+    1 + (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+          CAST(pos AS VARCHAR) || ':l:'), 1, 15) AS BIGINT) % {span_mod})
+      AS span_len
+  FROM rows{tag}
+), cov{tag} AS (
+  SELECT doc_id, pos, tok,
+    COALESCE(MAX(CASE WHEN is_start THEN pos + span_len END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN {lookback} PRECEDING AND CURRENT ROW) > pos,
+             FALSE) AS covered
+  FROM marked{tag}
+), sp{tag} AS (
+  SELECT doc_id, pos, tok, covered,
+    covered AND NOT COALESCE(
+      LAG(covered) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+      AS new_span
+  FROM cov{tag}
+), numbered{tag} AS (
+  SELECT doc_id, pos, tok, covered, new_span,
+    CAST(SUM(CASE WHEN new_span THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS span_k
+  FROM sp{tag}
+), pieces{tag} AS (
+  SELECT doc_id, pos, new_span,
+    CASE WHEN NOT covered THEN tok
+         WHEN new_span THEN '<extra_id_' || CAST(span_k AS VARCHAR) || '>'
+    END AS p_in,
+    CASE WHEN new_span
+           THEN '<extra_id_' || CAST(span_k AS VARCHAR) || '> ' || tok
+         WHEN covered THEN tok
+    END AS p_tg
+  FROM numbered{tag}
+), agg{tag} AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN new_span THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+    COALESCE(string_agg(p_in, ' ' ORDER BY pos)
+               FILTER (WHERE p_in IS NOT NULL), '') AS inputs,
+    COALESCE(string_agg(p_tg, ' ' ORDER BY pos)
+               FILTER (WHERE p_tg IS NOT NULL), '') AS tg
+  FROM pieces{tag} GROUP BY doc_id
+)"""
+
+
+def _sql_ul2_mix(
+    r_density: float = 0.15, r_span: int = 3,
+    x_density: float = 0.5, x_span: int = 8,
+) -> str:
+    from etl_pipeline2_0_spark.functions.mixing import rate_to_units
+
+    r_thr = rate_to_units(r_density, 1_000_000)
+    x_thr = rate_to_units(x_density, 1_000_000)
+    return (
+        "WITH "
+        + _sql_ul2_span_chain("r", 0, r_thr, r_span)
+        + ",\n"
+        + _sql_ul2_span_chain("x", 1, x_thr, x_span)
+        + r""",
+s_toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+  WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ul2:'),
+              1, 15) AS BIGINT) % 3) = 2
+), s_rows AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         GREATEST(1, CAST(FLOOR(len(toks) / 4.0) AS INT)) AS lo
+  FROM s_toks WHERE len(toks) >= 2
+), s_cut AS (
+  SELECT doc_id, toks, n,
+         lo + CAST((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                || ':cut:'), 1, 15) AS BIGINT)
+                % GREATEST(n - 2 * lo + 1, 1)) AS INT) AS cut
+  FROM s_rows
+)
+SELECT doc_id, 'r' AS denoiser, n_tokens, n_spans,
+       '[R] ' || inputs AS inputs,
+       CASE WHEN n_spans = 0 THEN ''
+            ELSE tg || ' <extra_id_' || CAST(n_spans AS VARCHAR) || '>'
+       END AS targets
+FROM aggr
+UNION ALL
+SELECT doc_id, 'x' AS denoiser, n_tokens, n_spans,
+       '[X] ' || inputs AS inputs,
+       CASE WHEN n_spans = 0 THEN ''
+            ELSE tg || ' <extra_id_' || CAST(n_spans AS VARCHAR) || '>'
+       END AS targets
+FROM aggx
+UNION ALL
+SELECT doc_id, 's' AS denoiser, CAST(n AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_spans,
+       '[S] ' || array_to_string(toks[1:cut], ' ') AS inputs,
+       array_to_string(toks[cut + 1:n], ' ') AS targets
+FROM s_cut
+"""
+    )
+
+
+SQL_UL2_MIX = _sql_ul2_mix()
+
+
 # ------------------------------ unigram-LM tokenizer training (Kudo 2018) -
 
 

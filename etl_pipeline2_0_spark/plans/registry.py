@@ -343,6 +343,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     char-bigram LM score delta, the perplexity-space complement
     #     of the DSIR hashed-feature importance pair ---
     "moore_lewis": (L.q_moore_lewis, L.SQL_MOORE_LEWIS),
+    # --- added r13 (past-cap; r14 promotion pool): UL2 mixture-of-
+    #     denoisers (Tay et al. 2022) — hash-assigned R/X/S paradigms
+    #     composing span_corrupt at two densities plus a prefix-LM
+    #     split, paradigm tokens prepended ---
+    "ul2_mix": (L.q_ul2_mix, L.SQL_UL2_MIX),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

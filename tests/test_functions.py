@@ -3941,3 +3941,64 @@ def test_moore_lewis_select_semantics(spark):
         assert out[i]["logp_target"] == st[i]
         assert out[i]["logp_general"] == sg[i]
         assert out[i]["ce_delta"] == round(st[i] - sg[i], 6)
+
+
+def test_ul2_mix_paradigms_and_reconstruction(spark, sf_dir):
+    """UL2 contract: every tokenized doc lands in exactly one paradigm;
+    R/X rows are exactly span_corrupt on the mode slices (paradigm token
+    aside) so the splice-back invariant holds; S rows reconstruct the
+    whitespace-normalized token stream as prefix + ' ' + continuation
+    with both sides non-empty and the cut inside the middle half."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = M.ul2_mix(docs).collect()
+    by_doc = {}
+    for r in out:
+        assert r["doc_id"] not in by_doc  # one paradigm per doc
+        by_doc[r["doc_id"]] = r
+    assert {r["denoiser"] for r in out} == {"r", "x", "s"}
+    toks_of = {
+        r["doc_id"]: [t for t in (r["text"] or "").split() if t]
+        for r in docs.collect()
+    }
+    for r in out:
+        tok, name = {"r": "[R]", "x": "[X]", "s": "[S]"}[r["denoiser"]], r["denoiser"]
+        assert r["inputs"].startswith(tok + " ")
+        if name == "s":
+            toks = toks_of[r["doc_id"]]
+            pre = r["inputs"][len("[S] "):].split(" ")
+            suf = r["targets"].split(" ")
+            assert pre + suf == toks
+            assert r["n_spans"] == 0 and r["n_tokens"] == len(toks)
+            n, cut = len(toks), len(pre)
+            lo = max(1, n // 4)
+            assert lo <= cut <= n - lo
+    # R/X ≡ span_corrupt on the same slices, paradigm token stripped
+    for mode, name, dens, span in ((0, "r", 0.15, 3), (1, "x", 0.5, 8)):
+        sliced = docs.withColumn(
+            "_m",
+            SF.conv(
+                SF.substring(
+                    SF.md5(SF.concat_ws(
+                        ":", SF.col("doc_id").cast("string"),
+                        SF.lit("ul2"), SF.lit(""))), 1, 15),
+                16, 10,
+            ).cast("bigint") % 3,
+        ).where(SF.col("_m") == mode)
+        want = {
+            r["doc_id"]: (r["n_tokens"], r["n_spans"], r["inputs"],
+                          r["targets"])
+            for r in M.span_corrupt(
+                sliced, density=dens, max_span=span).collect()
+        }
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_spans"],
+                          r["inputs"][len("[_] "):], r["targets"])
+            for r in out if r["denoiser"] == name
+        }
+        # S needs >= 2 tokens while span_corrupt keeps 1-token docs;
+        # R/X slices must match span_corrupt EXACTLY
+        assert got == want
