@@ -986,3 +986,45 @@ def test_threshold_sweep_histogram_not_per_threshold_passes(spark, sf_dir):
     assert plan.count("Window") <= 1
     # corpus is scanned once: a single parquet scan of documents
     assert plan.count("Scan parquet") <= 2
+
+
+def test_ul2_mix_two_exchanges_no_join(spark, sf_dir):
+    # Each span chain reuses span_corrupt's single doc_id pre-partition
+    # (one exchange per corruption paradigm); the S paradigm is a pure
+    # narrow projection and the paradigm union is partition-local — no
+    # join, no cartesian anywhere.
+    plan = _plan(L.q_ul2_mix(spark, sf_dir))
+    assert plan.count("Exchange ") <= 2
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_moore_lewis_models_broadcast(spark, sf_dir):
+    # Both LM model tables broadcast back onto the scoring passes; the
+    # only nested-loop joins are the 1-row alphabet crosses.  Never a
+    # cartesian or a corpus-wide SortMergeJoin.
+    plan = _plan(L.q_moore_lewis(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_tokenizer_compare_no_cartesian(spark, sf_dir):
+    # Two bounded trainers + one shared occurrence aggregate: the BPE
+    # segmentation table broadcasts; the unigram per-word join is
+    # word-keyed (shuffle allowed — the table is |word types|, not
+    # |corpus|); no cartesian.
+    plan = _plan(L.q_tokenizer_compare(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bitext_recall_no_cartesian_no_block_explosion(spark, sf_dir):
+    # The recall metric runs BOTH paths; the only full-outer join is the
+    # exact-vs-ann pair comparison.  Neither path may degrade to a real
+    # cartesian (the exact side's block join is behind its checkpoint
+    # here; the IVF side is pinned separately in
+    # test_bitext_ivf_mode_no_block_replication).
+    plan = _plan(L.q_bitext_recall(spark, sf_dir))
+    assert "CartesianProduct" not in plan
