@@ -158,6 +158,7 @@ HEADLINE = [
     "unigram_encode_docs",
     "tokenizer_compare",
     "moore_lewis",
+    "dataset_card",
     "fim_transform",
     "sentence_chunk",
     "crop_pairs",

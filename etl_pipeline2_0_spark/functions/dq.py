@@ -147,3 +147,108 @@ def domain_quality_rollup(
             | (F.col("dup_rate") > F.lit(float(dup_rate_max)))
         ).alias("flagged"),
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Datasheet-style corpus report card ("Datasheets for Datasets",
+    Gebru et al. 2021 — the summary table a released training corpus
+    ships with): one tidy (section, metric, scope, value) frame covering
+    volume, token-length distribution, exact-duplication, language mix,
+    per-source share, and mean heuristic quality — the numbers every
+    dataset card's "composition" section reports, from the corpus
+    itself.
+
+    All values are DOUBLE (counts included) so the frame is one uniform
+    relation; per-doc quality stays UNROUNDED into the mean (the r12
+    half-boundary lesson — only the final aggregate rounds).
+
+    Scale shape: ONE narrow projection of the corpus materializes behind
+    a lazy barrier, then four bounded aggregates (corpus-wide, by
+    source, by language, token percentiles) union partition-locally.
+    Nothing corpus-sized shuffles except the three small grouped
+    aggregates; the percentile runs as one pass.
+
+    Output: (section, metric, scope, value), value rounded 6 dp.
+    """
+    from etl_pipeline2_0_spark.functions.text import (
+        lang_id,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    quality_unrounded = (
+        F.least(token_count(t) / F.lit(100.0), F.lit(1.0))
+        + F.least(stopword_ratio(t) * 4, F.lit(1.0))
+        + (F.lit(1.0) - F.least(punct_ratio(t) * 4, F.lit(1.0)))
+    ) / 3
+    base = df.select(
+        F.col(source_col).alias("src"),
+        lang_id(t).alias("lang"),
+        token_count(t).alias("tc"),
+        F.length(t).alias("nc"),
+        F.md5(t).alias("h"),
+        quality_unrounded.alias("q"),
+    ).localCheckpoint(eager=False)
+
+    def _row(section, metric, scope, value):
+        return [F.lit(section).alias("section"), F.lit(metric).alias("metric"),
+                scope.alias("scope") if hasattr(scope, "alias")
+                else F.lit(scope).alias("scope"), value.alias("value")]
+
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("tc").cast("double").alias("_tok"),
+        F.sum("nc").cast("double").alias("_chr"),
+        F.round(F.avg("tc"), 6).alias("_avg_tc"),
+        F.round(
+            F.lit(1.0) - F.count_distinct(F.col("h")) / F.count(F.lit(1)),
+            6,
+        ).alias("_dup"),
+        F.round(F.avg("q"), 6).alias("_q"),
+        F.round(F.percentile(F.col("tc"), F.lit(0.25)), 6).alias("_p25"),
+        F.round(F.percentile(F.col("tc"), F.lit(0.5)), 6).alias("_p50"),
+        F.round(F.percentile(F.col("tc"), F.lit(0.75)), 6).alias("_p75"),
+        F.round(F.percentile(F.col("tc"), F.lit(0.95)), 6).alias("_p95"),
+    )
+    corpus_rows = None
+    for metric, colname, section in [
+        ("n_docs", "_n", "volume"),
+        ("n_tokens", "_tok", "volume"),
+        ("n_chars", "_chr", "volume"),
+        ("mean_doc_tokens", "_avg_tc", "length"),
+        ("p25_tokens", "_p25", "length"),
+        ("p50_tokens", "_p50", "length"),
+        ("p75_tokens", "_p75", "length"),
+        ("p95_tokens", "_p95", "length"),
+        ("exact_dup_rate", "_dup", "dedup"),
+        ("mean_quality", "_q", "quality"),
+    ]:
+        r = corpus.select(*_row(section, metric, "corpus", F.col(colname)))
+        corpus_rows = r if corpus_rows is None else corpus_rows.unionByName(r)
+
+    # W1 discipline: the corpus total joins back as a 1-row broadcast
+    # (crossJoin-agg), never a driver-side count or a global window.
+    tot = base.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
+    by_source = (
+        base.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(F.broadcast(tot))
+        .select(*_row(
+            "volume", "doc_share", F.col("src"),
+            F.round(F.col("_n") / F.col("_tot"), 6),
+        ))
+    )
+    by_lang = (
+        base.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(F.broadcast(tot))
+        .select(*_row(
+            "language", "doc_share", F.col("lang"),
+            F.round(F.col("_n") / F.col("_tot"), 6),
+        ))
+    )
+    return corpus_rows.unionByName(by_source).unionByName(by_lang)

@@ -5765,6 +5765,87 @@ FROM agg
 """
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Datasheet-style report card (Gebru et al. 2021): volume, token-
+    # length quantiles, exact-dup rate, language/source shares, mean
+    # heuristic quality — one narrow projection + four bounded
+    # aggregates, unioned into a tidy (section, metric, scope, value).
+    from etl_pipeline2_0_spark.functions import dq
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dq.dataset_card(docs)
+
+
+SQL_DATASET_CARD = rf"""
+WITH raw AS (
+  SELECT source AS src, text,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["en"]})\b')) AS en,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["es"]})\b')) AS es,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["fr"]})\b')) AS fr,
+    len(regexp_extract_all(lower(text), '\b({_MARKER_SQL["de"]})\b')) AS de,
+    len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                    x -> length(x) > 0)) AS tc,
+    LENGTH(text) AS nc,
+    md5(text) AS h,
+    regexp_replace(text, '[ \x09\x0A\x0D\x0B\x0C]+', '', 'g') AS compact,
+    list_filter(regexp_split_to_array(lower(text), '\W+'),
+                x -> length(x) > 0) AS toks
+  FROM documents
+), base AS MATERIALIZED (
+  SELECT src,
+    CASE
+      WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+      WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+      WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+      WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+      ELSE 'de' END AS lang,
+    tc, nc, h,
+    (LEAST(tc / 100.0, 1.0)
+     + LEAST((CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE len(list_filter(toks, x -> x IN ({_STOPS_SQL})))
+                        * 1.0 / len(toks) END) * 4, 1.0)
+     + (1.0 - LEAST((CASE WHEN LENGTH(compact) = 0 THEN 0.0
+                          ELSE (LENGTH(compact)
+                                - LENGTH(regexp_replace(compact, '\W', '',
+                                                        'g')))
+                               * 1.0 / LENGTH(compact) END) * 4, 1.0))
+    ) / 3 AS q
+  FROM raw
+), agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(tc) AS DOUBLE) AS tok,
+         CAST(SUM(nc) AS DOUBLE) AS nchr,
+         ROUND(AVG(tc), 6) AS avg_tc,
+         ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6) AS dup,
+         ROUND(AVG(q), 6) AS mq,
+         ROUND(quantile_cont(tc, 0.25), 6) AS p25,
+         ROUND(quantile_cont(tc, 0.5), 6) AS p50,
+         ROUND(quantile_cont(tc, 0.75), 6) AS p75,
+         ROUND(quantile_cont(tc, 0.95), 6) AS p95
+  FROM base
+), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM base)
+SELECT 'volume' AS section, 'n_docs' AS metric, 'corpus' AS scope,
+       n AS value FROM agg
+UNION ALL SELECT 'volume', 'n_tokens', 'corpus', tok FROM agg
+UNION ALL SELECT 'volume', 'n_chars', 'corpus', nchr FROM agg
+UNION ALL SELECT 'length', 'mean_doc_tokens', 'corpus', avg_tc FROM agg
+UNION ALL SELECT 'length', 'p25_tokens', 'corpus', p25 FROM agg
+UNION ALL SELECT 'length', 'p50_tokens', 'corpus', p50 FROM agg
+UNION ALL SELECT 'length', 'p75_tokens', 'corpus', p75 FROM agg
+UNION ALL SELECT 'length', 'p95_tokens', 'corpus', p95 FROM agg
+UNION ALL SELECT 'dedup', 'exact_dup_rate', 'corpus', dup FROM agg
+UNION ALL SELECT 'quality', 'mean_quality', 'corpus', mq FROM agg
+UNION ALL
+SELECT 'volume', 'doc_share', src,
+       ROUND(COUNT(*) * 1.0 / (SELECT t FROM tot), 6)
+FROM base GROUP BY src
+UNION ALL
+SELECT 'language', 'doc_share', lang,
+       ROUND(COUNT(*) * 1.0 / (SELECT t FROM tot), 6)
+FROM base GROUP BY lang
+"""
+
+
 def q_ul2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UL2 mixture-of-denoisers (Tay et al. 2022): R (T5 spans at
     # 0.15/3), X (extreme at 0.5/8), S (prefix-LM cut in the middle

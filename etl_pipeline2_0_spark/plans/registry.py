@@ -348,6 +348,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     composing span_corrupt at two densities plus a prefix-LM
     #     split, paradigm tokens prepended ---
     "ul2_mix": (L.q_ul2_mix, L.SQL_UL2_MIX),
+    # --- added r13 (past-cap; r14 promotion pool): datasheet-style
+    #     report card (Gebru et al. 2021) — volume / length quantiles /
+    #     exact-dup rate / language+source shares / mean quality as one
+    #     tidy frame; one narrow projection + four bounded aggregates ---
+    "dataset_card": (L.q_dataset_card, L.SQL_DATASET_CARD),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10
