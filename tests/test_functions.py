@@ -4002,3 +4002,29 @@ def test_ul2_mix_paradigms_and_reconstruction(spark, sf_dir):
         # S needs >= 2 tokens while span_corrupt keeps 1-token docs;
         # R/X slices must match span_corrupt EXACTLY
         assert got == want
+
+
+def test_dataset_card_internal_consistency(spark, sf_dir):
+    """The report card's sections must agree with each other and with
+    direct corpus queries: shares sum to 1 per scope family, n_docs
+    matches the table count, quantiles are ordered, and the dup rate
+    matches a direct distinct-count."""
+    from etl_pipeline2_0_spark.functions import dq
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = dq.dataset_card(docs).collect()
+    card = {(r["section"], r["metric"], r["scope"]): r["value"] for r in rows}
+    n = docs.count()
+    assert card[("volume", "n_docs", "corpus")] == float(n)
+    src_shares = [v for (s, m, _), v in card.items()
+                  if s == "volume" and m == "doc_share"]
+    lang_shares = [v for (s, m, _), v in card.items()
+                   if s == "language" and m == "doc_share"]
+    assert abs(sum(src_shares) - 1.0) < 1e-4
+    assert abs(sum(lang_shares) - 1.0) < 1e-4
+    q = [card[("length", f"p{p}_tokens", "corpus")] for p in (25, 50, 75, 95)]
+    assert q == sorted(q)
+    n_distinct = docs.select("text").distinct().count()
+    assert card[("dedup", "exact_dup_rate", "corpus")] == round(
+        1.0 - n_distinct / n, 6)
+    assert 0.0 <= card[("quality", "mean_quality", "corpus")] <= 1.0
