@@ -727,3 +727,49 @@ def test_edit_distance_pairs_matches_brute_force_random(spark, strs):
         .collect()
     }
     assert got == want
+
+
+@given(
+    left=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=1, max_size=5,
+    ),
+    right=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=1, max_size=5,
+    ),
+)
+@settings(**SETTINGS)
+def test_edit_distance_cross_mode_matches_brute_force_random(
+    spark, left, right
+):
+    """Cross-table fuzzy join ≡ brute force on random strings INCLUDING
+    lengths below max_dist+1 on BOTH sides — pins the advisor-r12
+    short-left residual union (left strings too short to chunk used to
+    be silently dropped) together with the r11 short-right fix."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    ldf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(left)], "doc_id bigint, text string"
+    )
+    rdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(right)], "doc_id bigint, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in D.edit_distance_pairs(ldf, max_dist=2, other=rdf).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in ldf.selectExpr("doc_id id_a", "text ta")
+        .crossJoin(rdf.selectExpr("doc_id id_b", "text tb"))
+        .select(
+            "id_a", "id_b",
+            SF.levenshtein("ta", "tb").cast("int").alias("dist"),
+        )
+        .where(SF.col("dist") <= 2)
+        .collect()
+    }
+    assert got == want
