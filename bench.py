@@ -159,6 +159,7 @@ HEADLINE = [
     "tokenizer_compare",
     "moore_lewis",
     "dataset_card",
+    "sft_pack",
     "fim_transform",
     "sentence_chunk",
     "crop_pairs",

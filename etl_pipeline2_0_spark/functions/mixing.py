@@ -1452,3 +1452,83 @@ def ul2_mix(
         ).alias("targets"),
     )
     return r_out.unionByName(x_out).unionByName(s_out)
+
+
+def sft_pack(
+    df: DataFrame,
+    budget_tokens: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Instruction-tuning (SFT) sequence packing with LOSS-MASK
+    accounting: each document becomes one (prompt, response) example by
+    a hash-deterministic cut inside the middle half of its token stream
+    (the ``ul2_mix`` S-denoiser split — a fully-oracled stand-in for
+    real instruction/response pairs), examples pack into
+    ~``budget_tokens`` sequences per source in stable id order
+    (``pack_sequences`` semantics), and every pack reports how many of
+    its tokens are response (loss-bearing) vs prompt (masked) — the
+    number an SFT trainer's loss masking actually budgets by.  Packs
+    whose loss fraction collapses (prompt-heavy data) are the standard
+    reason SFT runs waste step budget; this makes that visible per
+    pack.
+
+    Docs with < 2 tokens are dropped BEFORE packing (an example needs a
+    non-empty prompt AND response), so pack space is never spent on
+    empty examples.
+
+    Scale shape: the cut is a narrow projection; pack assignment is the
+    shared two-level bucketed prefix sum (``_assign_packs`` — no
+    partition ever holds a whole source); the mask accounting rides the
+    same per-pack aggregate.  One id-keyed join of two narrow frames.
+
+    Output: (source, pack_id, n_examples, pack_tokens, prompt_tokens,
+    response_tokens, loss_frac rounded 6 dp).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"[ \t\n\r\x0B\x0C]+"),
+        lambda t: F.length(t) > 0,
+    )
+    filtered = df.where(F.size(toks) >= 2)
+    hc = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"),
+                    F.lit("cut"), F.lit(salt),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    n = F.size(toks)
+    lo = F.greatest(F.lit(1), F.floor(n / 4)).cast("int")
+    n_prompt = (lo + F.pmod(hc, F.greatest(n - 2 * lo + 1, F.lit(1)))).cast(
+        "int"
+    )
+    exf = filtered.select(F.col(id_col), n_prompt.alias("_np"))
+    keys, packed = _assign_packs(
+        filtered, budget_tokens, text_col, id_col, source_col,
+        None, bucket_width, None,
+    )
+    return (
+        packed.join(exf, id_col)
+        .groupBy(*keys, "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.sum("_np").cast("bigint").alias("prompt_tokens"),
+            F.sum(F.col("n_tokens") - F.col("_np"))
+            .cast("bigint")
+            .alias("response_tokens"),
+            F.round(
+                F.sum(F.col("n_tokens") - F.col("_np"))
+                / F.sum("n_tokens"),
+                6,
+            ).alias("loss_frac"),
+        )
+    )

@@ -5846,6 +5846,50 @@ FROM base GROUP BY lang
 """
 
 
+def q_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SFT packing with loss-mask accounting: hash-cut (prompt, response)
+    # examples packed to ~256 tokens per source, each pack reporting its
+    # masked vs loss-bearing token split.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.sft_pack(docs, budget_tokens=256)
+
+
+SQL_SFT_PACK = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), ex AS (
+  SELECT source, doc_id, len(toks) AS n,
+         GREATEST(1, CAST(FLOOR(len(toks) / 4.0) AS INT)) AS lo
+  FROM toks WHERE len(toks) >= 2
+), cut AS (
+  SELECT source, doc_id, n,
+         lo + CAST((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                || ':cut:'), 1, 15) AS BIGINT)
+                % GREATEST(n - 2 * lo + 1, 1)) AS INT) AS n_prompt
+  FROM ex
+), packed AS (
+  SELECT source, doc_id, n, n_prompt, n - n_prompt AS n_resp,
+         CAST(floor(COALESCE(SUM(n) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+           AS BIGINT) AS pack_id
+  FROM cut
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(SUM(n) AS BIGINT) AS pack_tokens,
+       CAST(SUM(n_prompt) AS BIGINT) AS prompt_tokens,
+       CAST(SUM(n_resp) AS BIGINT) AS response_tokens,
+       ROUND(SUM(n_resp) * 1.0 / SUM(n), 6) AS loss_frac
+FROM packed GROUP BY source, pack_id
+"""
+
+
 def q_ul2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UL2 mixture-of-denoisers (Tay et al. 2022): R (T5 spans at
     # 0.15/3), X (extreme at 0.5/8), S (prefix-LM cut in the middle

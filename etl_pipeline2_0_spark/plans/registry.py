@@ -357,6 +357,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     exact-dup rate / language+source shares / mean quality as one
     #     tidy frame; one narrow projection + four bounded aggregates ---
     "dataset_card": (L.q_dataset_card, L.SQL_DATASET_CARD),
+    # --- added r13 (past-cap; r14 promotion pool): SFT packing with
+    #     loss-mask accounting — hash-cut (prompt, response) examples
+    #     packed per source, masked vs loss-bearing token split per
+    #     pack ---
+    "sft_pack": (L.q_sft_pack, L.SQL_SFT_PACK),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

@@ -4028,3 +4028,35 @@ def test_dataset_card_internal_consistency(spark, sf_dir):
     assert card[("dedup", "exact_dup_rate", "corpus")] == round(
         1.0 - n_distinct / n, 6)
     assert 0.0 <= card[("quality", "mean_quality", "corpus")] <= 1.0
+
+
+def test_sft_pack_mask_accounting_consistent(spark, sf_dir):
+    """SFT-pack contracts: every pack's prompt+response tokens sum to
+    its pack_tokens; loss_frac is the response share; per-source token
+    totals are conserved against the >=2-token corpus slice; the cut
+    agrees with ul2_mix's S split (shared ':cut:' hash, so an SFT run
+    and a UL2 run cut the same doc identically)."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import mixing as M
+    from etl_pipeline2_0_spark.functions.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = M.sft_pack(docs, budget_tokens=256).collect()
+    assert out
+    for r in out:
+        assert r["prompt_tokens"] + r["response_tokens"] == r["pack_tokens"]
+        assert 0 < r["prompt_tokens"] < r["pack_tokens"]
+        assert r["loss_frac"] == round(
+            r["response_tokens"] / r["pack_tokens"], 6)
+    per_src = {}
+    for r in out:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + r["pack_tokens"]
+    truth = {
+        r["source"]: r["t"]
+        for r in docs.where(token_count(SF.col("text")) >= 2)
+        .groupBy("source")
+        .agg(SF.sum(token_count(SF.col("text"))).alias("t"))
+        .collect()
+    }
+    assert per_src == truth
