@@ -313,10 +313,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # ROUND-14 ROTATION (STAGED — execute next round): FIVE promotions,
+    # ROUND-14 ROTATION (STAGED — execute next round): SIX promotions,
     # the r13-added oracled entries below (bitext_recall,
-    # tokenizer_compare, moore_lewis, ul2_mix, dataset_card) — all
-    # sf0.001+sf0.01 parity-proven, zero driver rows.  Demote five
+    # tokenizer_compare, moore_lewis, ul2_mix, dataset_card, sft_pack)
+    # — all
+    # sf0.001+sf0.01 parity-proven, zero driver rows.  Demote six
     # multi-green holdovers, keeping family anchors: candidates in
     # green-row order are minhash_recall (r9-r13 after the r13 window
     # goes green — LSH quality anchored by the promoted precision/
@@ -325,9 +326,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # mmr_select/embed_quantize, dedup DQ by the dup-family rows +
     # dataset_card's dup-rate section), bpe_train_merges ONLY if
     # tokenizer_compare promotes (it composes the full BPE chain), and
-    # one of the twice-green r11 pair survivors (dsir_weights — its
-    # family gains moore_lewis — or gopher_rules, quality anchored by
-    # the C4/repetition batteries + quality_classifier).
+    # two of the twice-green r11 survivors (dsir_weights — its family
+    # gains moore_lewis — and one of gopher_rules / split_leakage /
+    # ccnet_buckets, quality anchored by the C4/repetition batteries +
+    # quality_classifier + the promoted kn_score/threshold_sweep, and
+    # packing gaining sft_pack).
     # test_sql_registry.py re-pins after the reorder.
     #
     # --- added r13 (past-cap; r14 promotion pool): mined-pair recall of
