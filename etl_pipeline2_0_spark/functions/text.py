@@ -771,6 +771,18 @@ def char_bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
 
     bg = _bigrams(df)
     bg_train = bg if train_df is None else _bigrams(train_df)
+    # big_counts feeds THREE consumers (the scoring join, the context
+    # rollup, the alphabet count) — a diamond, but deliberately WITHOUT
+    # a checkpoint barrier: every consumer sits above the identical
+    # (bigram → count) shuffle, and AQE's runtime stage reuse dedupes
+    # identical canonical exchanges even though the plan TEXT prints
+    # four corpus scans and no ReusedExchange node.  Measured with the
+    # status tracker at sf0.1: 67 executed tasks without a barrier vs
+    # 70 with one, while localCheckpoint roughly doubled the wall time
+    # of every LM-scorer query (extra jobs + lost codegen fusion).
+    # Barriers pay off only for diamonds that diverge BEFORE their
+    # first exchange (the llm_pipeline case); count executed tasks,
+    # not plan-text scans, before adding one.
     big_counts = bg_train.groupBy("big").agg(F.count(F.lit(1)).alias("bc"))
     ctx_counts = big_counts.groupBy(
         F.substring("big", 1, 1).alias("ctx")
