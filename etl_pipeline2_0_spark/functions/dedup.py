@@ -1797,3 +1797,80 @@ def minhash_decontaminate(
         .where(F.col("jaccard") >= threshold)
         .select("eval_id", "train_id", "jaccard")
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Soft deduplication: DOWNWEIGHT near-duplicates instead of dropping
+    them (the reweighting alternative to hard dedup discussed around
+    SoftDedup, He et al. 2024, and the D4/FineWeb ablations: duplicates
+    carry signal, so train on every copy at sampling weight 1/cluster).
+
+    ``pairs`` is any near-duplicate pair frame (Jaccard, MinHash-verified,
+    SimHash, embedding) with ``src_col``/``dst_col`` endpoints drawn from
+    ``df[id_col]``.  Pairs become clusters via
+    :func:`connected_components`; every document in a cluster of size s
+    gets sampling weight 1/s, documents in no cluster keep weight 1.
+
+    Because each size-s cluster contributes exactly s·(1/s) = 1 to the
+    total weight, the corpus' effective size under the weighting is the
+    INTEGER ``n_clusters + n_unclustered`` — emitted per row as
+    ``n_effective`` / ``effective_frac`` (one exact int division, no
+    float fold), the number that says how much unique corpus mass
+    survives: hard dedup would keep exactly ``n_effective`` documents.
+
+    Output: (``id_col``, cluster_size, weight, n_effective,
+    effective_frac), one row per input document.
+
+    Scale: the label-propagation rounds dominate and are hash-partitioned
+    equi-joins on node ids (see :func:`connected_components`); the
+    per-doc weight assignment is ONE left equi-join of the corpus against
+    the (node, cluster_size) relation — proportional to cluster members,
+    not pairs — and the three corpus-level counters collapse to a
+    broadcast single row.
+    """
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    csizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    doc_cluster = comp.join(csizes, "component").select(
+        F.col("node"), "cluster_size"
+    )
+    stats = (
+        df.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(
+            comp.agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.countDistinct("component").alias("n_clusters"),
+            )
+        )
+        .select(
+            "n_docs",
+            (F.col("n_docs") - F.col("n_members") + F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_effective"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(doc_cluster, F.col(id_col) == F.col("node"), "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce(F.col("cluster_size"), F.lit(1)), 6
+            ).alias("weight"),
+            "n_effective",
+            F.round(F.col("n_effective") / F.col("n_docs"), 6).alias(
+                "effective_frac"
+            ),
+        )
+    )

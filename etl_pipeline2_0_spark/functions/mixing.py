@@ -1532,3 +1532,80 @@ def sft_pack(
             ).alias("loss_frac"),
         )
     )
+
+
+def dpo_pairs(
+    df: DataFrame,
+    n_groups: int = 64,
+    min_margin: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: "str | None" = None,
+) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training (the
+    public best-vs-worst recipe: given several candidate responses per
+    prompt and a scalar quality score, the pair is the argmax and argmin
+    of the score, kept only when the score gap is informative).
+
+    The corpus plays the candidate pool: documents sharing
+    ``id mod n_groups`` form one pseudo-prompt group (real pipelines
+    group by prompt id — swap the expression).  Each candidate's score is
+    ``score_col`` if given, else lexical diversity (distinct whitespace
+    tokens / tokens, 6dp — the cheap quality proxy used across the
+    quality family).  Per group: chosen = highest score (ties → highest
+    id), rejected = lowest score (ties → lowest id); groups with fewer
+    than two candidates, a zero-size score gap below ``min_margin``, or
+    chosen == rejected emit nothing.
+
+    Output: (group_id, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin, n_candidates).
+
+    Scale: ONE hash aggregate — the argmax/argmin ride a single
+    ``max(struct)``/``min(struct)`` pair with map-side partial
+    aggregation, so the shuffle carries two structs per group, never the
+    candidates.  No window, no join, no skew surface beyond group
+    cardinality (``n_groups`` is caller-chosen; real prompt ids shard
+    naturally).
+    """
+    if score_col is None:
+        toks = F.filter(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                r"[ \t\n\r\x0B\x0C]+",
+            ),
+            lambda x: F.length(x) > 0,
+        )
+        score = F.when(
+            F.size(toks) > 0,
+            F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6),
+        ).otherwise(F.lit(0.0))
+    else:
+        score = F.col(score_col).cast("double")
+    base = df.select(
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("group_id"),
+        F.col(id_col).alias("_id"),
+        score.alias("_score"),
+    )
+    agg = base.groupBy("group_id").agg(
+        F.max(F.struct(F.col("_score"), F.col("_id"))).alias("_ch"),
+        F.min(F.struct(F.col("_score"), F.col("_id"))).alias("_rj"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+    )
+    return (
+        agg.where(F.col("n_candidates") >= 2)
+        .select(
+            "group_id",
+            F.col("_ch._id").alias("chosen_id"),
+            F.col("_rj._id").alias("rejected_id"),
+            F.col("_ch._score").alias("chosen_score"),
+            F.col("_rj._score").alias("rejected_score"),
+            F.round(F.col("_ch._score") - F.col("_rj._score"), 6).alias(
+                "margin"
+            ),
+            "n_candidates",
+        )
+        .where(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("margin") >= F.lit(float(min_margin)))
+        )
+    )

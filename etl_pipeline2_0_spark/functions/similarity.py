@@ -1601,3 +1601,81 @@ def embed_quantize(
     # bitwise reproducible cross-engine without rounding; consumers
     # dequantize with exactly the emitted value.
     return scored.select("id", "dim", "scale", "codes", "rel_err")
+
+
+def ann_hubness(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    top_hubs: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hubness audit of an ANN index (Radovanović et al. 2010): in high
+    dimensions the k-occurrence distribution N_k (how many top-k lists
+    each database vector appears in) grows heavy-tailed — a few "hub"
+    vectors crowd everyone's neighbor lists while "antihubs" are never
+    retrieved.  For retrieval training data this is the failure mode
+    where one boilerplate passage becomes every query's neighbor, so the
+    audit belongs next to the index, not after the damage.
+
+    Runs the PORTABLE IVF path (:func:`ivf_topk_portable`, so the whole
+    audit carries an exact SQL twin) for every query, counts occurrences
+    per retrieved database vector, and reports the ``top_hubs`` worst
+    offenders plus corpus-level context on every row:
+
+    - ``n_occ`` / ``occ_share``: this hub's share of ALL retrieved slots;
+    - ``n_lists``: total retrieved slots (≤ k·|queries|);
+    - ``antihub_frac``: fraction of database vectors retrieved by NO
+      query — the silent dead zone of the index.
+
+    Output: (``id_col``, n_occ, occ_share, n_lists, antihub_frac, rnk),
+    ``top_hubs`` rows ordered by (n_occ desc, id).
+
+    Scale: the IVF probe join is cluster-scoped (never all-pairs); the
+    occurrence count is one hash aggregate over top-k rows (k·|queries|,
+    corpus-independent); the summary collapses to a broadcast single row
+    and the final top-hub window ranks only distinct retrieved vectors.
+    """
+    topk = ivf_topk_portable(
+        corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        vec_col=vec_col, id_col=id_col,
+    )
+    occ = topk.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    summary = (
+        topk.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+            F.countDistinct("neighbor_id").alias("_n_hit"),
+        )
+        .crossJoin(corpus.agg(F.count(F.lit(1)).alias("_n_db")))
+        .select(
+            "n_lists",
+            F.round(
+                (F.col("_n_db") - F.col("_n_hit")) / F.col("_n_db"), 6
+            ).alias("antihub_frac"),
+        )
+    )
+    # Global top-k via TakeOrdered (orderBy+limit → distributed partial
+    # top-k per partition, never a single-partition sort of the full
+    # occurrence table); the ranking window then runs over ≤ top_hubs
+    # rows, so its empty partitionBy is bounded by construction.
+    hubs = occ.orderBy(F.col("n_occ").desc(), F.col("neighbor_id")).limit(
+        top_hubs
+    )
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("neighbor_id"))
+    return (
+        hubs.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "n_occ",
+            F.round(F.col("n_occ") / F.col("n_lists"), 6).alias("occ_share"),
+            "n_lists",
+            "antihub_frac",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -6888,3 +6888,143 @@ SELECT id, CAST(dim AS INT) AS dim, scale,
          AS rel_err
 FROM err
 """
+
+
+# ---------------------------------------------------------- soft dedup ----
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reweighting alternative to hard near-dedup (SoftDedup, He et al.
+    # 2024; the D4/FineWeb duplicate-signal ablations): same subset,
+    # shingling, and 0.3-Jaccard graph as dup_components, but every
+    # cluster member survives at sampling weight 1/cluster_size.
+    # n_effective's integer identity (clusters + unclustered docs) makes
+    # the corpus-mass accounting exact — no float fold to drift.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    pairs = dedup.jaccard_pairs(docs, k=3, threshold=0.3)
+    return dedup.soft_dedup_weights(docs, pairs)
+
+
+# Reuse the dup_components recursive-CTE chain verbatim; the tail turns
+# components into per-doc sampling weights.
+SQL_SOFT_DEDUP = (
+    SQL_DUP_COMPONENTS.rsplit("SELECT node", 1)[0]
+    + """, comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+), csizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+), doc_cluster AS (
+  SELECT node, cluster_size FROM comp JOIN csizes USING (component)
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM docs) AS n_docs,
+         (SELECT COUNT(*) FROM comp) AS n_members,
+         (SELECT COUNT(DISTINCT component) FROM comp) AS n_clusters
+)
+SELECT d.id AS doc_id,
+       CAST(COALESCE(dc.cluster_size, 1) AS BIGINT) AS cluster_size,
+       ROUND(1.0 / COALESCE(dc.cluster_size, 1), 6) AS weight,
+       CAST(n_docs - n_members + n_clusters AS BIGINT) AS n_effective,
+       ROUND((n_docs - n_members + n_clusters) * 1.0 / n_docs, 6)
+         AS effective_frac
+FROM docs d
+LEFT JOIN doc_cluster dc ON d.id = dc.node
+CROSS JOIN stats
+"""
+)
+
+
+# ----------------------------------------------------------- DPO pairs ----
+
+
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Preference-pair construction (the public DPO best-vs-worst recipe):
+    # docs sharing doc_id mod 64 play one pseudo-prompt's candidate pool,
+    # scored by lexical diversity; argmax vs argmin with a 0.02 margin
+    # floor so both the kept and the filtered branches carry rows.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.dpo_pairs(docs, n_groups=64, min_margin=0.02)
+
+
+SQL_DPO_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id % 64 AS group_id, doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                           '[ \x09\x0A\x0D\x0B\x0C]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), scored AS (
+  SELECT group_id, doc_id,
+         CASE WHEN len(toks) > 0
+              THEN ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+              ELSE 0.0 END AS score
+  FROM base
+), ranked AS (
+  SELECT group_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY group_id
+                            ORDER BY score DESC, doc_id DESC) AS rc,
+         ROW_NUMBER() OVER (PARTITION BY group_id
+                            ORDER BY score ASC, doc_id ASC) AS rr,
+         COUNT(*) OVER (PARTITION BY group_id) AS n_candidates
+  FROM scored
+), ch AS (
+  SELECT group_id, doc_id AS chosen_id, score AS chosen_score,
+         n_candidates
+  FROM ranked WHERE rc = 1
+), rj AS (
+  SELECT group_id, doc_id AS rejected_id, score AS rejected_score
+  FROM ranked WHERE rr = 1
+)
+SELECT CAST(ch.group_id AS INT) AS group_id, chosen_id, rejected_id,
+       chosen_score, rejected_score,
+       ROUND(chosen_score - rejected_score, 6) AS margin,
+       CAST(n_candidates AS BIGINT) AS n_candidates
+FROM ch JOIN rj USING (group_id)
+WHERE n_candidates >= 2
+  AND chosen_id <> rejected_id
+  AND ROUND(chosen_score - rejected_score, 6) >= 0.02
+"""
+
+
+# ---------------------------------------------------------- ANN hubness ----
+
+
+def q_ann_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-occurrence hubness audit (Radovanović et al. 2010) of the
+    # portable IVF index: every other vector queries the full corpus;
+    # the top-10 hub vectors and the antihub dead-zone fraction are the
+    # index-health numbers a retrieval pipeline checks before mining.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_hubness(
+        emb, emb.where(F.col("vec_id") % 2 == 0), k=5,
+        n_centroids=16, n_probe=4, top_hubs=10,
+    )
+
+
+SQL_ANN_HUBNESS = _SQL_IVF_PORTABLE_CTE.replace(
+    "WHERE vec_id < 8", "WHERE vec_id % 2 = 0"
+) + """
+, occ AS (
+  SELECT neighbor_id, COUNT(*) AS n_occ FROM ivf_topk GROUP BY neighbor_id
+), tot AS (
+  SELECT COUNT(*) AS n_lists, COUNT(DISTINCT neighbor_id) AS n_hit
+  FROM ivf_topk
+), db AS (
+  SELECT COUNT(*) AS n_db FROM e
+), hubs AS (
+  SELECT neighbor_id, n_occ,
+         ROW_NUMBER() OVER (ORDER BY n_occ DESC, neighbor_id) AS rnk
+  FROM occ
+)
+SELECT neighbor_id AS vec_id, CAST(n_occ AS BIGINT) AS n_occ,
+       ROUND(n_occ * 1.0 / n_lists, 6) AS occ_share,
+       CAST(n_lists AS BIGINT) AS n_lists,
+       ROUND((n_db - n_hit) * 1.0 / n_db, 6) AS antihub_frac,
+       CAST(rnk AS INT) AS rnk
+FROM hubs CROSS JOIN tot CROSS JOIN db
+WHERE rnk <= 10
+"""
+assert "vec_id % 2 = 0" in SQL_ANN_HUBNESS

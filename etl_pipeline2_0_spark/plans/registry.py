@@ -313,11 +313,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # ROUND-14 ROTATION (STAGED — execute next round): SIX promotions,
+    # ROUND-14 ROTATION (STAGED — execute next round): NINE promotions,
     # the r13-added oracled entries below (bitext_recall,
-    # tokenizer_compare, moore_lewis, ul2_mix, dataset_card, sft_pack)
-    # — all
-    # sf0.001+sf0.01 parity-proven, zero driver rows.  Demote six
+    # tokenizer_compare, moore_lewis, ul2_mix, dataset_card, sft_pack,
+    # soft_dedup, dpo_pairs, ann_hubness) — all
+    # sf0.001+sf0.01 parity-proven, zero driver rows.  Demote nine
     # multi-green holdovers, keeping family anchors: candidates in
     # green-row order are minhash_recall (r9-r13 after the r13 window
     # goes green — LSH quality anchored by the promoted precision/
@@ -326,11 +326,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # mmr_select/embed_quantize, dedup DQ by the dup-family rows +
     # dataset_card's dup-rate section), bpe_train_merges ONLY if
     # tokenizer_compare promotes (it composes the full BPE chain), and
-    # two of the twice-green r11 survivors (dsir_weights — its family
-    # gains moore_lewis — and one of gopher_rules / split_leakage /
-    # ccnet_buckets, quality anchored by the C4/repetition batteries +
-    # quality_classifier + the promoted kn_score/threshold_sweep, and
-    # packing gaining sft_pack).
+    # five of the twice-green r11 survivors (dsir_weights — its family
+    # gains moore_lewis — plus gopher_rules / split_leakage /
+    # ccnet_buckets / c4_rules as needed, quality anchored by the
+    # repetition batteries + quality_classifier + the promoted
+    # kn_score/threshold_sweep, packing gaining sft_pack, dedup DQ
+    # gaining soft_dedup, and the ANN family gaining ann_hubness).
     # test_sql_registry.py re-pins after the reorder.
     #
     # --- added r13 (past-cap; r14 promotion pool): mined-pair recall of
@@ -365,6 +366,21 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     packed per source, masked vs loss-bearing token split per
     #     pack ---
     "sft_pack": (L.q_sft_pack, L.SQL_SFT_PACK),
+    # --- added r13 (past-cap; r14 promotion pool): soft dedup — the
+    #     reweighting alternative to hard near-dedup (1/cluster_size
+    #     sampling weights over the dup_components Jaccard graph, exact
+    #     integer effective-mass accounting) ---
+    "soft_dedup": (L.q_soft_dedup, L.SQL_SOFT_DEDUP),
+    # --- added r13 (past-cap; r14 promotion pool): DPO preference-pair
+    #     construction — per pseudo-prompt group argmax/argmin of a
+    #     lexical-diversity score with a margin floor; one max/min-struct
+    #     hash aggregate, no window ---
+    "dpo_pairs": (L.q_dpo_pairs, L.SQL_DPO_PAIRS),
+    # --- added r13 (past-cap; r14 promotion pool): k-occurrence hubness
+    #     audit of the portable IVF index (Radovanović 2010) — top hub
+    #     vectors + antihub dead-zone fraction, every other vector as a
+    #     query ---
+    "ann_hubness": (L.q_ann_hubness, L.SQL_ANN_HUBNESS),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10
