@@ -1568,20 +1568,28 @@ def dpo_pairs(
     naturally).
     """
     if score_col is None:
-        toks = F.filter(
-            F.split(
-                F.coalesce(F.col(text_col), F.lit("")),
-                r"[ \t\n\r\x0B\x0C]+",
-            ),
-            lambda x: F.length(x) > 0,
+        # Materialize the token array in its own projection: the score
+        # references it three times, and a multiply-referenced alias
+        # survives CollapseProject — inlining the split into the CASE
+        # would re-split every row 3× (the lambda-inlining lesson).
+        toked = df.select(
+            F.col(id_col),
+            F.filter(
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    r"[ \t\n\r\x0B\x0C]+",
+                ),
+                lambda x: F.length(x) > 0,
+            ).alias("_toks"),
         )
         score = F.when(
-            F.size(toks) > 0,
-            F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6),
+            F.size("_toks") > 0,
+            F.round(F.size(F.array_distinct("_toks")) / F.size("_toks"), 6),
         ).otherwise(F.lit(0.0))
     else:
+        toked = df.select(F.col(id_col), F.col(score_col))
         score = F.col(score_col).cast("double")
-    base = df.select(
+    base = toked.select(
         F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("group_id"),
         F.col(id_col).alias("_id"),
         score.alias("_score"),

@@ -4060,3 +4060,103 @@ def test_sft_pack_mask_accounting_consistent(spark, sf_dir):
         .collect()
     }
     assert per_src == truth
+
+
+def test_soft_dedup_weights_planted_clusters(spark):
+    """A planted 3-clique, a planted pair, and two singletons: weights
+    must be 1/3, 1/2, 1; n_effective = clusters + unclustered = 2 + 2;
+    the per-doc weights sum to exactly n_effective (the integer
+    identity the operator's accounting relies on)."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = D.soft_dedup_weights(docs, pairs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 6
+    for d in (1, 2, 3):
+        assert rows[d]["cluster_size"] == 3
+        assert rows[d]["weight"] == 0.333333
+    for d in (4, 5):
+        assert rows[d]["cluster_size"] == 2
+        assert rows[d]["weight"] == 0.5
+    assert rows[6]["cluster_size"] == 1 and rows[6]["weight"] == 1.0
+    assert all(r["n_effective"] == 3 for r in rows.values())
+    assert all(r["effective_frac"] == 0.5 for r in rows.values())
+    # weight mass == effective size (up to the 6dp rounding of 1/3)
+    total = sum(r["weight"] for r in rows.values())
+    assert abs(total - 3.0) < 1e-5
+
+
+def test_dpo_pairs_margin_filter_and_ties(spark):
+    """Chosen/rejected selection, the margin floor, and tie handling:
+    group 0 has a clear best/worst pair; group 1's margin falls below
+    the floor and emits nothing; group 2 is a singleton and emits
+    nothing; a tied group picks highest-id chosen, lowest-id rejected."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    rows = [
+        # group 0 (ids ≡ 0 mod 4): diversity 1.0 vs 0.25
+        (0, "a b c d"),
+        (4, "x x x x"),
+        # group 1: margins 1.0 vs 1.0 (identical diversity) → margin 0
+        (1, "p q"),
+        (5, "r s"),
+        # group 2: singleton
+        (2, "lone doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = M.dpo_pairs(docs, n_groups=4, min_margin=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_id"], r["chosen_id"], r["rejected_id"]) == (0, 0, 4)
+    assert r["chosen_score"] == 1.0 and r["rejected_score"] == 0.25
+    assert r["margin"] == 0.75 and r["n_candidates"] == 2
+    # margin floor 0: the tied group emits with highest-id chosen,
+    # lowest-id rejected, margin exactly 0
+    all_pairs = {
+        r["group_id"]: r
+        for r in M.dpo_pairs(docs, n_groups=4, min_margin=0.0).collect()
+    }
+    t = all_pairs[1]
+    assert (t["chosen_id"], t["rejected_id"], t["margin"]) == (5, 1, 0.0)
+    assert 2 not in all_pairs  # singleton group never emits
+
+
+def test_ann_hubness_occurrence_accounting(spark, sf_dir):
+    """Hub counts must total-account: sum of ALL occurrence counts
+    equals n_lists; occ_share recomputes from n_occ/n_lists; the
+    antihub fraction matches a direct never-retrieved count; ranks are
+    dense from 1."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(SF.col("vec_id") % 2 == 0)
+    out = S.ann_hubness(emb, q, k=5, top_hubs=10).collect()
+    assert [r["rnk"] for r in out] == list(range(1, len(out) + 1))
+    topk = S.ivf_topk_portable(emb, q, k=5)
+    n_lists = topk.count()
+    n_db = emb.count()
+    n_hit = topk.select("neighbor_id").distinct().count()
+    for r in out:
+        assert r["n_lists"] == n_lists
+        assert r["occ_share"] == round(r["n_occ"] / n_lists, 6)
+        assert r["antihub_frac"] == round((n_db - n_hit) / n_db, 6)
+    # occurrence sums conserve across the whole retrieved set
+    occ_total = (
+        topk.groupBy("neighbor_id").count().agg(SF.sum("count")).first()[0]
+    )
+    assert occ_total == n_lists
+    # top hub really is the max occurrence
+    max_occ = topk.groupBy("neighbor_id").count().agg(
+        SF.max("count")
+    ).first()[0]
+    assert out[0]["n_occ"] == max_occ

@@ -1028,3 +1028,40 @@ def test_bitext_recall_no_cartesian_no_block_explosion(spark, sf_dir):
     # test_bitext_ivf_mode_no_block_replication).
     plan = _plan(L.q_bitext_recall(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_dpo_pairs_single_aggregate_no_window_no_join(spark, sf_dir):
+    # One aggregate with map-side partial aggregation carrying the
+    # argmax/argmin structs (struct min/max forces SortAggregate — the
+    # shuffle still carries two structs per group, never candidates);
+    # the plan must show exactly one exchange (the group-key shuffle)
+    # and neither a window nor any join.  The token array must be
+    # materialized once, not re-split per score reference.
+    plan = _plan(L.q_dpo_pairs(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange ") == 1
+    assert "partial_max" in plan  # map-side combine present
+    assert plan.count("split(") <= 1  # token array materialized once
+
+
+def test_soft_dedup_no_cartesian_weights_join_equi(spark, sf_dir):
+    # The per-doc weight assignment is an equi-join against the
+    # (node, cluster_size) relation and the corpus-level stats ride a
+    # broadcast single row; no cartesian anywhere (the component rounds
+    # live behind eager checkpoints and cannot appear here).
+    plan = _plan(L.q_soft_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_ann_hubness_takeordered_not_global_sort(spark, sf_dir):
+    # The top-hub cut must be a distributed TakeOrdered(AndProject),
+    # never a single-partition global Sort over the occurrence table,
+    # and the probe join stays cluster-scoped (no cartesian; the only
+    # nested-loop joins are the broadcast centroid/summary crosses).
+    plan = _plan(L.q_ann_hubness(spark, sf_dir))
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
