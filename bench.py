@@ -166,6 +166,9 @@ HEADLINE = [
     "bitext_mine",
     "bitext_recall",
     "embed_quantize",
+    "soft_dedup",
+    "dpo_pairs",
+    "ann_hubness",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
