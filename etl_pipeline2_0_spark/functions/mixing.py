@@ -1534,6 +1534,36 @@ def sft_pack(
     )
 
 
+def _candidate_score(df, text_col, id_col, score_col):
+    """Shared candidate scoring for the preference-data family
+    (``dpo_pairs``, ``best_of_n``): ``score_col`` verbatim when given,
+    else lexical diversity (distinct whitespace tokens / tokens, 6dp).
+    Returns (projected frame, score Column over it)."""
+    if score_col is None:
+        # Materialize the token array in its own projection: the score
+        # references it three times, and a multiply-referenced alias
+        # survives CollapseProject — inlining the split into the CASE
+        # would re-split every row 3× (the lambda-inlining lesson).
+        toked = df.select(
+            F.col(id_col),
+            F.filter(
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    r"[ \t\n\r\x0B\x0C]+",
+                ),
+                lambda x: F.length(x) > 0,
+            ).alias("_toks"),
+        )
+        score = F.when(
+            F.size("_toks") > 0,
+            F.round(F.size(F.array_distinct("_toks")) / F.size("_toks"), 6),
+        ).otherwise(F.lit(0.0))
+    else:
+        toked = df.select(F.col(id_col), F.col(score_col))
+        score = F.col(score_col).cast("double")
+    return toked, score
+
+
 def dpo_pairs(
     df: DataFrame,
     n_groups: int = 64,
@@ -1567,28 +1597,7 @@ def dpo_pairs(
     cardinality (``n_groups`` is caller-chosen; real prompt ids shard
     naturally).
     """
-    if score_col is None:
-        # Materialize the token array in its own projection: the score
-        # references it three times, and a multiply-referenced alias
-        # survives CollapseProject — inlining the split into the CASE
-        # would re-split every row 3× (the lambda-inlining lesson).
-        toked = df.select(
-            F.col(id_col),
-            F.filter(
-                F.split(
-                    F.coalesce(F.col(text_col), F.lit("")),
-                    r"[ \t\n\r\x0B\x0C]+",
-                ),
-                lambda x: F.length(x) > 0,
-            ).alias("_toks"),
-        )
-        score = F.when(
-            F.size("_toks") > 0,
-            F.round(F.size(F.array_distinct("_toks")) / F.size("_toks"), 6),
-        ).otherwise(F.lit(0.0))
-    else:
-        toked = df.select(F.col(id_col), F.col(score_col))
-        score = F.col(score_col).cast("double")
+    toked, score = _candidate_score(df, text_col, id_col, score_col)
     base = toked.select(
         F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("group_id"),
         F.col(id_col).alias("_id"),
@@ -1616,4 +1625,43 @@ def dpo_pairs(
             (F.col("chosen_id") != F.col("rejected_id"))
             & (F.col("margin") >= F.lit(float(min_margin)))
         )
+    )
+
+
+def best_of_n(
+    df: DataFrame,
+    n: int = 2,
+    n_groups: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: "str | None" = None,
+) -> DataFrame:
+    """Rejection-sampling selection (the public best-of-N / RSFT recipe,
+    e.g. Llama-2's iterative rejection sampling): per pseudo-prompt
+    group, keep the ``n`` highest-scoring candidates.  Groups and scores
+    follow :func:`dpo_pairs` exactly (``id mod n_groups`` groups,
+    ``score_col`` or lexical diversity), so a curation run can mine
+    best-of-N SFT data and DPO pairs from ONE scored pool with
+    guaranteed-consistent rankings.
+
+    Output: (group_id, ``id_col``, score, rnk), rnk ∈ [1, n] ordered by
+    (score desc, id desc) — the id tiebreak matches dpo_pairs' chosen
+    side, so rnk 1 here IS dpo_pairs' chosen candidate.
+
+    Scale: one shuffle on the group key + a per-group ranking window
+    (parallelism = group count, state = running counter); candidates
+    stream through the window, nothing group-sized materializes.
+    """
+    toked, score = _candidate_score(df, text_col, id_col, score_col)
+    base = toked.select(
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("group_id"),
+        F.col(id_col),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("score").desc(), F.col(id_col).desc()
+    )
+    return (
+        base.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= n)
     )

@@ -1679,3 +1679,75 @@ def ann_hubness(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space corpus composition (the cluster-level analysis
+    behind SemDeDup/DCLM-style curation): assign every vector to its
+    nearest portable centroid (:func:`portable_centroids` /
+    :func:`portable_assign` — the md5-portable coarse quantizer, so the
+    whole profile carries an exact SQL twin) and report, per cluster,
+    its share of the corpus and its label makeup — the table that shows
+    whether one topic/domain dominates a cluster (a dedup or rebalance
+    target) before any selection runs.
+
+    Output: (cluster_id, n_vecs, share, top_label, top_label_share,
+    n_labels), one row per non-empty cluster; top_label ties break to
+    the smallest label.
+
+    Scale: the assignment is one corpus pass against the broadcast
+    ≤``n_centroids``-row frame (per-vector argmax window keyed by the
+    vector id — full parallelism); the label rollup is two bounded hash
+    aggregates (cluster×label, then cluster) plus a per-cluster ranking
+    window over ≤|labels| rows, and the corpus total rides a broadcast
+    single row.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cents = portable_centroids(c, n_centroids)
+    assigned = portable_assign(c, cents).select("neighbor_id", "cluster")
+    lab = assigned.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("label"),
+        ),
+        "neighbor_id",
+    )
+    counts = lab.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per = counts.groupBy("cluster").agg(
+        F.sum("cnt").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("top_label"),
+                F.col("cnt").alias("_top_cnt"))
+    )
+    tot = corpus.agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        per.join(top, "cluster")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("_n_total"), 6).alias("share"),
+            F.col("top_label").cast("int").alias("top_label"),
+            F.round(F.col("_top_cnt") / F.col("n_vecs"), 6).alias(
+                "top_label_share"
+            ),
+            "n_labels",
+        )
+    )

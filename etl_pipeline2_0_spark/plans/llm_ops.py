@@ -7028,3 +7028,163 @@ FROM hubs CROSS JOIN tot CROSS JOIN db
 WHERE rnk <= 10
 """
 assert "vec_id % 2 = 0" in SQL_ANN_HUBNESS
+
+
+# ----------------------------------------------------------- best of N ----
+
+
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rejection-sampling selection (best-of-N / Llama-2 RSFT): the
+    # dpo_pairs grouping and scoring with the top-3 kept per group —
+    # rnk 1 provably equals dpo_pairs' chosen candidate (shared
+    # id-descending tiebreak).
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.best_of_n(docs, n=3, n_groups=64)
+
+
+# Reuse the dpo_pairs base/scoring CTEs verbatim; only the ranking tail
+# differs (top-n keep instead of argmax/argmin pairing).
+SQL_BEST_OF_N = SQL_DPO_PAIRS.split("), ranked AS (")[0] + """), ranked AS (
+  SELECT group_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY group_id
+                            ORDER BY score DESC, doc_id DESC) AS rnk
+  FROM scored
+)
+SELECT CAST(group_id AS INT) AS group_id, doc_id, score,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+assert "list_distinct" in SQL_BEST_OF_N  # scoring CTEs really inherited
+
+
+# ------------------------------------------------------ cluster profile ----
+
+
+def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-space composition (the SemDeDup/DCLM cluster analysis):
+    # every vector assigned to its nearest portable centroid; per
+    # cluster, corpus share + label makeup — the dominance table a
+    # rebalance/dedup decision reads first.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cluster_profile(emb, n_centroids=16)
+
+
+# Reuse the portable-IVF centroid/assignment CTEs verbatim; the tail
+# rolls labels up per cluster instead of probing queries.
+SQL_CLUSTER_PROFILE = _SQL_IVF_PORTABLE_CTE.split("), q AS (")[0] + """), lab AS (
+  SELECT a.neighbor_id, a.cluster, b.label
+  FROM assigned a JOIN embeddings b ON a.neighbor_id = b.vec_id
+), counts AS (
+  SELECT cluster, label, COUNT(*) AS cnt FROM lab GROUP BY cluster, label
+), per AS (
+  SELECT cluster, SUM(cnt) AS n_vecs, COUNT(*) AS n_labels
+  FROM counts GROUP BY cluster
+), top AS (
+  SELECT cluster, label AS top_label, cnt AS top_cnt,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY cnt DESC, label ASC) AS rn
+  FROM counts
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM e
+)
+SELECT per.cluster AS cluster_id, CAST(n_vecs AS BIGINT) AS n_vecs,
+       ROUND(n_vecs * 1.0 / n_total, 6) AS share,
+       CAST(top_label AS INT) AS top_label,
+       ROUND(top_cnt * 1.0 / n_vecs, 6) AS top_label_share,
+       CAST(n_labels AS BIGINT) AS n_labels
+FROM per JOIN top ON per.cluster = top.cluster CROSS JOIN tot
+WHERE top.rn = 1
+"""
+assert "assigned AS (" in SQL_CLUSTER_PROFILE
+
+
+# ------------------------------------------------------- simhash recall ----
+
+
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall of the portable-SimHash pipeline (Hamming <= 3) against the
+    # exact n-gram-Jaccard ground truth at J >= 0.5 — minhash_recall's
+    # companion for the OTHER near-dup family, closing the quality-metric
+    # asymmetry (MinHash had recall/precision/band-efficiency; SimHash
+    # had only pair parity).  Same %2 subset as minhash_recall so the
+    # two recalls are directly comparable on the same truth set.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    truth = dedup.jaccard_pairs(docs, k=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    sigs = dedup.simhash60_portable(docs)
+    found = dedup.hamming_pairs(
+        sigs, id_col="id", sig_col="simhash", max_hamming=3, blocks=4
+    ).select("id_a", "id_b")
+    return truth.crossJoin(
+        F.broadcast(
+            truth.join(found, ["id_a", "id_b"], "semi")
+            .agg(F.count(F.lit(1)).alias("n_found"))
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.max("n_found").cast("bigint").alias("n_recalled"),
+        F.round(
+            F.max("n_found") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+# The portable-simhash chain with the %2 subset; the truth chain is the
+# dup_components shingle construction (namespaced t*) at J >= 0.5 with
+# the minhash_recall 6dp rounding.
+SQL_SIMHASH_RECALL = (
+    _sql_simhash_portable(max_hamming=3, blocks=4)
+    .replace("FROM documents\n", "FROM documents WHERE doc_id % 2 = 0\n", 1)
+    .rstrip()
+)
+SQL_SIMHASH_RECALL = SQL_SIMHASH_RECALL.rsplit("SELECT id_a, id_b,", 1)[
+    0
+] + r""", found AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+), tdocs AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 2 = 0
+), ttoks AS (
+  SELECT id, list_filter(regexp_split_to_array(t, '\W+'),
+                         x -> length(x) > 0) AS toks
+  FROM tdocs
+), ttok_rows AS (
+  SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM ttoks
+), tsh0 AS (
+  SELECT id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+           AS shingle
+  FROM ttok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), tsh AS (
+  SELECT DISTINCT id, shingle FROM tsh0 WHERE shingle IS NOT NULL
+), tsizes AS (
+  SELECT id, COUNT(*) AS n FROM tsh GROUP BY id
+), tinter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), truth AS (
+  SELECT id_a, id_b
+  FROM tinter JOIN tsizes sa2 ON id_a = sa2.id
+              JOIN tsizes sb2 ON id_b = sb2.id
+  WHERE ROUND(n_common * 1.0 / (sa2.n + sb2.n - n_common), 6) >= 0.5
+), agg AS (
+  SELECT COUNT(*) AS n_true_pairs,
+         SUM(CASE WHEN EXISTS (SELECT 1 FROM found f
+                               WHERE f.id_a = truth.id_a
+                                 AND f.id_b = truth.id_b)
+                  THEN 1 ELSE 0 END) AS n_recalled
+  FROM truth
+)
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_recalled AS BIGINT) AS n_recalled,
+       ROUND(n_recalled * 1.0 / GREATEST(n_true_pairs, 1), 6) AS recall
+FROM agg"""
+assert "bit_count" in SQL_SIMHASH_RECALL and "tinter" in SQL_SIMHASH_RECALL

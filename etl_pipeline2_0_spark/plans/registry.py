@@ -381,6 +381,18 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     vectors + antihub dead-zone fraction, every other vector as a
     #     query ---
     "ann_hubness": (L.q_ann_hubness, L.SQL_ANN_HUBNESS),
+    # --- added r13 (past-cap; r14 promotion pool): best-of-N rejection
+    #     sampling — dpo_pairs' grouping/scoring with the top-3 kept
+    #     (rnk 1 ≡ dpo chosen, shared tiebreak) ---
+    "best_of_n": (L.q_best_of_n, L.SQL_BEST_OF_N),
+    # --- added r13 (past-cap; r14 promotion pool): embedding-space
+    #     composition per portable-centroid cluster — corpus share +
+    #     label dominance (SemDeDup/DCLM cluster analysis) ---
+    "cluster_profile": (L.q_cluster_profile, L.SQL_CLUSTER_PROFILE),
+    # --- added r13 (past-cap; r14 promotion pool): SimHash recall vs
+    #     exact Jaccard truth — closes the quality-metric asymmetry with
+    #     the MinHash family (same %2 subset, same truth set) ---
+    "simhash_recall": (L.q_simhash_recall, L.SQL_SIMHASH_RECALL),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10
