@@ -4160,3 +4160,82 @@ def test_ann_hubness_occurrence_accounting(spark, sf_dir):
         SF.max("count")
     ).first()[0]
     assert out[0]["n_occ"] == max_occ
+
+
+def test_best_of_n_consistent_with_dpo_pairs(spark, sf_dir):
+    """rnk 1 of best_of_n must BE dpo_pairs' chosen candidate in every
+    group both emit (shared grouping, scoring, and tiebreak); ranks are
+    dense in [1, n] and scores non-increasing within a group."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = M.best_of_n(docs, n=3, n_groups=64)
+    pairs = M.dpo_pairs(docs, n_groups=64, min_margin=0.0)
+    r1 = {r["group_id"]: r["doc_id"] for r in top.where("rnk = 1").collect()}
+    chosen = {r["group_id"]: r["chosen_id"] for r in pairs.collect()}
+    assert chosen  # non-vacuous
+    for g, cid in chosen.items():
+        assert r1[g] == cid
+    rows = top.collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for g, rs in by_group.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_cluster_profile_accounting(spark, sf_dir):
+    """Shares must sum to 1 (every vector lands in exactly one cluster),
+    n_vecs must sum to the corpus, top_label_share ∈ (0, 1], and the
+    dominant label must really be that cluster's modal label."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = S.cluster_profile(emb, n_centroids=16).collect()
+    n_total = emb.count()
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 < r["top_label_share"] <= 1.0
+        assert 1 <= r["n_labels"]
+    # cross-check one cluster's modal label independently
+    c = S.portable_centroids(
+        emb.select(SF.col("vec_id").alias("neighbor_id"),
+                   SF.col("embedding").alias("c_vec")), 16)
+    a = S.portable_assign(
+        emb.select(SF.col("vec_id").alias("neighbor_id"),
+                   SF.col("embedding").alias("c_vec")), c)
+    first = rows[0]
+    members = a.where(SF.col("cluster") == first["cluster_id"]).join(
+        emb.select(SF.col("vec_id").alias("neighbor_id"), "label"),
+        "neighbor_id",
+    )
+    modal = (
+        members.groupBy("label").count()
+        .orderBy(SF.col("count").desc(), SF.col("label")).first()
+    )
+    assert modal["label"] == first["top_label"]
+    assert round(modal["count"] / first["n_vecs"], 6) == first["top_label_share"]
+
+
+def test_simhash_recall_bounds_and_truth_subset(spark, sf_dir):
+    """recall ∈ [0,1], n_recalled ≤ n_true_pairs, and n_true_pairs
+    equals the direct jaccard_pairs count on the same subset."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import dedup as D
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+
+    r = L.q_simhash_recall(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["recall"] <= 1.0
+    assert r["n_recalled"] <= r["n_true_pairs"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        SF.col("doc_id") % 2 == 0
+    )
+    n_true = D.jaccard_pairs(docs, k=3, threshold=0.5).count()
+    assert r["n_true_pairs"] == n_true

@@ -1065,3 +1065,30 @@ def test_ann_hubness_takeordered_not_global_sort(spark, sf_dir):
     plan = _plan(L.q_ann_hubness(spark, sf_dir))
     assert "TakeOrdered" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_best_of_n_one_exchange_bounded_window(spark, sf_dir):
+    # One group-key shuffle feeding a per-group window (never a global
+    # one — partitionBy present), token array materialized once.
+    plan = _plan(L.q_best_of_n(spark, sf_dir))
+    assert plan.count("Exchange ") == 1
+    assert "Window" in plan and "partitionBy" not in plan  # text sanity
+    assert "windowspecdefinition(group_id" in plan  # partitioned window
+    assert plan.count("split(") <= 1
+
+
+def test_cluster_profile_broadcast_centroids_no_cartesian(spark, sf_dir):
+    # The assignment crossJoins only the broadcast ≤16-row centroid
+    # frame (BroadcastNestedLoopJoin on a bounded side is the W1
+    # discipline); everything else is equi-joins and bounded aggregates.
+    plan = _plan(L.q_cluster_profile(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # centroid + total crosses
+    assert "TakeOrdered" in plan              # centroid seed selection
+
+
+def test_simhash_recall_no_cartesian(spark, sf_dir):
+    # Both the pigeonhole candidate join and the truth shingle join are
+    # equi-joins; the only cross is the broadcast 1-row found-count.
+    plan = _plan(L.q_simhash_recall(spark, sf_dir))
+    assert "CartesianProduct" not in plan
