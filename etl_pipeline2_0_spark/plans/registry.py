@@ -313,12 +313,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # ROUND-14 ROTATION (STAGED — execute next round): NINE promotions,
-    # the r13-added oracled entries below (bitext_recall,
+    # ROUND-14 ROTATION (STAGED — execute next round): TWELVE
+    # promotions, the r13-added oracled entries below (bitext_recall,
     # tokenizer_compare, moore_lewis, ul2_mix, dataset_card, sft_pack,
-    # soft_dedup, dpo_pairs, ann_hubness) — all
-    # sf0.001+sf0.01 parity-proven, zero driver rows.  Demote nine
-    # multi-green holdovers, keeping family anchors: candidates in
+    # soft_dedup, dpo_pairs, ann_hubness, best_of_n, cluster_profile,
+    # simhash_recall) — all sf0.001+sf0.01 parity-proven, zero driver
+    # rows.  If twelve-for-twelve crowds the window's family coverage,
+    # promote in two waves (the six oldest first) and keep the rest
+    # staged for r15.  Demote up to twelve multi-green holdovers,
+    # keeping family anchors: candidates in
     # green-row order are minhash_recall (r9-r13 after the r13 window
     # goes green — LSH quality anchored by the promoted precision/
     # band_efficiency + minhash_decontam), knn_accuracy AND
@@ -326,12 +329,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # mmr_select/embed_quantize, dedup DQ by the dup-family rows +
     # dataset_card's dup-rate section), bpe_train_merges ONLY if
     # tokenizer_compare promotes (it composes the full BPE chain), and
-    # five of the twice-green r11 survivors (dsir_weights — its family
-    # gains moore_lewis — plus gopher_rules / split_leakage /
-    # ccnet_buckets / c4_rules as needed, quality anchored by the
-    # repetition batteries + quality_classifier + the promoted
-    # kn_score/threshold_sweep, packing gaining sft_pack, dedup DQ
-    # gaining soft_dedup, and the ANN family gaining ann_hubness).
+    # the twice-green r11 survivors (dsir_weights — its family gains
+    # moore_lewis — plus gopher_rules / split_leakage / ccnet_buckets /
+    # c4_rules as needed, quality anchored by the repetition batteries +
+    # quality_classifier + the promoted kn_score/threshold_sweep,
+    # packing gaining sft_pack, dedup DQ gaining soft_dedup, LSH
+    # quality gaining simhash_recall, and the ANN family gaining
+    # ann_hubness + cluster_profile).
     # test_sql_registry.py re-pins after the reorder.
     #
     # --- added r13 (past-cap; r14 promotion pool): mined-pair recall of
