@@ -169,6 +169,9 @@ HEADLINE = [
     "soft_dedup",
     "dpo_pairs",
     "ann_hubness",
+    "best_of_n",
+    "cluster_profile",
+    "simhash_recall",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

@@ -7142,13 +7142,11 @@ SQL_SIMHASH_RECALL = (
     .replace("FROM documents\n", "FROM documents WHERE doc_id % 2 = 0\n", 1)
     .rstrip()
 )
-SQL_SIMHASH_RECALL = SQL_SIMHASH_RECALL.rsplit("SELECT id_a, id_b,", 1)[
-    0
-] + r""", found AS (
-  SELECT id_a, id_b
-  FROM cand JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
-  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
-), tdocs AS (
+# Exact n-gram-Jaccard ground truth (the dup_components shingle chain,
+# namespaced t*) at J >= 0.5 on the %2 subset + the recall aggregate —
+# shared by every fingerprint-family recall metric (simhash, winnow) so
+# their numbers are computed on the IDENTICAL truth set.
+_SQL_JACCARD_TRUTH_RECALL_TAIL = r""", tdocs AS (
   SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 2 = 0
 ), ttoks AS (
   SELECT id, list_filter(regexp_split_to_array(t, '\W+'),
@@ -7187,4 +7185,12 @@ SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
        CAST(n_recalled AS BIGINT) AS n_recalled,
        ROUND(n_recalled * 1.0 / GREATEST(n_true_pairs, 1), 6) AS recall
 FROM agg"""
+
+SQL_SIMHASH_RECALL = SQL_SIMHASH_RECALL.rsplit("SELECT id_a, id_b,", 1)[
+    0
+] + """, found AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+)""" + _SQL_JACCARD_TRUTH_RECALL_TAIL
 assert "bit_count" in SQL_SIMHASH_RECALL and "tinter" in SQL_SIMHASH_RECALL
