@@ -7194,3 +7194,57 @@ SQL_SIMHASH_RECALL = SQL_SIMHASH_RECALL.rsplit("SELECT id_a, id_b,", 1)[
   WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 )""" + _SQL_JACCARD_TRUTH_RECALL_TAIL
 assert "bit_count" in SQL_SIMHASH_RECALL and "tinter" in SQL_SIMHASH_RECALL
+
+
+# -------------------------------------------------------- winnow recall ----
+
+
+def q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall of the winnowing copy-detector (k=8 char grams, window 4,
+    # >= 5 shared fingerprints) against the same exact-Jaccard truth set
+    # as minhash_recall/simhash_recall — the third fingerprint family
+    # measured on the identical truth, so a dedup-strategy decision can
+    # read all three recalls side by side.  Winnowing screens for
+    # VERBATIM shared runs, so its recall on token-level near-dups is
+    # expected to sit below MinHash — that gap is the measurement.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    truth = dedup.jaccard_pairs(docs, k=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    found = dedup.winnow_overlap_pairs(
+        docs, k=8, window=4, min_shared=5, max_doc_freq=10,
+        portable_hash=True,
+    ).select("id_a", "id_b")
+    return truth.crossJoin(
+        F.broadcast(
+            truth.join(found, ["id_a", "id_b"], "semi")
+            .agg(F.count(F.lit(1)).alias("n_found"))
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.max("n_found").cast("bigint").alias("n_recalled"),
+        F.round(
+            F.max("n_found") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+# The winnow chain on the %2 subset; the shared truth tail guarantees
+# the identical truth set as the other fingerprint recalls.
+SQL_WINNOW_RECALL = (
+    SQL_WINNOW_OVERLAP.replace(
+        "WHERE doc_id % 10 = 0", "WHERE doc_id % 2 = 0", 1
+    ).rstrip()
+)
+SQL_WINNOW_RECALL = SQL_WINNOW_RECALL.rsplit("SELECT a.id AS id_a,", 1)[
+    0
+] + """, found AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM filt a JOIN filt b ON a.fp = b.fp AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING COUNT(*) >= 5
+)""" + _SQL_JACCARD_TRUTH_RECALL_TAIL
+assert "fp" in SQL_WINNOW_RECALL and "tinter" in SQL_WINNOW_RECALL
+assert "% 2 = 0" in SQL_WINNOW_RECALL

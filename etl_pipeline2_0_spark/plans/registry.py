@@ -313,14 +313,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # ROUND-14 ROTATION (STAGED — execute next round): TWELVE
+    # ROUND-14 ROTATION (STAGED — execute next round): THIRTEEN
     # promotions, the r13-added oracled entries below (bitext_recall,
     # tokenizer_compare, moore_lewis, ul2_mix, dataset_card, sft_pack,
     # soft_dedup, dpo_pairs, ann_hubness, best_of_n, cluster_profile,
-    # simhash_recall) — all sf0.001+sf0.01 parity-proven, zero driver
+    # simhash_recall, winnow_recall) — all sf0.001+sf0.01 parity-proven,
+    # zero driver
     # rows.  If twelve-for-twelve crowds the window's family coverage,
-    # promote in two waves (the six oldest first) and keep the rest
-    # staged for r15.  Demote up to twelve multi-green holdovers,
+    # promote in two waves (the oldest first) and keep the rest
+    # staged for r15.  Demote up to thirteen multi-green holdovers,
     # keeping family anchors: candidates in
     # green-row order are minhash_recall (r9-r13 after the r13 window
     # goes green — LSH quality anchored by the promoted precision/
@@ -333,8 +334,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # moore_lewis — plus gopher_rules / split_leakage / ccnet_buckets /
     # c4_rules as needed, quality anchored by the repetition batteries +
     # quality_classifier + the promoted kn_score/threshold_sweep,
-    # packing gaining sft_pack, dedup DQ gaining soft_dedup, LSH
-    # quality gaining simhash_recall, and the ANN family gaining
+    # packing gaining sft_pack, dedup DQ gaining soft_dedup, LSH/fingerprint
+    # quality gaining simhash_recall + winnow_recall, and the ANN family gaining
     # ann_hubness + cluster_profile).
     # test_sql_registry.py re-pins after the reorder.
     #
@@ -397,6 +398,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     exact Jaccard truth — closes the quality-metric asymmetry with
     #     the MinHash family (same %2 subset, same truth set) ---
     "simhash_recall": (L.q_simhash_recall, L.SQL_SIMHASH_RECALL),
+    # --- added r13 (past-cap; r14 promotion pool): winnowing recall vs
+    #     the same exact-Jaccard truth — the THIRD fingerprint family on
+    #     the identical truth set (verbatim-run screen vs token near-dup
+    #     truth; the gap is the measurement) ---
+    "winnow_recall": (L.q_winnow_recall, L.SQL_WINNOW_RECALL),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

@@ -4239,3 +4239,17 @@ def test_simhash_recall_bounds_and_truth_subset(spark, sf_dir):
     )
     n_true = D.jaccard_pairs(docs, k=3, threshold=0.5).count()
     assert r["n_true_pairs"] == n_true
+
+
+def test_fingerprint_recalls_share_truth_set(spark, sf_dir):
+    """minhash_recall, simhash_recall, and winnow_recall must report the
+    SAME n_true_pairs — the whole point of the shared truth tail."""
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+
+    n_truth = {
+        name: L.__dict__[f"q_{name}"](spark, sf_dir).collect()[0][
+            "n_true_pairs"
+        ]
+        for name in ("minhash_recall", "simhash_recall", "winnow_recall")
+    }
+    assert len(set(n_truth.values())) == 1, n_truth

@@ -1092,3 +1092,10 @@ def test_simhash_recall_no_cartesian(spark, sf_dir):
     # equi-joins; the only cross is the broadcast 1-row found-count.
     plan = _plan(L.q_simhash_recall(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_recall_no_cartesian(spark, sf_dir):
+    # Fingerprint candidate join and truth shingle join both equi; only
+    # broadcast 1-row crosses.
+    plan = _plan(L.q_winnow_recall(spark, sf_dir))
+    assert "CartesianProduct" not in plan
