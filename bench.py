@@ -172,6 +172,7 @@ HEADLINE = [
     "best_of_n",
     "cluster_profile",
     "simhash_recall",
+    "winnow_recall",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
