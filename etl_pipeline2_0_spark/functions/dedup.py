@@ -1874,3 +1874,98 @@ def soft_dedup_weights(
             ),
         )
     )
+
+
+def dedup_manifest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Deletion lineage for a layered exact → near dedup run: every
+    document the run would DROP, with the keeper it collapses into and
+    the layer that caught it — the audit/reproducibility artifact a
+    production curation pipeline ships next to the deduped corpus (and
+    the table that answers "why is doc X missing?" without replaying
+    the run).
+
+    Layering mirrors real pipelines: exact (md5) dedup first — cheap,
+    catches byte-identical copies — then n-gram-Jaccard connected
+    components over the exact SURVIVORS, so a doc never appears twice
+    and near-dup compute never touches rows exact dedup already
+    removed.  Keepers: min id per content hash (exact), min id per
+    component (near) — both the family convention.
+
+    Output: (dropped_id, keeper_id, reason ∈ {'exact', 'near'}).
+
+    Scale: the exact layer is one digest-partitioned window (shuffle key
+    = 32-byte hash, never text); the near layer inherits the banded
+    jaccard/component machinery on the surviving subset; the union is
+    append-only.  The manifest is proportional to DROPPED docs — tiny
+    next to the corpus — and replays deterministically, so it can be
+    regenerated per snapshot and diffed.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(F.col(text_col)).alias("_h"),
+    ).withColumn(
+        "_keeper", F.min(F.col(id_col)).over(Window.partitionBy("_h"))
+    )
+    exact_drop = hashed.where(F.col(id_col) != F.col("_keeper")).select(
+        F.col(id_col).alias("dropped_id"),
+        F.col("_keeper").alias("keeper_id"),
+        F.lit("exact").alias("reason"),
+    )
+    survivors = hashed.where(F.col(id_col) == F.col("_keeper")).select(
+        id_col, text_col
+    )
+    pairs = jaccard_pairs(
+        survivors, text_col=text_col, id_col=id_col, k=k,
+        threshold=threshold,
+    )
+    comp = connected_components(pairs)
+    near_drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("dropped_id"),
+        F.col("component").alias("keeper_id"),
+        F.lit("near").alias("reason"),
+    )
+    return exact_drop.unionByName(near_drop)
+
+
+def jaccard_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_jaccard: float = 0.1,
+    max_doc_freq: "int | None" = None,
+) -> DataFrame:
+    """Similarity histogram over the candidate-pair stream: how many
+    pairs land in each 0.1-wide Jaccard bin at or above ``min_jaccard``
+    — the curve a threshold decision reads BEFORE committing a dedup
+    run (a cliff between bins = a safe threshold; mass piled against
+    the chosen cut = deletions that flip on tiny wording changes).
+
+    Binning: ``floor(round(j*10, 6)) / 10`` — the inner round snaps
+    IEEE near-misses (0.3·10 = 2.9999…) onto the bin edge identically
+    in Spark and DuckDB; a 6dp-rounded Jaccard can sit below an edge by
+    at most 5e-7, which the snap absorbs.
+
+    Output: (bin_lo, n_pairs), bin_lo ∈ {0.1, …, 1.0}, only non-empty
+    bins.
+
+    Scale: the pair stream is :func:`jaccard_pairs` (shingle equi-join,
+    doc-freq-cappable); the histogram is one tiny hash aggregate on top
+    — ≤10 groups, map-side combined.
+    """
+    pairs = jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, k=k,
+        threshold=min_jaccard, max_doc_freq=max_doc_freq,
+    )
+    bin_lo = F.floor(F.round(F.col("jaccard") * 10, 6)) / F.lit(10.0)
+    return (
+        pairs.groupBy(bin_lo.alias("bin_lo"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

@@ -7248,3 +7248,101 @@ SQL_WINNOW_RECALL = SQL_WINNOW_RECALL.rsplit("SELECT a.id AS id_a,", 1)[
 )""" + _SQL_JACCARD_TRUTH_RECALL_TAIL
 assert "fp" in SQL_WINNOW_RECALL and "tinter" in SQL_WINNOW_RECALL
 assert "% 2 = 0" in SQL_WINNOW_RECALL
+
+
+# ------------------------------------------------------- dedup manifest ----
+
+
+def q_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deletion lineage of the layered exact -> near dedup run on the
+    # dup-dense %3==2 subset: (dropped_id, keeper_id, reason).  The
+    # synthetic corpus has exact dups only at sf0.1 (one group in this
+    # subset), so below that the exact branch proves plan parity
+    # end-to-end and its drop path is pinned by the planted fixtures in
+    # tests/test_functions.py (the dedup_lines precedent); the near
+    # branch carries live rows at every SF.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    return dedup.dedup_manifest(docs, k=3, threshold=0.3)
+
+
+SQL_DEDUP_MANIFEST = SQL_DEDUP_CANONICAL.replace(
+    """WITH RECURSIVE docs AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 3 = 2
+)""",
+    """WITH RECURSIVE base AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 2
+), ex AS (
+  SELECT id, MIN(id) OVER (PARTITION BY md5(text)) AS keeper FROM base
+), exact_drop AS (
+  SELECT id AS dropped_id, keeper AS keeper_id FROM ex WHERE id <> keeper
+), docs AS (
+  SELECT b.id, lower(b.text) AS t FROM base b
+  WHERE b.id NOT IN (SELECT dropped_id FROM exact_drop)
+)""",
+    1,
+).replace(
+    """SELECT d.id AS doc_id FROM docs d
+WHERE d.id NOT IN (SELECT node FROM comp WHERE node <> component)""",
+    """SELECT dropped_id, keeper_id, 'exact' AS reason FROM exact_drop
+UNION ALL
+SELECT node AS dropped_id, component AS keeper_id, 'near' AS reason
+FROM comp WHERE node <> component""",
+    1,
+)
+assert "exact_drop" in SQL_DEDUP_MANIFEST
+assert "'near'" in SQL_DEDUP_MANIFEST
+
+
+# ---------------------------------------------------- jaccard histogram ----
+
+
+def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The threshold-tuning curve: candidate-pair mass per 0.1 Jaccard
+    # bin over EVERY pair sharing a shingle, on the dup-dense subset —
+    # read before committing a dedup threshold.  On this corpus the
+    # curve is the textbook cliff (≈1k background pairs in bin 0.0 at
+    # sf0.01, then nothing until the planted near-dups at 0.9) — the
+    # shape that says any threshold in the gap is safe.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    return dedup.jaccard_histogram(docs, k=3, min_jaccard=0.0)
+
+
+# Shares the dup_components shingle/intersection chain; the tail bins
+# the 6dp-rounded Jaccard with the IEEE-edge snap (see
+# dedup.jaccard_histogram).
+SQL_JACCARD_HISTOGRAM = r"""
+WITH docs AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 3 = 2
+), toks AS (
+  SELECT id, list_filter(regexp_split_to_array(t, '\W+'),
+                         x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM toks
+), sh0 AS (
+  SELECT id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+           AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), scored AS (
+  SELECT ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+)
+SELECT FLOOR(ROUND(jaccard * 10, 6)) / 10.0 AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM scored WHERE jaccard >= 0.0
+GROUP BY 1
+"""

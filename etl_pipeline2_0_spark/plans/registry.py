@@ -313,15 +313,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # ROUND-14 ROTATION (STAGED — execute next round): THIRTEEN
+    # ROUND-14 ROTATION (STAGED — execute next round): FIFTEEN
     # promotions, the r13-added oracled entries below (bitext_recall,
     # tokenizer_compare, moore_lewis, ul2_mix, dataset_card, sft_pack,
     # soft_dedup, dpo_pairs, ann_hubness, best_of_n, cluster_profile,
-    # simhash_recall, winnow_recall) — all sf0.001+sf0.01 parity-proven,
-    # zero driver
+    # simhash_recall, winnow_recall, dedup_manifest, jaccard_histogram)
+    # — all sf0.001+sf0.01 parity-proven, zero driver
     # rows.  If twelve-for-twelve crowds the window's family coverage,
     # promote in two waves (the oldest first) and keep the rest
-    # staged for r15.  Demote up to thirteen multi-green holdovers,
+    # staged for r15.  Demote up to fifteen multi-green holdovers,
     # keeping family anchors: candidates in
     # green-row order are minhash_recall (r9-r13 after the r13 window
     # goes green — LSH quality anchored by the promoted precision/
@@ -403,6 +403,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     the identical truth set (verbatim-run screen vs token near-dup
     #     truth; the gap is the measurement) ---
     "winnow_recall": (L.q_winnow_recall, L.SQL_WINNOW_RECALL),
+    # --- added r13 (past-cap; r14 promotion pool): deletion lineage of
+    #     the layered exact→near dedup run — (dropped, keeper, reason),
+    #     the audit artifact shipped next to a deduped corpus ---
+    "dedup_manifest": (L.q_dedup_manifest, L.SQL_DEDUP_MANIFEST),
+    # --- added r13 (past-cap; r14 promotion pool): Jaccard bin
+    #     histogram over the candidate-pair stream — the threshold-
+    #     tuning cliff curve ---
+    "jaccard_histogram": (L.q_jaccard_histogram, L.SQL_JACCARD_HISTOGRAM),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

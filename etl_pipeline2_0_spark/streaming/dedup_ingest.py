@@ -266,6 +266,7 @@ def stream_curated_ingest(
     fim_rate: float = 0.5,
     fim_salt: str = "",
     examples_validate: bool = True,
+    gate_metrics_path: str | None = None,
 ) -> StreamingQuery:
     """The production curation loop as ONE checkpointed Structured
     Streaming query: every arriving micro-batch is quality-gated, deduped
@@ -304,6 +305,16 @@ def stream_curated_ingest(
         token counts from the sketch.  Acceptable for its consumer (the
         heavy-hitter cap feed tolerates undercount); use the exact
         aggregate if exactness is required.
+      - ``gate_metrics_path``: per-batch QUALITY-GATE pass metrics
+        (n_in, n_gate_pass, gate_rate, avg quality/tokens of passers)
+        written batch_id-partitioned with per-partition overwrite.
+        Deliberately measured on the ARRIVING batch through the
+        STATELESS gate only: a replayed batch reproduces these rows
+        bit-for-bit (the gate has no state), whereas accept-counts
+        AFTER the dedup probe are replay-variant (a redelivered batch
+        dedups to zero accepted) and would overwrite a real batch's
+        metrics with zeros on replay — the same reasoning that orders
+        the example-store write before the corpus append.
       - ``examples_path`` (r12 verdict item 6): each batch's ACCEPTED
         rows also emit fill-in-the-middle training examples
         (``mixing.fim_transform`` at ``fim_rate``, md5-deterministic),
@@ -357,6 +368,54 @@ def stream_curated_ingest(
             finally:
                 sess.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+        if gate_metrics_path is not None:
+            from etl_pipeline2_0_spark.functions import text as text_fns
+
+            gated = text_fns.quality_gate(
+                batch_df,
+                text_col=text_col,
+                id_col=id_col,
+                lang=lang,
+                min_quality=min_quality,
+                min_tokens=min_tokens,
+            )
+            gm = (
+                batch_df.agg(F.count(F.lit(1)).alias("n_in"))
+                .crossJoin(
+                    gated.agg(
+                        F.count(F.lit(1)).alias("n_gate_pass"),
+                        F.round(F.avg("quality"), 6).alias("avg_quality"),
+                        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+                    )
+                )
+                .select(
+                    "n_in",
+                    F.col("n_gate_pass").cast("bigint").alias("n_gate_pass"),
+                    F.round(
+                        F.col("n_gate_pass")
+                        / F.greatest(F.col("n_in"), F.lit(1)),
+                        6,
+                    ).alias("gate_rate"),
+                    "avg_quality",
+                    "avg_tokens",
+                    F.lit(batch_id).alias("batch_id"),
+                )
+            )
+            sess2 = gm.sparkSession
+            prev2 = sess2.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            try:
+                sess2.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                gm.write.mode("overwrite").partitionBy("batch_id").parquet(
+                    gate_metrics_path
+                )
+            finally:
+                sess2.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev2
                 )
         out = curate_batch(
             batch_df,

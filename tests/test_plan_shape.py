@@ -1099,3 +1099,20 @@ def test_winnow_recall_no_cartesian(spark, sf_dir):
     # broadcast 1-row crosses.
     plan = _plan(L.q_winnow_recall(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_manifest_digest_window_no_cartesian(spark, sf_dir):
+    # The exact layer's window partitions by the md5 digest (shuffle key
+    # = 32-byte hash, never text); the near layer stays behind the
+    # component machinery's checkpoints; no cartesian anywhere.
+    plan = _plan(L.q_dedup_manifest(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(_h" in plan  # digest-partitioned window
+
+
+def test_jaccard_histogram_tiny_aggregate_on_pair_stream(spark, sf_dir):
+    # The histogram is one hash aggregate over the pair stream — no
+    # cartesian, and partial aggregation present (<= 10 groups).
+    plan = _plan(L.q_jaccard_histogram(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2

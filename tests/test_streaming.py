@@ -816,3 +816,81 @@ def test_stream_fim_examples_equals_batch(spark, tmp_path):
     ) == [1, 5]
     assert sorted(map(tuple, spark.read.parquet(examples)
                   .select(*cols, "batch_id").collect())) == before
+
+
+def test_stream_curated_ingest_gate_metrics_replay_stable(spark, tmp_path):
+    """The per-batch quality-gate monitor: metrics match the direct
+    batch computation, and a full REPLAY of the backlog (fresh
+    checkpoint, same source and metrics store) regenerates every
+    batch's partition bit-for-bit — the stateless-gate property that
+    justifies measuring pre-dedup (accept-counts would replay to
+    zero)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import text as text_fns
+    from etl_pipeline2_0_spark.streaming.dedup_ingest import (
+        stream_curated_ingest,
+    )
+
+    base = ("the model training corpus needs long english documents that "
+            "clearly pass the quality gate with many ordinary words ")
+    schema = "doc_id bigint, text string, source string"
+    b1 = [(100 + i, base + f"batch tail {i}", "s0") for i in range(10)]
+    # batch 2: half the docs are short gibberish that fails the gate
+    b2 = [(200 + i, base + f"second tail {i}", "s0") for i in range(6)] + [
+        (300 + i, "zzz", "s0") for i in range(6)
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate([b1, b2]):
+        d = os.path.join(src, f"b{i}")
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(d)
+        t = time.time() - 100 + i * 10
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    gate_metrics = str(tmp_path / "gate_metrics")
+
+    def run(ckpt: str, corpus: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        q = stream_curated_ingest(
+            stream, corpus, ckpt,
+            min_quality=0.2, min_tokens=5, threshold=0.99,
+            gate_metrics_path=gate_metrics,
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"), str(tmp_path / "corpus1"))
+    rows1 = {
+        r["batch_id"]: r for r in spark.read.parquet(gate_metrics).collect()
+    }
+    assert len(rows1) == 2
+    first, second = rows1[min(rows1)], rows1[max(rows1)]
+    assert (first["n_in"], first["n_gate_pass"]) == (10, 10)
+    assert first["gate_rate"] == 1.0
+    assert second["n_in"] == 12 and second["n_gate_pass"] < 12
+    # match the direct batch computation for batch 2
+    direct = text_fns.quality_gate(
+        spark.createDataFrame(b2, schema),
+        min_quality=0.2, min_tokens=5,
+    )
+    assert second["n_gate_pass"] == direct.count()
+    assert second["avg_quality"] == round(
+        direct.agg(F.round(F.avg("quality"), 6)).first()[0], 6
+    )
+    # full replay into the same metrics store: identical rows
+    run(str(tmp_path / "ckpt2"), str(tmp_path / "corpus2"))
+    rows2 = {
+        r["batch_id"]: r for r in spark.read.parquet(gate_metrics).collect()
+    }
+    assert {k: tuple(v) for k, v in rows1.items()} == {
+        k: tuple(v) for k, v in rows2.items()
+    }
