@@ -173,6 +173,8 @@ HEADLINE = [
     "cluster_profile",
     "simhash_recall",
     "winnow_recall",
+    "dedup_manifest",
+    "jaccard_histogram",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
