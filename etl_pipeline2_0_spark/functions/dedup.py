@@ -1969,3 +1969,84 @@ def jaccard_histogram(
         pairs.groupBy(bin_lo.alias("bin_lo"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_shingle_freq: "int | None" = None,
+) -> DataFrame:
+    """Cross-source content-overlap matrix: for every pair of sources,
+    how many distinct k-token shingles they share, and what fraction of
+    each side's shingle vocabulary that is — the inter-source
+    duplication estimate a mixing/dedup decision reads BEFORE combining
+    corpora (two crawls with 40% containment will mostly dedup into
+    each other; two disjoint sources won't).
+
+    Output: (group_a, group_b, n_common, containment_a = common/|A|,
+    containment_b = common/|B|, jaccard), one row per unordered source
+    pair that shares at least one shingle, group_a < group_b.
+
+    Scale: shingles collapse to DISTINCT (group, shingle) rows first
+    (one hash aggregate — the corpus never self-joins at token grain);
+    the pair join is an equi-join ON SHINGLE between group-vocabulary
+    relations, and ``max_shingle_freq`` drops shingles present in more
+    than that many groups (degenerate boilerplate shared by everyone
+    adds no pair information but multiplies join output — the same cap
+    discipline as the doc-freq caps).  Per-group vocabulary sizes ride
+    a broadcast ≤|groups|-row relation.
+    """
+    sh = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            token_shingles(F.col(text_col), k).alias("_shs"),
+        )
+        .select("grp", F.explode("_shs").alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("gf"))
+            .where(F.col("gf") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("grp").alias("group_a"), "shingle")
+    b = sh.select(F.col("grp").alias("group_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("grp").alias("group_a"), F.col("n_sh").alias("n_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("grp").alias("group_b"), F.col("n_sh").alias("n_b"))
+    )
+    return (
+        inter.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias(
+                "containment_b"
+            ),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1665,3 +1665,60 @@ def best_of_n(
         base.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= n)
     )
+
+
+def epoch_decay_curve(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    epochs: "tuple[float, ...]" = (1.0, 2.0, 4.0, 8.0, 16.0),
+    r_star: float = 15.4,
+) -> DataFrame:
+    """The data-constrained scaling CURVE (:func:`data_budget_plan`'s
+    formula swept over repeat counts): per group, the effective
+    (loss-equivalent fresh) token count at each epoch count in
+    ``epochs`` — the table that answers "how many more epochs are still
+    worth compute" for every source at once, instead of one fixed plan.
+
+    Output: (``group_col``, epochs, n_tokens, requested_tokens,
+    effective_tokens, efficiency), |groups|·|epochs| rows.
+
+    Scale: ONE corpus aggregate (the same map-side-combined token count
+    data_budget_plan does); the sweep explodes a ≤|epochs|-element
+    literal array over the ≤|groups|-row aggregate — corpus-independent
+    after the first pass.
+    """
+    ws_toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"[ \t\n\r\x0B\x0C]+"),
+        lambda x: F.length(x) > 0,
+    )
+    per = (
+        df.select(F.col(group_col).alias("grp"), F.size(ws_toks).alias("nt"))
+        .groupBy("grp")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    swept = per.select(
+        "grp",
+        "n_tokens",
+        F.explode(
+            F.array(*[F.lit(float(e)) for e in epochs])
+        ).alias("epochs"),
+    )
+    u = F.col("n_tokens").cast("double")
+    e = F.col("epochs")
+    rs = F.lit(float(r_star))
+    requested = e * u
+    effective = F.least(e, F.lit(1.0)) * u + u * rs * (
+        F.lit(1.0) - F.exp(-F.greatest(e - 1, F.lit(0.0)) / rs)
+    )
+    return swept.select(
+        F.col("grp").alias(group_col),
+        "epochs",
+        "n_tokens",
+        F.round(requested, 6).alias("requested_tokens"),
+        F.round(effective, 6).alias("effective_tokens"),
+        F.round(
+            F.when(requested > 0, effective / requested).otherwise(F.lit(0.0)),
+            6,
+        ).alias("efficiency"),
+    )

@@ -7346,3 +7346,92 @@ SELECT FLOOR(ROUND(jaccard * 10, 6)) / 10.0 AS bin_lo,
 FROM scored WHERE jaccard >= 0.0
 GROUP BY 1
 """
+
+
+# ------------------------------------------------------ corpus overlap ----
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-source shingle-containment matrix — the inter-source
+    # duplication estimate read before mixing corpora (containment_a =
+    # shared shingle vocabulary as a fraction of source A's).
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.corpus_overlap(docs, group_col="source", k=3)
+
+
+SQL_CORPUS_OVERLAP = r"""
+WITH docs AS (
+  SELECT doc_id AS id, source AS grp, lower(text) AS t FROM documents
+), toks AS (
+  SELECT id, grp, list_filter(regexp_split_to_array(t, '\W+'),
+                              x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT id, grp, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM toks
+), sh0 AS (
+  SELECT id, grp,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+           AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT grp, shingle FROM sh0 WHERE shingle IS NOT NULL
+), sizes AS (
+  SELECT grp, COUNT(*) AS n_sh FROM sh GROUP BY grp
+), inter AS (
+  SELECT a.grp AS group_a, b.grp AS group_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.grp < b.grp
+  GROUP BY a.grp, b.grp
+)
+SELECT group_a, group_b, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(n_common * 1.0 / sa.n_sh, 6) AS containment_a,
+       ROUND(n_common * 1.0 / sb.n_sh, 6) AS containment_b,
+       ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON group_a = sa.grp
+JOIN sizes sb ON group_b = sb.grp
+"""
+
+
+# --------------------------------------------------- epoch decay curve ----
+
+
+def q_epoch_decay_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The data_budget_plan formula swept over 1/2/4/8/16 repeat epochs —
+    # the "is another epoch still worth compute" curve per source.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.epoch_decay_curve(
+        docs, group_col="source", epochs=(1.0, 2.0, 4.0, 8.0, 16.0),
+        r_star=15.4,
+    )
+
+
+SQL_EPOCH_DECAY_CURVE = r"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(
+             regexp_split_to_array(COALESCE(text, ''),
+                                   '[ \x09\x0A\x0D\x0B\x0C]+'),
+             x -> length(x) > 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), swept AS (
+  SELECT source, n_tokens, e.epochs
+  FROM per CROSS JOIN
+       (SELECT UNNEST([1.0, 2.0, 4.0, 8.0, 16.0]) AS epochs) e
+)
+SELECT source, epochs, n_tokens,
+       ROUND(epochs * n_tokens, 6) AS requested_tokens,
+       ROUND(LEAST(epochs, 1.0) * n_tokens
+             + n_tokens * 15.4
+               * (1.0 - exp(-GREATEST(epochs - 1.0, 0.0) / 15.4)), 6)
+         AS effective_tokens,
+       ROUND(CASE WHEN epochs * n_tokens > 0 THEN
+               (LEAST(epochs, 1.0) * n_tokens
+                + n_tokens * 15.4
+                  * (1.0 - exp(-GREATEST(epochs - 1.0, 0.0) / 15.4)))
+               / (epochs * n_tokens)
+             ELSE 0.0 END, 6) AS efficiency
+FROM swept
+"""

@@ -1116,3 +1116,20 @@ def test_jaccard_histogram_tiny_aggregate_on_pair_stream(spark, sf_dir):
     plan = _plan(L.q_jaccard_histogram(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_corpus_overlap_distinct_first_then_equijoin(spark, sf_dir):
+    # Shingles collapse to distinct (group, shingle) BEFORE the pair
+    # join (the corpus never self-joins at token grain); vocabulary
+    # sizes broadcast; no cartesian.
+    plan = _plan(L.q_corpus_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # the two size joins
+
+
+def test_epoch_decay_curve_single_corpus_pass(spark, sf_dir):
+    # One corpus aggregate; the epoch sweep explodes a literal array
+    # over the tiny per-group relation — exactly one scan, no join.
+    plan = _plan(L.q_epoch_decay_curve(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
