@@ -175,6 +175,8 @@ HEADLINE = [
     "winnow_recall",
     "dedup_manifest",
     "jaccard_histogram",
+    "corpus_overlap",
+    "epoch_decay_curve",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
