@@ -155,7 +155,12 @@ CHECKS = [
     ("WholeStageCodegen|\\*\\(\\d+\\)", "whole-stage codegen"),
     ("HashAggregate", "hash aggregate (map-side partial combine)"),
     ("CartesianProduct", "!! CARTESIAN PRODUCT (scale bug)"),
-    ("BroadcastNestedLoopJoin", "!! nested-loop join"),
+    # Every BroadcastNestedLoopJoin in this repo is a deliberate bounded
+    # cross (a broadcast 1-row aggregate or <=n_centroids-row frame — the
+    # W1 crossJoin-agg discipline); test_plan_shape pins the bounded sides
+    # and separately bans corpus-sized nested loops per query family.
+    ("BroadcastNestedLoopJoin",
+     "bounded broadcast cross (1-row/centroid frame; pinned)"),
 ]
 
 
