@@ -181,6 +181,7 @@ HEADLINE = [
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
     "decontam_pipeline_sf01",
+    "preference_pipeline_sf01",
 ]
 
 
@@ -368,6 +369,41 @@ def _examples_pipeline(spark, sf_dir):
     )
 
 
+def _preference_pipeline(spark, sf_dir):
+    """Composed post-training data-prep chain as ONE tracked bench row:
+    one candidate pool scored ONCE (the shared dpo_pairs/best_of_n
+    scorer) → best-of-N SFT selection → SFT packing of the selected
+    docs with loss-mask accounting → DPO preference pairs from the SAME
+    pool.  Each stage is individually oracled; this row watches the
+    COMPOSITION (the scan is shared, the selection semi-join stays
+    broadcastable, rnk 1 of the selection is provably the DPO chosen).
+    Row-count golden in tests/test_scale_ops.py."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import mixing
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = mixing.best_of_n(docs, n=3, n_groups=64)
+    pairs = mixing.dpo_pairs(docs, n_groups=64, min_margin=0.02)
+    sel = docs.join(top.select("doc_id"), "doc_id", "semi")
+    packed = mixing.sft_pack(sel, budget_tokens=256)
+    stage = lambda name, df: df.agg(
+        F.lit(name).alias("stage"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        stage("best_of_n", top)
+        .unionByName(stage("dpo_pairs", pairs))
+        .unionByName(stage("sft_packs", packed))
+        .unionByName(
+            packed.agg(
+                F.lit("sft_examples").alias("stage"),
+                F.sum("n_examples").cast("bigint").alias("n"),
+            )
+        )
+    )
+
+
 # Bench-only rows: real capabilities measured at bench scale that are not
 # registry queries (the registry carries the correctness burden elsewhere —
 # the doc pipeline via the fixture/golden suites, the LLM chain via its
@@ -377,6 +413,7 @@ EXTRA_BENCH = {
     "llm_pipeline_sf01": _llm_pipeline,
     "examples_pipeline_sf01": _examples_pipeline,
     "decontam_pipeline_sf01": _decontam_pipeline,
+    "preference_pipeline_sf01": _preference_pipeline,
 }
 
 

@@ -690,3 +690,25 @@ def test_decontam_pipeline_composition_golden(spark):
     assert full.select("train_id").distinct().count() == sum(
         n for (_, _, _, n) in out
     )
+
+
+def test_preference_pipeline_composition_golden(spark):
+    """Row-count golden for the composed post-training bench row
+    (bench._preference_pipeline: one scored pool → best-of-3 selection
+    → SFT packing → DPO pairs).  Each stage is individually oracled;
+    this pins the COMPOSITION.  sft_examples equals the best-of-3
+    selection size here because every selected doc clears sft_pack's
+    >=2-token floor — a selection or packing change breaks the
+    identity."""
+    import bench
+
+    out = sorted(
+        (r["stage"], r["n"])
+        for r in bench._preference_pipeline(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert out == [
+        ("best_of_n", 192), ("dpo_pairs", 64),
+        ("sft_examples", 192), ("sft_packs", 34),
+    ]
