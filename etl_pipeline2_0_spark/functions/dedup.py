@@ -1895,7 +1895,12 @@ def dedup_manifest(
     components over the exact SURVIVORS, so a doc never appears twice
     and near-dup compute never touches rows exact dedup already
     removed.  Keepers: min id per content hash (exact), min id per
-    component (near) — both the family convention.
+    component (near) — both the family convention.  An exact keeper
+    that the near layer then drops is RESOLVED through its component
+    (doc 2 ≡ doc 1 ≈ doc 0 manifests as 2→0, 1→0), so keeper_id is
+    always a final survivor and "where did doc X go" is one lookup,
+    never a chain walk — the property suite generates exactly these
+    chained corpora.
 
     Output: (dropped_id, keeper_id, reason ∈ {'exact', 'near'}).
 
@@ -1915,8 +1920,7 @@ def dedup_manifest(
     )
     exact_drop = hashed.where(F.col(id_col) != F.col("_keeper")).select(
         F.col(id_col).alias("dropped_id"),
-        F.col("_keeper").alias("keeper_id"),
-        F.lit("exact").alias("reason"),
+        F.col("_keeper").alias("_exact_keeper"),
     )
     survivors = hashed.where(F.col(id_col) == F.col("_keeper")).select(
         id_col, text_col
@@ -1926,12 +1930,32 @@ def dedup_manifest(
         threshold=threshold,
     )
     comp = connected_components(pairs)
+    # Resolve exact keepers the near layer itself drops: the final home
+    # of an exact dup is its keeper's component (left join — keepers in
+    # no component resolve to themselves).
+    exact_resolved = (
+        exact_drop.join(
+            comp.select(
+                F.col("node").alias("_exact_keeper"),
+                F.col("component").alias("_final"),
+            ),
+            "_exact_keeper",
+            "left",
+        )
+        .select(
+            "dropped_id",
+            F.coalesce(F.col("_final"), F.col("_exact_keeper")).alias(
+                "keeper_id"
+            ),
+            F.lit("exact").alias("reason"),
+        )
+    )
     near_drop = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("dropped_id"),
         F.col("component").alias("keeper_id"),
         F.lit("near").alias("reason"),
     )
-    return exact_drop.unionByName(near_drop)
+    return exact_resolved.unionByName(near_drop)
 
 
 def jaccard_histogram(

@@ -7285,7 +7285,10 @@ SQL_DEDUP_MANIFEST = SQL_DEDUP_CANONICAL.replace(
 ).replace(
     """SELECT d.id AS doc_id FROM docs d
 WHERE d.id NOT IN (SELECT node FROM comp WHERE node <> component)""",
-    """SELECT dropped_id, keeper_id, 'exact' AS reason FROM exact_drop
+    """SELECT e.dropped_id,
+       COALESCE(c.component, e.keeper_id) AS keeper_id,
+       'exact' AS reason
+FROM exact_drop e LEFT JOIN comp c ON e.keeper_id = c.node
 UNION ALL
 SELECT node AS dropped_id, component AS keeper_id, 'near' AS reason
 FROM comp WHERE node <> component""",

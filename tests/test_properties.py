@@ -773,3 +773,87 @@ def test_edit_distance_cross_mode_matches_brute_force_random(
         .collect()
     }
     assert got == want
+
+
+_pref_text = st.text(alphabet="abcdef ", min_size=0, max_size=40)
+
+
+@given(texts=st.lists(_pref_text, min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_preference_family_invariants(spark, texts):
+    """Random corpora: dpo's chosen carries the group-max score and
+    rejected the group-min (checked against a Python reference);
+    best_of_n rnk 1 equals the chosen; best_of_n emits
+    min(n, group_size) rows per group with non-increasing scores."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_score(t):
+        toks = [x for x in t.split(" ") if x]
+        return round(len(set(toks)) / len(toks), 6) if toks else 0.0
+
+    G = 3
+    groups = {}
+    for i, t in rows:
+        groups.setdefault(i % G, []).append((i, py_score(t)))
+
+    pairs = {r["group_id"]: r
+             for r in M.dpo_pairs(docs, n_groups=G, min_margin=0.0).collect()}
+    top = M.best_of_n(docs, n=2, n_groups=G).collect()
+    by_g = {}
+    for r in top:
+        by_g.setdefault(r["group_id"], []).append(r)
+
+    for g, members in groups.items():
+        best = max(members, key=lambda p: (p[1], p[0]))
+        worst = min(members, key=lambda p: (p[1], p[0]))
+        if len(members) >= 2:
+            p = pairs[g]
+            assert (p["chosen_id"], p["chosen_score"]) == best
+            assert (p["rejected_id"], p["rejected_score"]) == worst
+            assert by_g[g][0]["rnk"] == 1
+            r1 = [r for r in by_g[g] if r["rnk"] == 1][0]
+            assert r1["doc_id"] == p["chosen_id"]
+        else:
+            assert g not in pairs
+        got = sorted(by_g[g], key=lambda r: r["rnk"])
+        assert len(got) == min(2, len(members))
+        scores = [r["score"] for r in got]
+        assert scores == sorted(scores, reverse=True)
+
+
+@given(texts=st.lists(st.sampled_from([
+    "aa bb cc dd ee ff gg hh",
+    "aa bb cc dd ee ff gg hh",          # exact dup of the first
+    "aa bb cc dd ee ff gg zz",          # near-dup of the first
+    "pp qq rr ss tt uu vv ww",
+    "11 22 33 44 55 66 77 88",
+]), min_size=2, max_size=8))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_manifest_partition_invariants(spark, texts):
+    """Random dup-dense corpora: the manifest never names a doc twice,
+    never drops a keeper, keepers are minimal ids, and dropped ∪ kept
+    covers the corpus exactly.  Soft-dedup weights on the same corpus
+    conserve mass: sum(weight) == n_effective."""
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    man = D.dedup_manifest(docs, k=3, threshold=0.3).collect()
+    dropped = [r["dropped_id"] for r in man]
+    assert len(dropped) == len(set(dropped))          # named once
+    keepers = {r["keeper_id"] for r in man}
+    assert not keepers & set(dropped)                 # keepers never drop
+    for r in man:
+        assert r["keeper_id"] < r["dropped_id"]       # min-id convention
+    kept = set(i for i, _ in rows) - set(dropped)
+    assert kept | set(dropped) == set(i for i, _ in rows)
+
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.3)
+    w = D.soft_dedup_weights(docs, pairs).collect()
+    total = sum(r["weight"] for r in w)
+    assert abs(total - w[0]["n_effective"]) < 1e-4
