@@ -273,3 +273,95 @@ def hist_quantiles(
             "estimate"
         ),
     )
+
+
+def bloom_fpr_curve(
+    candidates: DataFrame,
+    truth_items: DataFrame,
+    item_col: str = "item",
+    num_hashes: int = 4,
+    widths: "tuple[int, ...]" = (1024, 2048, 4096, 8192),
+) -> DataFrame:
+    """Measured Bloom sizing table: for each filter width, probe the
+    SAME candidate set against a filter built from the SAME truth set
+    and report the realized false-positive rate and fill ratio — the
+    table that sizes the decontamination prefilter before a 100 TB run
+    (theory gives ~(1-e^{-kn/m})^k; this measures it on the actual key
+    distribution, where clustering and the integer-hash family make
+    theory an approximation).
+
+    Output: (num_bits, n_candidates, n_true_present, n_flagged,
+    n_false_pos, fpr, n_bits_set, fill_ratio), one row per width;
+    ``fpr`` = false positives over true negatives.  False negatives are
+    impossible by construction (property-pinned on bloom_probe), so
+    n_flagged ≥ n_true_present on every row.
+
+    Scale: truth and candidates are each materialized ONCE (distinct +
+    lazy checkpoint) and re-probed per width; every per-width pass is
+    the bloom_build/bloom_probe broadcast shape (≤ num_bits-row filter
+    relation, candidates never move), and each width contributes one
+    aggregated row — the output is |widths| rows regardless of corpus
+    size.
+    """
+    cand = (
+        candidates.select(F.col(item_col).alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    truth = (
+        truth_items.select(F.col(item_col).alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    truth_flag = truth.withColumn("_t", F.lit(1))
+    out = None
+    for m in widths:
+        bits = bloom_build(truth, "item", num_hashes, m)
+        flagged = bloom_probe(cand, bits, "item", num_hashes, m)
+        lab = flagged.join(truth_flag, "item", "left")
+        row = (
+            lab.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.sum(F.coalesce(F.col("_t"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_true_present"),
+                F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_flagged"),
+                F.sum(
+                    F.when(
+                        F.col("maybe_present") & F.col("_t").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_false_pos"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    bits.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_bits_set")
+                    )
+                )
+            )
+            .select(
+                F.lit(m).cast("int").alias("num_bits"),
+                "n_candidates",
+                "n_true_present",
+                "n_flagged",
+                "n_false_pos",
+                F.round(
+                    F.col("n_false_pos")
+                    / F.greatest(
+                        F.col("n_candidates") - F.col("n_true_present"),
+                        F.lit(1),
+                    ),
+                    6,
+                ).alias("fpr"),
+                "n_bits_set",
+                F.round(F.col("n_bits_set") / F.lit(float(m)), 6).alias(
+                    "fill_ratio"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

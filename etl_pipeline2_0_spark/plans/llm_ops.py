@@ -7438,3 +7438,95 @@ SELECT source, epochs, n_tokens,
              ELSE 0.0 END, 6) AS efficiency
 FROM swept
 """
+
+
+# ------------------------------------------------------ bloom FPR curve ----
+
+
+def q_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom sizing table for the decontamination prefilter: the same
+    # %97 eval split and 3-shingles as bloom_contamination, measured at
+    # four filter widths — realized FPR + fill per width, the numbers
+    # that size the broadcast filter before a 100 TB run.
+    from etl_pipeline2_0_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_sh = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.explode(dedup.token_shingles(F.col("text"), 3)).alias("item")
+    )
+    cand = docs.where(F.col("doc_id") % 97 != 0).select(
+        F.explode(dedup.token_shingles(F.col("text"), 3)).alias("item")
+    )
+    return sketches.bloom_fpr_curve(
+        cand, eval_sh, num_hashes=4, widths=(1024, 2048, 4096, 8192)
+    )
+
+
+# One hash per (row, shingle), re-bucketed per width — the sweep costs
+# one modulus per width, not one md5 per width.
+SQL_BLOOM_FPR_CURVE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM tok
+), sh0 AS (
+  SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w || ' '
+           || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), cand AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 <> 0
+), rows_ AS (
+  SELECT unnest([0, 1, 2, 3]) AS row
+), widths AS (
+  SELECT unnest([1024, 2048, 4096, 8192]) AS num_bits
+), eh AS (
+  SELECT CAST('0x' || substring(md5(CAST(row AS VARCHAR) || ':' || shingle),
+                                1, 15) AS BIGINT) AS h
+  FROM eval_sh CROSS JOIN rows_
+), bloom AS (
+  SELECT DISTINCT num_bits, h % num_bits AS bit FROM eh CROSS JOIN widths
+), ch AS (
+  SELECT shingle, CAST('0x' || substring(md5(CAST(row AS VARCHAR) || ':'
+                                             || shingle), 1, 15) AS BIGINT)
+           AS h
+  FROM cand CROSS JOIN rows_
+), probes AS (
+  SELECT num_bits, shingle, h % num_bits AS bit FROM ch CROSS JOIN widths
+), hits AS (
+  SELECT p.num_bits, p.shingle, COUNT(*) AS n_set
+  FROM probes p JOIN bloom b ON p.num_bits = b.num_bits AND p.bit = b.bit
+  GROUP BY 1, 2
+), lab AS (
+  SELECT cw.num_bits, cw.shingle,
+         (COALESCE(n_set, 0) = 4) AS maybe,
+         (e.shingle IS NOT NULL) AS is_true
+  FROM (SELECT num_bits, shingle FROM cand CROSS JOIN widths) cw
+  LEFT JOIN hits ON cw.num_bits = hits.num_bits
+                AND cw.shingle = hits.shingle
+  LEFT JOIN eval_sh e ON cw.shingle = e.shingle
+), bstats AS (
+  SELECT num_bits, COUNT(*) AS n_bits_set FROM bloom GROUP BY num_bits
+)
+SELECT CAST(l.num_bits AS INT) AS num_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_present,
+       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN maybe AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       ROUND(SUM(CASE WHEN maybe AND NOT is_true THEN 1 ELSE 0 END) * 1.0
+             / GREATEST(COUNT(*) - SUM(CASE WHEN is_true THEN 1 ELSE 0 END),
+                        1), 6) AS fpr,
+       CAST(MAX(n_bits_set) AS BIGINT) AS n_bits_set,
+       ROUND(MAX(n_bits_set) * 1.0 / l.num_bits, 6) AS fill_ratio
+FROM lab l JOIN bstats ON l.num_bits = bstats.num_bits
+GROUP BY l.num_bits
+"""

@@ -313,16 +313,16 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # ROUND-14 ROTATION (STAGED — execute next round): SEVENTEEN
+    # ROUND-14 ROTATION (STAGED — execute next round): EIGHTEEN
     # promotions, the r13-added oracled entries below (bitext_recall,
     # tokenizer_compare, moore_lewis, ul2_mix, dataset_card, sft_pack,
     # soft_dedup, dpo_pairs, ann_hubness, best_of_n, cluster_profile,
     # simhash_recall, winnow_recall, dedup_manifest, jaccard_histogram,
-    # corpus_overlap, epoch_decay_curve)
+    # corpus_overlap, epoch_decay_curve, bloom_fpr_curve)
     # — all sf0.001+sf0.01 parity-proven, zero driver
     # rows.  If twelve-for-twelve crowds the window's family coverage,
     # promote in two waves (the oldest first) and keep the rest
-    # staged for r15.  Demote up to seventeen multi-green holdovers,
+    # staged for r15.  Demote up to eighteen multi-green holdovers,
     # keeping family anchors: candidates in
     # green-row order are minhash_recall (r9-r13 after the r13 window
     # goes green — LSH quality anchored by the promoted precision/
@@ -420,6 +420,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     effective-token CURVE (data_budget_plan's formula swept over
     #     1/2/4/8/16 epochs) ---
     "epoch_decay_curve": (L.q_epoch_decay_curve, L.SQL_EPOCH_DECAY_CURVE),
+    # --- added r13 (past-cap; r14 promotion pool): measured Bloom sizing
+    #     table — realized FPR + fill at four widths on the actual key
+    #     distribution, one md5 per (row, key) re-bucketed per width ---
+    "bloom_fpr_curve": (L.q_bloom_fpr_curve, L.SQL_BLOOM_FPR_CURVE),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

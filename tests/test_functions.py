@@ -4381,3 +4381,41 @@ def test_epoch_decay_curve_saturates_and_matches_plan(spark, sf_dir):
         cap = pts[64.0]["n_tokens"] * (1 + 15.4)
         assert pts[64.0]["effective_tokens"] <= cap + 1e-6
         assert pts[16.0]["effective_tokens"] < pts[64.0]["effective_tokens"]
+
+
+def test_bloom_fpr_curve_invariants(spark, sf_dir):
+    """No false negatives at any width (n_flagged >= n_true_present),
+    FPR non-increasing as width grows, fill ratio decreasing, and the
+    4096-width row must agree with bloom_contamination's machinery
+    (same eval split, hashes, and width)."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import dedup as D
+    from etl_pipeline2_0_spark.functions import sketches as SK
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+
+    rows = sorted(
+        (r["num_bits"], r) for r in
+        L.q_bloom_fpr_curve(spark, sf_dir).collect()
+    )
+    assert [m for m, _ in rows] == [1024, 2048, 4096, 8192]
+    for _, r in rows:
+        assert r["n_flagged"] >= r["n_true_present"]  # no FNs
+        assert r["n_false_pos"] == r["n_flagged"] - r["n_true_present"]
+    fprs = [r["fpr"] for _, r in rows]
+    assert fprs == sorted(fprs, reverse=True)
+    fills = [r["fill_ratio"] for _, r in rows]
+    assert fills == sorted(fills, reverse=True)
+    # cross-check the 4096 row against a direct probe
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(SF.col("doc_id") % 97 == 0).select(
+        SF.explode(D.token_shingles(SF.col("text"), 3)).alias("item")
+    ).distinct()
+    ca = docs.where(SF.col("doc_id") % 97 != 0).select(
+        SF.explode(D.token_shingles(SF.col("text"), 3)).alias("item")
+    ).distinct()
+    bits = SK.bloom_build(ev, num_hashes=4, num_bits=4096)
+    direct = SK.bloom_probe(ca, bits, num_hashes=4, num_bits=4096).where(
+        "maybe_present"
+    ).count()
+    assert dict(rows)[4096]["n_flagged"] == direct

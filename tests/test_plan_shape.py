@@ -1133,3 +1133,11 @@ def test_epoch_decay_curve_single_corpus_pass(spark, sf_dir):
     plan = _plan(L.q_epoch_decay_curve(spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_bloom_fpr_curve_filters_broadcast_no_cartesian(spark, sf_dir):
+    # Every per-width pass keeps the bloom_probe shape: the ≤num_bits-row
+    # filter relations broadcast, candidates never move, no cartesian.
+    plan = _plan(L.q_bloom_fpr_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # one probe per width

@@ -125,6 +125,7 @@ QUERIES = [
     "jaccard_histogram",
     "corpus_overlap",
     "epoch_decay_curve",
+    "bloom_fpr_curve",
 ]
 
 # Prose notes regenerated into PLANS.md verbatim (design facts a plan dump
