@@ -177,6 +177,7 @@ HEADLINE = [
     "jaccard_histogram",
     "corpus_overlap",
     "epoch_decay_curve",
+    "bloom_fpr_curve",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
