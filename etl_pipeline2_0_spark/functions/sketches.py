@@ -365,3 +365,73 @@ def bloom_fpr_curve(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cms_error_curve(
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    widths: "tuple[int, ...]" = (64, 256, 1024),
+) -> DataFrame:
+    """Measured count-min sizing table: the realized overestimate
+    distribution at each sketch width, over EVERY distinct key — the
+    companion of :func:`bloom_fpr_curve` for the frequency sketch that
+    feeds the dedup doc-freq caps (theory bounds the error by
+    ~2N/width w.h.p.; this measures it on the actual key/frequency
+    distribution, where Zipfian heavy hitters dominate collisions).
+
+    Output: (width, n_keys, n_exact, mean_err, max_err), one row per
+    width; ``n_exact`` counts keys whose estimate equals their true
+    count, errors are (est − true) ≥ 0 (one-sided by construction).
+
+    Scale: ONE occurrence pass produces the exact (key, count) table;
+    each width's sketch is then built from THAT table (a size-s key
+    hashing to a bucket adds s — identical arithmetic to streaming the
+    occurrences, proven by the shared bucket hash), so the sweep costs
+    |vocab|·depth rows per width, not corpus·depth, and the estimate
+    probe joins sketch cells at (row, bucket) grain.
+    """
+    exact = (
+        items.select(F.col(item_col).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    out = None
+    for m in widths:
+        th = exact.select(
+            "item", "true_cnt", F.explode(rows).alias("row")
+        ).select(
+            "item",
+            "true_cnt",
+            "row",
+            _cms_bucket(F.col("item"), F.col("row"), m).alias("bucket"),
+        )
+        cells = th.groupBy("row", "bucket").agg(
+            F.sum("true_cnt").cast("bigint").alias("cnt")
+        )
+        est = (
+            th.join(cells, ["row", "bucket"])
+            .groupBy("item", "true_cnt")
+            .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        )
+        row_df = est.agg(
+            F.lit(m).cast("int").alias("width"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(
+                F.when(F.col("cms_est") == F.col("true_cnt"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_exact"),
+            F.round(
+                F.sum(F.col("cms_est") - F.col("true_cnt"))
+                / F.greatest(F.count(F.lit(1)), F.lit(1)),
+                6,
+            ).alias("mean_err"),
+            F.max(F.col("cms_est") - F.col("true_cnt"))
+            .cast("bigint")
+            .alias("max_err"),
+        )
+        out = row_df if out is None else out.unionByName(row_df)
+    return out

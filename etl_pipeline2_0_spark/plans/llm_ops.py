@@ -7530,3 +7530,80 @@ SELECT CAST(l.num_bits AS INT) AS num_bits,
 FROM lab l JOIN bstats ON l.num_bits = bstats.num_bits
 GROUP BY l.num_bits
 """
+
+
+# ------------------------------------------------------ CMS error curve ----
+
+
+def q_cms_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-min sizing table over the corpus SHINGLE stream at
+    # DOC-frequency grain — exactly the key space and grain the dedup
+    # doc-freq caps probe (the token vocab here is only ~31 keys and
+    # saturates any width): realized overestimate distribution at three
+    # widths, the cap feed's accuracy/memory tradeoff, measured
+    # (bloom_fpr_curve's companion for frequencies).
+    from etl_pipeline2_0_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(dedup.token_shingles(F.col("text"), 3)).alias("item")
+    )
+    return sketches.cms_error_curve(
+        occ, depth=4, widths=(1024, 4096, 16384)
+    )
+
+
+# One md5 per (row, token); each width re-buckets with one modulus; the
+# sketch builds from the exact count table (identical arithmetic to
+# streaming the occurrences — a size-s key adds s to its bucket).
+SQL_CMS_ERROR_CURVE = r"""
+WITH tokr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM tokr
+), sh0 AS (
+  SELECT doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+           AS tok
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), occ AS (
+  -- per-doc DISTINCT shingles: the stream is DOC-frequency grain,
+  -- matching dedup.token_shingles (and the doc-freq caps' semantics)
+  SELECT DISTINCT doc_id, tok FROM sh0 WHERE tok IS NOT NULL
+), exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM occ GROUP BY tok
+), rows_ AS (
+  SELECT unnest([0, 1, 2, 3]) AS row
+), widths AS (
+  SELECT unnest([1024, 4096, 16384]) AS width
+), th AS (
+  SELECT tok, true_cnt, row,
+         CAST('0x' || substring(md5(CAST(row AS VARCHAR) || ':' || tok),
+                                1, 15) AS BIGINT) AS h
+  FROM exact CROSS JOIN rows_
+), cells AS (
+  SELECT width, row, h % width AS bucket,
+         CAST(SUM(true_cnt) AS BIGINT) AS cnt
+  FROM th CROSS JOIN widths
+  GROUP BY width, row, bucket
+), est AS (
+  SELECT t.width, tok, true_cnt, MIN(cnt) AS cms_est
+  FROM (SELECT width, tok, true_cnt, row, h % width AS bucket
+        FROM th CROSS JOIN widths) t
+  JOIN cells ON t.width = cells.width AND t.row = cells.row
+            AND t.bucket = cells.bucket
+  GROUP BY t.width, tok, true_cnt
+)
+SELECT CAST(width AS INT) AS width,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN cms_est = true_cnt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       ROUND(SUM(cms_est - true_cnt) * 1.0 / GREATEST(COUNT(*), 1), 6)
+         AS mean_err,
+       CAST(MAX(cms_est - true_cnt) AS BIGINT) AS max_err
+FROM est GROUP BY width
+"""

@@ -98,7 +98,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # pool — minhash_recall anchors that family in-window meanwhile.
     # test_sql_registry.py re-pins after the reorder.
     #
-    # ROUND-13 ROTATION (EXECUTED this round, as staged r12): EIGHTEEN
+    # ROUND-13 ROTATION (EXECUTED this round, as staged r12): NINETEEN
     # promotions — the two r11 late metric rows (minhash_precision,
     # minhash_band_efficiency), the fifteen staged r12-added oracled
     # entries, plus the late-added embed_quantize (the staged 17-entry
@@ -318,11 +318,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # tokenizer_compare, moore_lewis, ul2_mix, dataset_card, sft_pack,
     # soft_dedup, dpo_pairs, ann_hubness, best_of_n, cluster_profile,
     # simhash_recall, winnow_recall, dedup_manifest, jaccard_histogram,
-    # corpus_overlap, epoch_decay_curve, bloom_fpr_curve)
+    # corpus_overlap, epoch_decay_curve, bloom_fpr_curve,
+    # cms_error_curve)
     # — all sf0.001+sf0.01 parity-proven, zero driver
     # rows.  If twelve-for-twelve crowds the window's family coverage,
     # promote in two waves (the oldest first) and keep the rest
-    # staged for r15.  Demote up to eighteen multi-green holdovers,
+    # staged for r15.  Demote up to nineteen multi-green holdovers,
     # keeping family anchors: candidates in
     # green-row order are minhash_recall (r9-r13 after the r13 window
     # goes green — LSH quality anchored by the promoted precision/
@@ -424,6 +425,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     table — realized FPR + fill at four widths on the actual key
     #     distribution, one md5 per (row, key) re-bucketed per width ---
     "bloom_fpr_curve": (L.q_bloom_fpr_curve, L.SQL_BLOOM_FPR_CURVE),
+    # --- added r13 (past-cap; r14 promotion pool): measured CMS sizing
+    #     table over the shingle stream — realized overestimate
+    #     distribution at three widths, sketch built from the exact
+    #     count table (identical arithmetic, |vocab|-grain sweep) ---
+    "cms_error_curve": (L.q_cms_error_curve, L.SQL_CMS_ERROR_CURVE),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

@@ -4419,3 +4419,41 @@ def test_bloom_fpr_curve_invariants(spark, sf_dir):
         "maybe_present"
     ).count()
     assert dict(rows)[4096]["n_flagged"] == direct
+
+
+def test_cms_error_curve_invariants(spark, sf_dir):
+    """One-sided at every width (max_err >= 0, mean_err >= 0), error
+    non-increasing as width grows, and the widest row's estimates
+    cross-check against a direct cms_estimate probe."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import dedup as D
+    from etl_pipeline2_0_spark.functions import sketches as SK
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+
+    rows = sorted(
+        (r["width"], r) for r in L.q_cms_error_curve(spark, sf_dir).collect()
+    )
+    assert [w for w, _ in rows] == [1024, 4096, 16384]
+    for _, r in rows:
+        assert r["mean_err"] >= 0.0 and r["max_err"] >= 0
+        assert 0 <= r["n_exact"] <= r["n_keys"]
+    means = [r["mean_err"] for _, r in rows]
+    assert means == sorted(means, reverse=True)
+    exacts = [r["n_exact"] for _, r in rows]
+    assert exacts == sorted(exacts)
+    # direct probe at the widest setting: total overestimate matches
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    occ = docs.select(
+        SF.explode(D.token_shingles(SF.col("text"), 3)).alias("item")
+    )
+    exact = occ.groupBy("item").agg(SF.count(SF.lit(1)).alias("true_cnt"))
+    sk = SK.cms_sketch(occ, depth=4, width=16384)
+    est = SK.cms_estimate(exact.select("item"), sk, depth=4, width=16384)
+    direct = (
+        exact.join(est, "item")
+        .agg(SF.sum(SF.col("cms_est") - SF.col("true_cnt")))
+        .first()[0]
+    )
+    w16 = dict(rows)[16384]
+    assert direct == round(w16["mean_err"] * w16["n_keys"])

@@ -126,6 +126,7 @@ QUERIES = [
     "corpus_overlap",
     "epoch_decay_curve",
     "bloom_fpr_curve",
+    "cms_error_curve",
 ]
 
 # Prose notes regenerated into PLANS.md verbatim (design facts a plan dump
