@@ -178,6 +178,7 @@ HEADLINE = [
     "corpus_overlap",
     "epoch_decay_curve",
     "bloom_fpr_curve",
+    "cms_error_curve",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
