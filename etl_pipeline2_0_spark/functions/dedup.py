@@ -2074,3 +2074,85 @@ def corpus_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def lsh_geometry_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    geometries: "tuple[tuple[int, int], ...]" = ((8, 2), (4, 4), (2, 8)),
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band-geometry tuning table: at a FIXED signature budget
+    (``num_hashes``), measure every (bands × rows_per_band) split's
+    candidate volume, recall, and candidate-stream precision against
+    the exact-Jaccard truth — the table that picks LSH geometry before
+    a 100 TB run (more bands = higher recall AND more candidates; the
+    S-curve says where; this measures it on the actual similarity
+    distribution).
+
+    Output: (bands, rows_per_band, n_candidates, n_true_pairs, n_found,
+    recall, efficiency = n_found / n_candidates), one row per geometry.
+
+    Scale: the expensive inputs are computed ONCE — the signature table
+    (one corpus pass) and the exact truth (the metric's ground-truth
+    cost, run on a sample at scale) sit behind lazy checkpoints; each
+    geometry re-bands the SIGNATURES (|corpus|·bands rows, no
+    re-shingling) through the capped banded equi-join, and contributes
+    one aggregated row.
+    """
+    sigs = minhash_signatures(
+        df, text_col, id_col, k, num_hashes, portable=True
+    ).localCheckpoint(eager=False)
+    truth = (
+        jaccard_pairs(df, text_col, id_col, k, threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    n_true = F.broadcast(
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    )
+    out = None
+    for bands, rpb in geometries:
+        cand = (
+            lsh_candidate_pairs(
+                sigs, bands, rpb, max_bucket, portable=True
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=False)
+        )
+        row = (
+            cand.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+            )
+            .crossJoin(n_true)
+            .crossJoin(
+                F.broadcast(
+                    cand.join(truth, ["id_a", "id_b"], "semi").agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_found")
+                    )
+                )
+            )
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_true_pairs",
+                "n_found",
+                F.round(
+                    F.col("n_found")
+                    / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_found")
+                    / F.greatest(F.col("n_candidates"), F.lit(1)),
+                    6,
+                ).alias("efficiency"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -7607,3 +7607,112 @@ SELECT CAST(width AS INT) AS width,
        CAST(MAX(cms_est - true_cnt) AS BIGINT) AS max_err
 FROM est GROUP BY width
 """
+
+
+# --------------------------------------------------- LSH geometry sweep ----
+
+
+def _sql_lsh_geometry_sweep(
+    num_hashes: int = 16,
+    geometries: "tuple[tuple[int, int], ...]" = ((8, 2), (4, 4), (2, 8)),
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> str:
+    """Generated like _sql_minhash_portable, but banding the SAME
+    signature CTE under every geometry and aggregating one row per
+    geometry; the multi-referenced sh/sig/truth/cand CTEs are
+    MATERIALIZED (the DuckDB CTE-inlining trap)."""
+    prefix = _sql_minhash_portable(
+        num_hashes, geometries[0][0], threshold, max_bucket
+    ).split("), banded0 AS (")[0]
+    prefix = prefix.replace(
+        "SELECT doc_id AS id, lower(text) AS t FROM documents",
+        "SELECT doc_id AS id, lower(text) AS t FROM documents"
+        " WHERE doc_id % 2 = 0",
+        1,
+    ).replace("), sh AS (", "), sh AS MATERIALIZED (", 1).replace(
+        "), sig AS (", "), sig AS MATERIALIZED (", 1
+    )
+    parts = [prefix + ")"]
+    truth = """, tsizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), tinter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), truth AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM tinter JOIN tsizes sa2 ON id_a = sa2.id
+              JOIN tsizes sb2 ON id_b = sb2.id
+  WHERE ROUND(n_common * 1.0 / (sa2.n + sb2.n - n_common), 6)
+        >= {thr}
+)""".format(thr=threshold)
+    parts.append(truth)
+    selects = []
+    for gi, (bands, rpb) in enumerate(geometries):
+        band_selects = "\n  UNION ALL\n".join(
+            "  SELECT id, {bi} AS band, md5(".format(bi=bi)
+            + " || ',' || ".join(
+                "CAST(s{j} AS VARCHAR)".format(j=bi * rpb + o)
+                for o in range(rpb)
+            )
+            + ") AS bucket FROM sig"
+            for bi in range(bands)
+        )
+        parts.append(""", banded{gi}0 AS (
+{band_selects}
+), banded{gi} AS (
+  SELECT id, band, bucket FROM (
+    SELECT id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM banded{gi}0
+  ) WHERE bn <= {cap}
+), cand{gi} AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded{gi} a
+  JOIN banded{gi} b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)""".format(gi=gi, band_selects=band_selects, cap=max_bucket))
+        selects.append("""SELECT {bands} AS bands, {rpb} AS rows_per_band,
+       (SELECT COUNT(*) FROM cand{gi}) AS n_candidates,
+       (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       (SELECT COUNT(*) FROM cand{gi} c
+        JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+         AS n_found""".format(bands=bands, rpb=rpb, gi=gi))
+    union = "\nUNION ALL\n".join(selects)
+    tail = """
+SELECT CAST(bands AS INT) AS bands,
+       CAST(rows_per_band AS INT) AS rows_per_band,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_found AS BIGINT) AS n_found,
+       ROUND(n_found * 1.0 / GREATEST(n_true_pairs, 1), 6) AS recall,
+       ROUND(n_found * 1.0 / GREATEST(n_candidates, 1), 6) AS efficiency
+FROM (
+{union}
+)
+""".format(union=union)
+    return "".join(parts) + tail
+
+
+def q_lsh_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The LSH tuning table: at a fixed 16-hash signature budget, the
+    # (bands x rows) split decides the recall/candidate-volume tradeoff
+    # (8x2 loose ... 2x8 strict); this measures all three on the same
+    # exact-Jaccard truth (the %2 metric subset) so the geometry is
+    # picked from data, not the textbook S-curve alone.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    return dedup.lsh_geometry_sweep(
+        docs, k=3, num_hashes=16,
+        geometries=((8, 2), (4, 4), (2, 8)), threshold=0.5,
+        max_bucket=1000,
+    )
+
+
+SQL_LSH_GEOMETRY_SWEEP = _sql_lsh_geometry_sweep(
+    16, ((8, 2), (4, 4), (2, 8)), 0.5, 1000
+)
+assert "cand2" in SQL_LSH_GEOMETRY_SWEEP
+assert "MATERIALIZED" in SQL_LSH_GEOMETRY_SWEEP

@@ -4457,3 +4457,23 @@ def test_cms_error_curve_invariants(spark, sf_dir):
     )
     w16 = dict(rows)[16384]
     assert direct == round(w16["mean_err"] * w16["n_keys"])
+
+
+def test_lsh_geometry_sweep_monotonicity(spark, sf_dir):
+    """Looser banding (more bands, fewer rows) can only find MORE: both
+    candidates and found pairs are non-decreasing from 2x8 to 4x4 to
+    8x2; found <= candidates and found <= truth on every row; all rows
+    share one truth count."""
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+
+    rows = {(r["bands"], r["rows_per_band"]): r
+            for r in L.q_lsh_geometry_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {(8, 2), (4, 4), (2, 8)}
+    assert len({r["n_true_pairs"] for r in rows.values()}) == 1
+    for r in rows.values():
+        assert r["n_found"] <= r["n_candidates"]
+        assert r["n_found"] <= r["n_true_pairs"]
+    order = [(2, 8), (4, 4), (8, 2)]
+    for a, b in zip(order, order[1:]):
+        assert rows[a]["n_found"] <= rows[b]["n_found"]
+        assert rows[a]["n_candidates"] <= rows[b]["n_candidates"]

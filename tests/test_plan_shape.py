@@ -1141,3 +1141,12 @@ def test_bloom_fpr_curve_filters_broadcast_no_cartesian(spark, sf_dir):
     plan = _plan(L.q_bloom_fpr_curve(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4  # one probe per width
+
+
+def test_lsh_geometry_sweep_no_cartesian_signatures_once(spark, sf_dir):
+    # Every geometry re-bands the checkpointed signature table through
+    # a capped banded equi-join; no cartesian, and the shingle/signature
+    # construction does not appear once per geometry (the checkpoints
+    # hide it — at most one visible corpus scan chain feeds the truth).
+    plan = _plan(L.q_lsh_geometry_sweep(spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -127,6 +127,7 @@ QUERIES = [
     "epoch_decay_curve",
     "bloom_fpr_curve",
     "cms_error_curve",
+    "lsh_geometry_sweep",
 ]
 
 # Prose notes regenerated into PLANS.md verbatim (design facts a plan dump
