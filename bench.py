@@ -179,6 +179,7 @@ HEADLINE = [
     "epoch_decay_curve",
     "bloom_fpr_curve",
     "cms_error_curve",
+    "lsh_geometry_sweep",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
