@@ -180,6 +180,7 @@ HEADLINE = [
     "bloom_fpr_curve",
     "cms_error_curve",
     "lsh_geometry_sweep",
+    "shingle_df_histogram",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

@@ -7716,3 +7716,62 @@ SQL_LSH_GEOMETRY_SWEEP = _sql_lsh_geometry_sweep(
 )
 assert "cand2" in SQL_LSH_GEOMETRY_SWEEP
 assert "MATERIALIZED" in SQL_LSH_GEOMETRY_SWEEP
+
+
+# ---------------------------------------------- shingle DF histogram ----
+
+
+def q_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Doc-frequency distribution of the shingle space on power-of-two
+    # buckets — the evidence the dedup `max_doc_freq` caps (and the CMS
+    # width choice) are tuned against: a heavy tail here is exactly the
+    # boilerplate the caps must drop before the banded joins.
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(dedup.token_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    df_tbl = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    # power-of-two bucket: floor(log2(df)) → bucket_lo = 2^k (df=1 → 1,
+    # 2-3 → 2, 4-7 → 4, ...); integer-exact in both engines.
+    bucket = F.pow(
+        F.lit(2.0), F.floor(F.log2(F.col("df").cast("double")))
+    ).cast("bigint")
+    return (
+        df_tbl.groupBy(bucket.alias("df_bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+    )
+
+
+SQL_SHINGLE_DF_HISTOGRAM = r"""
+WITH tokr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM tokr
+), sh0 AS (
+  SELECT doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+           AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), dft AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+)
+SELECT CAST(POW(2.0, FLOOR(LOG2(CAST(df AS DOUBLE)))) AS BIGINT)
+         AS df_bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS n_postings,
+       CAST(MAX(df) AS BIGINT) AS max_df
+FROM dft GROUP BY 1
+"""

@@ -98,7 +98,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # pool — minhash_recall anchors that family in-window meanwhile.
     # test_sql_registry.py re-pins after the reorder.
     #
-    # ROUND-13 ROTATION (EXECUTED this round, as staged r12): TWENTY
+    # ROUND-13 ROTATION (EXECUTED this round, as staged r12): TWENTY-ONE
     # promotions — the two r11 late metric rows (minhash_precision,
     # minhash_band_efficiency), the fifteen staged r12-added oracled
     # entries, plus the late-added embed_quantize (the staged 17-entry
@@ -319,11 +319,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # soft_dedup, dpo_pairs, ann_hubness, best_of_n, cluster_profile,
     # simhash_recall, winnow_recall, dedup_manifest, jaccard_histogram,
     # corpus_overlap, epoch_decay_curve, bloom_fpr_curve,
-    # cms_error_curve, lsh_geometry_sweep)
+    # cms_error_curve, lsh_geometry_sweep, shingle_df_histogram)
     # — all sf0.001+sf0.01 parity-proven, zero driver
     # rows.  If twelve-for-twelve crowds the window's family coverage,
     # promote in two waves (the oldest first) and keep the rest
-    # staged for r15.  Demote up to twenty multi-green holdovers,
+    # staged for r15.  Demote up to twenty-one multi-green holdovers,
     # keeping family anchors: candidates in
     # green-row order are minhash_recall (r9-r13 after the r13 window
     # goes green — LSH quality anchored by the promoted precision/
@@ -435,6 +435,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     precision per (bands×rows) split of a fixed 16-hash budget,
     #     all on the same exact-Jaccard truth ---
     "lsh_geometry_sweep": (L.q_lsh_geometry_sweep, L.SQL_LSH_GEOMETRY_SWEEP),
+    # --- added r13 (past-cap; r14 promotion pool): shingle doc-freq
+    #     histogram on power-of-two buckets — the evidence the
+    #     max_doc_freq caps and CMS width are tuned against ---
+    "shingle_df_histogram": (
+        L.q_shingle_df_histogram,
+        L.SQL_SHINGLE_DF_HISTOGRAM,
+    ),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

@@ -4477,3 +4477,23 @@ def test_lsh_geometry_sweep_monotonicity(spark, sf_dir):
     for a, b in zip(order, order[1:]):
         assert rows[a]["n_found"] <= rows[b]["n_found"]
         assert rows[a]["n_candidates"] <= rows[b]["n_candidates"]
+
+
+def test_shingle_df_histogram_conserves_postings(spark, sf_dir):
+    """Bucket mass must conserve: n_shingles sums to the distinct
+    shingle count, n_postings to the (doc, shingle) posting count, each
+    bucket's max_df stays inside [bucket_lo, 2*bucket_lo)."""
+    from pyspark.sql import functions as SF
+
+    from etl_pipeline2_0_spark.functions import dedup as D
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+
+    rows = L.q_shingle_df_histogram(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", SF.explode(D.token_shingles(SF.col("text"), 3)).alias("s")
+    )
+    assert sum(r["n_shingles"] for r in rows) == sh.select("s").distinct().count()
+    assert sum(r["n_postings"] for r in rows) == sh.count()
+    for r in rows:
+        assert r["df_bucket_lo"] <= r["max_df"] < 2 * r["df_bucket_lo"]

@@ -128,6 +128,7 @@ QUERIES = [
     "bloom_fpr_curve",
     "cms_error_curve",
     "lsh_geometry_sweep",
+    "shingle_df_histogram",
 ]
 
 # Prose notes regenerated into PLANS.md verbatim (design facts a plan dump
