@@ -1150,3 +1150,11 @@ def test_lsh_geometry_sweep_no_cartesian_signatures_once(spark, sf_dir):
     # hide it — at most one visible corpus scan chain feeds the truth).
     plan = _plan(L.q_lsh_geometry_sweep(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_shingle_df_histogram_two_aggregates_no_join(spark, sf_dir):
+    # Posting aggregate → bucket aggregate, both map-side combined; no
+    # join anywhere in the plan.
+    plan = _plan(L.q_shingle_df_histogram(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 levels
