@@ -198,3 +198,73 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------- stateful sessions ----
+
+SESSION_STATS_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
+_SESSION_STATE_SCHEMA = "n_sessions bigint, last_ts bigint, n_events bigint"
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame], state):
+    """Per-user session folding continued across micro-batches: the
+    30-minute-gap boundary rule of the batch ``q_sessionize`` operator,
+    with (session count, last event timestamp, event count) carried in
+    GroupState.  Rows within a batch fold in (ts, event_id) order."""
+    (user_id,) = key
+    if state.exists:
+        n_sessions, last_ts, n_events = state.get
+    else:
+        n_sessions, last_ts, n_events = 0, 0, 0
+    parts = [pdf for pdf in pdf_iter if len(pdf)]
+    if parts:
+        batch = pd.concat(parts).sort_values(["ts", "event_id"])
+        for ts_us in batch["ts"].astype("int64") // 1000:
+            ts_us = int(ts_us)
+            if n_events == 0:
+                n_sessions = 1
+            elif ts_us - last_ts > _SESSION_GAP_US:
+                n_sessions += 1
+            last_ts = ts_us
+            n_events += 1
+        state.update((n_sessions, last_ts, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        }
+    )
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState``:
+    the batch lag+cumsum sessionizer re-expressed as an incremental
+    per-user fold whose boundary state (last event time, session count)
+    survives micro-batches — the canonical custom stateful operator the
+    built-in windowed aggregations can't express (the boundary depends
+    on the PREVIOUS event, not a fixed window).
+
+    Contract: per-user event-time order ACROSS batches (the
+    incremental-ingest reality — logs land roughly time-ordered; batch
+    reprocessing remains the authority for out-of-order history).
+    Within a batch, rows fold in (ts, event_id) order regardless of
+    arrival order.  The final update per user is row-exact with the
+    batch ``q_sessionize`` output — pinned in
+    tests/test_streaming_windows.py against the oracled batch operator
+    on the shared testdata.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", F.col("ts").cast("timestamp"), "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_STATS_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
