@@ -268,3 +268,90 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_WINDOW_SCHEMA = (
+    "user_id bigint, session_start bigint, session_end bigint, "
+    "n_events bigint"
+)
+_SESSION_WINDOW_STATE_SCHEMA = "cur_start bigint, last_ts bigint, n bigint"
+
+
+def _session_windows_fn(key, pdf_iter: Iterator[pd.DataFrame], state):
+    """Append-mode companion of ``_sessionize_fn``: emit each session
+    WHEN IT CLOSES (a later event arrives past the gap, or the state
+    times out with no successor), carrying the open session in
+    GroupState.  Timestamps emitted in epoch microseconds."""
+    (user_id,) = key
+
+    def _row(start, end, n):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [start],
+                "session_end": [end],
+                "n_events": [n],
+            }
+        )
+
+    if state.hasTimedOut:
+        if state.exists:
+            cur_start, last_ts, n = state.get
+            state.remove()
+            yield _row(cur_start, last_ts, n)
+        return
+    if state.exists:
+        cur_start, last_ts, n = state.get
+    else:
+        cur_start, last_ts, n = None, None, 0
+    closed = []
+    parts = [pdf for pdf in pdf_iter if len(pdf)]
+    if parts:
+        batch = pd.concat(parts).sort_values(["ts", "event_id"])
+        for ts_us in batch["ts"].astype("int64") // 1000:
+            ts_us = int(ts_us)
+            if n == 0:
+                cur_start, last_ts, n = ts_us, ts_us, 1
+            elif ts_us - last_ts > _SESSION_GAP_US:
+                closed.append((cur_start, last_ts, n))
+                cur_start, last_ts, n = ts_us, ts_us, 1
+            else:
+                last_ts, n = ts_us, n + 1
+    if n > 0:
+        state.update((cur_start, last_ts, n))
+        # Flush the trailing open session if no successor arrives within
+        # twice the gap of PROCESSING time (event-time watermark flushing
+        # needs EventTimeTimeout + a watermark; processing-time is the
+        # availableNow-friendly choice and the contract is documented).
+        state.setTimeoutDuration(2 * _SESSION_GAP_US // 1000)
+    for start, end, cnt in closed:
+        yield _row(start, end, cnt)
+
+
+def stream_session_windows(events: DataFrame) -> DataFrame:
+    """Closed-session stream: append-mode emission of each per-user
+    session (start, end, event count) the moment a later event proves
+    it over — the stateful pattern behind funnel/session analytics on
+    live streams, inexpressible with fixed windows because the close
+    condition depends on the NEXT event.
+
+    Sessions still open at the end of a run stay in state (flushed by a
+    processing-time timeout when the stream idles); the batch
+    sessionizer remains the authority for complete history.  Pinned:
+    the closed-session stream over time-ordered micro-batches equals
+    the batch session table minus each user's final (possibly-open)
+    session, row-exact on shared testdata.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", F.col("ts").cast("timestamp"), "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_windows_fn,
+            outputStructType=SESSION_WINDOW_SCHEMA,
+            stateStructType=_SESSION_WINDOW_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -306,3 +306,73 @@ def test_stream_sessionize_equals_batch_on_testdata(spark, tmp_path):
     assert last == batch
     # multiple micro-batches really fired (state carried, not recomputed)
     assert len(rows) > len(last)
+
+
+def test_stream_session_windows_closed_equals_batch_reference(spark, tmp_path):
+    """The closed-session append stream over three time-ordered
+    micro-batches equals an independent Python sessionization of the
+    same events MINUS each user's final (still-open) session — start,
+    end, and event count all row-exact."""
+    import os
+    import time
+
+    from etl_pipeline2_0_spark.streaming.windows import (
+        _SESSION_GAP_US,
+        stream_session_windows,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ordered = events.orderBy("ts", "event_id").collect()
+    third = len(ordered) // 3
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    for i, chunk in enumerate(
+        [ordered[:third], ordered[third: 2 * third], ordered[2 * third:]]
+    ):
+        d = os.path.join(src, f"b{i}")
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.parquet(d)
+        t = time.time() - 100 + i * 10
+        for root, _, files in os.walk(d):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (t, t))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        stream_session_windows(stream)
+        .writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+
+    # independent Python reference
+    per_user: dict = {}
+    for r in ordered:
+        ts_us = int(r["ts"].timestamp() * 1_000_000)
+        per_user.setdefault(r["user_id"], []).append(ts_us)
+    expected = set()
+    n_open = 0
+    for uid, tss in per_user.items():
+        sessions = []
+        start = last = tss[0]
+        n = 1
+        for ts in tss[1:]:
+            if ts - last > _SESSION_GAP_US:
+                sessions.append((uid, start, last, n))
+                start, n = ts, 0
+            last = ts
+            n += 1
+        n_open += 1  # the final session stays open in state
+        expected.update(sessions)
+    assert got == expected
+    assert len(expected) > 0  # non-vacuous: real closed sessions exist
