@@ -341,27 +341,17 @@ def test_stream_session_windows_closed_equals_batch_reference(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/b*")
     )
-    q = (
-        stream_session_windows(stream)
-        .writeStream.format("memory")
-        .queryName("closed_sessions")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    got = {
-        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-        for r in spark.sql("SELECT * FROM closed_sessions").collect()
-    }
-
-    # independent Python reference
+    # independent Python reference, computed FIRST so the stream wait
+    # can poll for the expected count: a query holding pending
+    # ProcessingTimeTimeout state NEVER self-terminates under
+    # availableNow (it stays alive to fire the flush timeouts), so
+    # awaitTermination would burn its full budget and leak an active
+    # query — poll the sink, then stop() explicitly.
     per_user: dict = {}
     for r in ordered:
         ts_us = int(r["ts"].timestamp() * 1_000_000)
         per_user.setdefault(r["user_id"], []).append(ts_us)
     expected = set()
-    n_open = 0
     for uid, tss in per_user.items():
         sessions = []
         start = last = tss[0]
@@ -372,7 +362,31 @@ def test_stream_session_windows_closed_equals_batch_reference(spark, tmp_path):
                 start, n = ts, 0
             last = ts
             n += 1
-        n_open += 1  # the final session stays open in state
         expected.update(sessions)
-    assert got == expected
     assert len(expected) > 0  # non-vacuous: real closed sessions exist
+
+    q = (
+        stream_session_windows(stream)
+        .writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if (
+                spark.sql("SELECT COUNT(*) FROM closed_sessions").first()[0]
+                >= len(expected)
+            ):
+                break
+            time.sleep(2)
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in spark.sql("SELECT * FROM closed_sessions").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
