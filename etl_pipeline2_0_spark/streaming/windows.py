@@ -248,7 +248,11 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
 
     Contract: per-user event-time order ACROSS batches (the
     incremental-ingest reality — logs land roughly time-ordered; batch
-    reprocessing remains the authority for out-of-order history).
+    reprocessing remains the authority for out-of-order history).  A
+    late-delivered earlier event UNDERCOUNTS: its gap against the
+    already-folded later event is negative, so it merges into the open
+    session instead of standing as its own past session
+    (negative-control pinned).
     Within a batch, rows fold in (ts, event_id) order regardless of
     arrival order.  The final update per user is row-exact with the
     batch ``q_sessionize`` output — pinned in

@@ -390,3 +390,74 @@ def test_stream_session_windows_closed_equals_batch_reference(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_sessionize_out_of_order_contract_documented(spark, tmp_path):
+    """Negative control for the documented in-order-per-user contract:
+    delivering a user's EARLIER event in a LATER batch UNDERCOUNTS
+    sessions vs the batch sessionizer — the late event's gap against
+    the already-folded later event is negative, so it merges into the
+    current session instead of standing as its own past session.
+    Proves the contract is load-bearing, not boilerplate.  Within a
+    single batch, order does NOT matter (the fold sorts)."""
+    import os
+    import time
+
+    from etl_pipeline2_0_spark.streaming.windows import stream_sessionize
+
+    from datetime import datetime
+
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    # user 1: two events 60 min apart (TWO sessions in batch
+    # semantics), delivered in reverse order across two micro-batches.
+    b1 = [(2, datetime(2024, 1, 1, 11, 0), 1)]
+    b2 = [(1, datetime(2024, 1, 1, 10, 0), 1)]
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    for i, b in enumerate([b1, b2]):
+        d = os.path.join(src, f"b{i}")
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(d)
+        t = time.time() - 100 + i * 10
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        stream_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("ooo_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    last = {}
+    for r in spark.sql("SELECT * FROM ooo_sessions").collect():
+        last[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    # batch semantics: 2 sessions; the out-of-order replay merges the
+    # late event into the open session — the documented divergence.
+    assert last[1] == (1, 2)
+    # same events in ONE batch (any file order): correct TWO sessions
+    src2 = str(tmp_path / "ev_one")
+    os.makedirs(src2)
+    spark.createDataFrame(b1 + b2, schema).coalesce(1).write.parquet(
+        os.path.join(src2, "all")
+    )
+    stream2 = (
+        spark.readStream.schema(schema).parquet(src2 + "/all")
+    )
+    q2 = (
+        stream_sessionize(stream2)
+        .writeStream.format("memory")
+        .queryName("one_batch_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM one_batch_sessions").collect()
+    assert {(r["n_sessions"], r["n_events"]) for r in rows} == {(2, 2)}
