@@ -121,18 +121,44 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # twice-green pair: gopher_audit (gopher_rules stays) and
     # dsir_sample (dsir_weights stays).  test_sql_registry.py re-pins
     # the representative set and the all-oracled invariant.
-    # --- holdovers collecting rows: r8 measured-quality metrics ---
-    "minhash_recall": (L.q_minhash_recall, L.SQL_MINHASH_RECALL),
-    "knn_accuracy": (L.q_knn_accuracy, L.SQL_KNN_ACCURACY),
-    "dup_cluster_stats": (L.q_dup_cluster_stats, L.SQL_DUP_CLUSTER_STATS),
-    # --- holdover: BPE tokenizer-training family anchor (first row r9) ---
-    "bpe_train_merges": (L.q_bpe_train_merges, L.SQL_BPE_TRAIN_MERGES),
-    # --- holdovers (promoted r11, green r11+r12): DSIR importance
-    #     resampling, the Gopher rule battery, PQ ADC top-k + measured
-    #     recall, CMS heavy hitters, Bloom decontamination, split-leakage
-    #     audit, CCNet perplexity terciles ---
-    "dsir_weights": (L.q_dsir_weights, L.SQL_DSIR_WEIGHTS),
-    "gopher_rules": (L.q_gopher_rules, L.SQL_GOPHER_RULES),
+    #
+    # ROUND-14 ROTATION (EXECUTED this round, as staged r13 — the staged
+    # note's header miscounted itself "EIGHTEEN"; the pool was and is
+    # TWENTY-ONE entries): promoted all 21 r13-added oracled entries
+    # (bitext_recall, tokenizer_compare, moore_lewis, ul2_mix,
+    # dataset_card, sft_pack, soft_dedup, dpo_pairs, ann_hubness,
+    # best_of_n, cluster_profile, simhash_recall, winnow_recall,
+    # dedup_manifest, jaccard_histogram, corpus_overlap,
+    # epoch_decay_curve, bloom_fpr_curve, cms_error_curve,
+    # lsh_geometry_sweep, shingle_df_histogram) in ONE wave — family
+    # coverage holds without a split because the pool itself carries
+    # anchors for every family it displaces.  Demoted twenty-one
+    # multi-green holdovers (green rounds in parentheses), families
+    # re-anchored: minhash_recall, knn_accuracy, dup_cluster_stats
+    # (r9-r13, five rows each — LSH quality anchored by in-window
+    # minhash_precision/band_efficiency + the promoted simhash_recall/
+    # winnow_recall/lsh_geometry_sweep; ANN quality by ann_pq_recall +
+    # the promoted bitext_recall/ann_hubness; dedup DQ by the promoted
+    # dedup_manifest/soft_dedup/jaccard_histogram + dataset_card's
+    # dup-rate section), bpe_train_merges (r9-r13 — the promoted
+    # tokenizer_compare composes the full BPE train+segment chain),
+    # dsir_weights, gopher_rules, split_leakage, ccnet_buckets
+    # (r11-r13 — selection gains moore_lewis, quality stays anchored by
+    # quality_classifier/gopher_repetition/kn_score/threshold_sweep,
+    # leakage DQ by dataset_card + domain_quality_rollup), and the
+    # thirteen twice-green r12 promotions dedup_substrings, dedup_lines,
+    # unimax_alloc, data_budget_plan (epoch_decay_curve sweeps its
+    # formula), quota_sample, c4_rules, zipf_stats, heaps_growth,
+    # pack_efficiency (packing anchored by the promoted sft_pack),
+    # domain_concentration (corpus_overlap reads the same inter-source
+    # structure), hist_quantiles, prototypicality (cluster_profile
+    # composes the same portable centroids + assignment),
+    # kcenter_coreset (semantic selection anchored by in-window
+    # mmr_select).  test_sql_registry.py re-pins the representative set
+    # and the all-oracled invariant.
+    # --- holdovers collecting rows (promoted r11, green r11-r13): PQ
+    #     ADC top-k + measured recall, CMS heavy hitters, Bloom
+    #     decontamination ---
     "ann_pq_topk": (L.q_ann_pq_topk, L.SQL_ANN_PQ_TOPK),
     "ann_pq_recall": (L.q_ann_pq_recall, L.SQL_ANN_PQ_RECALL),
     "cms_heavy_hitters": (L.q_cms_heavy_hitters, L.SQL_CMS_HEAVY_HITTERS),
@@ -140,58 +166,22 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_bloom_contamination,
         L.SQL_BLOOM_CONTAMINATION,
     ),
-    "split_leakage": (L.q_split_leakage, L.SQL_SPLIT_LEAKAGE),
-    "ccnet_buckets": (L.q_ccnet_buckets, L.SQL_CCNET_BUCKETS),
-    # --- first driver rows (promoted r12): exact-substring dedup
-    #     (Lee et al. 2022) — token-granular erasure of every cross-doc
-    #     duplicated 8-token run, the distributed k-gram formulation of
-    #     the paper's suffix-array scan; exact LINE dedup (MassiveText/
-    #     RefinedWeb boilerplate-line removal); PassJoin edit-distance
-    #     self-join (Li et al. 2011) ---
-    "dedup_substrings": (L.q_dedup_substrings, L.SQL_DEDUP_SUBSTRINGS),
-    "dedup_lines": (L.q_dedup_lines, L.SQL_DEDUP_LINES),
+    # --- holdovers collecting rows (promoted r12, green r12-r13):
+    #     PassJoin edit-distance self-join (Li et al. 2011); the
+    #     CCNet/LLaMA seed-trained quality classifier (hashed-unigram
+    #     NB log-odds); DoReMi EG reweighting (Xie et al. 2023); the
+    #     MassiveText repetition battery (Rae et al. 2021 Table A1,
+    #     repetition half); char/token Shannon entropy; lang-ID
+    #     confusion audit; BM25-mined contrastive retrieval pairs ---
     "edit_neardup": (L.q_edit_neardup, L.SQL_EDIT_NEARDUP),
-    # --- first driver rows (promoted r12): the CCNet/LLaMA seed-trained
-    #     quality classifier (hashed-unigram NB log-odds) and the
-    #     selection/mixing loop family — DoReMi EG reweighting (Xie et
-    #     al. 2023), UniMax epoch-capped waterfilling (Chung et al.
-    #     2023), the Muennighoff 2023 repeat-decay budget planner,
-    #     deterministic per-stratum quota sampling ---
     "quality_classifier": (
         L.q_quality_classifier,
         L.SQL_QUALITY_CLASSIFIER,
     ),
     "doremi_weights": (L.q_doremi_weights, L.SQL_DOREMI_WEIGHTS),
-    "unimax_alloc": (L.q_unimax_alloc, L.SQL_UNIMAX_ALLOC),
-    "data_budget_plan": (L.q_data_budget_plan, L.SQL_DATA_BUDGET_PLAN),
-    "quota_sample": (L.q_quota_sample, L.SQL_QUOTA_SAMPLE),
-    # --- first driver rows (promoted r12): the C4 cleaning battery
-    #     (Raffel et al. 2020 §2.2) and the MassiveText repetition
-    #     battery (Rae et al. 2021 Table A1, repetition half) over a
-    #     deterministically-dirtied corpus ---
-    "c4_rules": (L.q_c4_rules, L.SQL_C4_RULES),
     "gopher_repetition": (L.q_gopher_repetition, L.SQL_GOPHER_REPETITION),
-    # --- first driver rows (promoted r12): corpus observability —
-    #     Zipf rank-frequency slope, Heaps'-law vocab growth, char/token
-    #     Shannon entropy, lang-ID confusion audit, packing waste audit,
-    #     domain concentration (HHI/entropy/Gini), mergeable
-    #     histogram-sketch quantiles ---
-    "zipf_stats": (L.q_zipf_stats, L.SQL_ZIPF_STATS),
-    "heaps_growth": (L.q_heaps_growth, L.SQL_HEAPS_GROWTH),
     "entropy_stats": (L.q_entropy_stats, L.SQL_ENTROPY_STATS),
     "langid_confusion": (L.q_langid_confusion, L.SQL_LANGID_CONFUSION),
-    "pack_efficiency": (L.q_pack_efficiency, L.SQL_PACK_EFFICIENCY),
-    "domain_concentration": (
-        L.q_domain_concentration,
-        L.SQL_DOMAIN_CONCENTRATION,
-    ),
-    "hist_quantiles": (L.q_hist_quantiles, L.SQL_HIST_QUANTILES),
-    # --- first driver rows (promoted r12): embedding-space selection —
-    #     D4 prototype pruning over IVF clusters (Tirumala et al. 2023),
-    #     greedy farthest-point k-center coreset (Gonzalez 1985), and
-    #     BM25-mined contrastive retrieval training pairs ---
-    "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
-    "kcenter_coreset": (L.q_kcenter_coreset, L.SQL_KCENTER_CORESET),
     "retrieval_pairs": (L.q_retrieval_pairs, L.SQL_RETRIEVAL_PAIRS),
     # --- first driver rows (promoted r13): LSH dedup precision — the
     #     complement of minhash_recall (what a destructive dedup would
@@ -266,7 +256,138 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     reconstruction-error accounting; emits the unrounded scale
     #     (advisor-r12 fix) ---
     "embed_quantize": (L.q_embed_quantize, L.SQL_EMBED_QUANTIZE),
+    # === PROMOTED r14: the 21 r13-added oracled entries collect
+    #     their first external driver rows (all sf0.001+sf0.01
+    #     parity-proven locally since r13) ===
+    # --- promoted r14 (added r13): mined-pair recall of the IVF-fed
+    #     bitext path (the 100 TB configuration — cluster-scoped
+    #     candidate equi-joins, never the cross product) vs the exact
+    #     all-pairs path; fully oracled via the md5-portable coarse
+    #     quantizer ---
+    "bitext_recall": (L.q_bitext_recall, L.SQL_BITEXT_RECALL),
+    # --- promoted r14 (added r13): the tokenizer
+    #     decision table — per-source fertility + OOV rate for BPE vs
+    #     unigram-LM trained on the same corpus under the same word
+    #     tokenization, with the fertility delta; one shared occurrence
+    #     aggregate against both trained segmentation tables ---
+    "tokenizer_compare": (L.q_tokenizer_compare, L.SQL_TOKENIZER_COMPARE),
+    # --- promoted r14 (added r13): Moore-Lewis 2010
+    #     cross-entropy-difference selection — in-domain vs general
+    #     char-bigram LM score delta, the perplexity-space complement
+    #     of the DSIR hashed-feature importance pair ---
+    "moore_lewis": (L.q_moore_lewis, L.SQL_MOORE_LEWIS),
+    # --- promoted r14 (added r13): UL2 mixture-of-
+    #     denoisers (Tay et al. 2022) — hash-assigned R/X/S paradigms
+    #     composing span_corrupt at two densities plus a prefix-LM
+    #     split, paradigm tokens prepended ---
+    "ul2_mix": (L.q_ul2_mix, L.SQL_UL2_MIX),
+    # --- promoted r14 (added r13): datasheet-style
+    #     report card (Gebru et al. 2021) — volume / length quantiles /
+    #     exact-dup rate / language+source shares / mean quality as one
+    #     tidy frame; one narrow projection + four bounded aggregates ---
+    "dataset_card": (L.q_dataset_card, L.SQL_DATASET_CARD),
+    # --- promoted r14 (added r13): SFT packing with
+    #     loss-mask accounting — hash-cut (prompt, response) examples
+    #     packed per source, masked vs loss-bearing token split per
+    #     pack ---
+    "sft_pack": (L.q_sft_pack, L.SQL_SFT_PACK),
+    # --- promoted r14 (added r13): soft dedup — the
+    #     reweighting alternative to hard near-dedup (1/cluster_size
+    #     sampling weights over the dup_components Jaccard graph, exact
+    #     integer effective-mass accounting) ---
+    "soft_dedup": (L.q_soft_dedup, L.SQL_SOFT_DEDUP),
+    # --- promoted r14 (added r13): DPO preference-pair
+    #     construction — per pseudo-prompt group argmax/argmin of a
+    #     lexical-diversity score with a margin floor; one max/min-struct
+    #     hash aggregate, no window ---
+    "dpo_pairs": (L.q_dpo_pairs, L.SQL_DPO_PAIRS),
+    # --- promoted r14 (added r13): k-occurrence hubness
+    #     audit of the portable IVF index (Radovanović 2010) — top hub
+    #     vectors + antihub dead-zone fraction, every other vector as a
+    #     query ---
+    "ann_hubness": (L.q_ann_hubness, L.SQL_ANN_HUBNESS),
+    # --- promoted r14 (added r13): best-of-N rejection
+    #     sampling — dpo_pairs' grouping/scoring with the top-3 kept
+    #     (rnk 1 ≡ dpo chosen, shared tiebreak) ---
+    "best_of_n": (L.q_best_of_n, L.SQL_BEST_OF_N),
+    # --- promoted r14 (added r13): embedding-space
+    #     composition per portable-centroid cluster — corpus share +
+    #     label dominance (SemDeDup/DCLM cluster analysis) ---
+    "cluster_profile": (L.q_cluster_profile, L.SQL_CLUSTER_PROFILE),
+    # --- promoted r14 (added r13): SimHash recall vs
+    #     exact Jaccard truth — closes the quality-metric asymmetry with
+    #     the MinHash family (same %2 subset, same truth set) ---
+    "simhash_recall": (L.q_simhash_recall, L.SQL_SIMHASH_RECALL),
+    # --- promoted r14 (added r13): winnowing recall vs
+    #     the same exact-Jaccard truth — the THIRD fingerprint family on
+    #     the identical truth set (verbatim-run screen vs token near-dup
+    #     truth; the gap is the measurement) ---
+    "winnow_recall": (L.q_winnow_recall, L.SQL_WINNOW_RECALL),
+    # --- promoted r14 (added r13): deletion lineage of
+    #     the layered exact→near dedup run — (dropped, keeper, reason),
+    #     the audit artifact shipped next to a deduped corpus ---
+    "dedup_manifest": (L.q_dedup_manifest, L.SQL_DEDUP_MANIFEST),
+    # --- promoted r14 (added r13): Jaccard bin
+    #     histogram over the candidate-pair stream — the threshold-
+    #     tuning cliff curve ---
+    "jaccard_histogram": (L.q_jaccard_histogram, L.SQL_JACCARD_HISTOGRAM),
+    # --- promoted r14 (added r13): cross-source shingle
+    #     containment matrix — inter-source duplication read before
+    #     mixing corpora ---
+    "corpus_overlap": (L.q_corpus_overlap, L.SQL_CORPUS_OVERLAP),
+    # --- promoted r14 (added r13): the repeat-epoch
+    #     effective-token CURVE (data_budget_plan's formula swept over
+    #     1/2/4/8/16 epochs) ---
+    "epoch_decay_curve": (L.q_epoch_decay_curve, L.SQL_EPOCH_DECAY_CURVE),
+    # --- promoted r14 (added r13): measured Bloom sizing
+    #     table — realized FPR + fill at four widths on the actual key
+    #     distribution, one md5 per (row, key) re-bucketed per width ---
+    "bloom_fpr_curve": (L.q_bloom_fpr_curve, L.SQL_BLOOM_FPR_CURVE),
+    # --- promoted r14 (added r13): measured CMS sizing
+    #     table over the shingle stream — realized overestimate
+    #     distribution at three widths, sketch built from the exact
+    #     count table (identical arithmetic, |vocab|-grain sweep) ---
+    "cms_error_curve": (L.q_cms_error_curve, L.SQL_CMS_ERROR_CURVE),
+    # --- promoted r14 (added r13): LSH band-geometry
+    #     tuning table — candidate volume, recall, and candidate-stream
+    #     precision per (bands×rows) split of a fixed 16-hash budget,
+    #     all on the same exact-Jaccard truth ---
+    "lsh_geometry_sweep": (L.q_lsh_geometry_sweep, L.SQL_LSH_GEOMETRY_SWEEP),
+    # --- promoted r14 (added r13): shingle doc-freq
+    #     histogram on power-of-two buckets — the evidence the
+    #     max_doc_freq caps and CMS width are tuned against ---
+    "shingle_df_histogram": (
+        L.q_shingle_df_histogram,
+        L.SQL_SHINGLE_DF_HISTOGRAM,
+    ),
     # ---------- driver 50-query window ends here ----------
+    # --- demoted r14 (see ROUND-14 ROTATION note above): twenty-one
+    #     multi-green holdovers; every one re-proven locally each
+    #     session by the default sf0.001+sf0.1 parity suites ---
+    "minhash_recall": (L.q_minhash_recall, L.SQL_MINHASH_RECALL),
+    "knn_accuracy": (L.q_knn_accuracy, L.SQL_KNN_ACCURACY),
+    "dup_cluster_stats": (L.q_dup_cluster_stats, L.SQL_DUP_CLUSTER_STATS),
+    "bpe_train_merges": (L.q_bpe_train_merges, L.SQL_BPE_TRAIN_MERGES),
+    "dsir_weights": (L.q_dsir_weights, L.SQL_DSIR_WEIGHTS),
+    "gopher_rules": (L.q_gopher_rules, L.SQL_GOPHER_RULES),
+    "split_leakage": (L.q_split_leakage, L.SQL_SPLIT_LEAKAGE),
+    "ccnet_buckets": (L.q_ccnet_buckets, L.SQL_CCNET_BUCKETS),
+    "dedup_substrings": (L.q_dedup_substrings, L.SQL_DEDUP_SUBSTRINGS),
+    "dedup_lines": (L.q_dedup_lines, L.SQL_DEDUP_LINES),
+    "unimax_alloc": (L.q_unimax_alloc, L.SQL_UNIMAX_ALLOC),
+    "data_budget_plan": (L.q_data_budget_plan, L.SQL_DATA_BUDGET_PLAN),
+    "quota_sample": (L.q_quota_sample, L.SQL_QUOTA_SAMPLE),
+    "c4_rules": (L.q_c4_rules, L.SQL_C4_RULES),
+    "zipf_stats": (L.q_zipf_stats, L.SQL_ZIPF_STATS),
+    "heaps_growth": (L.q_heaps_growth, L.SQL_HEAPS_GROWTH),
+    "pack_efficiency": (L.q_pack_efficiency, L.SQL_PACK_EFFICIENCY),
+    "domain_concentration": (
+        L.q_domain_concentration,
+        L.SQL_DOMAIN_CONCENTRATION,
+    ),
+    "hist_quantiles": (L.q_hist_quantiles, L.SQL_HIST_QUANTILES),
+    "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
+    "kcenter_coreset": (L.q_kcenter_coreset, L.SQL_KCENTER_CORESET),
     # --- demoted r12 (see rotation note above): twenty thrice-green
     #     r8/r9 holdovers; every one re-proven locally each session by
     #     the default sf0.001+sf0.1 parity suites ---
@@ -313,135 +434,6 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
     "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
     "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
-    # ROUND-14 ROTATION (STAGED — execute next round): EIGHTEEN
-    # promotions, the r13-added oracled entries below (bitext_recall,
-    # tokenizer_compare, moore_lewis, ul2_mix, dataset_card, sft_pack,
-    # soft_dedup, dpo_pairs, ann_hubness, best_of_n, cluster_profile,
-    # simhash_recall, winnow_recall, dedup_manifest, jaccard_histogram,
-    # corpus_overlap, epoch_decay_curve, bloom_fpr_curve,
-    # cms_error_curve, lsh_geometry_sweep, shingle_df_histogram)
-    # — all sf0.001+sf0.01 parity-proven, zero driver
-    # rows.  If twelve-for-twelve crowds the window's family coverage,
-    # promote in two waves (the oldest first) and keep the rest
-    # staged for r15.  Demote up to twenty-one multi-green holdovers,
-    # keeping family anchors: candidates in
-    # green-row order are minhash_recall (r9-r13 after the r13 window
-    # goes green — LSH quality anchored by the promoted precision/
-    # band_efficiency + minhash_decontam), knn_accuracy AND
-    # dup_cluster_stats (r9-r13 — ANN anchored by the PQ pair +
-    # mmr_select/embed_quantize, dedup DQ by the dup-family rows +
-    # dataset_card's dup-rate section), bpe_train_merges ONLY if
-    # tokenizer_compare promotes (it composes the full BPE chain), and
-    # the twice-green r11 survivors (dsir_weights — its family gains
-    # moore_lewis — plus gopher_rules / split_leakage / ccnet_buckets /
-    # c4_rules as needed, quality anchored by the repetition batteries +
-    # quality_classifier + the promoted kn_score/threshold_sweep,
-    # packing gaining sft_pack, dedup DQ gaining soft_dedup, LSH/fingerprint
-    # quality gaining simhash_recall + winnow_recall, and the ANN family gaining
-    # ann_hubness + cluster_profile).
-    # test_sql_registry.py re-pins after the reorder.
-    #
-    # --- added r13 (past-cap; r14 promotion pool): mined-pair recall of
-    #     the IVF-fed bitext path (the 100 TB configuration — cluster-
-    #     scoped candidate equi-joins, never the cross product) vs the
-    #     exact all-pairs path; fully oracled via the md5-portable
-    #     coarse quantizer ---
-    "bitext_recall": (L.q_bitext_recall, L.SQL_BITEXT_RECALL),
-    # --- added r13 (past-cap; r14 promotion pool): the tokenizer
-    #     decision table — per-source fertility + OOV rate for BPE vs
-    #     unigram-LM trained on the same corpus under the same word
-    #     tokenization, with the fertility delta; one shared occurrence
-    #     aggregate against both trained segmentation tables ---
-    "tokenizer_compare": (L.q_tokenizer_compare, L.SQL_TOKENIZER_COMPARE),
-    # --- added r13 (past-cap; r14 promotion pool): Moore-Lewis 2010
-    #     cross-entropy-difference selection — in-domain vs general
-    #     char-bigram LM score delta, the perplexity-space complement
-    #     of the DSIR hashed-feature importance pair ---
-    "moore_lewis": (L.q_moore_lewis, L.SQL_MOORE_LEWIS),
-    # --- added r13 (past-cap; r14 promotion pool): UL2 mixture-of-
-    #     denoisers (Tay et al. 2022) — hash-assigned R/X/S paradigms
-    #     composing span_corrupt at two densities plus a prefix-LM
-    #     split, paradigm tokens prepended ---
-    "ul2_mix": (L.q_ul2_mix, L.SQL_UL2_MIX),
-    # --- added r13 (past-cap; r14 promotion pool): datasheet-style
-    #     report card (Gebru et al. 2021) — volume / length quantiles /
-    #     exact-dup rate / language+source shares / mean quality as one
-    #     tidy frame; one narrow projection + four bounded aggregates ---
-    "dataset_card": (L.q_dataset_card, L.SQL_DATASET_CARD),
-    # --- added r13 (past-cap; r14 promotion pool): SFT packing with
-    #     loss-mask accounting — hash-cut (prompt, response) examples
-    #     packed per source, masked vs loss-bearing token split per
-    #     pack ---
-    "sft_pack": (L.q_sft_pack, L.SQL_SFT_PACK),
-    # --- added r13 (past-cap; r14 promotion pool): soft dedup — the
-    #     reweighting alternative to hard near-dedup (1/cluster_size
-    #     sampling weights over the dup_components Jaccard graph, exact
-    #     integer effective-mass accounting) ---
-    "soft_dedup": (L.q_soft_dedup, L.SQL_SOFT_DEDUP),
-    # --- added r13 (past-cap; r14 promotion pool): DPO preference-pair
-    #     construction — per pseudo-prompt group argmax/argmin of a
-    #     lexical-diversity score with a margin floor; one max/min-struct
-    #     hash aggregate, no window ---
-    "dpo_pairs": (L.q_dpo_pairs, L.SQL_DPO_PAIRS),
-    # --- added r13 (past-cap; r14 promotion pool): k-occurrence hubness
-    #     audit of the portable IVF index (Radovanović 2010) — top hub
-    #     vectors + antihub dead-zone fraction, every other vector as a
-    #     query ---
-    "ann_hubness": (L.q_ann_hubness, L.SQL_ANN_HUBNESS),
-    # --- added r13 (past-cap; r14 promotion pool): best-of-N rejection
-    #     sampling — dpo_pairs' grouping/scoring with the top-3 kept
-    #     (rnk 1 ≡ dpo chosen, shared tiebreak) ---
-    "best_of_n": (L.q_best_of_n, L.SQL_BEST_OF_N),
-    # --- added r13 (past-cap; r14 promotion pool): embedding-space
-    #     composition per portable-centroid cluster — corpus share +
-    #     label dominance (SemDeDup/DCLM cluster analysis) ---
-    "cluster_profile": (L.q_cluster_profile, L.SQL_CLUSTER_PROFILE),
-    # --- added r13 (past-cap; r14 promotion pool): SimHash recall vs
-    #     exact Jaccard truth — closes the quality-metric asymmetry with
-    #     the MinHash family (same %2 subset, same truth set) ---
-    "simhash_recall": (L.q_simhash_recall, L.SQL_SIMHASH_RECALL),
-    # --- added r13 (past-cap; r14 promotion pool): winnowing recall vs
-    #     the same exact-Jaccard truth — the THIRD fingerprint family on
-    #     the identical truth set (verbatim-run screen vs token near-dup
-    #     truth; the gap is the measurement) ---
-    "winnow_recall": (L.q_winnow_recall, L.SQL_WINNOW_RECALL),
-    # --- added r13 (past-cap; r14 promotion pool): deletion lineage of
-    #     the layered exact→near dedup run — (dropped, keeper, reason),
-    #     the audit artifact shipped next to a deduped corpus ---
-    "dedup_manifest": (L.q_dedup_manifest, L.SQL_DEDUP_MANIFEST),
-    # --- added r13 (past-cap; r14 promotion pool): Jaccard bin
-    #     histogram over the candidate-pair stream — the threshold-
-    #     tuning cliff curve ---
-    "jaccard_histogram": (L.q_jaccard_histogram, L.SQL_JACCARD_HISTOGRAM),
-    # --- added r13 (past-cap; r14 promotion pool): cross-source shingle
-    #     containment matrix — inter-source duplication read before
-    #     mixing corpora ---
-    "corpus_overlap": (L.q_corpus_overlap, L.SQL_CORPUS_OVERLAP),
-    # --- added r13 (past-cap; r14 promotion pool): the repeat-epoch
-    #     effective-token CURVE (data_budget_plan's formula swept over
-    #     1/2/4/8/16 epochs) ---
-    "epoch_decay_curve": (L.q_epoch_decay_curve, L.SQL_EPOCH_DECAY_CURVE),
-    # --- added r13 (past-cap; r14 promotion pool): measured Bloom sizing
-    #     table — realized FPR + fill at four widths on the actual key
-    #     distribution, one md5 per (row, key) re-bucketed per width ---
-    "bloom_fpr_curve": (L.q_bloom_fpr_curve, L.SQL_BLOOM_FPR_CURVE),
-    # --- added r13 (past-cap; r14 promotion pool): measured CMS sizing
-    #     table over the shingle stream — realized overestimate
-    #     distribution at three widths, sketch built from the exact
-    #     count table (identical arithmetic, |vocab|-grain sweep) ---
-    "cms_error_curve": (L.q_cms_error_curve, L.SQL_CMS_ERROR_CURVE),
-    # --- added r13 (past-cap; r14 promotion pool): LSH band-geometry
-    #     tuning table — candidate volume, recall, and candidate-stream
-    #     precision per (bands×rows) split of a fixed 16-hash budget,
-    #     all on the same exact-Jaccard truth ---
-    "lsh_geometry_sweep": (L.q_lsh_geometry_sweep, L.SQL_LSH_GEOMETRY_SWEEP),
-    # --- added r13 (past-cap; r14 promotion pool): shingle doc-freq
-    #     histogram on power-of-two buckets — the evidence the
-    #     max_doc_freq caps and CMS width are tuned against ---
-    "shingle_df_histogram": (
-        L.q_shingle_df_histogram,
-        L.SQL_SHINGLE_DF_HISTOGRAM,
-    ),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10

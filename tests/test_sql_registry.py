@@ -88,55 +88,64 @@ def test_driver_window_covers_every_query_family():
 
     window = set(list(_AQ)[:50])
     representatives = {
-        # dedup family: measured recall/precision/band-efficiency +
-        # cluster DQ, exact substring/line dedup (Lee 2022 /
-        # MassiveText), PassJoin edit-distance, cross-corpus MinHash
-        # decontamination (portable-twin pair + keep-best/components
-        # rotated out r13 with 4+ green rows)
-        "minhash_recall", "minhash_precision", "minhash_band_efficiency",
-        "dup_cluster_stats", "dedup_substrings", "dedup_lines",
-        "edit_neardup", "minhash_decontam",
-        # similarity / ANN: PQ + measured recall, D4 prototypicality
-        # (portable IVF centroids + assignment), k-center coreset, MMR
-        # diverse selection, margin bitext mining, int8 quantization;
-        # kNN via knn_accuracy (ann_recall rotated out r13, 5 rows —
-        # LSH-vs-exact recall re-anchored by minhash_recall/precision)
-        "ann_pq_topk", "ann_pq_recall", "knn_accuracy",
-        "prototypicality", "kcenter_coreset", "mmr_select",
-        "bitext_mine", "embed_quantize",
-        # text analysis / corpus quality / tokenizer training+apply
-        # (pii_redact/corpus_filter rotated out r13 with 9 green rows;
-        # quality anchored by the Gopher/C4/repetition batteries, the
-        # seed-trained classifier, KN LM scoring, trained lang-ID, the
-        # threshold calibration sweep and the per-domain rollup)
-        "gopher_rules", "ccnet_buckets", "c4_rules", "gopher_repetition",
-        "quality_classifier", "entropy_stats", "langid_confusion",
-        "kn_score", "langid_rank", "threshold_sweep",
-        "domain_quality_rollup",
-        # tokenizers: BPE training anchor + the full unigram-LM family
-        # (segment/encode/fertility for BPE rotated out r13 with 3 green
-        # rows — the unigram rows exercise the same apply surface)
-        "bpe_train_merges", "unigram_train", "unigram_segment_words",
-        "unigram_fertility", "unigram_encode_docs",
-        # data selection / mixing-optimization loops (DSIR, DoReMi,
-        # UniMax, repeat-decay budgets, quota sampling)
-        "dsir_weights", "doremi_weights", "unimax_alloc",
-        "data_budget_plan", "quota_sample",
-        # frequency/membership/quantile sketches
-        "cms_heavy_hitters", "bloom_contamination", "hist_quantiles",
+        # dedup family: LSH precision/band-efficiency + the SimHash and
+        # winnowing recall rows on the shared exact-Jaccard truth,
+        # PassJoin edit-distance, cross-corpus MinHash decontamination,
+        # deletion lineage + soft-dedup reweighting + the Jaccard
+        # threshold histogram (minhash_recall / dup_cluster_stats /
+        # dedup_substrings / dedup_lines rotated out r14 with 3-5 green
+        # rows each)
+        "minhash_precision", "minhash_band_efficiency", "edit_neardup",
+        "minhash_decontam", "simhash_recall", "winnow_recall",
+        "dedup_manifest", "soft_dedup", "jaccard_histogram",
+        # LSH/sketch calibration: measured band-geometry sweep, Bloom
+        # FPR curve, CMS overestimate curve, shingle doc-freq histogram
+        "lsh_geometry_sweep", "bloom_fpr_curve", "cms_error_curve",
+        "shingle_df_histogram",
+        # similarity / ANN: PQ + measured recall, MMR diverse selection,
+        # margin bitext mining + measured IVF-path recall, int8
+        # quantization, hubness audit, cluster composition profile
+        # (knn_accuracy / prototypicality / kcenter_coreset rotated out
+        # r14 — semantic selection anchored by mmr_select +
+        # cluster_profile)
+        "ann_pq_topk", "ann_pq_recall", "mmr_select", "bitext_mine",
+        "bitext_recall", "embed_quantize", "ann_hubness",
+        "cluster_profile",
+        # text analysis / corpus quality (gopher_rules / c4_rules /
+        # ccnet_buckets rotated out r14 — quality anchored by the
+        # repetition battery, the seed-trained classifier, KN LM
+        # scoring, trained lang-ID, the threshold calibration sweep and
+        # the per-domain rollup)
+        "gopher_repetition", "quality_classifier", "entropy_stats",
+        "langid_confusion", "kn_score", "langid_rank",
+        "threshold_sweep", "domain_quality_rollup",
+        # tokenizers: the full unigram-LM family + the BPE-vs-unigram
+        # decision table (bpe_train_merges rotated out r14 —
+        # tokenizer_compare composes the full BPE train+segment chain)
+        "unigram_train", "unigram_segment_words", "unigram_fertility",
+        "unigram_encode_docs", "tokenizer_compare",
+        # data selection / mixing (dsir_weights / unimax_alloc /
+        # data_budget_plan / quota_sample rotated out r14 — anchored by
+        # DoReMi, Moore-Lewis cross-entropy selection, the repeat-epoch
+        # decay curve sweeping data_budget_plan's formula, and the
+        # cross-source overlap matrix)
+        "doremi_weights", "moore_lewis", "epoch_decay_curve",
+        "corpus_overlap",
+        # frequency/membership sketches
+        "cms_heavy_hitters", "bloom_contamination",
         # retrieval (the full BM25 chain exercised by the contrastive-
-        # pairs miner; sentence-integral chunking; Contriever crops —
-        # phrase_match rotated out r13 with 3 green rows)
+        # pairs miner; sentence-integral chunking; Contriever crops)
         "retrieval_pairs", "sentence_chunk", "crop_pairs",
-        # example construction / packing (span corruption + FIM promoted
-        # r13; temperature_mix_weights rotated out r13 — mixing anchored
-        # by the selection loops above, packing by pack_efficiency)
-        "span_corrupt", "fim_transform", "pack_efficiency",
-        # DQ / observability (snapshot_diff/embedding_drift_psi rotated
-        # out r13 with 4/3 green rows; DQ stays anchored by the leakage/
-        # confusion/concentration/corpus-shape rows)
-        "split_leakage", "langid_confusion", "domain_concentration",
-        "zipf_stats", "heaps_growth",
+        # example construction / packing (pack_efficiency rotated out
+        # r14 — packing anchored by SFT packing with loss masks; plus
+        # UL2 mixture, DPO pairs, best-of-N)
+        "span_corrupt", "fim_transform", "ul2_mix", "sft_pack",
+        "dpo_pairs", "best_of_n",
+        # DQ / observability (split_leakage / domain_concentration /
+        # zipf_stats / heaps_growth rotated out r14 — anchored by the
+        # datasheet-style report card + the per-domain rollup +
+        # confusion audit above)
+        "dataset_card",
     }
     missing = representatives - window
     assert not missing, f"families outside the driver window: {sorted(missing)}"
