@@ -2104,6 +2104,15 @@ def lsh_geometry_sweep(
     re-shingling) through the capped banded equi-join, and contributes
     one aggregated row.
     """
+    # Over-budget geometries would F.slice past the signature length and
+    # silently band truncated/empty slices (wrong rows, engine-divergent
+    # vs the generated twin) — fail loudly instead.
+    for bands, rpb in geometries:
+        if bands * rpb > num_hashes:
+            raise ValueError(
+                f"geometry ({bands}x{rpb}) exceeds the signature budget "
+                f"num_hashes={num_hashes}"
+            )
     sigs = minhash_signatures(
         df, text_col, id_col, k, num_hashes, portable=True
     ).localCheckpoint(eager=False)

@@ -219,9 +219,12 @@ def _write_fim_examples(
                 ),
             )
         )
+        # Null-safe: a NULL reconstruction (e.g. NULL fim_text making the
+        # concat NULL) must COUNT as a violation — plain `!=` evaluates
+        # to NULL and would silently drop the row from the bad count.
         bad = (
             ex.join(orig, "doc_id")
-            .where(rec != F.coalesce(F.col("_orig"), F.lit("")))
+            .where(~rec.eqNullSafe(F.coalesce(F.col("_orig"), F.lit(""))))
             .count()
         )
         if bad:

@@ -207,38 +207,59 @@ _SESSION_STATE_SCHEMA = "n_sessions bigint, last_ts bigint, n_events bigint"
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
-def _sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame], state):
-    """Per-user session folding continued across micro-batches: the
-    30-minute-gap boundary rule of the batch ``q_sessionize`` operator,
-    with (session count, last event timestamp, event count) carried in
-    GroupState.  Rows within a batch fold in (ts, event_id) order."""
-    (user_id,) = key
-    if state.exists:
-        n_sessions, last_ts, n_events = state.get
-    else:
-        n_sessions, last_ts, n_events = 0, 0, 0
-    parts = [pdf for pdf in pdf_iter if len(pdf)]
-    if parts:
-        batch = pd.concat(parts).sort_values(["ts", "event_id"])
-        for ts_us in batch["ts"].astype("int64") // 1000:
-            ts_us = int(ts_us)
-            if n_events == 0:
-                n_sessions = 1
-            elif ts_us - last_ts > _SESSION_GAP_US:
-                n_sessions += 1
-            last_ts = ts_us
-            n_events += 1
-        state.update((n_sessions, last_ts, n_events))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_sessions": [n_sessions],
-            "n_events": [n_events],
-        }
-    )
+def _make_sessionize_fn(idle_timeout_ms: "int | None"):
+    """Build the per-user session fold (closure-captured TTL so the
+    worker-side re-import of this module can't lose the setting)."""
+
+    def _sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame], state):
+        """Per-user session folding continued across micro-batches: the
+        30-minute-gap boundary rule of the batch ``q_sessionize``
+        operator, with (session count, last event timestamp, event
+        count) carried in GroupState.  Rows within a batch fold in
+        (ts, event_id) order."""
+        (user_id,) = key
+        if state.hasTimedOut:
+            # Idle-user eviction (opt-in TTL): the cumulative counts
+            # were already emitted with the user's last event; drop the
+            # state row and emit nothing.  A later event restarts the
+            # fold from zero — the TTL caller accepts that by
+            # definition (the batch operator remains the authority for
+            # complete history).
+            if state.exists:
+                state.remove()
+            return
+        if state.exists:
+            n_sessions, last_ts, n_events = state.get
+        else:
+            n_sessions, last_ts, n_events = 0, 0, 0
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if parts:
+            batch = pd.concat(parts).sort_values(["ts", "event_id"])
+            for ts_us in batch["ts"].astype("int64") // 1000:
+                ts_us = int(ts_us)
+                if n_events == 0:
+                    n_sessions = 1
+                elif ts_us - last_ts > _SESSION_GAP_US:
+                    n_sessions += 1
+                last_ts = ts_us
+                n_events += 1
+            state.update((n_sessions, last_ts, n_events))
+            if idle_timeout_ms:
+                state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return _sessionize_fn
 
 
-def stream_sessionize(events: DataFrame) -> DataFrame:
+def stream_sessionize(
+    events: DataFrame, idle_timeout_ms: "int | None" = None
+) -> DataFrame:
     """Stateful streaming sessionization via ``applyInPandasWithState``:
     the batch lag+cumsum sessionizer re-expressed as an incremental
     per-user fold whose boundary state (last event time, session count)
@@ -258,6 +279,15 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
     batch ``q_sessionize`` output — pinned in
     tests/test_streaming_windows.py against the oracled batch operator
     on the shared testdata.
+
+    State TTL: by default per-user GroupState is kept forever (exact
+    counts for every user, state-store size ∝ live user cardinality —
+    fine for bounded keyspaces, unbounded growth on a long-running
+    query over an open one).  Pass ``idle_timeout_ms`` to evict users
+    idle for that much PROCESSING time: their cumulative counts were
+    already emitted, but a user returning after eviction restarts from
+    zero — choose a TTL comfortably above the real inter-visit gap, and
+    treat the batch operator as the authority for complete history.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -265,11 +295,15 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
         events.select("user_id", F.col("ts").cast("timestamp"), "event_id")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_fn,
+            _make_sessionize_fn(idle_timeout_ms),
             outputStructType=SESSION_STATS_SCHEMA,
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -345,6 +379,20 @@ def stream_session_windows(events: DataFrame) -> DataFrame:
     the closed-session stream over time-ordered micro-batches equals
     the batch session table minus each user's final (possibly-open)
     session, row-exact on shared testdata.
+
+    Stall caveat (load-bearing): the open-session flush fires on 2×-gap
+    PROCESSING time, not event time.  During an ingest stall or backlog
+    (no micro-batch for >2× the gap while events keep accruing
+    upstream), a genuinely continuous EVENT-time session can be flushed
+    as closed and then restarted by its next event — one session
+    double-counted.  The 'batch minus final session' equality therefore
+    holds only while ingest keeps pace (the pinned test polls before
+    timeouts fire).  Where append-stream exactness under lag matters,
+    run with an event-time watermark variant (EventTimeTimeout keyed to
+    ``max_event_ts + gap``) or reconcile against the batch sessionizer;
+    processing-time is the availableNow-friendly default here because
+    availableNow drains and idles, which is exactly when the flush
+    SHOULD fire.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

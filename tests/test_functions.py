@@ -4497,3 +4497,15 @@ def test_shingle_df_histogram_conserves_postings(spark, sf_dir):
     assert sum(r["n_postings"] for r in rows) == sh.count()
     for r in rows:
         assert r["df_bucket_lo"] <= r["max_df"] < 2 * r["df_bucket_lo"]
+
+
+def test_lsh_geometry_sweep_rejects_over_budget_geometry(spark, sf_dir):
+    """A (bands x rows_per_band) split that exceeds num_hashes must fail
+    loudly: F.slice would otherwise band truncated/empty signature
+    slices — silently wrong sweep rows in Spark while the generated
+    DuckDB twin errors on missing s{n} columns (advisor-r13 finding)."""
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").limit(5)
+    with pytest.raises(ValueError, match="exceeds the signature budget"):
+        dedup.lsh_geometry_sweep(
+            docs, num_hashes=16, geometries=((8, 4), (4, 4))
+        )

@@ -461,3 +461,73 @@ def test_stream_sessionize_out_of_order_contract_documented(spark, tmp_path):
     q2.awaitTermination(120)
     rows = spark.sql("SELECT * FROM one_batch_sessions").collect()
     assert {(r["n_sessions"], r["n_events"]) for r in rows} == {(2, 2)}
+
+
+def test_stream_sessionize_idle_ttl_wiring(spark, tmp_path):
+    """The opt-in idle-user TTL (advisor-r13): with ``idle_timeout_ms``
+    set, the query runs on ProcessingTimeTimeout (setTimeoutDuration is
+    exercised every update) and — with a TTL far above the test's
+    runtime — produces exactly the no-TTL per-user finals, since
+    eviction only changes behavior when it fires.  Poll-and-stop:
+    pending processing-time timeouts keep an availableNow query alive
+    past its backlog."""
+    import datetime as dt
+    import os
+    import time
+
+    from etl_pipeline2_0_spark.streaming.windows import stream_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def _ev(uid, offset_s, eid):
+        return (uid, t0 + dt.timedelta(seconds=offset_s), eid)
+
+    # user 1: two events in session one, one event 40 min later (new
+    # session); user 2: two events five minutes apart (one session)
+    b0 = [_ev(1, 0, 1), _ev(1, 10, 2), _ev(2, 0, 3)]
+    b1 = [_ev(1, 40 * 60, 4), _ev(2, 5 * 60, 5)]
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    schema = "user_id bigint, ts timestamp, event_id bigint"
+    for i, chunk in enumerate([b0, b1]):
+        d = os.path.join(src, f"b{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(d)
+        t = time.time() - 100 + i * 10
+        for root, _, files in os.walk(d):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (t, t))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        stream_sessionize(stream, idle_timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("sessions_ttl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # each micro-batch updates both users -> 4 sink rows total
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql(
+                "SELECT COUNT(*) FROM sessions_ttl"
+            ).first()[0] >= 4:
+                break
+            time.sleep(1)
+        rows = spark.sql("SELECT * FROM sessions_ttl").collect()
+    finally:
+        q.stop()
+    # n_events is cumulative, so the final update per user is its max
+    final = {}
+    for r in rows:
+        if (
+            r["user_id"] not in final
+            or r["n_events"] > final[r["user_id"]][1]
+        ):
+            final[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    assert final == {1: (2, 3), 2: (1, 2)}
