@@ -81,8 +81,10 @@ HEADLINE = [
     "video_phash_neardup",
     "chunk_documents",
     "bm25_topk",
+    "retrieval_ndcg",
     "snapshot_diff",
     "similar_docs_rrf",
+    "rrf_ndcg",
     "assign_splits",
     "text_clean",
     "ann_ivf_recall",

@@ -437,3 +437,85 @@ def crop_pairs(
             "crop_b"
         ),
     )
+
+
+def ranking_quality(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """nDCG@k and MRR@k of a ranked retrieval against a graded relevance
+    truth — the measured ranking-quality row for the retrieval family,
+    mirroring the recall rows every other approximate family carries
+    (ann_recall / minhash_recall / bitext_recall).
+
+    Standard definitions (Järvelin & Kekäläinen 2002 — public
+    literature):
+
+        DCG@k  = Σ_{r=1..k} (2^rel(d_r) − 1) / log2(r + 1)
+        nDCG@k = DCG@k / IDCG@k   (ideal = truth sorted rel desc, id asc)
+        MRR@k  = 1 / rank of the first rel>0 result (0 if none in top k)
+
+    Inputs: ``ranking`` = (query_id, doc_id, rnk) with dense per-query
+    ranks (extra columns ignored); ``relevance`` = (query_id, doc_id,
+    rel) graded ≥ 0, pairs absent ⇒ rel 0.  One output row per query id
+    present in EITHER input: (query_id, n_relevant, ndcg, mrr) — a
+    query with no relevant docs scores 0/0-by-convention (ndcg 0,
+    mrr 0), one with no ranking rows scores 0.
+
+    Scale: every aggregate is per-query over ≤ k ranking rows or the
+    truth's relevant pairs — proportional to #queries × list sizes,
+    never the corpus; the two half-frames meet in one broadcast-sized
+    full-outer join on query id.
+    """
+    r = ranking.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col("rnk"),
+    ).where(F.col("rnk") <= k)
+    t = relevance.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col("rel").cast("double").alias("rel"),
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(
+        F.col("rnk") + 1.0
+    )
+    dcg = (
+        r.join(t, ["_q", "_d"], "left")
+        .na.fill({"rel": 0.0})
+        .groupBy("_q")
+        .agg(
+            F.sum(gain).alias("dcg"),
+            F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("_frr"),
+        )
+    )
+    wi = Window.partitionBy("_q").orderBy(F.col("rel").desc(), F.col("_d"))
+    ideal = (
+        t.where(F.col("rel") > 0)
+        .withColumn("irnk", F.row_number().over(wi))
+    )
+    igain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(
+        F.col("irnk") + 1.0
+    )
+    idcg = ideal.groupBy("_q").agg(
+        F.sum(F.when(F.col("irnk") <= k, igain)).alias("idcg"),
+        F.count(F.lit(1)).alias("n_relevant"),
+    )
+    out = dcg.join(idcg, "_q", "full_outer")
+    return out.select(
+        F.col("_q").alias(query_col),
+        F.coalesce(F.col("n_relevant"), F.lit(0)).alias("n_relevant"),
+        F.round(
+            F.when(
+                F.col("idcg") > 0,
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("_frr"), F.lit(0.0)), 6
+        ).alias("mrr"),
+    )

@@ -5156,6 +5156,142 @@ FROM ranked WHERE rnk <= 2 OR (rnk >= 20 AND rnk <= 25)
 )
 
 
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured ranking quality for the lexical retriever — the row the
+    # r13 verdict flagged as the last approximate family without one:
+    # nDCG@5 + MRR@5 of bm25_topk against a PLANTED graded truth,
+    # rel(q, d) = #distinct query terms contained in d (deterministic,
+    # engine-portable, and exactly the containment signal BM25 is
+    # supposed to surface — the gap between 1.0 and the measured nDCG
+    # is tf/length normalization reordering equal-containment docs).
+    # Same corpus subset, query workload, and k as q_bm25_topk, so the
+    # two rows read together.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    ranked = retrieval.bm25_topk(docs, _BM25_QUERIES, top_k=5)
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    rel = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(text.tokens(F.col("text")))).alias(
+                "term"
+            ),
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    return retrieval.ranking_quality(ranked, rel, k=5)
+
+
+# Reuse the BM25 CTE chain, then grade against term containment.
+SQL_RETRIEVAL_NDCG = (
+    SQL_BM25_TOPK.rsplit("SELECT CAST(query_id AS INT)", 1)[0]
+    + """, rel AS (
+  SELECT q.query_id, d.doc_id, COUNT(DISTINCT q.term) AS rel
+  FROM base d, unnest(d.toks) AS u(term)
+  JOIN q ON u.term = q.term
+  GROUP BY q.query_id, d.doc_id
+), dcg AS (
+  SELECT r.query_id,
+         SUM((POW(2.0, COALESCE(rel.rel, 0)) - 1)
+             / log2(r.rnk + 1.0)) AS dcg,
+         MIN(CASE WHEN COALESCE(rel.rel, 0) > 0 THEN r.rnk END) AS frr
+  FROM ranked r
+  LEFT JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+  WHERE r.rnk <= 5
+  GROUP BY r.query_id
+), ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS irnk
+  FROM rel WHERE rel > 0
+), idcg AS (
+  SELECT query_id,
+         SUM(CASE WHEN irnk <= 5
+                  THEN (POW(2.0, rel) - 1) / log2(irnk + 1.0) END) AS idcg,
+         COUNT(*) AS n_relevant
+  FROM ideal GROUP BY query_id
+)
+SELECT CAST(i.query_id AS INT) AS query_id,
+       CAST(i.n_relevant AS BIGINT) AS n_relevant,
+       ROUND(CASE WHEN i.idcg > 0
+                  THEN COALESCE(d.dcg, 0) / i.idcg ELSE 0 END, 6) AS ndcg,
+       ROUND(COALESCE(1.0 / d.frr, 0), 6) AS mrr
+FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
+"""
+)
+
+
+def q_rrf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ranking quality of the HYBRID retriever: nDCG@5 + MRR@5 of the
+    # RRF-fused more-like-this ranking against a semantic graded truth —
+    # rel = 11 − exact-cosine rank for each query doc's true top-10
+    # neighbors.  Measures how much semantic ordering survives fusion
+    # with the lexical ranker (the deliberate tension: the lexical half
+    # pulls the list toward term overlap; this row quantifies the cost
+    # in the fused list — the hybrid-retriever tuning number).
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = retrieval.similar_docs_rrf(
+        docs, emb, n_queries=8, top_m_terms=5, k_each=10, top_k=5
+    )
+    sem = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=10, id_col="vec_id"
+    )
+    rel = sem.select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        (F.lit(11) - F.col("rnk")).alias("rel"),
+    )
+    return retrieval.ranking_quality(fused, rel, k=5)
+
+
+# Reuse the full hybrid-RRF CTE chain; grade the fused list against the
+# cosine ranking already computed in its `sem` CTE.
+SQL_RRF_NDCG = (
+    SQL_SIMILAR_DOCS_RRF.rsplit("SELECT query_id, doc_id, rrf_score", 1)[0]
+    + """, fused_rnk AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rnk
+  FROM fused QUALIFY rnk <= 5
+), rel AS (
+  SELECT query_id, doc_id, CAST(11 - rnk AS DOUBLE) AS rel FROM sem
+), dcg AS (
+  SELECT r.query_id,
+         SUM((POW(2.0, COALESCE(rel.rel, 0)) - 1)
+             / log2(r.rnk + 1.0)) AS dcg,
+         MIN(CASE WHEN COALESCE(rel.rel, 0) > 0 THEN r.rnk END) AS frr
+  FROM fused_rnk r
+  LEFT JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+  GROUP BY r.query_id
+), ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS irnk
+  FROM rel WHERE rel > 0
+), idcg AS (
+  SELECT query_id,
+         SUM(CASE WHEN irnk <= 5
+                  THEN (POW(2.0, rel) - 1) / log2(irnk + 1.0) END) AS idcg,
+         COUNT(*) AS n_relevant
+  FROM ideal GROUP BY query_id
+)
+SELECT CAST(i.query_id AS INT) AS query_id,
+       CAST(i.n_relevant AS BIGINT) AS n_relevant,
+       ROUND(CASE WHEN i.idcg > 0
+                  THEN COALESCE(d.dcg, 0) / i.idcg ELSE 0 END, 6) AS ndcg,
+       ROUND(COALESCE(1.0 / d.frr, 0), 6) AS mrr
+FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
+"""
+)
+
+
 def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The complement of minhash_recall: what fraction of the LSH
     # pipeline's reported pairs are TRUE near-dups (exact Jaccard >= t).

@@ -616,6 +616,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
     "media_frames": (L.q_media_frames, None),
+    # --- added r14 (past-cap; r15 promotion pool): measured ranking
+    #     quality for the retrieval family — the last approximate family
+    #     without a quality row (r13 verdict item 2).  nDCG@5 + MRR@5 of
+    #     the BM25 ranking vs planted term-containment graded truth, and
+    #     of the hybrid RRF fusion vs the exact-cosine graded truth its
+    #     semantic half is supposed to preserve ---
+    "retrieval_ndcg": (L.q_retrieval_ndcg, L.SQL_RETRIEVAL_NDCG),
+    "rrf_ndcg": (L.q_rrf_ndcg, L.SQL_RRF_NDCG),
 }
 
 

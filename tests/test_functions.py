@@ -4509,3 +4509,62 @@ def test_lsh_geometry_sweep_rejects_over_budget_geometry(spark, sf_dir):
         dedup.lsh_geometry_sweep(
             docs, num_hashes=16, geometries=((8, 4), (4, 4))
         )
+
+
+def test_ranking_quality_perfect_and_degenerate_cases(spark):
+    """Hand-checkable nDCG/MRR: a ranking that equals the ideal ordering
+    scores ndcg=1 and mrr=1; a ranking with zero relevant docs in its
+    list scores dcg>0 impossible -> ndcg=0, mrr=0; a query with truth
+    but NO ranking rows still appears (ndcg 0, mrr 0)."""
+    from etl_pipeline2_0_spark.functions.retrieval import ranking_quality
+
+    ranking = spark.createDataFrame(
+        # q0: ideal order (rel 3 then 1); q1: only irrelevant docs
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 21, 2)],
+        "query_id int, doc_id int, rnk int",
+    )
+    relevance = spark.createDataFrame(
+        # q2 has truth but no ranking rows at all
+        [(0, 10, 3), (0, 11, 1), (1, 99, 2), (2, 30, 1)],
+        "query_id int, doc_id int, rel int",
+    )
+    rows = {r["query_id"]: r for r in
+            ranking_quality(ranking, relevance, k=5).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["ndcg"] == 1.0 and rows[0]["mrr"] == 1.0
+    assert rows[0]["n_relevant"] == 2
+    assert rows[1]["ndcg"] == 0.0 and rows[1]["mrr"] == 0.0
+    assert rows[2]["ndcg"] == 0.0 and rows[2]["mrr"] == 0.0
+
+
+def test_ranking_quality_hand_computed_partial_order(spark):
+    """Swapped top-2 vs ideal: DCG = (2^1-1)/log2(2) + (2^3-1)/log2(3),
+    IDCG = 7/log2(2) + 1/log2(3); MRR = 1 (rank 1 is relevant)."""
+    import math
+
+    from etl_pipeline2_0_spark.functions.retrieval import ranking_quality
+
+    ranking = spark.createDataFrame(
+        [(0, 11, 1), (0, 10, 2)], "query_id int, doc_id int, rnk int"
+    )
+    relevance = spark.createDataFrame(
+        [(0, 10, 3), (0, 11, 1)], "query_id int, doc_id int, rel int"
+    )
+    (row,) = ranking_quality(ranking, relevance, k=5).collect()
+    dcg = 1.0 / math.log2(2) + 7.0 / math.log2(3)
+    idcg = 7.0 / math.log2(2) + 1.0 / math.log2(3)
+    assert row["ndcg"] == round(dcg / idcg, 6)
+    assert row["mrr"] == 1.0
+
+
+def test_retrieval_ndcg_rows_bounded_and_sane(spark, sf_dir):
+    """Both quality rows: one row per query, ndcg/mrr in [0, 1], and a
+    nonzero score somewhere (the planted truths are findable)."""
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+
+    for fn, n_q in [(L.q_retrieval_ndcg, 4), (L.q_rrf_ndcg, 8)]:
+        rows = fn(spark, sf_dir).collect()
+        assert len(rows) == n_q
+        assert all(0.0 <= r["ndcg"] <= 1.0 for r in rows)
+        assert all(0.0 <= r["mrr"] <= 1.0 for r in rows)
+        assert any(r["ndcg"] > 0 for r in rows)

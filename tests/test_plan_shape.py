@@ -1158,3 +1158,25 @@ def test_shingle_df_histogram_two_aggregates_no_join(spark, sf_dir):
     plan = _plan(L.q_shingle_df_histogram(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × 2 levels
+
+
+def test_retrieval_ndcg_no_cartesian_truth_join_broadcast(spark, sf_dir):
+    # The graded-truth build reuses the guarded BM25 shapes (broadcast
+    # query-term prune before any aggregate); the DCG join marries two
+    # per-query top lists — no corpus-sized CartesianProduct, and the
+    # ideal ranking's window partitions by query (never a global sort).
+    plan = _plan(L.q_retrieval_ndcg(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count(1)" in plan  # rel aggregate is partial-first
+
+
+def test_rrf_ndcg_no_cartesian_reuses_hybrid_shapes(spark, sf_dir):
+    # Fused ranking + cosine truth: both rankers keep their guarded
+    # shapes (the 8-query broadcast nested loop of the cosine half is
+    # the documented pattern); the quality join itself is top-list vs
+    # top-list.  No corpus-sized CartesianProduct anywhere.
+    plan = _plan(L.q_rrf_ndcg(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Union" in plan
