@@ -164,6 +164,8 @@ HEADLINE = [
     "sft_pack",
     "fim_transform",
     "sentence_chunk",
+    "chat_assemble",
+    "chat_pack",
     "crop_pairs",
     "bitext_mine",
     "bitext_recall",

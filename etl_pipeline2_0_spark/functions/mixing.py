@@ -180,10 +180,13 @@ def _assign_packs(
     partition_cols: "list[str] | None",
     bucket_width: int,
     bucket_expr: "Column | None",
+    tokens_expr: "Column | None" = None,
 ):
     """The per-doc pack assignment shared by ``pack_sequences`` (stats)
     and ``pack_texts`` (materialized sequences): returns (keys, frame with
-    keys + id + n_tokens + pack_id)."""
+    keys + id + n_tokens + pack_id).  ``tokens_expr`` overrides the
+    whitespace ``token_count`` of ``text_col`` when the pack unit's cost
+    is precomputed (``chat_pack`` packs whole conversations)."""
     keys = list(partition_cols) if partition_cols else [source_col]
     if bucket_expr is not None:
         bucket = bucket_expr
@@ -204,10 +207,14 @@ def _assign_packs(
             bucket = F.coalesce(
                 F.substring(F.col(id_col).cast("string"), 1, 8), F.lit("")
             )
+    n_tokens = (
+        tokens_expr if tokens_expr is not None
+        else token_count(F.col(text_col))
+    )
     toks = docs.select(
         *keys,
         F.col(id_col),
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
     ).withColumn("_bucket", bucket)
 
     # Level 1: within-bucket exclusive prefix sum.  The shuffle key is
@@ -1529,6 +1536,175 @@ def sft_pack(
                 F.sum(F.col("n_tokens") - F.col("_np"))
                 / F.sum("n_tokens"),
                 6,
+            ).alias("loss_frac"),
+        )
+    )
+
+
+def _chat_turns(df, turns_per_conv, text_col, id_col, source_col):
+    """Shared turn table for the chat family: conversation id (fixed-size
+    id blocks — deterministic, engine-portable), per-conversation turn
+    index in id order, alternating roles (odd = user, even = assistant,
+    user first), whitespace token count per turn."""
+    turn = df.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.floor(F.col(id_col) / turns_per_conv).cast("bigint").alias(
+            "conv_id"
+        ),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+        token_count(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("bigint")
+        .alias("_nt"),
+    )
+    w = Window.partitionBy("conv_id").orderBy(id_col)
+    return turn.withColumn(
+        "turn_idx", F.row_number().over(w).cast("int")
+    ).withColumn(
+        "_is_user", F.col("turn_idx") % 2 == 1
+    )
+
+
+def chat_assemble(
+    df: DataFrame,
+    turns_per_conv: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Multi-turn conversation assembly — the instruction-data shape next
+    to ``sft_pack``/``dpo_pairs`` (single-turn) the r13 verdict called
+    out: group turns by conversation id, order by turn index, render the
+    role-tagged sequence, and account the per-role loss mask.
+
+    The corpus plays the turn pool: consecutive fixed-size id blocks
+    form a conversation (``conv_id = floor(id / turns_per_conv)`` — a
+    deterministic, fully-oracled stand-in for a real conversation key),
+    turns order by id, roles alternate user-first.  Rendering prepends
+    one role tag per turn (``<|user|>`` / ``<|assistant|>``, 1 token
+    each); the loss mask follows chat-SFT convention — assistant TEXT
+    tokens bear loss, user tokens and ALL role tags are masked.
+
+    Output, one row per conversation: (conv_id, source = first turn's
+    source, n_turns, conv_tokens, masked_tokens, loss_tokens, rendered).
+    ``masked + loss = conv_tokens`` by construction (property-tested).
+
+    Scale: one narrow projection, one shuffle on conv_id (bounded
+    groups of ``turns_per_conv`` rows — never a per-source window); the
+    ordered render is an in-group array sort over ≤ turns_per_conv
+    elements.
+    """
+    t = _chat_turns(df, turns_per_conv, text_col, id_col, source_col)
+    tag = F.when(F.col("_is_user"), F.lit("<|user|>")).otherwise(
+        F.lit("<|assistant|>")
+    )
+    tagged = F.concat(
+        tag,
+        F.when(
+            F.length("_text") > 0, F.concat(F.lit(" "), F.col("_text"))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            F.col(source_col),
+            "_nt",
+            "_is_user",
+            tagged.alias("_tagged"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.min(
+                F.when(F.col("turn_idx") == 1, F.col(source_col))
+            ).alias(source_col),
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.sum(F.col("_nt") + 1).cast("bigint").alias("conv_tokens"),
+            F.sum(
+                F.when(F.col("_is_user"), F.col("_nt") + 1).otherwise(
+                    F.lit(1)
+                )
+            )
+            .cast("bigint")
+            .alias("masked_tokens"),
+            F.sum(
+                F.when(~F.col("_is_user"), F.col("_nt")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("loss_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "_tagged"))
+                    ),
+                    lambda s: s["_tagged"],
+                ),
+                " ",
+            ).alias("rendered"),
+        )
+        .select(
+            "conv_id", source_col, "n_turns", "conv_tokens",
+            "masked_tokens", "loss_tokens", "rendered",
+        )
+    )
+
+
+def chat_pack(
+    df: DataFrame,
+    turns_per_conv: int = 4,
+    budget_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Pack assembled conversations under a token budget with loss-mask
+    accounting — ``sft_pack``'s multi-turn sibling.  Conversations are
+    NEVER split across packs (the unit of packing is the whole rendered
+    conversation, role tags included); packs fill per source in conv-id
+    order under ``pack_sequences`` semantics via the shared two-level
+    bucketed prefix sum.
+
+    Output: (source, pack_id, n_conversations, n_turns, pack_tokens,
+    masked_tokens, loss_tokens, loss_frac 6dp).  ``masked + loss =
+    pack_tokens``; a pack's ``loss_frac`` is what a chat-SFT trainer's
+    step actually optimizes — prompt-heavy conversation mixes collapse
+    it, and this makes that visible per pack.
+
+    Scale: conversation assembly is one bounded-group shuffle
+    (``chat_assemble``); pack assignment reuses ``_assign_packs`` with
+    the precomputed conversation cost (no partition ever holds a whole
+    source); the mask accounting rides the same per-pack aggregate
+    through one conv-id-keyed join of two narrow frames.
+    """
+    conv = chat_assemble(
+        df, turns_per_conv, text_col, id_col, source_col
+    ).localCheckpoint(eager=False)
+    keys, packed = _assign_packs(
+        conv.select(source_col, "conv_id", "conv_tokens"),
+        budget_tokens,
+        None,
+        "conv_id",
+        source_col,
+        None,
+        bucket_width,
+        None,
+        tokens_expr=F.col("conv_tokens"),
+    )
+    masks = conv.select(
+        "conv_id", "n_turns", "masked_tokens", "loss_tokens"
+    )
+    return (
+        packed.join(masks, "conv_id")
+        .groupBy(*keys, "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversations"),
+            F.sum("n_turns").cast("bigint").alias("n_turns"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.sum("masked_tokens").cast("bigint").alias("masked_tokens"),
+            F.sum("loss_tokens").cast("bigint").alias("loss_tokens"),
+            F.round(
+                F.sum("loss_tokens") / F.sum("n_tokens"), 6
             ).alias("loss_frac"),
         )
     )

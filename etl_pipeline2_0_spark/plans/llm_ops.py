@@ -6026,6 +6026,87 @@ FROM packed GROUP BY source, pack_id
 """
 
 
+def q_chat_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-turn conversation assembly: fixed-size id blocks as
+    # conversations, turns ordered by id, alternating user/assistant
+    # roles, role-tagged rendering, per-role loss-mask accounting.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.chat_assemble(docs, turns_per_conv=4)
+
+
+_SQL_CHAT_TURNS = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(FLOOR(doc_id / 4.0) AS BIGINT) AS conv_id,
+         COALESCE(text, '') AS txt,
+         len(list_filter(regexp_split_to_array(COALESCE(text, ''),
+             '[ \x09\x0A\x0D\x0B\x0C]+'), x -> length(x) > 0)) AS nt
+  FROM documents
+), turns AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+                                    ORDER BY doc_id) AS INT) AS turn_idx
+  FROM t
+), tagged AS (
+  SELECT conv_id, turn_idx, source, nt, turn_idx % 2 = 1 AS is_user,
+         (CASE WHEN turn_idx % 2 = 1 THEN '<|user|>'
+               ELSE '<|assistant|>' END)
+         || (CASE WHEN length(txt) > 0 THEN ' ' || txt ELSE '' END) AS tg
+  FROM turns
+), conv AS (
+  SELECT conv_id,
+         MIN(CASE WHEN turn_idx = 1 THEN source END) AS source,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(SUM(nt + 1) AS BIGINT) AS conv_tokens,
+         CAST(SUM(CASE WHEN is_user THEN nt + 1 ELSE 1 END) AS BIGINT)
+           AS masked_tokens,
+         CAST(SUM(CASE WHEN NOT is_user THEN nt ELSE 0 END) AS BIGINT)
+           AS loss_tokens,
+         string_agg(tg, ' ' ORDER BY turn_idx) AS rendered
+  FROM tagged GROUP BY conv_id
+)
+"""
+
+SQL_CHAT_ASSEMBLE = (
+    _SQL_CHAT_TURNS
+    + """SELECT conv_id, source, n_turns, conv_tokens, masked_tokens,
+       loss_tokens, rendered
+FROM conv
+"""
+)
+
+
+def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conversations packed whole under a 512-token budget per source,
+    # each pack reporting its role-mask split (masked + loss = tokens).
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.chat_pack(docs, turns_per_conv=4, budget_tokens=512)
+
+
+SQL_CHAT_PACK = (
+    _SQL_CHAT_TURNS
+    + """, packed AS (
+  SELECT *, CAST(floor(COALESCE(SUM(conv_tokens) OVER (
+      PARTITION BY source ORDER BY conv_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+    AS BIGINT) AS pack_id
+  FROM conv
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_conversations,
+       CAST(SUM(n_turns) AS BIGINT) AS n_turns,
+       CAST(SUM(conv_tokens) AS BIGINT) AS pack_tokens,
+       CAST(SUM(masked_tokens) AS BIGINT) AS masked_tokens,
+       CAST(SUM(loss_tokens) AS BIGINT) AS loss_tokens,
+       ROUND(SUM(loss_tokens) * 1.0 / SUM(conv_tokens), 6) AS loss_frac
+FROM packed GROUP BY source, pack_id
+"""
+)
+
+
 def q_ul2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UL2 mixture-of-denoisers (Tay et al. 2022): R (T5 spans at
     # 0.15/3), X (extreme at 0.5/8), S (prefix-LM cut in the middle

@@ -624,6 +624,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     semantic half is supposed to preserve ---
     "retrieval_ndcg": (L.q_retrieval_ndcg, L.SQL_RETRIEVAL_NDCG),
     "rrf_ndcg": (L.q_rrf_ndcg, L.SQL_RRF_NDCG),
+    # --- added r14 (past-cap; r15 promotion pool): multi-turn
+    #     conversation assembly (grouped turns, ordered, role-tagged
+    #     rendering, per-role loss masks) and whole-conversation packing
+    #     under a token budget — the instruction-data shape next to
+    #     sft_pack/dpo_pairs the r13 verdict listed as missing ---
+    "chat_assemble": (L.q_chat_assemble, L.SQL_CHAT_ASSEMBLE),
+    "chat_pack": (L.q_chat_pack, L.SQL_CHAT_PACK),
 }
 
 

@@ -4568,3 +4568,64 @@ def test_retrieval_ndcg_rows_bounded_and_sane(spark, sf_dir):
         assert all(0.0 <= r["ndcg"] <= 1.0 for r in rows)
         assert all(0.0 <= r["mrr"] <= 1.0 for r in rows)
         assert any(r["ndcg"] > 0 for r in rows)
+
+
+def test_chat_assemble_hand_checked_rendering(spark):
+    """Two 4-turn conversations from 8 id-ordered rows: conv_id blocks,
+    alternating user-first roles, role-tagged rendering, and the mask
+    identity masked + loss = conv_tokens with role tags always masked."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    rows = [
+        (0, "a", "hi there"),        # user, 2 toks
+        (1, "a", "hello"),           # assistant, 1 tok
+        (2, "a", "more words here"), # user, 3 toks
+        (3, "a", "ok"),              # assistant, 1 tok
+        (4, "b", "lone user turn"),  # conv 1: user, 3 toks
+        (5, "b", ""),                # assistant, 0 toks (tag only)
+        (6, "b", "x"),               # user, 1 tok
+        (7, "b", "final answer"),    # assistant, 2 toks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["conv_id"]: r for r in M.chat_assemble(docs, 4).collect()}
+    assert set(out) == {0, 1}
+    c0 = out[0]
+    assert c0["source"] == "a" and c0["n_turns"] == 4
+    assert c0["conv_tokens"] == 7 + 4          # text toks + 4 role tags
+    assert c0["loss_tokens"] == 1 + 1          # assistant text only
+    assert c0["masked_tokens"] == c0["conv_tokens"] - c0["loss_tokens"]
+    assert c0["rendered"] == (
+        "<|user|> hi there <|assistant|> hello "
+        "<|user|> more words here <|assistant|> ok"
+    )
+    c1 = out[1]
+    assert c1["rendered"] == (
+        "<|user|> lone user turn <|assistant|> "
+        "<|user|> x <|assistant|> final answer"
+    )
+    assert c1["loss_tokens"] == 2 and c1["conv_tokens"] == 6 + 4
+
+
+def test_chat_pack_mask_identity_and_whole_conversations(spark, sf_dir):
+    """chat_pack contracts on real data: masked + loss = pack_tokens per
+    pack; per-source conversation and token totals are conserved vs
+    chat_assemble (conversations are never split or dropped); every
+    loss_frac is the loss share."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packs = M.chat_pack(docs, 4, budget_tokens=512).collect()
+    convs = M.chat_assemble(docs, 4).collect()
+    assert packs
+    for r in packs:
+        assert r["masked_tokens"] + r["loss_tokens"] == r["pack_tokens"]
+        assert r["loss_frac"] == round(r["loss_tokens"] / r["pack_tokens"], 6)
+    agg = {}
+    for r in packs:
+        a = agg.setdefault(r["source"], [0, 0, 0])
+        a[0] += r["n_conversations"]; a[1] += r["n_turns"]; a[2] += r["pack_tokens"]
+    truth = {}
+    for r in convs:
+        a = truth.setdefault(r["source"], [0, 0, 0])
+        a[0] += 1; a[1] += r["n_turns"]; a[2] += r["conv_tokens"]
+    assert agg == truth

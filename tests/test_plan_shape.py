@@ -1180,3 +1180,19 @@ def test_rrf_ndcg_no_cartesian_reuses_hybrid_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Union" in plan
+
+
+def test_chat_pack_two_level_prefix_sum_no_source_window(spark, sf_dir):
+    # chat_pack's pack assignment must reuse the bucketed two-level
+    # prefix sum over CONVERSATION rows: the only windows are the
+    # conv-grain turn_idx row_number (keyed by conv_id — bounded groups)
+    # and the (source, _bucket) local prefix sum; never a source-alone
+    # window ordered by conv_id, which would serialize a source.
+    import re
+
+    plan = _plan(L.q_chat_pack(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(
+        r"windowspecdefinition\(source#\d+, ([a-z_]+)#\d+", plan
+    ):
+        assert m.group(1) in ("_bucket",), plan
