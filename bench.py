@@ -159,6 +159,7 @@ HEADLINE = [
     "unigram_fertility",
     "unigram_encode_docs",
     "tokenizer_compare",
+    "tokenizer_compare_eqv",
     "moore_lewis",
     "dataset_card",
     "sft_pack",

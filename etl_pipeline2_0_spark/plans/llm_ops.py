@@ -6539,13 +6539,14 @@ def _sql_tokenizer_compare(
     n_merges: int = 8,
     max_word_types_bpe: int = 512,
     max_word_len: int = 12,
+    vocab_size: int = 200,
 ) -> str:
     # Composes the BPE merge-chain CTEs with the unigram train + scoring
     # DP chain (no CTE name overlap between the families), then one
     # grouped aggregate over the shared per-(source, word) occurrence
     # table left-joined against both segmentation tables.
     bpe = _sql_bpe_ctes(n_merges, max_word_types_bpe)
-    parts = _sql_unigram_train()
+    parts = _sql_unigram_train(vocab_size=vocab_size)
     parts += [
         r"""toksrc AS MATERIALIZED (
   SELECT source AS grp,
@@ -6618,6 +6619,32 @@ FROM cmp
 
 
 SQL_TOKENIZER_COMPARE = _sql_tokenizer_compare()
+
+
+def q_tokenizer_compare_eqv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EQUAL-BUDGET variant of the decision table (r13 verdict item 7):
+    # the default row trains BPE over 512 word types against a 200-piece
+    # unigram vocab, confounding the family comparison with budget.
+    # Here both families get the SAME budgets — 256 training word types
+    # each, and a 32-piece effective vocabulary each: BPE's terminal
+    # piece vocab is exactly its corpus alphabet + one piece per merge
+    # (measured 24 distinct characters on this corpus at every SF, + 8
+    # merges = 32), and unigram prunes to vocab_size=32 (its 24 single
+    # chars survive pruning for coverage, so the multi-char piece budget
+    # is 8 vs 8).  The fertility_delta of THIS row compares families,
+    # not budgets.
+    from etl_pipeline2_0_spark.functions import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.tokenizer_compare(
+        docs, n_merges=8, max_word_types_bpe=256, vocab_size=32,
+        em_iters=2, max_piece_len=4, max_word_types=256, max_word_len=12,
+    )
+
+
+SQL_TOKENIZER_COMPARE_EQV = _sql_tokenizer_compare(
+    max_word_types_bpe=256, vocab_size=32
+)
 
 
 def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -631,6 +631,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     sft_pack/dpo_pairs the r13 verdict listed as missing ---
     "chat_assemble": (L.q_chat_assemble, L.SQL_CHAT_ASSEMBLE),
     "chat_pack": (L.q_chat_pack, L.SQL_CHAT_PACK),
+    # --- added r14 (past-cap; r15 promotion pool): the equal-budget
+    #     tokenizer decision table — 256 word types AND a 32-piece
+    #     effective vocab for BOTH families (BPE: 24-char alphabet + 8
+    #     merges; unigram: vocab_size=32), so fertility_delta compares
+    #     families, not budgets (r13 verdict item 7) ---
+    "tokenizer_compare_eqv": (
+        L.q_tokenizer_compare_eqv,
+        L.SQL_TOKENIZER_COMPARE_EQV,
+    ),
 }
 
 

@@ -4629,3 +4629,26 @@ def test_chat_pack_mask_identity_and_whole_conversations(spark, sf_dir):
         a = truth.setdefault(r["source"], [0, 0, 0])
         a[0] += 1; a[1] += r["n_turns"]; a[2] += r["conv_tokens"]
     assert agg == truth
+
+
+def test_tokenizer_compare_eqv_budget_parity_semantics(spark, sf_dir):
+    """The equal-budget row: per-group sanity (covered <= n_words, OOV
+    rates consistent with covered shares) and BOTH families actually
+    cover words under the tightened 32-piece budget — the comparison is
+    live, not one family starved to zero."""
+    from etl_pipeline2_0_spark.plans import llm_ops as L
+
+    rows = L.q_tokenizer_compare_eqv(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["bpe_covered"] <= r["n_words"]
+        assert 0 < r["uni_covered"] <= r["n_words"]
+        assert r["bpe_oov_rate"] == round(
+            1.0 - r["bpe_covered"] / r["n_words"], 6)
+        assert r["uni_oov_rate"] == round(
+            1.0 - r["uni_covered"] / r["n_words"], 6)
+        # delta is rounded from the UNROUNDED fertilities (the repo's
+        # round-only-final-outputs rule), so recompute from raw counts
+        assert r["fertility_delta"] == round(
+            r["uni_pieces"] / max(r["uni_covered"], 1)
+            - r["bpe_pieces"] / max(r["bpe_covered"], 1), 6)
