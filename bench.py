@@ -191,6 +191,7 @@ HEADLINE = [
     "examples_pipeline_sf01",
     "decontam_pipeline_sf01",
     "preference_pipeline_sf01",
+    "stream_sessionize_sf01",
 ]
 
 
@@ -413,6 +414,54 @@ def _preference_pipeline(spark, sf_dir):
     )
 
 
+def _stream_sessionize_bench(spark, sf_dir):
+    """Streaming-state micro-bench (r13 verdict item 8): the stateful
+    sessionizer (applyInPandasWithState, per-user GroupState) drains the
+    whole events table through ONE availableNow run into a memory sink —
+    the row that surfaces state-store / Arrow-state-codec regressions in
+    the round record.  Correctness is carried by the batch≡stream pins
+    in tests/test_streaming_windows.py; this row only times the drain.
+    The default NoTimeout config self-terminates once the backlog
+    drains (no pending processing-time timeouts)."""
+    import hashlib
+    import os
+    import uuid
+
+    from etl_pipeline2_0_spark.sources.tables import load_table
+    from etl_pipeline2_0_spark.streaming.windows import stream_sessionize
+
+    # The file stream source needs a DIRECTORY; the testdata table is a
+    # single read-only file — stage a symlink dir once per sf (cheap,
+    # reused across samples; the timed work is the stateful drain).
+    src = os.path.join(sf_dir.rstrip("/"), "events.parquet")
+    stage = os.path.join(
+        "/tmp",
+        "bench_stream_src_"
+        + hashlib.md5(src.encode()).hexdigest()[:10],
+    )
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.islink(link):
+        os.makedirs(stage, exist_ok=True)
+        os.symlink(src, link)
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    name = "bench_sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 # Bench-only rows: real capabilities measured at bench scale that are not
 # registry queries (the registry carries the correctness burden elsewhere —
 # the doc pipeline via the fixture/golden suites, the LLM chain via its
@@ -423,6 +472,7 @@ EXTRA_BENCH = {
     "examples_pipeline_sf01": _examples_pipeline,
     "decontam_pipeline_sf01": _decontam_pipeline,
     "preference_pipeline_sf01": _preference_pipeline,
+    "stream_sessionize_sf01": _stream_sessionize_bench,
 }
 
 
