@@ -601,6 +601,31 @@ def main() -> None:
         timings = {k: min(v) for k, v in samples.items() if v}
 
     total = round(sum(timings.values()), 3)
+    # Truncation hardening (r13 verdict item 5): the external driver's
+    # stdout capture has shipped a truncated JSON tail (`parsed: null`)
+    # every round, so the verdict-relevant fields go FIRST — line 1 is a
+    # compact headline (scalars and error maps BEFORE the per-query
+    # dict, so even a 2 KB prefix preserves total/count/errors), line 2
+    # is the full record including raw samples.  BENCH_OUT still gets
+    # the full record only.
+    headline = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf),
+            "n_queries": len(timings),
+            "runs_per_query": RUNS,
+            "agg": "min",
+            "errors": errors,
+            "rerun_errors": rerun_errors,
+            "loadavg_start": [round(x, 2) for x in loadavg_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "queries": timings,
+        },
+        separators=(",", ":"),
+    )
+    print(headline)
     payload = json.dumps(
         {
             "metric": "headline_queries_total_wall",
