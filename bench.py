@@ -173,6 +173,7 @@ HEADLINE = [
     "embed_quantize",
     "soft_dedup",
     "dpo_pairs",
+    "grpo_advantage",
     "ann_hubness",
     "best_of_n",
     "cluster_profile",

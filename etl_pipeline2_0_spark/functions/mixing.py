@@ -1843,6 +1843,83 @@ def best_of_n(
     )
 
 
+def grpo_advantage(
+    df: DataFrame,
+    n_groups: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: "str | None" = None,
+) -> DataFrame:
+    """Group-relative advantage normalization (the public GRPO recipe,
+    Shao et al. 2024 "DeepSeekMath"): given N sampled candidates per
+    prompt with scalar rewards, each candidate's advantage is its reward
+    z-scored WITHIN its group — (r - mean)/std over the group plays the
+    baseline, no learned value model.  Groups and rewards follow
+    :func:`dpo_pairs` / :func:`best_of_n` exactly (``id mod n_groups``
+    pseudo-prompt groups, ``score_col`` or 6dp lexical diversity), so one
+    scored candidate pool yields all three RL-data products — DPO pairs,
+    best-of-N keeps, and GRPO advantages — with consistent rankings.
+
+    Groups with fewer than two candidates or ZERO reward variance emit
+    nothing (a constant-reward group carries no learning signal; its
+    advantages would be 0/0).  The zero-variance test is the exact
+    integer identity ``n·Σu² == (Σu)²`` over micro-unit rewards — no
+    float epsilon.
+
+    Cross-engine determinism: rewards are 6dp-rounded, so ``u =
+    round(r·1e6)`` is an exact BIGINT; group sums Σu and Σu² are integer
+    aggregates (engine-order-independent), and every double the output
+    carries (mean, std, advantage) is derived from those integers by a
+    fixed op sequence — bit-identical in any IEEE-754 engine, which is
+    what lets the DuckDB twin hash-match without tolerance.  The outputs
+    are emitted UNROUNDED (the embed_quantize lesson): re-rounding a
+    deterministic double at 6dp re-introduces midpoint hazards — ``Σu/n``
+    lands on an exact decimal .5 whenever n | 2·Σu (HALF_UP engines and
+    binary-value engines then disagree) — while the raw double is already
+    engine-exact.
+
+    Output: (group_id, ``id_col``, reward, group_mean, group_std,
+    advantage, n_candidates) — one row per surviving candidate.
+
+    Scale: ONE hash aggregate on the group key (map-side-combined integer
+    sums, shuffle carries three numbers per group), then the per-candidate
+    normalization is a BROADCAST join of the ≤``n_groups``-row stats frame
+    back onto the scored pool — candidates never shuffle.  Σu² fits BIGINT
+    up to ~3·10⁶ candidates per group at 6dp rewards ≤ 1.0; larger pools
+    shard by real prompt id long before that.
+    """
+    toked, score = _candidate_score(df, text_col, id_col, score_col)
+    base = toked.select(
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("group_id"),
+        F.col(id_col),
+        F.round(score * F.lit(1_000_000.0)).cast("bigint").alias("_u"),
+    )
+    stats = base.groupBy("group_id").agg(
+        F.sum("_u").alias("_su"),
+        F.sum(F.col("_u") * F.col("_u")).alias("_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+    )
+    n = F.col("n_candidates")
+    # Population variance in micro-units² via the exact-integer numerator:
+    # (n·Σu² − (Σu)²) is BIGINT-exact, converted to double ONCE.
+    var_num = n * F.col("_sq") - F.col("_su") * F.col("_su")
+    std_u = F.sqrt(var_num / (n * n))
+    mean_u = F.col("_su") / n
+    return (
+        base.join(F.broadcast(stats), "group_id")
+        .where((n >= 2) & (var_num > 0))
+        .select(
+            "group_id",
+            F.col(id_col),
+            (F.col("_u") / F.lit(1_000_000.0)).alias("reward"),
+            (mean_u / F.lit(1_000_000.0)).alias("group_mean"),
+            (std_u / F.lit(1_000_000.0)).alias("group_std"),
+            ((F.col("_u") - mean_u) / std_u).alias("advantage"),
+            "n_candidates",
+        )
+    )
+
+
 def epoch_decay_curve(
     df: DataFrame,
     group_col: str = "source",

@@ -7303,6 +7303,50 @@ FROM ranked WHERE rnk <= 3
 assert "list_distinct" in SQL_BEST_OF_N  # scoring CTEs really inherited
 
 
+# ------------------------------------------------------ GRPO advantage ----
+
+
+def q_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Group-relative advantage normalization (the public GRPO recipe):
+    # per pseudo-prompt group, each candidate's reward z-scored against
+    # its group's mean/std — the third RL-data product mined from the
+    # SAME scored pool as dpo_pairs / best_of_n (identical groups,
+    # identical rewards, consistent rankings).
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.grpo_advantage(docs, n_groups=64)
+
+
+# Inherit dpo_pairs' base/scoring CTEs verbatim; the tail converts the
+# 6dp reward to exact micro-unit BIGINTs, aggregates integer sums per
+# group, and derives mean/std/advantage by the same fixed op sequence as
+# the Spark side (see mixing.grpo_advantage's determinism note).
+SQL_GRPO_ADVANTAGE = SQL_DPO_PAIRS.split("), ranked AS (")[0] + """), u AS (
+  SELECT group_id, doc_id,
+         CAST(ROUND(score * 1000000.0) AS BIGINT) AS u
+  FROM scored
+), stats AS (
+  SELECT group_id,
+         SUM(u) AS su, SUM(u * u) AS sq,
+         COUNT(*) AS n
+  FROM u GROUP BY group_id
+)
+SELECT CAST(u.group_id AS INT) AS group_id, u.doc_id,
+       u.u / 1000000.0 AS reward,
+       (t.su * 1.0 / t.n) / 1000000.0 AS group_mean,
+       SQRT((t.n * t.sq - t.su * t.su) * 1.0 / (t.n * t.n))
+             / 1000000.0 AS group_std,
+       (u.u - t.su * 1.0 / t.n)
+             / SQRT((t.n * t.sq - t.su * t.su) * 1.0 / (t.n * t.n))
+         AS advantage,
+       CAST(t.n AS BIGINT) AS n_candidates
+FROM u JOIN stats t USING (group_id)
+WHERE t.n >= 2 AND t.n * t.sq > t.su * t.su
+"""
+assert "list_distinct" in SQL_GRPO_ADVANTAGE  # scoring CTEs really inherited
+
+
 # ------------------------------------------------------ cluster profile ----
 
 

@@ -640,6 +640,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_tokenizer_compare_eqv,
         L.SQL_TOKENIZER_COMPARE_EQV,
     ),
+    # --- added r14 (past-cap; r15 promotion pool): group-relative
+    #     advantage normalization (the public GRPO recipe) — the third
+    #     RL-data product from the dpo_pairs/best_of_n scored pool,
+    #     z-scored rewards via exact micro-unit integer sums (bit-
+    #     reproducible doubles, no float tolerance) ---
+    "grpo_advantage": (L.q_grpo_advantage, L.SQL_GRPO_ADVANTAGE),
 }
 
 

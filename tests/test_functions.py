@@ -4652,3 +4652,48 @@ def test_tokenizer_compare_eqv_budget_parity_semantics(spark, sf_dir):
         assert r["fertility_delta"] == round(
             r["uni_pieces"] / max(r["uni_covered"], 1)
             - r["bpe_pieces"] / max(r["bpe_covered"], 1), 6)
+
+
+def test_grpo_advantage_zscore_semantics(spark):
+    """Within every surviving group the advantages are an exact z-score:
+    they sum to ~0 and their population variance is ~1; zero-variance
+    groups and singletons emit nothing; chosen/rejected consistency —
+    the max-advantage candidate IS dpo_pairs' chosen and the min IS its
+    rejected (same groups, same rewards, same tiebreak-free scores)."""
+    from collections import defaultdict
+
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    rows = [
+        # group 0 (ids ≡ 0 mod 4): three distinct diversities
+        (0, "a b c d"),          # 1.0
+        (4, "x x x x"),          # 0.25
+        (8, "p p q q"),          # 0.5
+        # group 1: identical rewards → zero variance → emits nothing
+        (1, "m n"),
+        (5, "r s"),
+        # group 2: singleton → emits nothing
+        (2, "lone doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = M.grpo_advantage(docs, n_groups=4).collect()
+    by_group = defaultdict(list)
+    for r in out:
+        by_group[r["group_id"]].append(r)
+    assert set(by_group) == {0}
+    g0 = by_group[0]
+    assert {r["doc_id"] for r in g0} == {0, 4, 8}
+    assert all(r["n_candidates"] == 3 for r in g0)
+    advs = [r["advantage"] for r in g0]
+    assert abs(sum(advs)) < 1e-9
+    assert abs(sum(a * a for a in advs) / len(advs) - 1.0) < 1e-9
+    # group stats echoed per row: mean of (1.0, .25, .5), population std
+    assert all(abs(r["group_mean"] - 7 / 12) < 1e-9 for r in g0)
+    # ordering consistency with the preference family
+    best = max(g0, key=lambda r: r["advantage"])
+    worst = min(g0, key=lambda r: r["advantage"])
+    pair = M.dpo_pairs(docs, n_groups=4, min_margin=0.0).collect()
+    chosen = {r["group_id"]: r["chosen_id"] for r in pair}
+    rejected = {r["group_id"]: r["rejected_id"] for r in pair}
+    assert best["doc_id"] == chosen[0]
+    assert worst["doc_id"] == rejected[0]

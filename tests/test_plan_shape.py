@@ -1196,3 +1196,18 @@ def test_chat_pack_two_level_prefix_sum_no_source_window(spark, sf_dir):
         r"windowspecdefinition\(source#\d+, ([a-z_]+)#\d+", plan
     ):
         assert m.group(1) in ("_bucket",), plan
+
+
+def test_grpo_advantage_one_exchange_broadcast_stats_no_window(spark, sf_dir):
+    # ONE group-key shuffle (the integer-sum aggregate, map-side
+    # combined) and a BROADCAST join of the tiny stats frame back onto
+    # the candidate stream — candidates themselves never shuffle, and
+    # there is no window, no sort-merge join, no cartesian.
+    plan = _plan(L.q_grpo_advantage(spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # map-side combine on the integer sums
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("split(") <= 2  # token array materialized per scan
