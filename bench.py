@@ -174,6 +174,7 @@ HEADLINE = [
     "soft_dedup",
     "dpo_pairs",
     "grpo_advantage",
+    "kanon_audit",
     "ann_hubness",
     "best_of_n",
     "cluster_profile",

@@ -252,3 +252,64 @@ def dataset_card(
         ))
     )
     return corpus_rows.unionByName(by_source).unionByName(by_lang)
+
+
+def kanon_audit(
+    df: DataFrame,
+    quasi_cols: "tuple[str, ...]" = ("lang", "source"),
+    bucket_col: str = "n_chars",
+    bucket_width: int = 256,
+    ks: "tuple[int, ...]" = (2, 5, 10, 20),
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (Sweeney 2002): rows that
+    share a combination of ``quasi_cols`` plus the ``bucket_width``-wide
+    ``bucket_col`` bucket form one equivalence class; a class smaller
+    than k means its members are re-identifiable by that attribute
+    combination alone.  The privacy-side complement of the PII family
+    (``pii_redact`` scrubs direct identifiers; this measures the residual
+    quasi-identifier risk a release reviewer signs off on).
+
+    Output: one row per k in ``ks`` — (k, n_classes, classes_below_k,
+    rows_below_k, pct_rows_below) where pct is the re-identifiable row
+    fraction at that k (6dp).  n_classes / total rows repeat across rows
+    (the report-table convention, cf. ``dataset_card``).
+
+    Scale: ONE corpus aggregate to the equivalence-class grain (map-side
+    combined count on the quasi-key; the shuffle carries one long per
+    class), then the k sweep explodes a ≤|ks|-element literal over the
+    bounded class frame — corpus-independent after the first pass.  No
+    window, no join, no collect.
+    """
+    cls = (
+        df.groupBy(
+            *[F.col(c) for c in quasi_cols],
+            F.floor(F.col(bucket_col) / F.lit(bucket_width)).alias("_bkt"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_s"))
+    )
+    ks_arr = F.array(*[F.lit(int(k)).cast("int") for k in ks])
+    return (
+        cls.select(F.col("_s"), F.explode(ks_arr).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("_s") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_below_k"),
+            F.sum(
+                F.when(F.col("_s") < F.col("k"), F.col("_s")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_below_k"),
+            # Unrounded on purpose (the grpo_advantage midpoint lesson):
+            # one division of two exact integer sums is already
+            # bit-identical cross-engine; re-rounding could land on a
+            # decimal midpoint where HALF_UP engines diverge.
+            (
+                F.sum(
+                    F.when(F.col("_s") < F.col("k"), F.col("_s")).otherwise(0)
+                )
+                / F.greatest(F.sum("_s"), F.lit(1))
+            ).alias("pct_rows_below"),
+        )
+    )

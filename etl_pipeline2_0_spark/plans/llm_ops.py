@@ -5901,6 +5901,39 @@ FROM agg
 """
 
 
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-anonymity audit (Sweeney 2002) over the release-reviewer quasi-
+    # identifiers (lang, source, 256-char length bucket): equivalence-
+    # class sizes from ONE corpus aggregate, then the k sweep runs over
+    # the bounded class frame — the residual re-identification risk
+    # table next to pii_redact's direct-identifier scrub.
+    from etl_pipeline2_0_spark.functions import dq
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dq.kanon_audit(docs)
+
+
+SQL_KANON_AUDIT = r"""
+WITH cls AS (
+  SELECT lang, source, CAST(FLOOR(n_chars / 256.0) AS BIGINT) AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS s
+  FROM documents GROUP BY 1, 2, 3
+), sweep AS (
+  SELECT s, k
+  FROM cls CROSS JOIN (SELECT UNNEST([2, 5, 10, 20]) AS k)
+)
+SELECT CAST(k AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN s < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(SUM(CASE WHEN s < k THEN s ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       SUM(CASE WHEN s < k THEN s ELSE 0 END) * 1.0
+         / GREATEST(SUM(s), 1) AS pct_rows_below
+FROM sweep GROUP BY k
+"""
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Datasheet-style report card (Gebru et al. 2021): volume, token-
     # length quantiles, exact-dup rate, language/source shares, mean

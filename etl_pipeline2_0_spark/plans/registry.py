@@ -646,6 +646,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     z-scored rewards via exact micro-unit integer sums (bit-
     #     reproducible doubles, no float tolerance) ---
     "grpo_advantage": (L.q_grpo_advantage, L.SQL_GRPO_ADVANTAGE),
+    # --- added r14 (past-cap; r15 promotion pool): k-anonymity audit
+    #     over quasi-identifiers (Sweeney 2002) — equivalence-class
+    #     sizes from one corpus aggregate, k sweep over the bounded
+    #     class frame; the privacy-risk table next to pii_redact ---
+    "kanon_audit": (L.q_kanon_audit, L.SQL_KANON_AUDIT),
 }
 
 

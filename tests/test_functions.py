@@ -4697,3 +4697,25 @@ def test_grpo_advantage_zscore_semantics(spark):
     rejected = {r["group_id"]: r["rejected_id"] for r in pair}
     assert best["doc_id"] == chosen[0]
     assert worst["doc_id"] == rejected[0]
+
+
+def test_kanon_audit_exact_counts(spark):
+    """Literal corpus with known equivalence classes: classes of sizes
+    (3, 1, 1) over (lang, source, bucket) — at k=2 the two singletons
+    are below; at k=5 everything is."""
+    from etl_pipeline2_0_spark.functions import dq as D
+
+    rows = [
+        ("en", "web", 10), ("en", "web", 20), ("en", "web", 30),  # class A: 3
+        ("en", "web", 300),                                        # class B: 1
+        ("fr", "book", 10),                                        # class C: 1
+    ]
+    docs = spark.createDataFrame(rows, "lang string, source string, n_chars long")
+    out = {r["k"]: r for r in D.kanon_audit(docs, ks=(2, 5)).collect()}
+    assert out[2]["n_classes"] == 3
+    assert out[2]["classes_below_k"] == 2
+    assert out[2]["rows_below_k"] == 2
+    assert abs(out[2]["pct_rows_below"] - 2 / 5) < 1e-12
+    assert out[5]["classes_below_k"] == 3
+    assert out[5]["rows_below_k"] == 5
+    assert out[5]["pct_rows_below"] == 1.0

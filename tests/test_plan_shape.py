@@ -1211,3 +1211,16 @@ def test_grpo_advantage_one_exchange_broadcast_stats_no_window(spark, sf_dir):
     assert "partial_sum" in plan  # map-side combine on the integer sums
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("split(") <= 2  # token array materialized per scan
+
+
+def test_kanon_audit_one_corpus_aggregate_k_sweep_bounded(spark, sf_dir):
+    # ONE corpus-grain aggregate (map-side combined count on the
+    # quasi-key); the k sweep explodes a literal over the bounded class
+    # frame — its re-aggregation shuffles class rows, never corpus rows.
+    # No window, no join, exactly two hash-partition exchanges.
+    plan = _plan(L.q_kanon_audit(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Scan parquet") == 1
