@@ -175,6 +175,7 @@ HEADLINE = [
     "dpo_pairs",
     "grpo_advantage",
     "kanon_audit",
+    "cdc_dedup_curve",
     "ann_hubness",
     "best_of_n",
     "cluster_profile",

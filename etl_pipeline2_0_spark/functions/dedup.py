@@ -2165,3 +2165,153 @@ def lsh_geometry_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cdc_dedup_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask_bits: "tuple[int, ...]" = (4, 5, 6),
+) -> DataFrame:
+    """Content-defined-chunking dedup sizing table (the FastCDC/rsync
+    family, Xia et al. 2016 — the storage-level dedup used by backup and
+    corpus-snapshot systems): a chunk boundary falls AFTER character i
+    whenever the rolling window-gram hash ending at i satisfies
+    ``hash % 2**b == 0``, so boundaries depend only on local CONTENT —
+    insert a byte early in a document and every later chunk is unchanged,
+    which is exactly what makes chunk-level dedup robust where
+    fixed-width blocking is not.  One row per ``b`` in ``mask_bits``:
+    realized chunk count, unique-chunk count, total vs unique characters,
+    the dedup ratio, and the mean chunk length — the measured table that
+    picks the mask width (expected chunk ≈ 2**b chars), next to
+    bloom_fpr_curve / cms_error_curve in the sizing-curve family.
+
+    Construction notes:
+    - No min/max chunk clamps: FastCDC's clamps make boundary i depend on
+      boundary i-1 (a sequential scan — the non-relational part); the
+      pure content-local rule parallelizes exactly and keeps every
+      boundary decision independent.  Tiny chunks simply show up in the
+      measured table (that is the curve's point).
+    - The gram hash is md5-hex15 (the portable-hash discipline), so the
+      DuckDB twin reproduces every boundary bit-for-bit.
+    - Power-of-two masks NEST (``2**4 | 2**6``), so one gram pass feeds
+      every width: grams are pre-filtered by the most permissive mask
+      (~``1/2**min(mask_bits)`` survive) before the width fan-out.
+
+    Output: (mask_bits, expected_chunk_chars, n_chunks, n_unique_chunks,
+    total_chars, unique_chars, dedup_ratio, mean_chunk_len).  Ratios are
+    emitted UNROUNDED (single divisions of exact integer sums — the
+    grpo_advantage determinism note).
+
+    Scale: the gram stream is one narrow map-side pass (id, pos, hash) —
+    never shuffled; cut offsets (~corpus_chars/2**min_b rows) aggregate
+    per (doc, width) into bounded offset arrays; chunk hashes are
+    computed MAP-SIDE so the dedup aggregate shuffles 16-byte digests +
+    lengths, never chunk text.  Per-doc state is O(doc length) — the
+    same bound every shingle operator already carries.
+    """
+    d = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        )
+        .withColumn("n", F.length("t"))
+    )
+
+    def gram_hash(i):
+        return F.conv(
+            F.substring(F.md5(F.substring(F.col("t"), F.lit(0) + i, window)), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.col("n") - F.lit(window - 1)), gram_hash
+    )
+    grams = d.where(F.col("n") >= window).select(
+        "id", "n", F.posexplode(gram_hashes).alias("p", "h")
+    )
+    min_mask = 2 ** min(mask_bits)
+    # pos is 0-based -> the gram ends at 1-based offset p + window; a cut
+    # at the very end would leave an empty final chunk, so off < n.
+    cand = (
+        grams.where(F.pmod(F.col("h"), F.lit(min_mask)) == 0)
+        .select("id", (F.col("p") + F.lit(window)).alias("off"), "h", "n")
+        .where(F.col("off") < F.col("n"))
+    )
+    specs = F.array(
+        *[
+            F.struct(
+                F.lit(int(b)).alias("b"),
+                F.lit(2 ** int(b)).cast("bigint").alias("mask"),
+            )
+            for b in mask_bits
+        ]
+    )
+    cuts = (
+        cand.select("id", "off", "h", F.explode(specs).alias("s"))
+        .where(F.pmod(F.col("h"), F.col("s.mask")) == 0)
+        .select("id", F.col("s.b").alias("b"), "off")
+    )
+    offs = cuts.groupBy("id", "b").agg(
+        F.array_sort(F.collect_list("off")).alias("offs")
+    )
+    widths = F.explode(F.array(*[F.lit(int(b)) for b in mask_bits])).alias("b")
+    seg = (
+        d.select("id", "t", "n", widths)
+        .join(offs, ["id", "b"], "left")
+        .withColumn("offs", F.coalesce(F.col("offs"), F.array().cast("array<int>")))
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(F.col("offs"), lambda o: o + 1))
+    ends = F.concat(F.col("offs"), F.array(F.col("n")))
+    chunks = (
+        seg.select(
+            "b",
+            "t",
+            F.explode(F.arrays_zip(starts.alias("s"), ends.alias("e"))).alias("z"),
+        )
+        .select(
+            "b",
+            F.substring(
+                F.col("t"), F.col("z.s"), F.col("z.e") - F.col("z.s") + F.lit(1)
+            ).alias("chunk"),
+        )
+        .where(F.length("chunk") > 0)
+        .select(
+            "b",
+            F.md5(F.col("chunk")).alias("ch"),
+            F.length("chunk").cast("bigint").alias("clen"),
+        )
+    )
+    # Total AND unique stats from ONE aggregation chain (duplicates of a
+    # chunk share its length, so total = Σ count·len over the unique
+    # grain): a two-branch tot/unq join would recompute the whole chunk
+    # pipeline — two extra corpus scans for nothing.
+    stats = (
+        chunks.groupBy("b", "ch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_dups"),
+            F.min("clen").alias("clen"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("_dups").cast("bigint").alias("n_chunks"),
+            F.sum(F.col("_dups") * F.col("clen")).cast("bigint").alias(
+                "total_chars"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
+            F.sum("clen").cast("bigint").alias("unique_chars"),
+        )
+    )
+    return stats.select(
+        F.col("b").cast("int").alias("mask_bits"),
+        F.pow(F.lit(2.0), F.col("b")).cast("bigint").alias("expected_chunk_chars"),
+        "n_chunks",
+        "n_unique_chunks",
+        "total_chars",
+        "unique_chars",
+        (F.col("total_chars") / F.col("unique_chars")).alias("dedup_ratio"),
+        (F.col("total_chars") / F.col("n_chunks")).alias("mean_chunk_len"),
+    )

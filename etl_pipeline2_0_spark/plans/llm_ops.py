@@ -8096,3 +8096,77 @@ SELECT CAST(POW(2.0, FLOOR(LOG2(CAST(df AS DOUBLE)))) AS BIGINT)
        CAST(MAX(df) AS BIGINT) AS max_df
 FROM dft GROUP BY 1
 """
+
+
+# ------------------------------------------------------ CDC dedup curve ----
+
+
+def q_cdc_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content-defined-chunking dedup sizing table (FastCDC family):
+    # md5-portable rolling boundaries at three mask widths from ONE gram
+    # pass; measures the chunk-level storage-dedup ratio the snapshot
+    # layer would realize at each expected chunk size.  Subset keeps the
+    # gram-grain oracle cheap at any SF (plan shape identical).
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return dedup.cdc_dedup_curve(docs, window=8, mask_bits=(4, 5, 6))
+
+
+SQL_CDC_DEDUP_CURVE = r"""
+WITH d AS (
+  SELECT doc_id AS id, COALESCE(text, '') AS t,
+         length(COALESCE(text, '')) AS n
+  FROM documents WHERE doc_id % 4 = 0
+), widths AS (SELECT * FROM (VALUES (4, 16), (5, 32), (6, 64)) w(b, mask)),
+grams AS (
+  SELECT id, n, i,
+         CAST('0x' || substring(md5(substring(t, CAST(i AS INT), 8)), 1, 15)
+              AS BIGINT) AS h
+  FROM d, UNNEST(range(1, greatest(n - 7, 0) + 1)) AS u(i)
+  WHERE n >= 8
+),
+cuts AS (
+  SELECT g.id, w.b, g.i + 7 AS off
+  FROM grams g CROSS JOIN widths w
+  WHERE g.h % w.mask = 0 AND g.i + 7 < g.n
+),
+offs AS (
+  SELECT d.id, w.b, d.t, d.n,
+         COALESCE(list_sort(list(c.off) FILTER (WHERE c.off IS NOT NULL)),
+                  []) AS offs
+  FROM d CROSS JOIN widths w
+  LEFT JOIN cuts c ON c.id = d.id AND c.b = w.b
+  GROUP BY d.id, w.b, d.t, d.n
+),
+chunks0 AS (
+  SELECT b,
+         UNNEST(list_transform(range(1, len(offs) + 2), j ->
+           substring(t,
+             CAST(CASE WHEN j = 1 THEN 1 ELSE offs[j - 1] + 1 END AS INT),
+             CAST((CASE WHEN j = len(offs) + 1 THEN n ELSE offs[j] END)
+               - (CASE WHEN j = 1 THEN 1 ELSE offs[j - 1] + 1 END) + 1
+               AS INT))))
+           AS chunk
+  FROM offs
+),
+ch AS (
+  SELECT b, md5(chunk) AS h, CAST(length(chunk) AS BIGINT) AS clen
+  FROM chunks0 WHERE length(chunk) > 0
+),
+tot AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(clen) AS BIGINT) AS total_chars
+  FROM ch GROUP BY b
+),
+unq AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+         CAST(SUM(clen) AS BIGINT) AS unique_chars
+  FROM (SELECT b, h, MIN(clen) AS clen FROM ch GROUP BY b, h)
+  GROUP BY b
+)
+SELECT CAST(t.b AS INT) AS mask_bits,
+       CAST(POW(2.0, t.b) AS BIGINT) AS expected_chunk_chars,
+       t.n_chunks, u.n_unique_chunks, t.total_chars, u.unique_chars,
+       t.total_chars * 1.0 / u.unique_chars AS dedup_ratio,
+       t.total_chars * 1.0 / t.n_chunks AS mean_chunk_len
+FROM tot t JOIN unq u USING (b)
+"""

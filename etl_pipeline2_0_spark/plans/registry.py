@@ -651,6 +651,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     sizes from one corpus aggregate, k sweep over the bounded
     #     class frame; the privacy-risk table next to pii_redact ---
     "kanon_audit": (L.q_kanon_audit, L.SQL_KANON_AUDIT),
+    # --- added r14 (past-cap; r15 promotion pool): content-defined-
+    #     chunking dedup sizing table (FastCDC family) — md5-portable
+    #     rolling boundaries, chunk-level storage-dedup ratio at three
+    #     mask widths from one gram pass; the fourth measured sizing
+    #     curve next to bloom_fpr/cms_error/lsh_geometry ---
+    "cdc_dedup_curve": (L.q_cdc_dedup_curve, L.SQL_CDC_DEDUP_CURVE),
 }
 
 

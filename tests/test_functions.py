@@ -4719,3 +4719,56 @@ def test_kanon_audit_exact_counts(spark):
     assert out[5]["classes_below_k"] == 3
     assert out[5]["rows_below_k"] == 5
     assert out[5]["pct_rows_below"] == 1.0
+
+
+def test_cdc_dedup_curve_properties(spark):
+    """The three load-bearing CDC properties:
+    1. Lossless: total_chars == corpus characters at EVERY mask width
+       (chunking partitions each document exactly).
+    2. Exact copies dedup fully: a corpus of one doc + its verbatim copy
+       realizes unique_chars == len(doc), dedup_ratio == 2.0.
+    3. Content-DEFINED boundaries survive a prefix shift: prepending a
+       prefix to a document leaves later chunks identical (shared with
+       the unshifted original) — the property fixed-width blocking lacks.
+    """
+    import hashlib
+
+    from etl_pipeline2_0_spark.functions import dedup as DD
+
+    # Deterministic pseudo-random text: enough hash entropy for ~1/16
+    # boundary density at b=4.
+    base = "".join(
+        hashlib.md5(f"seed{i}".encode()).hexdigest() for i in range(40)
+    )  # 1280 chars
+
+    # -- 2-copy corpus: full dedup ---------------------------------------
+    docs = spark.createDataFrame(
+        [(0, base), (1, base)], "doc_id long, text string"
+    )
+    rows = {r["mask_bits"]: r for r in DD.cdc_dedup_curve(docs).collect()}
+    for b, r in rows.items():
+        assert r["total_chars"] == 2 * len(base)          # lossless
+        assert r["unique_chars"] == len(base)              # copies collapse
+        assert r["dedup_ratio"] == 2.0
+        assert r["n_unique_chunks"] * 2 == r["n_chunks"]
+
+    # -- prefix shift: later chunks shared --------------------------------
+    shifted = "PREFIX-" + base
+    docs2 = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string"
+    )
+    rows2 = {r["mask_bits"]: r for r in DD.cdc_dedup_curve(docs2).collect()}
+    for b, r in rows2.items():
+        assert r["total_chars"] == len(base) + len(shifted)  # lossless
+        # at least one chunk after the first boundary is shared
+        assert r["n_unique_chunks"] < r["n_chunks"], (
+            f"b={b}: no chunk survived the prefix shift"
+        )
+
+    # -- short/empty docs: whole-doc chunk, nothing lost -------------------
+    docs3 = spark.createDataFrame(
+        [(0, "tiny"), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    rows3 = {r["mask_bits"]: r for r in DD.cdc_dedup_curve(docs3).collect()}
+    for r in rows3.values():
+        assert r["total_chars"] == 4 and r["n_chunks"] == 1

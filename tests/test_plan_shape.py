@@ -1224,3 +1224,18 @@ def test_kanon_audit_one_corpus_aggregate_k_sweep_bounded(spark, sf_dir):
     assert "partial_count" in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Scan parquet") == 1
+
+
+def test_cdc_dedup_curve_no_window_mapside_digests(spark, sf_dir):
+    # The gram pass and the chunk construction are narrow map-side work;
+    # chunk md5 digests are computed BEFORE the dedup aggregate (the
+    # shuffle carries 16-byte digests + lengths, never chunk text);
+    # total AND unique stats ride ONE aggregation chain (no tot/unq
+    # two-branch join that would recompute the chunk pipeline); no
+    # window function anywhere, no cartesian, at most two corpus scans
+    # (gram branch + segment branch).
+    plan = _plan(L.q_cdc_dedup_curve(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Scan parquet") <= 2
