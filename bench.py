@@ -176,6 +176,7 @@ HEADLINE = [
     "grpo_advantage",
     "kanon_audit",
     "cdc_dedup_curve",
+    "contrastive_triplets",
     "ann_hubness",
     "best_of_n",
     "cluster_profile",

@@ -1751,3 +1751,111 @@ def cluster_profile(
             "n_labels",
         )
     )
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-triplet mining for embedding-model training (the public
+    in-batch / ANN hard-negative recipe, e.g. FaceNet semi-hard mining
+    and the sentence-transformers ANN-mined variant): for each anchor,
+    the POSITIVE is its highest-cosine same-label neighbor and the
+    NEGATIVE its highest-cosine different-label neighbor — the "hardest"
+    negative, the one a contrastive loss learns most from — both mined
+    from the portable-IVF candidate set (cluster-scoped equi-joins, the
+    bitext_mine discipline: never the cross product).
+
+    Anchors whose probe set lacks a same-label or different-label
+    candidate emit nothing (no fallback scan — at scale the fix is more
+    probes, not a corpus pass).  margin = pos_sim - neg_sim; negative
+    margins are real signal (a different-label vector closer than every
+    same-label one) and are kept.
+
+    Output: (anchor_id, anchor_label, positive_id, pos_sim, negative_id,
+    neg_sim, margin), one row per surviving anchor.
+
+    Scale: candidate generation is the shared portable-IVF shape
+    (broadcast centroids -> per-vector argmax assignment -> probe
+    equi-join on cluster); the triplet pick is ONE hash aggregate per
+    anchor carrying two conditional max-structs (map-side combined) —
+    no window over candidates, no join after scoring.  Ties break to the
+    smaller neighbor id via max(struct(sim, -id)) — the cross-engine
+    determinism discipline (sims 6dp-rounded before compare).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cents = portable_centroids(c, n_centroids)
+    assigned = portable_assign(c, cents).join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("n_label"),
+        ),
+        "neighbor_id",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.col(label_col).alias("q_label"),
+    )
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        "q_norm",
+        "q_label",
+        "centroid_id",
+        F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 6).alias("sim"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        probe_scored.withColumn("p", F.row_number().over(w_probe))
+        .where(F.col("p") <= n_probe)
+        .select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            "q_label",
+            F.col("centroid_id").alias("cluster"),
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    pick = F.struct(F.col("sim"), (-F.col("neighbor_id")).alias("_nid"))
+    agg = cand.groupBy("query_id", "q_label").agg(
+        F.max(F.when(F.col("n_label") == F.col("q_label"), pick)).alias("_p"),
+        F.max(F.when(F.col("n_label") != F.col("q_label"), pick)).alias("_n"),
+    )
+    return (
+        agg.where(F.col("_p").isNotNull() & F.col("_n").isNotNull())
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("q_label").alias("anchor_label"),
+            (-F.col("_p._nid")).alias("positive_id"),
+            F.col("_p.sim").alias("pos_sim"),
+            (-F.col("_n._nid")).alias("negative_id"),
+            F.col("_n.sim").alias("neg_sim"),
+            F.round(F.col("_p.sim") - F.col("_n.sim"), 6).alias("margin"),
+        )
+    )

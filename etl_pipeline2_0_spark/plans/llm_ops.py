@@ -8170,3 +8170,50 @@ SELECT CAST(t.b AS INT) AS mask_bits,
        t.total_chars * 1.0 / t.n_chunks AS mean_chunk_len
 FROM tot t JOIN unq u USING (b)
 """
+
+
+# -------------------------------------------------- contrastive triplets ----
+
+
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hard-triplet mining (anchor / nearest same-label positive / hardest
+    # different-label negative) over the portable-IVF candidate set —
+    # the training-pair construction an embedding-model pipeline runs
+    # after clustering; fully oracled via the md5-portable coarse
+    # quantizer.  Anchors = every 8th vector.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.contrastive_triplets(
+        emb, emb.where(F.col("vec_id") % 8 == 0), n_centroids=16, n_probe=4
+    )
+
+
+SQL_CONTRASTIVE_TRIPLETS = _SQL_IVF_PORTABLE_CTE.replace(
+    "WHERE vec_id < 8", "WHERE vec_id % 8 = 0"
+) + """
+, lab AS (SELECT vec_id, label FROM embeddings)
+, cand AS (
+  SELECT p.query_id, ql.label AS q_label, a.neighbor_id, nl.label AS n_label,
+         ROUND(list_inner_product(p.qv, a.v) /
+               (SQRT(list_inner_product(p.qv, p.qv))
+                * SQRT(list_inner_product(a.v, a.v))), 6) AS sim
+  FROM probes p JOIN assigned a USING (cluster)
+  JOIN lab ql ON ql.vec_id = p.query_id
+  JOIN lab nl ON nl.vec_id = a.neighbor_id
+  WHERE a.neighbor_id <> p.query_id
+), pos AS (
+  SELECT query_id, q_label, neighbor_id AS positive_id, sim AS pos_sim
+  FROM cand WHERE n_label = q_label
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) = 1
+), neg AS (
+  SELECT query_id, neighbor_id AS negative_id, sim AS neg_sim
+  FROM cand WHERE n_label <> q_label
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) = 1
+)
+SELECT p.query_id AS anchor_id, CAST(p.q_label AS INT) AS anchor_label,
+       p.positive_id, p.pos_sim, n.negative_id, n.neg_sim,
+       ROUND(p.pos_sim - n.neg_sim, 6) AS margin
+FROM pos p JOIN neg n USING (query_id)
+"""
+assert "vec_id % 8 = 0" in SQL_CONTRASTIVE_TRIPLETS

@@ -657,6 +657,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     mask widths from one gram pass; the fourth measured sizing
     #     curve next to bloom_fpr/cms_error/lsh_geometry ---
     "cdc_dedup_curve": (L.q_cdc_dedup_curve, L.SQL_CDC_DEDUP_CURVE),
+    # --- added r14 (past-cap; r15 promotion pool): hard-triplet mining
+    #     (anchor / nearest same-label positive / hardest different-
+    #     label negative) over the portable-IVF candidate set — the
+    #     contrastive training-pair construction, cluster-scoped
+    #     equi-joins only, one conditional max-struct aggregate ---
+    "contrastive_triplets": (
+        L.q_contrastive_triplets,
+        L.SQL_CONTRASTIVE_TRIPLETS,
+    ),
 }
 
 

@@ -4772,3 +4772,41 @@ def test_cdc_dedup_curve_properties(spark):
     rows3 = {r["mask_bits"]: r for r in DD.cdc_dedup_curve(docs3).collect()}
     for r in rows3.values():
         assert r["total_chars"] == 4 and r["n_chunks"] == 1
+
+
+def test_contrastive_triplets_semantics(spark):
+    """Hand-built geometry: positives share the anchor's label and are
+    its nearest same-label candidate; negatives are the hardest (most
+    similar) different-label candidate; anchors lacking either side emit
+    nothing; a negative margin survives (hard negative closer than the
+    best positive)."""
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    # 2-D vectors, one tight cluster so the IVF probe set covers all
+    # candidates (n_centroids=2, n_probe=2 -> everything probed).
+    rows = [
+        (0, [1.0, 0.0], 7),      # anchor
+        (1, [0.9, 0.1], 7),      # near positive
+        (2, [0.5, 0.5], 7),      # farther positive
+        (3, [0.99, 0.01], 8),    # HARD negative (closer than any positive)
+        (4, [0.0, 1.0], 8),      # easy negative
+        (8, [1.0, 0.05], 9),     # anchor with label 9: no same-label other
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["anchor_id"]: r
+        for r in S.contrastive_triplets(
+            emb, emb.where(F.col("vec_id") % 8 == 0),
+            n_centroids=2, n_probe=2,
+        ).collect()
+    }
+    # anchor 8 has no same-label candidate -> dropped
+    assert set(out) == {0}
+    r = out[0]
+    assert r["anchor_label"] == 7
+    assert r["positive_id"] == 1          # nearest same-label
+    assert r["negative_id"] == 3          # hardest different-label
+    assert r["margin"] < 0                # hard negative beats the positive
+    assert abs(r["margin"] - (r["pos_sim"] - r["neg_sim"])) < 1e-9

@@ -1239,3 +1239,17 @@ def test_cdc_dedup_curve_no_window_mapside_digests(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_contrastive_triplets_cluster_scoped_single_aggregate(spark, sf_dir):
+    # Candidate generation must stay cluster-scoped (broadcast centroid
+    # crosses only — no corpus-sized cartesian) and the triplet pick is
+    # ONE aggregate carrying two conditional max-structs with map-side
+    # combine; no window over scored candidates (the only windows are
+    # the bounded per-query probe ranks / per-vector assignment).
+    plan = _plan(L.q_contrastive_triplets(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan
+    # equi-join on cluster, not a nested-loop over candidates: every
+    # BroadcastNestedLoopJoin in this plan is a bounded centroid cross
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
