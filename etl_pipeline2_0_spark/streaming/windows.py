@@ -388,11 +388,15 @@ def stream_session_windows(events: DataFrame) -> DataFrame:
     double-counted.  The 'batch minus final session' equality therefore
     holds only while ingest keeps pace (the pinned test polls before
     timeouts fire).  Where append-stream exactness under lag matters,
-    run with an event-time watermark variant (EventTimeTimeout keyed to
-    ``max_event_ts + gap``) or reconcile against the batch sessionizer;
-    processing-time is the availableNow-friendly default here because
-    availableNow drains and idles, which is exactly when the flush
-    SHOULD fire.
+    use the NATIVE event-time path instead: ``session_window_stats`` in
+    append mode (watermark + ``session_window``) closes a session only
+    when the event-time watermark passes its end — stall-immune by
+    construction, pinned in test_streaming_windows.
+    test_native_session_window_append_event_time_closure.  Processing-
+    time is the availableNow-friendly default HERE because availableNow
+    drains and idles, which is exactly when the flush SHOULD fire; this
+    custom operator earns its keep where the emitted row must carry
+    state the native session aggregate cannot.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

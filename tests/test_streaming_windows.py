@@ -531,3 +531,70 @@ def test_stream_sessionize_idle_ttl_wiring(spark, tmp_path):
         ):
             final[r["user_id"]] = (r["n_sessions"], r["n_events"])
     assert final == {1: (2, 3), 2: (1, 2)}
+
+
+def test_native_session_window_append_event_time_closure(spark, tmp_path):
+    """The EVENT-TIME closed-session path (the stall-robust complement of
+    stream_session_windows' processing-time timeout, cf. its documented
+    caveat): native ``session_window`` + watermark in APPEND mode emits a
+    session exactly when the event-time watermark passes its end —
+    ingest stalls cannot close a live session early, and the emitted rows
+    equal the batch sessionization of the closed subset.
+
+    Batch A opens sessions for users 1 and 2; batch B carries a much
+    later event whose watermark (2h behind max event time) passes both
+    A-sessions' ends -> both emit closed; B's own session stays open and
+    is NOT emitted."""
+    from etl_pipeline2_0_spark.streaming.windows import session_window_stats
+
+    src = str(tmp_path / "events_native_sess")
+    batch_a = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:10:00", 1, "view", 1.0),   # same session (gap 30m)
+        (3, "2024-01-01 10:05:00", 2, "click", 1.0),
+    ]
+    batch_b = [
+        (4, "2024-01-01 20:00:00", 1, "click", 1.0),  # watermark -> 18:00
+    ]
+    _write_batch(spark, batch_a, src)
+    _write_batch(spark, batch_b, src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = session_window_stats(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("native_sess_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.table("native_sess_append").collect()
+    }
+    # exactly the two batch-A sessions closed; 20:00 session still open
+    assert set(got) == {
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:05:00"),
+    }
+    assert got[(1, "2024-01-01 10:00:00")]["n_events"] == 2
+    # session end = last event + gap (native session_window semantics)
+    assert got[(1, "2024-01-01 10:00:00")]["session_end"] == "2024-01-01 10:40:00"
+    assert got[(2, "2024-01-01 10:05:00")]["n_events"] == 1
+    # and the closed rows equal the BATCH sessionization of the same subset
+    batch = {
+        (r["user_id"], r["session_start"]): r
+        for r in session_window_stats(
+            spark.read.parquet(src), gap="30 minutes"
+        ).collect()
+        if r["session_end"] <= "2024-01-01 18:00:00"  # watermark horizon
+    }
+    assert set(batch) == set(got)
+    for k in got:
+        assert got[k]["n_events"] == batch[k]["n_events"]
+        assert got[k]["session_end"] == batch[k]["session_end"]
