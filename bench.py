@@ -177,6 +177,7 @@ HEADLINE = [
     "kanon_audit",
     "cdc_dedup_curve",
     "contrastive_triplets",
+    "embed_dim_stats",
     "ann_hubness",
     "best_of_n",
     "cluster_profile",

@@ -1859,3 +1859,88 @@ def contrastive_triplets(
             F.round(F.col("_p.sim") - F.col("_n.sim"), 6).alias("margin"),
         )
     )
+
+
+def embed_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding diagnostics: mean, population variance,
+    and each dimension's share of total variance — the table that
+    detects dead coordinates (no signal to quantize) and dominant ones
+    (whiten or rotate before cosine), read before ``embed_quantize`` /
+    PQ codebook decisions.
+
+    Cross-engine determinism (the grpo_advantage discipline, pushed one
+    level up): values quantize to exact micro-unit BIGINTs and the
+    per-dim sums Σu and Σu² are integer aggregates (order-independent,
+    double-exact at any realistic n since Σu² needs < 53 bits long after
+    the corpus outgrows one machine — documented bound below).  The
+    variance numerator ``n·Σu² − (Σu)²`` is then computed in DOUBLE
+    arithmetic with a FIXED op order — IEEE ops are correctly rounded,
+    so identical expressions give bit-identical results in any engine —
+    deliberately NOT in exact decimal: past 2^53 the two engines' big-
+    integer→double conversions can disagree by one ULP (observed at
+    sf0.1), while same-order double arithmetic cannot.  The total-
+    variance denominator folds the 64 per-dim numerators in CANONICAL
+    (value-sorted) order via an explicit list reduction on both sides —
+    a plain SUM over doubles would be partial-aggregation-order-
+    dependent.  Hash-matchable without tolerance, no rounding anywhere.
+
+    Output: (dim, n_vectors, mean, variance, var_share), one row per
+    coordinate, dim 0-based.
+
+    Scale: ONE posexplode pass (|corpus|·d narrow rows, map-side
+    combined into d partial sums per task) and a d-row broadcast of the
+    total — corpus-independent after the first aggregate.  Σu² stays
+    inside BIGINT (and double-exact) up to ~10⁶ vectors per dimension at
+    |x| ≤ ~2; beyond that, re-scale the quantization grid or shard the
+    sum — the op-order contract is unaffected.
+    """
+    u = (
+        df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .select(
+            "dim",
+            F.round(F.col("x").cast("double") * F.lit(1_000_000.0))
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    s = u.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("u") * F.col("u")).alias("sq"),
+    )
+    # double(n)*double(sq) - double(su)*double(su): fixed-order IEEE ops
+    # over exact integer inputs -> bit-identical in any engine.
+    num = (
+        F.col("n").cast("double") * F.col("sq").cast("double")
+        - F.col("su").cast("double") * F.col("su").cast("double")
+    )
+    # The bounded d-row frame feeds BOTH the output and the total fold:
+    # a lazy checkpoint stops the two consumers re-running the corpus
+    # pass (the lsh_geometry_sweep discipline).
+    sd = s.select("dim", "n", "su", num.alias("_num")).localCheckpoint(
+        eager=False
+    )
+    tot = sd.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("_num")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_tot")
+    )
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("n").alias("n_vectors"),
+            (F.col("su") / F.col("n") / F.lit(1_000_000.0)).alias("mean"),
+            (
+                F.col("_num")
+                / (F.col("n") * F.col("n")).cast("double")
+                / F.lit(1_000_000_000_000.0)
+            ).alias("variance"),
+            (F.col("_num") / F.col("_tot")).alias("var_share"),
+        )
+    )

@@ -8217,3 +8217,50 @@ SELECT p.query_id AS anchor_id, CAST(p.q_label AS INT) AS anchor_label,
 FROM pos p JOIN neg n USING (query_id)
 """
 assert "vec_id % 8 = 0" in SQL_CONTRASTIVE_TRIPLETS
+
+
+# ------------------------------------------------------- embed dim stats ----
+
+
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-dimension embedding diagnostics (dead/dominant coordinate
+    # table read before quantization/whitening): exact micro-unit sums,
+    # decimal-exact variance numerators, every double a fixed op
+    # sequence — no rounding, no tolerance.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embed_dim_stats(emb)
+
+
+SQL_EMBED_DIM_STATS = r"""
+WITH e AS (
+  SELECT unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS d1
+  FROM embeddings
+), u AS (
+  SELECT d1 - 1 AS dim,
+         CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS u
+  FROM e
+), s AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, SUM(u) AS su,
+         SUM(u * u) AS sq
+  FROM u GROUP BY dim
+), sd AS (
+  -- fixed-order double arithmetic, mirrored in the Spark side: IEEE
+  -- multiply/subtract over exact integer inputs is correctly rounded in
+  -- every engine, unlike >2^53 big-integer -> double conversions
+  SELECT dim, n, su,
+         CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+           - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS num
+  FROM s
+), tot AS (
+  -- canonical value-sorted left fold (the Spark side reduces the same
+  -- sorted list) -- a plain SUM would be accumulation-order-dependent
+  SELECT list_reduce(list_sort(list(num)), (a, b) -> a + b) AS tot FROM sd
+)
+SELECT CAST(dim AS INT) AS dim,
+       n AS n_vectors,
+       (su * 1.0 / n) / 1000000.0 AS mean,
+       num / (n * n) / 1000000000000.0 AS variance,
+       num / tot AS var_share
+FROM sd CROSS JOIN tot
+"""

@@ -666,6 +666,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_contrastive_triplets,
         L.SQL_CONTRASTIVE_TRIPLETS,
     ),
+    # --- added r14 (past-cap; r15 promotion pool): per-dimension
+    #     embedding diagnostics (dead/dominant coordinate table) —
+    #     exact micro-unit integer sums, decimal-exact variance
+    #     numerators, order-independent total-variance share ---
+    "embed_dim_stats": (L.q_embed_dim_stats, L.SQL_EMBED_DIM_STATS),
 }
 
 

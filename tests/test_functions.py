@@ -4810,3 +4810,23 @@ def test_contrastive_triplets_semantics(spark):
     assert r["negative_id"] == 3          # hardest different-label
     assert r["margin"] < 0                # hard negative beats the positive
     assert abs(r["margin"] - (r["pos_sim"] - r["neg_sim"])) < 1e-9
+
+
+def test_embed_dim_stats_known_values(spark):
+    """Hand-computable 2-D corpus: dim 0 values (1.0, 3.0) -> mean 2.0,
+    population variance 1.0; dim 1 constant -> variance 0, share 0; the
+    shares sum to 1 over non-degenerate dims."""
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [3.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in S.embed_dim_stats(emb).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_vectors"] == 2
+    assert abs(out[0]["mean"] - 2.0) < 1e-9
+    assert abs(out[0]["variance"] - 1.0) < 1e-9
+    assert abs(out[1]["variance"]) < 1e-12
+    assert abs(out[1]["var_share"]) < 1e-12
+    assert abs(sum(r["var_share"] for r in out.values()) - 1.0) < 1e-9

@@ -1253,3 +1253,15 @@ def test_contrastive_triplets_cluster_scoped_single_aggregate(spark, sf_dir):
     # equi-join on cluster, not a nested-loop over candidates: every
     # BroadcastNestedLoopJoin in this plan is a bounded centroid cross
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_embed_dim_stats_one_pass_broadcast_total(spark, sf_dir):
+    # One posexplode pass into a map-side-combined per-dim aggregate;
+    # the bounded d-row frame is lazily checkpointed so the total fold
+    # and the output share ONE corpus pass, and the total broadcasts
+    # back as a single row.  No window, no sort-merge join.
+    plan = _plan(L.q_embed_dim_stats(spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total cross
+    assert plan.count("Scan parquet") == 0  # behind the lazy checkpoint
