@@ -178,6 +178,7 @@ HEADLINE = [
     "cdc_dedup_curve",
     "contrastive_triplets",
     "embed_dim_stats",
+    "embed_pca_top",
     "ann_hubness",
     "best_of_n",
     "cluster_profile",

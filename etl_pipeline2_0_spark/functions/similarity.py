@@ -1944,3 +1944,180 @@ def embed_dim_stats(
             (F.col("_num") / F.col("_tot")).alias("var_share"),
         )
     )
+
+
+def embed_pca_top(
+    corpus: DataFrame,
+    dims: int = 64,
+    n_iter: int = 6,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the embedding cloud by POWER ITERATION,
+    expressed relationally (the kcenter/BPE bounded-loop discipline) and
+    fully oracled — the off-diagonal complement of ``embed_dim_stats``:
+    per-dim variance says which coordinates carry signal; the top
+    eigenvector says which DIRECTION dominates (anisotropy: the thing
+    whitening removes before cosine retrieval, cf. the all-but-the-top
+    postprocessing of Mu & Viswanath 2018).
+
+    Construction (every step exact-integer, hence engine-portable):
+    vectors quantize to 1e-5-grid BIGINTs; the iterate ``p`` lives on a
+    ~1e3 integer grid.  One iteration = one corpus pass: ``d_r = q_r·p``
+    (fixed-order array fold, exact BIGINT), then ``w = Σ_r q_r·d_r``
+    (per-dim DECIMAL-exact sums), then L∞ renormalization back to the
+    ~1e3 grid via exact integer division (truncated-toward-zero on both
+    engines — Spark ``div`` ≡ sign·(abs // g)).  No float enters the
+    loop, so ``n_iter`` steps are bit-reproducible anywhere.
+
+    Reported: per-dim ``loading`` (unit-norm iterate, exact ints →
+    deterministic doubles) plus the iterate's Rayleigh quotient as
+    ``eigenvalue`` (a lower bound on λ_max, tight when the spectrum has
+    a dominant gap) and ``var_share_top`` = eigenvalue / total variance
+    — both 6dp (their >2^53 exact sums convert to double once; rounding
+    absorbs the engines' 1-ULP conversion divergence, the
+    embed_dim_stats lesson).
+
+    Output: (dim, loading, eigenvalue, var_share_top), ``dims`` rows —
+    the two scalars repeat per row (report-table convention).
+
+    Scale: ``n_iter`` bounded iterations, each ONE corpus pass (the
+    1-row iterate broadcasts; the per-dim aggregate is map-side
+    combined), with a lazy checkpoint per step so plans stay flat.
+    Exactness bounds: Σ|q·d| per dim needs < 10^38 — safe past 10^15
+    vectors; the corpus enters each pass only through the scan.
+    """
+    e = corpus.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(100_000.0)).cast(
+                "bigint"
+            ),
+        ).alias("q")
+    ).localCheckpoint(eager=False)
+
+    def matvec(p_row: DataFrame) -> DataFrame:
+        """One corpus pass: d_r = q_r·p (exact), w_i = Σ_r q_ri·d_r."""
+        scored = e.crossJoin(F.broadcast(p_row)).select(
+            "q",
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("p"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        return (
+            scored.select(F.posexplode("q").alias("dim", "u"), "d")
+            .groupBy("dim")
+            .agg(
+                F.sum((F.col("u") * F.col("d")).cast("decimal(25,0)")).alias(
+                    "w"
+                )
+            )
+        )
+
+    p_row = e.sparkSession.range(1).select(
+        F.array(*[F.lit(1000).cast("bigint") for _ in range(dims)]).alias("p")
+    )
+    for _ in range(n_iter):
+        w = matvec(p_row).localCheckpoint(eager=False)
+        g = w.agg(
+            F.greatest(
+                F.expr("max(abs(w)) div 1000").cast("bigint"), F.lit(1)
+            ).alias("g")
+        )
+        p_row = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                "dim",
+                (
+                    F.signum(F.col("w")).cast("bigint")
+                    * F.expr(
+                        "cast(abs(w) as decimal(25,0))"
+                        " div cast(g as decimal(25,0))"
+                    )
+                ).alias("p"),
+            )
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "p"))),
+                    lambda s: s["p"],
+                ).alias("p")
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    pp_row = p_row.select(
+        "p",
+        F.greatest(
+            F.aggregate(
+                F.zip_with(F.col("p"), F.col("p"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(1),
+        ).alias("pp"),
+    )
+    d_final = e.crossJoin(F.broadcast(pp_row)).select(
+        "q",
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("p"), lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    ray = d_final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)")
+        ).alias("d2"),
+        F.sum("d").alias("d1"),
+    )
+    # total variance in the same 1e-5-grid units (the embed_dim_stats
+    # fixed-order-double + canonical-sorted-fold discipline)
+    s = (
+        e.select(F.posexplode("q").alias("dim", "u"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("u").alias("su"),
+            F.sum(F.col("u") * F.col("u")).alias("sq"),
+        )
+    )
+    tv = s.select(
+        (
+            F.col("n").cast("double") * F.col("sq").cast("double")
+            - F.col("su").cast("double") * F.col("su").cast("double")
+        ).alias("num")
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("num")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("tot")
+    )
+    rq = (F.col("d2").cast("double") / F.col("n")
+          - (F.col("d1") / F.col("n")) * (F.col("d1") / F.col("n"))) / F.col(
+        "pp"
+    )
+    loadings = pp_row.select(
+        F.posexplode("p").alias("dim", "pv"), F.col("pp")
+    )
+    return (
+        loadings.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(tv))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("pv") / F.sqrt(F.col("pp").cast("double"))).alias(
+                "loading"
+            ),
+            F.round(rq / F.lit(10_000_000_000.0), 6).alias("eigenvalue"),
+            F.round(
+                rq
+                / (
+                    F.col("tot")
+                    / (F.col("n").cast("double") * F.col("n").cast("double"))
+                ),
+                6,
+            ).alias("var_share_top"),
+        )
+    )

@@ -8264,3 +8264,92 @@ SELECT CAST(dim AS INT) AS dim,
        num / tot AS var_share
 FROM sd CROSS JOIN tot
 """
+
+
+# -------------------------------------------------------- PCA power top ----
+
+
+def q_embed_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top principal direction by exact-integer power iteration (6 steps,
+    # the kcenter bounded-loop discipline): anisotropy report — unit
+    # loadings + the iterate's Rayleigh quotient and its share of total
+    # variance.  Fully oracled: no float enters the loop on either
+    # engine.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embed_pca_top(emb, dims=64, n_iter=6)
+
+
+def _sql_pca_top(n_iter: int = 6, dims: int = 64) -> str:
+    # Unrolled MATERIALIZED iteration CTEs (the kcenter/BPE twin
+    # pattern); every loop quantity is exact-integer, mirroring
+    # similarity.embed_pca_top step for step.
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(ROUND(x * 100000.0) AS BIGINT)) AS q FROM embeddings)",
+        f"p0 AS (SELECT list_transform(range(1, {dims + 1}),"
+        " i -> CAST(1000 AS BIGINT)) AS p)",
+    ]
+    for j in range(1, n_iter + 1):
+        parts.append(
+            f"d{j} AS MATERIALIZED (SELECT q,"
+            f" CAST(list_inner_product(q, (SELECT p FROM p{j - 1}))"
+            " AS BIGINT) AS d FROM e)"
+        )
+        parts.append(
+            f"w{j} AS MATERIALIZED (SELECT dim - 1 AS dim, SUM(u * d) AS w"
+            " FROM (SELECT d, unnest(q) AS u,"
+            f" generate_subscripts(q, 1) AS dim FROM d{j}) GROUP BY 1)"
+        )
+        parts.append(
+            f"g{j} AS (SELECT GREATEST(MAX(abs(w)) // 1000, 1) AS g"
+            f" FROM w{j})"
+        )
+        parts.append(
+            f"p{j} AS (SELECT list(CAST(CASE WHEN w < 0"
+            " THEN -(abs(w) // g) ELSE abs(w) // g END AS BIGINT)"
+            f" ORDER BY dim) AS p FROM w{j} CROSS JOIN g{j})"
+        )
+    parts.append(
+        "dF AS MATERIALIZED (SELECT"
+        f" CAST(list_inner_product(q, (SELECT p FROM p{n_iter}))"
+        " AS BIGINT) AS d FROM e)"
+    )
+    parts.append(
+        "ray AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+        " SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS d2,"
+        " SUM(d) AS d1 FROM dF)"
+    )
+    parts.append(
+        "pp AS (SELECT GREATEST(CAST(list_inner_product("
+        f"(SELECT p FROM p{n_iter}), (SELECT p FROM p{n_iter}))"
+        " AS BIGINT), 1) AS pp)"
+    )
+    parts.append(
+        "s AS (SELECT dim - 1 AS dim, CAST(COUNT(*) AS BIGINT) AS n,"
+        " SUM(u) AS su, SUM(u * u) AS sq FROM"
+        " (SELECT unnest(q) AS u, generate_subscripts(q, 1) AS dim FROM e)"
+        " GROUP BY 1)"
+    )
+    parts.append(
+        "tv AS (SELECT list_reduce(list_sort(list("
+        " CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)"
+        " - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))), (a, b) -> a + b)"
+        " AS tot FROM s)"
+    )
+    tail = f"""
+SELECT CAST(pf.dim - 1 AS INT) AS dim,
+       pf.pv / SQRT(CAST(pp.pp AS DOUBLE)) AS loading,
+       ROUND((d2 * 1.0 / n - (d1 * 1.0 / n) * (d1 * 1.0 / n))
+             / pp.pp / 10000000000.0, 6) AS eigenvalue,
+       ROUND(((d2 * 1.0 / n - (d1 * 1.0 / n) * (d1 * 1.0 / n)) / pp.pp)
+             / (tot / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+         AS var_share_top
+FROM (SELECT unnest(p) AS pv, generate_subscripts(p, 1) AS dim
+      FROM p{n_iter}) pf
+CROSS JOIN ray CROSS JOIN pp CROSS JOIN tv
+"""
+    return ",\n".join(parts) + tail
+
+
+SQL_EMBED_PCA_TOP = _sql_pca_top(6, 64)

@@ -671,6 +671,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     exact micro-unit integer sums, decimal-exact variance
     #     numerators, order-independent total-variance share ---
     "embed_dim_stats": (L.q_embed_dim_stats, L.SQL_EMBED_DIM_STATS),
+    # --- added r14 (past-cap; r15 promotion pool): top principal
+    #     direction by exact-integer power iteration (anisotropy
+    #     report: unit loadings + Rayleigh quotient + variance share) —
+    #     no float in the loop, unrolled-CTE oracle ---
+    "embed_pca_top": (L.q_embed_pca_top, L.SQL_EMBED_PCA_TOP),
 }
 
 

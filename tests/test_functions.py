@@ -4830,3 +4830,26 @@ def test_embed_dim_stats_known_values(spark):
     assert abs(out[1]["variance"]) < 1e-12
     assert abs(out[1]["var_share"]) < 1e-12
     assert abs(sum(r["var_share"] for r in out.values()) - 1.0) < 1e-9
+
+
+def test_embed_pca_top_planted_direction(spark):
+    """Rank-1 corpus: every vector is a multiple of v = (0.6, 0.8), so
+    the top principal direction IS ±v, the Rayleigh quotient equals the
+    coefficient variance, and the top direction carries ALL variance."""
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    coefs = [0.1, -0.1, 0.2, -0.2]
+    emb = spark.createDataFrame(
+        [(i, [0.6 * c, 0.8 * c]) for i, c in enumerate(coefs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in S.embed_pca_top(emb, dims=2, n_iter=6).collect()}
+    assert set(out) == {0, 1}
+    # unit loadings proportional to (0.6, 0.8), consistent sign
+    l0, l1 = out[0]["loading"], out[1]["loading"]
+    assert abs(abs(l0) - 0.6) < 1e-3 and abs(abs(l1) - 0.8) < 1e-3
+    assert l0 * l1 > 0
+    assert abs(l0 * l0 + l1 * l1 - 1.0) < 1e-9
+    # eigenvalue = Var(coefs) = 0.025; rank-1 -> full variance share
+    assert abs(out[0]["eigenvalue"] - 0.025) < 1e-4
+    assert abs(out[0]["var_share_top"] - 1.0) < 1e-4

@@ -1265,3 +1265,16 @@ def test_embed_dim_stats_one_pass_broadcast_total(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total cross
     assert plan.count("Scan parquet") == 0  # behind the lazy checkpoint
+
+
+def test_embed_pca_top_bounded_loop_no_window(spark, sf_dir):
+    # Every iteration is one corpus pass: the 1-row iterate broadcasts
+    # (BroadcastNestedLoopJoin crosses of bounded frames only), per-dim
+    # sums are map-side combined, and the loop lives behind lazy
+    # checkpoints — no window function, no sort-merge join, no cartesian
+    # product anywhere in the final composed plan.
+    plan = _plan(L.q_embed_pca_top(spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
