@@ -156,6 +156,30 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # kcenter_coreset (semantic selection anchored by in-window
     # mmr_select).  test_sql_registry.py re-pins the representative set
     # and the all-oracled invariant.
+    #
+    # ROUND-15 STAGING (execute next round): promote the ELEVEN r14-added
+    # oracled entries (all ×3-SF parity-proven locally, zero driver rows)
+    # — retrieval_ndcg, rrf_ndcg, chat_assemble, chat_pack,
+    # tokenizer_compare_eqv, grpo_advantage, kanon_audit,
+    # cdc_dedup_curve, contrastive_triplets, embed_dim_stats,
+    # embed_pca_top — in one wave.  Demote the ELEVEN most-tenured
+    # multi-green holdovers: the four thrice-green r11 promotions
+    # (ann_pq_topk, ann_pq_recall — ANN quality stays anchored by
+    # in-window ann_hubness/bitext_recall plus the incoming
+    # contrastive_triplets/embed_* rows; cms_heavy_hitters,
+    # bloom_contamination — sketches/decontam anchored by in-window
+    # cms_error_curve/bloom_fpr_curve/minhash_decontam) and the seven
+    # twice-green r12 promotions (edit_neardup — dedup anchored by
+    # dedup_manifest/jaccard_histogram/lsh_geometry_sweep + the incoming
+    # cdc_dedup_curve; quality_classifier, gopher_repetition,
+    # entropy_stats — quality anchored by kn_score/threshold_sweep/
+    # domain_quality_rollup; doremi_weights — mixing anchored by
+    # epoch_decay_curve/corpus_overlap + the incoming
+    # tokenizer_compare_eqv decision table; langid_confusion —
+    # langid_rank stays; retrieval_pairs — retrieval anchored by
+    # sentence_chunk/crop_pairs + the incoming retrieval_ndcg/rrf_ndcg
+    # quality rows).  Keep the family-anchor and all-oracled invariants
+    # (test_sql_registry.py pins both).
     # --- holdovers collecting rows (promoted r11, green r11-r13): PQ
     #     ADC top-k + measured recall, CMS heavy hitters, Bloom
     #     decontamination ---
