@@ -179,6 +179,7 @@ HEADLINE = [
     "contrastive_triplets",
     "embed_dim_stats",
     "embed_pca_top",
+    "cluster_balanced_sample",
     "ann_hubness",
     "best_of_n",
     "cluster_profile",

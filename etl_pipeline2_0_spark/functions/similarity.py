@@ -2121,3 +2121,49 @@ def embed_pca_top(
             ).alias("var_share_top"),
         )
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    per_cluster: int = 8,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced subsampling (the DCLM / SemDeDup-rebalance
+    recipe): assign every vector to its nearest portable centroid, then
+    keep at most ``per_cluster`` vectors per cluster by a DETERMINISTIC
+    hash order (md5-hex15 of the id — the engine-portable "random"
+    draw used across the split/shard family).  Equalizing cluster mass
+    de-biases an embedding-clustered corpus toward its long tail —
+    the rebalance read off ``cluster_profile``'s dominance table.
+
+    Output: (vec_id, cluster, rnk), rnk ∈ [1, per_cluster] in hash
+    order — re-running with a larger ``per_cluster`` EXTENDS each
+    cluster's keep set without reshuffling it (hash order is stable),
+    the property quota samplers need for incremental growth.
+
+    Scale: one corpus pass for assignment (broadcast centroid cross +
+    per-vector argmax), then ONE shuffle on the cluster key feeding a
+    per-cluster rank window (candidates stream through; state = one
+    running counter per cluster).  No collect, no global sort.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cents = portable_centroids(c, n_centroids)
+    assigned = portable_assign(c, cents).select("neighbor_id", "cluster")
+    hh = F.conv(
+        F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("cluster").orderBy(F.col("_hh"), F.col("neighbor_id"))
+    return (
+        assigned.withColumn("_hh", hh)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= per_cluster)
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            F.col("cluster"),
+            F.col("rnk"),
+        )
+    )

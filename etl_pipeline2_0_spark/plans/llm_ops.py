@@ -8353,3 +8353,26 @@ CROSS JOIN ray CROSS JOIN pp CROSS JOIN tv
 
 
 SQL_EMBED_PCA_TOP = _sql_pca_top(6, 64)
+
+
+# ---------------------------------------------- cluster-balanced sample ----
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DCLM-style cluster-balanced subsample: nearest portable centroid,
+    # then a deterministic md5-order quota per cluster — the rebalance
+    # acted on cluster_profile's dominance table.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cluster_balanced_sample(emb, per_cluster=8, n_centroids=16)
+
+
+# Reuse the portable-IVF centroid/assignment CTEs; the tail ranks each
+# cluster's members by the md5-hex15 draw and keeps the quota.
+SQL_CLUSTER_BALANCED_SAMPLE = _SQL_IVF_PORTABLE_CTE.split("), q AS (")[0] + """)
+SELECT neighbor_id AS vec_id, CAST(cluster AS INT) AS cluster,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY
+         CAST('0x' || substring(md5(CAST(neighbor_id AS VARCHAR)), 1, 15)
+              AS BIGINT), neighbor_id) AS INT) AS rnk
+FROM assigned
+QUALIFY rnk <= 8
+"""

@@ -700,6 +700,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     report: unit loadings + Rayleigh quotient + variance share) —
     #     no float in the loop, unrolled-CTE oracle ---
     "embed_pca_top": (L.q_embed_pca_top, L.SQL_EMBED_PCA_TOP),
+    # --- added r14 (past-cap; r15 promotion pool — SECOND WAVE, r16 if
+    #     the 11-entry first wave fills the window): DCLM-style
+    #     cluster-balanced subsample over the portable clusters ---
+    "cluster_balanced_sample": (
+        L.q_cluster_balanced_sample,
+        L.SQL_CLUSTER_BALANCED_SAMPLE,
+    ),
 }
 
 

@@ -4853,3 +4853,29 @@ def test_embed_pca_top_planted_direction(spark):
     # eigenvalue = Var(coefs) = 0.025; rank-1 -> full variance share
     assert abs(out[0]["eigenvalue"] - 0.025) < 1e-4
     assert abs(out[0]["var_share_top"] - 1.0) < 1e-4
+
+
+def test_cluster_balanced_sample_quota_and_stability(spark):
+    """Quota respected per cluster; hash order is STABLE so a larger
+    quota extends each keep set without reshuffling it (the incremental
+    growth property)."""
+    from collections import defaultdict
+
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    # 40 vectors in two tight blobs -> two dominant clusters
+    rows = [(i, [1.0 + (i % 5) * 1e-3, 0.0]) for i in range(20)] + [
+        (i, [0.0, 1.0 + (i % 5) * 1e-3]) for i in range(20, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    small = S.cluster_balanced_sample(emb, per_cluster=3, n_centroids=2)
+    big = S.cluster_balanced_sample(emb, per_cluster=6, n_centroids=2)
+    s_rows = small.collect()
+    b_rows = big.collect()
+    per = defaultdict(list)
+    for r in s_rows:
+        per[r["cluster"]].append(r)
+    assert all(len(v) <= 3 for v in per.values())
+    assert {(r["vec_id"], r["cluster"], r["rnk"]) for r in s_rows} <= {
+        (r["vec_id"], r["cluster"], r["rnk"]) for r in b_rows
+    }

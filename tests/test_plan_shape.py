@@ -1278,3 +1278,19 @@ def test_embed_pca_top_bounded_loop_no_window(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
+    # Assignment is the shared broadcast-centroid shape; the quota cut
+    # is ONE shuffle on the cluster key feeding a per-cluster rank
+    # window — no cartesian, no global (partition-less) window.
+    plan = _plan(L.q_cluster_balanced_sample(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    # allowed window keys: the cluster-quota rank, the per-vector argmax
+    # assignment, and portable_centroids' numbering of its bounded
+    # n_centroids-row frame (partition-less over 16 rows by design)
+    for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
