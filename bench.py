@@ -180,6 +180,7 @@ HEADLINE = [
     "embed_dim_stats",
     "embed_pca_top",
     "cluster_balanced_sample",
+    "rouge_screen",
     "ann_hubness",
     "best_of_n",
     "cluster_profile",

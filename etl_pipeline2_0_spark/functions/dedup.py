@@ -2315,3 +2315,91 @@ def cdc_dedup_curve(
         (F.col("total_chars") / F.col("unique_chars")).alias("dedup_ratio"),
         (F.col("total_chars") / F.col("n_chunks")).alias("mean_chunk_len"),
     )
+
+
+def rouge_screen(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.7,
+    max_doc_freq: "int | None" = 50,
+) -> DataFrame:
+    """Self-instruct-style instruction dedup screen (Wang et al. 2022
+    §3.3, the public recipe every synthetic-instruction pipeline runs):
+    a new example is kept only if its maximum n-gram RECALL against any
+    EARLIER accepted example stays below ``threshold``.  Recall — shared
+    distinct n-grams over the NEW doc's n-grams — is the asymmetric
+    overlap that catches a short instruction embedded in a longer pool
+    item, which symmetric Jaccard dilutes; the "earlier" pool is the
+    smaller-id side (real pipelines use arrival order — swap the
+    predicate).
+
+    Sequential-acceptance caveat (documented, deliberate): the true
+    self-instruct loop screens against earlier ACCEPTED items only; this
+    relational form screens against ALL earlier items — strictly more
+    conservative (an item rejected for overlap can only raise, never
+    lower, a later item's max recall against the accepted set it proxies
+    for).  Exact sequential semantics would serialize the corpus.
+
+    Output: (``id_col``, n_ngrams, match_id, max_recall, keep) — one row
+    per input doc; docs with no earlier overlap carry max_recall 0.0 and
+    a NULL match_id.  max_recall is emitted UNROUNDED: dyadic ratios
+    like 1/128 terminate exactly on a 6dp midpoint where HALF_UP engines
+    and binary-rounding engines disagree (the grpo_advantage hazard,
+    observed class), while the single int/int division is bit-identical.
+
+    Scale: the jaccard_pairs discipline — distinct (doc, 8-byte
+    n-gram-hash) rows, a doc-frequency cap (``max_doc_freq``) dropping
+    boilerplate n-grams before the self-equi-join (an n-gram in f docs
+    joins into O(f²) pairs), one pair-grain aggregate, one argmax
+    max-struct aggregate per new doc.  No window over pairs, no
+    cartesian.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    sh = base.select(
+        "id", F.explode(token_shingles(F.col("t"), n)).alias("s")
+    ).select("id", F.xxhash64("s").alias("h"))
+    counts = sh.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams")
+    )
+    if max_doc_freq is not None:
+        wf = Window.partitionBy("h")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(wf))
+            .where(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") > F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id"), F.col("b.id").alias("pool_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    best = (
+        shared.join(counts, "id")
+        .select(
+            "id",
+            "pool_id",
+            (F.col("shared") / F.col("n_ngrams")).alias("recall"),
+        )
+        .groupBy("id")
+        .agg(F.max(F.struct(F.col("recall"), (-F.col("pool_id")).alias("_m"))).alias("_b"))
+    )
+    return (
+        base.select("id")
+        .join(counts, "id", "left")
+        .join(best, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("bigint").alias(
+                "n_ngrams"
+            ),
+            (-F.col("_b._m")).alias("match_id"),
+            F.coalesce(F.col("_b.recall"), F.lit(0.0)).alias("max_recall"),
+            (
+                F.coalesce(F.col("_b.recall"), F.lit(0.0))
+                < F.lit(float(threshold))
+            ).alias("keep"),
+        )
+    )

@@ -8376,3 +8376,57 @@ SELECT neighbor_id AS vec_id, CAST(cluster AS INT) AS cluster,
 FROM assigned
 QUALIFY rnk <= 8
 """
+
+
+# ---------------------------------------------------------- ROUGE screen ----
+
+
+def q_rouge_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Self-instruct instruction-dedup screen: max bigram recall vs any
+    # earlier (smaller-id) doc, keep under 0.7 — the asymmetric-overlap
+    # complement of the Jaccard family.  Subset keeps the pair-grain
+    # oracle cheap; the pool is the subset's own earlier docs.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return dedup.rouge_screen(docs, n=2, threshold=0.7, max_doc_freq=50)
+
+
+SQL_ROUGE_SCREEN = r"""
+WITH tokr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id % 5 = 0
+), tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM tokr
+), sh0 AS (
+  SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS s
+  FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL
+), counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams FROM sh GROUP BY doc_id
+), capped AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS dfreq FROM sh
+  ) WHERE dfreq <= 50
+), shared AS (
+  SELECT a.doc_id AS id, b.doc_id AS pool_id,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id > b.doc_id
+  GROUP BY 1, 2
+), best AS (
+  SELECT s.id, s.pool_id, s.shared * 1.0 / c.n_ngrams AS recall
+  FROM shared s JOIN counts c ON c.doc_id = s.id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.id
+                             ORDER BY recall DESC, s.pool_id) = 1
+)
+SELECT d.doc_id,
+       COALESCE(c.n_ngrams, 0) AS n_ngrams,
+       b.pool_id AS match_id,
+       COALESCE(b.recall, 0.0) AS max_recall,
+       COALESCE(b.recall, 0.0) < 0.7 AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN counts c USING (doc_id)
+LEFT JOIN best b ON b.id = d.doc_id
+"""

@@ -707,6 +707,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_cluster_balanced_sample,
         L.SQL_CLUSTER_BALANCED_SAMPLE,
     ),
+    # --- added r14 (past-cap; r15 pool second wave): self-instruct
+    #     ROUGE-style instruction-dedup screen — max bigram recall vs
+    #     any earlier doc (asymmetric overlap), keep under 0.7 ---
+    "rouge_screen": (L.q_rouge_screen, L.SQL_ROUGE_SCREEN),
 }
 
 

@@ -4879,3 +4879,27 @@ def test_cluster_balanced_sample_quota_and_stability(spark):
     assert {(r["vec_id"], r["cluster"], r["rnk"]) for r in s_rows} <= {
         (r["vec_id"], r["cluster"], r["rnk"]) for r in b_rows
     }
+
+
+def test_rouge_screen_asymmetric_recall(spark):
+    """The screen's load-bearing asymmetry: a SHORT new doc fully
+    contained in a longer earlier doc is rejected (recall 1.0) even
+    though symmetric Jaccard would be small; unrelated docs keep; the
+    earlier doc itself keeps (no later pool); ties pick the smallest
+    pool id."""
+    from etl_pipeline2_0_spark.functions import dedup as DD
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (5, "alpha beta gamma"),               # contained in doc 1
+        (9, "totally different words here"),   # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.rouge_screen(docs, threshold=0.7).collect()}
+    assert out[5]["max_recall"] == 1.0 and out[5]["match_id"] == 1
+    assert out[5]["keep"] is False
+    # symmetric Jaccard of docs 1 and 5 is 2/7 < 0.7 — the asymmetry is
+    # exactly what catches the containment
+    assert out[1]["max_recall"] == 0.0 and out[1]["keep"] is True
+    assert out[9]["max_recall"] == 0.0 and out[9]["keep"] is True
+    assert out[9]["n_ngrams"] == 3

@@ -1294,3 +1294,13 @@ def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
     # n_centroids-row frame (partition-less over 16 rows by design)
     for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
         assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
+
+
+def test_rouge_screen_hash_join_no_cartesian(spark, sf_dir):
+    # The pair space comes from the n-gram-hash self-equi-join with the
+    # doc-frequency cap applied BEFORE it; the argmax is a max-struct
+    # aggregate (no window over pairs); no cartesian anywhere.
+    plan = _plan(L.q_rouge_screen(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan
+    assert "xxhash64" in plan  # 8-byte n-gram hashes ride the shuffle
