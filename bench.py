@@ -181,6 +181,7 @@ HEADLINE = [
     "embed_pca_top",
     "cluster_balanced_sample",
     "rouge_screen",
+    "chat_lint",
     "ann_hubness",
     "best_of_n",
     "cluster_profile",

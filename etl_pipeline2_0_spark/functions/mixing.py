@@ -1975,3 +1975,102 @@ def epoch_decay_curve(
             6,
         ).alias("efficiency"),
     )
+
+
+def chat_lint(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-data validity report — the DQ gate run before
+    ``chat_assemble``/``chat_pack`` touch a vendor drop: per
+    conversation, the five structural contracts chat-SFT training
+    assumes, rolled up as one row per check.
+
+    Checks (each counts CONVERSATIONS failing it):
+    - ``not_user_first``: first turn's role is not ``user``;
+    - ``not_assistant_last``: last turn's role is not ``assistant``;
+    - ``role_repeat``: two consecutive turns share a role (broken
+      alternation — the mask renderer would fuse turns);
+    - ``empty_turn``: any turn whose text is whitespace-only;
+    - ``single_turn``: fewer than two turns (no (prompt, response) pair).
+
+    Output: (check, n_fail, n_conversations, fail_rate) — fail_rate
+    UNROUNDED (exact-integer division, the house determinism ladder).
+
+    Scale: ONE shuffle on the conversation key into a bounded per-conv
+    aggregate (roles collect into a ≤turns-length array; the
+    consecutive-repeat test is an array zip against its own shift, no
+    window); the check sweep explodes a 5-element literal over the
+    conv-grain flags.  No join, no collect.
+    """
+    t = turns.select(
+        F.col(conv_col).alias("_c"),
+        F.col(turn_col).alias("_i"),
+        F.col(role_col).alias("_r"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    per = t.groupBy("_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_r"))),
+            lambda s: s["_r"],
+        ).alias("roles"),
+        F.max(F.when(F.length(F.trim(F.col("_t"))) == 0, 1).otherwise(0)).alias(
+            "has_empty"
+        ),
+    )
+    roles = F.col("roles")
+    flags = per.select(
+        F.when(F.element_at(roles, 1) != F.lit("user"), 1)
+        .otherwise(0)
+        .alias("not_user_first"),
+        F.when(F.element_at(roles, -1) != F.lit("assistant"), 1)
+        .otherwise(0)
+        .alias("not_assistant_last"),
+        F.when(
+            F.exists(
+                F.zip_with(
+                    roles,
+                    F.slice(roles, 2, F.greatest(F.size(roles) - 1, F.lit(1))),
+                    lambda a, b: a == b,
+                ),
+                lambda x: x,
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("role_repeat"),
+        F.col("has_empty").alias("empty_turn"),
+        F.when(F.col("n_turns") < 2, 1).otherwise(0).alias("single_turn"),
+    )
+    checks = [
+        "not_user_first",
+        "not_assistant_last",
+        "role_repeat",
+        "empty_turn",
+        "single_turn",
+    ]
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversations"),
+        *[F.sum(c).cast("bigint").alias(c) for c in checks],
+    )
+    sweep = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("check"), F.col(c).alias("n_fail"))
+                for c in checks
+            ]
+        )
+    ).alias("s")
+    return agg.select(sweep, F.col("n_conversations")).select(
+        F.col("s.check").alias("check"),
+        F.col("s.n_fail").alias("n_fail"),
+        "n_conversations",
+        (
+            F.col("s.n_fail")
+            / F.greatest(F.col("n_conversations"), F.lit(1))
+        ).alias("fail_rate"),
+    )

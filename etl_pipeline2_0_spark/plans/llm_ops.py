@@ -8430,3 +8430,78 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
 LEFT JOIN counts c USING (doc_id)
 LEFT JOIN best b ON b.id = d.doc_id
 """
+
+
+# -------------------------------------------------------------- chat lint ----
+
+
+def q_chat_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conversation-data validity report over a synthesized turns frame
+    # with PLANTED irregularities (7-cycle role override breaks
+    # alternation/first/last; 13-cycle blanks a turn) so every check
+    # carries a non-vacuous count — the DQ gate before chat_assemble.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    turns = docs.select(
+        (F.col("doc_id") / 5).cast("bigint").alias("conv_id"),
+        (F.pmod(F.col("doc_id"), 5) + 1).cast("int").alias("turn_idx"),
+        F.when(F.pmod(F.col("doc_id"), 7) == 3, F.lit("user"))
+        .when(F.pmod(F.col("doc_id"), 2) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(F.pmod(F.col("doc_id"), 13) == 0, F.lit("   "))
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    return mixing.chat_lint(turns)
+
+
+SQL_CHAT_LINT = r"""
+WITH t AS (
+  SELECT CAST(FLOOR(doc_id / 5.0) AS BIGINT) AS conv_id,
+         CAST(doc_id % 5 + 1 AS INT) AS turn_idx,
+         CASE WHEN doc_id % 7 = 3 THEN 'user'
+              WHEN doc_id % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         CASE WHEN doc_id % 13 = 0 THEN '   '
+              ELSE COALESCE(text, '') END AS txt
+  FROM documents
+), per AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         list(role ORDER BY turn_idx) AS roles,
+         MAX(CASE WHEN length(trim(txt)) = 0 THEN 1 ELSE 0 END)
+           AS has_empty
+  FROM t GROUP BY conv_id
+), flags AS (
+  SELECT CASE WHEN roles[1] <> 'user' THEN 1 ELSE 0 END
+           AS not_user_first,
+         CASE WHEN roles[-1] <> 'assistant' THEN 1 ELSE 0 END
+           AS not_assistant_last,
+         CASE WHEN len(list_filter(range(1, len(roles)),
+                                   i -> roles[i] = roles[i + 1])) > 0
+              THEN 1 ELSE 0 END AS role_repeat,
+         has_empty AS empty_turn,
+         CASE WHEN n_turns < 2 THEN 1 ELSE 0 END AS single_turn
+  FROM per
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_conversations,
+         CAST(SUM(not_user_first) AS BIGINT) AS not_user_first,
+         CAST(SUM(not_assistant_last) AS BIGINT) AS not_assistant_last,
+         CAST(SUM(role_repeat) AS BIGINT) AS role_repeat,
+         CAST(SUM(empty_turn) AS BIGINT) AS empty_turn,
+         CAST(SUM(single_turn) AS BIGINT) AS single_turn
+  FROM flags
+)
+SELECT "check", n_fail, n_conversations,
+       n_fail * 1.0 / GREATEST(n_conversations, 1) AS fail_rate
+FROM (
+  SELECT 'not_user_first' AS "check", not_user_first AS n_fail,
+         n_conversations FROM agg
+  UNION ALL SELECT 'not_assistant_last', not_assistant_last,
+         n_conversations FROM agg
+  UNION ALL SELECT 'role_repeat', role_repeat, n_conversations FROM agg
+  UNION ALL SELECT 'empty_turn', empty_turn, n_conversations FROM agg
+  UNION ALL SELECT 'single_turn', single_turn, n_conversations FROM agg
+)
+"""

@@ -711,6 +711,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     ROUGE-style instruction-dedup screen — max bigram recall vs
     #     any earlier doc (asymmetric overlap), keep under 0.7 ---
     "rouge_screen": (L.q_rouge_screen, L.SQL_ROUGE_SCREEN),
+    # --- added r14 (past-cap; r15 pool second wave): conversation-data
+    #     validity report (role alternation / first-last roles / empty
+    #     turns / singletons) — the DQ gate before chat_assemble ---
+    "chat_lint": (L.q_chat_lint, L.SQL_CHAT_LINT),
 }
 
 

@@ -4903,3 +4903,28 @@ def test_rouge_screen_asymmetric_recall(spark):
     assert out[1]["max_recall"] == 0.0 and out[1]["keep"] is True
     assert out[9]["max_recall"] == 0.0 and out[9]["keep"] is True
     assert out[9]["n_ngrams"] == 3
+
+
+def test_chat_lint_exact_flags(spark):
+    """Hand-built conversations exercising every check exactly once:
+    conv 0 is valid; conv 1 starts with assistant AND repeats a role;
+    conv 2 has an empty turn; conv 3 is a singleton ending on user."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    rows = [
+        (0, 1, "user", "hi"), (0, 2, "assistant", "hello"),
+        (1, 1, "assistant", "a"), (1, 2, "assistant", "b"),
+        (1, 3, "assistant", "c"),
+        (2, 1, "user", "q"), (2, 2, "assistant", "  "),
+        (3, 1, "user", "orphan"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    )
+    out = {r["check"]: r for r in M.chat_lint(turns).collect()}
+    assert out["not_user_first"]["n_fail"] == 1          # conv 1
+    assert out["not_assistant_last"]["n_fail"] == 1      # conv 3 ends on user
+    assert out["role_repeat"]["n_fail"] == 1             # conv 1
+    assert out["empty_turn"]["n_fail"] == 1              # conv 2
+    assert out["single_turn"]["n_fail"] == 1             # conv 3
+    assert all(r["n_conversations"] == 4 for r in out.values())

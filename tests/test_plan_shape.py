@@ -1304,3 +1304,15 @@ def test_rouge_screen_hash_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "partial_max" in plan
     assert "xxhash64" in plan  # 8-byte n-gram hashes ride the shuffle
+
+
+def test_chat_lint_one_conv_shuffle_no_join(spark, sf_dir):
+    # One shuffle on the conversation key into a bounded per-conv
+    # aggregate (roles array zipped against its own shift — no window
+    # over turns); the check sweep explodes a 5-element literal over the
+    # single summary row.  No join anywhere.
+    plan = _plan(L.q_chat_lint(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Scan parquet") == 1
