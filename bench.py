@@ -182,6 +182,7 @@ HEADLINE = [
     "cluster_balanced_sample",
     "rouge_screen",
     "chat_lint",
+    "contamination_ngram_curve",
     "ann_hubness",
     "best_of_n",
     "cluster_profile",

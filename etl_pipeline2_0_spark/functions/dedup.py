@@ -2403,3 +2403,107 @@ def rouge_screen(
             ).alias("keep"),
         )
     )
+
+
+def contamination_ngram_curve(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ns: "tuple[int, ...]" = (8, 13, 20),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Measured n-gram decontamination curve — the published sweep that
+    picks the match length (GPT-3 used 13-gram collisions; PaLM/Llama
+    variants use 8-20): for each n, how many corpus documents share at
+    least one verbatim n-token gram with the benchmark, and how many
+    benchmark grams exist at that n.  Short n over-flags (common
+    phrases); long n under-flags (misses near-verbatim leaks); this
+    table is the evidence the threshold choice cites, next to
+    bloom_fpr_curve / cms_error_curve in the sizing-curve family.
+
+    Output: (n, n_benchmark_ngrams, n_docs, n_contaminated,
+    contamination_rate) — one row per n; rate UNROUNDED (exact-integer
+    division).
+
+    Scale: both sides tokenize ONCE (the materialized token array is
+    multi-referenced across the per-n zip chains — the CollapseProject
+    discipline); all ns ride ONE tagged (n, hash) relation each side, so
+    the flagging is a single semi equi-join on (n, 8-byte hash) — never
+    one scan per n.  The benchmark side is distinct-gram grain
+    (benchmark-sized, the broadcast side at real scale).
+    """
+    def tagged_grams(df: DataFrame, out_id: "str | None") -> DataFrame:
+        # All ns fan out inside ONE projection (tagged structs, one
+        # explode) — a per-n union would duplicate the scan+tokenize
+        # subtree per branch (no CSE across Union; measured 3 scans).
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"),
+            lambda t: F.length(t) > 0,
+        )
+        base = df.select(
+            *( [F.col(id_col).alias("id")] if out_id else [] ),
+            toks.alias("_toks"),
+        )
+        ntok = F.size(F.col("_toks"))
+        arrs = []
+        for n in ns:
+            acc = F.col("_toks")
+            for j in range(1, n):
+                acc = F.zip_with(
+                    acc,
+                    F.slice(F.col("_toks"), j + 1, ntok + 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            sh = F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+            # bind n via a factory — a two-parameter lambda would make
+            # PySpark's transform pass the ELEMENT INDEX as the second arg
+            def _tag(_n):
+                return lambda x: F.struct(
+                    F.lit(_n).cast("int").alias("n"), x.alias("s")
+                )
+
+            arrs.append(F.transform(sh, _tag(int(n))))
+        return base.select(
+            *( [F.col("id")] if out_id else [] ),
+            F.explode(F.concat(*arrs)).alias("z"),
+        ).select(
+            *( [F.col("id")] if out_id else [] ),
+            F.col("z.n").alias("n"),
+            F.xxhash64(F.col("z.s")).alias("h"),
+        )
+
+    bench_sh = tagged_grams(benchmark, None).distinct()
+    corpus_sh = tagged_grams(corpus, "id")
+    flagged = (
+        corpus_sh.join(bench_sh, ["n", "h"], "semi")
+        .select("n", "id")
+        .distinct()
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    bench_counts = bench_sh.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_benchmark_ngrams")
+    )
+    n_docs = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ns_frame = corpus.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(n)).cast("int") for n in ns])).alias("n")
+    )
+    return (
+        ns_frame.join(bench_counts, "n", "left")
+        .join(flagged, "n", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n",
+            F.coalesce(F.col("n_benchmark_ngrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_benchmark_ngrams"),
+            "n_docs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            (
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.greatest(F.col("n_docs"), F.lit(1))
+            ).alias("contamination_rate"),
+        )
+    )

@@ -8505,3 +8505,81 @@ FROM (
   UNION ALL SELECT 'single_turn', single_turn, n_conversations FROM agg
 )
 """
+
+
+# ------------------------------------------------ decontam n-gram curve ----
+
+
+def q_contamination_ngram_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The decontamination match-length sweep (GPT-3's 13-gram standard
+    # bracketed by 8 and 20): contaminated-doc rate per n against the
+    # every-97th-doc benchmark — the evidence the threshold choice
+    # cites.  Same corpus/benchmark split as contamination_check.
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_ngram_curve(corpus, bench, ns=(8, 13, 20))
+
+
+def _sql_contam_curve(ns: "tuple[int, ...]" = (8, 13, 20)) -> str:
+    def gram(n: int) -> str:
+        parts = ["tok"] + [f"LEAD(tok, {j}) OVER w" for j in range(1, n)]
+        return " || ' ' || ".join(parts)
+
+    bb = "\n  UNION ALL ".join(
+        f"SELECT {n} AS n, s FROM (SELECT {gram(n)} AS s FROM btok"
+        " WINDOW w AS (PARTITION BY doc_id ORDER BY ord))"
+        " WHERE s IS NOT NULL"
+        for n in ns
+    )
+    cb = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, s FROM (SELECT doc_id, {gram(n)} AS s"
+        " FROM ctok WINDOW w AS (PARTITION BY doc_id ORDER BY ord))"
+        " WHERE s IS NOT NULL"
+        for n in ns
+    )
+    vals = ", ".join(f"({n})" for n in ns)
+    return rf"""
+WITH b AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id % 97 = 0
+), btok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM b
+), c AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id % 97 <> 0
+), ctok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM c
+), bsh AS (
+  SELECT DISTINCT n, s FROM ({bb})
+), csh AS (
+  {cb}
+), flagged AS (
+  SELECT csh.n, CAST(COUNT(DISTINCT csh.doc_id) AS BIGINT)
+           AS n_contaminated
+  FROM csh JOIN bsh ON bsh.n = csh.n AND bsh.s = csh.s
+  GROUP BY csh.n
+), bcounts AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_benchmark_ngrams
+  FROM bsh GROUP BY n
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM c
+)
+SELECT CAST(v.n AS INT) AS n,
+       COALESCE(bc.n_benchmark_ngrams, 0) AS n_benchmark_ngrams,
+       nd.n_docs,
+       COALESCE(f.n_contaminated, 0) AS n_contaminated,
+       COALESCE(f.n_contaminated, 0) * 1.0 / GREATEST(nd.n_docs, 1)
+         AS contamination_rate
+FROM (VALUES {vals}) v(n)
+LEFT JOIN bcounts bc ON bc.n = v.n
+LEFT JOIN flagged f ON f.n = v.n
+CROSS JOIN nd
+"""
+
+
+SQL_CONTAMINATION_NGRAM_CURVE = _sql_contam_curve((8, 13, 20))

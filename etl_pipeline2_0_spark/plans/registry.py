@@ -720,6 +720,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     validity report (role alternation / first-last roles / empty
     #     turns / singletons) — the DQ gate before chat_assemble ---
     "chat_lint": (L.q_chat_lint, L.SQL_CHAT_LINT),
+    # --- added r14 (past-cap; r15 pool second wave): decontamination
+    #     match-length sweep (8/13/20-gram contaminated-doc rates vs
+    #     the benchmark split) — the fifth measured sizing curve ---
+    "contamination_ngram_curve": (
+        L.q_contamination_ngram_curve,
+        L.SQL_CONTAMINATION_NGRAM_CURVE,
+    ),
 }
 
 

@@ -4928,3 +4928,33 @@ def test_chat_lint_exact_flags(spark):
     assert out["empty_turn"]["n_fail"] == 1              # conv 2
     assert out["single_turn"]["n_fail"] == 1             # conv 3
     assert all(r["n_conversations"] == 4 for r in out.values())
+
+
+def test_contamination_ngram_curve_monotone_and_exact(spark):
+    """Planted leak: one corpus doc shares a verbatim 13-token run with
+    the benchmark; another shares only 9 tokens.  The curve flags both
+    at n=8, only the long leak at n=13, nothing at n=20 — and the rate
+    is monotonically non-increasing in n by construction."""
+    from etl_pipeline2_0_spark.functions import dedup as DD
+
+    run13 = "a b c d e f g h i j k l m"          # 13 tokens
+    run9 = "q r s t u v w x y"                    # 9 tokens
+    bench = spark.createDataFrame(
+        [(0, run13 + " benchtail one two three"), (1, run9 + " other end")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix " + run13 + " corpussuffix"),   # 13-token leak
+            (11, "lead " + run9 + " trail"),              # 9-token leak
+            (12, "completely unrelated text body here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["n"]: r for r in DD.contamination_ngram_curve(corpus, bench).collect()}
+    assert out[8]["n_contaminated"] == 2
+    assert out[13]["n_contaminated"] == 1
+    assert out[20]["n_contaminated"] == 0
+    rates = [out[n]["contamination_rate"] for n in (8, 13, 20)]
+    assert rates == sorted(rates, reverse=True)
+    assert all(r["n_docs"] == 3 for r in out.values())

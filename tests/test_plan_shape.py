@@ -1316,3 +1316,18 @@ def test_chat_lint_one_conv_shuffle_no_join(spark, sf_dir):
     assert "Window" not in plan
     assert "partial_count" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_contamination_ngram_curve_single_semi_join(spark, sf_dir):
+    # All three n values fan out inside ONE projection per side (tagged
+    # structs, one explode) and ride ONE semi equi-join — never a
+    # scan/tokenize per n (a union form measured 3 corpus scans); the
+    # three document scans are corpus grams + benchmark grams + the doc
+    # count.  No cartesian.
+    plan = _plan(L.q_contamination_ngram_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") == 1
+    # corpus grams, doc count, and the benchmark side twice (semi-join
+    # build + its own gram census — benchmark-sized by definition)
+    assert plan.count("Scan parquet") <= 4
+    assert "xxhash64" in plan
