@@ -179,12 +179,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # langid_rank stays; retrieval_pairs — retrieval anchored by
     # sentence_chunk/crop_pairs + the incoming retrieval_ndcg/rrf_ndcg
     # quality rows).  Keep the family-anchor and all-oracled invariants
-    # (test_sql_registry.py pins both).  A SECOND WAVE of three more
+    # (test_sql_registry.py pins both).  A SECOND WAVE of FOUR more
     # r14-added entries (cluster_balanced_sample, rouge_screen,
-    # chat_lint — also ×3-SF parity-proven, zero driver rows) queues
-    # behind the eleven: promote them r16, or fold them into the r15
-    # wave only if eleven demotions can stretch to fourteen without
-    # breaking a family anchor.
+    # chat_lint, contamination_ngram_curve — also ×3-SF parity-proven,
+    # zero driver rows) queues behind the eleven: promote them r16, or
+    # fold them into the r15 wave only if eleven demotions can stretch
+    # to fifteen without breaking a family anchor.
     # --- holdovers collecting rows (promoted r11, green r11-r13): PQ
     #     ADC top-k + measured recall, CMS heavy hitters, Bloom
     #     decontamination ---
