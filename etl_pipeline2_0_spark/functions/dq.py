@@ -271,8 +271,10 @@ def kanon_audit(
 
     Output: one row per k in ``ks`` — (k, n_classes, classes_below_k,
     rows_below_k, pct_rows_below) where pct is the re-identifiable row
-    fraction at that k (6dp).  n_classes / total rows repeat across rows
-    (the report-table convention, cf. ``dataset_card``).
+    fraction at that k, emitted UNROUNDED (an exact-integer ratio via a
+    fixed op sequence is already engine-deterministic; re-rounding would
+    re-introduce midpoint hazards).  n_classes / total rows repeat
+    across rows (the report-table convention, cf. ``dataset_card``).
 
     Scale: ONE corpus aggregate to the equivalence-class grain (map-side
     combined count on the quasi-key; the shuffle carries one long per

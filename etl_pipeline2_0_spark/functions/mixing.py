@@ -1864,14 +1864,27 @@ def grpo_advantage(
     nothing (a constant-reward group carries no learning signal; its
     advantages would be 0/0).  The zero-variance test is the exact
     integer identity ``n·Σu² == (Σu)²`` over micro-unit rewards — no
-    float epsilon.
+    float epsilon — computed in DECIMAL(38,0) so it cannot overflow
+    (the BIGINT form would wrap at ~3·10³ candidates per group; Spark
+    ANSI and DuckDB would both raise).
 
     Cross-engine determinism: rewards are 6dp-rounded, so ``u =
     round(r·1e6)`` is an exact BIGINT; group sums Σu and Σu² are integer
     aggregates (engine-order-independent), and every double the output
     carries (mean, std, advantage) is derived from those integers by a
     fixed op sequence — bit-identical in any IEEE-754 engine, which is
-    what lets the DuckDB twin hash-match without tolerance.  The outputs
+    what lets the DuckDB twin hash-match without tolerance.  The
+    variance numerator ``n·Σu² − (Σu)²`` follows the
+    :func:`~etl_pipeline2_0_spark.functions.similarity.embed_dim_stats`
+    discipline: the EMITTED value is computed in DOUBLE with a fixed op
+    order (``double(n)·double(Σu²) − double(Σu)·double(Σu)``) —
+    identical IEEE expressions are bit-identical in any engine at any
+    magnitude, whereas an exact big-integer numerator converted to
+    double can differ by 1 ULP between engines past 2⁵³ — while the
+    POSITIVITY test runs on the exact DECIMAL form (plus the same
+    double expression, so a degenerate group whose double numerator
+    cancels to ≤0 is dropped identically on both engines rather than
+    reaching ``sqrt``).  The outputs
     are emitted UNROUNDED (the embed_quantize lesson): re-rounding a
     deterministic double at 6dp re-introduces midpoint hazards — ``Σu/n``
     lands on an exact decimal .5 whenever n | 2·Σu (HALF_UP engines and
@@ -1885,8 +1898,9 @@ def grpo_advantage(
     sums, shuffle carries three numbers per group), then the per-candidate
     normalization is a BROADCAST join of the ≤``n_groups``-row stats frame
     back onto the scored pool — candidates never shuffle.  Σu² fits BIGINT
-    up to ~3·10⁶ candidates per group at 6dp rewards ≤ 1.0; larger pools
-    shard by real prompt id long before that.
+    up to ~9·10⁶ candidates per group at 6dp rewards ≤ 1.0 (the decimal
+    positivity test and double numerator have no bound of their own);
+    larger pools shard by real prompt id long before that.
     """
     toked, score = _candidate_score(df, text_col, id_col, score_col)
     base = toked.select(
@@ -1900,14 +1914,23 @@ def grpo_advantage(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
     )
     n = F.col("n_candidates")
-    # Population variance in micro-units² via the exact-integer numerator:
-    # (n·Σu² − (Σu)²) is BIGINT-exact, converted to double ONCE.
-    var_num = n * F.col("_sq") - F.col("_su") * F.col("_su")
-    std_u = F.sqrt(var_num / (n * n))
+    # Positivity test on the EXACT decimal numerator (n·Σu² − (Σu)² in
+    # DECIMAL(38,0) cannot overflow below ~10¹³ candidates/group); the
+    # EMITTED numerator is the same quantity in fixed-order DOUBLE ops —
+    # bit-identical cross-engine at any magnitude (see docstring).
+    var_num_exact = (
+        n.cast("decimal(38,0)") * F.col("_sq").cast("decimal(38,0)")
+        - F.col("_su").cast("decimal(38,0)") * F.col("_su").cast("decimal(38,0)")
+    )
+    var_num = (
+        n.cast("double") * F.col("_sq").cast("double")
+        - F.col("_su").cast("double") * F.col("_su").cast("double")
+    )
+    std_u = F.sqrt(var_num / (n * n).cast("double"))
     mean_u = F.col("_su") / n
     return (
         base.join(F.broadcast(stats), "group_id")
-        .where((n >= 2) & (var_num > 0))
+        .where((n >= 2) & (var_num_exact > 0) & (var_num > 0))
         .select(
             "group_id",
             F.col(id_col),

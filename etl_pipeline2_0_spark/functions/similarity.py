@@ -1864,6 +1864,7 @@ def contrastive_triplets(
 def embed_dim_stats(
     df: DataFrame,
     vec_col: str = "embedding",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-dimension embedding diagnostics: mean, population variance,
     and each dimension's share of total variance — the table that
@@ -1919,10 +1920,12 @@ def embed_dim_stats(
     )
     # The bounded d-row frame feeds BOTH the output and the total fold:
     # a lazy checkpoint stops the two consumers re-running the corpus
-    # pass (the lsh_geometry_sweep discipline).
-    sd = s.select("dim", "n", "su", num.alias("_num")).localCheckpoint(
-        eager=False
-    )
+    # pass (the lsh_geometry_sweep discipline).  ``checkpoint=False``
+    # exposes the un-truncated plan (plan-shape tests pin the scan /
+    # partial-aggregate shape there, since a checkpoint hides lineage).
+    sd = s.select("dim", "n", "su", num.alias("_num"))
+    if checkpoint:
+        sd = sd.localCheckpoint(eager=False)
     tot = sd.agg(
         F.aggregate(
             F.array_sort(F.collect_list("_num")),

@@ -7354,7 +7354,10 @@ def q_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Inherit dpo_pairs' base/scoring CTEs verbatim; the tail converts the
 # 6dp reward to exact micro-unit BIGINTs, aggregates integer sums per
 # group, and derives mean/std/advantage by the same fixed op sequence as
-# the Spark side (see mixing.grpo_advantage's determinism note).
+# the Spark side (see mixing.grpo_advantage's determinism note).  The
+# positivity test runs on DuckDB's exact HUGEINT sums (mirroring Spark's
+# DECIMAL(38,0) — both exact, both overflow-free); the EMITTED numerator
+# is the identical fixed-order double expression both engines evaluate.
 SQL_GRPO_ADVANTAGE = SQL_DPO_PAIRS.split("), ranked AS (")[0] + """), u AS (
   SELECT group_id, doc_id,
          CAST(ROUND(score * 1000000.0) AS BIGINT) AS u
@@ -7364,18 +7367,21 @@ SQL_GRPO_ADVANTAGE = SQL_DPO_PAIRS.split("), ranked AS (")[0] + """), u AS (
          SUM(u) AS su, SUM(u * u) AS sq,
          COUNT(*) AS n
   FROM u GROUP BY group_id
+), stats_d AS (
+  SELECT group_id, su, sq, n,
+         CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+           - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS num
+  FROM stats
 )
 SELECT CAST(u.group_id AS INT) AS group_id, u.doc_id,
        u.u / 1000000.0 AS reward,
        (t.su * 1.0 / t.n) / 1000000.0 AS group_mean,
-       SQRT((t.n * t.sq - t.su * t.su) * 1.0 / (t.n * t.n))
-             / 1000000.0 AS group_std,
+       SQRT(t.num / CAST(t.n * t.n AS DOUBLE)) / 1000000.0 AS group_std,
        (u.u - t.su * 1.0 / t.n)
-             / SQRT((t.n * t.sq - t.su * t.su) * 1.0 / (t.n * t.n))
-         AS advantage,
+             / SQRT(t.num / CAST(t.n * t.n AS DOUBLE)) AS advantage,
        CAST(t.n AS BIGINT) AS n_candidates
-FROM u JOIN stats t USING (group_id)
-WHERE t.n >= 2 AND t.n * t.sq > t.su * t.su
+FROM u JOIN stats_d t USING (group_id)
+WHERE t.n >= 2 AND t.n * t.sq > t.su * t.su AND t.num > 0
 """
 assert "list_distinct" in SQL_GRPO_ADVANTAGE  # scoring CTEs really inherited
 

@@ -4699,6 +4699,29 @@ def test_grpo_advantage_zscore_semantics(spark):
     assert worst["doc_id"] == rejected[0]
 
 
+def test_grpo_advantage_no_overflow_large_group(spark):
+    """Advisor-r14 regression: the BIGINT form of n·Σu² − (Σu)² wrapped
+    (ANSI: raised) at ~3 034 candidates per group with 6dp rewards near
+    1.0 — (Σu)² ≈ n²·10¹² passes 2⁶³.  With the exact-DECIMAL positivity
+    test + fixed-order double numerator, a 4 000-candidate group must
+    compute clean unit-variance z-scores."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    n = 4000
+    rows = [(i, "t", 0.9 + (i % 100) * 1e-6) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    out = M.grpo_advantage(
+        docs, n_groups=1, score_col="score"
+    ).collect()
+    assert len(out) == n
+    advs = [r["advantage"] for r in out]
+    assert abs(sum(advs)) < 1e-6
+    # the fixed-order double numerator carries ~ulp(n²·10¹²) absolute
+    # cancellation error (cross-engine IDENTICAL, but not exact) — the
+    # unit-variance identity holds to ~1e-7 relative at this n
+    assert abs(sum(a * a for a in advs) / n - 1.0) < 1e-6
+
+
 def test_kanon_audit_exact_counts(spark):
     """Literal corpus with known equivalence classes: classes of sizes
     (3, 1, 1) over (lang, source, bucket) — at k=2 the two singletons

@@ -1264,7 +1264,21 @@ def test_embed_dim_stats_one_pass_broadcast_total(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total cross
-    assert plan.count("Scan parquet") == 0  # behind the lazy checkpoint
+    # The checkpoint truncates lineage, so the composed plan can't pin
+    # the upstream shape (advisor r14) — assert it on the UN-checkpointed
+    # frame: exactly one corpus scan feeding a map-side-combined per-dim
+    # aggregate, still window-free.
+    from etl_pipeline2_0_spark.functions import similarity
+    from etl_pipeline2_0_spark.plans.llm_ops import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = _plan(similarity.embed_dim_stats(emb, checkpoint=False))
+    # Without the checkpoint both consumers re-derive the corpus pass
+    # (which is WHY the checkpoint is load-bearing): 2 scans, each a
+    # map-side-combined per-dim aggregate, still window-free.
+    assert 1 <= raw.count("Scan parquet") <= 2
+    assert "partial_count" in raw or "partial_sum" in raw
+    assert "Window" not in raw
 
 
 def test_embed_pca_top_bounded_loop_no_window(spark, sf_dir):
