@@ -157,15 +157,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # mmr_select).  test_sql_registry.py re-pins the representative set
     # and the all-oracled invariant.
     #
-    # ROUND-15 STAGING (execute next round): promote the ELEVEN r14-added
-    # oracled entries (all ×3-SF parity-proven locally, zero driver rows)
-    # — retrieval_ndcg, rrf_ndcg, chat_assemble, chat_pack,
-    # tokenizer_compare_eqv, grpo_advantage, kanon_audit,
-    # cdc_dedup_curve, contrastive_triplets, embed_dim_stats,
-    # embed_pca_top — in one wave.  Demote the ELEVEN most-tenured
-    # multi-green holdovers: the four thrice-green r11 promotions
-    # (ann_pq_topk, ann_pq_recall — ANN quality stays anchored by
-    # in-window ann_hubness/bitext_recall plus the incoming
+    # ROUND-15 ROTATION (EXECUTED this round, as staged r14): promoted
+    # the ELEVEN r14-added oracled entries (all ×3-SF parity-proven
+    # locally, zero driver rows until now) — retrieval_ndcg, rrf_ndcg,
+    # chat_assemble, chat_pack, tokenizer_compare_eqv, grpo_advantage,
+    # kanon_audit, cdc_dedup_curve, contrastive_triplets,
+    # embed_dim_stats, embed_pca_top — in one wave.  Demoted the ELEVEN
+    # most-tenured multi-green holdovers: the four thrice-green r11
+    # promotions (ann_pq_topk, ann_pq_recall — ANN quality stays
+    # anchored by in-window ann_hubness/bitext_recall plus the incoming
     # contrastive_triplets/embed_* rows; cms_heavy_hitters,
     # bloom_contamination — sketches/decontam anchored by in-window
     # cms_error_curve/bloom_fpr_curve/minhash_decontam) and the seven
@@ -178,40 +178,56 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # tokenizer_compare_eqv decision table; langid_confusion —
     # langid_rank stays; retrieval_pairs — retrieval anchored by
     # sentence_chunk/crop_pairs + the incoming retrieval_ndcg/rrf_ndcg
-    # quality rows).  Keep the family-anchor and all-oracled invariants
-    # (test_sql_registry.py pins both).  A SECOND WAVE of FOUR more
-    # r14-added entries (cluster_balanced_sample, rouge_screen,
-    # chat_lint, contamination_ngram_curve — also ×3-SF parity-proven,
-    # zero driver rows) queues behind the eleven: promote them r16, or
-    # fold them into the r15 wave only if eleven demotions can stretch
-    # to fifteen without breaking a family anchor.
-    # --- holdovers collecting rows (promoted r11, green r11-r13): PQ
-    #     ADC top-k + measured recall, CMS heavy hitters, Bloom
-    #     decontamination ---
-    "ann_pq_topk": (L.q_ann_pq_topk, L.SQL_ANN_PQ_TOPK),
-    "ann_pq_recall": (L.q_ann_pq_recall, L.SQL_ANN_PQ_RECALL),
-    "cms_heavy_hitters": (L.q_cms_heavy_hitters, L.SQL_CMS_HEAVY_HITTERS),
-    "bloom_contamination": (
-        L.q_bloom_contamination,
-        L.SQL_BLOOM_CONTAMINATION,
+    # quality rows).  test_sql_registry.py re-pins the representative
+    # set and the all-oracled invariant.
+    #
+    # ROUND-16 STAGING (execute next round): promote the FOUR queued
+    # second-wave r14-added entries (cluster_balanced_sample,
+    # rouge_screen, chat_lint, contamination_ngram_curve — all ×3-SF
+    # parity-proven, zero driver rows) plus any r15-added oracled
+    # entries named at the end of this file; demote the same number of
+    # most-tenured multi-green holdovers keeping every family anchored.
+    # === PROMOTED r15 (added r14): measured ranking quality for the
+    #     retrieval family — nDCG@5 + MRR@5 of BM25 vs planted graded
+    #     truth, and of hybrid RRF fusion vs exact-cosine truth ===
+    "retrieval_ndcg": (L.q_retrieval_ndcg, L.SQL_RETRIEVAL_NDCG),
+    "rrf_ndcg": (L.q_rrf_ndcg, L.SQL_RRF_NDCG),
+    # --- promoted r15 (added r14): multi-turn conversation assembly
+    #     (ordered role-tagged rendering + per-role loss masks) and
+    #     whole-conversation packing under a token budget ---
+    "chat_assemble": (L.q_chat_assemble, L.SQL_CHAT_ASSEMBLE),
+    "chat_pack": (L.q_chat_pack, L.SQL_CHAT_PACK),
+    # --- promoted r15 (added r14): the equal-budget tokenizer decision
+    #     table — same word-type and effective-vocab budgets for BOTH
+    #     families so fertility_delta compares families, not budgets ---
+    "tokenizer_compare_eqv": (
+        L.q_tokenizer_compare_eqv,
+        L.SQL_TOKENIZER_COMPARE_EQV,
     ),
-    # --- holdovers collecting rows (promoted r12, green r12-r13):
-    #     PassJoin edit-distance self-join (Li et al. 2011); the
-    #     CCNet/LLaMA seed-trained quality classifier (hashed-unigram
-    #     NB log-odds); DoReMi EG reweighting (Xie et al. 2023); the
-    #     MassiveText repetition battery (Rae et al. 2021 Table A1,
-    #     repetition half); char/token Shannon entropy; lang-ID
-    #     confusion audit; BM25-mined contrastive retrieval pairs ---
-    "edit_neardup": (L.q_edit_neardup, L.SQL_EDIT_NEARDUP),
-    "quality_classifier": (
-        L.q_quality_classifier,
-        L.SQL_QUALITY_CLASSIFIER,
+    # --- promoted r15 (added r14): group-relative advantage
+    #     normalization (the public GRPO recipe) — z-scored rewards from
+    #     the dpo_pairs/best_of_n scored pool; exact-decimal positivity
+    #     test + fixed-order double numerator (advisor-r14 fix) ---
+    "grpo_advantage": (L.q_grpo_advantage, L.SQL_GRPO_ADVANTAGE),
+    # --- promoted r15 (added r14): k-anonymity quasi-identifier audit
+    #     (Sweeney 2002) — the privacy-risk table next to pii_redact ---
+    "kanon_audit": (L.q_kanon_audit, L.SQL_KANON_AUDIT),
+    # --- promoted r15 (added r14): content-defined-chunking dedup
+    #     sizing table (FastCDC family) — md5-portable boundaries,
+    #     storage-dedup ratio at three mask widths, one gram pass ---
+    "cdc_dedup_curve": (L.q_cdc_dedup_curve, L.SQL_CDC_DEDUP_CURVE),
+    # --- promoted r15 (added r14): ANN-mined hard contrastive triplets
+    #     over the portable-IVF candidate set — cluster-scoped
+    #     equi-joins, one conditional max-struct aggregate ---
+    "contrastive_triplets": (
+        L.q_contrastive_triplets,
+        L.SQL_CONTRASTIVE_TRIPLETS,
     ),
-    "doremi_weights": (L.q_doremi_weights, L.SQL_DOREMI_WEIGHTS),
-    "gopher_repetition": (L.q_gopher_repetition, L.SQL_GOPHER_REPETITION),
-    "entropy_stats": (L.q_entropy_stats, L.SQL_ENTROPY_STATS),
-    "langid_confusion": (L.q_langid_confusion, L.SQL_LANGID_CONFUSION),
-    "retrieval_pairs": (L.q_retrieval_pairs, L.SQL_RETRIEVAL_PAIRS),
+    # --- promoted r15 (added r14): per-dimension embedding diagnostics
+    #     and the exact-integer power-iteration top principal direction
+    #     (anisotropy report) ---
+    "embed_dim_stats": (L.q_embed_dim_stats, L.SQL_EMBED_DIM_STATS),
+    "embed_pca_top": (L.q_embed_pca_top, L.SQL_EMBED_PCA_TOP),
     # --- first driver rows (promoted r13): LSH dedup precision — the
     #     complement of minhash_recall (what a destructive dedup would
     #     wrongly delete) — and the banded-join efficiency metric
@@ -390,6 +406,27 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.SQL_SHINGLE_DF_HISTOGRAM,
     ),
     # ---------- driver 50-query window ends here ----------
+    # --- demoted r15 (see ROUND-15 ROTATION note above): the four
+    #     thrice-green r11 promotions and seven twice-green r12
+    #     promotions; every one re-proven locally each session by the
+    #     default sf0.001+sf0.1 parity suites ---
+    "ann_pq_topk": (L.q_ann_pq_topk, L.SQL_ANN_PQ_TOPK),
+    "ann_pq_recall": (L.q_ann_pq_recall, L.SQL_ANN_PQ_RECALL),
+    "cms_heavy_hitters": (L.q_cms_heavy_hitters, L.SQL_CMS_HEAVY_HITTERS),
+    "bloom_contamination": (
+        L.q_bloom_contamination,
+        L.SQL_BLOOM_CONTAMINATION,
+    ),
+    "edit_neardup": (L.q_edit_neardup, L.SQL_EDIT_NEARDUP),
+    "quality_classifier": (
+        L.q_quality_classifier,
+        L.SQL_QUALITY_CLASSIFIER,
+    ),
+    "doremi_weights": (L.q_doremi_weights, L.SQL_DOREMI_WEIGHTS),
+    "gopher_repetition": (L.q_gopher_repetition, L.SQL_GOPHER_REPETITION),
+    "entropy_stats": (L.q_entropy_stats, L.SQL_ENTROPY_STATS),
+    "langid_confusion": (L.q_langid_confusion, L.SQL_LANGID_CONFUSION),
+    "retrieval_pairs": (L.q_retrieval_pairs, L.SQL_RETRIEVAL_PAIRS),
     # --- demoted r14 (see ROUND-14 ROTATION note above): twenty-one
     #     multi-green holdovers; every one re-proven locally each
     #     session by the default sf0.001+sf0.1 parity suites ---
@@ -645,82 +682,22 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
     "media_frames": (L.q_media_frames, None),
-    # --- added r14 (past-cap; r15 promotion pool): measured ranking
-    #     quality for the retrieval family — the last approximate family
-    #     without a quality row (r13 verdict item 2).  nDCG@5 + MRR@5 of
-    #     the BM25 ranking vs planted term-containment graded truth, and
-    #     of the hybrid RRF fusion vs the exact-cosine graded truth its
-    #     semantic half is supposed to preserve ---
-    "retrieval_ndcg": (L.q_retrieval_ndcg, L.SQL_RETRIEVAL_NDCG),
-    "rrf_ndcg": (L.q_rrf_ndcg, L.SQL_RRF_NDCG),
-    # --- added r14 (past-cap; r15 promotion pool): multi-turn
-    #     conversation assembly (grouped turns, ordered, role-tagged
-    #     rendering, per-role loss masks) and whole-conversation packing
-    #     under a token budget — the instruction-data shape next to
-    #     sft_pack/dpo_pairs the r13 verdict listed as missing ---
-    "chat_assemble": (L.q_chat_assemble, L.SQL_CHAT_ASSEMBLE),
-    "chat_pack": (L.q_chat_pack, L.SQL_CHAT_PACK),
-    # --- added r14 (past-cap; r15 promotion pool): the equal-budget
-    #     tokenizer decision table — 256 word types AND a 32-piece
-    #     effective vocab for BOTH families (BPE: 24-char alphabet + 8
-    #     merges; unigram: vocab_size=32), so fertility_delta compares
-    #     families, not budgets (r13 verdict item 7) ---
-    "tokenizer_compare_eqv": (
-        L.q_tokenizer_compare_eqv,
-        L.SQL_TOKENIZER_COMPARE_EQV,
-    ),
-    # --- added r14 (past-cap; r15 promotion pool): group-relative
-    #     advantage normalization (the public GRPO recipe) — the third
-    #     RL-data product from the dpo_pairs/best_of_n scored pool,
-    #     z-scored rewards via exact micro-unit integer sums (bit-
-    #     reproducible doubles, no float tolerance) ---
-    "grpo_advantage": (L.q_grpo_advantage, L.SQL_GRPO_ADVANTAGE),
-    # --- added r14 (past-cap; r15 promotion pool): k-anonymity audit
-    #     over quasi-identifiers (Sweeney 2002) — equivalence-class
-    #     sizes from one corpus aggregate, k sweep over the bounded
-    #     class frame; the privacy-risk table next to pii_redact ---
-    "kanon_audit": (L.q_kanon_audit, L.SQL_KANON_AUDIT),
-    # --- added r14 (past-cap; r15 promotion pool): content-defined-
-    #     chunking dedup sizing table (FastCDC family) — md5-portable
-    #     rolling boundaries, chunk-level storage-dedup ratio at three
-    #     mask widths from one gram pass; the fourth measured sizing
-    #     curve next to bloom_fpr/cms_error/lsh_geometry ---
-    "cdc_dedup_curve": (L.q_cdc_dedup_curve, L.SQL_CDC_DEDUP_CURVE),
-    # --- added r14 (past-cap; r15 promotion pool): hard-triplet mining
-    #     (anchor / nearest same-label positive / hardest different-
-    #     label negative) over the portable-IVF candidate set — the
-    #     contrastive training-pair construction, cluster-scoped
-    #     equi-joins only, one conditional max-struct aggregate ---
-    "contrastive_triplets": (
-        L.q_contrastive_triplets,
-        L.SQL_CONTRASTIVE_TRIPLETS,
-    ),
-    # --- added r14 (past-cap; r15 promotion pool): per-dimension
-    #     embedding diagnostics (dead/dominant coordinate table) —
-    #     exact micro-unit integer sums, decimal-exact variance
-    #     numerators, order-independent total-variance share ---
-    "embed_dim_stats": (L.q_embed_dim_stats, L.SQL_EMBED_DIM_STATS),
-    # --- added r14 (past-cap; r15 promotion pool): top principal
-    #     direction by exact-integer power iteration (anisotropy
-    #     report: unit loadings + Rayleigh quotient + variance share) —
-    #     no float in the loop, unrolled-CTE oracle ---
-    "embed_pca_top": (L.q_embed_pca_top, L.SQL_EMBED_PCA_TOP),
-    # --- added r14 (past-cap; r15 promotion pool — SECOND WAVE, r16 if
-    #     the 11-entry first wave fills the window): DCLM-style
+    # --- added r14 (past-cap; r16 promotion pool — SECOND WAVE, queued
+    #     behind the executed r15 first wave): DCLM-style
     #     cluster-balanced subsample over the portable clusters ---
     "cluster_balanced_sample": (
         L.q_cluster_balanced_sample,
         L.SQL_CLUSTER_BALANCED_SAMPLE,
     ),
-    # --- added r14 (past-cap; r15 pool second wave): self-instruct
+    # --- added r14 (past-cap; r16 pool second wave): self-instruct
     #     ROUGE-style instruction-dedup screen — max bigram recall vs
     #     any earlier doc (asymmetric overlap), keep under 0.7 ---
     "rouge_screen": (L.q_rouge_screen, L.SQL_ROUGE_SCREEN),
-    # --- added r14 (past-cap; r15 pool second wave): conversation-data
+    # --- added r14 (past-cap; r16 pool second wave): conversation-data
     #     validity report (role alternation / first-last roles / empty
     #     turns / singletons) — the DQ gate before chat_assemble ---
     "chat_lint": (L.q_chat_lint, L.SQL_CHAT_LINT),
-    # --- added r14 (past-cap; r15 pool second wave): decontamination
+    # --- added r14 (past-cap; r16 pool second wave): decontamination
     #     match-length sweep (8/13/20-gram contaminated-doc rates vs
     #     the benchmark split) — the fifth measured sizing curve ---
     "contamination_ngram_curve": (

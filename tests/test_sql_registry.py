@@ -90,61 +90,62 @@ def test_driver_window_covers_every_query_family():
     representatives = {
         # dedup family: LSH precision/band-efficiency + the SimHash and
         # winnowing recall rows on the shared exact-Jaccard truth,
-        # PassJoin edit-distance, cross-corpus MinHash decontamination,
-        # deletion lineage + soft-dedup reweighting + the Jaccard
-        # threshold histogram (minhash_recall / dup_cluster_stats /
-        # dedup_substrings / dedup_lines rotated out r14 with 3-5 green
-        # rows each)
-        "minhash_precision", "minhash_band_efficiency", "edit_neardup",
+        # cross-corpus MinHash decontamination, deletion lineage +
+        # soft-dedup reweighting + the Jaccard threshold histogram,
+        # plus the CDC storage-dedup sizing curve (edit_neardup rotated
+        # out r15 with 3 green rows — PassJoin anchored by the shared
+        # candidate machinery the manifest/histogram rows exercise)
+        "minhash_precision", "minhash_band_efficiency",
         "minhash_decontam", "simhash_recall", "winnow_recall",
         "dedup_manifest", "soft_dedup", "jaccard_histogram",
+        "cdc_dedup_curve",
         # LSH/sketch calibration: measured band-geometry sweep, Bloom
         # FPR curve, CMS overestimate curve, shingle doc-freq histogram
+        # (cms_heavy_hitters / bloom_contamination rotated out r15 —
+        # the sketch family stays measured via these four curves +
+        # minhash_decontam's Bloom-free twin)
         "lsh_geometry_sweep", "bloom_fpr_curve", "cms_error_curve",
         "shingle_df_histogram",
-        # similarity / ANN: PQ + measured recall, MMR diverse selection,
-        # margin bitext mining + measured IVF-path recall, int8
-        # quantization, hubness audit, cluster composition profile
-        # (knn_accuracy / prototypicality / kcenter_coreset rotated out
-        # r14 — semantic selection anchored by mmr_select +
-        # cluster_profile)
-        "ann_pq_topk", "ann_pq_recall", "mmr_select", "bitext_mine",
+        # similarity / ANN: MMR diverse selection, margin bitext mining
+        # + measured IVF-path recall, int8 quantization, hubness audit,
+        # cluster composition profile, ANN-mined hard triplets, and the
+        # embedding diagnostics pair (ann_pq_topk/ann_pq_recall rotated
+        # out r15 with 3 green rows each)
+        "mmr_select", "bitext_mine",
         "bitext_recall", "embed_quantize", "ann_hubness",
-        "cluster_profile",
-        # text analysis / corpus quality (gopher_rules / c4_rules /
-        # ccnet_buckets rotated out r14 — quality anchored by the
-        # repetition battery, the seed-trained classifier, KN LM
-        # scoring, trained lang-ID, the threshold calibration sweep and
-        # the per-domain rollup)
-        "gopher_repetition", "quality_classifier", "entropy_stats",
-        "langid_confusion", "kn_score", "langid_rank",
+        "cluster_profile", "contrastive_triplets", "embed_dim_stats",
+        "embed_pca_top",
+        # text analysis / corpus quality (quality_classifier /
+        # gopher_repetition / entropy_stats / langid_confusion rotated
+        # out r15 — quality anchored by KN LM scoring, trained lang-ID,
+        # the threshold calibration sweep and the per-domain rollup)
+        "kn_score", "langid_rank",
         "threshold_sweep", "domain_quality_rollup",
+        # privacy DQ: k-anonymity quasi-identifier audit
+        "kanon_audit",
         # tokenizers: the full unigram-LM family + the BPE-vs-unigram
-        # decision table (bpe_train_merges rotated out r14 —
-        # tokenizer_compare composes the full BPE train+segment chain)
+        # decision tables (raw-budget AND equal-budget variants)
         "unigram_train", "unigram_segment_words", "unigram_fertility",
         "unigram_encode_docs", "tokenizer_compare",
-        # data selection / mixing (dsir_weights / unimax_alloc /
-        # data_budget_plan / quota_sample rotated out r14 — anchored by
-        # DoReMi, Moore-Lewis cross-entropy selection, the repeat-epoch
-        # decay curve sweeping data_budget_plan's formula, and the
-        # cross-source overlap matrix)
-        "doremi_weights", "moore_lewis", "epoch_decay_curve",
+        "tokenizer_compare_eqv",
+        # data selection / mixing (doremi_weights rotated out r15 with
+        # 3 green rows — anchored by Moore-Lewis cross-entropy
+        # selection, the repeat-epoch decay curve, and the cross-source
+        # overlap matrix)
+        "moore_lewis", "epoch_decay_curve",
         "corpus_overlap",
-        # frequency/membership sketches
-        "cms_heavy_hitters", "bloom_contamination",
-        # retrieval (the full BM25 chain exercised by the contrastive-
-        # pairs miner; sentence-integral chunking; Contriever crops)
-        "retrieval_pairs", "sentence_chunk", "crop_pairs",
-        # example construction / packing (pack_efficiency rotated out
-        # r14 — packing anchored by SFT packing with loss masks; plus
-        # UL2 mixture, DPO pairs, best-of-N)
+        # retrieval (retrieval_pairs rotated out r15 — the BM25 chain
+        # now exercised end-to-end by the MEASURED ranking-quality rows;
+        # sentence-integral chunking; Contriever crops)
+        "retrieval_ndcg", "rrf_ndcg", "sentence_chunk", "crop_pairs",
+        # example construction / packing: SFT packing with loss masks,
+        # UL2 mixture, DPO pairs, best-of-N, GRPO advantages, and the
+        # multi-turn chat assembly/packing pair
         "span_corrupt", "fim_transform", "ul2_mix", "sft_pack",
-        "dpo_pairs", "best_of_n",
-        # DQ / observability (split_leakage / domain_concentration /
-        # zipf_stats / heaps_growth rotated out r14 — anchored by the
-        # datasheet-style report card + the per-domain rollup +
-        # confusion audit above)
+        "dpo_pairs", "best_of_n", "grpo_advantage", "chat_assemble",
+        "chat_pack",
+        # DQ / observability (anchored by the datasheet-style report
+        # card + the per-domain rollup above)
         "dataset_card",
     }
     missing = representatives - window
