@@ -659,6 +659,13 @@ def main() -> None:
         }
     )
     print(payload)
+    # Tail-survivability (r14 verdict item 4): the driver keeps only the
+    # END of stdout, so a first-line headline is exactly what a tail
+    # window discards, and the full payload line is big enough that the
+    # window may keep only a mid-line JSON fragment.  Re-print the
+    # compact headline as the LAST line — any tail capture now ends
+    # with one complete parseable record (total/count/errors/timings).
+    print(headline)
     # Stray Spark/py4j warnings on stdout would corrupt a `tee`-captured
     # copy, so the JSON payload is also written to a file directly when
     # BENCH_OUT is set (the round checklist uses this).
