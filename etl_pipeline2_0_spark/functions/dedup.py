@@ -2324,6 +2324,9 @@ def rouge_screen(
     n: int = 2,
     threshold: float = 0.7,
     max_doc_freq: "int | None" = 50,
+    freq_source: str = "exact",
+    cms_depth: int = 4,
+    cms_width: int = 65536,
 ) -> DataFrame:
     """Self-instruct-style instruction dedup screen (Wang et al. 2022
     §3.3, the public recipe every synthetic-instruction pipeline runs):
@@ -2354,7 +2357,17 @@ def rouge_screen(
     boilerplate n-grams before the self-equi-join (an n-gram in f docs
     joins into O(f²) pairs), one pair-grain aggregate, one argmax
     max-struct aggregate per new doc.  No window over pairs, no
-    cartesian.
+    cartesian.  ``freq_source`` picks how the cap measures
+    doc-frequency, exactly as in :func:`jaccard_pairs`: ``"exact"``
+    (default — an exact per-key count, a full shuffle of the n-gram-hash
+    table, which keeps the ANSI oracle exact) or ``"cms"`` — a
+    ``cms_depth``×``cms_width`` count-min sketch probed MAP-SIDE against
+    the broadcast sketch, so the only added shuffle is the bounded
+    sketch build; one-sided error (estimates only overcount → the
+    sketch can over-PRUNE boilerplate, never under-prune; cap ≡ exact
+    whenever every estimate stays ≤ the cap — property-pinned in
+    tests).  At 100 TB the screen wants ``"cms"``; the recall
+    denominator (``n_ngrams``) is computed before the cap either way.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     sh = base.select(
@@ -2364,12 +2377,25 @@ def rouge_screen(
         F.count(F.lit(1)).cast("bigint").alias("n_ngrams")
     )
     if max_doc_freq is not None:
-        wf = Window.partitionBy("h")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(wf))
-            .where(F.col("__df") <= max_doc_freq)
-            .drop("__df")
-        )
+        if freq_source == "cms":
+            key = F.col("h").cast("string")
+            sk = sketches.cms_sketch(
+                sh.select(key.alias("item")), "item", cms_depth, cms_width
+            )
+            sh = (
+                sketches.cms_estimate_map_side(
+                    sh, key, sk, cms_depth, cms_width, out_col="__est"
+                )
+                .where(F.col("__est") <= max_doc_freq)
+                .drop("__est")
+            )
+        else:
+            wf = Window.partitionBy("h")
+            sh = (
+                sh.withColumn("__df", F.count(F.lit(1)).over(wf))
+                .where(F.col("__df") <= max_doc_freq)
+                .drop("__df")
+            )
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") > F.col("b.id")))

@@ -533,6 +533,47 @@ def test_cms_cap_narrow_sketch_over_prunes_only(spark):
     assert any(r["est"] > r["cnt"] for r in joined)
 
 
+def test_rouge_screen_cms_cap_equals_exact_below_cap(spark):
+    """rouge_screen's freq_source='cms' (r14 verdict item 3): with a
+    collision-free (wide) sketch the cms cap must reproduce the exact
+    Window cap's output row-for-row — the sketch changes the MEASUREMENT
+    mechanism only.  Non-vacuous: the corpus has boilerplate n-grams
+    above the cap and a surviving overlap below it."""
+    from etl_pipeline2_0_spark.functions import dedup
+
+    df = _skewed_cms_corpus(spark)
+    key = lambda r: (r["doc_id"], r["n_ngrams"], r["match_id"],
+                     r["max_recall"], r["keep"])
+    exact = sorted(
+        key(r)
+        for r in dedup.rouge_screen(df, n=3, max_doc_freq=10).collect()
+    )
+    via_cms = sorted(
+        key(r)
+        for r in dedup.rouge_screen(
+            df, n=3, max_doc_freq=10,
+            freq_source="cms", cms_width=1 << 18,
+        ).collect()
+    )
+    assert exact == via_cms
+    assert any(r[3] > 0 for r in exact)  # overlaps survive the cap
+
+
+def test_rouge_screen_cms_cap_plan_has_no_window(spark):
+    """Plan pin for the 100 TB claim: in cms mode the n-gram-hash table
+    must NOT shuffle through the exact cap's per-key Window — the sketch
+    arrives via broadcast and is probed map-side."""
+    from etl_pipeline2_0_spark.functions import dedup
+
+    df = _skewed_cms_corpus(spark)
+    plan = (
+        dedup.rouge_screen(df, n=3, max_doc_freq=10, freq_source="cms")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row sketch cross
+
+
 def test_cms_bucket_cap_plan_has_no_window_shuffle(spark):
     """Plan pin for the 100 TB claim: the cms bucket cap must not compile
     to the exact cap's Window (whole banded-table shuffle on
