@@ -79,6 +79,7 @@ HEADLINE = [
     "image_phash_neardup",
     "audio_fp_neardup",
     "video_phash_neardup",
+    "multimodal_neardup_recall",
     "chunk_documents",
     "bm25_topk",
     "retrieval_ndcg",

@@ -800,6 +800,149 @@ def hamming_pairs(
     )
 
 
+def hamming_recall(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    sig_bits: int = 64,
+    exact_blocks: int = 16,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Measured recall + candidate-efficiency of the pigeonhole chunk
+    equi-join (:func:`hamming_pairs`) against EXACT all-pairs Hamming
+    ground truth over the same signature table — the quality row the
+    SimHash/pHash/audio-fingerprint near-dup family shares.  The
+    pigeonhole theorem guarantees recall 1.0 whenever ``max_hamming <
+    blocks``; this MEASURES that the implementation actually delivers it
+    (the r8 advisor found a caller silently violating the precondition —
+    this row is the standing regression detector for that bug class),
+    and prices the guarantee via candidate volume per true pair.
+
+    ``sig_bits`` is the signature's EFFECTIVE width (bits above it are
+    identically zero): chunks tile ``sig_bits`` rather than the full 64,
+    because a chunk lying wholly in the constant-zero region matches
+    every pair — candidates silently degrade to the cross product (a
+    47-bit dHash under 64-bit chunking has two such chunks).
+    Exactness is unaffected: bits ≥ ``sig_bits`` agree on every pair by
+    construction, so ≤``max_hamming`` differing bits still leave ≥1 of
+    the ``blocks`` chunks identical.
+
+    Output (one row): (n_items, n_true_pairs, n_candidate_pairs,
+    n_pairs_found, recall, candidates_per_true).  recall =
+    found/true (NULL when no true pairs); candidates_per_true =
+    distinct pre-verification candidates per true pair (the
+    band-efficiency convention); both emitted UNROUNDED.
+
+    Scale: the exact truth side is the metric's POINT and is all-pairs
+    by definition — at 100 TB it runs on the bounded metric sample (the
+    established recall-metric convention), distributed as the salted-
+    block shuffle-hash equi-join ``bitext_mine`` uses, never a single-
+    partition cross.  The candidate side is the production pigeonhole
+    equi-join itself.
+    """
+    base = (
+        sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+        .where(F.col("sig").isNotNull())
+    )
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
+    # exact truth: salted-block all-pairs (a carries blk = hash(id)%B;
+    # b explodes every blk) — a shuffle-hash equi-join on blk spreads
+    # the quadratic work over exact_blocks reducers
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(exact_blocks)).alias("blk"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(exact_blocks - 1))).alias("blk"),
+    )
+    truth = (
+        a.join(b.hint("shuffle_hash"), "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            <= max_hamming
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    )
+    # candidate side: the production pigeonhole chunk equi-join, with
+    # the pre-verification pair volume kept visible
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole exactness requires max_hamming < blocks "
+            f"(got max_hamming={max_hamming}, blocks={blocks})"
+        )
+    if sig_bits % blocks != 0 or not 0 < sig_bits <= 64:
+        raise ValueError(
+            f"sig_bits must be a multiple of blocks in (0, 64] "
+            f"(got sig_bits={sig_bits}, blocks={blocks})"
+        )
+    bits_per = sig_bits // blocks
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sig"), i * bits_per).bitwiseAND(
+                F.lit((1 << bits_per) - 1)
+            )
+            for i in range(blocks)
+        ]
+    )
+    chunked = base.select(
+        "id", "sig", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+    )
+    ca, cb = chunked.alias("ca"), chunked.alias("cb")
+    cand = (
+        ca.join(
+            cb,
+            (F.col("ca.chunk_idx") == F.col("cb.chunk_idx"))
+            & (F.col("ca.chunk_val") == F.col("cb.chunk_val"))
+            & (F.col("ca.id") < F.col("cb.id")),
+        )
+        .select(
+            F.col("ca.id").alias("id_a"),
+            F.col("cb.id").alias("id_b"),
+            F.col("ca.sig").alias("sig_a"),
+            F.col("cb.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    cm = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.sum(
+            F.when(
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                <= max_hamming,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pairs_found"),
+    )
+    n = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    return (
+        n.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(cm))
+        .select(
+            "n_items",
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_pairs_found",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_pairs_found") / F.col("n_true_pairs"),
+            ).alias("recall"),
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_candidate_pairs") / F.col("n_true_pairs"),
+            ).alias("candidates_per_true"),
+        )
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

@@ -1577,14 +1577,9 @@ FROM scored CROSS JOIN thr
 # ----------------------------------------------- perceptual image dedup -
 
 
-def _synth_bmp_media(spark: SparkSession, sf_dir: str, modulo: int) -> DataFrame:
-    # Deterministic BMP synthesis from embedding rows (q_media_decode's
-    # device): similar vectors render to similar 4x4 images, so the
-    # perceptual-hash family has genuine near-dups to find.
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") % modulo == 0
-    )
-
+def _bmp_media_from_emb(emb: DataFrame) -> DataFrame:
+    # Render any (vec_id, embedding) frame to BMP payload bytes — the
+    # shared tail of _synth_bmp_media and the planted-pair recall row.
     def make(batches):
         import numpy as np
         import pandas as pd
@@ -1605,6 +1600,16 @@ def _synth_bmp_media(spark: SparkSession, sf_dir: str, modulo: int) -> DataFrame
     )
 
 
+def _synth_bmp_media(spark: SparkSession, sf_dir: str, modulo: int) -> DataFrame:
+    # Deterministic BMP synthesis from embedding rows (q_media_decode's
+    # device): similar vectors render to similar 4x4 images, so the
+    # perceptual-hash family has genuine near-dups to find.
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % modulo == 0
+    )
+    return _bmp_media_from_emb(emb)
+
+
 def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Image-side corpus dedup: classic pHash (luma -> 32x32 -> DCT-II ->
     # 8x8 median bits) in one Arrow pass, then the SimHash pigeonhole
@@ -1615,14 +1620,9 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_near_duplicates(media, max_hamming=6, blocks=8)
 
 
-def _synth_wav_media(spark: SparkSession, sf_dir: str, modulo: int) -> DataFrame:
-    # Deterministic WAV synthesis from embedding rows: each value held for
-    # 16 samples at 8 kHz (a step waveform — similar vectors sound alike),
-    # so the spectral-fingerprint family has genuine near-dups to find.
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") % modulo == 0
-    )
-
+def _wav_media_from_emb(emb: DataFrame) -> DataFrame:
+    # Render any (vec_id, embedding) frame to WAV payload bytes — the
+    # shared tail of _synth_wav_media and the planted-pair recall row.
     def make(batches):
         import struct
 
@@ -1651,6 +1651,16 @@ def _synth_wav_media(spark: SparkSession, sf_dir: str, modulo: int) -> DataFrame
     return emb.select("vec_id", "embedding").mapInPandas(
         make, "media_id long, payload binary"
     )
+
+
+def _synth_wav_media(spark: SparkSession, sf_dir: str, modulo: int) -> DataFrame:
+    # Deterministic WAV synthesis from embedding rows: each value held for
+    # 16 samples at 8 kHz (a step waveform — similar vectors sound alike),
+    # so the spectral-fingerprint family has genuine near-dups to find.
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % modulo == 0
+    )
+    return _wav_media_from_emb(emb)
 
 
 def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1697,6 +1707,135 @@ def q_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_near_duplicates(
         media, every_nth=1, frame_max_hamming=6, min_common_frames=2
     )
+
+
+def q_multimodal_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured recall row for the multimodal near-dup family (the last
+    # approximate family without a quality metric, r14 verdict item 2):
+    # real BMP/WAV bytes are synthesized, DECODED (parse_bmp/parse_wav in
+    # one Arrow pass), dHashed from exact pixel-channel / PCM16 sample
+    # values, then the family's shared pigeonhole chunk equi-join
+    # (dedup.hamming_pairs geometry: max_hamming=6, blocks=8 — the exact
+    # configuration image_phash/audio_fp/video_phash_neardup run) is
+    # measured against exact all-pairs Hamming ground truth.  Fully
+    # oracled: dHash bits are comparisons of integers the synthesis
+    # derives deterministically from the embeddings table, so the DuckDB
+    # twin reproduces signature, truth, and candidates end-to-end —
+    # unlike the float-DCT pHash values (golden-pinned ×3 SF), whose
+    # CANDIDATE MACHINERY this row certifies.
+    #
+    # Truth is PLANTED (the retrieval_ndcg convention): every 16th base
+    # vector re-renders under id+10^7 with dims 2 and 3 swapped — a
+    # deterministic perturbation that flips at most the three dHash bits
+    # whose comparisons touch those dims, so each (original, copy) pair
+    # sits within Hamming 3 ≤ 6 in BOTH modalities and the truth set is
+    # non-vacuous at every SF (the organic corpus has no dHash-near
+    # pairs — 47/63-bit signatures are far more discriminative than the
+    # 4×4 pHash the trio runs on).
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
+    e = F.col("embedding")
+    swapped = F.transform(
+        e,
+        lambda x, i: (
+            F.when(i == F.lit(2), F.element_at(e, 4))
+            .when(i == F.lit(3), F.element_at(e, 3))
+            .otherwise(x)
+        ),
+    )
+    planted = emb.where(F.col("vec_id") % 16 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        swapped.alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(planted)
+    img_sig = multimodal.media_dhash(_bmp_media_from_emb(aug), kind="image")
+    aud_sig = multimodal.media_dhash(
+        _wav_media_from_emb(aug), kind="audio", stride=16
+    )
+    img = dedup.hamming_recall(
+        img_sig, id_col="media_id", sig_col="sig",
+        max_hamming=6, blocks=8, sig_bits=48,
+    ).select(F.lit("image").alias("modality"), "*")
+    aud = dedup.hamming_recall(
+        aud_sig, id_col="media_id", sig_col="sig",
+        max_hamming=6, blocks=8, sig_bits=64,
+    ).select(F.lit("audio").alias("modality"), "*")
+    return img.unionByName(aud).orderBy("modality")
+
+
+# The twin rebuilds the dHash signatures from the SAME arithmetic the
+# media synthesis + decode chain performs: BMP channel bytes are
+# floor(clip(e[i]*127+128, 0, 255)) (numpy uint8 truncation ≡ FLOOR on
+# the clipped non-negative double), WAV PCM16 step values are
+# trunc(clip(e[i]*8000, -32768, 32767)) (int16 truncation toward zero ≡
+# TRUNC) — bit i of the signature is v_i > v_{i+1}.  Truth is exact
+# all-pairs popcount; candidates are the pigeonhole chunk equi-join at
+# the same geometry (8 chunks of 6 bits over the 48-bit image dHash,
+# 8×8 over the 64-bit audio dHash).
+SQL_MULTIMODAL_NEARDUP_RECALL = r"""
+WITH base0 AS (
+  SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id % 2 = 0
+), base AS (
+  SELECT id, e FROM base0
+  UNION ALL
+  SELECT id + 10000000,
+         list_concat(list_concat(e[1:2], [e[4], e[3]]), e[5:len(e)])
+  FROM base0 WHERE id % 16 = 0
+), imgv AS (
+  SELECT id, i,
+         CAST(FLOOR(LEAST(GREATEST(CAST(e[i+1] AS DOUBLE)*127 + 128, 0), 255)) AS BIGINT) AS v
+  FROM base, range(0, 48) t(i)
+), audv AS (
+  SELECT id, i,
+         CAST(TRUNC(LEAST(GREATEST(CAST(e[i+1] AS DOUBLE)*8000, -32768), 32767)) AS BIGINT) AS v
+  FROM base, range(0, 64) t(i)
+), sigs AS (
+  SELECT 'image' AS modality, a.id,
+         CAST(COALESCE(SUM(CASE WHEN a.v > b.v THEN (CAST(1 AS BIGINT) << a.i) ELSE 0 END), 0) AS BIGINT) AS sig,
+         6 AS chunk_bits
+  FROM imgv a JOIN imgv b ON a.id = b.id AND b.i = a.i + 1
+  GROUP BY a.id
+  UNION ALL
+  SELECT 'audio' AS modality, a.id,
+         CAST(COALESCE(SUM(CASE WHEN a.v > b.v THEN (CAST(1 AS BIGINT) << a.i) ELSE 0 END), 0) AS BIGINT) AS sig,
+         8 AS chunk_bits
+  FROM audv a JOIN audv b ON a.id = b.id AND b.i = a.i + 1
+  GROUP BY a.id
+), truth AS (
+  SELECT a.modality, COUNT(*) AS n_true_pairs
+  FROM sigs a JOIN sigs b
+    ON a.modality = b.modality AND a.id < b.id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 6
+  GROUP BY a.modality
+), chunks AS (
+  SELECT modality, id, sig, i AS ci,
+         (sig >> (i * chunk_bits)) & ((CAST(1 AS BIGINT) << chunk_bits) - 1) AS cv
+  FROM sigs, range(0, 8) t(i)
+), cand AS (
+  SELECT DISTINCT a.modality, a.id AS ia, b.id AS ib, a.sig AS sa, b.sig AS sb
+  FROM chunks a JOIN chunks b
+    ON a.modality = b.modality AND a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+), cm AS (
+  SELECT modality,
+         COUNT(*) AS n_candidate_pairs,
+         CAST(SUM(CASE WHEN bit_count(xor(sa, sb)) <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_found
+  FROM cand GROUP BY modality
+), items AS (
+  SELECT modality, COUNT(*) AS n_items FROM sigs GROUP BY modality
+)
+SELECT i.modality,
+       i.n_items,
+       COALESCE(t.n_true_pairs, 0) AS n_true_pairs,
+       COALESCE(c.n_candidate_pairs, 0) AS n_candidate_pairs,
+       COALESCE(c.n_pairs_found, 0) AS n_pairs_found,
+       CASE WHEN COALESCE(t.n_true_pairs, 0) > 0
+            THEN COALESCE(c.n_pairs_found, 0) / t.n_true_pairs END AS recall,
+       CASE WHEN COALESCE(t.n_true_pairs, 0) > 0
+            THEN COALESCE(c.n_candidate_pairs, 0) / t.n_true_pairs END AS candidates_per_true
+FROM items i
+LEFT JOIN truth t USING (modality)
+LEFT JOIN cm c USING (modality)
+ORDER BY i.modality
+"""
 
 
 # ------------------------------------------------------ retrieval (RAG) ---

@@ -704,6 +704,17 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_contamination_ngram_curve,
         L.SQL_CONTAMINATION_NGRAM_CURVE,
     ),
+    # --- added r15 (past-cap; r16 promotion pool): the multimodal
+    #     near-dup family's measured recall row (r14 verdict item 2) —
+    #     real BMP/WAV bytes decoded to exact-integer dHash signatures,
+    #     the trio's shared pigeonhole candidate join (hamming<=6,
+    #     8 chunks) measured against exact all-pairs Hamming truth;
+    #     fully oracled because the synthesis arithmetic is
+    #     SQL-derivable from the embeddings table ---
+    "multimodal_neardup_recall": (
+        L.q_multimodal_neardup_recall,
+        L.SQL_MULTIMODAL_NEARDUP_RECALL,
+    ),
 }
 
 

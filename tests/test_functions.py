@@ -1067,6 +1067,83 @@ def test_image_phash_err_rows_and_neardup_brute_agreement(spark):
     assert got == expect
 
 
+def test_media_dhash_exact_bits_and_errs(spark):
+    """dHash bits are hand-checkable: bit i == (val_i > val_{i+1}) over
+    the flattened BMP channel bytes / strided PCM16 samples; identical
+    payloads hash identically; garbage yields NULL + err; unknown kind
+    raises."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_pipeline2_0_spark.functions import multimodal
+
+    vals = [5, 9, 2, 2, 7, 1]  # 4x4x3 needs 48; use 2x1x3 = 6 values
+    px = np.array(vals, dtype=np.uint8).reshape(2, 1, 3)
+    media = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(px))),
+         (2, bytearray(multimodal.encode_bmp(px.copy()))),
+         (9, bytearray(b"garbage"))],
+        "media_id bigint, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.media_dhash(media, kind="image").collect()}
+    expect = sum(1 << i for i in range(5) if vals[i] > vals[i + 1])
+    assert out[1]["sig"] == expect == 0b10010  # bits 1 (9>2) and 4 (7>1)
+    assert out[2]["sig"] == expect
+    assert out[9]["sig"] is None and out[9]["err"] == "undecodable"
+
+    # WAV: samples held 3x; stride 3 reads the step values
+    steps = [-7, 4, 4, 0]
+    samples = np.repeat(np.array(steps, dtype="<i2"), 3)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    wmedia = spark.createDataFrame(
+        [(3, bytearray(wav))], "media_id bigint, payload binary"
+    )
+    wout = multimodal.media_dhash(wmedia, kind="audio", stride=3).collect()[0]
+    wexpect = sum(1 << i for i in range(3) if steps[i] > steps[i + 1])
+    assert wout["sig"] == wexpect == 0b100  # bit 2 (4>0)
+
+    with _pytest.raises(ValueError):
+        multimodal.media_dhash(media, kind="video")
+
+
+def test_hamming_recall_planted_and_preconditions(spark):
+    """Planted signature table with known pair distances: the metric row
+    must report the exact truth count, recall 1.0 (pigeonhole guarantee),
+    and candidates >= found; the precondition guards raise."""
+    import pytest as _pytest
+
+    from etl_pipeline2_0_spark.functions import dedup
+
+    sigs = spark.createDataFrame(
+        [(1, 0b1011), (2, 0b1011),          # exact dup -> h=0
+         (3, 0b1000), (4, 0b1001),          # h=1
+         (5, (1 << 40) - 1)],               # far from everything
+        "id bigint, sig bigint",
+    )
+    row = dedup.hamming_recall(
+        sigs, max_hamming=2, blocks=4, sig_bits=40
+    ).collect()[0]
+    # true pairs at h<=2: (1,2) h0, (3,4) h1, (1,3)/(2,3) h2... compute:
+    # 0b1011^0b1000=0b0011 -> h2; 0b1011^0b1001=0b0010 -> h1
+    assert row["n_items"] == 5
+    assert row["n_true_pairs"] == 6  # (1,2),(3,4),(1,3),(2,3),(1,4),(2,4)
+    assert row["n_pairs_found"] == 6
+    assert row["recall"] == 1.0
+    assert row["n_candidate_pairs"] >= row["n_pairs_found"]
+    assert row["candidates_per_true"] == row["n_candidate_pairs"] / 6
+
+    with _pytest.raises(ValueError):
+        dedup.hamming_recall(sigs, max_hamming=4, blocks=4)
+    with _pytest.raises(ValueError):
+        dedup.hamming_recall(sigs, max_hamming=2, blocks=4, sig_bits=42)
+
+
 def test_audio_fingerprint_identity_locality_garbage(spark):
     import numpy as np
 

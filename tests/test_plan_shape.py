@@ -1310,6 +1310,17 @@ def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
         assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
 
 
+def test_multimodal_neardup_recall_no_cartesian(spark, sf_dir):
+    # The exact-truth side must be the salted-block shuffle-hash
+    # equi-join (bitext convention), the candidate side the pigeonhole
+    # chunk equi-join — no CartesianProduct anywhere; the three bounded
+    # metric scalars cross back via broadcast.
+    plan = _plan(L.q_multimodal_neardup_recall(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan  # the blk all-pairs truth join
+    assert "partial_count" in plan
+
+
 def test_rouge_screen_hash_join_no_cartesian(spark, sf_dir):
     # The pair space comes from the n-gram-hash self-equi-join with the
     # doc-frequency cap applied BEFORE it; the argmax is a max-struct
