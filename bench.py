@@ -203,6 +203,7 @@ HEADLINE = [
     "decontam_pipeline_sf01",
     "preference_pipeline_sf01",
     "stream_sessionize_sf01",
+    "stream_join_sf01",
 ]
 
 
@@ -473,6 +474,62 @@ def _stream_sessionize_bench(spark, sf_dir):
     return spark.table(name)
 
 
+def _stream_join_bench(spark, sf_dir):
+    """Stream-stream watermarked interval-join micro-bench (r14 verdict
+    item 5): purchase->click attribution over the whole events table —
+    both sides of the SAME file stream, watermarked 1 hour, clicks
+    within 30 minutes after a purchase by the same user — drained in ONE
+    availableNow run into a memory sink.  This times the one Structured
+    Streaming primitive the state store pays for twice (both sides
+    buffered to watermark+interval); correctness (batch ≡ stream
+    row-exactness, late-row eviction) is pinned in
+    tests/test_streaming_windows.py."""
+    import hashlib
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.sources.tables import load_table
+    from etl_pipeline2_0_spark.streaming.windows import stream_stream_join
+
+    src = os.path.join(sf_dir.rstrip("/"), "events.parquet")
+    stage = os.path.join(
+        "/tmp",
+        "bench_stream_src_" + hashlib.md5(src.encode()).hexdigest()[:10],
+    )
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.islink(link):
+        os.makedirs(stage, exist_ok=True)
+        os.symlink(src, link)
+    schema = load_table(spark, sf_dir, "events").schema
+    # testdata timestamps are NTZ; watermarks require TIMESTAMP (LTZ)
+    stream = spark.readStream.schema(schema).parquet(stage).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    left = stream.where(F.col("event_type") == "purchase")
+    right = stream.where(F.col("event_type") == "click")
+    name = "bench_ssjoin_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_stream_join(
+            left, right, key="user_id",
+            watermark="1 hour", within="30 minutes",
+        )
+        .select("l_key", "l_ts", "r_ts", "r_event_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 # Bench-only rows: real capabilities measured at bench scale that are not
 # registry queries (the registry carries the correctness burden elsewhere —
 # the doc pipeline via the fixture/golden suites, the LLM chain via its
@@ -484,6 +541,7 @@ EXTRA_BENCH = {
     "decontam_pipeline_sf01": _decontam_pipeline,
     "preference_pipeline_sf01": _preference_pipeline,
     "stream_sessionize_sf01": _stream_sessionize_bench,
+    "stream_join_sf01": _stream_join_bench,
 }
 
 

@@ -154,6 +154,112 @@ def test_stream_stream_join_attribution(spark, tmp_path):
     assert rows[0]["r_event_id"] == 2
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Batch ≡ stream row-exactness for the watermarked interval join:
+    the same inputs joined as plain DataFrames (the function skips
+    watermarks on non-streaming sides) and as two file streams drained
+    one file per micro-batch must produce identical row sets — matches
+    spanning micro-batch boundaries included (right rows land in later
+    files than their left partners)."""
+    from etl_pipeline2_0_spark.streaming.windows import stream_stream_join
+
+    purchases = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.0),
+        (2, "2024-01-01 12:00:00", 2, "purchase", 2.0),
+    ]
+    follows_a = [(3, "2024-01-01 10:10:00", 1, "view", 3.0)]   # match for 1
+    follows_b = [
+        (4, "2024-01-01 12:25:00", 2, "view", 4.0),            # match for 2
+        (5, "2024-01-01 12:45:00", 2, "view", 5.0),            # outside 30m
+    ]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_batch(spark, purchases, lsrc)
+    _write_batch(spark, follows_a, rsrc)
+    _write_batch(spark, follows_b, rsrc)
+
+    def key_set(rows):
+        return sorted((r["event_id"], r["r_event_id"]) for r in rows)
+
+    batch = key_set(
+        stream_stream_join(
+            spark.read.parquet(lsrc), spark.read.parquet(rsrc),
+            key="user_id", watermark="1 hour", within="30 minutes",
+        ).collect()
+    )
+    left = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(lsrc)
+    right = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(rsrc)
+    q = (
+        stream_stream_join(
+            left, right, key="user_id",
+            watermark="1 hour", within="30 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("ss_join_eqv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = key_set(spark.sql("SELECT * FROM ss_join_eqv").collect())
+    assert streamed == batch == [(1, 3), (2, 4)]
+
+
+def test_stream_stream_join_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: after the watermark advances past an event's
+    join window, a matching right-side row that arrives in a LATER
+    micro-batch run (same checkpoint) is dropped — bounded state means
+    the join CANNOT emit it — while in-time pairs in the same late file
+    still join."""
+    from etl_pipeline2_0_spark.streaming.windows import stream_stream_join
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        # A FILE sink (memory sinks cannot recover a checkpoint): the
+        # shared checkpoint is the point — run 2 resumes the watermark
+        # run 1 advanced.
+        left = spark.readStream.schema(EVENTS_SCHEMA).parquet(lsrc)
+        right = spark.readStream.schema(EVENTS_SCHEMA).parquet(rsrc)
+        q = (
+            stream_stream_join(
+                left, right, key="user_id",
+                watermark="1 hour", within="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["event_id"], r["r_event_id"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # Run 1: a 10:00 purchase, and 20:00 activity on BOTH sides pushing
+    # the event-time watermark to ~19:00 — far past 10:00's join window.
+    _write_batch(spark, [(1, "2024-01-01 10:00:00", 1, "purchase", 1.0),
+                         (2, "2024-01-01 20:00:00", 9, "purchase", 0.0)], lsrc)
+    _write_batch(spark, [(3, "2024-01-01 20:00:00", 9, "view", 0.0)], rsrc)
+    drain()
+
+    # Run 2 (same checkpoint): a right-side view at 10:10 that WOULD have
+    # matched purchase 1 arrives below the watermark -> dropped; an
+    # in-time view at 20:10 for user 9 still joins.
+    _write_batch(spark, [(4, "2024-01-01 10:10:00", 1, "view", 4.0),
+                         (5, "2024-01-01 20:10:00", 9, "view", 5.0)], rsrc)
+    got = drain()
+    assert (1, 4) not in got           # late row dropped, state bounded
+    assert (2, 5) in got               # in-time row in the same file joins
+
+
 def test_continuous_rollup_matches_batch(spark, tmp_path):
     from etl_pipeline2_0_spark.streaming.rollup import continuous_rollup, read_rollup
     from etl_pipeline2_0_spark.streaming.windows import windowed_event_counts
