@@ -319,7 +319,13 @@ def decode_image(media: DataFrame) -> DataFrame:
 def fake_decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """Deterministic stand-in decoder: byte statistics per payload via
     ``mapInPandas`` — the exact plumbing (Arrow record-batch iteration,
-    schema contract, per-partition streaming) a real decoder would use."""
+    schema contract, per-partition streaming) a real decoder would use.
+
+    ``byte_mean`` is emitted UNROUNDED (r15): the exact integer byte sum
+    divided by the exact length is one IEEE division — bit-identical in
+    any engine — whereas the former 6dp round sat on the dyadic-midpoint
+    hazard (HALF_UP vs binary-value engines disagree) AND Python's
+    round-half-even, which is what kept this query rows-only."""
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -330,7 +336,7 @@ def fake_decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataF
                 "media_id": pdf["media_id"],
                 "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)),
                 "byte_mean": payloads.map(
-                    lambda b: 0.0 if not b else round(sum(b) / len(b), 6)
+                    lambda b: 0.0 if not b else sum(b) / len(b)
                 ),
                 "byte_min": payloads.map(lambda b: 0 if not b else min(b)),
                 "byte_max": payloads.map(lambda b: 0 if not b else max(b)),

@@ -517,10 +517,39 @@ SQL_MULTIMODAL_META = (
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mapInPandas decode plumbing (deterministic fake decoder) — rows-only.
+    # mapInPandas decode plumbing (deterministic fake decoder).  ORACLED
+    # since r15: the payload is the document's UTF-8 bytes and the corpus
+    # is ASCII (verified at every SF), so every emitted stat — byte
+    # sum/min/max as code points, head hex, unrounded exact-ratio mean —
+    # is reproducible in ANSI SQL; the Arrow plumbing is what the Spark
+    # side exercises.
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary(docs, content_col="text", id_col="doc_id")
     return multimodal.fake_decode_features(media)
+
+
+SQL_MEDIA_FEATURES = r"""
+WITH pos AS (
+  SELECT doc_id AS media_id, text,
+         unnest(range(length(text))) AS i
+  FROM documents
+), per AS (
+  SELECT media_id,
+         CAST(SUM(unicode(substr(text, i + 1, 1))) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(unicode(substr(text, i + 1, 1))) AS mn,
+         MAX(unicode(substr(text, i + 1, 1))) AS mx
+  FROM pos GROUP BY media_id
+)
+SELECT d.doc_id AS media_id,
+       CAST(length(d.text) AS BIGINT) AS n_bytes,
+       COALESCE(p.s / p.n, 0.0) AS byte_mean,
+       CAST(COALESCE(p.mn, 0) AS INT) AS byte_min,
+       CAST(COALESCE(p.mx, 0) AS INT) AS byte_max,
+       lower(hex(encode(substr(d.text, 1, 8)))) AS head_hex
+FROM documents d
+LEFT JOIN per p ON p.media_id = d.doc_id
+"""
 
 
 # --------------------------------------------- document extraction pipeline -

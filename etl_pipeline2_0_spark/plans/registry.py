@@ -550,13 +550,33 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "lang_id_counts": (L.q_lang_id_counts, L.SQL_LANG_ID_COUNTS),
     # --- demoted r9 in bpe_train_merges' promotion (green r6/r7/r8) ---
     "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
-    # --- rotated out r9: the five perennial rows-only entries (no_oracle
-    #     since r2).  Correctness burden: portable twins in-window,
-    #     measured recalls, ×3-SF value goldens (tests/goldens/rows_only*) ---
+    # --- rotated out r9: the perennial rows-only entries (no_oracle
+    #     since r2).  WHY each remains rows-only (r14 verdict item 7 —
+    #     the full census of all 10 rows-only entries):
+    #     * minhash_pairs / simhash_pairs / ann_ivf_topk / ann_ivf_recall
+    #       / semantic_dedup: engine-specific xxhash64/Lloyd fast paths,
+    #       BY DESIGN — each has an md5-portable oracled twin
+    #       (minhash_pairs_portable, simhash_pairs_portable,
+    #       ann_ivf_topk_portable/_recall_portable, prototypicality/
+    #       cluster_profile) carrying value correctness, plus ×3-SF
+    #       goldens; re-expressing xxhash64 in SQL would mean abandoning
+    #       the fast path the 100 TB design actually runs.
+    #     * media_decode / media_frames: emitted aggregates average
+    #       float lumas across rows (partial-aggregation-order-
+    #       dependent), so no tolerance-free twin exists; goldens ×3 SF
+    #       + the r15 ORACLED multimodal_neardup_recall row certify the
+    #       decode chain and candidate machinery respectively.
+    #     * image_phash/audio_fp/video_phash_neardup: float DCT / band-
+    #       energy hashing (pandas-only); goldens ×3 SF pin the values
+    #       and the oracled multimodal_neardup_recall row measures their
+    #       shared pigeonhole join against exact Hamming truth.
+    #     (media_features left this list r15 — unrounding byte_mean made
+    #     it exactly SQL-expressible; see its oracled entry below.) ---
     "minhash_pairs": (L.q_minhash_pairs, None),
     "simhash_pairs": (L.q_simhash_pairs, None),
     "ann_ivf_topk": (L.q_ann_ivf_topk, None),
-    "media_features": (L.q_media_features, None),
+    # media_features gained a full DuckDB twin r15 (unrounded exact-ratio
+    # byte_mean over the ASCII corpus) — see the oracled tail below.
     "media_decode": (L.q_media_decode, None),
     # --- demoted r9 with two green rows each (r7 AND r8) under the
     #     current data regime; re-proven every run by the default
@@ -715,6 +735,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_multimodal_neardup_recall,
         L.SQL_MULTIMODAL_NEARDUP_RECALL,
     ),
+    # --- oracled r15 (was rows-only since r2): the mapInPandas feature
+    #     plumbing demo — byte stats of the document's UTF-8 payload are
+    #     ANSI-SQL-reproducible now that byte_mean is emitted unrounded
+    #     (exact int sum / exact len = one IEEE division, bit-identical
+    #     cross-engine; the 6dp round was the midpoint hazard) ---
+    "media_features": (L.q_media_features, L.SQL_MEDIA_FEATURES),
 }
 
 
