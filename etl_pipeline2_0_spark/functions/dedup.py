@@ -800,6 +800,111 @@ def hamming_pairs(
     )
 
 
+def minhash_estimator_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """MinHash Jaccard-ESTIMATOR calibration table — the third leg of
+    the LSH quality tripod: ``minhash_recall``/``minhash_precision``
+    measure the banded BLOCKING, ``lsh_geometry_sweep`` prices its
+    geometry; this measures the ESTIMATOR itself — how far the
+    signature-agreement fraction (matches/H, the unbiased MinHash
+    estimate of J, Broder 1997) sits from the exact Jaccard, per exact-J
+    decile.  The table that answers "how many hashes do I need before
+    trusting est-J as the dedup score" — the H-sizing complement of the
+    bloom/cms/cdc sizing curves.
+
+    Output: (j_bin, n_pairs, within_1, within_2, within_4) — for pairs
+    sharing ≥1 shingle with exact J ≥ 0.1, binned by ``j_bin =
+    (10·|∩|) div |∪|`` (decile of exact J; J = 1 lands in bin 10), with
+    counts of pairs whose estimator error stays within 1, 2, and 4
+    hash-agreements of exact (``|err| ≤ t/H``).  EVERY emitted number is
+    an integer computed from exact integer comparisons — ``|err| ≤ t/H
+    ⟺ |matches·|∪| − H·|∩|| ≤ t·|∪|`` — no float anywhere, so the
+    DuckDB twin matches without tolerance and the counts are
+    aggregation-order-independent.
+
+    Scale: the pair space is the jaccard_pairs shingle-hash self-join
+    (metric rows run on the bounded sample per the recall-metric
+    convention; production corpora would add the doc-freq cap);
+    signatures join back on the id equi-key, matches is one
+    ``zip_with`` projection — no window, no cartesian.
+    """
+    base = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(token_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .select("id", F.xxhash64("shingle").alias("h"))
+    )
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
+    sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = base.alias("a"), base.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b", "nc",
+            (F.col("na") + F.col("nb") - F.col("nc")).alias("un"),
+        )
+        .where(F.lit(10) * F.col("nc") >= F.col("un"))
+    )
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, k=k,
+        num_hashes=num_hashes, portable=True,
+    )
+    m = (
+        scored.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "nc",
+            "un",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            .cast("bigint")
+            .alias("matches"),
+        )
+    )
+    H = int(num_hashes)
+    dev = F.abs(F.col("matches") * F.col("un") - F.lit(H) * F.col("nc"))
+    within = [
+        F.sum(F.when(dev <= F.lit(t) * F.col("un"), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"within_{t}")
+        for t in (1, 2, 4)
+    ]
+    return (
+        m.select(
+            F.expr("CAST((10 * nc) DIV un AS INT)").alias("j_bin"),
+            "matches", "nc", "un",
+        )
+        .groupBy("j_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"), *within)
+        .orderBy("j_bin")
+    )
+
+
 def hamming_recall(
     sigs: DataFrame,
     id_col: str = "id",

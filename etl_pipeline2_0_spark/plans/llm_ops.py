@@ -5579,6 +5579,78 @@ FROM agg""",
 assert "n_candidates" in SQL_MINHASH_BAND_EFFICIENCY
 
 
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The third leg of the LSH quality tripod: recall/precision measure
+    # the banded BLOCKING; this calibrates the ESTIMATOR — per exact-J
+    # decile, how many candidate pairs' signature-agreement estimate
+    # (matches/16) stays within 1, 2, 4 hash-agreements of exact
+    # Jaccard.  All-integer identities (|err| <= t/H <=>
+    # |matches*un - H*inter| <= t*un) -> tolerance-free oracle.  Same
+    # %2 subset and portable md5 hashes as the recall/precision rows.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    return dedup.minhash_estimator_error(docs, k=3, num_hashes=16)
+
+
+def _sql_minhash_est_error(num_hashes: int = 16) -> str:
+    # Generated so the per-permutation md5 literals match
+    # dedup.minhash_signatures(portable=True) for any H.
+    mins = ",\n         ".join(
+        f"MIN(CAST('0x' || substring(md5('{j}:' || b), 1, 15) AS BIGINT)) AS s{j}"
+        for j in range(num_hashes)
+    )
+    eqsum = " + ".join(
+        f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    return rf"""
+WITH docs AS (
+  SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id % 2 = 0
+), toks AS (
+  SELECT id, list_filter(regexp_split_to_array(t, '\W+'), x -> length(x) > 0) AS toks
+  FROM docs
+), tok_rows AS (
+  SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord FROM toks
+), sh0 AS (
+  SELECT id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tok_rows WINDOW w AS (PARTITION BY id ORDER BY ord)
+), sh AS (
+  SELECT DISTINCT id, shingle FROM sh0 WHERE shingle IS NOT NULL
+), base AS (
+  SELECT id, substring(md5(shingle), 1, 15) AS b FROM sh
+), sig AS (
+  SELECT id,
+         {mins}
+  FROM base GROUP BY id
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS nc
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), scored AS (
+  SELECT i.id_a, i.id_b, i.nc, sa.n + sb.n - i.nc AS un
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.id
+  JOIN sizes sb ON i.id_b = sb.id
+  WHERE 10 * i.nc >= sa.n + sb.n - i.nc
+), m AS (
+  SELECT s.nc, s.un, ({eqsum}) AS matches
+  FROM scored s JOIN sig a ON a.id = s.id_a JOIN sig b ON b.id = s.id_b
+)
+SELECT CAST((10 * nc) // un AS INT) AS j_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN ABS(matches * un - {num_hashes} * nc) <= 1 * un THEN 1 ELSE 0 END) AS BIGINT) AS within_1,
+       CAST(SUM(CASE WHEN ABS(matches * un - {num_hashes} * nc) <= 2 * un THEN 1 ELSE 0 END) AS BIGINT) AS within_2,
+       CAST(SUM(CASE WHEN ABS(matches * un - {num_hashes} * nc) <= 4 * un THEN 1 ELSE 0 END) AS BIGINT) AS within_4
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_MINHASH_EST_ERROR = _sql_minhash_est_error()
+
+
 # ------------------------------------- interpolated Kneser-Ney LM scoring -
 
 

@@ -741,6 +741,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     (exact int sum / exact len = one IEEE division, bit-identical
     #     cross-engine; the 6dp round was the midpoint hazard) ---
     "media_features": (L.q_media_features, L.SQL_MEDIA_FEATURES),
+    # --- added r15 (past-cap; r16 promotion pool): the MinHash
+    #     ESTIMATOR calibration table — the third leg of the LSH
+    #     quality tripod (recall/precision measure the blocking;
+    #     lsh_geometry_sweep prices geometry; this measures how far
+    #     matches/H sits from exact J per decile, all-integer
+    #     identities, tolerance-free oracle) ---
+    "minhash_est_error": (L.q_minhash_est_error, L.SQL_MINHASH_EST_ERROR),
 }
 
 

@@ -1112,6 +1112,25 @@ def test_media_dhash_exact_bits_and_errs(spark):
         multimodal.media_dhash(media, kind="video")
 
 
+def test_minhash_est_error_exact_bins(spark):
+    """Identical docs land in bin 10 with a zero-error estimate (16/16
+    matches == J=1 exactly); unrelated docs emit nothing (J < 0.1); the
+    monotone containment within_1 <= within_2 <= within_4 <= n_pairs
+    holds per bin."""
+    from etl_pipeline2_0_spark.functions import dedup as DD
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, text), (2, text), (3, "totally different words here now then")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["j_bin"]: r for r in DD.minhash_estimator_error(docs).collect()}
+    assert set(out) == {10}
+    r = out[10]
+    assert r["n_pairs"] == 1
+    assert r["within_1"] == r["within_2"] == r["within_4"] == 1
+    for row in out.values():
+        assert row["within_1"] <= row["within_2"] <= row["within_4"] <= row["n_pairs"]
+
+
 def test_hamming_recall_planted_and_preconditions(spark):
     """Planted signature table with known pair distances: the metric row
     must report the exact truth count, recall 1.0 (pigeonhole guarantee),

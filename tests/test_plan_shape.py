@@ -1310,6 +1310,26 @@ def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
         assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
 
 
+def test_minhash_est_error_equi_joins_only(spark, sf_dir):
+    # Pair space = the shingle-hash self-equi-join; signatures come back
+    # on id equi-keys; the bin table is one map-side-combined aggregate.
+    # No window over pairs, no cartesian.
+    plan = _plan(L.q_minhash_est_error(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    # the lazy checkpoint hides the shingle branch in the composed plan
+    # (embed_dim_stats lesson) — pin the hash-keyed join shape on the
+    # un-checkpointed frame
+    from etl_pipeline2_0_spark.functions import dedup
+    from etl_pipeline2_0_spark.plans.llm_ops import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    raw = _plan(dedup.minhash_estimator_error(docs, checkpoint=False))
+    assert "xxhash64" in raw  # 8-byte shingle hashes ride the shuffle
+    assert "CartesianProduct" not in raw
+
+
 def test_multimodal_neardup_recall_no_cartesian(spark, sf_dir):
     # The exact-truth side must be the salted-block shuffle-hash
     # equi-join (bitext convention), the candidate side the pigeonhole
