@@ -1924,3 +1924,104 @@ def moore_lewis_select(
             (delta >= F.lit(float(threshold))).alias("keep"),
         )
     )
+
+
+def filter_ablation(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    min_distinct_pct: int = 40,
+    min_mean_wordlen_tenths: int = 44,
+    min_chars: int = 200,
+):
+    """Quality-filter ABLATION matrix — the table a pipeline owner reads
+    before composing gates (the C4/Gopher-paper ablation convention):
+    for each of four deterministic filters, how many docs it kills, how
+    many it ALONE kills (its marginal value — a filter with zero unique
+    kills is redundant given the others), and the union kill count.
+
+    Filters (every threshold an exact integer cross-multiplication — no
+    float comparisons, so the oracle is tolerance-free):
+      - ``few_words``: word count < ``min_words``
+      - ``low_diversity``: 100·distinct_words < ``min_distinct_pct``·words
+      - ``short_words``: 10·token_chars < ``min_mean_wordlen_tenths``·words
+        (mean word length below the threshold tenths)
+      - ``short_doc``: char length < ``min_chars``
+
+    Output: (filter, n_docs, n_fail, n_unique_fail, n_fail_any,
+    pct_fail) — one row per filter; n_docs / n_fail_any repeat (the
+    report-table convention); pct_fail is the exact-ratio double,
+    emitted unrounded.
+
+    Scale: ONE corpus pass computing four integer stats per doc
+    (map-side, no shuffle), one global aggregate (nine conditional
+    sums), then the filter sweep explodes a 4-element literal over the
+    single summary row — corpus-independent after the first aggregate.
+    No window, no join.
+    """
+    toks = tokens(F.col(text_col))
+    stats = df.select(
+        F.size(toks).cast("bigint").alias("nw"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("nd"),
+        F.length(F.col(text_col)).cast("bigint").alias("nc"),
+        F.length(F.regexp_replace(F.col(text_col), r"\W", "")).cast(
+            "bigint"
+        ).alias("tc"),
+    )
+    f1 = F.col("nw") < min_words
+    f2 = F.lit(100) * F.col("nd") < F.lit(min_distinct_pct) * F.col("nw")
+    f3 = (
+        F.lit(10) * F.col("tc")
+        < F.lit(min_mean_wordlen_tenths) * F.col("nw")
+    )
+    f4 = F.col("nc") < min_chars
+    flags = stats.select(
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3"), f4.alias("f4")
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    only = {
+        "f1": F.col("f1") & ~F.col("f2") & ~F.col("f3") & ~F.col("f4"),
+        "f2": F.col("f2") & ~F.col("f1") & ~F.col("f3") & ~F.col("f4"),
+        "f3": F.col("f3") & ~F.col("f1") & ~F.col("f2") & ~F.col("f4"),
+        "f4": F.col("f4") & ~F.col("f1") & ~F.col("f2") & ~F.col("f3"),
+    }
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        cnt(F.col("f1") | F.col("f2") | F.col("f3") | F.col("f4")).alias(
+            "n_any"
+        ),
+        *[cnt(F.col(f)).alias(f"n_{f}") for f in ("f1", "f2", "f3", "f4")],
+        *[cnt(only[f]).alias(f"u_{f}") for f in ("f1", "f2", "f3", "f4")],
+    )
+    names = {
+        "f1": "few_words",
+        "f2": "low_diversity",
+        "f3": "short_words",
+        "f4": "short_doc",
+    }
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(names[f]).alias("filter"),
+                F.col(f"n_{f}").alias("n_fail"),
+                F.col(f"u_{f}").alias("n_unique_fail"),
+            )
+            for f in ("f1", "f2", "f3", "f4")
+        ]
+    )
+    return (
+        agg.select("n_docs", "n_any", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.filter").alias("filter"),
+            "n_docs",
+            F.col("r.n_fail").alias("n_fail"),
+            F.col("r.n_unique_fail").alias("n_unique_fail"),
+            F.col("n_any").alias("n_fail_any"),
+            (F.col("r.n_fail") / F.col("n_docs")).alias("pct_fail"),
+        )
+        .orderBy("filter")
+    )

@@ -5651,6 +5651,57 @@ FROM m GROUP BY 1 ORDER BY 1
 SQL_MINHASH_EST_ERROR = _sql_minhash_est_error()
 
 
+def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-filter ablation matrix: per-filter kill counts, UNIQUE
+    # (marginal) kills, and the union kill — the table that justifies
+    # keeping or dropping each gate before composing a filter chain.
+    # Every threshold is an integer cross-multiplication; every output
+    # an integer count (pct as the exact-ratio double) — tolerance-free.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.filter_ablation(docs)
+
+
+SQL_FILTER_ABLATION = r"""
+WITH s AS (
+  SELECT len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> length(x) > 0)) AS nw,
+         len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                       x -> length(x) > 0))) AS nd,
+         length(text) AS nc,
+         length(regexp_replace(text, '\W', '', 'g')) AS tc
+  FROM documents
+), flags AS (
+  SELECT (nw < 30) AS f1,
+         (100 * nd < 40 * nw) AS f2,
+         (10 * tc < 44 * nw) AS f3,
+         (nc < 200) AS f4
+  FROM s
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN f1 OR f2 OR f3 OR f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+         CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_f1,
+         CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_f2,
+         CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_f3,
+         CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_f4,
+         CAST(SUM(CASE WHEN f1 AND NOT f2 AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS u_f1,
+         CAST(SUM(CASE WHEN f2 AND NOT f1 AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS u_f2,
+         CAST(SUM(CASE WHEN f3 AND NOT f1 AND NOT f2 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS u_f3,
+         CAST(SUM(CASE WHEN f4 AND NOT f1 AND NOT f2 AND NOT f3 THEN 1 ELSE 0 END) AS BIGINT) AS u_f4
+  FROM flags
+)
+SELECT v.filter, a.n_docs, v.n_fail, v.n_unique_fail,
+       a.n_any AS n_fail_any,
+       v.n_fail / a.n_docs AS pct_fail
+FROM agg a, LATERAL (
+  VALUES ('few_words', a.n_f1, a.u_f1),
+         ('low_diversity', a.n_f2, a.u_f2),
+         ('short_words', a.n_f3, a.u_f3),
+         ('short_doc', a.n_f4, a.u_f4)
+) v(filter, n_fail, n_unique_fail)
+ORDER BY v.filter
+"""
+
+
 # ------------------------------------- interpolated Kneser-Ney LM scoring -
 
 

@@ -748,6 +748,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     matches/H sits from exact J per decile, all-integer
     #     identities, tolerance-free oracle) ---
     "minhash_est_error": (L.q_minhash_est_error, L.SQL_MINHASH_EST_ERROR),
+    # --- added r15 (past-cap; r16 promotion pool): the quality-filter
+    #     ABLATION matrix — per-filter kill counts, unique/marginal
+    #     kills, union kill; integer-threshold filters, tolerance-free
+    #     oracle; the C4/Gopher-paper ablation convention as one pass ---
+    "filter_ablation": (L.q_filter_ablation, L.SQL_FILTER_ABLATION),
 }
 
 

@@ -1112,6 +1112,34 @@ def test_media_dhash_exact_bits_and_errs(spark):
         multimodal.media_dhash(media, kind="video")
 
 
+def test_filter_ablation_exact_counts(spark):
+    """Hand-built corpus hitting each filter exactly once uniquely plus
+    one doc failing everything and one passing everything."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    long_doc = " ".join(f"uniqueword{i:02d}" for i in range(40))  # passes all
+    rows = [
+        (1, long_doc),
+        # fails ONLY few_words: 29 distinct long words but >=200 chars
+        (2, " ".join(f"distinctterm{i:02d}ab" for i in range(29))),
+        # fails ONLY low_diversity: 40 words, 10 distinct, long enough
+        (3, " ".join(f"repeatedword{i % 10:02d}" for i in range(40))),
+        # fails ONLY short_words: 60 distinct tiny words (mean ~2.7 <
+        # 4.4) whose spaces push chars past 200
+        (4, " ".join(f"w{i:x}" for i in range(60))),
+        # fails few_words + short_words + short_doc (passes diversity)
+        (5, "a a a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["filter"]: r for r in T.filter_ablation(docs).collect()}
+    assert all(r["n_docs"] == 5 and r["n_fail_any"] == 4 for r in out.values())
+    assert out["few_words"]["n_unique_fail"] == 1       # doc 2
+    assert out["low_diversity"]["n_unique_fail"] == 1   # doc 3
+    assert out["short_words"]["n_unique_fail"] == 1     # doc 4
+    assert out["short_doc"]["n_unique_fail"] == 0       # only doc 5, not unique
+    assert out["few_words"]["pct_fail"] == out["few_words"]["n_fail"] / 5
+
+
 def test_minhash_est_error_exact_bins(spark):
     """Identical docs land in bin 10 with a zero-error estimate (16/16
     matches == J=1 exactly); unrelated docs emit nothing (J < 0.1); the

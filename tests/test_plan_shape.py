@@ -1310,6 +1310,17 @@ def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
         assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
 
 
+def test_filter_ablation_one_pass_no_join(spark, sf_dir):
+    # One corpus scan into a single global conditional aggregate; the
+    # filter sweep explodes a 4-element literal over the summary row.
+    # No join, no window, exactly one scan.
+    plan = _plan(L.q_filter_ablation(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan
+
+
 def test_minhash_est_error_equi_joins_only(spark, sf_dir):
     # Pair space = the shingle-hash self-equi-join; signatures come back
     # on id equi-keys; the bin table is one map-side-combined aggregate.
