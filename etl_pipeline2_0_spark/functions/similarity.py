@@ -1533,6 +1533,67 @@ def bitext_mine_recall(
     )
 
 
+def embed_norm_hist(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-VECTOR norm histogram — the normalization-drift DQ gate read
+    before any cosine-space operator (an unnormalized batch silently
+    skews every cosine score; a zero vector breaks it): vectors bucket
+    by squared L2 norm in hundredths, zero vectors land in their own
+    bucket 0 sentinel row.  The per-vector complement of
+    ``embed_dim_stats`` (per-dimension) and ``embed_quantize``'s range
+    accounting.
+
+    Exactness: values quantize to micro-unit BIGINTs; the squared norm
+    ``Σu²`` is an exact integer (order-free), the bucket is exact
+    integer division ``Σu² div 10¹⁰`` (= ‖x‖² in hundredths), and every
+    emitted number is an integer count or an exact small-integer ratio
+    — the DuckDB twin matches without tolerance.
+
+    Output: (bucket, sq_norm_lo, n_vectors, min_sq_u, max_sq_u, share),
+    ordered by bucket; ``sq_norm_lo`` = bucket/100 (the bin's lower
+    edge in ‖x‖² units), min/max the exact micro²-unit extremes inside
+    the bin.
+
+    Scale: ONE narrow projection (per-row array fold, no explode) into
+    a map-side-combined aggregate over the bounded bucket key; the
+    1-row total broadcasts back for the share.  No window, no join.
+    """
+    u = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(1_000_000.0)).cast(
+            "bigint"
+        ),
+    )
+    squ = F.aggregate(
+        u, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    b = (
+        df.select(squ.alias("sq"))
+        .select(F.expr("sq DIV 10000000000").alias("bucket"), "sq")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.min("sq").alias("min_sq_u"),
+            F.max("sq").alias("max_sq_u"),
+        )
+    )
+    tot = b.agg(F.sum("n_vectors").alias("_t"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            (F.col("bucket") / F.lit(100.0)).alias("sq_norm_lo"),
+            "n_vectors",
+            "min_sq_u",
+            "max_sq_u",
+            (F.col("n_vectors") / F.col("_t")).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def embed_quantize(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -5651,6 +5651,40 @@ FROM m GROUP BY 1 ORDER BY 1
 SQL_MINHASH_EST_ERROR = _sql_minhash_est_error()
 
 
+def q_embed_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-vector normalization-drift histogram: squared-L2 buckets in
+    # hundredths from exact micro-unit integer sums — the per-vector
+    # complement of embed_dim_stats, read before any cosine operator.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embed_norm_hist(emb)
+
+
+SQL_EMBED_NORM_HIST = r"""
+WITH s AS (
+  SELECT CAST(list_sum(
+           list_transform(embedding,
+             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                  * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         ) AS BIGINT) AS sq
+  FROM embeddings
+), b AS (
+  SELECT sq // 10000000000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         MIN(sq) AS min_sq_u,
+         MAX(sq) AS max_sq_u
+  FROM s GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       bucket / 100.0 AS sq_norm_lo,
+       n_vectors,
+       min_sq_u,
+       max_sq_u,
+       n_vectors / (SELECT SUM(n_vectors) FROM b) AS share
+FROM b
+ORDER BY bucket
+"""
+
+
 def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality-filter ablation matrix: per-filter kill counts, UNIQUE
     # (marginal) kills, and the union kill — the table that justifies

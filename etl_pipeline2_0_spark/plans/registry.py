@@ -753,6 +753,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     kills, union kill; integer-threshold filters, tolerance-free
     #     oracle; the C4/Gopher-paper ablation convention as one pass ---
     "filter_ablation": (L.q_filter_ablation, L.SQL_FILTER_ABLATION),
+    # --- added r15 (past-cap; r16 promotion pool): per-vector
+    #     normalization-drift histogram (exact micro-unit squared-L2
+    #     buckets) — the per-vector complement of embed_dim_stats ---
+    "embed_norm_hist": (L.q_embed_norm_hist, L.SQL_EMBED_NORM_HIST),
 }
 
 

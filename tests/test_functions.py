@@ -1112,6 +1112,28 @@ def test_media_dhash_exact_bits_and_errs(spark):
         multimodal.media_dhash(media, kind="video")
 
 
+def test_embed_norm_hist_exact_buckets(spark):
+    """Hand-built vectors with known norms: a zero vector lands in
+    bucket 0, a unit vector in bucket 100 (||x||^2 = 1.00), a
+    sqrt(2)-norm vector in bucket 200; shares are exact ratios."""
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    rows = [
+        (1, [0.0] * 4),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 1.0, 0.0, 0.0]),
+        (4, [0.6, 0.8, 0.0, 0.0]),  # exactly norm 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["bucket"]: r for r in S.embed_norm_hist(emb).collect()}
+    assert out[0]["n_vectors"] == 1          # the zero vector
+    assert out[100]["n_vectors"] == 2        # both unit vectors
+    assert out[200]["n_vectors"] == 1
+    assert out[100]["sq_norm_lo"] == 1.0
+    assert out[100]["min_sq_u"] == out[100]["max_sq_u"] == 10 ** 12
+    assert out[0]["share"] == 0.25 and out[100]["share"] == 0.5
+
+
 def test_filter_ablation_exact_counts(spark):
     """Hand-built corpus hitting each filter exactly once uniquely plus
     one doc failing everything and one passing everything."""

@@ -1310,6 +1310,18 @@ def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
         assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
 
 
+def test_embed_norm_hist_one_pass_no_explode(spark, sf_dir):
+    # Per-row array fold (no posexplode — the corpus never fans out to
+    # |corpus|*d rows), one map-side-combined aggregate on the bounded
+    # bucket key, the 1-row total cross back via broadcast.  No window.
+    plan = _plan(L.q_embed_norm_hist(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert plan.count("Scan parquet") <= 2
+    assert "partial_count" in plan
+
+
 def test_filter_ablation_one_pass_no_join(spark, sf_dir):
     # One corpus scan into a single global conditional aggregate; the
     # filter sweep explodes a 4-element literal over the summary row.
