@@ -1533,6 +1533,102 @@ def bitext_mine_recall(
     )
 
 
+def semdedup_eps_curve(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    eps_values: "tuple[float, ...]" = (0.7, 0.8, 0.9, 0.95),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup threshold SIZING curve (Abbas et al. 2023 pick eps by
+    sweeping — this is that sweep as one query): per candidate cosine
+    threshold, how many vectors the cluster-scoped keep-lowest-id rule
+    would drop, from ONE pair pass — the sixth measured sizing curve
+    next to bloom_fpr / cms_error / lsh_geometry / cdc_dedup /
+    contamination_ngram.  Fully oracled via the portable md5 coarse
+    quantizer (:func:`portable_centroids` / :func:`portable_assign` —
+    the same construction ``cluster_profile`` / ``prototypicality``
+    prove), unlike the xxhash fast-path ``semantic_dedup`` it sizes.
+
+    A vector is dropped at eps iff some SAME-CLUSTER lower-id vector
+    has 6dp-rounded cosine ≥ eps (SemDeDup's keep-one-per-ball rule,
+    cluster-scoped exactly like the production op).  The sweep needs
+    only each vector's MAX cosine against lower-id cluster-mates — one
+    max aggregate, then |eps| conditional sums over the single summary
+    row.
+
+    Output: (eps, n_vecs, n_dropped, n_kept, drop_rate), one row per
+    eps, ordered; drop_rate is the exact-ratio double.
+
+    Scale: assignment is one corpus pass against the broadcast
+    ≤``n_centroids`` frame; the pair space is the cluster-scoped
+    equi-join (never all-pairs across clusters — the SemDeDup point);
+    the per-vector max is a map-side-combined aggregate; the eps sweep
+    is literal fan-out over ONE summary row.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cents = portable_centroids(c, n_centroids)
+    assigned = portable_assign(c, cents).select(
+        "neighbor_id", "c_vec", "cluster"
+    ).localCheckpoint(eager=False)
+    a = assigned.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("c_vec").alias("va"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("id_b"),
+        F.col("c_vec").alias("vb"),
+        "cluster",
+    )
+    # shuffle-hash, not sort-merge: sorting a 16-value cluster key buys
+    # nothing, and the hash join streams the bigger side
+    best = (
+        a.join(b.hint("shuffle_hash"), "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cs"),
+        )
+        .groupBy("id_b")
+        .agg(F.max("cs").alias("mx"))
+    )
+    tot = assigned.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    sums = best.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("mx") >= F.lit(float(e)), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"d{i}")
+            for i, e in enumerate(eps_values)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(e)).alias("eps"), F.col(f"d{i}").alias("nd")
+            )
+            for i, e in enumerate(eps_values)
+        ]
+    )
+    return (
+        tot.crossJoin(F.broadcast(sums))
+        .select("n_vecs", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.eps").alias("eps"),
+            "n_vecs",
+            F.col("r.nd").alias("n_dropped"),
+            (F.col("n_vecs") - F.col("r.nd")).alias("n_kept"),
+            (F.col("r.nd") / F.col("n_vecs")).alias("drop_rate"),
+        )
+        .orderBy("eps")
+    )
+
+
 def embed_norm_hist(
     df: DataFrame,
     vec_col: str = "embedding",

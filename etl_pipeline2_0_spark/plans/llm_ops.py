@@ -5651,6 +5651,51 @@ FROM m GROUP BY 1 ORDER BY 1
 SQL_MINHASH_EST_ERROR = _sql_minhash_est_error()
 
 
+def q_semdedup_eps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SemDeDup threshold sizing sweep: per candidate eps, vectors
+    # the cluster-scoped keep-lowest-id rule would drop — the sixth
+    # measured sizing curve, fully oracled via the portable coarse
+    # quantizer the cluster_profile/prototypicality family proves.
+    # eps grid sits where THIS corpus's cosine mass lives (max pairwise
+    # cosine ~0.51 on the synthetic embeddings — the production default
+    # (0.7..0.95) would sweep an all-zero curve); the mechanics are
+    # threshold-independent.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_eps_curve(
+        emb, n_centroids=16, eps_values=(0.2, 0.3, 0.4, 0.5)
+    )
+
+
+# Reuse the portable centroid/assignment CTEs verbatim; the tail builds
+# cluster-scoped lower-id pairs, each vector's max cosine, and the eps
+# sweep over one summary row.
+SQL_SEMDEDUP_EPS_CURVE = _SQL_IVF_PORTABLE_CTE.split("), q AS (")[0] + """), pairs AS (
+  SELECT b.neighbor_id AS id_b,
+         ROUND(list_inner_product(a.v, b.v) /
+               (SQRT(list_inner_product(a.v, a.v))
+                * SQRT(list_inner_product(b.v, b.v))), 6) AS cs
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.neighbor_id < b.neighbor_id
+), best AS (
+  SELECT id_b, MAX(cs) AS mx FROM pairs GROUP BY id_b
+), agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM assigned) AS n_vecs,
+         CAST(COALESCE(SUM(CASE WHEN mx >= 0.2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d0,
+         CAST(COALESCE(SUM(CASE WHEN mx >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d1,
+         CAST(COALESCE(SUM(CASE WHEN mx >= 0.4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d2,
+         CAST(COALESCE(SUM(CASE WHEN mx >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d3
+  FROM best
+)
+SELECT v.eps, a.n_vecs, v.nd AS n_dropped,
+       a.n_vecs - v.nd AS n_kept,
+       v.nd / a.n_vecs AS drop_rate
+FROM agg a, LATERAL (
+  VALUES (0.2, a.d0), (0.3, a.d1), (0.4, a.d2), (0.5, a.d3)
+) v(eps, nd)
+ORDER BY v.eps
+"""
+
+
 def q_embed_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-vector normalization-drift histogram: squared-L2 buckets in
     # hundredths from exact micro-unit integer sums — the per-vector

@@ -757,6 +757,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     normalization-drift histogram (exact micro-unit squared-L2
     #     buckets) — the per-vector complement of embed_dim_stats ---
     "embed_norm_hist": (L.q_embed_norm_hist, L.SQL_EMBED_NORM_HIST),
+    # --- added r15 (past-cap; r16 promotion pool): the SemDeDup
+    #     threshold SIZING sweep — per candidate eps, vectors the
+    #     cluster-scoped keep-lowest-id rule would drop; the sixth
+    #     measured sizing curve, oracled via the portable quantizer ---
+    "semdedup_eps_curve": (
+        L.q_semdedup_eps_curve,
+        L.SQL_SEMDEDUP_EPS_CURVE,
+    ),
 }
 
 

@@ -1112,6 +1112,37 @@ def test_media_dhash_exact_bits_and_errs(spark):
         multimodal.media_dhash(media, kind="video")
 
 
+def test_semdedup_eps_curve_semantics(spark):
+    """Planted cluster-mates with known cosines: identical vectors are
+    dropped at every eps < 1 (keep-lowest-id keeps the first), and the
+    curve is monotone non-increasing in eps with n_kept + n_dropped =
+    n_vecs on every row."""
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),        # exact dup of 0 -> dropped
+        (2, [0.9, 0.4359, 0.0, 0.0]),     # cos ~0.9 with 0/1
+        (3, [0.0, 0.0, 1.0, 0.0]),        # orthogonal to the rest
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["eps"]: r
+        for r in S.semdedup_eps_curve(
+            emb, n_centroids=2, eps_values=(0.5, 0.95, 0.999)
+        ).collect()
+    }
+    assert all(r["n_vecs"] == 4 for r in out.values())
+    assert all(
+        r["n_kept"] + r["n_dropped"] == r["n_vecs"] for r in out.values()
+    )
+    # the exact dup is dropped everywhere its cluster-mate precedes it
+    assert out[0.999]["n_dropped"] >= 1
+    # monotone: higher eps can only drop fewer
+    assert out[0.5]["n_dropped"] >= out[0.95]["n_dropped"] >= out[0.999]["n_dropped"]
+    assert out[0.5]["drop_rate"] == out[0.5]["n_dropped"] / 4
+
+
 def test_embed_norm_hist_exact_buckets(spark):
     """Hand-built vectors with known norms: a zero vector lands in
     bucket 0, a unit vector in bucket 100 (||x||^2 = 1.00), a

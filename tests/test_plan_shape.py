@@ -1310,6 +1310,17 @@ def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
         assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
 
 
+def test_semdedup_eps_curve_cluster_scoped(spark, sf_dir):
+    # The pair space must be the cluster equi-join (never all-pairs
+    # across clusters); the eps sweep is literal fan-out over one
+    # summary row; every BroadcastNestedLoopJoin is a bounded cross
+    # (centroid frame / 1-row aggregates).  No cartesian.
+    plan = _plan(L.q_semdedup_eps_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_max" in plan  # per-vector max cosine, map-side
+
+
 def test_embed_norm_hist_one_pass_no_explode(spark, sf_dir):
     # Per-row array fold (no posexplode — the corpus never fans out to
     # |corpus|*d rows), one map-side-combined aggregate on the bounded
