@@ -2097,3 +2097,106 @@ def chat_lint(
             / F.greatest(F.col("n_conversations"), F.lit(1))
         ).alias("fail_rate"),
     )
+
+
+def anneal_mix_plan(
+    df: DataFrame,
+    budget_tokens: int = 1_000_000,
+    anneal_pct: int = 10,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Two-phase data-mix allocation — the public "annealing" /
+    midtraining recipe (MiniCPM's two-stage schedule; Llama 3 reports
+    the same shape: upweight high-quality sources in the final few
+    percent of training): the MAIN phase spends ``100-anneal_pct``% of
+    ``budget_tokens`` proportionally to each source's token mass; the
+    ANNEAL phase spends the rest only on HIGH-QUALITY sources
+    (per-source mean quality ≥ the corpus mean), again
+    token-proportional within the qualifying set.
+
+    Quality here is the exact-integer proxy ``1000·distinct_words div
+    words`` per doc (lexical-diversity per-mille — the
+    :func:`~etl_pipeline2_0_spark.functions.text.filter_ablation`
+    diversity axis); the HQ test cross-multiplies exact DECIMAL sums
+    (``su_s·n_tot ≥ su_tot·n_s`` — no float mean comparison, no
+    overflow), and every allocation is integer arithmetic
+    (``phase_budget·n_tokens div Σ n_tokens``), so the oracle is
+    tolerance-free.  Allocation products need ``budget·max(n_tokens) <
+    2⁶³`` — at the default 10⁶ budget that is ~10¹² source tokens;
+    scale the budget units (plan in Mtokens) long before that.
+
+    Output: (``group_col``, n_docs, n_tokens, mean_quality_pm,
+    is_high_quality, main_tokens, anneal_tokens, total_tokens), ordered
+    by group; mean_quality_pm is the exact-ratio double (per-mille).
+
+    Scale: ONE corpus pass (two integer stats per doc, map-side
+    combined per source), then all allocation happens on the
+    ≤|sources|-row frame with two broadcast 1-row totals.  No window,
+    no join against the corpus.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: F.length(t) > 0
+    )
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(toks).cast("bigint").alias("nw"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("nd"),
+    ).select(
+        "grp",
+        "nw",
+        F.expr("CASE WHEN nw > 0 THEN (1000 * nd) DIV nw ELSE 0 END").alias(
+            "q_pm"
+        ),
+    )
+    # The bounded ≤|sources| frame feeds four consumers (totals, flags,
+    # HQ-token sum, output) — a lazy checkpoint stops each from
+    # re-running the corpus pass (the lsh_geometry_sweep discipline).
+    per = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_tokens"),
+        F.sum("q_pm").cast("bigint").alias("su"),
+    ).localCheckpoint(eager=False)
+    tot = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("t_tokens"),
+        F.sum("su").cast("bigint").alias("t_su"),
+        F.sum("n_docs").cast("bigint").alias("t_docs"),
+    )
+    B = int(budget_tokens)
+    main_budget = B * (100 - int(anneal_pct)) // 100
+    anneal_budget = B - main_budget
+    hq = (
+        F.col("su").cast("decimal(38,0)") * F.col("t_docs").cast("decimal(38,0)")
+        >= F.col("t_su").cast("decimal(38,0)") * F.col("n_docs").cast("decimal(38,0)")
+    )
+    flagged = per.crossJoin(F.broadcast(tot)).withColumn("hq", hq)
+    hq_tot = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("hq"), F.col("n_tokens")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("hq_tokens")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(hq_tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            (F.col("su") / F.col("n_docs")).alias("mean_quality_pm"),
+            F.col("hq").alias("is_high_quality"),
+            F.expr(f"({main_budget} * n_tokens) DIV t_tokens").alias(
+                "main_tokens"
+            ),
+            F.expr(
+                f"CASE WHEN hq AND hq_tokens > 0 "
+                f"THEN ({anneal_budget} * n_tokens) DIV hq_tokens "
+                f"ELSE CAST(0 AS BIGINT) END"
+            ).alias("anneal_tokens"),
+        )
+        .withColumn(
+            "total_tokens", F.col("main_tokens") + F.col("anneal_tokens")
+        )
+        .orderBy(group_col)
+    )

@@ -5651,6 +5651,67 @@ FROM m GROUP BY 1 ORDER BY 1
 SQL_MINHASH_EST_ERROR = _sql_minhash_est_error()
 
 
+def q_anneal_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-phase (pretrain + anneal) mix allocation: 90% of a 1M-token
+    # budget token-proportional across all sources, the final 10% only
+    # on sources whose mean lexical-diversity quality beats the corpus
+    # mean — the public midtraining-anneal recipe as one corpus pass +
+    # bounded-frame arithmetic, every number exact-integer.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.anneal_mix_plan(docs, budget_tokens=1_000_000, anneal_pct=10)
+
+
+SQL_ANNEAL_MIX_PLAN = r"""
+WITH per_doc AS (
+  SELECT source AS grp,
+         len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> length(x) > 0)) AS nw,
+         len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                       x -> length(x) > 0))) AS nd
+  FROM documents
+), pd AS (
+  SELECT grp, nw,
+         CASE WHEN nw > 0 THEN (1000 * nd) // nw ELSE 0 END AS q_pm
+  FROM per_doc
+), per AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nw) AS BIGINT) AS n_tokens,
+         CAST(SUM(q_pm) AS BIGINT) AS su
+  FROM pd GROUP BY grp
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens,
+         CAST(SUM(su) AS BIGINT) AS t_su,
+         CAST(SUM(n_docs) AS BIGINT) AS t_docs
+  FROM per
+), flagged AS (
+  SELECT p.grp, p.n_docs, p.n_tokens, p.su, t.t_tokens,
+         (p.su * t.t_docs >= t.t_su * p.n_docs) AS hq
+  FROM per p, tot t
+), hqt AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN hq THEN n_tokens ELSE 0 END), 0) AS BIGINT)
+           AS hq_tokens
+  FROM flagged
+), alloc AS (
+  SELECT f.grp, f.n_docs, f.n_tokens,
+         f.su / f.n_docs AS mean_quality_pm,
+         f.hq,
+         CAST((900000 * f.n_tokens) // f.t_tokens AS BIGINT) AS main_tokens,
+         CAST(CASE WHEN f.hq AND h.hq_tokens > 0
+                   THEN (100000 * f.n_tokens) // h.hq_tokens
+                   ELSE 0 END AS BIGINT) AS anneal_tokens
+  FROM flagged f, hqt h
+)
+SELECT grp AS source, n_docs, n_tokens, mean_quality_pm,
+       hq AS is_high_quality, main_tokens, anneal_tokens,
+       main_tokens + anneal_tokens AS total_tokens
+FROM alloc
+ORDER BY grp
+"""
+
+
 def q_semdedup_eps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The SemDeDup threshold sizing sweep: per candidate eps, vectors
     # the cluster-scoped keep-lowest-id rule would drop — the sixth

@@ -765,6 +765,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_semdedup_eps_curve,
         L.SQL_SEMDEDUP_EPS_CURVE,
     ),
+    # --- added r15 (past-cap; r16 promotion pool): two-phase
+    #     pretrain+anneal mix allocation (the public midtraining
+    #     recipe) — exact-integer quality proxy, decimal-exact HQ
+    #     test, integer-division allocations; tolerance-free oracle ---
+    "anneal_mix_plan": (L.q_anneal_mix_plan, L.SQL_ANNEAL_MIX_PLAN),
 }
 
 

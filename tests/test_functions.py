@@ -1112,6 +1112,37 @@ def test_media_dhash_exact_bits_and_errs(spark):
         multimodal.media_dhash(media, kind="video")
 
 
+def test_anneal_mix_plan_exact_allocation(spark):
+    """Two sources with known token masses and quality: the HQ source
+    gets main + ALL of the anneal budget; allocations are exact integer
+    divisions; invariants: sum(main) <= main budget (floor slack),
+    anneal goes only to HQ rows."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    rows = (
+        # src_hq: 10 docs, fully distinct words (q=1000 pm)
+        [(i, " ".join(f"word{i}x{j}" for j in range(10)), "src_hq")
+         for i in range(10)]
+        # src_lo: 10 docs, one word repeated (q=100 pm)
+        + [(100 + i, " ".join(["same"] * 10), "src_lo") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in M.anneal_mix_plan(
+            docs, budget_tokens=1000, anneal_pct=20
+        ).collect()
+    }
+    hi, lo = out["src_hq"], out["src_lo"]
+    assert hi["n_tokens"] == lo["n_tokens"] == 100
+    assert hi["mean_quality_pm"] == 1000.0 and lo["mean_quality_pm"] == 100.0
+    assert hi["is_high_quality"] and not lo["is_high_quality"]
+    # main: 800 over 200 tokens -> 400 each; anneal: 200 all to src_hq
+    assert hi["main_tokens"] == lo["main_tokens"] == 400
+    assert hi["anneal_tokens"] == 200 and lo["anneal_tokens"] == 0
+    assert hi["total_tokens"] == 600 and lo["total_tokens"] == 400
+
+
 def test_semdedup_eps_curve_semantics(spark):
     """Planted cluster-mates with known cosines: identical vectors are
     dropped at every eps < 1 (keep-lowest-id keeps the first), and the

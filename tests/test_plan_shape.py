@@ -1310,6 +1310,37 @@ def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
         assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
 
 
+def test_anneal_mix_plan_one_corpus_pass(spark, sf_dir):
+    # One corpus pass into a map-side-combined per-source aggregate;
+    # the bounded per-source frame is lazily checkpointed so its four
+    # consumers (totals, flags, HQ sum, output) don't re-run the scan;
+    # totals ride broadcast 1-row crosses; no window, no corpus join.
+    plan = _plan(L.q_anneal_mix_plan(spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 0  # behind the lazy checkpoint
+    assert "BroadcastNestedLoopJoin" in plan  # bounded 1-row totals
+    # pin the pre-checkpoint shape on the raw aggregate (advisor-r14
+    # lesson: a checkpoint-truncated plan can't prove upstream shape)
+    from etl_pipeline2_0_spark.functions import mixing
+    from etl_pipeline2_0_spark.plans.llm_ops import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    import pyspark.sql.functions as _F
+
+    toks = _F.filter(
+        _F.split(_F.lower(_F.col("text")), r"\W+"),
+        lambda t: _F.length(t) > 0,
+    )
+    raw = _plan(
+        docs.select(_F.col("source").alias("grp"), _F.size(toks).alias("nw"))
+        .groupBy("grp")
+        .agg(_F.sum("nw").alias("n_tokens"))
+    )
+    assert raw.count("Scan parquet") == 1
+    assert "partial_sum" in raw
+
+
 def test_semdedup_eps_curve_cluster_scoped(spark, sf_dir):
     # The pair space must be the cluster equi-join (never all-pairs
     # across clusters); the eps sweep is literal fan-out over one
