@@ -52,6 +52,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "media_decode",
     "media_frames",
+    "media_features",
     "minhash_pairs",
     "simhash_pairs",
     "winnow_overlap",
@@ -197,6 +198,11 @@ HEADLINE = [
     "cms_error_curve",
     "lsh_geometry_sweep",
     "shingle_df_histogram",
+    "minhash_est_error",
+    "filter_ablation",
+    "embed_norm_hist",
+    "semdedup_eps_curve",
+    "anneal_mix_plan",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

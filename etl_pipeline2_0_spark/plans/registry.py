@@ -181,12 +181,30 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # quality rows).  test_sql_registry.py re-pins the representative
     # set and the all-oracled invariant.
     #
-    # ROUND-16 STAGING (execute next round): promote the FOUR queued
-    # second-wave r14-added entries (cluster_balanced_sample,
-    # rouge_screen, chat_lint, contamination_ngram_curve — all ×3-SF
-    # parity-proven, zero driver rows) plus any r15-added oracled
-    # entries named at the end of this file; demote the same number of
-    # most-tenured multi-green holdovers keeping every family anchored.
+    # ROUND-16 STAGING (execute next round): promote ELEVEN entries —
+    # the FOUR queued second-wave r14-added entries
+    # (cluster_balanced_sample, rouge_screen, chat_lint,
+    # contamination_ngram_curve) plus the SEVEN r15-added oracled
+    # entries (multimodal_neardup_recall, media_features,
+    # minhash_est_error, filter_ablation, embed_norm_hist,
+    # semdedup_eps_curve, anneal_mix_plan) — all ×3-SF parity-proven,
+    # zero oracled driver rows (media_features' past rows were the
+    # weaker rows-only check).  Demote the ELEVEN most-tenured
+    # multi-green holdovers, all thrice-green r13 promotions, families
+    # re-anchored: minhash_precision, minhash_band_efficiency (LSH
+    # quality anchored by minhash_decontam + simhash_recall/
+    # winnow_recall/lsh_geometry_sweep + the incoming
+    # minhash_est_error), span_corrupt, fim_transform (example
+    # construction anchored by ul2_mix/sft_pack/dpo_pairs/best_of_n +
+    # the chat/grpo rows), unigram_segment_words, unigram_fertility,
+    # unigram_encode_docs (tokenizers anchored by unigram_train +
+    # tokenizer_compare + tokenizer_compare_eqv), sentence_chunk,
+    # crop_pairs (retrieval anchored by retrieval_ndcg/rrf_ndcg),
+    # mmr_select (semantic selection anchored by the incoming
+    # semdedup_eps_curve + cluster_balanced_sample), threshold_sweep
+    # (quality anchored by domain_quality_rollup + kn_score/langid_rank
+    # + the incoming filter_ablation).  Keep the family-anchor and
+    # all-oracled invariants (test_sql_registry.py pins both).
     # === PROMOTED r15 (added r14): measured ranking quality for the
     #     retrieval family — nDCG@5 + MRR@5 of BM25 vs planted graded
     #     truth, and of hybrid RRF fusion vs exact-cosine truth ===
