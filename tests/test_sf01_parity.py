@@ -130,6 +130,15 @@ HEAVY = [
     "retrieval_pairs",
     "minhash_precision",
     "minhash_band_efficiency",
+    # r15: the estimator-calibration shingle self-join + signature join,
+    # the cluster-scoped SemDeDup pair sweep, and the decoded-media
+    # recall row (pandas decode + salted all-pairs truth + pigeonhole
+    # candidates) — the newest replan-sensitive shapes at 10x rows.
+    "minhash_est_error",
+    "semdedup_eps_curve",
+    "multimodal_neardup_recall",
+    "filter_ablation",
+    "anneal_mix_plan",
 ]
 
 
