@@ -203,6 +203,7 @@ HEADLINE = [
     "embed_norm_hist",
     "semdedup_eps_curve",
     "anneal_mix_plan",
+    "best_of_n_curve",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

@@ -1843,6 +1843,85 @@ def best_of_n(
     )
 
 
+def best_of_n_curve(
+    df: DataFrame,
+    ns: "tuple[int, ...]" = (1, 2, 4, 8),
+    n_groups: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: "str | None" = None,
+) -> DataFrame:
+    """The inference-scaling curve for rejection sampling — what
+    best-of-N actually BUYS at each N (the test-time-compute curve the
+    public best-of-N / RSFT literature plots): per pseudo-prompt group,
+    the best reward among the FIRST N candidates in deterministic
+    md5-arrival order, averaged over groups, for each N in ``ns``.
+    Groups and scores follow :func:`dpo_pairs` / :func:`best_of_n`
+    exactly, so the curve prices the same pool those ops select from;
+    read it to pick N before paying for generation.
+
+    "First N" uses md5(id) order — a deterministic stand-in for arrival
+    order (taking the TOP-N-by-score at each N would make every point
+    the max and flatten the curve).  Only groups with ≥ max(ns)
+    candidates contribute, so every point averages the SAME group set
+    (otherwise larger N would silently reweight toward bigger groups).
+
+    Cross-engine determinism: rewards quantize to exact micro-unit
+    BIGINTs; per-group best-of-first-N is an integer MAX; the mean is
+    one exact integer sum over groups divided by the group count — a
+    fixed two-division sequence, bit-identical in any engine.
+
+    Output: (n_samples, n_groups, mean_best_reward), one row per N.
+
+    Scale: one shuffle on the group key + ONE per-group ranking window
+    (candidates stream through a running counter), then a |ns|-column
+    conditional-max aggregate per group and a single bounded summary
+    row fanned out by literals.  Pseudo-groups are ``id mod n_groups``
+    (skew-free by construction); real prompt ids shard naturally.
+    """
+    toked, score = _candidate_score(df, text_col, id_col, score_col)
+    base = toked.select(
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("group_id"),
+        F.col(id_col),
+        F.round(score * F.lit(1_000_000.0)).cast("bigint").alias("_u"),
+        F.md5(F.col(id_col).cast("string")).alias("_ok"),
+    )
+    w = Window.partitionBy("group_id").orderBy("_ok", id_col)
+    ranked = base.withColumn("ra", F.row_number().over(w))
+    per = ranked.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.max(F.when(F.col("ra") <= int(N), F.col("_u"))).alias(f"m{N}")
+            for N in ns
+        ],
+    )
+    top = max(int(N) for N in ns)
+    el = per.where(F.col("n") >= top).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        *[F.sum(f"m{N}").cast("bigint").alias(f"s{N}") for N in ns],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(N)).cast("int").alias("n_samples"),
+                F.col(f"s{N}").alias("su"),
+            )
+            for N in ns
+        ]
+    )
+    return (
+        el.select("k", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.n_samples").alias("n_samples"),
+            F.col("k").alias("n_groups"),
+            (F.col("r.su") / F.col("k") / F.lit(1_000_000.0)).alias(
+                "mean_best_reward"
+            ),
+        )
+        .orderBy("n_samples")
+    )
+
+
 def grpo_advantage(
     df: DataFrame,
     n_groups: int = 64,

@@ -7697,6 +7697,60 @@ WHERE n_candidates >= 2
 """
 
 
+def q_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The rejection-sampling inference-scaling curve: mean best reward
+    # among the first N md5-arrival-order candidates per pseudo-prompt
+    # group, N in 1/2/4/8 — what best-of-N buys before paying for
+    # generation.  n_groups=4 keeps >=8 candidates per group at every
+    # SF including sf0.001 (50 docs), so the curve is non-vacuous and
+    # every point averages the same group set.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.best_of_n_curve(docs, ns=(1, 2, 4, 8), n_groups=4)
+
+
+# Inherit dpo_pairs' base/scoring CTEs with the curve's 4-way grouping;
+# the tail ranks by md5 arrival order, takes per-group conditional
+# maxes, and fans the one summary row out by N literals.
+SQL_BEST_OF_N_CURVE = SQL_DPO_PAIRS.split("), ranked AS (")[0].replace(
+    "doc_id % 64", "doc_id % 4"
+) + """), u AS (
+  SELECT group_id, doc_id,
+         CAST(ROUND(score * 1000000.0) AS BIGINT) AS u,
+         md5(CAST(doc_id AS VARCHAR)) AS ok
+  FROM scored
+), ranked AS (
+  SELECT group_id, u,
+         ROW_NUMBER() OVER (PARTITION BY group_id
+                            ORDER BY ok, doc_id) AS ra
+  FROM u
+), per AS (
+  SELECT group_id, COUNT(*) AS n,
+         MAX(CASE WHEN ra <= 1 THEN u END) AS m1,
+         MAX(CASE WHEN ra <= 2 THEN u END) AS m2,
+         MAX(CASE WHEN ra <= 4 THEN u END) AS m4,
+         MAX(CASE WHEN ra <= 8 THEN u END) AS m8
+  FROM ranked GROUP BY group_id
+), el AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(m1) AS BIGINT) AS s1,
+         CAST(SUM(m2) AS BIGINT) AS s2,
+         CAST(SUM(m4) AS BIGINT) AS s4,
+         CAST(SUM(m8) AS BIGINT) AS s8
+  FROM per WHERE n >= 8
+)
+SELECT v.n_samples, e.k AS n_groups,
+       v.su / e.k / 1000000.0 AS mean_best_reward
+FROM el e, LATERAL (
+  VALUES (CAST(1 AS INT), e.s1), (CAST(2 AS INT), e.s2),
+         (CAST(4 AS INT), e.s4), (CAST(8 AS INT), e.s8)
+) v(n_samples, su)
+ORDER BY v.n_samples
+"""
+assert "list_distinct" in SQL_BEST_OF_N_CURVE  # scoring CTEs inherited
+
+
 # ---------------------------------------------------------- ANN hubness ----
 
 

@@ -788,6 +788,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     recipe) — exact-integer quality proxy, decimal-exact HQ
     #     test, integer-division allocations; tolerance-free oracle ---
     "anneal_mix_plan": (L.q_anneal_mix_plan, L.SQL_ANNEAL_MIX_PLAN),
+    # --- added r15 (past-cap; r16 promotion pool): the rejection-
+    #     sampling inference-scaling curve — mean best-of-first-N reward
+    #     per N over the dpo/best_of_n scored pool; exact micro-unit
+    #     integer maxes and one fixed two-division mean ---
+    "best_of_n_curve": (L.q_best_of_n_curve, L.SQL_BEST_OF_N_CURVE),
 }
 
 

@@ -1112,6 +1112,33 @@ def test_media_dhash_exact_bits_and_errs(spark):
         multimodal.media_dhash(media, kind="video")
 
 
+def test_best_of_n_curve_monotone_and_exact(spark):
+    """One group with supplied scores: best-of-first-N in md5 order is
+    monotone non-decreasing in N; at N = group size it equals the group
+    max; undersized groups are excluded so every point averages the
+    same set."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    # group 0: ids 0,4,8,12 (mod 4... use n_groups=1: one group of 8)
+    rows = [(i, "t", (i * 37 % 100) / 100.0) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    out = {
+        r["n_samples"]: r
+        for r in M.best_of_n_curve(
+            docs, ns=(1, 2, 4, 8), n_groups=1, score_col="score"
+        ).collect()
+    }
+    assert all(r["n_groups"] == 1 for r in out.values())
+    vals = [out[n]["mean_best_reward"] for n in (1, 2, 4, 8)]
+    assert vals == sorted(vals)
+    assert vals[-1] == max((i * 37 % 100) / 100.0 for i in range(8))
+
+    # a 3-candidate pool with max(ns)=8 has no qualifying group
+    small = spark.createDataFrame(rows[:3], "doc_id long, text string, score double")
+    got = M.best_of_n_curve(small, ns=(1, 8), n_groups=1, score_col="score").collect()
+    assert all(r["n_groups"] == 0 for r in got)
+
+
 def test_anneal_mix_plan_exact_allocation(spark):
     """Two sources with known token masses and quality: the HQ source
     gets main + ALL of the anneal budget; allocations are exact integer

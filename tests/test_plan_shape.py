@@ -1310,6 +1310,22 @@ def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
         assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
 
 
+def test_best_of_n_curve_single_group_window(spark, sf_dir):
+    # One shuffle on the group key feeding ONE ranking window
+    # (candidates stream through a running counter), a per-group
+    # conditional-max aggregate, and a literal fan-out over the single
+    # summary row.  No join against the corpus, exactly one scan.
+    plan = _plan(L.q_best_of_n_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1
+    import re
+
+    # the only window is the per-group arrival rank
+    for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) == "group_id", plan
+
+
 def test_anneal_mix_plan_one_corpus_pass(spark, sf_dir):
     # One corpus pass into a map-side-combined per-source aggregate;
     # the bounded per-source frame is lazily checkpointed so its four
