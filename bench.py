@@ -204,6 +204,7 @@ HEADLINE = [
     "semdedup_eps_curve",
     "anneal_mix_plan",
     "best_of_n_curve",
+    "vocab_oov_curve",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

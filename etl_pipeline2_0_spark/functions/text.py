@@ -560,6 +560,86 @@ def corpus_vocab(df, text_col: str = "text", vocab_size: int = 512):
     )
 
 
+def vocab_oov_curve(
+    df,
+    text_col: str = "text",
+    vocab_sizes: "tuple[int, ...]" = (64, 256, 1024, 4096),
+):
+    """Vocabulary-size SIZING curve — the V-sweep complement of
+    :func:`oov_stats` (one V) and the seventh measured sizing curve
+    (bloom_fpr / cms_error / lsh_geometry / cdc_dedup /
+    contamination_ngram / semdedup_eps): per candidate top-V cut, how
+    many token OCCURRENCES the vocabulary covers and the OOV rate — the
+    table a tokenizer-budget decision reads before committing a vocab
+    size.
+
+    Exactness: frequencies are integer counts; the V cut breaks ties
+    deterministically (freq DESC, token ASC — the ``corpus_vocab``
+    convention); covered@V is a conditional integer sum over the
+    bounded top-max(V) frame; oov_rate is one exact-integer division —
+    tolerance-free oracle.
+
+    Output: (vocab_size, n_types, total_tokens, covered_tokens,
+    oov_rate), one row per V, ordered; n_types / total_tokens repeat
+    (report-table convention).
+
+    Scale: ONE explode → token-frequency aggregate (map-side combine;
+    the shuffle carries distinct tokens), then
+    ``TakeOrderedAndProject`` for the bounded top-max(V) (never a full
+    vocab sort) — the only window runs over that ≤max(V)-row frame.
+    The sweep is |V| conditional sums over it plus a literal fan-out.
+    """
+    top_v = max(int(v) for v in vocab_sizes)
+    freq = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    ).localCheckpoint(eager=False)
+    tot = freq.agg(
+        F.sum("f").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    top = freq.orderBy(F.col("f").desc(), F.col("tok")).limit(top_v)
+    # partition-less window is bounded BY CONSTRUCTION (≤ top_v rows
+    # post-limit) — the portable_centroids exception class
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    sums = ranked.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("rn") <= int(v), F.col("f"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"c{v}")
+            for v in vocab_sizes
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(v)).cast("int").alias("vocab_size"),
+                F.col(f"c{v}").alias("covered"),
+            )
+            for v in vocab_sizes
+        ]
+    )
+    return (
+        tot.crossJoin(F.broadcast(sums))
+        .select("n_types", "total_tokens", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.vocab_size").alias("vocab_size"),
+            "n_types",
+            "total_tokens",
+            F.col("r.covered").alias("covered_tokens"),
+            (
+                (F.col("total_tokens") - F.col("r.covered"))
+                / F.col("total_tokens")
+            ).alias("oov_rate"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
 def oov_stats(df, text_col: str = "text", group_col: str = "source",
               vocab_size: int = 512):
     """Per-group out-of-vocabulary rate against the corpus top-V vocabulary.

@@ -5791,6 +5791,52 @@ ORDER BY bucket
 """
 
 
+def q_vocab_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The vocabulary-budget sizing sweep: covered token mass + OOV rate
+    # per top-V cut of the corpus vocabulary — the seventh measured
+    # sizing curve; deterministic frequency-desc/token tiebreak, exact
+    # integer sums, tolerance-free oracle.  V grid 4/8/16/32 because the
+    # synthetic corpus draws from ~31 word TYPES (the production default
+    # 64..4096 would sweep an all-zero curve); the mechanics are
+    # V-independent.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_oov_curve(docs, vocab_sizes=(4, 8, 16, 32))
+
+
+SQL_VOCAB_OOV_CURVE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM freq
+), top AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS rn
+  FROM freq
+  QUALIFY rn <= 32
+), s AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN rn <= 4 THEN f END), 0) AS BIGINT) AS c4,
+    CAST(COALESCE(SUM(CASE WHEN rn <= 8 THEN f END), 0) AS BIGINT) AS c8,
+    CAST(COALESCE(SUM(CASE WHEN rn <= 16 THEN f END), 0) AS BIGINT) AS c16,
+    CAST(COALESCE(SUM(CASE WHEN rn <= 32 THEN f END), 0) AS BIGINT) AS c32
+  FROM top
+)
+SELECT v.vocab_size, t.n_types, t.total_tokens,
+       v.c AS covered_tokens,
+       (t.total_tokens - v.c) / t.total_tokens AS oov_rate
+FROM s, tot t, LATERAL (
+  VALUES (CAST(4 AS INT), s.c4), (CAST(8 AS INT), s.c8),
+         (CAST(16 AS INT), s.c16), (CAST(32 AS INT), s.c32)
+) v(vocab_size, c)
+ORDER BY v.vocab_size
+"""
+
+
 def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality-filter ablation matrix: per-filter kill counts, UNIQUE
     # (marginal) kills, and the union kill — the table that justifies

@@ -793,6 +793,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     per N over the dpo/best_of_n scored pool; exact micro-unit
     #     integer maxes and one fixed two-division mean ---
     "best_of_n_curve": (L.q_best_of_n_curve, L.SQL_BEST_OF_N_CURVE),
+    # --- added r15 (past-cap; r16 promotion pool): the vocabulary-
+    #     budget sizing sweep — covered mass + OOV rate per top-V cut;
+    #     the seventh measured sizing curve ---
+    "vocab_oov_curve": (L.q_vocab_oov_curve, L.SQL_VOCAB_OOV_CURVE),
 }
 
 

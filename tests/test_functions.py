@@ -1112,6 +1112,27 @@ def test_media_dhash_exact_bits_and_errs(spark):
         multimodal.media_dhash(media, kind="video")
 
 
+def test_vocab_oov_curve_exact_coverage(spark):
+    """Known Zipf-ish frequencies: covered@V sums the top-V frequencies
+    with the (freq desc, token asc) tiebreak; oov_rate is the exact
+    complement ratio; monotone non-increasing in V."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    # freqs: aa x6, bb x3, cc x3 (tie with bb -> bb first), dd x1
+    doc = " ".join(["aa"] * 6 + ["bb"] * 3 + ["cc"] * 3 + ["dd"])
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    out = {
+        r["vocab_size"]: r
+        for r in T.vocab_oov_curve(docs, vocab_sizes=(1, 2, 3, 4)).collect()
+    }
+    assert all(r["n_types"] == 4 and r["total_tokens"] == 13 for r in out.values())
+    assert out[1]["covered_tokens"] == 6          # aa
+    assert out[2]["covered_tokens"] == 9          # aa + bb (tiebreak)
+    assert out[3]["covered_tokens"] == 12
+    assert out[4]["covered_tokens"] == 13 and out[4]["oov_rate"] == 0.0
+    assert out[1]["oov_rate"] == 7 / 13
+
+
 def test_best_of_n_curve_monotone_and_exact(spark):
     """One group with supplied scores: best-of-first-N in md5 order is
     monotone non-decreasing in N; at N = group size it equals the group

@@ -1310,6 +1310,16 @@ def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
         assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
 
 
+def test_vocab_oov_curve_takeordered_not_global_sort(spark, sf_dir):
+    # The top-max(V) cut must compile to TakeOrderedAndProject (bounded
+    # heap per partition), never a full vocab sort; the only window runs
+    # over the ≤max(V)-row frame post-limit.  No corpus join.
+    plan = _plan(L.q_vocab_oov_curve(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_best_of_n_curve_single_group_window(spark, sf_dir):
     # One shuffle on the group key feeding ONE ranking window
     # (candidates stream through a running counter), a per-group
