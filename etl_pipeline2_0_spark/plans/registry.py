@@ -204,7 +204,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # semdedup_eps_curve + cluster_balanced_sample), threshold_sweep
     # (quality anchored by domain_quality_rollup + kn_score/langid_rank
     # + the incoming filter_ablation).  Keep the family-anchor and
-    # all-oracled invariants (test_sql_registry.py pins both).
+    # all-oracled invariants (test_sql_registry.py pins both).  A
+    # SECOND WAVE of TWO late r15 additions (best_of_n_curve,
+    # vocab_oov_curve — ×3-SF parity-proven, zero driver rows) queues
+    # for r17, or folds into r16 only if two more demotions hold every
+    # anchor.
     # === PROMOTED r15 (added r14): measured ranking quality for the
     #     retrieval family — nDCG@5 + MRR@5 of BM25 vs planted graded
     #     truth, and of hybrid RRF fusion vs exact-cosine truth ===
