@@ -205,6 +205,7 @@ HEADLINE = [
     "anneal_mix_plan",
     "best_of_n_curve",
     "vocab_oov_curve",
+    "bpe_fertility_curve",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

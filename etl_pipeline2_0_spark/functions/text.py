@@ -375,7 +375,7 @@ def bpe_train_merges(
     no regex engine semantics involved.  Symbols never contain '·'
     (words are ``\\W+``-tokenized, merges concatenate).
     """
-    merges, _ = _bpe_loop(df, text_col, n_merges, max_word_types)
+    merges, _, _ = _bpe_loop(df, text_col, n_merges, max_word_types)
     return merges.select(
         "step",
         "pair",
@@ -398,7 +398,7 @@ def bpe_segment_words(
     Output: (word, pieces — space-joined subwords, n_pieces, cnt).
     Same scale/portability story as ``bpe_train_merges``.
     """
-    _, words = _bpe_loop(df, text_col, n_merges, max_word_types)
+    _, words, _ = _bpe_loop(df, text_col, n_merges, max_word_types)
     pieces = F.replace(
         F.expr("trim(BOTH '·' FROM sym)"), F.lit("··"), F.lit(" ")
     )
@@ -457,8 +457,20 @@ def bpe_encode_docs(
     )
 
 
-def _bpe_loop(df, text_col: str, n_merges: int, max_word_types: int):
-    """Shared BPE core: returns (merges frame, final word-type frame)."""
+def _bpe_loop(
+    df,
+    text_col: str,
+    n_merges: int,
+    max_word_types: int,
+    snapshot_steps: "tuple[int, ...]" = (),
+):
+    """Shared BPE core: returns (merges frame, final word-type frame,
+    snapshots) — ``snapshots`` maps each requested step count in
+    ``snapshot_steps`` (0 = the pre-merge character split) to that
+    step's word-type frame.  Snapshots are free: every step is already
+    a lazily-checkpointed bounded frame, so keeping a reference adds no
+    recomputation (``bpe_fertility_curve`` reads four of them from ONE
+    training run)."""
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -475,6 +487,9 @@ def _bpe_loop(df, text_col: str, n_merges: int, max_word_types: int):
             "cnt",
         )
     )
+    snapshots = {}
+    if 0 in snapshot_steps:
+        snapshots[0] = words
     merges = None
     for step in range(1, n_merges + 1):
         syms = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
@@ -538,7 +553,60 @@ def _bpe_loop(df, text_col: str, n_merges: int, max_word_types: int):
             # analysis and execution fan out exponentially in n_merges
             .localCheckpoint(eager=False)
         )
-    return merges, words
+        if step in snapshot_steps:
+            snapshots[step] = words
+    return merges, words, snapshots
+
+
+def bpe_fertility_curve(
+    df,
+    text_col: str = "text",
+    ks: "tuple[int, ...]" = (0, 2, 4, 8),
+    max_word_types: int = 512,
+):
+    """BPE merge-budget SIZING curve — fertility (pieces per word
+    occurrence) after each merge-count checkpoint in ``ks``, from ONE
+    training run: the compression-vs-merges table a tokenizer-budget
+    decision reads next to ``vocab_oov_curve`` (how many merges are
+    still buying compression) — the eighth measured sizing curve.
+    k = 0 is the pre-merge character split (fertility = mean word
+    length), so the curve always starts at the no-tokenizer ceiling.
+
+    Exactness: per-checkpoint totals are integer sums over the bounded
+    word-type frame (count·pieces with pieces an exact split length);
+    fertility is one exact-integer division — tolerance-free oracle
+    (the unrolled-CTE BPE twin exposes every intermediate word frame).
+
+    Output: (n_merges, n_word_types, total_words, total_pieces,
+    fertility), one row per k, ordered.
+
+    Scale: the training loop is corpus-size-independent after the
+    bounded word-type cut (the ``bpe_train_merges`` story); snapshots
+    reuse the loop's per-step lazy checkpoints, so the curve costs one
+    training run plus |ks| bounded aggregates.
+    """
+    _, _, snaps = _bpe_loop(
+        df, text_col, max(int(k) for k in ks), max_word_types,
+        snapshot_steps=tuple(int(k) for k in ks),
+    )
+    out = None
+    for k in sorted(int(k) for k in ks):
+        syms = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
+        row = snaps[k].agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+            F.sum("cnt").cast("bigint").alias("total_words"),
+            F.sum(F.col("cnt") * F.size(syms)).cast("bigint").alias(
+                "total_pieces"
+            ),
+        ).select(
+            F.lit(k).cast("int").alias("n_merges"),
+            "n_word_types",
+            "total_words",
+            "total_pieces",
+            (F.col("total_pieces") / F.col("total_words")).alias("fertility"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_merges")
 
 
 def corpus_vocab(df, text_col: str = "text", vocab_size: int = 512):

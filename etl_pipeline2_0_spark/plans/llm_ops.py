@@ -5791,6 +5791,45 @@ ORDER BY bucket
 """
 
 
+def q_bpe_fertility_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The BPE merge-budget sizing curve: fertility after 0/2/4/8 merges
+    # from ONE training run (k=0 = the character-split ceiling) — the
+    # eighth measured sizing curve, next to vocab_oov_curve on the
+    # tokenizer-budget decision.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_fertility_curve(docs, ks=(0, 2, 4, 8))
+
+
+def _sql_bpe_fertility_curve(
+    ks: "tuple[int, ...]" = (0, 2, 4, 8), max_word_types: int = 512
+) -> str:
+    # The unrolled BPE CTE chain exposes every intermediate word frame —
+    # the curve is a UNION of bounded aggregates over words{k}.
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({k} AS INT) AS n_merges,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_word_types,"
+        f" CAST(SUM(cnt) AS BIGINT) AS total_words,"
+        f" CAST(SUM(cnt * len(string_split(trim(sym, '·'), '··'))) AS BIGINT)"
+        f" AS total_pieces"
+        f" FROM words{k}"
+        for k in sorted(int(k) for k in ks)
+    )
+    return (
+        _sql_bpe_ctes(max(int(k) for k in ks), max_word_types)
+        + f"""
+SELECT n_merges, n_word_types, total_words, total_pieces,
+       total_pieces / total_words AS fertility
+FROM (
+  {union}
+)
+ORDER BY n_merges
+"""
+    )
+
+
+SQL_BPE_FERTILITY_CURVE = _sql_bpe_fertility_curve()
+
+
 def q_vocab_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The vocabulary-budget sizing sweep: covered token mass + OOV rate
     # per top-V cut of the corpus vocabulary — the seventh measured

@@ -205,10 +205,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # (quality anchored by domain_quality_rollup + kn_score/langid_rank
     # + the incoming filter_ablation).  Keep the family-anchor and
     # all-oracled invariants (test_sql_registry.py pins both).  A
-    # SECOND WAVE of TWO late r15 additions (best_of_n_curve,
-    # vocab_oov_curve — ×3-SF parity-proven, zero driver rows) queues
-    # for r17, or folds into r16 only if two more demotions hold every
-    # anchor.
+    # SECOND WAVE of THREE late r15 additions (best_of_n_curve,
+    # vocab_oov_curve, bpe_fertility_curve — ×3-SF parity-proven, zero
+    # driver rows) queues for r17, or folds into r16 only if three more
+    # demotions hold every anchor.
     # === PROMOTED r15 (added r14): measured ranking quality for the
     #     retrieval family — nDCG@5 + MRR@5 of BM25 vs planted graded
     #     truth, and of hybrid RRF fusion vs exact-cosine truth ===
@@ -801,6 +801,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     budget sizing sweep — covered mass + OOV rate per top-V cut;
     #     the seventh measured sizing curve ---
     "vocab_oov_curve": (L.q_vocab_oov_curve, L.SQL_VOCAB_OOV_CURVE),
+    # --- added r15 (past-cap; r17 pool second wave): the BPE
+    #     merge-budget sizing curve — fertility at 0/2/4/8 merges from
+    #     one training run; the eighth measured sizing curve ---
+    "bpe_fertility_curve": (
+        L.q_bpe_fertility_curve,
+        L.SQL_BPE_FERTILITY_CURVE,
+    ),
 }
 
 

@@ -1112,6 +1112,30 @@ def test_media_dhash_exact_bits_and_errs(spark):
         multimodal.media_dhash(media, kind="video")
 
 
+def test_bpe_fertility_curve_monotone_from_char_ceiling(spark):
+    """k=0 equals the character-split ceiling (fertility = mean word
+    length over occurrences); fertility is monotone non-increasing in
+    merges; word-type count and total occurrences are constant across
+    checkpoints (only the segmentation changes)."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana banana band banana")],
+        "doc_id long, text string",
+    )
+    out = {r["n_merges"]: r for r in T.bpe_fertility_curve(
+        docs, ks=(0, 1, 2, 4)).collect()}
+    # occurrences: banana x3 (6 chars), bandana (7), band (4)
+    assert out[0]["total_words"] == 5
+    assert out[0]["total_pieces"] == 3 * 6 + 7 + 4
+    assert out[0]["fertility"] == (3 * 6 + 7 + 4) / 5
+    ferts = [out[k]["fertility"] for k in (0, 1, 2, 4)]
+    assert ferts == sorted(ferts, reverse=True)
+    assert ferts[-1] < ferts[0]  # merges really bought compression
+    assert all(r["n_word_types"] == 3 for r in out.values())
+    assert all(r["total_words"] == 5 for r in out.values())
+
+
 def test_vocab_oov_curve_exact_coverage(spark):
     """Known Zipf-ish frequencies: covered@V sums the top-V frequencies
     with the (freq desc, token asc) tiebreak; oov_rate is the exact
