@@ -857,3 +857,111 @@ def test_dedup_manifest_partition_invariants(spark, texts):
     w = D.soft_dedup_weights(docs, pairs).collect()
     total = sum(r["weight"] for r in w)
     assert abs(total - w[0]["n_effective"]) < 1e-4
+
+
+# --- r15 operators: dHash, ablation counts, sizing-curve monotonicity ------
+
+
+@given(
+    vals=st.lists(st.integers(0, 255), min_size=6, max_size=48).filter(
+        lambda v: len(v) % 3 == 0
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_media_dhash_matches_python_reference(spark, vals):
+    """media_dhash on a round-tripped BMP equals the direct adjacent-
+    comparison hash of the raw channel values — the property the SQL
+    oracle's arithmetic reconstruction relies on."""
+    import numpy as np
+
+    from etl_pipeline2_0_spark.functions import multimodal as MM
+
+    px = np.array(vals, dtype=np.uint8).reshape(len(vals) // 3, 1, 3)
+    media = spark.createDataFrame(
+        [(1, bytearray(MM.encode_bmp(px)))], "media_id bigint, payload binary"
+    )
+    got = MM.media_dhash(media, kind="image").collect()[0]["sig"]
+    capped = vals[:64]
+    expect = sum(
+        1 << i for i in range(len(capped) - 1) if capped[i] > capped[i + 1]
+    )
+    assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef gh", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_filter_ablation_count_algebra(spark, texts):
+    """On ANY corpus: unique kills <= kills <= union kill <= n_docs per
+    filter; the union kill is the same on every row; the sum of unique
+    kills never exceeds the union kill (unique sets are disjoint)."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = T.filter_ablation(docs).collect()
+    assert len(rows) == 4
+    anyk = {r["n_fail_any"] for r in rows}
+    assert len(anyk) == 1
+    for r in rows:
+        assert 0 <= r["n_unique_fail"] <= r["n_fail"] <= r["n_fail_any"] <= r["n_docs"]
+        assert r["n_docs"] == len(texts)
+    assert sum(r["n_unique_fail"] for r in rows) <= rows[0]["n_fail_any"]
+
+
+@given(
+    scores=st.lists(
+        st.floats(0, 1, allow_nan=False, width=32), min_size=8, max_size=20
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_best_of_n_curve_always_monotone(spark, scores):
+    """For ANY reward pool: mean best-of-first-N is monotone
+    non-decreasing in N (adding candidates can only raise a max)."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    docs = spark.createDataFrame(
+        [(i, "t", float(s)) for i, s in enumerate(scores)],
+        "doc_id long, text string, score double",
+    )
+    out = {
+        r["n_samples"]: r["mean_best_reward"]
+        for r in M.best_of_n_curve(
+            docs, ns=(1, 2, 4, 8), n_groups=1, score_col="score"
+        ).collect()
+    }
+    vals = [out[n] for n in (1, 2, 4, 8)]
+    assert vals == sorted(vals)
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_vocab_oov_curve_monotone_and_conserving(spark, words):
+    """For ANY corpus: covered tokens are monotone non-decreasing in V,
+    capped by total; oov_rate is the exact complement."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    rows = sorted(
+        T.vocab_oov_curve(docs, vocab_sizes=(1, 2, 4, 8)).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    cov = [r["covered_tokens"] for r in rows]
+    assert cov == sorted(cov)
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["total_tokens"] == len(words)
+        assert r["oov_rate"] == (r["total_tokens"] - r["covered_tokens"]) / r["total_tokens"]
