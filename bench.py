@@ -206,6 +206,7 @@ HEADLINE = [
     "best_of_n_curve",
     "vocab_oov_curve",
     "bpe_fertility_curve",
+    "pack_waste_curve",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

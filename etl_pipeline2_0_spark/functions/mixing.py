@@ -2178,6 +2178,84 @@ def chat_lint(
     )
 
 
+def pack_waste_curve(
+    df: DataFrame,
+    budgets: "tuple[int, ...]" = (256, 512, 1024, 2048),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    bucket_width: int = 1 << 20,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Context-length SIZING curve for sequence packing — what each
+    candidate training context costs in padding and straddle at THIS
+    corpus's length distribution, from ONE prefix-sum pass: the table a
+    context-length decision reads next to ``pack_efficiency`` (one
+    budget, per-source detail).  The ninth measured sizing curve.
+
+    The streaming packer's assignment is ``pack_id = prev div budget``
+    over the SAME exclusive prefix sum for every budget, so the sweep
+    shares one two-level prefix-sum pass (the ``pack_sequences``
+    machinery) and differs only in a floor division — |budgets| bounded
+    per-pack aggregates over one checkpointed per-doc frame.
+
+    Output per budget: (budget_tokens, n_packs, total_tokens,
+    underfill_tokens — padding a trainer burns at this context,
+    overflow_tokens — tokens past the boundary in straddling packs,
+    fill_rate = total/(n_packs·budget)).  Every number is an exact
+    integer or one exact-integer ratio — tolerance-free oracle.
+
+    Scale: one doc-row shuffle for the bucketed prefix sum plus
+    |budgets| map-side-combined pack aggregates over the checkpointed
+    frame; nothing corpus-sized is held per budget.
+    """
+    _, packed = _assign_packs(
+        df, int(budgets[0]), text_col, id_col, source_col,
+        None, bucket_width, None,
+    )
+    base = packed.select(
+        F.col(source_col).alias("_src"),
+        (F.col("_b_off") + F.col("_local_prev")).alias("_prev"),
+        "n_tokens",
+    )
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
+    out = None
+    for B in budgets:
+        B = int(B)
+        per_pack = (
+            base.select(
+                "_src",
+                F.floor(F.col("_prev") / F.lit(B)).alias("_pack"),
+                "n_tokens",
+            )
+            .groupBy("_src", "_pack")
+            .agg(F.sum("n_tokens").cast("bigint").alias("pt"))
+        )
+        row = per_pack.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+            F.sum("pt").cast("bigint").alias("total_tokens"),
+            F.sum(F.greatest(F.lit(B) - F.col("pt"), F.lit(0)))
+            .cast("bigint")
+            .alias("underfill_tokens"),
+            F.sum(F.greatest(F.col("pt") - F.lit(B), F.lit(0)))
+            .cast("bigint")
+            .alias("overflow_tokens"),
+        ).select(
+            F.lit(B).cast("int").alias("budget_tokens"),
+            "n_packs",
+            "total_tokens",
+            "underfill_tokens",
+            "overflow_tokens",
+            (
+                F.col("total_tokens")
+                / (F.col("n_packs") * F.lit(B)).cast("double")
+            ).alias("fill_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("budget_tokens")
+
+
 def anneal_mix_plan(
     df: DataFrame,
     budget_tokens: int = 1_000_000,

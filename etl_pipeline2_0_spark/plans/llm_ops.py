@@ -5791,6 +5791,48 @@ ORDER BY bucket
 """
 
 
+def q_pack_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The context-length sizing sweep for sequence packing: padding +
+    # straddle + fill at 256/512/1024/2048-token contexts from ONE
+    # prefix-sum pass (pack_id = prev div budget shares the prefix sum
+    # across budgets) — the ninth measured sizing curve.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.pack_waste_curve(docs, budgets=(256, 512, 1024, 2048))
+
+
+SQL_PACK_WASTE_CURVE = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                         x -> length(x) > 0)) AS n_tokens
+  FROM documents
+), pv AS (
+  SELECT source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM toks
+), per AS (
+  SELECT v.b AS budget_tokens, source,
+         CAST(floor(prev / v.b) AS BIGINT) AS pack_id,
+         CAST(SUM(n_tokens) AS BIGINT) AS pt
+  FROM pv, (VALUES (256), (512), (1024), (2048)) v(b)
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(budget_tokens AS INT) AS budget_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(pt) AS BIGINT) AS total_tokens,
+       CAST(SUM(GREATEST(budget_tokens - pt, 0)) AS BIGINT) AS underfill_tokens,
+       CAST(SUM(GREATEST(pt - budget_tokens, 0)) AS BIGINT) AS overflow_tokens,
+       SUM(pt) / (COUNT(*) * CAST(budget_tokens AS DOUBLE)) AS fill_rate
+FROM per
+GROUP BY budget_tokens
+ORDER BY budget_tokens
+"""
+
+
 def q_bpe_fertility_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The BPE merge-budget sizing curve: fertility after 0/2/4/8 merges
     # from ONE training run (k=0 = the character-split ceiling) — the

@@ -205,10 +205,10 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # (quality anchored by domain_quality_rollup + kn_score/langid_rank
     # + the incoming filter_ablation).  Keep the family-anchor and
     # all-oracled invariants (test_sql_registry.py pins both).  A
-    # SECOND WAVE of THREE late r15 additions (best_of_n_curve,
-    # vocab_oov_curve, bpe_fertility_curve — ×3-SF parity-proven, zero
-    # driver rows) queues for r17, or folds into r16 only if three more
-    # demotions hold every anchor.
+    # SECOND WAVE of FOUR late r15 additions (best_of_n_curve,
+    # vocab_oov_curve, bpe_fertility_curve, pack_waste_curve — ×3-SF
+    # parity-proven, zero driver rows) queues for r17, or folds into
+    # r16 only if four more demotions hold every anchor.
     # === PROMOTED r15 (added r14): measured ranking quality for the
     #     retrieval family — nDCG@5 + MRR@5 of BM25 vs planted graded
     #     truth, and of hybrid RRF fusion vs exact-cosine truth ===
@@ -808,6 +808,11 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_bpe_fertility_curve,
         L.SQL_BPE_FERTILITY_CURVE,
     ),
+    # --- added r15 (past-cap; r17 pool second wave): the context-length
+    #     sizing sweep for sequence packing — padding/straddle/fill per
+    #     candidate context from one shared prefix sum; the ninth
+    #     measured sizing curve ---
+    "pack_waste_curve": (L.q_pack_waste_curve, L.SQL_PACK_WASTE_CURVE),
 }
 
 

@@ -1112,6 +1112,38 @@ def test_media_dhash_exact_bits_and_errs(spark):
         multimodal.media_dhash(media, kind="video")
 
 
+def test_pack_waste_curve_exact_and_consistent(spark):
+    """Known doc lengths, one source: the curve's per-budget pack
+    counts, underfill, and overflow match the hand-simulated streaming
+    packer; total tokens are constant; identity n_packs*B =
+    total + underfill - overflow holds per row."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    lengths = [3, 4, 5, 6, 7]  # prefix sums 0,3,7,12,18; total 25
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(lengths)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["budget_tokens"]: r
+        for r in M.pack_waste_curve(docs, budgets=(8, 16)).collect()
+    }
+    # B=8: pack ids floor(prev/8) = 0,0,0,1,2 -> packs 0:{3,4,5}=12,
+    # 1:{6}=6, 2:{7}=7 -> underfill (8-6)+(8-7)=3, overflow 12-8=4
+    assert out[8]["n_packs"] == 3
+    assert out[8]["underfill_tokens"] == 3
+    assert out[8]["overflow_tokens"] == 4
+    # B=16: pack ids 0,0,0,0,1 -> packs 0:=18, 1:=7 -> uf 9, ovf 2
+    assert out[16]["n_packs"] == 2
+    assert out[16]["underfill_tokens"] == 9
+    assert out[16]["overflow_tokens"] == 2
+    for r in out.values():
+        assert r["total_tokens"] == 25
+        assert (
+            r["n_packs"] * r["budget_tokens"]
+            == r["total_tokens"] + r["underfill_tokens"] - r["overflow_tokens"]
+        )
+        assert r["fill_rate"] == 25 / (r["n_packs"] * r["budget_tokens"])
+
+
 def test_bpe_fertility_curve_monotone_from_char_ceiling(spark):
     """k=0 equals the character-split ceiling (fertility = mean word
     length over occurrences); fertility is monotone non-increasing in

@@ -1310,6 +1310,28 @@ def test_cluster_balanced_sample_one_cluster_shuffle(spark, sf_dir):
         assert m.group(1) in ("cluster", "neighbor_id", "_hh"), plan
 
 
+def test_pack_waste_curve_shares_one_prefix_sum(spark, sf_dir):
+    # All budgets derive from ONE checkpointed per-doc prefix frame —
+    # the composed plan must not re-run the prefix windows per budget
+    # (scan count 0 behind the checkpoint), and each budget's pack
+    # aggregate is map-side combined.  No cartesian, no sort-merge join.
+    plan = _plan(L.q_pack_waste_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 0  # behind the lazy checkpoint
+    assert "partial_count" in plan
+    # pre-checkpoint shape: the two-level prefix sum (bucketed windows +
+    # broadcast offsets), one corpus scan
+    from etl_pipeline2_0_spark.functions import mixing
+    from etl_pipeline2_0_spark.plans.llm_ops import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _plan(mixing.pack_waste_curve(docs, budgets=(256,), checkpoint=False))
+    assert raw.count("Scan parquet") <= 2
+    assert "windowspecdefinition" in raw  # the prefix windows
+    assert "CartesianProduct" not in raw
+
+
 def test_vocab_oov_curve_takeordered_not_global_sort(spark, sf_dir):
     # The top-max(V) cut must compile to TakeOrderedAndProject (bounded
     # heap per partition), never a full vocab sort; the only window runs
