@@ -181,7 +181,8 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # quality rows).  test_sql_registry.py re-pins the representative
     # set and the all-oracled invariant.
     #
-    # ROUND-16 STAGING (execute next round): promote ELEVEN entries —
+    # ROUND-16 ROTATION (EXECUTED this round, as staged r15): promoted
+    # ELEVEN entries —
     # the FOUR queued second-wave r14-added entries
     # (cluster_balanced_sample, rouge_screen, chat_lint,
     # contamination_ngram_curve) plus the SEVEN r15-added oracled
@@ -204,11 +205,19 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # semdedup_eps_curve + cluster_balanced_sample), threshold_sweep
     # (quality anchored by domain_quality_rollup + kn_score/langid_rank
     # + the incoming filter_ablation).  Keep the family-anchor and
-    # all-oracled invariants (test_sql_registry.py pins both).  A
-    # SECOND WAVE of FOUR late r15 additions (best_of_n_curve,
-    # vocab_oov_curve, bpe_fertility_curve, pack_waste_curve — ×3-SF
-    # parity-proven, zero driver rows) queues for r17, or folds into
-    # r16 only if four more demotions hold every anchor.
+    # all-oracled invariants (test_sql_registry.py pins both).
+    #
+    # ROUND-17 STAGING (execute next round): promote the FOUR queued
+    # second-wave r15 additions (best_of_n_curve, vocab_oov_curve,
+    # bpe_fertility_curve, pack_waste_curve — ×3-SF parity-proven,
+    # zero driver rows), plus any r16-added oracled entries.  Demote
+    # an equal count of the most-tenured multi-green holdovers,
+    # re-anchoring families as usual (candidates, all thrice-green by
+    # r16 if the window stays green: unigram_train, bitext_mine,
+    # embed_quantize, kn_score, langid_rank, minhash_decontam,
+    # domain_quality_rollup, tokenizer_compare, moore_lewis, ul2_mix —
+    # pick per-family so every anchor in
+    # test_driver_window_covers_every_query_family still holds).
     # === PROMOTED r15 (added r14): measured ranking quality for the
     #     retrieval family — nDCG@5 + MRR@5 of BM25 vs planted graded
     #     truth, and of hybrid RRF fusion vs exact-cosine truth ===
@@ -250,14 +259,22 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     (anisotropy report) ---
     "embed_dim_stats": (L.q_embed_dim_stats, L.SQL_EMBED_DIM_STATS),
     "embed_pca_top": (L.q_embed_pca_top, L.SQL_EMBED_PCA_TOP),
-    # --- first driver rows (promoted r13): LSH dedup precision — the
-    #     complement of minhash_recall (what a destructive dedup would
-    #     wrongly delete) — and the banded-join efficiency metric
-    #     (candidate volume per true pair) ---
-    "minhash_precision": (L.q_minhash_precision, L.SQL_MINHASH_PRECISION),
-    "minhash_band_efficiency": (
-        L.q_minhash_band_efficiency,
-        L.SQL_MINHASH_BAND_EFFICIENCY,
+    # === PROMOTED r16 (added r15): the MinHash ESTIMATOR calibration
+    #     table — third leg of the LSH quality tripod (recall/precision
+    #     measure the blocking; lsh_geometry_sweep prices geometry; this
+    #     measures how far matches/H sits from exact J per decile,
+    #     all-integer identities, tolerance-free oracle) ===
+    "minhash_est_error": (L.q_minhash_est_error, L.SQL_MINHASH_EST_ERROR),
+    # --- promoted r16 (added r15): the multimodal near-dup family's
+    #     measured recall row — real BMP/WAV bytes decoded to
+    #     exact-integer dHash signatures, the trio's shared pigeonhole
+    #     candidate join (hamming<=6, sig_bits-aware chunk tiling)
+    #     measured against exact all-pairs Hamming truth; fully oracled
+    #     because the synthesis arithmetic is SQL-derivable from the
+    #     embeddings table ---
+    "multimodal_neardup_recall": (
+        L.q_multimodal_neardup_recall,
+        L.SQL_MULTIMODAL_NEARDUP_RECALL,
     ),
     # --- first driver rows (promoted r13): interpolated Kneser-Ney
     #     word-bigram LM scoring (Kneser & Ney 1995; the KenLM/CCNet
@@ -269,10 +286,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     char-trigram rank profiles (Cavnar & Trenkle 1994) with an
     #     honest even/odd held-out split ---
     "langid_rank": (L.q_langid_rank, L.SQL_LANGID_RANK),
-    # --- first driver rows (promoted r13): Maximal Marginal Relevance
-    #     diverse top-k (Carbonell & Goldstein 1998) — the
-    #     relevance-aware cousin of kcenter_coreset ---
-    "mmr_select": (L.q_mmr_select, L.SQL_MMR_SELECT),
+    # --- promoted r16 (added r15): the SemDeDup threshold SIZING sweep
+    #     — per candidate eps, vectors the cluster-scoped
+    #     keep-lowest-id rule would drop; a measured sizing curve,
+    #     oracled via the portable quantizer ---
+    "semdedup_eps_curve": (
+        L.q_semdedup_eps_curve,
+        L.SQL_SEMDEDUP_EPS_CURVE,
+    ),
     # --- first driver rows (promoted r13): cross-corpus MinHash
     #     decontamination (the GPT-3/Llama fuzzy train-vs-benchmark
     #     sweep) — banded LSH BETWEEN two corpora, exact-Jaccard
@@ -285,34 +306,50 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.q_domain_quality_rollup,
         L.SQL_DOMAIN_QUALITY_ROLLUP,
     ),
-    "threshold_sweep": (L.q_threshold_sweep, L.SQL_THRESHOLD_SWEEP),
-    # --- first driver rows (promoted r13): T5 span corruption (Raffel
-    #     et al. 2020 §3.1.4) and fill-in-the-middle (Bavarian et al.
-    #     2022) example construction — md5-deterministic, reconstruction
-    #     invariants pinned in tests ---
-    "span_corrupt": (L.q_span_corrupt, L.SQL_SPAN_CORRUPT),
-    "fim_transform": (L.q_fim_transform, L.SQL_FIM_TRANSFORM),
+    # --- promoted r16 (added r15): the quality-filter ABLATION matrix
+    #     — per-filter kill counts, unique/marginal kills, union kill;
+    #     integer-threshold filters, tolerance-free oracle; the
+    #     C4/Gopher-paper ablation convention as one corpus pass ---
+    "filter_ablation": (L.q_filter_ablation, L.SQL_FILTER_ABLATION),
+    # --- promoted r16 (added r14): DCLM-style cluster-balanced
+    #     subsample over the portable clusters, and the two-phase
+    #     pretrain+anneal mix allocation (the public midtraining
+    #     recipe — exact-integer quality proxy, decimal-exact HQ test,
+    #     integer-division allocations; tolerance-free oracles) ---
+    "cluster_balanced_sample": (
+        L.q_cluster_balanced_sample,
+        L.SQL_CLUSTER_BALANCED_SAMPLE,
+    ),
+    "anneal_mix_plan": (L.q_anneal_mix_plan, L.SQL_ANNEAL_MIX_PLAN),
     # --- first driver rows (promoted r13): unigram-LM tokenizer family
     #     (Kudo 2018, the SentencePiece model class) — Viterbi hard-EM
     #     over the bounded word-type table, JVM-side DP fold with an
     #     unrolled-CTE DuckDB twin ---
     "unigram_train": (L.q_unigram_train, L.SQL_UNIGRAM_TRAIN),
-    "unigram_segment_words": (
-        L.q_unigram_segment_words,
-        L.SQL_UNIGRAM_SEGMENT,
+    # --- promoted r16 (added r14): self-instruct ROUGE-style
+    #     instruction-dedup screen (max bigram recall vs any earlier
+    #     doc, keep under 0.7) and the decontamination match-length
+    #     sweep (8/13/20-gram contaminated-doc rates vs the benchmark
+    #     split — a measured sizing curve) ---
+    "rouge_screen": (L.q_rouge_screen, L.SQL_ROUGE_SCREEN),
+    "contamination_ngram_curve": (
+        L.q_contamination_ngram_curve,
+        L.SQL_CONTAMINATION_NGRAM_CURVE,
     ),
-    "unigram_fertility": (
-        L.q_unigram_fertility,
-        L.SQL_UNIGRAM_FERTILITY,
-    ),
-    "unigram_encode_docs": (
-        L.q_unigram_encode_docs,
-        L.SQL_UNIGRAM_ENCODE,
-    ),
-    # --- first driver rows (promoted r13): sentence-integral RAG
-    #     chunking and Contriever/ICT contrastive crop pairs ---
-    "sentence_chunk": (L.q_sentence_chunk, L.SQL_SENTENCE_CHUNK),
-    "crop_pairs": (L.q_crop_pairs, L.SQL_CROP_PAIRS),
+    # --- promoted r16 (oracled r15, rows-only since r2): the
+    #     mapInPandas feature plumbing demo — byte stats of the
+    #     document's UTF-8 payload, ANSI-SQL-reproducible now that
+    #     byte_mean is emitted unrounded (exact int sum / exact len =
+    #     one IEEE division, bit-identical cross-engine) ---
+    "media_features": (L.q_media_features, L.SQL_MEDIA_FEATURES),
+    # --- promoted r16 (added r14): conversation-data validity report
+    #     (role alternation / first-last roles / empty turns /
+    #     singletons) — the DQ gate before chat_assemble ---
+    "chat_lint": (L.q_chat_lint, L.SQL_CHAT_LINT),
+    # --- promoted r16 (added r15): per-vector normalization-drift
+    #     histogram (exact micro-unit squared-L2 buckets) — the
+    #     per-vector complement of embed_dim_stats ---
+    "embed_norm_hist": (L.q_embed_norm_hist, L.SQL_EMBED_NORM_HIST),
     # --- first driver rows (promoted r13): margin-based bitext mining
     #     (Artetxe & Schwenk 2019, the LASER/CCMatrix recipe) — exact
     #     oracle mode; the ANN-fed scale path is a separate rows-only
@@ -428,6 +465,32 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         L.SQL_SHINGLE_DF_HISTOGRAM,
     ),
     # ---------- driver 50-query window ends here ----------
+    # --- demoted r16 (see ROUND-16 ROTATION note above): the eleven
+    #     thrice-green r13 promotions; every one re-proven locally each
+    #     session by the default sf0.001+sf0.1 parity suites ---
+    "minhash_precision": (L.q_minhash_precision, L.SQL_MINHASH_PRECISION),
+    "minhash_band_efficiency": (
+        L.q_minhash_band_efficiency,
+        L.SQL_MINHASH_BAND_EFFICIENCY,
+    ),
+    "mmr_select": (L.q_mmr_select, L.SQL_MMR_SELECT),
+    "threshold_sweep": (L.q_threshold_sweep, L.SQL_THRESHOLD_SWEEP),
+    "span_corrupt": (L.q_span_corrupt, L.SQL_SPAN_CORRUPT),
+    "fim_transform": (L.q_fim_transform, L.SQL_FIM_TRANSFORM),
+    "unigram_segment_words": (
+        L.q_unigram_segment_words,
+        L.SQL_UNIGRAM_SEGMENT,
+    ),
+    "unigram_fertility": (
+        L.q_unigram_fertility,
+        L.SQL_UNIGRAM_FERTILITY,
+    ),
+    "unigram_encode_docs": (
+        L.q_unigram_encode_docs,
+        L.SQL_UNIGRAM_ENCODE,
+    ),
+    "sentence_chunk": (L.q_sentence_chunk, L.SQL_SENTENCE_CHUNK),
+    "crop_pairs": (L.q_crop_pairs, L.SQL_CROP_PAIRS),
     # --- demoted r15 (see ROUND-15 ROTATION note above): the four
     #     thrice-green r11 promotions and seven twice-green r12
     #     promotions; every one re-proven locally each session by the
@@ -724,80 +787,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
     "media_frames": (L.q_media_frames, None),
-    # --- added r14 (past-cap; r16 promotion pool — SECOND WAVE, queued
-    #     behind the executed r15 first wave): DCLM-style
-    #     cluster-balanced subsample over the portable clusters ---
-    "cluster_balanced_sample": (
-        L.q_cluster_balanced_sample,
-        L.SQL_CLUSTER_BALANCED_SAMPLE,
-    ),
-    # --- added r14 (past-cap; r16 pool second wave): self-instruct
-    #     ROUGE-style instruction-dedup screen — max bigram recall vs
-    #     any earlier doc (asymmetric overlap), keep under 0.7 ---
-    "rouge_screen": (L.q_rouge_screen, L.SQL_ROUGE_SCREEN),
-    # --- added r14 (past-cap; r16 pool second wave): conversation-data
-    #     validity report (role alternation / first-last roles / empty
-    #     turns / singletons) — the DQ gate before chat_assemble ---
-    "chat_lint": (L.q_chat_lint, L.SQL_CHAT_LINT),
-    # --- added r14 (past-cap; r16 pool second wave): decontamination
-    #     match-length sweep (8/13/20-gram contaminated-doc rates vs
-    #     the benchmark split) — the fifth measured sizing curve ---
-    "contamination_ngram_curve": (
-        L.q_contamination_ngram_curve,
-        L.SQL_CONTAMINATION_NGRAM_CURVE,
-    ),
-    # --- added r15 (past-cap; r16 promotion pool): the multimodal
-    #     near-dup family's measured recall row (r14 verdict item 2) —
-    #     real BMP/WAV bytes decoded to exact-integer dHash signatures,
-    #     the trio's shared pigeonhole candidate join (hamming<=6,
-    #     8 chunks) measured against exact all-pairs Hamming truth;
-    #     fully oracled because the synthesis arithmetic is
-    #     SQL-derivable from the embeddings table ---
-    "multimodal_neardup_recall": (
-        L.q_multimodal_neardup_recall,
-        L.SQL_MULTIMODAL_NEARDUP_RECALL,
-    ),
-    # --- oracled r15 (was rows-only since r2): the mapInPandas feature
-    #     plumbing demo — byte stats of the document's UTF-8 payload are
-    #     ANSI-SQL-reproducible now that byte_mean is emitted unrounded
-    #     (exact int sum / exact len = one IEEE division, bit-identical
-    #     cross-engine; the 6dp round was the midpoint hazard) ---
-    "media_features": (L.q_media_features, L.SQL_MEDIA_FEATURES),
-    # --- added r15 (past-cap; r16 promotion pool): the MinHash
-    #     ESTIMATOR calibration table — the third leg of the LSH
-    #     quality tripod (recall/precision measure the blocking;
-    #     lsh_geometry_sweep prices geometry; this measures how far
-    #     matches/H sits from exact J per decile, all-integer
-    #     identities, tolerance-free oracle) ---
-    "minhash_est_error": (L.q_minhash_est_error, L.SQL_MINHASH_EST_ERROR),
-    # --- added r15 (past-cap; r16 promotion pool): the quality-filter
-    #     ABLATION matrix — per-filter kill counts, unique/marginal
-    #     kills, union kill; integer-threshold filters, tolerance-free
-    #     oracle; the C4/Gopher-paper ablation convention as one pass ---
-    "filter_ablation": (L.q_filter_ablation, L.SQL_FILTER_ABLATION),
-    # --- added r15 (past-cap; r16 promotion pool): per-vector
-    #     normalization-drift histogram (exact micro-unit squared-L2
-    #     buckets) — the per-vector complement of embed_dim_stats ---
-    "embed_norm_hist": (L.q_embed_norm_hist, L.SQL_EMBED_NORM_HIST),
-    # --- added r15 (past-cap; r16 promotion pool): the SemDeDup
-    #     threshold SIZING sweep — per candidate eps, vectors the
-    #     cluster-scoped keep-lowest-id rule would drop; the sixth
-    #     measured sizing curve, oracled via the portable quantizer ---
-    "semdedup_eps_curve": (
-        L.q_semdedup_eps_curve,
-        L.SQL_SEMDEDUP_EPS_CURVE,
-    ),
-    # --- added r15 (past-cap; r16 promotion pool): two-phase
-    #     pretrain+anneal mix allocation (the public midtraining
-    #     recipe) — exact-integer quality proxy, decimal-exact HQ
-    #     test, integer-division allocations; tolerance-free oracle ---
-    "anneal_mix_plan": (L.q_anneal_mix_plan, L.SQL_ANNEAL_MIX_PLAN),
-    # --- added r15 (past-cap; r16 promotion pool): the rejection-
-    #     sampling inference-scaling curve — mean best-of-first-N reward
-    #     per N over the dpo/best_of_n scored pool; exact micro-unit
-    #     integer maxes and one fixed two-division mean ---
+    # --- added r15 (past-cap; r17 promotion pool — the four
+    #     second-wave sizing/scaling curves, ×3-SF parity-proven, zero
+    #     driver rows): the rejection-sampling inference-scaling curve
+    #     (mean best-of-first-N reward per N over the dpo/best_of_n
+    #     scored pool; exact micro-unit integer maxes and one fixed
+    #     two-division mean) ---
     "best_of_n_curve": (L.q_best_of_n_curve, L.SQL_BEST_OF_N_CURVE),
-    # --- added r15 (past-cap; r16 promotion pool): the vocabulary-
+    # --- added r15 (past-cap; r17 pool second wave): the vocabulary-
     #     budget sizing sweep — covered mass + OOV rate per top-V cut;
     #     the seventh measured sizing curve ---
     "vocab_oov_curve": (L.q_vocab_oov_curve, L.SQL_VOCAB_OOV_CURVE),

@@ -88,62 +88,72 @@ def test_driver_window_covers_every_query_family():
 
     window = set(list(_AQ)[:50])
     representatives = {
-        # dedup family: LSH precision/band-efficiency + the SimHash and
-        # winnowing recall rows on the shared exact-Jaccard truth,
-        # cross-corpus MinHash decontamination, deletion lineage +
-        # soft-dedup reweighting + the Jaccard threshold histogram,
-        # plus the CDC storage-dedup sizing curve (edit_neardup rotated
-        # out r15 with 3 green rows — PassJoin anchored by the shared
-        # candidate machinery the manifest/histogram rows exercise)
-        "minhash_precision", "minhash_band_efficiency",
+        # dedup family: the SimHash and winnowing recall rows on the
+        # shared exact-Jaccard truth, cross-corpus MinHash
+        # decontamination, deletion lineage + soft-dedup reweighting +
+        # the Jaccard threshold histogram, the CDC storage-dedup sizing
+        # curve, the MinHash ESTIMATOR calibration table, the ROUGE
+        # instruction-dedup screen, and the multimodal near-dup family's
+        # measured recall (minhash_precision/band_efficiency rotated out
+        # r16 with 3 green rows — LSH blocking quality anchored by
+        # minhash_decontam + the recall rows + minhash_est_error)
         "minhash_decontam", "simhash_recall", "winnow_recall",
         "dedup_manifest", "soft_dedup", "jaccard_histogram",
-        "cdc_dedup_curve",
+        "cdc_dedup_curve", "minhash_est_error", "rouge_screen",
+        "multimodal_neardup_recall",
+        # decontamination sizing: the n-gram match-length sweep
+        "contamination_ngram_curve",
         # LSH/sketch calibration: measured band-geometry sweep, Bloom
         # FPR curve, CMS overestimate curve, shingle doc-freq histogram
-        # (cms_heavy_hitters / bloom_contamination rotated out r15 —
-        # the sketch family stays measured via these four curves +
-        # minhash_decontam's Bloom-free twin)
         "lsh_geometry_sweep", "bloom_fpr_curve", "cms_error_curve",
         "shingle_df_histogram",
-        # similarity / ANN: MMR diverse selection, margin bitext mining
-        # + measured IVF-path recall, int8 quantization, hubness audit,
-        # cluster composition profile, ANN-mined hard triplets, and the
-        # embedding diagnostics pair (ann_pq_topk/ann_pq_recall rotated
-        # out r15 with 3 green rows each)
-        "mmr_select", "bitext_mine",
+        # similarity / ANN: margin bitext mining + measured IVF-path
+        # recall, int8 quantization, hubness audit, cluster composition
+        # profile, ANN-mined hard triplets, the embedding diagnostics
+        # pair, the per-vector norm histogram, and the SemDeDup eps
+        # sizing sweep (mmr_select rotated out r16 with 3 green rows —
+        # semantic selection anchored by semdedup_eps_curve +
+        # cluster_balanced_sample)
+        "bitext_mine",
         "bitext_recall", "embed_quantize", "ann_hubness",
         "cluster_profile", "contrastive_triplets", "embed_dim_stats",
-        "embed_pca_top",
-        # text analysis / corpus quality (quality_classifier /
-        # gopher_repetition / entropy_stats / langid_confusion rotated
-        # out r15 — quality anchored by KN LM scoring, trained lang-ID,
-        # the threshold calibration sweep and the per-domain rollup)
+        "embed_pca_top", "embed_norm_hist", "semdedup_eps_curve",
+        "cluster_balanced_sample",
+        # text analysis / corpus quality (threshold_sweep rotated out
+        # r16 with 3 green rows — quality anchored by KN LM scoring,
+        # trained lang-ID, the per-domain rollup, and the per-filter
+        # ablation matrix)
         "kn_score", "langid_rank",
-        "threshold_sweep", "domain_quality_rollup",
+        "filter_ablation", "domain_quality_rollup",
         # privacy DQ: k-anonymity quasi-identifier audit
         "kanon_audit",
-        # tokenizers: the full unigram-LM family + the BPE-vs-unigram
-        # decision tables (raw-budget AND equal-budget variants)
-        "unigram_train", "unigram_segment_words", "unigram_fertility",
-        "unigram_encode_docs", "tokenizer_compare",
+        # tokenizers: unigram-LM training + the BPE-vs-unigram decision
+        # tables, raw-budget AND equal-budget variants (the three
+        # unigram non-train rows rotated out r16 with 3 green rows —
+        # segment/fertility/encode are composed inside both compare
+        # tables and unigram_train itself)
+        "unigram_train", "tokenizer_compare",
         "tokenizer_compare_eqv",
-        # data selection / mixing (doremi_weights rotated out r15 with
-        # 3 green rows — anchored by Moore-Lewis cross-entropy
-        # selection, the repeat-epoch decay curve, and the cross-source
-        # overlap matrix)
+        # data selection / mixing: Moore-Lewis cross-entropy selection,
+        # the repeat-epoch decay curve, the cross-source overlap
+        # matrix, and the two-phase pretrain+anneal allocation
         "moore_lewis", "epoch_decay_curve",
-        "corpus_overlap",
-        # retrieval (retrieval_pairs rotated out r15 — the BM25 chain
-        # now exercised end-to-end by the MEASURED ranking-quality rows;
-        # sentence-integral chunking; Contriever crops)
-        "retrieval_ndcg", "rrf_ndcg", "sentence_chunk", "crop_pairs",
+        "corpus_overlap", "anneal_mix_plan",
+        # retrieval (sentence_chunk / crop_pairs rotated out r16 with 3
+        # green rows — chunking anchored by the MEASURED ranking-quality
+        # rows, which consume the same chunk tables)
+        "retrieval_ndcg", "rrf_ndcg",
         # example construction / packing: SFT packing with loss masks,
-        # UL2 mixture, DPO pairs, best-of-N, GRPO advantages, and the
-        # multi-turn chat assembly/packing pair
-        "span_corrupt", "fim_transform", "ul2_mix", "sft_pack",
+        # UL2 mixture, DPO pairs, best-of-N, GRPO advantages, the
+        # multi-turn chat assembly/packing pair and its DQ lint gate
+        # (span_corrupt / fim_transform rotated out r16 with 3 green
+        # rows — md5-deterministic construction anchored by ul2_mix,
+        # which composes the span-corruption objective)
+        "ul2_mix", "sft_pack",
         "dpo_pairs", "best_of_n", "grpo_advantage", "chat_assemble",
-        "chat_pack",
+        "chat_pack", "chat_lint",
+        # multimodal plumbing: the mapInPandas byte-stats demo, oracled
+        "media_features",
         # DQ / observability (anchored by the datasheet-style report
         # card + the per-domain rollup above)
         "dataset_card",
