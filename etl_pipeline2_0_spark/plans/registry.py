@@ -813,6 +813,62 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
 }
 
 
+# Machine-checkable census of every rows-only (no_oracle) entry — one
+# line per key explaining why no tolerance-free ANSI twin exists, and
+# what carries its value correctness instead (r15 verdict item 7:
+# "census count == rows-only count" is pinned by
+# tests/test_sql_registry.py::test_rows_only_census_complete).  When a
+# future operator lands rows-only, add its census line IN THE SAME
+# COMMIT or the pin fails.
+ROWS_ONLY_CENSUS: dict[str, str] = {
+    "minhash_pairs": (
+        "engine-specific xxhash64 fast path BY DESIGN; value correctness "
+        "carried by the md5-portable oracled twin minhash_pairs_portable "
+        "+ x3-SF goldens"
+    ),
+    "simhash_pairs": (
+        "engine-specific xxhash64 fast path; oracled twin "
+        "simhash_pairs_portable + x3-SF goldens"
+    ),
+    "ann_ivf_topk": (
+        "xxhash64-seeded Lloyd fast path; oracled twin "
+        "ann_ivf_topk_portable + x3-SF goldens"
+    ),
+    "ann_ivf_recall": (
+        "recall of the xxhash64+Lloyd fast path; oracled twin "
+        "ann_ivf_recall_portable measures the portable configuration"
+    ),
+    "semantic_dedup": (
+        "xxhash64-seeded cluster assignment; prototypicality/"
+        "cluster_profile oracle the portable centroids + assignment, "
+        "semdedup_eps_curve oracles the keep/drop rule"
+    ),
+    "media_decode": (
+        "averages float lumas across rows (partial-aggregation-order-"
+        "dependent double sums, no tolerance-free twin); x3-SF value "
+        "goldens + the ORACLED multimodal_neardup_recall row certify "
+        "the decode chain"
+    ),
+    "media_frames": (
+        "same float-luma aggregation class as media_decode; x3-SF "
+        "value goldens"
+    ),
+    "image_phash_neardup": (
+        "float DCT hashing (pandas-only); x3-SF goldens pin values, "
+        "oracled multimodal_neardup_recall measures the shared "
+        "pigeonhole join vs exact Hamming truth"
+    ),
+    "audio_fp_neardup": (
+        "float band-energy fingerprint (pandas-only); x3-SF goldens + "
+        "the shared measured-recall row"
+    ),
+    "video_phash_neardup": (
+        "per-frame float DCT hashing (pandas-only); x3-SF goldens + "
+        "the shared measured-recall row"
+    ),
+}
+
+
 def query_map() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in ALL_QUERIES.items()}
 

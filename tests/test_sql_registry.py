@@ -164,3 +164,22 @@ def test_driver_window_covers_every_query_family():
     # (`no_oracle`) driver rows for the first time since r2.
     unoracled = [n for n in list(_AQ)[:50] if _AQ[n][1] is None]
     assert unoracled == [], f"rows-only entries burning window slots: {unoracled}"
+
+
+def test_rows_only_census_complete():
+    # r15 verdict item 7: every rows-only (no_oracle) entry must carry a
+    # census line saying WHY it has no ANSI twin and what carries its
+    # value correctness instead — and nothing censused may silently gain
+    # an oracle while its census line lingers.
+    from etl_pipeline2_0_spark.plans.registry import (
+        ALL_QUERIES,
+        ROWS_ONLY_CENSUS,
+    )
+
+    rows_only = {n for n, (_, sql) in ALL_QUERIES.items() if sql is None}
+    assert rows_only == set(ROWS_ONLY_CENSUS), (
+        f"census drift: uncensused={sorted(rows_only - set(ROWS_ONLY_CENSUS))} "
+        f"stale={sorted(set(ROWS_ONLY_CENSUS) - rows_only)}"
+    )
+    for name, why in ROWS_ONLY_CENSUS.items():
+        assert len(why) > 40, f"census line for {name} is not a real rationale"
