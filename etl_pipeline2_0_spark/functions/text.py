@@ -632,6 +632,7 @@ def vocab_oov_curve(
     df,
     text_col: str = "text",
     vocab_sizes: "tuple[int, ...]" = (64, 256, 1024, 4096),
+    max_n: int = 1,
 ):
     """Vocabulary-size SIZING curve — the V-sweep complement of
     :func:`oov_stats` (one V) and the seventh measured sizing curve
@@ -651,15 +652,43 @@ def vocab_oov_curve(
     oov_rate), one row per V, ordered; n_types / total_tokens repeat
     (report-table convention).
 
+    ``max_n`` sizes the vocabulary UNIT: 1 counts word types only;
+    n > 1 adds word 2..n-grams as candidate vocabulary entries
+    (underscore-joined), the standard move when the word-type
+    inventory is too small for the V grid under study — n-gram types
+    grow the stratum multiplicatively while staying honestly derived
+    from the corpus.
+
     Scale: ONE explode → token-frequency aggregate (map-side combine;
     the shuffle carries distinct tokens), then
     ``TakeOrderedAndProject`` for the bounded top-max(V) (never a full
     vocab sort) — the only window runs over that ≤max(V)-row frame.
     The sweep is |V| conditional sums over it plus a literal fan-out.
+    The n-gram expansion is per-row array arithmetic (zip_with over
+    two slices), no extra pass or shuffle.
     """
     top_v = max(int(v) for v in vocab_sizes)
+    units = tokens(F.col(text_col))
+    if max_n > 1:
+        grams = [units]
+        for _ in range(2, max_n + 1):
+            prev = grams[-1]
+            grams.append(
+                F.zip_with(
+                    F.slice(
+                        prev, 1, F.greatest(F.size(prev) - 1, F.lit(0))
+                    ),
+                    F.slice(
+                        units,
+                        len(grams) + 1,
+                        F.greatest(F.size(units) - len(grams), F.lit(0)),
+                    ),
+                    lambda a, b: F.concat_ws("_", a, b),
+                )
+            )
+        units = F.concat(*grams)
     freq = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        df.select(F.explode(units).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("f"))
     ).localCheckpoint(eager=False)

@@ -11,7 +11,16 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_pipeline2_0_spark.plans import llm_ops as L
+from etl_pipeline2_0_spark.plans import llm_dedup as LD
+from etl_pipeline2_0_spark.plans import llm_sketches as LSK
+from etl_pipeline2_0_spark.plans import llm_similarity as LS
+from etl_pipeline2_0_spark.plans import llm_text as LT
+from etl_pipeline2_0_spark.plans import llm_tokenizers as LTK
+from etl_pipeline2_0_spark.plans import llm_construct as LC
+from etl_pipeline2_0_spark.plans import llm_mixing as LM
+from etl_pipeline2_0_spark.plans import llm_retrieval as LR
+from etl_pipeline2_0_spark.plans import llm_multimodal as LMM
+from etl_pipeline2_0_spark.plans import llm_dq as LQ
 from etl_pipeline2_0_spark.plans import relational as R
 from etl_pipeline2_0_spark.plans import relational_ext as X
 from etl_pipeline2_0_spark.plans import tpch_more as T
@@ -221,50 +230,50 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # === PROMOTED r15 (added r14): measured ranking quality for the
     #     retrieval family — nDCG@5 + MRR@5 of BM25 vs planted graded
     #     truth, and of hybrid RRF fusion vs exact-cosine truth ===
-    "retrieval_ndcg": (L.q_retrieval_ndcg, L.SQL_RETRIEVAL_NDCG),
-    "rrf_ndcg": (L.q_rrf_ndcg, L.SQL_RRF_NDCG),
+    "retrieval_ndcg": (LR.q_retrieval_ndcg, LR.SQL_RETRIEVAL_NDCG),
+    "rrf_ndcg": (LR.q_rrf_ndcg, LR.SQL_RRF_NDCG),
     # --- promoted r15 (added r14): multi-turn conversation assembly
     #     (ordered role-tagged rendering + per-role loss masks) and
     #     whole-conversation packing under a token budget ---
-    "chat_assemble": (L.q_chat_assemble, L.SQL_CHAT_ASSEMBLE),
-    "chat_pack": (L.q_chat_pack, L.SQL_CHAT_PACK),
+    "chat_assemble": (LC.q_chat_assemble, LC.SQL_CHAT_ASSEMBLE),
+    "chat_pack": (LC.q_chat_pack, LC.SQL_CHAT_PACK),
     # --- promoted r15 (added r14): the equal-budget tokenizer decision
     #     table — same word-type and effective-vocab budgets for BOTH
     #     families so fertility_delta compares families, not budgets ---
     "tokenizer_compare_eqv": (
-        L.q_tokenizer_compare_eqv,
-        L.SQL_TOKENIZER_COMPARE_EQV,
+        LTK.q_tokenizer_compare_eqv,
+        LTK.SQL_TOKENIZER_COMPARE_EQV,
     ),
     # --- promoted r15 (added r14): group-relative advantage
     #     normalization (the public GRPO recipe) — z-scored rewards from
     #     the dpo_pairs/best_of_n scored pool; exact-decimal positivity
     #     test + fixed-order double numerator (advisor-r14 fix) ---
-    "grpo_advantage": (L.q_grpo_advantage, L.SQL_GRPO_ADVANTAGE),
+    "grpo_advantage": (LC.q_grpo_advantage, LC.SQL_GRPO_ADVANTAGE),
     # --- promoted r15 (added r14): k-anonymity quasi-identifier audit
     #     (Sweeney 2002) — the privacy-risk table next to pii_redact ---
-    "kanon_audit": (L.q_kanon_audit, L.SQL_KANON_AUDIT),
+    "kanon_audit": (LQ.q_kanon_audit, LQ.SQL_KANON_AUDIT),
     # --- promoted r15 (added r14): content-defined-chunking dedup
     #     sizing table (FastCDC family) — md5-portable boundaries,
     #     storage-dedup ratio at three mask widths, one gram pass ---
-    "cdc_dedup_curve": (L.q_cdc_dedup_curve, L.SQL_CDC_DEDUP_CURVE),
+    "cdc_dedup_curve": (LD.q_cdc_dedup_curve, LD.SQL_CDC_DEDUP_CURVE),
     # --- promoted r15 (added r14): ANN-mined hard contrastive triplets
     #     over the portable-IVF candidate set — cluster-scoped
     #     equi-joins, one conditional max-struct aggregate ---
     "contrastive_triplets": (
-        L.q_contrastive_triplets,
-        L.SQL_CONTRASTIVE_TRIPLETS,
+        LS.q_contrastive_triplets,
+        LS.SQL_CONTRASTIVE_TRIPLETS,
     ),
     # --- promoted r15 (added r14): per-dimension embedding diagnostics
     #     and the exact-integer power-iteration top principal direction
     #     (anisotropy report) ---
-    "embed_dim_stats": (L.q_embed_dim_stats, L.SQL_EMBED_DIM_STATS),
-    "embed_pca_top": (L.q_embed_pca_top, L.SQL_EMBED_PCA_TOP),
+    "embed_dim_stats": (LS.q_embed_dim_stats, LS.SQL_EMBED_DIM_STATS),
+    "embed_pca_top": (LS.q_embed_pca_top, LS.SQL_EMBED_PCA_TOP),
     # === PROMOTED r16 (added r15): the MinHash ESTIMATOR calibration
     #     table — third leg of the LSH quality tripod (recall/precision
     #     measure the blocking; lsh_geometry_sweep prices geometry; this
     #     measures how far matches/H sits from exact J per decile,
     #     all-integer identities, tolerance-free oracle) ===
-    "minhash_est_error": (L.q_minhash_est_error, L.SQL_MINHASH_EST_ERROR),
+    "minhash_est_error": (LD.q_minhash_est_error, LD.SQL_MINHASH_EST_ERROR),
     # --- promoted r16 (added r15): the multimodal near-dup family's
     #     measured recall row — real BMP/WAV bytes decoded to
     #     exact-integer dHash signatures, the trio's shared pigeonhole
@@ -273,93 +282,93 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     because the synthesis arithmetic is SQL-derivable from the
     #     embeddings table ---
     "multimodal_neardup_recall": (
-        L.q_multimodal_neardup_recall,
-        L.SQL_MULTIMODAL_NEARDUP_RECALL,
+        LMM.q_multimodal_neardup_recall,
+        LMM.SQL_MULTIMODAL_NEARDUP_RECALL,
     ),
     # --- first driver rows (promoted r13): interpolated Kneser-Ney
     #     word-bigram LM scoring (Kneser & Ney 1995; the KenLM/CCNet
     #     smoothing family), trained leakage-free on the non-src0 slice
     #     so the oracle exercises every unseen-bigram/context/OOV
     #     fallback path ---
-    "kn_score": (L.q_kn_score, L.SQL_KN_SCORE),
+    "kn_score": (LT.q_kn_score, LT.SQL_KN_SCORE),
     # --- first driver rows (promoted r13): TRAINED language ID by
     #     char-trigram rank profiles (Cavnar & Trenkle 1994) with an
     #     honest even/odd held-out split ---
-    "langid_rank": (L.q_langid_rank, L.SQL_LANGID_RANK),
+    "langid_rank": (LT.q_langid_rank, LT.SQL_LANGID_RANK),
     # --- promoted r16 (added r15): the SemDeDup threshold SIZING sweep
     #     — per candidate eps, vectors the cluster-scoped
     #     keep-lowest-id rule would drop; a measured sizing curve,
     #     oracled via the portable quantizer ---
     "semdedup_eps_curve": (
-        L.q_semdedup_eps_curve,
-        L.SQL_SEMDEDUP_EPS_CURVE,
+        LS.q_semdedup_eps_curve,
+        LS.SQL_SEMDEDUP_EPS_CURVE,
     ),
     # --- first driver rows (promoted r13): cross-corpus MinHash
     #     decontamination (the GPT-3/Llama fuzzy train-vs-benchmark
     #     sweep) — banded LSH BETWEEN two corpora, exact-Jaccard
     #     verified, md5-portable end-to-end ---
-    "minhash_decontam": (L.q_minhash_decontam, L.SQL_MINHASH_DECONTAM),
+    "minhash_decontam": (LD.q_minhash_decontam, LD.SQL_MINHASH_DECONTAM),
     # --- first driver rows (promoted r13): per-domain quality triage
     #     rollup and the quality-gate calibration sweep (docs + token
     #     mass kept per candidate threshold, one corpus pass) ---
     "domain_quality_rollup": (
-        L.q_domain_quality_rollup,
-        L.SQL_DOMAIN_QUALITY_ROLLUP,
+        LQ.q_domain_quality_rollup,
+        LQ.SQL_DOMAIN_QUALITY_ROLLUP,
     ),
     # --- promoted r16 (added r15): the quality-filter ABLATION matrix
     #     — per-filter kill counts, unique/marginal kills, union kill;
     #     integer-threshold filters, tolerance-free oracle; the
     #     C4/Gopher-paper ablation convention as one corpus pass ---
-    "filter_ablation": (L.q_filter_ablation, L.SQL_FILTER_ABLATION),
+    "filter_ablation": (LT.q_filter_ablation, LT.SQL_FILTER_ABLATION),
     # --- promoted r16 (added r14): DCLM-style cluster-balanced
     #     subsample over the portable clusters, and the two-phase
     #     pretrain+anneal mix allocation (the public midtraining
     #     recipe — exact-integer quality proxy, decimal-exact HQ test,
     #     integer-division allocations; tolerance-free oracles) ---
     "cluster_balanced_sample": (
-        L.q_cluster_balanced_sample,
-        L.SQL_CLUSTER_BALANCED_SAMPLE,
+        LS.q_cluster_balanced_sample,
+        LS.SQL_CLUSTER_BALANCED_SAMPLE,
     ),
-    "anneal_mix_plan": (L.q_anneal_mix_plan, L.SQL_ANNEAL_MIX_PLAN),
+    "anneal_mix_plan": (LM.q_anneal_mix_plan, LM.SQL_ANNEAL_MIX_PLAN),
     # --- first driver rows (promoted r13): unigram-LM tokenizer family
     #     (Kudo 2018, the SentencePiece model class) — Viterbi hard-EM
     #     over the bounded word-type table, JVM-side DP fold with an
     #     unrolled-CTE DuckDB twin ---
-    "unigram_train": (L.q_unigram_train, L.SQL_UNIGRAM_TRAIN),
+    "unigram_train": (LTK.q_unigram_train, LTK.SQL_UNIGRAM_TRAIN),
     # --- promoted r16 (added r14): self-instruct ROUGE-style
     #     instruction-dedup screen (max bigram recall vs any earlier
     #     doc, keep under 0.7) and the decontamination match-length
     #     sweep (8/13/20-gram contaminated-doc rates vs the benchmark
     #     split — a measured sizing curve) ---
-    "rouge_screen": (L.q_rouge_screen, L.SQL_ROUGE_SCREEN),
+    "rouge_screen": (LD.q_rouge_screen, LD.SQL_ROUGE_SCREEN),
     "contamination_ngram_curve": (
-        L.q_contamination_ngram_curve,
-        L.SQL_CONTAMINATION_NGRAM_CURVE,
+        LD.q_contamination_ngram_curve,
+        LD.SQL_CONTAMINATION_NGRAM_CURVE,
     ),
     # --- promoted r16 (oracled r15, rows-only since r2): the
     #     mapInPandas feature plumbing demo — byte stats of the
     #     document's UTF-8 payload, ANSI-SQL-reproducible now that
     #     byte_mean is emitted unrounded (exact int sum / exact len =
     #     one IEEE division, bit-identical cross-engine) ---
-    "media_features": (L.q_media_features, L.SQL_MEDIA_FEATURES),
+    "media_features": (LMM.q_media_features, LMM.SQL_MEDIA_FEATURES),
     # --- promoted r16 (added r14): conversation-data validity report
     #     (role alternation / first-last roles / empty turns /
     #     singletons) — the DQ gate before chat_assemble ---
-    "chat_lint": (L.q_chat_lint, L.SQL_CHAT_LINT),
+    "chat_lint": (LC.q_chat_lint, LC.SQL_CHAT_LINT),
     # --- promoted r16 (added r15): per-vector normalization-drift
     #     histogram (exact micro-unit squared-L2 buckets) — the
     #     per-vector complement of embed_dim_stats ---
-    "embed_norm_hist": (L.q_embed_norm_hist, L.SQL_EMBED_NORM_HIST),
+    "embed_norm_hist": (LS.q_embed_norm_hist, LS.SQL_EMBED_NORM_HIST),
     # --- first driver rows (promoted r13): margin-based bitext mining
     #     (Artetxe & Schwenk 2019, the LASER/CCMatrix recipe) — exact
     #     oracle mode; the ANN-fed scale path is a separate rows-only
     #     recall metric ---
-    "bitext_mine": (L.q_bitext_mine, L.SQL_BITEXT_MINE),
+    "bitext_mine": (LS.q_bitext_mine, LS.SQL_BITEXT_MINE),
     # --- first driver row (promoted r13): symmetric int8 embedding
     #     quantization (faiss QT_8bit scheme) with exact
     #     reconstruction-error accounting; emits the unrounded scale
     #     (advisor-r12 fix) ---
-    "embed_quantize": (L.q_embed_quantize, L.SQL_EMBED_QUANTIZE),
+    "embed_quantize": (LS.q_embed_quantize, LS.SQL_EMBED_QUANTIZE),
     # === PROMOTED r14: the 21 r13-added oracled entries collect
     #     their first external driver rows (all sf0.001+sf0.01
     #     parity-proven locally since r13) ===
@@ -368,273 +377,273 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     candidate equi-joins, never the cross product) vs the exact
     #     all-pairs path; fully oracled via the md5-portable coarse
     #     quantizer ---
-    "bitext_recall": (L.q_bitext_recall, L.SQL_BITEXT_RECALL),
+    "bitext_recall": (LS.q_bitext_recall, LS.SQL_BITEXT_RECALL),
     # --- promoted r14 (added r13): the tokenizer
     #     decision table — per-source fertility + OOV rate for BPE vs
     #     unigram-LM trained on the same corpus under the same word
     #     tokenization, with the fertility delta; one shared occurrence
     #     aggregate against both trained segmentation tables ---
-    "tokenizer_compare": (L.q_tokenizer_compare, L.SQL_TOKENIZER_COMPARE),
+    "tokenizer_compare": (LTK.q_tokenizer_compare, LTK.SQL_TOKENIZER_COMPARE),
     # --- promoted r14 (added r13): Moore-Lewis 2010
     #     cross-entropy-difference selection — in-domain vs general
     #     char-bigram LM score delta, the perplexity-space complement
     #     of the DSIR hashed-feature importance pair ---
-    "moore_lewis": (L.q_moore_lewis, L.SQL_MOORE_LEWIS),
+    "moore_lewis": (LM.q_moore_lewis, LM.SQL_MOORE_LEWIS),
     # --- promoted r14 (added r13): UL2 mixture-of-
     #     denoisers (Tay et al. 2022) — hash-assigned R/X/S paradigms
     #     composing span_corrupt at two densities plus a prefix-LM
     #     split, paradigm tokens prepended ---
-    "ul2_mix": (L.q_ul2_mix, L.SQL_UL2_MIX),
+    "ul2_mix": (LC.q_ul2_mix, LC.SQL_UL2_MIX),
     # --- promoted r14 (added r13): datasheet-style
     #     report card (Gebru et al. 2021) — volume / length quantiles /
     #     exact-dup rate / language+source shares / mean quality as one
     #     tidy frame; one narrow projection + four bounded aggregates ---
-    "dataset_card": (L.q_dataset_card, L.SQL_DATASET_CARD),
+    "dataset_card": (LQ.q_dataset_card, LQ.SQL_DATASET_CARD),
     # --- promoted r14 (added r13): SFT packing with
     #     loss-mask accounting — hash-cut (prompt, response) examples
     #     packed per source, masked vs loss-bearing token split per
     #     pack ---
-    "sft_pack": (L.q_sft_pack, L.SQL_SFT_PACK),
+    "sft_pack": (LC.q_sft_pack, LC.SQL_SFT_PACK),
     # --- promoted r14 (added r13): soft dedup — the
     #     reweighting alternative to hard near-dedup (1/cluster_size
     #     sampling weights over the dup_components Jaccard graph, exact
     #     integer effective-mass accounting) ---
-    "soft_dedup": (L.q_soft_dedup, L.SQL_SOFT_DEDUP),
+    "soft_dedup": (LD.q_soft_dedup, LD.SQL_SOFT_DEDUP),
     # --- promoted r14 (added r13): DPO preference-pair
     #     construction — per pseudo-prompt group argmax/argmin of a
     #     lexical-diversity score with a margin floor; one max/min-struct
     #     hash aggregate, no window ---
-    "dpo_pairs": (L.q_dpo_pairs, L.SQL_DPO_PAIRS),
+    "dpo_pairs": (LC.q_dpo_pairs, LC.SQL_DPO_PAIRS),
     # --- promoted r14 (added r13): k-occurrence hubness
     #     audit of the portable IVF index (Radovanović 2010) — top hub
     #     vectors + antihub dead-zone fraction, every other vector as a
     #     query ---
-    "ann_hubness": (L.q_ann_hubness, L.SQL_ANN_HUBNESS),
+    "ann_hubness": (LS.q_ann_hubness, LS.SQL_ANN_HUBNESS),
     # --- promoted r14 (added r13): best-of-N rejection
     #     sampling — dpo_pairs' grouping/scoring with the top-3 kept
     #     (rnk 1 ≡ dpo chosen, shared tiebreak) ---
-    "best_of_n": (L.q_best_of_n, L.SQL_BEST_OF_N),
+    "best_of_n": (LC.q_best_of_n, LC.SQL_BEST_OF_N),
     # --- promoted r14 (added r13): embedding-space
     #     composition per portable-centroid cluster — corpus share +
     #     label dominance (SemDeDup/DCLM cluster analysis) ---
-    "cluster_profile": (L.q_cluster_profile, L.SQL_CLUSTER_PROFILE),
+    "cluster_profile": (LS.q_cluster_profile, LS.SQL_CLUSTER_PROFILE),
     # --- promoted r14 (added r13): SimHash recall vs
     #     exact Jaccard truth — closes the quality-metric asymmetry with
     #     the MinHash family (same %2 subset, same truth set) ---
-    "simhash_recall": (L.q_simhash_recall, L.SQL_SIMHASH_RECALL),
+    "simhash_recall": (LD.q_simhash_recall, LD.SQL_SIMHASH_RECALL),
     # --- promoted r14 (added r13): winnowing recall vs
     #     the same exact-Jaccard truth — the THIRD fingerprint family on
     #     the identical truth set (verbatim-run screen vs token near-dup
     #     truth; the gap is the measurement) ---
-    "winnow_recall": (L.q_winnow_recall, L.SQL_WINNOW_RECALL),
+    "winnow_recall": (LD.q_winnow_recall, LD.SQL_WINNOW_RECALL),
     # --- promoted r14 (added r13): deletion lineage of
     #     the layered exact→near dedup run — (dropped, keeper, reason),
     #     the audit artifact shipped next to a deduped corpus ---
-    "dedup_manifest": (L.q_dedup_manifest, L.SQL_DEDUP_MANIFEST),
+    "dedup_manifest": (LD.q_dedup_manifest, LD.SQL_DEDUP_MANIFEST),
     # --- promoted r14 (added r13): Jaccard bin
     #     histogram over the candidate-pair stream — the threshold-
     #     tuning cliff curve ---
-    "jaccard_histogram": (L.q_jaccard_histogram, L.SQL_JACCARD_HISTOGRAM),
+    "jaccard_histogram": (LD.q_jaccard_histogram, LD.SQL_JACCARD_HISTOGRAM),
     # --- promoted r14 (added r13): cross-source shingle
     #     containment matrix — inter-source duplication read before
     #     mixing corpora ---
-    "corpus_overlap": (L.q_corpus_overlap, L.SQL_CORPUS_OVERLAP),
+    "corpus_overlap": (LM.q_corpus_overlap, LM.SQL_CORPUS_OVERLAP),
     # --- promoted r14 (added r13): the repeat-epoch
     #     effective-token CURVE (data_budget_plan's formula swept over
     #     1/2/4/8/16 epochs) ---
-    "epoch_decay_curve": (L.q_epoch_decay_curve, L.SQL_EPOCH_DECAY_CURVE),
+    "epoch_decay_curve": (LM.q_epoch_decay_curve, LM.SQL_EPOCH_DECAY_CURVE),
     # --- promoted r14 (added r13): measured Bloom sizing
     #     table — realized FPR + fill at four widths on the actual key
     #     distribution, one md5 per (row, key) re-bucketed per width ---
-    "bloom_fpr_curve": (L.q_bloom_fpr_curve, L.SQL_BLOOM_FPR_CURVE),
+    "bloom_fpr_curve": (LSK.q_bloom_fpr_curve, LSK.SQL_BLOOM_FPR_CURVE),
     # --- promoted r14 (added r13): measured CMS sizing
     #     table over the shingle stream — realized overestimate
     #     distribution at three widths, sketch built from the exact
     #     count table (identical arithmetic, |vocab|-grain sweep) ---
-    "cms_error_curve": (L.q_cms_error_curve, L.SQL_CMS_ERROR_CURVE),
+    "cms_error_curve": (LSK.q_cms_error_curve, LSK.SQL_CMS_ERROR_CURVE),
     # --- promoted r14 (added r13): LSH band-geometry
     #     tuning table — candidate volume, recall, and candidate-stream
     #     precision per (bands×rows) split of a fixed 16-hash budget,
     #     all on the same exact-Jaccard truth ---
-    "lsh_geometry_sweep": (L.q_lsh_geometry_sweep, L.SQL_LSH_GEOMETRY_SWEEP),
+    "lsh_geometry_sweep": (LD.q_lsh_geometry_sweep, LD.SQL_LSH_GEOMETRY_SWEEP),
     # --- promoted r14 (added r13): shingle doc-freq
     #     histogram on power-of-two buckets — the evidence the
     #     max_doc_freq caps and CMS width are tuned against ---
     "shingle_df_histogram": (
-        L.q_shingle_df_histogram,
-        L.SQL_SHINGLE_DF_HISTOGRAM,
+        LD.q_shingle_df_histogram,
+        LD.SQL_SHINGLE_DF_HISTOGRAM,
     ),
     # ---------- driver 50-query window ends here ----------
     # --- demoted r16 (see ROUND-16 ROTATION note above): the eleven
     #     thrice-green r13 promotions; every one re-proven locally each
     #     session by the default sf0.001+sf0.1 parity suites ---
-    "minhash_precision": (L.q_minhash_precision, L.SQL_MINHASH_PRECISION),
+    "minhash_precision": (LD.q_minhash_precision, LD.SQL_MINHASH_PRECISION),
     "minhash_band_efficiency": (
-        L.q_minhash_band_efficiency,
-        L.SQL_MINHASH_BAND_EFFICIENCY,
+        LD.q_minhash_band_efficiency,
+        LD.SQL_MINHASH_BAND_EFFICIENCY,
     ),
-    "mmr_select": (L.q_mmr_select, L.SQL_MMR_SELECT),
-    "threshold_sweep": (L.q_threshold_sweep, L.SQL_THRESHOLD_SWEEP),
-    "span_corrupt": (L.q_span_corrupt, L.SQL_SPAN_CORRUPT),
-    "fim_transform": (L.q_fim_transform, L.SQL_FIM_TRANSFORM),
+    "mmr_select": (LS.q_mmr_select, LS.SQL_MMR_SELECT),
+    "threshold_sweep": (LT.q_threshold_sweep, LT.SQL_THRESHOLD_SWEEP),
+    "span_corrupt": (LC.q_span_corrupt, LC.SQL_SPAN_CORRUPT),
+    "fim_transform": (LC.q_fim_transform, LC.SQL_FIM_TRANSFORM),
     "unigram_segment_words": (
-        L.q_unigram_segment_words,
-        L.SQL_UNIGRAM_SEGMENT,
+        LTK.q_unigram_segment_words,
+        LTK.SQL_UNIGRAM_SEGMENT,
     ),
     "unigram_fertility": (
-        L.q_unigram_fertility,
-        L.SQL_UNIGRAM_FERTILITY,
+        LTK.q_unigram_fertility,
+        LTK.SQL_UNIGRAM_FERTILITY,
     ),
     "unigram_encode_docs": (
-        L.q_unigram_encode_docs,
-        L.SQL_UNIGRAM_ENCODE,
+        LTK.q_unigram_encode_docs,
+        LTK.SQL_UNIGRAM_ENCODE,
     ),
-    "sentence_chunk": (L.q_sentence_chunk, L.SQL_SENTENCE_CHUNK),
-    "crop_pairs": (L.q_crop_pairs, L.SQL_CROP_PAIRS),
+    "sentence_chunk": (LR.q_sentence_chunk, LR.SQL_SENTENCE_CHUNK),
+    "crop_pairs": (LR.q_crop_pairs, LR.SQL_CROP_PAIRS),
     # --- demoted r15 (see ROUND-15 ROTATION note above): the four
     #     thrice-green r11 promotions and seven twice-green r12
     #     promotions; every one re-proven locally each session by the
     #     default sf0.001+sf0.1 parity suites ---
-    "ann_pq_topk": (L.q_ann_pq_topk, L.SQL_ANN_PQ_TOPK),
-    "ann_pq_recall": (L.q_ann_pq_recall, L.SQL_ANN_PQ_RECALL),
-    "cms_heavy_hitters": (L.q_cms_heavy_hitters, L.SQL_CMS_HEAVY_HITTERS),
+    "ann_pq_topk": (LS.q_ann_pq_topk, LS.SQL_ANN_PQ_TOPK),
+    "ann_pq_recall": (LS.q_ann_pq_recall, LS.SQL_ANN_PQ_RECALL),
+    "cms_heavy_hitters": (LSK.q_cms_heavy_hitters, LSK.SQL_CMS_HEAVY_HITTERS),
     "bloom_contamination": (
-        L.q_bloom_contamination,
-        L.SQL_BLOOM_CONTAMINATION,
+        LD.q_bloom_contamination,
+        LD.SQL_BLOOM_CONTAMINATION,
     ),
-    "edit_neardup": (L.q_edit_neardup, L.SQL_EDIT_NEARDUP),
+    "edit_neardup": (LD.q_edit_neardup, LD.SQL_EDIT_NEARDUP),
     "quality_classifier": (
-        L.q_quality_classifier,
-        L.SQL_QUALITY_CLASSIFIER,
+        LT.q_quality_classifier,
+        LT.SQL_QUALITY_CLASSIFIER,
     ),
-    "doremi_weights": (L.q_doremi_weights, L.SQL_DOREMI_WEIGHTS),
-    "gopher_repetition": (L.q_gopher_repetition, L.SQL_GOPHER_REPETITION),
-    "entropy_stats": (L.q_entropy_stats, L.SQL_ENTROPY_STATS),
-    "langid_confusion": (L.q_langid_confusion, L.SQL_LANGID_CONFUSION),
-    "retrieval_pairs": (L.q_retrieval_pairs, L.SQL_RETRIEVAL_PAIRS),
+    "doremi_weights": (LM.q_doremi_weights, LM.SQL_DOREMI_WEIGHTS),
+    "gopher_repetition": (LT.q_gopher_repetition, LT.SQL_GOPHER_REPETITION),
+    "entropy_stats": (LT.q_entropy_stats, LT.SQL_ENTROPY_STATS),
+    "langid_confusion": (LT.q_langid_confusion, LT.SQL_LANGID_CONFUSION),
+    "retrieval_pairs": (LR.q_retrieval_pairs, LR.SQL_RETRIEVAL_PAIRS),
     # --- demoted r14 (see ROUND-14 ROTATION note above): twenty-one
     #     multi-green holdovers; every one re-proven locally each
     #     session by the default sf0.001+sf0.1 parity suites ---
-    "minhash_recall": (L.q_minhash_recall, L.SQL_MINHASH_RECALL),
-    "knn_accuracy": (L.q_knn_accuracy, L.SQL_KNN_ACCURACY),
-    "dup_cluster_stats": (L.q_dup_cluster_stats, L.SQL_DUP_CLUSTER_STATS),
-    "bpe_train_merges": (L.q_bpe_train_merges, L.SQL_BPE_TRAIN_MERGES),
-    "dsir_weights": (L.q_dsir_weights, L.SQL_DSIR_WEIGHTS),
-    "gopher_rules": (L.q_gopher_rules, L.SQL_GOPHER_RULES),
-    "split_leakage": (L.q_split_leakage, L.SQL_SPLIT_LEAKAGE),
-    "ccnet_buckets": (L.q_ccnet_buckets, L.SQL_CCNET_BUCKETS),
-    "dedup_substrings": (L.q_dedup_substrings, L.SQL_DEDUP_SUBSTRINGS),
-    "dedup_lines": (L.q_dedup_lines, L.SQL_DEDUP_LINES),
-    "unimax_alloc": (L.q_unimax_alloc, L.SQL_UNIMAX_ALLOC),
-    "data_budget_plan": (L.q_data_budget_plan, L.SQL_DATA_BUDGET_PLAN),
-    "quota_sample": (L.q_quota_sample, L.SQL_QUOTA_SAMPLE),
-    "c4_rules": (L.q_c4_rules, L.SQL_C4_RULES),
-    "zipf_stats": (L.q_zipf_stats, L.SQL_ZIPF_STATS),
-    "heaps_growth": (L.q_heaps_growth, L.SQL_HEAPS_GROWTH),
-    "pack_efficiency": (L.q_pack_efficiency, L.SQL_PACK_EFFICIENCY),
+    "minhash_recall": (LD.q_minhash_recall, LD.SQL_MINHASH_RECALL),
+    "knn_accuracy": (LS.q_knn_accuracy, LS.SQL_KNN_ACCURACY),
+    "dup_cluster_stats": (LD.q_dup_cluster_stats, LD.SQL_DUP_CLUSTER_STATS),
+    "bpe_train_merges": (LTK.q_bpe_train_merges, LTK.SQL_BPE_TRAIN_MERGES),
+    "dsir_weights": (LM.q_dsir_weights, LM.SQL_DSIR_WEIGHTS),
+    "gopher_rules": (LT.q_gopher_rules, LT.SQL_GOPHER_RULES),
+    "split_leakage": (LM.q_split_leakage, LM.SQL_SPLIT_LEAKAGE),
+    "ccnet_buckets": (LT.q_ccnet_buckets, LT.SQL_CCNET_BUCKETS),
+    "dedup_substrings": (LD.q_dedup_substrings, LD.SQL_DEDUP_SUBSTRINGS),
+    "dedup_lines": (LD.q_dedup_lines, LD.SQL_DEDUP_LINES),
+    "unimax_alloc": (LM.q_unimax_alloc, LM.SQL_UNIMAX_ALLOC),
+    "data_budget_plan": (LM.q_data_budget_plan, LM.SQL_DATA_BUDGET_PLAN),
+    "quota_sample": (LM.q_quota_sample, LM.SQL_QUOTA_SAMPLE),
+    "c4_rules": (LT.q_c4_rules, LT.SQL_C4_RULES),
+    "zipf_stats": (LT.q_zipf_stats, LT.SQL_ZIPF_STATS),
+    "heaps_growth": (LT.q_heaps_growth, LT.SQL_HEAPS_GROWTH),
+    "pack_efficiency": (LC.q_pack_efficiency, LC.SQL_PACK_EFFICIENCY),
     "domain_concentration": (
-        L.q_domain_concentration,
-        L.SQL_DOMAIN_CONCENTRATION,
+        LM.q_domain_concentration,
+        LM.SQL_DOMAIN_CONCENTRATION,
     ),
-    "hist_quantiles": (L.q_hist_quantiles, L.SQL_HIST_QUANTILES),
-    "prototypicality": (L.q_prototypicality, L.SQL_PROTOTYPICALITY),
-    "kcenter_coreset": (L.q_kcenter_coreset, L.SQL_KCENTER_CORESET),
+    "hist_quantiles": (LQ.q_hist_quantiles, LQ.SQL_HIST_QUANTILES),
+    "prototypicality": (LS.q_prototypicality, LS.SQL_PROTOTYPICALITY),
+    "kcenter_coreset": (LS.q_kcenter_coreset, LS.SQL_KCENTER_CORESET),
     # --- demoted r12 (see rotation note above): twenty thrice-green
     #     r8/r9 holdovers; every one re-proven locally each session by
     #     the default sf0.001+sf0.1 parity suites ---
     "ann_ivf_topk_portable": (
-        L.q_ann_ivf_topk_portable,
-        L.SQL_ANN_IVF_TOPK_PORTABLE,
+        LS.q_ann_ivf_topk_portable,
+        LS.SQL_ANN_IVF_TOPK_PORTABLE,
     ),
     "ann_ivf_recall_portable": (
-        L.q_ann_ivf_recall_portable,
-        L.SQL_ANN_IVF_RECALL_PORTABLE,
+        LS.q_ann_ivf_recall_portable,
+        LS.SQL_ANN_IVF_RECALL_PORTABLE,
     ),
-    "chunk_documents": (L.q_chunk_documents, L.SQL_CHUNK_DOCUMENTS),
-    "bm25_topk": (L.q_bm25_topk, L.SQL_BM25_TOPK),
-    "similar_docs_rrf": (L.q_similar_docs_rrf, L.SQL_SIMILAR_DOCS_RRF),
-    "corpus_drift_psi": (L.q_corpus_drift_psi, L.SQL_CORPUS_DRIFT_PSI),
-    "assign_splits": (L.q_assign_splits, L.SQL_ASSIGN_SPLITS),
+    "chunk_documents": (LR.q_chunk_documents, LR.SQL_CHUNK_DOCUMENTS),
+    "bm25_topk": (LR.q_bm25_topk, LR.SQL_BM25_TOPK),
+    "similar_docs_rrf": (LR.q_similar_docs_rrf, LR.SQL_SIMILAR_DOCS_RRF),
+    "corpus_drift_psi": (LQ.q_corpus_drift_psi, LQ.SQL_CORPUS_DRIFT_PSI),
+    "assign_splits": (LM.q_assign_splits, LM.SQL_ASSIGN_SPLITS),
     "assign_splits_grouped": (
-        L.q_assign_splits_grouped,
-        L.SQL_ASSIGN_SPLITS_GROUPED,
+        LM.q_assign_splits_grouped,
+        LM.SQL_ASSIGN_SPLITS_GROUPED,
     ),
-    "pack_texts": (L.q_pack_texts, L.SQL_PACK_TEXTS),
-    "interleave_key": (L.q_interleave_key, L.SQL_INTERLEAVE_KEY),
-    "fk_integrity": (L.q_fk_integrity, L.SQL_FK_INTEGRITY),
-    "value_outliers": (L.q_value_outliers, L.SQL_VALUE_OUTLIERS),
-    "profile_columns": (L.q_profile_columns, L.SQL_PROFILE_COLUMNS),
-    "dedup_rate_report": (L.q_dedup_rate_report, L.SQL_DEDUP_RATE_REPORT),
-    "text_clean": (L.q_text_clean, L.SQL_TEXT_CLEAN),
-    "max_concurrency": (L.q_max_concurrency, L.SQL_MAX_CONCURRENCY),
-    "doc_novelty": (L.q_doc_novelty, L.SQL_DOC_NOVELTY),
-    "curriculum_buckets": (L.q_curriculum_buckets, L.SQL_CURRICULUM_BUCKETS),
-    "lm_score_heldout": (L.q_lm_score_heldout, L.SQL_LM_SCORE_HELDOUT),
-    "tfidf_cosine_pairs": (L.q_tfidf_cosine_pairs, L.SQL_TFIDF_COSINE_PAIRS),
+    "pack_texts": (LC.q_pack_texts, LC.SQL_PACK_TEXTS),
+    "interleave_key": (LM.q_interleave_key, LM.SQL_INTERLEAVE_KEY),
+    "fk_integrity": (LQ.q_fk_integrity, LQ.SQL_FK_INTEGRITY),
+    "value_outliers": (LQ.q_value_outliers, LQ.SQL_VALUE_OUTLIERS),
+    "profile_columns": (LQ.q_profile_columns, LQ.SQL_PROFILE_COLUMNS),
+    "dedup_rate_report": (LD.q_dedup_rate_report, LD.SQL_DEDUP_RATE_REPORT),
+    "text_clean": (LT.q_text_clean, LT.SQL_TEXT_CLEAN),
+    "max_concurrency": (LQ.q_max_concurrency, LQ.SQL_MAX_CONCURRENCY),
+    "doc_novelty": (LT.q_doc_novelty, LT.SQL_DOC_NOVELTY),
+    "curriculum_buckets": (LM.q_curriculum_buckets, LM.SQL_CURRICULUM_BUCKETS),
+    "lm_score_heldout": (LT.q_lm_score_heldout, LT.SQL_LM_SCORE_HELDOUT),
+    "tfidf_cosine_pairs": (LS.q_tfidf_cosine_pairs, LS.SQL_TFIDF_COSINE_PAIRS),
     # --- demoted r11 (see rotation note above): seven thrice-green
     #     r8-holdovers (r8+r9+r10) and three four-row retained reps;
     #     every one re-proven locally each session by the default
     #     sf0.001+sf0.1 parity suites ---
-    "shuffle_shards": (L.q_shuffle_shards, L.SQL_SHUFFLE_SHARDS),
-    "knn_label_vote": (L.q_knn_label_vote, L.SQL_KNN_LABEL_VOTE),
-    "vocab_oov": (L.q_vocab_oov, L.SQL_VOCAB_OOV),
-    "quantile_filter": (L.q_quantile_filter, L.SQL_QUANTILE_FILTER),
-    "lm_score": (L.q_lm_score, L.SQL_LM_SCORE),
-    "tokenize_ids": (L.q_tokenize_ids, L.SQL_TOKENIZE_IDS),
-    "ann_lsh_topk": (L.q_ann_lsh_topk, L.SQL_ANN_LSH_TOPK),
+    "shuffle_shards": (LM.q_shuffle_shards, LM.SQL_SHUFFLE_SHARDS),
+    "knn_label_vote": (LS.q_knn_label_vote, LS.SQL_KNN_LABEL_VOTE),
+    "vocab_oov": (LT.q_vocab_oov, LT.SQL_VOCAB_OOV),
+    "quantile_filter": (LT.q_quantile_filter, LT.SQL_QUANTILE_FILTER),
+    "lm_score": (LT.q_lm_score, LT.SQL_LM_SCORE),
+    "tokenize_ids": (LTK.q_tokenize_ids, LTK.SQL_TOKENIZE_IDS),
+    "ann_lsh_topk": (LS.q_ann_lsh_topk, LS.SQL_ANN_LSH_TOPK),
     "cohort_retention": (X.q_cohort_retention, X.SQL_COHORT_RETENTION),
-    "mix_sources": (L.q_mix_sources, L.SQL_MIX_SOURCES),
-    "pack_sequences": (L.q_pack_sequences, L.SQL_PACK_SEQUENCES),
+    "mix_sources": (LM.q_mix_sources, LM.SQL_MIX_SOURCES),
+    "pack_sequences": (LC.q_pack_sequences, LC.SQL_PACK_SEQUENCES),
     # --- demoted r13 (see rotation note above): eighteen multi-green
     #     holdovers — five-row ann_recall, the r9-cohort snapshot/
     #     portable-dedup rows, the nine-row r01-family reps, the r10
     #     cohort, and one of each twice-green r11 pair; every one
     #     re-proven locally each session by the default sf0.001+sf0.1
     #     parity suites ---
-    "ann_recall": (L.q_ann_recall, L.SQL_ANN_RECALL),
-    "snapshot_diff": (L.q_snapshot_diff, L.SQL_SNAPSHOT_DIFF),
+    "ann_recall": (LS.q_ann_recall, LS.SQL_ANN_RECALL),
+    "snapshot_diff": (LQ.q_snapshot_diff, LQ.SQL_SNAPSHOT_DIFF),
     "minhash_pairs_portable": (
-        L.q_minhash_pairs_portable,
-        L.SQL_MINHASH_PAIRS_PORTABLE,
+        LD.q_minhash_pairs_portable,
+        LD.SQL_MINHASH_PAIRS_PORTABLE,
     ),
     "simhash_pairs_portable": (
-        L.q_simhash_pairs_portable,
-        L.SQL_SIMHASH_PAIRS_PORTABLE,
+        LD.q_simhash_pairs_portable,
+        LD.SQL_SIMHASH_PAIRS_PORTABLE,
     ),
     "q21_waiting_suppliers": (T.q21_waiting_suppliers, T.SQL_Q21),
-    "dup_components": (L.q_dup_components, L.SQL_DUP_COMPONENTS),
-    "embed_neardup": (L.q_embed_neardup, L.SQL_EMBED_NEARDUP),
-    "pii_redact": (L.q_pii_redact, L.SQL_PII_REDACT),
-    "corpus_filter": (L.q_corpus_filter, L.SQL_CORPUS_FILTER),
-    "bpe_segment_words": (L.q_bpe_segment_words, L.SQL_BPE_SEGMENT_WORDS),
-    "bpe_encode_docs": (L.q_bpe_encode_docs, L.SQL_BPE_ENCODE_DOCS),
+    "dup_components": (LD.q_dup_components, LD.SQL_DUP_COMPONENTS),
+    "embed_neardup": (LS.q_embed_neardup, LS.SQL_EMBED_NEARDUP),
+    "pii_redact": (LT.q_pii_redact, LT.SQL_PII_REDACT),
+    "corpus_filter": (LT.q_corpus_filter, LT.SQL_CORPUS_FILTER),
+    "bpe_segment_words": (LTK.q_bpe_segment_words, LTK.SQL_BPE_SEGMENT_WORDS),
+    "bpe_encode_docs": (LTK.q_bpe_encode_docs, LTK.SQL_BPE_ENCODE_DOCS),
     "tokenizer_fertility": (
-        L.q_tokenizer_fertility,
-        L.SQL_TOKENIZER_FERTILITY,
+        LTK.q_tokenizer_fertility,
+        LTK.SQL_TOKENIZER_FERTILITY,
     ),
-    "phrase_match": (L.q_phrase_match, L.SQL_PHRASE_MATCH),
+    "phrase_match": (LR.q_phrase_match, LR.SQL_PHRASE_MATCH),
     "temperature_mix_weights": (
-        L.q_temperature_mix_weights,
-        L.SQL_TEMPERATURE_MIX_WEIGHTS,
+        LM.q_temperature_mix_weights,
+        LM.SQL_TEMPERATURE_MIX_WEIGHTS,
     ),
-    "dedup_keep_best": (L.q_dedup_keep_best, L.SQL_DEDUP_KEEP_BEST),
+    "dedup_keep_best": (LD.q_dedup_keep_best, LD.SQL_DEDUP_KEEP_BEST),
     "embedding_drift_psi": (
-        L.q_embedding_drift_psi,
-        L.SQL_EMBEDDING_DRIFT_PSI,
+        LS.q_embedding_drift_psi,
+        LS.SQL_EMBEDDING_DRIFT_PSI,
     ),
-    "gopher_audit": (L.q_gopher_audit, L.SQL_GOPHER_AUDIT),
-    "dsir_sample": (L.q_dsir_sample, L.SQL_DSIR_SAMPLE),
+    "gopher_audit": (LT.q_gopher_audit, LT.SQL_GOPHER_AUDIT),
+    "dsir_sample": (LM.q_dsir_sample, LM.SQL_DSIR_SAMPLE),
     # --- demoted r10 with three green rows each (r7+r8+r9); families
     #     stay anchored in-window (see rotation note above) ---
     "q7_volume_shipping": (T.q7_volume_shipping, T.SQL_Q7),
     "q9_product_profit": (T.q9_product_profit, T.SQL_Q9),
-    "dedup_exact": (L.q_dedup_exact, L.SQL_DEDUP_EXACT),
-    "dedup_incremental": (L.q_dedup_incremental, L.SQL_DEDUP_INCREMENTAL),
-    "ngram_jaccard": (L.q_ngram_jaccard, L.SQL_NGRAM_JACCARD),
-    "ann_topk": (L.q_ann_topk, L.SQL_ANN_TOPK),
-    "lang_id_counts": (L.q_lang_id_counts, L.SQL_LANG_ID_COUNTS),
+    "dedup_exact": (LD.q_dedup_exact, LD.SQL_DEDUP_EXACT),
+    "dedup_incremental": (LD.q_dedup_incremental, LD.SQL_DEDUP_INCREMENTAL),
+    "ngram_jaccard": (LD.q_ngram_jaccard, LD.SQL_NGRAM_JACCARD),
+    "ann_topk": (LS.q_ann_topk, LS.SQL_ANN_TOPK),
+    "lang_id_counts": (LT.q_lang_id_counts, LT.SQL_LANG_ID_COUNTS),
     # --- demoted r9 in bpe_train_merges' promotion (green r6/r7/r8) ---
-    "tfidf_top_terms": (L.q_tfidf_top_terms, L.SQL_TFIDF_TOP_TERMS),
+    "tfidf_top_terms": (LS.q_tfidf_top_terms, LS.SQL_TFIDF_TOP_TERMS),
     # --- rotated out r9: the perennial rows-only entries (no_oracle
     #     since r2).  WHY each remains rows-only (r14 verdict item 7 —
     #     the full census of all 10 rows-only entries):
@@ -657,17 +666,17 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #       shared pigeonhole join against exact Hamming truth.
     #     (media_features left this list r15 — unrounding byte_mean made
     #     it exactly SQL-expressible; see its oracled entry below.) ---
-    "minhash_pairs": (L.q_minhash_pairs, None),
-    "simhash_pairs": (L.q_simhash_pairs, None),
-    "ann_ivf_topk": (L.q_ann_ivf_topk, None),
+    "minhash_pairs": (LD.q_minhash_pairs, None),
+    "simhash_pairs": (LD.q_simhash_pairs, None),
+    "ann_ivf_topk": (LS.q_ann_ivf_topk, None),
     # media_features gained a full DuckDB twin r15 (unrounded exact-ratio
     # byte_mean over the ASCII corpus) — see the oracled tail below.
-    "media_decode": (L.q_media_decode, None),
+    "media_decode": (LMM.q_media_decode, None),
     # --- demoted r9 with two green rows each (r7 AND r8) under the
     #     current data regime; re-proven every run by the default
     #     sf0.001+sf0.1 parity suites ---
-    "dedup_spans_intra": (L.q_dedup_spans_intra, L.SQL_DEDUP_SPANS_INTRA),
-    "filter_audit": (L.q_filter_audit, L.SQL_FILTER_AUDIT),
+    "dedup_spans_intra": (LD.q_dedup_spans_intra, LD.SQL_DEDUP_SPANS_INTRA),
+    "filter_audit": (LT.q_filter_audit, LT.SQL_FILTER_AUDIT),
     "q8_market_share": (T.q8_market_share, T.SQL_Q8),
     "q12_late_shipments": (T.q12_late_shipments, T.SQL_Q12),
     "q19_disjunctive_revenue": (T.q19_disjunctive_revenue, T.SQL_Q19),
@@ -675,18 +684,18 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q11_important_stock": (T.q11_important_stock, T.SQL_Q11),
     "q16_supplier_part_counts": (T.q16_supplier_part_counts, T.SQL_Q16),
     "q20_potential_promotion": (T.q20_potential_promotion, T.SQL_Q20),
-    "token_stats_by_source": (L.q_token_stats_by_source, L.SQL_TOKEN_STATS_BY_SOURCE),
-    "repetition_score": (L.q_repetition_score, L.SQL_REPETITION_SCORE),
-    "contamination_check": (L.q_contamination_check, L.SQL_CONTAMINATION_CHECK),
-    "winnow_overlap": (L.q_winnow_overlap, L.SQL_WINNOW_OVERLAP),
-    "bpe_token_estimate": (L.q_bpe_token_estimate, L.SQL_BPE_TOKEN_ESTIMATE),
-    "multimodal_meta": (L.q_multimodal_meta, L.SQL_MULTIMODAL_META),
-    "extract_doc_stats": (L.q_extract_doc_stats, L.SQL_EXTRACT_DOC_STATS),
+    "token_stats_by_source": (LT.q_token_stats_by_source, LT.SQL_TOKEN_STATS_BY_SOURCE),
+    "repetition_score": (LT.q_repetition_score, LT.SQL_REPETITION_SCORE),
+    "contamination_check": (LD.q_contamination_check, LD.SQL_CONTAMINATION_CHECK),
+    "winnow_overlap": (LD.q_winnow_overlap, LD.SQL_WINNOW_OVERLAP),
+    "bpe_token_estimate": (LTK.q_bpe_token_estimate, LTK.SQL_BPE_TOKEN_ESTIMATE),
+    "multimodal_meta": (LMM.q_multimodal_meta, LMM.SQL_MULTIMODAL_META),
+    "extract_doc_stats": (LT.q_extract_doc_stats, LT.SQL_EXTRACT_DOC_STATS),
     "hll_accuracy": (X.q_hll_accuracy, X.SQL_HLL_ACCURACY),
     "hash_sample": (X.q_hash_sample, X.SQL_HASH_SAMPLE),
     "stratified_sample": (X.q_stratified_sample, X.SQL_STRATIFIED_SAMPLE),
-    "dedup_spans": (L.q_dedup_spans, L.SQL_DEDUP_SPANS),
-    "dedup_canonical": (L.q_dedup_canonical, L.SQL_DEDUP_CANONICAL),
+    "dedup_spans": (LD.q_dedup_spans, LD.SQL_DEDUP_SPANS),
+    "dedup_canonical": (LD.q_dedup_canonical, LD.SQL_DEDUP_CANONICAL),
     # --- demoted r7 with two green rows each (r02+r06 scalar batteries;
     #     r03+r06 TPC-H trio), the latest under the current data regime ---
     "analytic_funcs": (X.q_analytic_funcs, X.SQL_ANALYTIC_FUNCS),
@@ -759,18 +768,18 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # --- rows-only past-cap: SemDeDup cluster-scoped embedding dedup and
     #     the multimodal near-dup triple (pandas-UDF hashing); value
     #     goldens at three SFs carry their correctness ---
-    "semantic_dedup": (L.q_semantic_dedup, None),
-    "image_phash_neardup": (L.q_image_phash_neardup, None),
-    "audio_fp_neardup": (L.q_audio_fp_neardup, None),
-    "video_phash_neardup": (L.q_video_phash_neardup, None),
+    "semantic_dedup": (LS.q_semantic_dedup, None),
+    "image_phash_neardup": (LMM.q_image_phash_neardup, None),
+    "audio_fp_neardup": (LMM.q_audio_fp_neardup, None),
+    "video_phash_neardup": (LMM.q_video_phash_neardup, None),
     # --- rows-only: IVF recall on the xxhash64+Lloyd fast path (the
     #     portable variant in-window is the oracled quality metric) ---
-    "ann_ivf_recall": (L.q_ann_ivf_recall, None),
+    "ann_ivf_recall": (LS.q_ann_ivf_recall, None),
     # --- demoted r8 in the corpus-quality promotion, two green rows each
     #     (r6 AND r7) under the current data regime ---
-    "dup_groups": (L.q_dup_groups, L.SQL_DUP_GROUPS),
-    "fingerprint": (L.q_fingerprint, L.SQL_FINGERPRINT),
-    "url_normalize": (L.q_url_normalize, L.SQL_URL_NORMALIZE),
+    "dup_groups": (LD.q_dup_groups, LD.SQL_DUP_GROUPS),
+    "fingerprint": (LD.q_fingerprint, LD.SQL_FINGERPRINT),
+    "url_normalize": (LT.q_url_normalize, LT.SQL_URL_NORMALIZE),
     "approx_quantile_accuracy": (
         X.q_approx_quantile_accuracy,
         X.SQL_APPROX_QUANTILE_ACCURACY,
@@ -783,33 +792,33 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "project_reorder": (X.q_project_reorder, X.SQL_PROJECT_REORDER),
     "count_star": (R.q_count_star, R.SQL_COUNT_STAR),
     "schema_stats": (R.q_schema_stats, R.SQL_SCHEMA_STATS),
-    "text_features": (L.q_quality_scores, L.SQL_QUALITY_SCORES),
+    "text_features": (LT.q_quality_scores, LT.SQL_QUALITY_SCORES),
     "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
-    "media_frames": (L.q_media_frames, None),
+    "media_frames": (LMM.q_media_frames, None),
     # --- added r15 (past-cap; r17 promotion pool — the four
     #     second-wave sizing/scaling curves, ×3-SF parity-proven, zero
     #     driver rows): the rejection-sampling inference-scaling curve
     #     (mean best-of-first-N reward per N over the dpo/best_of_n
     #     scored pool; exact micro-unit integer maxes and one fixed
     #     two-division mean) ---
-    "best_of_n_curve": (L.q_best_of_n_curve, L.SQL_BEST_OF_N_CURVE),
+    "best_of_n_curve": (LC.q_best_of_n_curve, LC.SQL_BEST_OF_N_CURVE),
     # --- added r15 (past-cap; r17 pool second wave): the vocabulary-
     #     budget sizing sweep — covered mass + OOV rate per top-V cut;
     #     the seventh measured sizing curve ---
-    "vocab_oov_curve": (L.q_vocab_oov_curve, L.SQL_VOCAB_OOV_CURVE),
+    "vocab_oov_curve": (LT.q_vocab_oov_curve, LT.SQL_VOCAB_OOV_CURVE),
     # --- added r15 (past-cap; r17 pool second wave): the BPE
     #     merge-budget sizing curve — fertility at 0/2/4/8 merges from
     #     one training run; the eighth measured sizing curve ---
     "bpe_fertility_curve": (
-        L.q_bpe_fertility_curve,
-        L.SQL_BPE_FERTILITY_CURVE,
+        LTK.q_bpe_fertility_curve,
+        LTK.SQL_BPE_FERTILITY_CURVE,
     ),
     # --- added r15 (past-cap; r17 pool second wave): the context-length
     #     sizing sweep for sequence packing — padding/straddle/fill per
     #     candidate context from one shared prefix sum; the ninth
     #     measured sizing curve ---
-    "pack_waste_curve": (L.q_pack_waste_curve, L.SQL_PACK_WASTE_CURVE),
+    "pack_waste_curve": (LC.q_pack_waste_curve, LC.SQL_PACK_WASTE_CURVE),
 }
 
 

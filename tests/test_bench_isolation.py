@@ -53,8 +53,16 @@ def test_bench_survives_broken_query(tmp_path):
     )
     # nonzero exit: the failure is still visible to the driver
     assert proc.returncode != 0
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    out = json.loads(line)
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    # r16 contract: the LAST line is the scalars-only tail-survivable
+    # record (no per-query map, <300 bytes), preceded by the full
+    # headline(s) carrying the queries/errors maps.
+    tail = json.loads(json_lines[-1])
+    assert "queries" not in tail
+    assert len(json_lines[-1]) < 300
+    assert tail["n_queries"] == 2
+    assert tail["n_errors"] == 1
+    out = json.loads(json_lines[-2])
     # healthy queries still timed
     assert set(out["queries"]) == {"count_star", "items_by_type"}
     assert all(v > 0 for v in out["queries"].values())

@@ -1189,6 +1189,50 @@ def test_vocab_oov_curve_exact_coverage(spark):
     assert out[1]["oov_rate"] == 7 / 13
 
 
+def test_vocab_oov_curve_production_grid_nondegenerate(spark, sf_dir):
+    """r15 verdict item 4: on the fixture corpus the registry wrapper
+    sweeps the PRODUCTION V grid (64..4096) over the word 1..3-gram
+    stratum and must emit a non-degenerate staircase — enough types to
+    cut, coverage strictly growing, OOV strictly shrinking but nonzero
+    at the top (types >> max V)."""
+    from etl_pipeline2_0_spark.plans.llm_text import q_vocab_oov_curve
+
+    rows = sorted(
+        q_vocab_oov_curve(spark, sf_dir).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    assert [r["vocab_size"] for r in rows] == [64, 256, 1024, 4096]
+    assert rows[0]["n_types"] > 4096  # the grid actually cuts
+    covered = [r["covered_tokens"] for r in rows]
+    assert covered == sorted(covered) and len(set(covered)) == 4
+    oov = [r["oov_rate"] for r in rows]
+    assert oov == sorted(oov, reverse=True) and len(set(oov)) == 4
+    assert 0.0 < oov[-1] < oov[0] < 1.0
+
+
+def test_semdedup_eps_curve_production_grid_nondegenerate(spark, sf_dir):
+    """r15 verdict item 4: the registry wrapper plants a deterministic
+    high-cosine band (three t-magnitudes targeting cos ≈0.92/0.97/
+    0.995) so the PRODUCTION eps grid (0.90..0.999) sweeps a
+    non-degenerate staircase: each step keeps one more planted band,
+    and 0.999 drops nothing (no exact dups planted)."""
+    from etl_pipeline2_0_spark.plans.llm_similarity import (
+        q_semdedup_eps_curve,
+    )
+
+    rows = sorted(
+        q_semdedup_eps_curve(spark, sf_dir).collect(),
+        key=lambda r: r["eps"],
+    )
+    assert [r["eps"] for r in rows] == [0.90, 0.95, 0.99, 0.999]
+    dropped = [r["n_dropped"] for r in rows]
+    # strictly fewer drops per band as eps rises; top of the grid clean
+    assert dropped[0] > dropped[1] > dropped[2] > dropped[3] == 0
+    assert all(
+        r["n_kept"] + r["n_dropped"] == r["n_vecs"] for r in rows
+    )
+
+
 def test_best_of_n_curve_monotone_and_exact(spark):
     """One group with supplied scores: best-of-first-N in md5 order is
     monotone non-decreasing in N; at N = group size it equals the group
