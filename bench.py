@@ -207,6 +207,9 @@ HEADLINE = [
     "vocab_oov_curve",
     "bpe_fertility_curve",
     "pack_waste_curve",
+    "blocklist_screen",
+    "priority_sample",
+    "rho_loss_select",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
@@ -214,6 +217,7 @@ HEADLINE = [
     "preference_pipeline_sf01",
     "stream_sessionize_sf01",
     "stream_join_sf01",
+    "stream_enrich_sf01",
 ]
 
 
@@ -540,6 +544,57 @@ def _stream_join_bench(spark, sf_dir):
     return spark.table(name)
 
 
+def _stream_enrich_bench(spark, sf_dir):
+    """Stream-static broadcast enrichment micro-bench (r15 verdict item
+    5): the whole events table as a file stream, every micro-batch
+    joined to the broadcast customer dimension (c_custkey = user_id;
+    nation key + market segment attributes), drained in ONE availableNow
+    run into a memory sink.  The dimension holds no streaming state and
+    ships as a BroadcastHashJoin build side, so the fact stream never
+    shuffles — correctness (batch ≡ stream row-exact, left-join fact
+    preservation, per-micro-batch broadcast pin) lives in
+    tests/test_streaming_windows.py."""
+    import hashlib
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.sources.tables import load_table
+    from etl_pipeline2_0_spark.streaming.windows import stream_static_enrich
+
+    src = os.path.join(sf_dir.rstrip("/"), "events.parquet")
+    stage = os.path.join(
+        "/tmp",
+        "bench_stream_src_" + hashlib.md5(src.encode()).hexdigest()[:10],
+    )
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.islink(link):
+        os.makedirs(stage, exist_ok=True)
+        os.symlink(src, link)
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey", "c_mktsegment"
+    )
+    name = "bench_senrich_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_static_enrich(stream, dim, key="user_id")
+        .select("event_id", "user_id", "c_nationkey", "c_mktsegment")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 # Bench-only rows: real capabilities measured at bench scale that are not
 # registry queries (the registry carries the correctness burden elsewhere —
 # the doc pipeline via the fixture/golden suites, the LLM chain via its
@@ -552,6 +607,7 @@ EXTRA_BENCH = {
     "preference_pipeline_sf01": _preference_pipeline,
     "stream_sessionize_sf01": _stream_sessionize_bench,
     "stream_join_sf01": _stream_join_bench,
+    "stream_enrich_sf01": _stream_enrich_bench,
 }
 
 

@@ -2357,3 +2357,83 @@ def anneal_mix_plan(
         )
         .orderBy(group_col)
     )
+
+
+def priority_sample(
+    df,
+    weight_col,
+    k: int = 32,
+    id_col: str = "doc_id",
+    salt: str = "",
+):
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    deterministic weighted sample WITHOUT replacement with the DLT
+    unbiased subset-sum estimator — the weighted counterpart of
+    ``hash_sample`` (heavy documents enter the sample with probability
+    ∝ weight; the estimator reweights survivors so any subset-sum is
+    unbiased).
+
+    Portability: u_i = (md5-hex15(id‖':'‖salt) + 1) / 2^60 — the
+    repo-standard 60-bit md5 uniform — and the priority q_i = w_i / u_i
+    is ONE IEEE double division, so the sample and estimator are
+    bit-identical cross-engine (no transcendental in the hot path,
+    unlike exponential-race A-ES sampling).
+
+    The top-k priorities are the sample; tau = the (k+1)-th priority
+    (0 when the corpus fits entirely); est_weight = max(w_i, tau) is
+    the DLT per-item estimator (sum of est_weight over the sample
+    estimates the corpus total weight, exactly when tau = 0).
+
+    Output: (rank, id, weight, priority, est_weight), rank 1..k by
+    priority desc (id tiebreak).
+
+    Scale: one narrow projection (hash + two divisions), then
+    TakeOrdered for the bounded top-(k+1) — never a global sort; the
+    rank window and the tau aggregate run over that ≤k+1-row frame;
+    tau rejoins via a broadcast 1-row cross.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(salt)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(float(2**60))
+    w = F.col(weight_col).cast("double")
+    scored = df.select(
+        F.col(id_col),
+        w.alias("weight"),
+        (w / u).alias("priority"),
+    )
+    top = scored.orderBy(
+        F.col("priority").desc(), F.col(id_col)
+    ).limit(k + 1)
+    # bounded-frame window (≤ k+1 rows post-limit) — the
+    # portable_centroids exception class
+    win = Window.orderBy(F.col("priority").desc(), F.col(id_col))
+    ranked = top.withColumn("rank", F.row_number().over(win))
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rank") == k + 1, F.col("priority"))),
+            F.lit(0.0),
+        ).alias("tau")
+    )
+    return (
+        ranked.where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "rank",
+            id_col,
+            "weight",
+            "priority",
+            F.greatest(F.col("weight"), F.col("tau")).alias("est_weight"),
+        )
+        .orderBy("rank")
+    )

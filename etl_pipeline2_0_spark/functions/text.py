@@ -2202,3 +2202,57 @@ def filter_ablation(
         )
         .orderBy("filter")
     )
+
+
+def blocklist_screen(
+    df,
+    terms: "tuple[str, ...]",
+    text_col: str = "text",
+    group_col: str = "source",
+):
+    """Blocklist screen — the C4 §2.2 "bad words" gate (Raffel et al.
+    2020 drop any page containing a listed word; the RefinedWeb/FineWeb
+    pipelines keep the same gate with tuned lists): per group, how many
+    documents a word-boundary blocklist kills, plus the hit volume —
+    the calibration table read before committing a list.
+
+    A hit is a whole TOKEN equal to a blocklist term after the corpus
+    tokenization (lowercase, ``\\W+`` splits) — the word-boundary
+    convention, so "sort" never fires inside "resorting".  All outputs
+    are exact integers (kill_rate is the exact-ratio double).
+
+    Output: (group, n_docs, n_killed, kill_rate, total_hits), ordered.
+
+    Scale: ONE corpus pass — per-row hits are a bounded array filter
+    against the inlined term list (no explode, no join), then one
+    map-side-combined aggregate on the group key.  A production-sized
+    blocklist (10k+ terms) would broadcast-join the exploded token
+    table or compile an Aho-Corasick regex instead; the plan shape
+    (narrow map + one small aggregate) is the same.
+    """
+    lowered = tuple(t.lower() for t in terms)
+    toks = tokens(F.col(text_col))
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*lowered))
+    )
+    per_doc = df.select(
+        F.col(group_col).alias("grp"), hits.alias("hits")
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_killed"),
+            F.sum("hits").cast("bigint").alias("total_hits"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_killed",
+            (F.col("n_killed") / F.col("n_docs")).alias("kill_rate"),
+            "total_hits",
+        )
+        .orderBy(group_col)
+    )

@@ -838,3 +838,51 @@ SELECT source, epochs, n_tokens,
              ELSE 0.0 END, 6) AS efficiency
 FROM swept
 """
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Priority sampling (Duffield, Lund & Thorup, JACM 2007): the
+    # deterministic weighted sample without replacement + the DLT
+    # unbiased subset-sum estimator, weighted by word count.  The
+    # md5-uniform and the priority are each ONE IEEE double division —
+    # bit-identical cross-engine, no transcendental (the reason this
+    # beats exponential-race A-ES sampling for a portable pipeline).
+    from etl_pipeline2_0_spark.functions import mixing
+    from etl_pipeline2_0_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.withColumn(
+        "n_words", F.size(tx.tokens(F.col("text")))
+    )
+    return mixing.priority_sample(
+        weighted, weight_col="n_words", k=32, id_col="doc_id"
+    )
+
+
+SQL_PRIORITY_SAMPLE = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> length(x) > 0)) AS DOUBLE) AS weight,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> length(x) > 0)) AS DOUBLE)
+           / ((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'),
+                                      1, 15) AS BIGINT) + 1)
+              / 1152921504606846976.0) AS priority
+  FROM documents
+), top AS (
+  SELECT doc_id, weight, priority,
+         CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS INT)
+           AS rank
+  FROM s
+  QUALIFY rank <= 33
+), tau AS (
+  SELECT COALESCE(MAX(CASE WHEN rank = 33 THEN priority END), 0.0) AS tau
+  FROM top
+)
+SELECT rank, doc_id, weight, priority,
+       GREATEST(weight, tau) AS est_weight
+FROM top CROSS JOIN tau
+WHERE rank <= 32
+ORDER BY rank
+"""

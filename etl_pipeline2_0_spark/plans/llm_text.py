@@ -1658,3 +1658,159 @@ SELECT ROUND(CAST(k AS DOUBLE) * 0.1, 6) AS threshold,
        ROUND(COALESCE(kept_w, 0) * 1.0 / tot_w, 6) AS frac_weight
 FROM filled CROSS JOIN tot
 """
+
+
+def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style blocklist gate calibration (Raffel et al. 2020 §2.2):
+    # per source, documents a word-boundary blocklist would kill plus
+    # the hit volume — exact integer counts, tolerance-free oracle.
+    # The term list mixes two common corpus words with one that never
+    # fires, so the table shows both the kill and the zero-hit paths.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.blocklist_screen(
+        docs, terms=("merge", "agg", "xyzzy")
+    )
+
+
+SQL_BLOCKLIST_SCREEN = r"""
+WITH s AS (
+  SELECT source,
+         len(list_filter(
+               list_filter(regexp_split_to_array(lower(text), '\W+'),
+                           x -> length(x) > 0),
+               t -> t IN ('merge', 'agg', 'xyzzy'))) AS hits
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_killed,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) AS kill_rate,
+       CAST(SUM(hits) AS BIGINT) AS total_hits
+FROM s
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_rho_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RHO-style learnability selection (Mindermann et al. 2022; the
+    # RHO-1 token-level variant of Lin et al. 2024 applies the same
+    # signal): per held-out doc, excess loss = loss under the CURRENT
+    # model (trained on everything, has seen the doc's split) minus
+    # loss under the holdout-clean REFERENCE model (trained on the
+    # train split only) = logp_ref - logp_cur; the top-32 by excess
+    # are the docs worth training on next (hard for the current model,
+    # not intrinsically noisy — the reference scores them fine).
+    # Composes the proven char-bigram LM machinery twice; both logps
+    # are the established ROUND(AVG(ln(...)), 6) convention.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = mixing.assign_splits(docs)
+    train = split.where(F.col("split") == "train")
+    heldout = split.where(F.col("split") != "train")
+    ref = text.char_bigram_lm_scores(
+        heldout, "text", "doc_id", prefix_len=200, train_df=train
+    ).select(
+        "doc_id", "n_bigrams", F.col("avg_logp").alias("logp_ref")
+    )
+    cur = text.char_bigram_lm_scores(
+        heldout, "text", "doc_id", prefix_len=200, train_df=docs
+    ).select("doc_id", F.col("avg_logp").alias("logp_cur"))
+    scored = ref.join(cur, "doc_id").withColumn(
+        "excess_loss", F.round(F.col("logp_ref") - F.col("logp_cur"), 6)
+    )
+    top = scored.orderBy(
+        F.col("excess_loss").desc(), F.col("doc_id")
+    ).limit(32)
+    # bounded-frame window (≤32 rows post-limit)
+    win = Window.orderBy(F.col("excess_loss").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        "rank", "doc_id", "n_bigrams", "logp_ref", "logp_cur",
+        "excess_loss",
+    )
+
+
+def _sql_rho_loss_select() -> str:
+    from etl_pipeline2_0_spark.functions.mixing import split_thresholds
+
+    (_, t_train), *_ = split_thresholds(
+        {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return rf"""
+WITH split AS (
+  SELECT doc_id, text,
+         ('0' || substring(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15))
+           < '{t_train}' AS is_train
+  FROM documents
+), d_all AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM split
+  WHERE length(substring(text, 1, 200)) >= 2
+), d_tr AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM split
+  WHERE is_train AND length(substring(text, 1, 200)) >= 2
+), d_ho AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM split
+  WHERE NOT is_train AND length(substring(text, 1, 200)) >= 2
+), bg_tr AS (
+  SELECT substring(t, CAST(i AS INT), 2) AS big,
+         substring(t, CAST(i AS INT), 1) AS ctx
+  FROM d_tr CROSS JOIN (SELECT unnest(range(1, 200)) AS i) s
+  WHERE i <= length(t) - 1
+), bg_all AS (
+  SELECT substring(t, CAST(i AS INT), 2) AS big,
+         substring(t, CAST(i AS INT), 1) AS ctx
+  FROM d_all CROSS JOIN (SELECT unnest(range(1, 200)) AS i) s
+  WHERE i <= length(t) - 1
+), bg AS (
+  SELECT doc_id, substring(t, CAST(i AS INT), 2) AS big,
+         substring(t, CAST(i AS INT), 1) AS ctx
+  FROM d_ho CROSS JOIN (SELECT unnest(range(1, 200)) AS i) s
+  WHERE i <= length(t) - 1
+), bc_tr AS (
+  SELECT big, COUNT(*) AS bc FROM bg_tr GROUP BY 1
+), cc_tr AS (
+  SELECT ctx, COUNT(*) AS cc FROM bg_tr GROUP BY 1
+), a_tr AS (
+  SELECT COUNT(DISTINCT substring(big, 2, 1)) AS alpha FROM bg_tr
+), bc_all AS (
+  SELECT big, COUNT(*) AS bc FROM bg_all GROUP BY 1
+), cc_all AS (
+  SELECT ctx, COUNT(*) AS cc FROM bg_all GROUP BY 1
+), a_all AS (
+  SELECT COUNT(DISTINCT substring(big, 2, 1)) AS alpha FROM bg_all
+), ref AS (
+  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(AVG(ln((COALESCE(bc_tr.bc, 0) + 1.0)
+                      / (COALESCE(cc_tr.cc, 0) + a_tr.alpha))), 6)
+           AS logp_ref
+  FROM bg LEFT JOIN bc_tr USING (big)
+          LEFT JOIN cc_tr ON bg.ctx = cc_tr.ctx
+          CROSS JOIN a_tr
+  GROUP BY bg.doc_id
+), cur AS (
+  SELECT bg.doc_id,
+         ROUND(AVG(ln((COALESCE(bc_all.bc, 0) + 1.0)
+                      / (COALESCE(cc_all.cc, 0) + a_all.alpha))), 6)
+           AS logp_cur
+  FROM bg LEFT JOIN bc_all USING (big)
+          LEFT JOIN cc_all ON bg.ctx = cc_all.ctx
+          CROSS JOIN a_all
+  GROUP BY bg.doc_id
+), scored AS (
+  SELECT ref.doc_id, ref.n_bigrams, ref.logp_ref, cur.logp_cur,
+         ROUND(ref.logp_ref - cur.logp_cur, 6) AS excess_loss
+  FROM ref JOIN cur USING (doc_id)
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY excess_loss DESC, doc_id)
+            AS INT) AS rank,
+       doc_id, n_bigrams, logp_ref, logp_cur, excess_loss
+FROM scored
+QUALIFY rank <= 32
+ORDER BY rank
+"""
+
+
+SQL_RHO_LOSS_SELECT = _sql_rho_loss_select()

@@ -216,10 +216,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # + the incoming filter_ablation).  Keep the family-anchor and
     # all-oracled invariants (test_sql_registry.py pins both).
     #
-    # ROUND-17 STAGING (execute next round): promote the FOUR queued
-    # second-wave r15 additions (best_of_n_curve, vocab_oov_curve,
-    # bpe_fertility_curve, pack_waste_curve — ×3-SF parity-proven,
-    # zero driver rows), plus any r16-added oracled entries.  Demote
+    # ROUND-17 STAGING (execute next round): promote SEVEN entries —
+    # the FOUR queued second-wave r15 additions (best_of_n_curve,
+    # vocab_oov_curve, bpe_fertility_curve, pack_waste_curve — ×3-SF
+    # parity-proven, zero driver rows) plus the THREE r16-added oracled
+    # entries (blocklist_screen, priority_sample, rho_loss_select —
+    # registered past-cap below, parity-proven at 3 SFs).  Demote
     # an equal count of the most-tenured multi-green holdovers,
     # re-anchoring families as usual (candidates, all thrice-green by
     # r16 if the window stays green: unigram_train, bitext_mine,
@@ -819,6 +821,21 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     candidate context from one shared prefix sum; the ninth
     #     measured sizing curve ---
     "pack_waste_curve": (LC.q_pack_waste_curve, LC.SQL_PACK_WASTE_CURVE),
+    # --- added r16 (past-cap; r17 promotion pool): C4-style blocklist
+    #     gate calibration (word-boundary term hits per source; exact
+    #     integer kill table) ---
+    "blocklist_screen": (LT.q_blocklist_screen, LT.SQL_BLOCKLIST_SCREEN),
+    # --- added r16 (past-cap; r17 pool): priority sampling (Duffield-
+    #     Lund-Thorup 2007) — deterministic weighted sample without
+    #     replacement + the unbiased subset-sum estimator; md5-uniform
+    #     and priority are single IEEE divisions (portable, no
+    #     transcendental) ---
+    "priority_sample": (LM.q_priority_sample, LM.SQL_PRIORITY_SAMPLE),
+    # --- added r16 (past-cap; r17 pool): RHO-style learnability
+    #     selection — excess loss of the current (trained-on-everything)
+    #     char-bigram LM over the holdout-clean reference LM, top-32
+    #     hard-but-learnable held-out docs ---
+    "rho_loss_select": (LT.q_rho_loss_select, LT.SQL_RHO_LOSS_SELECT),
 }
 
 

@@ -110,6 +110,38 @@ def streaming_dedup(
     return events.dropDuplicates(key_cols)
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: "str | None" = None,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    enrichment shape (fact stream ⋈ dimension table): every micro-batch
+    joins against the STATIC side, which needs no watermark and holds
+    no state (Spark re-plans the static side per micro-batch, so a
+    dimension backed by a table picks up slowly-changing updates at
+    micro-batch granularity).
+
+    ``broadcast=True`` pins the dimension to the build side of a
+    BroadcastHashJoin in every micro-batch plan — the 100 TB shape: the
+    fact stream never shuffles for the join; the bounded dimension
+    ships to executors once per plan.  ``how="left"`` keeps unmatched
+    facts (enrichment must never drop events).
+
+    Works identically on a batch frame (oracle-testable) and a
+    ``readStream`` input — the batch ≡ stream pin lives in
+    tests/test_streaming_windows.py.
+    """
+    dim_key = dim_key or key
+    d = dim.withColumnRenamed(dim_key, key) if dim_key != key else dim
+    if broadcast:
+        d = F.broadcast(d)
+    return events.join(d, key, how)
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -5337,3 +5337,80 @@ def test_contamination_ngram_curve_monotone_and_exact(spark):
     rates = [out[n]["contamination_rate"] for n in (8, 13, 20)]
     assert rates == sorted(rates, reverse=True)
     assert all(r["n_docs"] == 3 for r in out.values())
+
+
+def test_blocklist_screen_word_boundary_and_counts(spark):
+    """The hit rule is whole-token equality after tokenization: a term
+    inside a longer word never fires; counts are exact; a group with no
+    hits reports a zero row (kill_rate 0)."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge the sorted runs then merge again", "a"),
+            (2, "resorting and merged words do not count", "a"),
+            (3, "clean text only", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in T.blocklist_screen(docs, terms=("merge", "sort")).collect()
+    }
+    # doc 1: 'merge' x2 (token 'sorted' != 'sort'); doc 2: zero
+    # ('resorting'/'merged' are different tokens)
+    assert out["a"]["n_docs"] == 2
+    assert out["a"]["n_killed"] == 1
+    assert out["a"]["total_hits"] == 2
+    assert out["a"]["kill_rate"] == 0.5
+    assert out["b"]["n_killed"] == 0 and out["b"]["kill_rate"] == 0.0
+
+
+def test_priority_sample_estimator_and_determinism(spark):
+    """DLT invariants on a corpus larger than k: exactly k rows, ranks
+    1..k, priorities non-increasing, est_weight = max(weight, tau) >=
+    weight with tau = the (k+1)-th priority (so est_weight is constant
+    tau for every sampled item lighter than tau); rerun is identical
+    (md5 determinism).  When k >= corpus, tau = 0 and est = weight."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    docs = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(40)],
+        "doc_id long, w long",
+    )
+    out = M.priority_sample(docs, weight_col="w", k=8).collect()
+    assert [r["rank"] for r in out] == list(range(1, 9))
+    pr = [r["priority"] for r in out]
+    assert pr == sorted(pr, reverse=True)
+    assert all(r["est_weight"] >= r["weight"] for r in out)
+    tau_candidates = {r["est_weight"] for r in out if r["est_weight"] > r["weight"]}
+    assert len(tau_candidates) <= 1  # every boosted item gets the SAME tau
+    out2 = M.priority_sample(docs, weight_col="w", k=8).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+    # whole-corpus case: tau = 0, estimator degenerates to exact weights
+    full = M.priority_sample(docs, weight_col="w", k=100).collect()
+    assert len(full) == 40
+    assert all(r["est_weight"] == r["weight"] for r in full)
+    # DLT property: sum of est_weight over the sample estimates the
+    # corpus total exactly when the sample IS the corpus
+    assert sum(r["est_weight"] for r in full) == sum(
+        ((i * 7) % 13 + 1) for i in range(40)
+    )
+
+
+def test_rho_loss_select_prefers_unseen_text(spark, sf_dir):
+    """Structural invariants of the RHO table on the fixture corpus:
+    32 ranked rows, ranks dense, excess_loss non-increasing, and
+    excess_loss = logp_ref - logp_cur (round-trip) on every row.  The
+    current model trained on a superset of the reference corpus scores
+    its own training text no worse on average, so the mean excess over
+    the top-32 is finite and the column is not constant."""
+    from etl_pipeline2_0_spark.plans.llm_text import q_rho_loss_select
+
+    rows = q_rho_loss_select(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 33))
+    ex = [r["excess_loss"] for r in rows]
+    assert ex == sorted(ex, reverse=True)
+    assert len(set(ex)) > 1
+    for r in rows:
+        assert abs(r["excess_loss"] - round(r["logp_ref"] - r["logp_cur"], 6)) < 1e-12

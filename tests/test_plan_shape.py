@@ -1489,3 +1489,43 @@ def test_contamination_ngram_curve_single_semi_join(spark, sf_dir):
     # build + its own gram census — benchmark-sized by definition)
     assert plan.count("Scan parquet") <= 4
     assert "xxhash64" in plan
+
+
+def test_blocklist_screen_one_pass_no_join(spark, sf_dir):
+    # One corpus scan; hits are a per-row bounded array filter against
+    # the inlined term list (no explode, no join); one map-side-combined
+    # aggregate on the group key.
+    from etl_pipeline2_0_spark.plans.llm_text import q_blocklist_screen
+
+    plan = _plan(q_blocklist_screen(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_priority_sample_takeordered_not_global_sort(spark, sf_dir):
+    # The top-(k+1) cut must compile to TakeOrderedAndProject (bounded
+    # heap per partition), never a global sort of the corpus; the rank
+    # window and tau aggregate run over the bounded frame; tau rejoins
+    # via a broadcast 1-row cross.
+    from etl_pipeline2_0_spark.plans.llm_mixing import q_priority_sample
+
+    plan = _plan(q_priority_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row tau cross
+
+
+def test_rho_loss_select_model_tables_broadcast(spark, sf_dir):
+    # Both bigram models join into the scoring pass as BROADCAST sides
+    # (bounded <= alphabet^2-row tables); the top-32 cut is TakeOrdered,
+    # never a global sort; no cartesian.
+    from etl_pipeline2_0_spark.plans.llm_text import q_rho_loss_select
+
+    plan = _plan(q_rho_loss_select(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

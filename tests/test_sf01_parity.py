@@ -139,6 +139,11 @@ HEAVY = [
     "multimodal_neardup_recall",
     "filter_ablation",
     "anneal_mix_plan",
+    # r16: the double-model RHO scoring chain (two broadcast bigram LMs
+    # into one scoring pass) and the TakeOrdered weighted sampler — the
+    # newest replan-sensitive shapes at 10x rows.
+    "rho_loss_select",
+    "priority_sample",
 ]
 
 

@@ -704,3 +704,133 @@ def test_native_session_window_append_event_time_closure(spark, tmp_path):
     for k in got:
         assert got[k]["n_events"] == batch[k]["n_events"]
         assert got[k]["session_end"] == batch[k]["session_end"]
+
+
+def test_stream_static_enrich_matches_batch_and_broadcasts(spark, tmp_path):
+    """r15 verdict item 5a: the stream-static broadcast enrichment join —
+    every micro-batch plan must put the dimension on the build side of a
+    BroadcastHashJoin (the fact stream never shuffles), unmatched facts
+    survive (left join), and the drained stream result is row-exactly the
+    batch join of the same files."""
+    src = str(tmp_path / "events")
+    _write_batch(spark, BATCH_1, src)
+    _write_batch(spark, BATCH_2, src)
+    # user 2 has no dimension row -> left join keeps its events unenriched
+    dim = spark.createDataFrame(
+        [(1, "BRAZIL", "BUILDING")],
+        "user_id bigint, nation string, segment string",
+    )
+
+    from etl_pipeline2_0_spark.streaming.windows import stream_static_enrich
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = stream_static_enrich(stream, dim, key="user_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the BROADCAST pin: the micro-batch physical plan builds the
+    # dimension side of a BroadcastHashJoin (the fact stream never
+    # shuffles for the join)
+    mb_plan = q._jsq.explainInternal(True)
+    assert "BroadcastHashJoin" in mb_plan
+    assert "SortMergeJoin" not in mb_plan
+
+    want = stream_static_enrich(spark.read.parquet(src), dim, key="user_id")
+    cols = want.columns
+    got = spark.sql("SELECT * FROM enrich_stream").select(*cols)
+    got_rows = sorted(map(repr, got.collect()))
+    want_rows = sorted(map(repr, want.collect()))
+    assert got_rows == want_rows and len(got_rows) == 5
+    # every event survived; user 2's rows carry null enrichment
+    assert got.where(F.col("nation").isNull()).count() == 2
+    # batch parity of the same helper (the oracle-testable form)
+    assert "BroadcastHashJoin" in want._jdf.queryExecution().executedPlan().toString()
+
+
+def test_streaming_dedup_native_matches_handrolled_ingest(spark, tmp_path):
+    """r15 verdict item 5b: the native streaming-dedup primitive
+    (dropDuplicatesWithinWatermark on the content hash) must keep exactly
+    the same CONTENT set as the hand-rolled checkpointed
+    stream_dedup_ingest loop and as the batch exact dedup, on the same
+    two-file backlog with intra-batch AND cross-batch duplicates.
+    (Which copy survives may differ — the pin is on content.)"""
+    rows_1 = [
+        (1, "2024-01-01 10:00:00", "alpha document about spark joins"),
+        (2, "2024-01-01 10:05:00", "totally different text on parquet files"),
+        (3, "2024-01-01 10:10:00", "alpha document about spark joins"),
+    ]
+    rows_2 = [
+        (4, "2024-01-01 10:20:00", "alpha document about spark joins"),
+        (5, "2024-01-01 10:25:00", "a third unrelated subject entirely"),
+    ]
+    src = str(tmp_path / "docs")
+    raw = "doc_id bigint, ts string, text string"
+    for rows in (rows_1, rows_2):
+        spark.createDataFrame(rows, raw).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = "doc_id bigint, ts timestamp, text string"
+
+    from etl_pipeline2_0_spark.streaming.dedup_ingest import (
+        stream_dedup_ingest,
+    )
+    from etl_pipeline2_0_spark.streaming.windows import streaming_dedup
+
+    # 1. native: dropDuplicatesWithinWatermark keyed on the content hash
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("content_hash", F.md5(F.coalesce("text", F.lit(""))))
+    )
+    q = (
+        streaming_dedup(stream, key_cols=["content_hash"], watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("native_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    native = spark.sql("SELECT text FROM native_dedup_stream").collect()
+
+    # 2. hand-rolled: the checkpointed ingest loop (threshold high enough
+    #    that the near-dup probe drops nothing among these distinct texts)
+    corpus = str(tmp_path / "corpus")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = stream_dedup_ingest(
+        stream2,
+        corpus_path=corpus,
+        checkpoint=str(tmp_path / "ck2"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.9,
+    )
+    q2.awaitTermination(120)
+    handrolled = spark.read.parquet(corpus).select("text").collect()
+
+    # 3. batch oracle
+    batch = spark.read.parquet(src).dropDuplicates(["text"]).select("text").collect()
+
+    expect = {
+        "alpha document about spark joins",
+        "totally different text on parquet files",
+        "a third unrelated subject entirely",
+    }
+    for got in (native, handrolled, batch):
+        texts = [r["text"] for r in got]
+        assert sorted(texts) == sorted(set(texts)), "a duplicate survived"
+        assert set(texts) == expect

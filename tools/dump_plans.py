@@ -23,7 +23,11 @@ from etl_pipeline2_0_spark.session import get_spark  # noqa: E402
 # prose dossier in NOTES instead.
 import bench  # noqa: E402  (repo root on sys.path above)
 
-STREAMING_SKIP = {"stream_sessionize_sf01", "stream_join_sf01"}
+STREAMING_SKIP = {
+    "stream_sessionize_sf01",
+    "stream_join_sf01",
+    "stream_enrich_sf01",
+}
 QUERIES = [k for k in bench.HEADLINE if k not in STREAMING_SKIP]
 
 # Prose notes regenerated into PLANS.md verbatim (design facts a plan dump
@@ -71,6 +75,20 @@ NOTES = """\
   batch matching, and late-row eviction under a shared checkpoint are
   pinned in tests/test_streaming_windows.py; the bench row times the
   drain.
+
+## Dossier: stream_enrich_sf01 (streaming — no batch plan to dump)
+
+- Stream-static broadcast enrichment: the events file stream joined per
+  micro-batch to the broadcast customer dimension (c_custkey =
+  user_id; nation key + market segment), drained in one availableNow
+  run into a memory sink.  Physical shape: BroadcastHashJoin with the
+  dimension on the build side in EVERY micro-batch plan — the static
+  side holds no streaming state and needs no watermark, and the fact
+  stream never shuffles for the join (the 100 TB enrichment shape:
+  bounded dimension ships once per plan; facts stay put).  Left join
+  preserves unmatched facts.  Batch ≡ stream row-exactness and the
+  per-micro-batch broadcast pin live in
+  tests/test_streaming_windows.py; the bench row times the drain.
 """
 
 CHECKS = [
