@@ -210,6 +210,8 @@ HEADLINE = [
     "blocklist_screen",
     "priority_sample",
     "rho_loss_select",
+    "heavy_hitter_phrases",
+    "cross_source_dedup_matrix",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

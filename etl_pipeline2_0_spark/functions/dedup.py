@@ -2781,3 +2781,77 @@ def contamination_ngram_curve(
             ).alias("contamination_rate"),
         )
     )
+
+
+def cross_source_dedup_matrix(
+    df,
+    text_col: str = "text",
+    source_col: str = "source",
+    checkpoint: bool = True,
+):
+    """Where exact duplication concentrates, source × source — the
+    triage table a curation team reads before deciding WHICH feed to
+    dedup first (intra-source boilerplate vs cross-source mirroring
+    need different fixes; the n-gram-level counterpart is
+    ``corpus_overlap``, this is the exact-hash level).
+
+    For every unordered source pair (a ≤ b): the number of exact-dup
+    content groups with copies in both (for a = b: groups with ≥2
+    copies inside the source), and the total cross pair count
+    (n_a·n_b off-diagonal, C(n_a,2) on the diagonal).
+
+    Output: (src_a, src_b, n_dup_groups, n_dup_pairs), ordered.
+
+    Scale: the shuffle carries (content_hash, source) with map-side
+    combine — 32-byte digests + a low-cardinality source, never
+    documents; the pair expansion is a self-equi-join on the hash of
+    the ≤|groups|·|sources| aggregate (dup groups only — the non-dup
+    mass is filtered before the join).
+    """
+    gs = (
+        df.select(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("h"),
+            F.col(source_col).alias("src"),
+        )
+        .groupBy("h", "src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = gs.groupBy("h").agg(F.sum("n").alias("n_tot"))
+    dup_gs = gs.join(tot.where(F.col("n_tot") >= 2).select("h"), "h")
+    if checkpoint:
+        # dup_gs feeds three consumers (both join sides + the diagonal);
+        # checkpoint=False exists so plan tests can pin the upstream
+        # shape (localCheckpoint prints as an opaque ExistingRDD scan)
+        dup_gs = dup_gs.localCheckpoint(eager=False)
+    a = dup_gs.select(
+        "h", F.col("src").alias("src_a"), F.col("n").alias("na")
+    )
+    b = dup_gs.select(
+        "h", F.col("src").alias("src_b"), F.col("n").alias("nb")
+    )
+    cross = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_groups"),
+            F.sum(F.col("na") * F.col("nb"))
+            .cast("bigint")
+            .alias("n_dup_pairs"),
+        )
+    )
+    diag = (
+        dup_gs.where(F.col("n") >= 2)
+        .groupBy(F.col("src").alias("src_a"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_groups"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("bigint")
+            .alias("n_dup_pairs"),
+        )
+        .select(
+            "src_a", F.col("src_a").alias("src_b"),
+            "n_dup_groups", "n_dup_pairs",
+        )
+    )
+    return cross.unionByName(diag).orderBy("src_a", "src_b")

@@ -2256,3 +2256,59 @@ def blocklist_screen(
         )
         .orderBy(group_col)
     )
+
+
+def heavy_hitter_phrases(
+    df,
+    n: int = 8,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-wide top repeated phrases — the memorization/boilerplate
+    screen (Lee et al. 2022 §5 and Carlini et al. 2023 both key their
+    analyses on high-document-frequency long n-grams: boilerplate,
+    licenses, templates — exactly what a dedup pass should have
+    removed and a memorization audit looks for): the ``top_k``
+    word ``n``-grams by DISTINCT-document frequency, with total
+    occurrence counts.
+
+    Complements ``shingle_df_histogram`` (hashed shingles, histogram
+    only) by emitting the actual offending PHRASES, and
+    ``gopher_repetition`` (per-doc, intra-doc) with the corpus-wide
+    cross-doc view.
+
+    Output: (rank, phrase, n_docs, n_occurrences), rank 1..top_k by
+    n_docs desc (phrase tiebreak).
+
+    Scale: one explode to the (doc, phrase) stream, one exact
+    (phrase → distinct-doc, occurrence) aggregate (the distinct is a
+    two-level aggregate on the phrase key — map-side partial combine),
+    then TakeOrdered for the bounded top-k; the rank window runs over
+    that ≤top_k-row frame.  At 100 TB the phrase key would be
+    pre-hashed for the shuffle and the string re-attached from a
+    one-pass sample join; the shape is identical.
+    """
+    ws = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.explode(grams).alias("phrase")
+    )
+    agg = exploded.groupBy("phrase").agg(
+        F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+    )
+    top = agg.orderBy(
+        F.col("n_docs").desc(), F.col("phrase")
+    ).limit(top_k)
+    # bounded-frame window (≤ top_k rows post-limit)
+    win = Window.orderBy(F.col("n_docs").desc(), F.col("phrase"))
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        "rank", "phrase", "n_docs", "n_occurrences"
+    )

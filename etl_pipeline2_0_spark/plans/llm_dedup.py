@@ -2008,3 +2008,71 @@ CROSS JOIN nd
 
 
 SQL_CONTAMINATION_NGRAM_CURVE = _sql_contam_curve((8, 13, 20))
+
+
+def q_cross_source_dedup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Exact-dup concentration, source x source: dup groups with copies
+    # in both sources (diagonal: >=2 copies inside the source) + total
+    # pair counts — the triage table before choosing which feed to
+    # dedup first; md5 content hashes, exact integers, tolerance-free.
+    # The synthetic corpus has almost no native exact dups (zero groups
+    # at sf0.001 — the matrix would oracle-match trivially on empty),
+    # so the query PLANTS deterministic copies the way
+    # semdedup_eps_curve plants its band: every doc_id % 37 == 5 doc
+    # mirrors into a 'mirror' source (cross-source mass) and every
+    # doc_id % 53 == 7 doc duplicates within its own source (diagonal
+    # mass); both engines derive the same augmented frame.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mirror = docs.where(F.col("doc_id") % 37 == 5).select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    intra = docs.where(F.col("doc_id") % 53 == 7).select(
+        (F.col("doc_id") + F.lit(2000000000)).alias("doc_id"),
+        "text",
+        "source",
+    )
+    aug = docs.unionByName(mirror).unionByName(intra)
+    return dedup.cross_source_dedup_matrix(aug)
+
+
+SQL_CROSS_SOURCE_DEDUP_MATRIX = r"""
+WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, text, 'mirror' AS source
+  FROM documents WHERE doc_id % 37 = 5
+  UNION ALL
+  SELECT doc_id + 2000000000, text, source
+  FROM documents WHERE doc_id % 53 = 7
+), gs AS (
+  SELECT md5(COALESCE(text, '')) AS h, source AS src, COUNT(*) AS n
+  FROM aug
+  GROUP BY 1, 2
+), dup_gs AS (
+  SELECT gs.* FROM gs
+  JOIN (SELECT h FROM gs GROUP BY h HAVING SUM(n) >= 2) t USING (h)
+), cross_pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS n_dup_pairs
+  FROM dup_gs a JOIN dup_gs b ON a.h = b.h AND a.src < b.src
+  GROUP BY 1, 2
+), diag AS (
+  SELECT src AS src_a, src AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+         CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_dup_pairs
+  FROM dup_gs
+  WHERE n >= 2
+  GROUP BY 1, 2
+)
+SELECT * FROM cross_pairs
+UNION ALL
+SELECT * FROM diag
+ORDER BY src_a, src_b
+"""

@@ -1814,3 +1814,40 @@ ORDER BY rank
 
 
 SQL_RHO_LOSS_SELECT = _sql_rho_loss_select()
+
+
+def q_heavy_hitter_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-wide memorization/boilerplate screen: the top-20 word
+    # 8-grams by distinct-document frequency (the phrases a dedup pass
+    # should have removed and a memorization audit looks for), with
+    # occurrence totals — exact integer counts, tolerance-free oracle.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.heavy_hitter_phrases(docs, n=8, top_k=20)
+
+
+SQL_HEAVY_HITTER_PHRASES = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 6),
+                               i -> array_to_string(ws[i:i+7], ' ')))
+           AS phrase
+  FROM w
+), agg AS (
+  SELECT phrase,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM g
+  GROUP BY phrase
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, phrase) AS INT)
+         AS rank,
+       phrase, n_docs, n_occurrences
+FROM agg
+QUALIFY rank <= 20
+ORDER BY rank
+"""

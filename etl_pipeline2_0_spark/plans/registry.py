@@ -216,12 +216,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # + the incoming filter_ablation).  Keep the family-anchor and
     # all-oracled invariants (test_sql_registry.py pins both).
     #
-    # ROUND-17 STAGING (execute next round): promote SEVEN entries —
+    # ROUND-17 STAGING (execute next round): promote NINE entries —
     # the FOUR queued second-wave r15 additions (best_of_n_curve,
     # vocab_oov_curve, bpe_fertility_curve, pack_waste_curve — ×3-SF
-    # parity-proven, zero driver rows) plus the THREE r16-added oracled
-    # entries (blocklist_screen, priority_sample, rho_loss_select —
-    # registered past-cap below, parity-proven at 3 SFs).  Demote
+    # parity-proven, zero driver rows) plus the FIVE r16-added oracled
+    # entries (blocklist_screen, priority_sample, rho_loss_select,
+    # heavy_hitter_phrases, cross_source_dedup_matrix — registered
+    # past-cap below, parity-proven at 3 SFs).  Demote
     # an equal count of the most-tenured multi-green holdovers,
     # re-anchoring families as usual (candidates, all thrice-green by
     # r16 if the window stays green: unigram_train, bitext_mine,
@@ -836,6 +837,21 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     char-bigram LM over the holdout-clean reference LM, top-32
     #     hard-but-learnable held-out docs ---
     "rho_loss_select": (LT.q_rho_loss_select, LT.SQL_RHO_LOSS_SELECT),
+    # --- added r16 (past-cap; r17 pool): corpus-wide memorization/
+    #     boilerplate screen — top word 8-grams by distinct-document
+    #     frequency (the actual phrases, next to the hashed
+    #     shingle_df_histogram) ---
+    "heavy_hitter_phrases": (
+        LT.q_heavy_hitter_phrases,
+        LT.SQL_HEAVY_HITTER_PHRASES,
+    ),
+    # --- added r16 (past-cap; r17 pool): exact-dup concentration
+    #     source x source (dup groups + pair counts per unordered source
+    #     pair; diagonal = intra-source) — the dedup triage table ---
+    "cross_source_dedup_matrix": (
+        LD.q_cross_source_dedup_matrix,
+        LD.SQL_CROSS_SOURCE_DEDUP_MATRIX,
+    ),
 }
 
 

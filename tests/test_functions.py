@@ -5414,3 +5414,64 @@ def test_rho_loss_select_prefers_unseen_text(spark, sf_dir):
     assert len(set(ex)) > 1
     for r in rows:
         assert abs(r["excess_loss"] - round(r["logp_ref"] - r["logp_cur"], 6)) < 1e-12
+
+
+def test_heavy_hitter_phrases_exact_counts(spark):
+    """Planted boilerplate: a phrase repeated across docs ranks first
+    with exact distinct-doc and occurrence counts; short docs (< n
+    words) contribute nothing; ranks are dense by (n_docs desc,
+    phrase)."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    boiler = "this content is provided as is without warranty of any"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " kind"),
+            (2, "prefix words here " + boiler),
+            (3, boiler),                      # 11 words -> 4 8-grams
+            (4, "too short"),                 # no 8-gram
+            (5, "a b c d e f g h"),           # exactly one 8-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = T.heavy_hitter_phrases(docs, n=8, top_k=5).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    top = out[0]
+    # three 8-grams sit fully inside the shared boilerplate, so each is
+    # in all 3 docs; the (n_docs desc, phrase asc) tiebreak puts the
+    # alphabetically-first of them on rank 1
+    assert top["phrase"] == "content is provided as is without warranty of"
+    assert top["n_docs"] == 3 and top["n_occurrences"] == 3
+    assert all(out[i]["n_docs"] >= out[i + 1]["n_docs"] for i in range(len(out) - 1))
+    phrases = [r["phrase"] for r in out]
+    assert "a b c d e f g h" in phrases
+
+
+def test_cross_source_dedup_matrix_exact(spark):
+    """Hand-built corpus: one cross-source dup group (counted once with
+    n_a*n_b pairs), one intra-source group (C(n,2) pairs), unique docs
+    contribute nothing, and src_a <= src_b on every row."""
+    from etl_pipeline2_0_spark.functions import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared mirror text", "a"),
+            (2, "shared mirror text", "b"),
+            (3, "shared mirror text", "b"),   # group: a x1, b x2
+            (4, "intra dup", "c"),
+            (5, "intra dup", "c"),
+            (6, "intra dup", "c"),            # group: c x3
+            (7, "unique text", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in D.cross_source_dedup_matrix(docs).collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "b"), ("c", "c")}
+    assert out[("a", "b")]["n_dup_groups"] == 1
+    assert out[("a", "b")]["n_dup_pairs"] == 2      # 1*2
+    assert out[("b", "b")]["n_dup_pairs"] == 1      # C(2,2)... C(2,2)=1
+    assert out[("c", "c")]["n_dup_groups"] == 1
+    assert out[("c", "c")]["n_dup_pairs"] == 3      # C(3,2)

@@ -1529,3 +1529,35 @@ def test_rho_loss_select_model_tables_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitter_phrases_takeordered_not_global_sort(spark, sf_dir):
+    # One explode -> one two-level exact-distinct aggregate on the
+    # phrase key (map-side partial), then TakeOrdered for the bounded
+    # top-k; the rank window runs over the bounded frame.  No join.
+    from etl_pipeline2_0_spark.plans.llm_text import q_heavy_hitter_phrases
+
+    plan = _plan(q_heavy_hitter_phrases(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_cross_source_dedup_matrix_digest_shuffle(spark, sf_dir):
+    # The shuffle carries (md5 digest, source) aggregates — never
+    # documents; the pair expansion is an equi-join on the hash over
+    # dup groups only.  No cartesian, no global sort of the corpus.
+    from etl_pipeline2_0_spark.functions.dedup import (
+        cross_source_dedup_matrix,
+    )
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    # checkpoint=False so the pin sees the full upstream shape (the
+    # registry wrapper keeps the checkpoint; localCheckpoint prints as
+    # an opaque ExistingRDD scan — the r14 advisor class)
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(cross_source_dedup_matrix(docs, checkpoint=False))
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan
+    assert "partial_count" in plan or "partial_sum" in plan

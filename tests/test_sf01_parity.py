@@ -144,6 +144,8 @@ HEAVY = [
     # newest replan-sensitive shapes at 10x rows.
     "rho_loss_select",
     "priority_sample",
+    "heavy_hitter_phrases",
+    "cross_source_dedup_matrix",
 ]
 
 
