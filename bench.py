@@ -212,6 +212,7 @@ HEADLINE = [
     "rho_loss_select",
     "heavy_hitter_phrases",
     "cross_source_dedup_matrix",
+    "priority_sample_curve",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

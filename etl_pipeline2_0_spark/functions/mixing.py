@@ -2437,3 +2437,150 @@ def priority_sample(
         )
         .orderBy("rank")
     )
+
+
+def priority_sample_curve(
+    df,
+    weight_col,
+    ks: "tuple[int, ...]" = (8, 16, 32, 64),
+    id_col: str = "doc_id",
+    salt: str = "",
+    checkpoint: bool = True,
+):
+    """Sample-size SIZING sweep for :func:`priority_sample` — the tenth
+    measured sizing curve (bloom_fpr / cms_error / lsh_geometry /
+    cdc_dedup / contamination_ngram / semdedup_eps / vocab_oov /
+    bpe_fertility / pack_waste): per candidate k, the DLT total-weight
+    estimate Σ max(w_i, tau_k) over the top-k sample against the exact
+    corpus total — the table a pipeline reads before choosing how many
+    weighted exemplars to keep.
+
+    Exactness: every k shares ONE scored pass and ONE bounded
+    top-(max k + 1) frame; per-item estimates enter the sum as
+    micro-unit integers (``CAST(ROUND(max(w, tau)·10^6) AS BIGINT)`` —
+    rounding identical doubles is identical cross-engine, and integer
+    sums are aggregation-order-free, sidestepping the float-sum
+    reassociation hazard); rel_err is one exact division at the end.
+
+    Output: (k, n_sampled, tau, est_total_u, true_total, rel_err),
+    one row per k, ordered.  ``tau = 0`` (and rel_err from the exact
+    sample sum) whenever k covers the corpus.
+
+    Scale: the corpus is touched twice (the scored TakeOrdered pass —
+    materialized once behind a lazy checkpoint because two consumers
+    read it — plus the exact total aggregate); every sweep
+    computation runs on the ≤(max k + 1)-row frame; taus and the true
+    total rejoin via broadcast 1-row crosses.
+    """
+    max_k = max(int(k) for k in ks)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(salt)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(float(2**60))
+    w = F.col(weight_col).cast("double")
+    scored = df.select(
+        F.col(id_col),
+        w.alias("weight"),
+        (w / u).alias("priority"),
+    )
+    top = scored.orderBy(
+        F.col("priority").desc(), F.col(id_col)
+    ).limit(max_k + 1)
+    win = Window.orderBy(F.col("priority").desc(), F.col(id_col))
+    ranked = top.withColumn("rank", F.row_number().over(win)).select(
+        "rank", "weight", "priority"
+    )
+    if checkpoint:
+        # ranked feeds two consumers (taus + the estimate sums); the
+        # lazy checkpoint materializes the ≤(max k + 1)-row frame once
+        # so the scored corpus pass runs once, not twice.
+        # checkpoint=False exists for plan pins (localCheckpoint prints
+        # as an opaque ExistingRDD scan).
+        ranked = ranked.localCheckpoint(eager=False)
+    taus = ranked.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(F.col("rank") == int(k) + 1, F.col("priority"))
+                ),
+                F.lit(0.0),
+            ).alias(f"tau{k}")
+            for k in ks
+        ]
+    )
+    est = (
+        ranked.crossJoin(F.broadcast(taus))
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("rank") <= int(k),
+                            F.round(
+                                F.greatest(
+                                    F.col("weight"), F.col(f"tau{k}")
+                                )
+                                * F.lit(1000000.0)
+                            ).cast("bigint"),
+                        )
+                    ),
+                    F.lit(0).cast("bigint"),
+                ).alias(f"est{k}")
+                for k in ks
+            ],
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("rank") <= int(k), 1)), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(f"n{k}")
+                for k in ks
+            ],
+            *[F.max(f"tau{k}").alias(f"t{k}") for k in ks],
+        )
+    )
+    tot = df.agg(
+        F.sum(F.col(weight_col).cast("bigint"))
+        .cast("bigint")
+        .alias("true_total")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).cast("int").alias("k"),
+                F.col(f"n{k}").alias("n_sampled"),
+                F.col(f"t{k}").alias("tau"),
+                F.col(f"est{k}").alias("est_total_u"),
+            )
+            for k in ks
+        ]
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select("true_total", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.k").alias("k"),
+            F.col("r.n_sampled").alias("n_sampled"),
+            F.col("r.tau").alias("tau"),
+            F.col("r.est_total_u").alias("est_total_u"),
+            "true_total",
+            (
+                (
+                    F.col("r.est_total_u")
+                    - F.col("true_total") * F.lit(1000000)
+                )
+                / (F.col("true_total") * F.lit(1000000.0))
+            ).alias("rel_err"),
+        )
+        .orderBy("k")
+    )

@@ -886,3 +886,86 @@ FROM top CROSS JOIN tau
 WHERE rank <= 32
 ORDER BY rank
 """
+
+
+def q_priority_sample_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The sample-size sizing sweep for priority sampling — per k, the
+    # DLT total-weight estimate vs the exact corpus total, from ONE
+    # scored pass and one bounded top-(max k + 1) frame; per-item
+    # estimates sum as micro-unit integers (order-free), rel_err is one
+    # exact division.  The tenth measured sizing curve.
+    from etl_pipeline2_0_spark.functions import mixing
+    from etl_pipeline2_0_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.withColumn(
+        "n_words", F.size(tx.tokens(F.col("text")))
+    )
+    return mixing.priority_sample_curve(
+        weighted, weight_col="n_words", ks=(8, 16, 32, 64),
+        id_col="doc_id",
+    )
+
+
+SQL_PRIORITY_SAMPLE_CURVE = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> length(x) > 0)) AS DOUBLE) AS weight,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> length(x) > 0)) AS DOUBLE)
+           / ((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'),
+                                      1, 15) AS BIGINT) + 1)
+              / 1152921504606846976.0) AS priority
+  FROM documents
+), ranked AS (
+  SELECT weight, priority,
+         CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS INT)
+           AS rank
+  FROM s
+  QUALIFY rank <= 65
+), taus AS (
+  SELECT
+    COALESCE(MAX(CASE WHEN rank = 9 THEN priority END), 0.0) AS tau8,
+    COALESCE(MAX(CASE WHEN rank = 17 THEN priority END), 0.0) AS tau16,
+    COALESCE(MAX(CASE WHEN rank = 33 THEN priority END), 0.0) AS tau32,
+    COALESCE(MAX(CASE WHEN rank = 65 THEN priority END), 0.0) AS tau64
+  FROM ranked
+), est AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN rank <= 8 THEN
+      CAST(ROUND(GREATEST(weight, tau8) * 1000000.0) AS BIGINT) END), 0)
+      AS est8,
+    COALESCE(SUM(CASE WHEN rank <= 16 THEN
+      CAST(ROUND(GREATEST(weight, tau16) * 1000000.0) AS BIGINT) END), 0)
+      AS est16,
+    COALESCE(SUM(CASE WHEN rank <= 32 THEN
+      CAST(ROUND(GREATEST(weight, tau32) * 1000000.0) AS BIGINT) END), 0)
+      AS est32,
+    COALESCE(SUM(CASE WHEN rank <= 64 THEN
+      CAST(ROUND(GREATEST(weight, tau64) * 1000000.0) AS BIGINT) END), 0)
+      AS est64,
+    CAST(COALESCE(SUM(CASE WHEN rank <= 8 THEN 1 END), 0) AS BIGINT) AS n8,
+    CAST(COALESCE(SUM(CASE WHEN rank <= 16 THEN 1 END), 0) AS BIGINT) AS n16,
+    CAST(COALESCE(SUM(CASE WHEN rank <= 32 THEN 1 END), 0) AS BIGINT) AS n32,
+    CAST(COALESCE(SUM(CASE WHEN rank <= 64 THEN 1 END), 0) AS BIGINT) AS n64,
+    MAX(tau8) AS t8, MAX(tau16) AS t16, MAX(tau32) AS t32, MAX(tau64) AS t64
+  FROM ranked CROSS JOIN taus
+), tot AS (
+  SELECT CAST(SUM(CAST(len(list_filter(
+           regexp_split_to_array(lower(text), '\W+'),
+           x -> length(x) > 0)) AS BIGINT)) AS BIGINT) AS true_total
+  FROM documents
+)
+SELECT v.k, v.n AS n_sampled, v.tau,
+       CAST(v.e AS BIGINT) AS est_total_u, t.true_total,
+       (v.e - t.true_total * 1000000)
+         / (t.true_total * 1000000.0) AS rel_err
+FROM est, tot t, LATERAL (
+  VALUES (CAST(8 AS INT), est.n8, est.t8, est.est8),
+         (CAST(16 AS INT), est.n16, est.t16, est.est16),
+         (CAST(32 AS INT), est.n32, est.t32, est.est32),
+         (CAST(64 AS INT), est.n64, est.t64, est.est64)
+) v(k, n, tau, e)
+ORDER BY v.k
+"""

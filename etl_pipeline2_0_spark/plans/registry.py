@@ -216,13 +216,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # + the incoming filter_ablation).  Keep the family-anchor and
     # all-oracled invariants (test_sql_registry.py pins both).
     #
-    # ROUND-17 STAGING (execute next round): promote NINE entries —
+    # ROUND-17 STAGING (execute next round): promote TEN entries —
     # the FOUR queued second-wave r15 additions (best_of_n_curve,
     # vocab_oov_curve, bpe_fertility_curve, pack_waste_curve — ×3-SF
-    # parity-proven, zero driver rows) plus the FIVE r16-added oracled
-    # entries (blocklist_screen, priority_sample, rho_loss_select,
-    # heavy_hitter_phrases, cross_source_dedup_matrix — registered
-    # past-cap below, parity-proven at 3 SFs).  Demote
+    # parity-proven, zero driver rows) plus the SIX r16-added oracled
+    # entries (blocklist_screen, priority_sample, priority_sample_curve,
+    # rho_loss_select, heavy_hitter_phrases, cross_source_dedup_matrix —
+    # registered past-cap below, parity-proven at 3 SFs).  Demote
     # an equal count of the most-tenured multi-green holdovers,
     # re-anchoring families as usual (candidates, all thrice-green by
     # r16 if the window stays green: unigram_train, bitext_mine,
@@ -851,6 +851,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "cross_source_dedup_matrix": (
         LD.q_cross_source_dedup_matrix,
         LD.SQL_CROSS_SOURCE_DEDUP_MATRIX,
+    ),
+    # --- added r16 (past-cap; r17 pool): the sample-size sizing sweep
+    #     for priority sampling — DLT total-weight estimate vs exact
+    #     total per candidate k from ONE scored pass; micro-unit
+    #     integer sums (order-free); the TENTH measured sizing curve ---
+    "priority_sample_curve": (
+        LM.q_priority_sample_curve,
+        LM.SQL_PRIORITY_SAMPLE_CURVE,
     ),
 }
 

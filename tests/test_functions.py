@@ -5475,3 +5475,28 @@ def test_cross_source_dedup_matrix_exact(spark):
     assert out[("b", "b")]["n_dup_pairs"] == 1      # C(2,2)... C(2,2)=1
     assert out[("c", "c")]["n_dup_groups"] == 1
     assert out[("c", "c")]["n_dup_pairs"] == 3      # C(3,2)
+
+
+def test_priority_sample_curve_estimator_converges(spark):
+    """DLT sweep invariants: at k >= corpus the estimate is EXACT
+    (tau = 0, est_total_u = true_total * 1e6); per-k estimates are
+    finite; n_sampled = min(k, corpus); tau decreases as k grows
+    (deeper cut = smaller (k+1)-th priority)."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    docs = spark.createDataFrame(
+        [(i, (i * 11) % 17 + 1) for i in range(40)],
+        "doc_id long, w long",
+    )
+    true_total = sum((i * 11) % 17 + 1 for i in range(40))
+    out = {r["k"]: r for r in M.priority_sample_curve(
+        docs, weight_col="w", ks=(4, 16, 64)).collect()}
+    assert [out[k]["n_sampled"] for k in (4, 16, 64)] == [4, 16, 40]
+    assert all(r["true_total"] == true_total for r in out.values())
+    # k=64 covers the corpus: exact estimator
+    assert out[64]["tau"] == 0.0
+    assert out[64]["est_total_u"] == true_total * 1_000_000
+    assert out[64]["rel_err"] == 0.0
+    # taus weakly decrease with k; all estimates positive
+    assert out[4]["tau"] >= out[16]["tau"] >= out[64]["tau"]
+    assert all(r["est_total_u"] > 0 for r in out.values())

@@ -1561,3 +1561,31 @@ def test_cross_source_dedup_matrix_digest_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "md5" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_priority_sample_curve_two_passes_takeordered(spark, sf_dir):
+    # ONE scored TakeOrdered pass + one exact total aggregate — exactly
+    # two corpus scans; every sweep computation runs on the bounded
+    # top-(max k + 1) frame; taus/total rejoin via broadcast crosses.
+    from etl_pipeline2_0_spark.functions import mixing, text
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    # checkpoint=False un-blinds the full shape (the default lazily
+    # checkpoints the bounded ranked frame so the scored pass runs
+    # once for its two consumers; checkpointed it prints as an opaque
+    # ExistingRDD scan — the r14 advisor class)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_words", F.size(text.tokens(F.col("text")))
+    )
+    plan = _plan(
+        mixing.priority_sample_curve(
+            docs, weight_col="n_words", checkpoint=False
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # 2 scored consumers + 1 exact-total pass un-checkpointed; the
+    # default collapses the scored side to ONE materialized pass
+    assert plan.count("Scan parquet") == 3
+    assert "BroadcastNestedLoopJoin" in plan

@@ -146,6 +146,7 @@ HEAVY = [
     "priority_sample",
     "heavy_hitter_phrases",
     "cross_source_dedup_matrix",
+    "priority_sample_curve",
 ]
 
 
