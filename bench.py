@@ -213,6 +213,7 @@ HEADLINE = [
     "heavy_hitter_phrases",
     "cross_source_dedup_matrix",
     "priority_sample_curve",
+    "matryoshka_curve",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

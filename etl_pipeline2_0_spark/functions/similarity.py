@@ -2327,3 +2327,160 @@ def cluster_balanced_sample(
             F.col("rnk"),
         )
     )
+
+
+def matryoshka_curve(
+    emb: DataFrame,
+    dims: "tuple[int, ...]" = (8, 16, 32, 64),
+    strides: "tuple[int, ...]" = (1, 7, 31),
+    eps_micro: int = 50_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding truncation-dimension sizing curve (Matryoshka
+    Representation Learning, Kusupati et al. 2022 — public literature):
+    how much cosine fidelity survives keeping only the first ``d``
+    coordinates, for each candidate ``d``, measured on a deterministic
+    pair sample — the table read before shrinking a billion-vector
+    store 8x by storing prefixes.
+
+    Pair sample: anchor ``i`` pairs with ``i + s`` for each stride in
+    ``strides`` (ids that exist; one equi-join, no randomness).  For
+    each pair and each ``d``: ``cos_d`` over the length-``d`` prefixes
+    (in-order double fold; zero-norm prefix scores 0 by convention) vs
+    the full-dim ``cos`` at ``max(dims)``.
+
+    Exactness: the per-pair error quantizes to micro-unit BIGINTs
+    (``round(|cos_d − cos_full|·10⁶)``) so every sum/count is an exact
+    integer (order-free); means/rates are single divisions of those
+    integers.  Top-1 agreement: per anchor, whether the nearest of its
+    sampled candidates under ``cos_d`` is the nearest under the full
+    cosine (``min_by`` over the (−cos, stride) struct key — ties to the
+    smaller stride; the DuckDB twin expresses the same winner as a
+    ROW_NUMBER window, same values).
+
+    Output, one row per candidate dim (ordered):
+      (dim, n_pairs, sum_abs_err_micro, max_abs_err_micro,
+       mean_abs_err, n_within_eps, frac_within_eps,
+       n_anchors, n_top1_agree, top1_agree_rate)
+
+    Scale: ONE id-shifted equi-join builds the pair sample (shuffle ∝
+    |strides|·N, never N²); every cosine is a per-row prefix fold (no
+    vector explode) kept WIDE per pair, so the whole curve is a single
+    consumer chain: one per-anchor aggregate (every per-dim error
+    partial AND both argmax winners in the same groupBy — no window,
+    no self-join, no recompute), a bounded |dims|-entry fan-out, and a
+    final |dims|-group aggregate.  The ELEVENTH measured sizing curve.
+    """
+    dims = tuple(sorted(int(d) for d in dims))
+    full = dims[-1]
+
+    def _cos_d(av, bv, d):
+        sa, sb = F.slice(av, 1, d), F.slice(bv, 1, d)
+        na, nb = norm(sa), norm(sb)
+        return F.when(
+            (na > F.lit(0.0)) & (nb > F.lit(0.0)), dot(sa, sb) / (na * nb)
+        ).otherwise(F.lit(0.0))
+
+    left = (
+        emb.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("av"))
+        .select(
+            "aid",
+            "av",
+            F.explode(
+                F.array(*[F.lit(int(s)) for s in strides])
+            ).alias("stride"),
+        )
+        .withColumn("bid", F.col("aid") + F.col("stride"))
+    )
+    right = emb.select(
+        F.col(id_col).alias("bid"), F.col(vec_col).alias("bv")
+    )
+    wide = left.join(right, "bid").select(
+        "aid",
+        "stride",
+        *[
+            _cos_d(F.col("av"), F.col("bv"), d).alias(f"cos_{d}")
+            for d in dims
+        ],
+    )
+    for d in dims:
+        wide = wide.withColumn(
+            f"em_{d}",
+            F.round(
+                F.abs(F.col(f"cos_{d}") - F.col(f"cos_{full}"))
+                * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        )
+
+    def _best(d):
+        # argmax cos_d, ties to the smaller stride (struct key compares
+        # lexicographically; −cos is exact double negation)
+        return F.min_by(
+            "stride",
+            F.struct(
+                (-F.col(f"cos_{d}")).alias("nc"),
+                F.col("stride").alias("s"),
+            ),
+        ).alias(f"best_{d}")
+
+    per_anchor = wide.groupBy("aid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        *[F.sum(f"em_{d}").alias(f"sum_{d}") for d in dims],
+        *[F.max(f"em_{d}").alias(f"max_{d}") for d in dims],
+        *[
+            F.sum(
+                (F.col(f"em_{d}") <= F.lit(int(eps_micro))).cast("bigint")
+            ).alias(f"win_{d}")
+            for d in dims
+        ],
+        *[_best(d) for d in dims],
+    )
+    fan = per_anchor.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(d)).alias("dim"),
+                        F.col(f"sum_{d}").alias("s"),
+                        F.col(f"max_{d}").alias("m"),
+                        F.col(f"win_{d}").alias("w"),
+                        (F.col(f"best_{d}") == F.col(f"best_{full}"))
+                        .cast("bigint")
+                        .alias("agree"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("e"),
+    ).select("cnt", "e.dim", "e.s", "e.m", "e.w", "e.agree")
+    out = fan.groupBy("dim").agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.sum("s").alias("sum_abs_err_micro"),
+        F.max("m").alias("max_abs_err_micro"),
+        F.sum("w").alias("n_within_eps"),
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum("agree").alias("n_top1_agree"),
+    )
+    return out.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_pairs",
+        "sum_abs_err_micro",
+        "max_abs_err_micro",
+        F.round(
+            F.col("sum_abs_err_micro")
+            / F.lit(1_000_000.0)
+            / F.col("n_pairs"),
+            6,
+        ).alias("mean_abs_err"),
+        "n_within_eps",
+        F.round(F.col("n_within_eps") / F.col("n_pairs"), 6).alias(
+            "frac_within_eps"
+        ),
+        "n_anchors",
+        "n_top1_agree",
+        F.round(F.col("n_top1_agree") / F.col("n_anchors"), 6).alias(
+            "top1_agree_rate"
+        ),
+    ).orderBy("dim")

@@ -1607,3 +1607,81 @@ SELECT neighbor_id AS vec_id, CAST(cluster AS INT) AS cluster,
 FROM assigned
 QUALIFY rnk <= 8
 """
+
+
+def q_matryoshka_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Truncation-dimension sizing curve (Kusupati et al. 2022): cosine
+    # fidelity of the first-d prefix vs the full 64-dim embedding at
+    # d ∈ {8,16,32,64}, on the deterministic stride-{1,7,31} pair
+    # sample — the read-off table for shrinking the store by prefixes.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_curve(
+        emb, dims=(8, 16, 32, 64), strides=(1, 7, 31)
+    )
+
+
+SQL_MATRYOSHKA_CURVE = r"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s(stride) AS (VALUES (1), (7), (31)),
+pairs AS (
+  SELECT a.vec_id AS aid, s.stride, a.v AS av, b.v AS bv
+  FROM e a CROSS JOIN s JOIN e b ON b.vec_id = a.vec_id + s.stride
+), d(dim) AS (VALUES (8), (16), (32), (64)),
+longt AS (
+  SELECT aid, stride, dim,
+    CASE WHEN SQRT(list_inner_product(av[1:dim], av[1:dim])) > 0
+          AND SQRT(list_inner_product(bv[1:dim], bv[1:dim])) > 0
+      THEN list_inner_product(av[1:dim], bv[1:dim])
+           / (SQRT(list_inner_product(av[1:dim], av[1:dim]))
+              * SQRT(list_inner_product(bv[1:dim], bv[1:dim])))
+      ELSE 0.0 END AS cos_d,
+    CASE WHEN SQRT(list_inner_product(av[1:64], av[1:64])) > 0
+          AND SQRT(list_inner_product(bv[1:64], bv[1:64])) > 0
+      THEN list_inner_product(av[1:64], bv[1:64])
+           / (SQRT(list_inner_product(av[1:64], av[1:64]))
+              * SQRT(list_inner_product(bv[1:64], bv[1:64])))
+      ELSE 0.0 END AS cos_f
+  FROM pairs CROSS JOIN d
+), err AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(em) AS BIGINT) AS sum_abs_err_micro,
+         CAST(MAX(em) AS BIGINT) AS max_abs_err_micro,
+         CAST(SUM(CASE WHEN em <= 50000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_within_eps
+  FROM (SELECT dim,
+               CAST(ROUND(ABS(cos_d - cos_f) * 1000000.0) AS BIGINT) AS em
+        FROM longt)
+  GROUP BY dim
+), best_d AS (
+  SELECT aid, dim, stride AS best_stride
+  FROM (SELECT aid, dim, stride,
+               ROW_NUMBER() OVER (PARTITION BY aid, dim
+                                  ORDER BY cos_d DESC, stride) AS r
+        FROM longt)
+  WHERE r = 1
+), best_f AS (
+  SELECT aid, stride AS full_stride
+  FROM (SELECT aid, stride,
+               ROW_NUMBER() OVER (PARTITION BY aid
+                                  ORDER BY cos_f DESC, stride) AS r
+        FROM longt WHERE dim = 64)
+  WHERE r = 1
+), agree AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n_anchors,
+         CAST(SUM(CASE WHEN best_stride = full_stride THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_top1_agree
+  FROM best_d JOIN best_f USING (aid)
+  GROUP BY dim
+)
+SELECT CAST(err.dim AS INT) AS dim,
+       n_pairs, sum_abs_err_micro, max_abs_err_micro,
+       ROUND(sum_abs_err_micro / 1000000.0 / n_pairs, 6) AS mean_abs_err,
+       n_within_eps,
+       ROUND(n_within_eps * 1.0 / n_pairs, 6) AS frac_within_eps,
+       n_anchors, n_top1_agree,
+       ROUND(n_top1_agree * 1.0 / n_anchors, 6) AS top1_agree_rate
+FROM err JOIN agree ON err.dim = agree.dim
+ORDER BY dim
+"""

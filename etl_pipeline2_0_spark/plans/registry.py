@@ -860,6 +860,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LM.q_priority_sample_curve,
         LM.SQL_PRIORITY_SAMPLE_CURVE,
     ),
+    # --- added r16 (past-cap; r17 pool): embedding truncation-dimension
+    #     sizing sweep (Matryoshka, Kusupati et al. 2022) — cosine
+    #     fidelity + top-1 agreement per prefix dim on a deterministic
+    #     stride pair sample; micro-unit integer error sums (order-
+    #     free); the ELEVENTH measured sizing curve ---
+    "matryoshka_curve": (
+        LS.q_matryoshka_curve,
+        LS.SQL_MATRYOSHKA_CURVE,
+    ),
 }
 
 

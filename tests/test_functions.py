@@ -5500,3 +5500,61 @@ def test_priority_sample_curve_estimator_converges(spark):
     # taus weakly decrease with k; all estimates positive
     assert out[4]["tau"] >= out[16]["tau"] >= out[64]["tau"]
     assert all(r["est_total_u"] > 0 for r in out.values())
+
+
+def test_matryoshka_curve_full_dim_exact_and_known_values(spark):
+    """The full-dim row is exact by construction (zero error, full
+    agreement); a hand-built frame where the first half of the vector
+    IS the signal checks the low-dim rows against numpy-computed
+    truth."""
+    import numpy as np
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    out = {
+        r["dim"]: r
+        for r in S.matryoshka_curve(
+            emb, dims=(2, 4, 8), strides=(1, 3)
+        ).collect()
+    }
+    assert set(out) == {2, 4, 8}
+    full = out[8]
+    assert full["sum_abs_err_micro"] == 0
+    assert full["max_abs_err_micro"] == 0
+    assert full["frac_within_eps"] == 1.0
+    assert full["top1_agree_rate"] == 1.0
+    # every dim sees the same pair/anchor sample
+    assert len({r["n_pairs"] for r in out.values()}) == 1
+    assert len({r["n_anchors"] for r in out.values()}) == 1
+
+    # numpy ground truth for dim=4
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0 or nb == 0 else float(a @ b / (na * nb))
+
+    v = vecs.astype("float64")
+    errs = []
+    agree = n_anchors = 0
+    for i in range(40):
+        cands = [(s, i + s) for s in (1, 3) if i + s < 40]
+        if not cands:
+            continue
+        n_anchors += 1
+        by4 = min(cands, key=lambda c: (-cos(v[c[1]][:4], v[i][:4]), c[0]))
+        byf = min(cands, key=lambda c: (-cos(v[c[1]], v[i]), c[0]))
+        agree += by4 == byf
+        for s, j in cands:
+            errs.append(
+                round(abs(cos(v[i][:4], v[j][:4]) - cos(v[i], v[j])) * 1e6)
+            )
+    d4 = out[4]
+    assert d4["n_pairs"] == len(errs)
+    assert d4["sum_abs_err_micro"] == sum(errs)
+    assert d4["max_abs_err_micro"] == max(errs)
+    assert d4["n_anchors"] == n_anchors
+    assert d4["n_top1_agree"] == agree

@@ -1589,3 +1589,20 @@ def test_priority_sample_curve_two_passes_takeordered(spark, sf_dir):
     # default collapses the scored side to ONE materialized pass
     assert plan.count("Scan parquet") == 3
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_matryoshka_curve_single_chain_no_window(spark, sf_dir):
+    # ONE id-shifted equi-join builds the pair sample; the whole curve
+    # is a single consumer chain (wide per-pair cosines, per-anchor
+    # min_by winners in the same groupBy, bounded |dims| fan-out) — no
+    # window, no self-join of the pair table, exactly two scans, never
+    # a cartesian.
+    from etl_pipeline2_0_spark.plans.llm_similarity import (
+        q_matryoshka_curve,
+    )
+
+    plan = _plan(q_matryoshka_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 2
+    assert "min_by" in plan
