@@ -214,6 +214,7 @@ HEADLINE = [
     "cross_source_dedup_matrix",
     "priority_sample_curve",
     "matryoshka_curve",
+    "boilerplate_strip",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

@@ -2312,3 +2312,92 @@ def heavy_hitter_phrases(
     return top.withColumn("rank", F.row_number().over(win)).select(
         "rank", "phrase", "n_docs", "n_occurrences"
     )
+
+
+def boilerplate_strip(
+    df,
+    df_ratio: float = 0.5,
+    min_docs: int = 2,
+    line_sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+):
+    """Per-source boilerplate-line removal — the CCNet/RefinedWeb
+    pre-dedup pass (Wenzek et al. 2020 §3.1 strip the most frequent
+    paragraphs per shard; Penedo et al. 2023 apply the same
+    line-frequency rule before MinHash): a line is boilerplate inside
+    its source when it appears in ≥ ``min_docs`` documents AND its
+    document-frequency ratio within that source reaches ``df_ratio`` —
+    navigation chrome, cookie banners, license headers, footers.
+    Cross-source collisions stay (a line common in src A but rare in
+    src B survives in B, matching the per-shard convention).
+
+    Documents reassemble from their surviving lines in original order
+    (position-sorted ordered concat); a fully-boilerplate document
+    comes back as an empty string, not NULL — it is still a corpus row.
+
+    Output: (id, group, n_lines, n_boiler_lines, clean_text).
+
+    Scale: one posexplode to the line stream, one exact distinct-doc
+    aggregate on the (source, line) key (at 100 TB the key would be the
+    line's 64-bit hash with strings never shuffled — same shape), the
+    per-source doc totals are a bounded BROADCAST, the boilerplate
+    verdict rejoins the line stream as a (source, line) equi-join, and
+    the reassembly is one per-doc aggregate (array_sort of bounded
+    per-doc line lists, no window).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "pos", "line"
+        ),
+    )
+    grp = df.groupBy(group_col).agg(
+        F.countDistinct(id_col).alias("_n_docs_grp")
+    )
+    line_df = lines.groupBy(group_col, "line").agg(
+        F.countDistinct(id_col).alias("_line_docs")
+    )
+    boiler = (
+        line_df.join(F.broadcast(grp), group_col)
+        .where(
+            (F.col("_line_docs") >= F.lit(int(min_docs)))
+            & (
+                F.col("_line_docs") * F.lit(1.0) / F.col("_n_docs_grp")
+                >= F.lit(float(df_ratio))
+            )
+        )
+        .select(group_col, "line", F.lit(True).alias("_is_boiler"))
+    )
+    marked = lines.join(boiler, [group_col, "line"], "left")
+    return (
+        marked.groupBy(id_col, group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.col("_is_boiler").isNotNull().cast("bigint")
+            ).alias("n_boiler_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_is_boiler").isNull(),
+                                F.struct(
+                                    F.col("pos").alias("p"),
+                                    F.col("line").alias("l"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["l"],
+                ),
+                line_sep,
+            ).alias("clean_text"),
+        )
+        .select(
+            id_col, group_col, "n_lines", "n_boiler_lines", "clean_text"
+        )
+    )

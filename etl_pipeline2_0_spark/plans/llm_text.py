@@ -1851,3 +1851,69 @@ FROM agg
 QUALIFY rank <= 20
 ORDER BY rank
 """
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source boilerplate-line removal (CCNet / RefinedWeb pre-dedup
+    # pass).  The corpus is single-line by construction, so the query
+    # PLANTS the boilerplate deterministically (mirrored in SQL): every
+    # doc gets a per-source header + footer (df ratio 1.0 -> stripped at
+    # tau=0.6) and even docs get a PROMO line (ratio ~0.5 -> kept), so
+    # the table proves both the strip and the keep path at every SF.
+    docs = load_table(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("HDR "),
+            F.col("source"),
+            F.lit(" terms of use\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("PROMO "), F.col("source"), F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\ncopyright footer "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return text.boilerplate_strip(built, df_ratio=0.6, min_docs=2)
+
+
+SQL_BOILERPLATE_STRIP = r"""
+WITH built AS (
+  SELECT doc_id, source,
+         'HDR ' || source || ' terms of use' || chr(10) ||
+         CASE WHEN doc_id % 2 = 0
+              THEN 'PROMO ' || source || chr(10) ELSE '' END ||
+         text || chr(10) || 'copyright footer ' || source AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, source,
+         generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+        FROM built)
+), grp AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs_grp
+  FROM built GROUP BY source
+), ldf AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS line_docs
+  FROM lines GROUP BY source, line
+), boiler AS (
+  SELECT l.source, l.line
+  FROM ldf l JOIN grp g USING (source)
+  WHERE line_docs >= 2 AND line_docs * 1.0 / n_docs_grp >= 0.6
+), marked AS (
+  SELECT li.doc_id, li.source, li.pos, li.line,
+         (b.line IS NOT NULL) AS is_b
+  FROM lines li LEFT JOIN boiler b
+    ON li.source = b.source AND li.line = b.line
+)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_lines,
+       COALESCE(string_agg(CASE WHEN NOT is_b THEN line END,
+                           chr(10) ORDER BY pos), '') AS clean_text
+FROM marked GROUP BY doc_id, source
+"""

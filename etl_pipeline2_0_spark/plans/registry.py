@@ -869,6 +869,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LS.q_matryoshka_curve,
         LS.SQL_MATRYOSHKA_CURVE,
     ),
+    # --- added r16 (past-cap; r17 pool): per-source boilerplate-line
+    #     removal (CCNet §3.1 / RefinedWeb pre-dedup pass) — line
+    #     doc-frequency verdict per source, position-ordered reassembly;
+    #     boilerplate PLANTED deterministically (header/footer stripped
+    #     at ratio 1.0, PROMO line kept at ~0.5 < tau), mirrored in SQL ---
+    "boilerplate_strip": (
+        LT.q_boilerplate_strip,
+        LT.SQL_BOILERPLATE_STRIP,
+    ),
 }
 
 

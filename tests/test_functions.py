@@ -5558,3 +5558,41 @@ def test_matryoshka_curve_full_dim_exact_and_known_values(spark):
     assert d4["max_abs_err_micro"] == max(errs)
     assert d4["n_anchors"] == n_anchors
     assert d4["n_top1_agree"] == agree
+
+
+def test_boilerplate_strip_semantics(spark):
+    """Header at ratio 1.0 strips; a half-frequency line survives at
+    tau=0.6; per-source isolation (a line ubiquitous in A but singular
+    in B survives in B); order-preserving reassembly; all-boilerplate
+    doc comes back as '' (still a row)."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    rows = [
+        (1, "A", "HDR\nbody one\nEVEN\nfoot"),
+        (2, "A", "HDR\nbody two\nfoot"),
+        (3, "A", "HDR\nbody three\nEVEN\nfoot"),
+        (4, "A", "HDR\nfoot"),
+        # HDR is unique in B -> survives there
+        (5, "B", "HDR\nb-body"),
+        (6, "B", "other\nb-body2"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.boilerplate_strip(docs, df_ratio=0.6, min_docs=2)
+        .collect()
+    }
+    assert len(out) == 6
+    # source A: HDR (4/4) and foot (4/4) strip; EVEN (2/4=0.5) stays
+    assert out[1]["clean_text"] == "body one\nEVEN"
+    assert out[1]["n_lines"] == 4 and out[1]["n_boiler_lines"] == 2
+    assert out[2]["clean_text"] == "body two"
+    assert out[3]["clean_text"] == "body three\nEVEN"
+    # all-boilerplate doc -> empty string, counted lines intact
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_lines"] == 2 and out[4]["n_boiler_lines"] == 2
+    # source B: HDR appears once there -> kept
+    assert out[5]["clean_text"] == "HDR\nb-body"
+    assert out[6]["n_boiler_lines"] == 0

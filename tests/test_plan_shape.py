@@ -1606,3 +1606,18 @@ def test_matryoshka_curve_single_chain_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("Scan parquet") == 2
     assert "min_by" in plan
+
+
+def test_boilerplate_strip_broadcast_group_totals_no_window(spark, sf_dir):
+    # The per-source doc totals join as a BROADCAST (bounded by
+    # #sources); the verdict rejoins the line stream as a (source,
+    # line) equi-join; reassembly is a per-doc aggregate (array_sort
+    # of the bounded per-doc line list) — no window, no cartesian, no
+    # global sort.
+    from etl_pipeline2_0_spark.plans.llm_text import q_boilerplate_strip
+
+    plan = _plan(q_boilerplate_strip(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "collect_list" in plan
