@@ -215,6 +215,8 @@ HEADLINE = [
     "priority_sample_curve",
     "matryoshka_curve",
     "boilerplate_strip",
+    "rm3_expansion",
+    "bm25_rm3_topk",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

@@ -92,7 +92,10 @@ def bm25_topk(
     summed over the query's distinct terms; ties broken by doc id.
     ``queries`` is a list of (query_id, [term, ...]) or an equivalent
     (query_id, term) DataFrame; terms are matched against the same
-    lowercased ``\\W+`` tokenization as the TF-IDF family.  N and avgdl
+    lowercased ``\\W+`` tokenization as the TF-IDF family.  If the
+    DataFrame form carries a ``weight`` column, each term's
+    contribution is scaled by it (the weighted-query form RM3
+    expansion needs); without one, every term weighs 1.  N and avgdl
     count EVERY corpus row including zero-token documents (they are
     corpus members; dl=0 simply never matches a term) — pre-filter empties
     upstream if the other convention is wanted.
@@ -142,12 +145,15 @@ def bm25_topk(
         F.col("tf")
         + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    contrib = idf * tf_part
+    if "weight" in qterms.columns:
+        contrib = F.col("weight") * contrib
     scored = (
         postings.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", id_col)
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -518,4 +524,169 @@ def ranking_quality(
         F.round(
             F.coalesce(F.lit(1.0) / F.col("_frr"), F.lit(0.0)), 6
         ).alias("mrr"),
+    )
+
+
+def rm3_expansion_terms(
+    docs: DataFrame,
+    queries: "list[tuple[int, list[str]]] | DataFrame",
+    fb_k: int = 5,
+    fb_terms: int = 8,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback expansion terms (Lavrenko & Croft
+    2001 relevance models; the RM3 interpolation of Abdul-Jaleel et al.
+    2004 — public literature): run BM25, treat each query's top
+    ``fb_k`` docs as pseudo-relevant, estimate a feedback term model
+    from them, interpolate with the original query model, and keep the
+    top ``fb_terms`` terms per query.
+
+        P(t|R)  ∝ Σ_{d∈fb(q)} (tf(t,d)/dl(d)) · (score(d)/Σscore)
+        w(t)    = α·P(t|Q) + (1−α)·P(t|R),  P(t|Q) = 1/|terms(q)|
+
+    Exactness: first-pass scores are round-6 doubles, so they quantize
+    losslessly to micro-unit BIGINTs — Σscore is an exact integer sum
+    (order-free) and every per-posting contribution is a single
+    deterministic double expression quantized to NANO-unit BIGINTs
+    before the (query, term) sum.  The ranking key is an integer:
+    cross-engine ties are impossible to get wrong.
+
+    Output: (query_id, term, w_nano, rnk), rnk 1..fb_terms by w_nano
+    desc (term tiebreak).
+
+    Scale: the feedback doc set is ≤ #queries·fb_k rows — it BROADCASTS
+    into the corpus to pull full postings for just those docs (the only
+    corpus-sized pass beyond the first BM25 run); everything after is
+    proportional to feedback-doc tokens.  The per-query windows run on
+    bounded frames.
+    """
+    spark = docs.sparkSession
+    if isinstance(queries, DataFrame):
+        qterms = queries.select("query_id", "term").distinct()
+    else:
+        rows = [(qid, t) for qid, terms in queries for t in terms]
+        qterms = spark.createDataFrame(
+            rows, "query_id int, term string"
+        ).distinct()
+
+    first = bm25_topk(
+        docs, qterms, top_k=fb_k, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    ).select(
+        "query_id",
+        F.col(id_col),
+        F.round(F.col("score") * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    if checkpoint:
+        # bounded (#queries x fb_k rows); feeds ssum AND the feedback-
+        # postings probe — without the cut each consumer re-runs the
+        # whole first BM25 pass (checkpoint=False un-blinds plan tests)
+        first = first.localCheckpoint(eager=False)
+    ssum = first.groupBy("query_id").agg(
+        F.sum("score_micro").alias("ssum_micro")
+    )
+    fb = first.join(F.broadcast(ssum), "query_id")
+
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    fb_postings = (
+        base.join(F.broadcast(fb), id_col)
+        .select(
+            "query_id", id_col, "dl", "score_micro", "ssum_micro",
+            F.explode("_toks").alias("term"),
+        )
+        .groupBy("query_id", id_col, "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("dl").alias("dl"),
+            F.first("score_micro").alias("score_micro"),
+            F.first("ssum_micro").alias("ssum_micro"),
+        )
+    )
+    contrib_nano = F.round(
+        F.lit(1.0 - alpha)
+        * (F.col("tf") * F.lit(1.0) / F.col("dl"))
+        * (F.col("score_micro") * F.lit(1.0) / F.col("ssum_micro"))
+        * F.lit(1_000_000_000.0)
+    ).cast("bigint")
+    p_rel = fb_postings.groupBy("query_id", "term").agg(
+        F.sum(contrib_nano).alias("rel_nano")
+    )
+
+    n_q = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n_q")
+    )
+    p_q = qterms.join(F.broadcast(n_q), "query_id").select(
+        "query_id",
+        "term",
+        F.round(F.lit(alpha) * F.lit(1_000_000_000.0) / F.col("_n_q"))
+        .cast("bigint")
+        .alias("orig_nano"),
+    )
+    merged = p_rel.join(p_q, ["query_id", "term"], "full").select(
+        "query_id",
+        "term",
+        (
+            F.coalesce(F.col("orig_nano"), F.lit(0))
+            + F.coalesce(F.col("rel_nano"), F.lit(0))
+        ).alias("w_nano"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("w_nano").desc(), F.col("term")
+    )
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= fb_terms)
+        .select("query_id", "term", "w_nano", "rnk")
+    )
+
+
+def bm25_rm3_topk(
+    docs: DataFrame,
+    queries: "list[tuple[int, list[str]]] | DataFrame",
+    fb_k: int = 5,
+    fb_terms: int = 8,
+    alpha: float = 0.5,
+    top_k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """BM25 + RM3 re-retrieval: score the corpus against each query's
+    ``rm3_expansion_terms`` (weights = nano-units/10⁹), the standard
+    two-pass pseudo-relevance-feedback ranker.  Same output shape as
+    ``bm25_topk``: (query_id, id, score, rnk).
+
+    Scale: two BM25 passes + one feedback-doc pass; the expansion
+    table (≤ #queries·fb_terms rows) broadcasts exactly like a literal
+    query set, so the second pass has the first pass's shape.  The
+    bounded expansion table is lazily checkpointed — the second pass
+    consumes it in several places, and without the cut each consumer
+    would re-run the whole first-pass + feedback chain (measured 24
+    corpus scans un-checkpointed vs 9 with it).
+    """
+    exp = rm3_expansion_terms(
+        docs, queries, fb_k=fb_k, fb_terms=fb_terms, alpha=alpha,
+        k1=k1, b=b, text_col=text_col, id_col=id_col,
+        checkpoint=checkpoint,
+    ).select(
+        "query_id",
+        "term",
+        (F.col("w_nano") / F.lit(1_000_000_000.0)).alias("weight"),
+    )
+    if checkpoint:
+        exp = exp.localCheckpoint(eager=False)
+    return bm25_topk(
+        docs, exp, top_k=top_k, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
     )

@@ -485,3 +485,155 @@ SELECT doc_id, a_start, b_start,
          AS crop_b
 FROM starts
 """
+
+
+def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RM3 pseudo-relevance-feedback expansion table over the bench
+    # query workload: top-5 BM25 docs feed the relevance model, alpha
+    # 0.5 interpolation, top-8 terms per query.  Weights are NANO-unit
+    # integers (exact, order-free ranking key).
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return retrieval.rm3_expansion_terms(
+        docs, _BM25_QUERIES, fb_k=5, fb_terms=8, alpha=0.5
+    )
+
+
+def q_bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full two-pass RM3 retrieval: BM25 -> feedback model -> weighted
+    # BM25 re-retrieval with the 8-term expanded queries.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return retrieval.bm25_rm3_topk(
+        docs, _BM25_QUERIES, fb_k=5, fb_terms=8, alpha=0.5, top_k=5
+    )
+
+
+_SQL_RM3_PREFIX = r"""
+WITH q(query_id, term) AS (
+  VALUES (0, 'spark'), (0, 'join'),
+         (1, 'window'), (1, 'agg'), (1, 'stream'),
+         (2, 'merge'), (2, 'sort'),
+         (3, 'data'), (3, 'table'), (3, 'scan')
+), base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id % 5 = 0
+), lens AS (
+  SELECT doc_id, len(toks) AS dl FROM base
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+), postings AS (
+  SELECT b.doc_id, t.term, COUNT(*) AS tf
+  FROM base b, unnest(b.toks) AS u(term)
+  JOIN (SELECT DISTINCT term FROM q) t ON u.term = t.term
+  GROUP BY b.doc_id, t.term
+), df1 AS (
+  SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+), scored1 AS (
+  SELECT q.query_id, p.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - df1.df + 0.5) / (df1.df + 0.5))
+           * ((p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)))
+         ), 6) AS score
+  FROM postings p
+  JOIN q ON p.term = q.term
+  JOIN df1 ON p.term = df1.term
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+), fb AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(score * 1000000.0) AS BIGINT) AS score_micro
+  FROM (SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM scored1)
+  WHERE rnk <= 5
+), ssum AS (
+  SELECT query_id, SUM(score_micro) AS ssum_micro
+  FROM fb GROUP BY query_id
+), fbp AS (
+  SELECT f.query_id, f.doc_id, u.term, COUNT(*) AS tf,
+         MIN(len(b.toks)) AS dl,
+         MIN(f.score_micro) AS score_micro,
+         MIN(s.ssum_micro) AS ssum_micro
+  FROM fb f
+  JOIN base b ON f.doc_id = b.doc_id
+  JOIN ssum s ON f.query_id = s.query_id,
+       unnest(b.toks) AS u(term)
+  GROUP BY f.query_id, f.doc_id, u.term
+), prel AS (
+  SELECT query_id, term,
+         SUM(CAST(ROUND(
+           ((0.5 * (tf * 1.0 / dl))
+            * (score_micro * 1.0 / ssum_micro)) * 1000000000.0
+         ) AS BIGINT)) AS rel_nano
+  FROM fbp GROUP BY query_id, term
+), nq AS (
+  SELECT query_id, COUNT(*) AS n_q FROM q GROUP BY query_id
+), pq AS (
+  SELECT q.query_id, q.term,
+         CAST(ROUND((0.5 * 1000000000.0) / n.n_q) AS BIGINT)
+           AS orig_nano
+  FROM q JOIN nq n USING (query_id)
+), merged AS (
+  SELECT COALESCE(pr.query_id, pq.query_id) AS query_id,
+         COALESCE(pr.term, pq.term) AS term,
+         COALESCE(orig_nano, 0) + COALESCE(rel_nano, 0) AS w_nano
+  FROM prel pr FULL JOIN pq
+    ON pr.query_id = pq.query_id AND pr.term = pq.term
+), exp AS (
+  SELECT query_id, term, w_nano, rnk
+  FROM (SELECT query_id, term, w_nano,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY w_nano DESC, term) AS rnk
+        FROM merged)
+  WHERE rnk <= 8
+)
+"""
+
+
+SQL_RM3_EXPANSION = _SQL_RM3_PREFIX + r"""
+SELECT CAST(query_id AS INT) AS query_id, term,
+       CAST(w_nano AS BIGINT) AS w_nano,
+       CAST(rnk AS INT) AS rnk
+FROM exp
+"""
+
+
+SQL_BM25_RM3_TOPK = _SQL_RM3_PREFIX + r""",
+postings2 AS (
+  SELECT b.doc_id, t.term, COUNT(*) AS tf
+  FROM base b, unnest(b.toks) AS u(term)
+  JOIN (SELECT DISTINCT term FROM exp) t ON u.term = t.term
+  GROUP BY b.doc_id, t.term
+), df2 AS (
+  SELECT term, COUNT(*) AS df FROM postings2 GROUP BY term
+), scored2 AS (
+  SELECT e.query_id, p.doc_id,
+         ROUND(SUM(
+           (e.w_nano / 1000000000.0)
+           * (ln(1 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+              * ((p.tf * 2.2)
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))))
+         ), 6) AS score
+  FROM postings2 p
+  JOIN exp e ON p.term = e.term
+  JOIN df2 ON p.term = df2.term
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, p.doc_id
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scored2)
+WHERE rnk <= 5
+"""

@@ -878,6 +878,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LT.q_boilerplate_strip,
         LT.SQL_BOILERPLATE_STRIP,
     ),
+    # --- added r16 (past-cap; r17 pool): RM3 pseudo-relevance feedback
+    #     (Lavrenko & Croft 2001; Abdul-Jaleel et al. 2004) — the
+    #     expansion-term table (NANO-unit integer weights, exact
+    #     order-free ranking key) and the full two-pass weighted-BM25
+    #     re-retrieval built on it ---
+    "rm3_expansion": (LR.q_rm3_expansion, LR.SQL_RM3_EXPANSION),
+    "bm25_rm3_topk": (LR.q_bm25_rm3_topk, LR.SQL_BM25_RM3_TOPK),
 }
 
 

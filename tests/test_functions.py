@@ -5596,3 +5596,67 @@ def test_boilerplate_strip_semantics(spark):
     # source B: HDR appears once there -> kept
     assert out[5]["clean_text"] == "HDR\nb-body"
     assert out[6]["n_boiler_lines"] == 0
+
+
+def test_rm3_expansion_and_reretrieval_semantics(spark):
+    """RM3 on a corpus engineered so feedback GENUINELY matters: docs
+    about 'spark' consistently co-mention 'shuffle', so the expansion
+    must surface 'shuffle' for the 'spark' query, and the re-retrieval
+    must pull in a shuffle-only doc the literal query cannot reach."""
+    from etl_pipeline2_0_spark.functions import retrieval as R
+
+    rows = [
+        (1, "spark shuffle engine spark"),
+        (2, "spark shuffle partition"),
+        (3, "spark shuffle stage spark spark"),
+        (4, "shuffle tuning guide only"),  # no 'spark' — 1st pass blind
+        (5, "cooking pasta recipe basil"),
+        (6, "gardening soil compost"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    queries = [(0, ["spark"])]
+
+    exp = R.rm3_expansion_terms(
+        docs, queries, fb_k=3, fb_terms=4, alpha=0.5
+    ).collect()
+    terms = {r["term"]: r for r in exp}
+    assert "spark" in terms and "shuffle" in terms
+    assert all(r["w_nano"] > 0 for r in exp)
+    # weights rank deterministically; rnk is 1..n
+    assert sorted(r["rnk"] for r in exp) == list(range(1, len(exp) + 1))
+    # original-term prior: 'spark' carries the alpha mass + feedback
+    assert terms["spark"]["w_nano"] > terms["shuffle"]["w_nano"]
+
+    final = R.bm25_rm3_topk(
+        docs, queries, fb_k=3, fb_terms=4, alpha=0.5, top_k=6
+    ).collect()
+    got = {r["doc_id"] for r in final}
+    assert 4 in got, "expansion must retrieve the shuffle-only doc"
+    assert 5 not in got and 6 not in got
+    # plain BM25 cannot see doc 4
+    plain = {
+        r["doc_id"] for r in R.bm25_topk(docs, queries, top_k=6).collect()
+    }
+    assert 4 not in plain
+
+
+def test_bm25_weighted_query_reduces_to_uniform(spark):
+    """A weight column of all 1.0 must reproduce the unweighted
+    scores exactly (the weighted path is the same expression)."""
+    from etl_pipeline2_0_spark.functions import retrieval as R
+
+    rows = [(i, f"alpha beta gamma doc{i} alpha") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    qt = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta")], "query_id int, term string"
+    )
+    qtw = qt.withColumn("weight", F.lit(1.0))
+    a = sorted(
+        (r["doc_id"], r["score"])
+        for r in R.bm25_topk(docs, qt, top_k=10).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["score"])
+        for r in R.bm25_topk(docs, qtw, top_k=10).collect()
+    )
+    assert a == b

@@ -1621,3 +1621,28 @@ def test_boilerplate_strip_broadcast_group_totals_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "collect_list" in plan
+
+
+def test_rm3_feedback_tables_broadcast_no_cartesian(spark, sf_dir):
+    # The feedback-doc set, per-query score sums, and expansion table
+    # are all bounded (#queries x fb_k / fb_terms rows) and must join
+    # as BROADCAST sides; checkpoint=False un-blinds the full chain.
+    # No cartesian anywhere; windows only on per-query bounded frames.
+    from etl_pipeline2_0_spark.functions import retrieval as R
+    from etl_pipeline2_0_spark.plans.llm_retrieval import _BM25_QUERIES
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    plan = _plan(
+        R.bm25_rm3_topk(
+            docs, _BM25_QUERIES, fb_k=5, fb_terms=8, checkpoint=False
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # un-checkpointed the chain re-reads the corpus per consumer; the
+    # checkpointed default (the registry query) collapses to 3 scans —
+    # this pin just guards against a quadratic blowup of the shape
+    assert plan.count("Scan parquet") <= 30
