@@ -217,6 +217,7 @@ HEADLINE = [
     "boilerplate_strip",
     "rm3_expansion",
     "bm25_rm3_topk",
+    "label_noise_matrix",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

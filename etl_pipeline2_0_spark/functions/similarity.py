@@ -2484,3 +2484,70 @@ def matryoshka_curve(
             "top1_agree_rate"
         ),
     ).orderBy("dim")
+
+
+def label_noise_matrix(
+    corpus: DataFrame,
+    queries: "DataFrame | None" = None,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    topk=None,
+) -> DataFrame:
+    """Class-conditional label-noise matrix (the confident-learning
+    count matrix of Northcutt et al. 2021, with the k-NN vote as the
+    out-of-sample predictor — the standard embedding-space label-error
+    screen): cross-tabulate each query's GIVEN label against the
+    majority label of its ``k`` exact cosine neighbors.  Off-diagonal
+    mass marks suspected annotation errors class-by-class — which pair
+    of classes leaks into which — not just a single accuracy number
+    (``knn_accuracy``).
+
+    ``queries`` defaults to the whole corpus (leave-one-out: the vote
+    already excludes self-pairs); pass a subsample for the estimator
+    form at scale.  ``topk`` forwards to ``knn_label_vote`` (swap in
+    ``ivf_topk`` for the partition-pruned probe at corpus scale).
+
+    Output: (given_label, pred_label, n, n_given, rate, is_offdiag),
+    ordered; ``rate`` = n / n_given (row-conditional P(pred|given)).
+    Every cell is an integer count; rate is one exact division.
+
+    Scale: the vote is ``knn_label_vote``'s shape (guarded broadcast-
+    scored exact top-k, or the pruned ANN probe via ``topk``); the
+    cross-tab is a ≤|classes|²-row aggregate; the row totals rejoin as
+    a BROADCAST.
+    """
+    q = queries if queries is not None else corpus
+    pred = knn_label_vote(
+        corpus, q, k=k, vec_col=vec_col, id_col=id_col,
+        label_col=label_col, topk=topk,
+    )
+    truth = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("bigint").alias("given_label"),
+    )
+    mat = (
+        pred.join(truth, "query_id")
+        .groupBy("given_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = mat.groupBy("given_label").agg(
+        F.sum("n").alias("n_given")
+    )
+    return (
+        mat.join(F.broadcast(totals), "given_label")
+        .select(
+            "given_label",
+            "pred_label",
+            "n",
+            "n_given",
+            F.round(F.col("n") * F.lit(1.0) / F.col("n_given"), 6).alias(
+                "rate"
+            ),
+            (F.col("given_label") != F.col("pred_label")).alias(
+                "is_offdiag"
+            ),
+        )
+        .orderBy("given_label", "pred_label")
+    )

@@ -1685,3 +1685,57 @@ SELECT CAST(err.dim AS INT) AS dim,
 FROM err JOIN agree ON err.dim = agree.dim
 ORDER BY dim
 """
+
+
+def q_label_noise_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Confident-learning count matrix over the embeddings table's label
+    # column: given label x 5-NN majority label on the vec_id % 4 == 0
+    # query sample (the estimator form; leave-one-out votes).
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_noise_matrix(
+        emb, emb.where(F.col("vec_id") % 4 == 0), k=5
+    )
+
+
+SQL_LABEL_NOISE_MATRIX = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             CAST(label AS BIGINT) AS given_label
+      FROM e WHERE vec_id % 4 = 0),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id, a.label AS nbr_label,
+    ROUND(list_inner_product(qv, a.v) /
+      (SQRT(list_inner_product(qv, qv)) * SQRT(list_inner_product(a.v, a.v))), 6)
+      AS cosine_sim
+  FROM e a CROSS JOIN q WHERE a.vec_id <> query_id
+), topk AS (
+  SELECT query_id, nbr_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM scored)
+  WHERE rnk <= 5
+), votes AS (
+  SELECT query_id, nbr_label, COUNT(*) AS votes
+  FROM topk GROUP BY query_id, nbr_label
+), pred AS (
+  SELECT query_id, CAST(nbr_label AS BIGINT) AS pred_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY votes DESC, nbr_label ASC NULLS LAST) AS r
+        FROM votes)
+  WHERE r = 1
+), mat AS (
+  SELECT q.given_label, p.pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred p JOIN q ON p.query_id = q.query_id
+  GROUP BY q.given_label, p.pred_label
+), totals AS (
+  SELECT given_label, CAST(SUM(n) AS BIGINT) AS n_given
+  FROM mat GROUP BY given_label
+)
+SELECT m.given_label, m.pred_label, m.n, t.n_given,
+       ROUND(m.n * 1.0 / t.n_given, 6) AS rate,
+       (m.given_label <> m.pred_label) AS is_offdiag
+FROM mat m JOIN totals t USING (given_label)
+ORDER BY m.given_label, m.pred_label
+"""

@@ -885,6 +885,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     re-retrieval built on it ---
     "rm3_expansion": (LR.q_rm3_expansion, LR.SQL_RM3_EXPANSION),
     "bm25_rm3_topk": (LR.q_bm25_rm3_topk, LR.SQL_BM25_RM3_TOPK),
+    # --- added r16 (past-cap; r17 pool): class-conditional label-noise
+    #     count matrix (confident learning, Northcutt et al. 2021) with
+    #     the 5-NN vote as predictor — which class leaks into which,
+    #     next to knn_accuracy's single number; integer cells ---
+    "label_noise_matrix": (
+        LS.q_label_noise_matrix,
+        LS.SQL_LABEL_NOISE_MATRIX,
+    ),
 }
 
 

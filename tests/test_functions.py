@@ -5660,3 +5660,45 @@ def test_bm25_weighted_query_reduces_to_uniform(spark):
         for r in R.bm25_topk(docs, qtw, top_k=10).collect()
     )
     assert a == b
+
+
+def test_label_noise_matrix_planted_noise(spark):
+    """Two well-separated clusters; three points carry deliberately
+    flipped labels — the matrix must put exactly those points in the
+    off-diagonal cells, row-conditional rates must sum to 1 per given
+    label, and a clean corpus must produce a purely diagonal matrix."""
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    rows = []
+    for i in range(12):  # cluster A around +e0
+        rows.append((i, [10.0 + (i % 3) * 0.1, 0.1 * i, 1.0, 0.0], 0))
+    for i in range(12, 24):  # cluster B around +e1
+        rows.append((i, [0.1 * (i - 12), 10.0, 0.0, 1.0], 1))
+    # plant 3 label flips: geometry says A, label says B
+    flipped = {2, 5, 8}
+    rows = [
+        (i, v, 1 if i in flipped else lab) for (i, v, lab) in rows
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {
+        (r["given_label"], r["pred_label"]): r
+        for r in S.label_noise_matrix(emb, k=5).collect()
+    }
+    # the flipped points: given=1 but neighbors vote 0
+    assert out[(1, 0)]["n"] == 3
+    assert out[(1, 0)]["is_offdiag"] is True
+    # row-conditional rates sum to 1 within each given label
+    for g in (0, 1):
+        s = sum(r["rate"] for (gg, _), r in out.items() if gg == g)
+        assert abs(s - 1.0) < 1e-9
+    # n_given consistency
+    assert out[(1, 0)]["n_given"] == out[(1, 1)]["n_given"] == 15
+
+    clean = [(i, v, lab) for (i, v, lab) in rows if i not in flipped]
+    emb2 = spark.createDataFrame(
+        clean, "vec_id bigint, embedding array<float>, label int"
+    )
+    out2 = S.label_noise_matrix(emb2, k=5).collect()
+    assert all(not r["is_offdiag"] for r in out2)

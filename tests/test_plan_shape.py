@@ -1646,3 +1646,17 @@ def test_rm3_feedback_tables_broadcast_no_cartesian(spark, sf_dir):
     # checkpointed default (the registry query) collapses to 3 scans —
     # this pin just guards against a quadratic blowup of the shape
     assert plan.count("Scan parquet") <= 30
+
+
+def test_label_noise_matrix_broadcast_totals(spark, sf_dir):
+    # The vote reuses knn_label_vote's guarded broadcast-scored top-k;
+    # the cross-tab is a bounded |classes|^2 aggregate and the row
+    # totals rejoin as a BROADCAST — no sort-merge join anywhere.
+    from etl_pipeline2_0_spark.plans.llm_similarity import (
+        q_label_noise_matrix,
+    )
+
+    plan = _plan(q_label_noise_matrix(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
