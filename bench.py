@@ -218,6 +218,7 @@ HEADLINE = [
     "rm3_expansion",
     "bm25_rm3_topk",
     "label_noise_matrix",
+    "ql_dirichlet_topk",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

@@ -690,3 +690,97 @@ def bm25_rm3_topk(
         docs, exp, top_k=top_k, k1=k1, b=b,
         text_col=text_col, id_col=id_col,
     )
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    queries: "list[tuple[int, list[str]]] | DataFrame",
+    top_k: int = 5,
+    mu: float = 300.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty 2001 — public literature), the classic language-model
+    alternative to BM25:
+
+        score(q, d) = Σ_{t∈q∩d} ln(1 + tf(t,d)/(μ·P(t|C)))
+                      + |q| · ln(μ/(dl + μ))
+
+    the standard sparse decomposition of Σ_{t∈q} ln((tf + μ·P(t|C)) /
+    (dl + μ)) — the first sum runs over MATCHING postings only, the
+    second is a per-doc length prior.  P(t|C) = cf(t)/|C| is the
+    collection unigram.  Candidates are docs matching ≥ 1 query term
+    (the usual inverted-index convention); ties break by doc id.
+
+    Output: (query_id, id, score, rnk) — ``bm25_topk``'s shape, so the
+    two rankers drop into ``rrf_fuse`` together.
+
+    Scale: identical to BM25's — the corpus explodes to term rows but
+    is immediately semi-joined against the BROADCAST query-term set,
+    so the shuffle is ∝ matching postings; cf(t) aggregates over those
+    same pruned postings; |C| reduces to ONE broadcast row from a
+    count-only pass; the final top-k window partitions by query over
+    the candidate set.
+    """
+    spark = docs.sparkSession
+    if isinstance(queries, DataFrame):
+        qterms = queries.select("query_id", "term").distinct()
+    else:
+        rows = [(qid, t) for qid, terms in queries for t in terms]
+        qterms = spark.createDataFrame(
+            rows, "query_id int, term string"
+        ).distinct()
+    term_set = qterms.select("term").distinct()
+    n_q = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_q")
+    )
+
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    tot = base.agg(
+        F.sum("dl").cast("bigint").alias("c_tokens")
+    )
+    postings = (
+        base.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(term_set), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    cf = postings.groupBy("term").agg(
+        F.sum("tf").cast("bigint").alias("cf")
+    )
+    match_part = F.log(
+        F.lit(1.0)
+        + F.col("tf")
+        / (F.lit(mu) * (F.col("cf") * F.lit(1.0) / F.col("c_tokens")))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(match_part).alias("_m"),
+            F.first("dl").alias("dl"),
+        )
+        .join(F.broadcast(n_q), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("_m")
+                + F.col("n_q")
+                * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+    )

@@ -637,3 +637,66 @@ FROM (SELECT query_id, doc_id, score,
       FROM scored2)
 WHERE rnk <= 5
 """
+
+
+def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dirichlet query-likelihood over the same workload/subset as
+    # bm25_topk — the LM-based ranker next to the tf-idf-based one
+    # (mu=300, ~the corpus's mean doc length).
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return retrieval.ql_dirichlet_topk(
+        docs, _BM25_QUERIES, top_k=5, mu=300.0
+    )
+
+
+SQL_QL_DIRICHLET_TOPK = r"""
+WITH q(query_id, term) AS (
+  VALUES (0, 'spark'), (0, 'join'),
+         (1, 'window'), (1, 'agg'), (1, 'stream'),
+         (2, 'merge'), (2, 'sort'),
+         (3, 'data'), (3, 'table'), (3, 'scan')
+), base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id % 5 = 0
+), lens AS (
+  SELECT doc_id, len(toks) AS dl FROM base
+), tot AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS c_tokens FROM lens
+), nq AS (
+  SELECT query_id, COUNT(*) AS n_q FROM q GROUP BY query_id
+), postings AS (
+  SELECT b.doc_id, t.term, COUNT(*) AS tf
+  FROM base b, unnest(b.toks) AS u(term)
+  JOIN (SELECT DISTINCT term FROM q) t ON u.term = t.term
+  GROUP BY b.doc_id, t.term
+), cf AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM postings GROUP BY term
+), grouped AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(ln(1.0 + p.tf
+                / (300.0 * (cf.cf * 1.0 / t.c_tokens)))) AS m,
+         MIN(l.dl) AS dl
+  FROM postings p
+  JOIN q ON p.term = q.term
+  JOIN cf ON p.term = cf.term
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN tot t
+  GROUP BY q.query_id, p.doc_id
+), scored AS (
+  SELECT g.query_id, g.doc_id,
+         ROUND(g.m + n.n_q * ln(300.0 / (g.dl + 300.0)), 6) AS score
+  FROM grouped g JOIN nq n USING (query_id)
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""

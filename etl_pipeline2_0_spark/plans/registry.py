@@ -898,6 +898,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LS.q_label_noise_matrix,
         LS.SQL_LABEL_NOISE_MATRIX,
     ),
+    # --- added r16 (past-cap; r17 pool): Dirichlet query-likelihood
+    #     ranking (Zhai & Lafferty 2001) — the LM-based ranker next to
+    #     BM25, same sparse broadcast-pruned postings shape, same
+    #     output shape (drops into rrf_fuse) ---
+    "ql_dirichlet_topk": (
+        LR.q_ql_dirichlet_topk,
+        LR.SQL_QL_DIRICHLET_TOPK,
+    ),
 }
 
 

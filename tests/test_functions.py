@@ -5702,3 +5702,47 @@ def test_label_noise_matrix_planted_noise(spark):
     )
     out2 = S.label_noise_matrix(emb2, k=5).collect()
     assert all(not r["is_offdiag"] for r in out2)
+
+
+def test_ql_dirichlet_semantics_and_bm25_shape(spark):
+    """Hand-checkable Dirichlet QL: the matching doc outranks the
+    non-matching-term doc; scores equal the closed form computed in
+    Python; output shape drops into rrf_fuse next to bm25_topk."""
+    import math
+    from etl_pipeline2_0_spark.functions import retrieval as R
+
+    rows = [
+        (1, "apple apple banana"),   # tf(apple)=2, dl=3
+        (2, "apple cherry cherry"),  # tf(apple)=1, dl=3
+        (3, "durian elderberry fig"),  # no match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in R.ql_dirichlet_topk(
+            docs, [(0, ["apple"])], top_k=5, mu=10.0
+        ).collect()
+    }
+    # candidates = matching docs only
+    assert set(out) == {1, 2}
+    assert out[1]["rnk"] == 1 and out[2]["rnk"] == 2
+    c_tokens = 9
+    cf_apple = 3
+    p_c = cf_apple * 1.0 / c_tokens
+
+    def expect(tf, dl):
+        return round(
+            math.log(1.0 + tf / (10.0 * p_c))
+            + 1 * math.log(10.0 / (dl + 10.0)),
+            6,
+        )
+
+    assert out[1]["score"] == expect(2, 3)
+    assert out[2]["score"] == expect(1, 3)
+    # same shape as bm25 -> fusable
+    bm = R.bm25_topk(docs, [(0, ["apple"])], top_k=5)
+    fused = R.rrf_fuse(
+        [bm, R.ql_dirichlet_topk(docs, [(0, ["apple"])], top_k=5)],
+        top_k=5,
+    ).collect()
+    assert len(fused) == 2

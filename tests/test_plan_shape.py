@@ -1660,3 +1660,17 @@ def test_label_noise_matrix_broadcast_totals(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ql_dirichlet_broadcast_pruned_postings(spark, sf_dir):
+    # Same scale shape as BM25: postings semi-join against a BROADCAST
+    # term set, collection stats reduce to one broadcast row, no
+    # cartesian, no global sort (top-k window per query only).
+    from etl_pipeline2_0_spark.plans.llm_retrieval import (
+        q_ql_dirichlet_topk,
+    )
+
+    plan = _plan(q_ql_dirichlet_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
