@@ -219,6 +219,7 @@ HEADLINE = [
     "bm25_rm3_topk",
     "label_noise_matrix",
     "ql_dirichlet_topk",
+    "temperature_mix_curve",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

@@ -2584,3 +2584,93 @@ def priority_sample_curve(
         )
         .orderBy("k")
     )
+
+
+def temperature_mix_curve(
+    docs: DataFrame,
+    alphas: "tuple[float, ...]" = (0.2, 0.3, 0.5, 0.7, 1.0),
+    group_col: str = "source",
+    text_col: str = "text",
+    mass_col: "str | None" = None,
+) -> DataFrame:
+    """Temperature-sweep sizing table for source mixing (the knob
+    behind ``temperature_mix_weights`` — mT5 §3.1 / XLM-R §3.1 pick α
+    by exactly this tradeoff): for each candidate α, how flat the mix
+    gets vs how hard the smallest sources are up-sampled.  Read off
+    the α where effective-source count is acceptable BEFORE the
+    up-sample factor starts memorizing the tail.
+
+    Per α (one row): the min/max source weight, the effective source
+    count 1/Σwᵢ² (inverse Simpson — participation-ratio diversity),
+    and the maximum up-sample factor max_i(wᵢ/naturalᵢ) vs the α=1
+    natural mix.
+
+    Exactness: weights quantize to micro-unit BIGINTs after the single
+    p/Σp division, so Σwᵢ² is an exact integer and the effective count
+    and up-sample ratios are single divisions of exact integers (the
+    pow/Σ convention is ``temperature_mix_weights``'s proven one).
+
+    Output: (alpha, n_sources, min_weight, max_weight, eff_sources,
+    max_upsample), ordered by alpha.
+
+    ``mass_col`` overrides the default token-count mass with any
+    precomputed per-row mass (the registry row uses it to plant a
+    deterministic power-law source skew — the fixture corpus's 20
+    near-equal sources would otherwise make every α read ~uniform).
+
+    Scale: ONE map-side-combinable token-mass aggregate to #sources
+    rows; the α fan-out is a literal array over that bounded table;
+    every per-α reduction is over ≤ #sources rows.  The TWELFTH
+    measured sizing curve.
+    """
+    alphas = tuple(float(a) for a in alphas)
+    mass = (
+        F.col(mass_col) if mass_col is not None
+        else token_count(F.col(text_col))
+    )
+    sizes = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.sum(mass).cast("bigint").alias("n_tokens")
+    )
+    fan = sizes.select(
+        "source",
+        "n_tokens",
+        F.explode(
+            F.array(*[F.lit(a) for a in alphas])
+        ).alias("alpha"),
+    ).withColumn(
+        "_p", F.pow(F.col("n_tokens").cast("double"), F.col("alpha"))
+    )
+    tot = fan.groupBy("alpha").agg(F.sum("_p").alias("_tot"))
+    w = (
+        fan.join(F.broadcast(tot), "alpha")
+        .withColumn(
+            "w_u",
+            F.round(F.col("_p") / F.col("_tot") * F.lit(1_000_000.0))
+            .cast("bigint"),
+        )
+    )
+    nat = (
+        w.where(F.col("alpha") == F.lit(1.0))
+        .select("source", F.col("w_u").alias("nat_u"))
+    )
+    joined = w.join(F.broadcast(nat), "source")
+    return (
+        joined.groupBy("alpha")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.round(F.min("w_u") / F.lit(1_000_000.0), 6).alias(
+                "min_weight"
+            ),
+            F.round(F.max("w_u") / F.lit(1_000_000.0), 6).alias(
+                "max_weight"
+            ),
+            F.round(
+                F.lit(1_000_000_000_000.0) / F.sum(F.col("w_u") * F.col("w_u")),
+                6,
+            ).alias("eff_sources"),
+            F.round(
+                F.max(F.col("w_u") * F.lit(1.0) / F.col("nat_u")), 6
+            ).alias("max_upsample"),
+        )
+        .orderBy("alpha")
+    )

@@ -969,3 +969,61 @@ FROM est, tot t, LATERAL (
 ) v(k, n, tau, e)
 ORDER BY v.k
 """
+
+
+def q_temperature_mix_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The α-sweep behind temperature_mix_weights: per candidate α, mix
+    # flatness (min/max weight, effective source count) vs the maximum
+    # tail up-sample factor — the twelfth measured sizing curve.  The
+    # fixture's 20 sources are near-equal, so the row PLANTS a
+    # deterministic power-law skew (mass = tokens · (idx+1)², idx from
+    # the source name; ~400:1 spread — mirrored in SQL) so the sweep
+    # reads like a production multilingual mix, not uniform noise.
+    from etl_pipeline2_0_spark.functions import mixing, text as TX
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "mass",
+        TX.token_count(F.col("text"))
+        * F.pow(
+            F.substring(F.col("source"), 4, 10).cast("int") + F.lit(1),
+            F.lit(2.0),
+        ).cast("bigint"),
+    )
+    return mixing.temperature_mix_curve(
+        docs, alphas=(0.2, 0.3, 0.5, 0.7, 1.0), mass_col="mass"
+    )
+
+
+SQL_TEMPERATURE_MIX_CURVE = r"""
+WITH sizes AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                                  x -> length(x) > 0))
+                  * CAST(POW(CAST(substring(source, 4) AS INT) + 1, 2.0)
+                         AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), a(alpha) AS (
+  VALUES (0.2), (0.3), (0.5), (0.7), (1.0)
+), fan AS (
+  SELECT source, n_tokens, alpha,
+         POW(CAST(n_tokens AS DOUBLE), alpha) AS p
+  FROM sizes CROSS JOIN a
+), tot AS (
+  SELECT alpha, SUM(p) AS t FROM fan GROUP BY alpha
+), w AS (
+  SELECT f.source, f.alpha,
+         CAST(ROUND(f.p / t.t * 1000000.0) AS BIGINT) AS w_u
+  FROM fan f JOIN tot t USING (alpha)
+), nat AS (
+  SELECT source, w_u AS nat_u FROM w WHERE alpha = 1.0
+)
+SELECT w.alpha,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       ROUND(MIN(w_u) / 1000000.0, 6) AS min_weight,
+       ROUND(MAX(w_u) / 1000000.0, 6) AS max_weight,
+       ROUND(1000000000000.0 / SUM(w_u * w_u), 6) AS eff_sources,
+       ROUND(MAX(w_u * 1.0 / nat_u), 6) AS max_upsample
+FROM w JOIN nat USING (source)
+GROUP BY w.alpha
+ORDER BY w.alpha
+"""

@@ -907,6 +907,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LR.q_ql_dirichlet_topk,
         LR.SQL_QL_DIRICHLET_TOPK,
     ),
+    # --- added r16 (past-cap; r17 pool): the α-sweep behind
+    #     temperature_mix_weights (mT5/XLM-R §3.1) — mix flatness vs
+    #     max tail up-sample per candidate α over a PLANTED power-law
+    #     source skew (micro-unit integer weights; the TWELFTH measured
+    #     sizing curve) ---
+    "temperature_mix_curve": (
+        LM.q_temperature_mix_curve,
+        LM.SQL_TEMPERATURE_MIX_CURVE,
+    ),
 }
 
 

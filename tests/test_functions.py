@@ -5746,3 +5746,42 @@ def test_ql_dirichlet_semantics_and_bm25_shape(spark):
         top_k=5,
     ).collect()
     assert len(fused) == 2
+
+
+def test_temperature_mix_curve_limits_and_monotonicity(spark):
+    """α=1 reproduces natural proportions (max_upsample exactly 1.0);
+    as α decreases the mix flattens monotonically: eff_sources rises,
+    max_weight falls, max_upsample rises.  Two-source hand check."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    rows = [(i, "src_big", "tok " * 90) for i in range(9)] + [
+        (9, "src_small", "tok " * 10)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    out = {
+        r["alpha"]: r
+        for r in M.temperature_mix_curve(
+            docs, alphas=(0.2, 0.5, 1.0)
+        ).collect()
+    }
+    assert out[1.0]["max_upsample"] == 1.0
+    # natural: 810 vs 10 tokens -> w_small = 10/820
+    assert out[1.0]["min_weight"] == round(10 / 820, 6)
+    assert out[1.0]["n_sources"] == 2
+    # flattening monotonicity
+    assert (
+        out[0.2]["eff_sources"]
+        > out[0.5]["eff_sources"]
+        > out[1.0]["eff_sources"]
+    )
+    assert (
+        out[0.2]["max_weight"]
+        < out[0.5]["max_weight"]
+        < out[1.0]["max_weight"]
+    )
+    assert out[0.2]["max_upsample"] > out[0.5]["max_upsample"] > 1.0
+    # eff_sources bounded by (1, n_sources]
+    for r in out.values():
+        assert 1.0 < r["eff_sources"] <= 2.0 + 1e-6

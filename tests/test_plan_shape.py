@@ -1674,3 +1674,19 @@ def test_ql_dirichlet_broadcast_pruned_postings(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mix_curve_one_pass_bounded_fanout(spark, sf_dir):
+    # ONE corpus token-mass pass to #sources rows; the α fan-out is a
+    # literal array over that bounded table; per-α totals and the
+    # natural-mix anchor rejoin as BROADCASTs.  No window, no
+    # cartesian, no sort-merge join.
+    from etl_pipeline2_0_spark.plans.llm_mixing import (
+        q_temperature_mix_curve,
+    )
+
+    plan = _plan(q_temperature_mix_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 4
