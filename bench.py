@@ -220,6 +220,7 @@ HEADLINE = [
     "label_noise_matrix",
     "ql_dirichlet_topk",
     "temperature_mix_curve",
+    "quality_length_bias",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

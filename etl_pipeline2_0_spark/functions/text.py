@@ -2401,3 +2401,96 @@ def boilerplate_strip(
             id_col, group_col, "n_lines", "n_boiler_lines", "clean_text"
         )
     )
+
+
+def quality_length_bias(
+    df,
+    bucket_tokens: int = 16,
+    max_bucket: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Length-bias audit of the quality gate — the known failure mode
+    of quality classifiers (Gopher §A.2 and the DCLM ablations both
+    note quality signals correlate with document length; a gate that
+    kills short docs for being SHORT, not bad, silently reshapes the
+    length distribution): per token-length bucket, the mean composite
+    quality score DECOMPOSED into its explicit length term vs its
+    content-only terms (stopword + punctuation), next to the kill rate
+    at the production threshold.
+
+    Reading it: if kill_rate falls with length while
+    mean_content_score is flat, the gate is length-biased — raise the
+    threshold on the content terms instead, or length-normalize.
+
+    Exactness: every per-row term quantizes to micro-unit BIGINTs
+    before the bucket sums (order-free); means/rates are single
+    divisions.  The kill verdict compares the round-6 composite to the
+    threshold — exactly ``corpus_filter``'s gate.
+
+    Output: (bucket, tok_lo, n_docs, share, mean_score,
+    mean_length_term, mean_content_score, kill_rate), ordered by
+    bucket; bucket = min(tokens div bucket_tokens, max_bucket).
+
+    Scale: ONE narrow corpus pass into a map-side-combined aggregate
+    on the bounded bucket key; the bounded (≤ max_bucket+1 row)
+    aggregate is lazily checkpointed so the grand-total branch reads
+    it instead of re-scanning the corpus (checkpoint=False un-blinds
+    plan tests); the 1-row total broadcasts back for the share.  No
+    join with the corpus, no window.
+    """
+    t = F.col(text_col)
+    score = quality_score(t)
+    length_term = F.least(token_count(t) / F.lit(100.0), F.lit(1.0))
+    content = (
+        F.least(stopword_ratio(t) * 4, F.lit(1.0))
+        + (F.lit(1.0) - F.least(punct_ratio(t) * 4, F.lit(1.0)))
+    ) / 2
+    bucket = F.least(
+        F.floor(token_count(t) / F.lit(int(bucket_tokens))),
+        F.lit(int(max_bucket)),
+    ).cast("bigint")
+    rows = df.select(
+        bucket.alias("bucket"),
+        F.round(score * F.lit(1_000_000.0)).cast("bigint").alias("s_u"),
+        F.round(length_term * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("l_u"),
+        F.round(content * F.lit(1_000_000.0)).cast("bigint").alias("c_u"),
+        (score < F.lit(float(threshold))).cast("bigint").alias("kill"),
+    )
+    agg = rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("s_u").alias("_ss"),
+        F.sum("l_u").alias("_sl"),
+        F.sum("c_u").alias("_sc"),
+        F.sum("kill").alias("_k"),
+    )
+    if checkpoint:
+        agg = agg.localCheckpoint(eager=False)
+    tot = agg.agg(F.sum("n_docs").alias("_t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(int(bucket_tokens))).alias("tok_lo"),
+            "n_docs",
+            F.round(F.col("n_docs") * F.lit(1.0) / F.col("_t"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("_ss") / F.lit(1_000_000.0) / F.col("n_docs"), 6
+            ).alias("mean_score"),
+            F.round(
+                F.col("_sl") / F.lit(1_000_000.0) / F.col("n_docs"), 6
+            ).alias("mean_length_term"),
+            F.round(
+                F.col("_sc") / F.lit(1_000_000.0) / F.col("n_docs"), 6
+            ).alias("mean_content_score"),
+            F.round(F.col("_k") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+                "kill_rate"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -1917,3 +1917,69 @@ SELECT doc_id, source,
                            chr(10) ORDER BY pos), '') AS clean_text
 FROM marked GROUP BY doc_id, source
 """
+
+
+def q_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Length-bias audit of the corpus_filter quality gate: per 16-token
+    # length bucket, the composite score decomposed into its length
+    # term vs content-only terms, next to the kill rate at tau=0.5.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_length_bias(
+        docs, bucket_tokens=16, max_bucket=8, threshold=0.5
+    )
+
+
+SQL_QUALITY_LENGTH_BIAS = rf"""
+WITH base AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                    x -> length(x) > 0)) AS n_tokens,
+    regexp_replace(text, '[ \x09\x0A\x0D\x0B\x0C]+', '', 'g') AS compact,
+    list_filter(regexp_split_to_array(lower(text), '\W+'),
+                x -> length(x) > 0) AS toks
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN LENGTH(compact) = 0 THEN 0.0
+         ELSE (LENGTH(compact) - LENGTH(regexp_replace(compact, '\W', '', 'g')))
+              / LENGTH(compact) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> x IN ({_STOPS_SQL}))) / len(toks)
+         END AS stopword_ratio
+  FROM base
+), terms AS (
+  SELECT
+    LEAST(CAST(FLOOR(n_tokens / 16) AS BIGINT), 8) AS bucket,
+    ROUND((LEAST(n_tokens / 100.0, 1.0) + LEAST(stopword_ratio * 4, 1.0)
+           + (1.0 - LEAST(punct_ratio * 4, 1.0))) / 3, 6) AS score,
+    LEAST(n_tokens / 100.0, 1.0) AS length_term,
+    (LEAST(stopword_ratio * 4, 1.0)
+     + (1.0 - LEAST(punct_ratio * 4, 1.0))) / 2 AS content
+  FROM ratios
+), rows_q AS (
+  SELECT bucket,
+         CAST(ROUND(score * 1000000.0) AS BIGINT) AS s_u,
+         CAST(ROUND(length_term * 1000000.0) AS BIGINT) AS l_u,
+         CAST(ROUND(content * 1000000.0) AS BIGINT) AS c_u,
+         CASE WHEN score < 0.5 THEN 1 ELSE 0 END AS kill
+  FROM terms
+), agg AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(s_u) AS BIGINT) AS ss,
+         CAST(SUM(l_u) AS BIGINT) AS sl,
+         CAST(SUM(c_u) AS BIGINT) AS sc,
+         CAST(SUM(kill) AS BIGINT) AS k
+  FROM rows_q GROUP BY bucket
+), tot AS (SELECT SUM(n_docs) AS t FROM agg)
+SELECT bucket,
+       CAST(bucket * 16 AS BIGINT) AS tok_lo,
+       n_docs,
+       ROUND(n_docs * 1.0 / t, 6) AS share,
+       ROUND(ss / 1000000.0 / n_docs, 6) AS mean_score,
+       ROUND(sl / 1000000.0 / n_docs, 6) AS mean_length_term,
+       ROUND(sc / 1000000.0 / n_docs, 6) AS mean_content_score,
+       ROUND(k * 1.0 / n_docs, 6) AS kill_rate
+FROM agg CROSS JOIN tot
+ORDER BY bucket
+"""

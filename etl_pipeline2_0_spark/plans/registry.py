@@ -916,6 +916,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LM.q_temperature_mix_curve,
         LM.SQL_TEMPERATURE_MIX_CURVE,
     ),
+    # --- added r16 (past-cap; r17 pool): length-bias audit of the
+    #     quality gate — per length bucket, the composite score
+    #     decomposed into length term vs content-only terms next to the
+    #     kill rate (the known length-correlation failure mode of
+    #     quality classifiers); one narrow pass, micro-unit integers ---
+    "quality_length_bias": (
+        LT.q_quality_length_bias,
+        LT.SQL_QUALITY_LENGTH_BIAS,
+    ),
 }
 
 

@@ -5785,3 +5785,42 @@ def test_temperature_mix_curve_limits_and_monotonicity(spark):
     # eff_sources bounded by (1, n_sources]
     for r in out.values():
         assert 1.0 < r["eff_sources"] <= 2.0 + 1e-6
+
+
+def test_quality_length_bias_decomposition_and_buckets(spark):
+    """Identical-content docs differing only in repetition length must
+    land in different buckets with (near-)equal content scores while
+    mean_length_term rises; the decomposition identity mean_score ==
+    (length + 2*content)/3 holds within micro-rounding; shares sum
+    to 1; overflow bucket caps."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    unit = "the cat and the dog run "  # stopword-rich, no punctuation
+    rows = [(i, unit * 2) for i in range(10)]        # 12 tokens -> b0
+    rows += [(10 + i, unit * 10) for i in range(10)]  # 60 tokens -> b3
+    rows += [(20 + i, unit * 40) for i in range(5)]   # 240 -> capped b8
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["bucket"]: r
+        for r in T.quality_length_bias(
+            docs, bucket_tokens=16, max_bucket=8, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {0, 3, 8}
+    assert out[8]["tok_lo"] == 128  # capped overflow bucket
+    assert out[0]["n_docs"] == 10 and out[8]["n_docs"] == 5
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
+    # same content, different length: content flat, length term rises
+    assert out[0]["mean_content_score"] == out[3]["mean_content_score"]
+    assert (
+        out[0]["mean_length_term"]
+        < out[3]["mean_length_term"]
+        < out[8]["mean_length_term"]
+    )
+    # decomposition identity (micro-rounding slack)
+    for r in out.values():
+        recon = (r["mean_length_term"] + 2 * r["mean_content_score"]) / 3
+        assert abs(r["mean_score"] - recon) < 1e-5
+    # the gate: short stopword-rich docs still pass content but can be
+    # killed purely by the length term -> kill_rate monotone in length
+    assert out[0]["kill_rate"] >= out[3]["kill_rate"] >= out[8]["kill_rate"]

@@ -1690,3 +1690,31 @@ def test_temperature_mix_curve_one_pass_bounded_fanout(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") <= 4
+
+
+def test_quality_length_bias_one_pass_no_join(spark, sf_dir):
+    # ONE narrow corpus pass into a map-side-combined aggregate on the
+    # bounded bucket key; only the 1-row total rejoins (broadcast
+    # cross).  No window, no corpus join.  checkpoint=False un-blinds
+    # the full shape (the registry default checkpoints the bounded
+    # aggregate so the total branch doesn't re-scan the corpus —
+    # checkpointed, the executed plan shows ONE parquet scan).
+    from etl_pipeline2_0_spark.functions import text as TX
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(TX.quality_length_bias(docs, checkpoint=False))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total cross
+    # the registry default: the bounded-agg checkpoint absorbs the one
+    # corpus scan (it prints inside the checkpoint, not the visible
+    # plan), so the downstream plan reads ONLY the ExistingRDD — no
+    # second corpus scan exists anywhere
+    from etl_pipeline2_0_spark.plans.llm_text import q_quality_length_bias
+
+    plan2 = _plan(q_quality_length_bias(spark, sf_dir))
+    assert plan2.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan2
