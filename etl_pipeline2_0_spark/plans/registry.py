@@ -230,12 +230,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # domain_quality_rollup, tokenizer_compare, moore_lewis, ul2_mix —
     # pick per-family so every anchor in
     # test_driver_window_covers_every_query_family still holds).
-    # SECOND WAVE queued behind them (the SIX late-r16 additions, all
+    # SECOND WAVE queued behind them (the EIGHT late-r16 additions, all
     # ×3-SF parity-proven, registered past-cap below): matryoshka_curve
     # (the eleventh sizing curve), boilerplate_strip, rm3_expansion,
-    # bm25_rm3_topk, label_noise_matrix, ql_dirichlet_topk — fold into
-    # r17 only if as many more demotions hold every family anchor,
-    # else stage for r18.
+    # bm25_rm3_topk, label_noise_matrix, ql_dirichlet_topk,
+    # temperature_mix_curve (the twelfth sizing curve),
+    # quality_length_bias — fold into r17 only if as many more
+    # demotions hold every family anchor, else stage for r18.
     # === PROMOTED r15 (added r14): measured ranking quality for the
     #     retrieval family — nDCG@5 + MRR@5 of BM25 vs planted graded
     #     truth, and of hybrid RRF fusion vs exact-cosine truth ===
