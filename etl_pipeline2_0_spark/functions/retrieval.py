@@ -631,13 +631,21 @@ def rm3_expansion_terms(
         .cast("bigint")
         .alias("orig_nano"),
     )
-    merged = p_rel.join(p_q, ["query_id", "term"], "full").select(
-        "query_id",
-        "term",
-        (
-            F.coalesce(F.col("orig_nano"), F.lit(0))
-            + F.coalesce(F.col("rel_nano"), F.lit(0))
-        ).alias("w_nano"),
+    merged = (
+        p_rel.join(p_q, ["query_id", "term"], "full")
+        .select(
+            "query_id",
+            "term",
+            (
+                F.coalesce(F.col("orig_nano"), F.lit(0))
+                + F.coalesce(F.col("rel_nano"), F.lit(0))
+            ).alias("w_nano"),
+        )
+        # a zero-weight term (possible at the α extremes after nano
+        # rounding) contributes nothing to the second pass — it must
+        # not consume an fb_terms slot (at α=1 the expansion then
+        # reduces EXACTLY to the original query terms)
+        .where(F.col("w_nano") > 0)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("w_nano").desc(), F.col("term")

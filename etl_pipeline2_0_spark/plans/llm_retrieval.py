@@ -592,7 +592,7 @@ WITH q(query_id, term) AS (
   FROM (SELECT query_id, term, w_nano,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY w_nano DESC, term) AS rnk
-        FROM merged)
+        FROM merged WHERE w_nano > 0)
   WHERE rnk <= 8
 )
 """

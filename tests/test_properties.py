@@ -965,3 +965,168 @@ def test_vocab_oov_curve_monotone_and_conserving(spark, words):
     for r in rows:
         assert 0 <= r["covered_tokens"] <= r["total_tokens"] == len(words)
         assert r["oov_rate"] == (r["total_tokens"] - r["covered_tokens"]) / r["total_tokens"]
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["hdr", "body", "promo", "xx yy", "zz"]),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    ratio=st.sampled_from([0.4, 0.6, 1.01]),
+)
+@settings(max_examples=10, deadline=None)
+def test_boilerplate_strip_invariants(spark, texts, ratio):
+    """For ANY line corpus and threshold: counted boiler lines never
+    exceed total lines; a >1.0 threshold strips NOTHING and reassembles
+    every doc byte-identically; every input doc stays a row."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    rows = [(i, "A", "\n".join(lines)) for i, lines in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.boilerplate_strip(
+            docs, df_ratio=ratio, min_docs=2
+        ).collect()
+    }
+    assert set(out) == {i for i, _ in enumerate(texts)}
+    for i, lines in enumerate(texts):
+        r = out[i]
+        assert r["n_lines"] == len(lines)
+        assert 0 <= r["n_boiler_lines"] <= r["n_lines"]
+        if ratio > 1.0:
+            assert r["n_boiler_lines"] == 0
+            assert r["clean_text"] == "\n".join(lines)
+        else:
+            kept = [
+                ln
+                for ln in lines
+                if not out[i]  # placeholder; verdict checked below
+            ]
+            # order preservation: clean_text is the original with some
+            # whole lines removed (subsequence of lines, same order)
+            cl = r["clean_text"].split("\n") if r["clean_text"] else []
+            it = iter(lines)
+            assert all(any(x == ln for ln in it) for x in cl)
+
+
+@given(alpha=st.sampled_from([0.0, 0.5, 1.0]))
+@settings(max_examples=6, deadline=None)
+def test_rm3_alpha_one_reduces_to_original_terms(spark, alpha):
+    """α=1 puts ALL mass on the original query model — the expansion
+    set must be exactly the original terms with equal weights; α=0
+    drops the prior entirely (original terms survive only via
+    feedback).  Any α: w_nano > 0, rnk contiguous from 1."""
+    from etl_pipeline2_0_spark.functions import retrieval as R
+
+    rows = [
+        (1, "spark shuffle engine"),
+        (2, "spark shuffle partition"),
+        (3, "cooking pasta basil"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exp = R.rm3_expansion_terms(
+        docs, [(0, ["spark", "engine"])], fb_k=2, fb_terms=6, alpha=alpha
+    ).collect()
+    assert all(r["w_nano"] > 0 for r in exp)
+    assert sorted(r["rnk"] for r in exp) == list(range(1, len(exp) + 1))
+    if alpha == 1.0:
+        assert {r["term"] for r in exp} == {"spark", "engine"}
+        assert len({r["w_nano"] for r in exp}) == 1
+
+
+@given(extra=st.integers(min_value=1, max_value=5))
+@settings(max_examples=8, deadline=None)
+def test_ql_dirichlet_tf_monotone(spark, extra):
+    """Two docs with the SAME length: the one with more query-term
+    occurrences must score strictly higher (Dirichlet QL is monotone
+    in tf at fixed dl)."""
+    from etl_pipeline2_0_spark.functions import retrieval as R
+
+    pad = ["pad"] * (8 - extra)
+    d1 = " ".join(["apple"] * extra + pad)          # tf = extra
+    d2 = " ".join(["apple"] * (extra + 1) + pad[1:])  # tf = extra+1
+    docs = spark.sparkSession if False else None
+    from pyspark.sql import SparkSession
+
+    sp = SparkSession.getActiveSession()
+    df = sp.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in R.ql_dirichlet_topk(df, [(0, ["apple"])], top_k=5).collect()
+    }
+    assert out[2] > out[1]
+
+
+@given(dims=st.sampled_from([(2, 4), (2, 4, 8), (4, 8)]))
+@settings(max_examples=6, deadline=None)
+def test_matryoshka_zero_tail_makes_prefix_exact(spark, dims):
+    """Vectors whose coordinates past the SMALLEST candidate dim are
+    all zero: every candidate dim sees identical cosines, so every
+    row of the curve reports zero error and full agreement."""
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    d0, full = dims[0], dims[-1]
+    rows = [
+        (i, [float((i * 7 + j) % 5 + 1) for j in range(d0)]
+            + [0.0] * (full - d0))
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    out = S.matryoshka_curve(emb, dims=dims, strides=(1, 3)).collect()
+    for r in out:
+        assert r["sum_abs_err_micro"] == 0
+        assert r["top1_agree_rate"] == 1.0
+
+
+@given(n_docs=st.integers(min_value=1, max_value=6))
+@settings(max_examples=8, deadline=None)
+def test_temperature_mix_curve_single_source_degenerate(spark, n_docs):
+    """ONE source: weight exactly 1, effective sources exactly 1,
+    up-sample exactly 1 — at every α."""
+    from etl_pipeline2_0_spark.functions import mixing as M
+
+    docs = spark.createDataFrame(
+        [(i, "only", "tok " * (i + 1)) for i in range(n_docs)],
+        "doc_id bigint, source string, text string",
+    )
+    for r in M.temperature_mix_curve(docs, alphas=(0.3, 1.0)).collect():
+        assert r["n_sources"] == 1
+        assert r["min_weight"] == r["max_weight"] == 1.0
+        assert r["eff_sources"] == 1.0
+        assert r["max_upsample"] == 1.0
+
+
+@given(flip_all=st.booleans())
+@settings(max_examples=4, deadline=None)
+def test_label_noise_matrix_conservation(spark, flip_all):
+    """Matrix cells partition the query set: Σn == n_queries, and each
+    row's cells sum to its n_given — under ANY labeling."""
+    from etl_pipeline2_0_spark.functions import similarity as S
+
+    rows = [
+        (i, [float((i + j) % 7 + 1) for j in range(4)],
+         1 if flip_all else i % 3)
+        for i in range(15)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = S.label_noise_matrix(emb, k=3).collect()
+    assert sum(r["n"] for r in out) == 15
+    by_given = {}
+    for r in out:
+        by_given.setdefault(r["given_label"], []).append(r)
+    for g, cells in by_given.items():
+        assert sum(c["n"] for c in cells) == cells[0]["n_given"]
