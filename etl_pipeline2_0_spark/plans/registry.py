@@ -216,27 +216,41 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # + the incoming filter_ablation).  Keep the family-anchor and
     # all-oracled invariants (test_sql_registry.py pins both).
     #
-    # ROUND-17 STAGING (execute next round): promote TEN entries —
-    # the FOUR queued second-wave r15 additions (best_of_n_curve,
-    # vocab_oov_curve, bpe_fertility_curve, pack_waste_curve — ×3-SF
-    # parity-proven, zero driver rows) plus the SIX r16-added oracled
-    # entries (blocklist_screen, priority_sample, priority_sample_curve,
-    # rho_loss_select, heavy_hitter_phrases, cross_source_dedup_matrix —
-    # registered past-cap below, parity-proven at 3 SFs).  Demote
-    # an equal count of the most-tenured multi-green holdovers,
-    # re-anchoring families as usual (candidates, all thrice-green by
-    # r16 if the window stays green: unigram_train, bitext_mine,
+    # ROUND-17 ROTATION (EXECUTED this round, as staged r16 — the FULL
+    # 18-entry wave, ten staged + the eight-key second wave, because
+    # eight additional demotions hold every family anchor): promoted
+    # best_of_n_curve, vocab_oov_curve, bpe_fertility_curve,
+    # pack_waste_curve, blocklist_screen, priority_sample,
+    # priority_sample_curve, rho_loss_select, heavy_hitter_phrases,
+    # cross_source_dedup_matrix, matryoshka_curve, boilerplate_strip,
+    # rm3_expansion, bm25_rm3_topk, label_noise_matrix,
+    # ql_dirichlet_topk, temperature_mix_curve, quality_length_bias —
+    # all ×3-SF parity-proven with zero driver rows until now.  Demoted
+    # the ten named thrice-green holdovers (unigram_train, bitext_mine,
     # embed_quantize, kn_score, langid_rank, minhash_decontam,
-    # domain_quality_rollup, tokenizer_compare, moore_lewis, ul2_mix —
-    # pick per-family so every anchor in
-    # test_driver_window_covers_every_query_family still holds).
-    # SECOND WAVE queued behind them (the EIGHT late-r16 additions, all
-    # ×3-SF parity-proven, registered past-cap below): matryoshka_curve
-    # (the eleventh sizing curve), boilerplate_strip, rm3_expansion,
-    # bm25_rm3_topk, label_noise_matrix, ql_dirichlet_topk,
-    # temperature_mix_curve (the twelfth sizing curve),
-    # quality_length_bias — fold into r17 only if as many more
-    # demotions hold every family anchor, else stage for r18.
+    # domain_quality_rollup, tokenizer_compare, moore_lewis, ul2_mix)
+    # plus eight thrice-green r13 promotions (best_of_n — anchored by
+    # the incoming best_of_n_curve, which sweeps the same scored pool;
+    # cluster_profile — similarity anchored by ann_hubness/
+    # bitext_recall + the incoming matryoshka_curve/label_noise_matrix;
+    # jaccard_histogram, soft_dedup — dedup DQ anchored by
+    # dedup_manifest/cdc_dedup_curve/minhash_est_error + the incoming
+    # cross_source_dedup_matrix; corpus_overlap, epoch_decay_curve —
+    # mixing anchored by anneal_mix_plan + the incoming
+    # priority_sample(+_curve)/temperature_mix_curve; bloom_fpr_curve,
+    # cms_error_curve — sketch calibration anchored by
+    # lsh_geometry_sweep + shingle_df_histogram + minhash_est_error).
+    # test_sql_registry.py re-pins the representative set and the
+    # all-oracled invariant.
+    #
+    # ROUND-18 STAGING: any r17-added oracled entries (registered
+    # past-cap with ×3-SF parity) promote next round; demotion
+    # candidates, all thrice-green by r17 if the window stays green:
+    # the r14 cohort (bitext_recall, dataset_card, sft_pack, dpo_pairs,
+    # ann_hubness, simhash_recall, winnow_recall, dedup_manifest,
+    # lsh_geometry_sweep, shingle_df_histogram) — pick per-family so
+    # every anchor in test_driver_window_covers_every_query_family
+    # still holds.
     # === PROMOTED r15 (added r14): measured ranking quality for the
     #     retrieval family — nDCG@5 + MRR@5 of BM25 vs planted graded
     #     truth, and of hybrid RRF fusion vs exact-cosine truth ===
@@ -295,16 +309,6 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LMM.q_multimodal_neardup_recall,
         LMM.SQL_MULTIMODAL_NEARDUP_RECALL,
     ),
-    # --- first driver rows (promoted r13): interpolated Kneser-Ney
-    #     word-bigram LM scoring (Kneser & Ney 1995; the KenLM/CCNet
-    #     smoothing family), trained leakage-free on the non-src0 slice
-    #     so the oracle exercises every unseen-bigram/context/OOV
-    #     fallback path ---
-    "kn_score": (LT.q_kn_score, LT.SQL_KN_SCORE),
-    # --- first driver rows (promoted r13): TRAINED language ID by
-    #     char-trigram rank profiles (Cavnar & Trenkle 1994) with an
-    #     honest even/odd held-out split ---
-    "langid_rank": (LT.q_langid_rank, LT.SQL_LANGID_RANK),
     # --- promoted r16 (added r15): the SemDeDup threshold SIZING sweep
     #     — per candidate eps, vectors the cluster-scoped
     #     keep-lowest-id rule would drop; a measured sizing curve,
@@ -312,18 +316,6 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "semdedup_eps_curve": (
         LS.q_semdedup_eps_curve,
         LS.SQL_SEMDEDUP_EPS_CURVE,
-    ),
-    # --- first driver rows (promoted r13): cross-corpus MinHash
-    #     decontamination (the GPT-3/Llama fuzzy train-vs-benchmark
-    #     sweep) — banded LSH BETWEEN two corpora, exact-Jaccard
-    #     verified, md5-portable end-to-end ---
-    "minhash_decontam": (LD.q_minhash_decontam, LD.SQL_MINHASH_DECONTAM),
-    # --- first driver rows (promoted r13): per-domain quality triage
-    #     rollup and the quality-gate calibration sweep (docs + token
-    #     mass kept per candidate threshold, one corpus pass) ---
-    "domain_quality_rollup": (
-        LQ.q_domain_quality_rollup,
-        LQ.SQL_DOMAIN_QUALITY_ROLLUP,
     ),
     # --- promoted r16 (added r15): the quality-filter ABLATION matrix
     #     — per-filter kill counts, unique/marginal kills, union kill;
@@ -340,11 +332,6 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LS.SQL_CLUSTER_BALANCED_SAMPLE,
     ),
     "anneal_mix_plan": (LM.q_anneal_mix_plan, LM.SQL_ANNEAL_MIX_PLAN),
-    # --- first driver rows (promoted r13): unigram-LM tokenizer family
-    #     (Kudo 2018, the SentencePiece model class) — Viterbi hard-EM
-    #     over the bounded word-type table, JVM-side DP fold with an
-    #     unrolled-CTE DuckDB twin ---
-    "unigram_train": (LTK.q_unigram_train, LTK.SQL_UNIGRAM_TRAIN),
     # --- promoted r16 (added r14): self-instruct ROUGE-style
     #     instruction-dedup screen (max bigram recall vs any earlier
     #     doc, keep under 0.7) and the decontamination match-length
@@ -369,6 +356,219 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     histogram (exact micro-unit squared-L2 buckets) — the
     #     per-vector complement of embed_dim_stats ---
     "embed_norm_hist": (LS.q_embed_norm_hist, LS.SQL_EMBED_NORM_HIST),
+    # === PROMOTED r14: the 21 r13-added oracled entries collect
+    #     their first external driver rows (all sf0.001+sf0.01
+    #     parity-proven locally since r13) ===
+    # --- promoted r14 (added r13): mined-pair recall of the IVF-fed
+    #     bitext path (the 100 TB configuration — cluster-scoped
+    #     candidate equi-joins, never the cross product) vs the exact
+    #     all-pairs path; fully oracled via the md5-portable coarse
+    #     quantizer ---
+    "bitext_recall": (LS.q_bitext_recall, LS.SQL_BITEXT_RECALL),
+    # --- promoted r14 (added r13): datasheet-style
+    #     report card (Gebru et al. 2021) — volume / length quantiles /
+    #     exact-dup rate / language+source shares / mean quality as one
+    #     tidy frame; one narrow projection + four bounded aggregates ---
+    "dataset_card": (LQ.q_dataset_card, LQ.SQL_DATASET_CARD),
+    # --- promoted r14 (added r13): SFT packing with
+    #     loss-mask accounting — hash-cut (prompt, response) examples
+    #     packed per source, masked vs loss-bearing token split per
+    #     pack ---
+    "sft_pack": (LC.q_sft_pack, LC.SQL_SFT_PACK),
+    # --- promoted r14 (added r13): DPO preference-pair
+    #     construction — per pseudo-prompt group argmax/argmin of a
+    #     lexical-diversity score with a margin floor; one max/min-struct
+    #     hash aggregate, no window ---
+    "dpo_pairs": (LC.q_dpo_pairs, LC.SQL_DPO_PAIRS),
+    # --- promoted r14 (added r13): k-occurrence hubness
+    #     audit of the portable IVF index (Radovanović 2010) — top hub
+    #     vectors + antihub dead-zone fraction, every other vector as a
+    #     query ---
+    "ann_hubness": (LS.q_ann_hubness, LS.SQL_ANN_HUBNESS),
+    # --- promoted r14 (added r13): SimHash recall vs
+    #     exact Jaccard truth — closes the quality-metric asymmetry with
+    #     the MinHash family (same %2 subset, same truth set) ---
+    "simhash_recall": (LD.q_simhash_recall, LD.SQL_SIMHASH_RECALL),
+    # --- promoted r14 (added r13): winnowing recall vs
+    #     the same exact-Jaccard truth — the THIRD fingerprint family on
+    #     the identical truth set (verbatim-run screen vs token near-dup
+    #     truth; the gap is the measurement) ---
+    "winnow_recall": (LD.q_winnow_recall, LD.SQL_WINNOW_RECALL),
+    # --- promoted r14 (added r13): deletion lineage of
+    #     the layered exact→near dedup run — (dropped, keeper, reason),
+    #     the audit artifact shipped next to a deduped corpus ---
+    "dedup_manifest": (LD.q_dedup_manifest, LD.SQL_DEDUP_MANIFEST),
+    # --- promoted r14 (added r13): LSH band-geometry
+    #     tuning table — candidate volume, recall, and candidate-stream
+    #     precision per (bands×rows) split of a fixed 16-hash budget,
+    #     all on the same exact-Jaccard truth ---
+    "lsh_geometry_sweep": (LD.q_lsh_geometry_sweep, LD.SQL_LSH_GEOMETRY_SWEEP),
+    # --- promoted r14 (added r13): shingle doc-freq
+    #     histogram on power-of-two buckets — the evidence the
+    #     max_doc_freq caps and CMS width are tuned against ---
+    "shingle_df_histogram": (
+        LD.q_shingle_df_histogram,
+        LD.SQL_SHINGLE_DF_HISTOGRAM,
+    ),
+    # === PROMOTED r17 (EXECUTED as staged r16 — the full 18-entry
+    #     wave: the TEN staged entries plus the EIGHT-key second wave;
+    #     every family anchor re-verified, see ROUND-17 ROTATION note
+    #     above and test_driver_window_covers_every_query_family) ===
+    # --- added r15 (past-cap; r17 promotion pool — the four
+    #     second-wave sizing/scaling curves, ×3-SF parity-proven, zero
+    #     driver rows): the rejection-sampling inference-scaling curve
+    #     (mean best-of-first-N reward per N over the dpo/best_of_n
+    #     scored pool; exact micro-unit integer maxes and one fixed
+    #     two-division mean) ---
+    "best_of_n_curve": (LC.q_best_of_n_curve, LC.SQL_BEST_OF_N_CURVE),
+    # --- added r15 (past-cap; r17 pool second wave): the vocabulary-
+    #     budget sizing sweep — covered mass + OOV rate per top-V cut;
+    #     the seventh measured sizing curve ---
+    "vocab_oov_curve": (LT.q_vocab_oov_curve, LT.SQL_VOCAB_OOV_CURVE),
+    # --- added r15 (past-cap; r17 pool second wave): the BPE
+    #     merge-budget sizing curve — fertility at 0/2/4/8 merges from
+    #     one training run; the eighth measured sizing curve ---
+    "bpe_fertility_curve": (
+        LTK.q_bpe_fertility_curve,
+        LTK.SQL_BPE_FERTILITY_CURVE,
+    ),
+    # --- added r15 (past-cap; r17 pool second wave): the context-length
+    #     sizing sweep for sequence packing — padding/straddle/fill per
+    #     candidate context from one shared prefix sum; the ninth
+    #     measured sizing curve ---
+    "pack_waste_curve": (LC.q_pack_waste_curve, LC.SQL_PACK_WASTE_CURVE),
+    # --- added r16 (past-cap; r17 promotion pool): C4-style blocklist
+    #     gate calibration (word-boundary term hits per source; exact
+    #     integer kill table) ---
+    "blocklist_screen": (LT.q_blocklist_screen, LT.SQL_BLOCKLIST_SCREEN),
+    # --- added r16 (past-cap; r17 pool): priority sampling (Duffield-
+    #     Lund-Thorup 2007) — deterministic weighted sample without
+    #     replacement + the unbiased subset-sum estimator; md5-uniform
+    #     and priority are single IEEE divisions (portable, no
+    #     transcendental) ---
+    "priority_sample": (LM.q_priority_sample, LM.SQL_PRIORITY_SAMPLE),
+    # --- added r16 (past-cap; r17 pool): the sample-size sizing sweep
+    #     for priority sampling — DLT total-weight estimate vs exact
+    #     total per candidate k from ONE scored pass; micro-unit
+    #     integer sums (order-free); the TENTH measured sizing curve ---
+    "priority_sample_curve": (
+        LM.q_priority_sample_curve,
+        LM.SQL_PRIORITY_SAMPLE_CURVE,
+    ),
+    # --- added r16 (past-cap; r17 pool): RHO-style learnability
+    #     selection — excess loss of the current (trained-on-everything)
+    #     char-bigram LM over the holdout-clean reference LM, top-32
+    #     hard-but-learnable held-out docs ---
+    "rho_loss_select": (LT.q_rho_loss_select, LT.SQL_RHO_LOSS_SELECT),
+    # --- added r16 (past-cap; r17 pool): corpus-wide memorization/
+    #     boilerplate screen — top word 8-grams by distinct-document
+    #     frequency (the actual phrases, next to the hashed
+    #     shingle_df_histogram) ---
+    "heavy_hitter_phrases": (
+        LT.q_heavy_hitter_phrases,
+        LT.SQL_HEAVY_HITTER_PHRASES,
+    ),
+    # --- added r16 (past-cap; r17 pool): exact-dup concentration
+    #     source x source (dup groups + pair counts per unordered source
+    #     pair; diagonal = intra-source) — the dedup triage table ---
+    "cross_source_dedup_matrix": (
+        LD.q_cross_source_dedup_matrix,
+        LD.SQL_CROSS_SOURCE_DEDUP_MATRIX,
+    ),
+    # --- added r16 (past-cap; r17 pool): embedding truncation-dimension
+    #     sizing sweep (Matryoshka, Kusupati et al. 2022) — cosine
+    #     fidelity + top-1 agreement per prefix dim on a deterministic
+    #     stride pair sample; micro-unit integer error sums (order-
+    #     free); the ELEVENTH measured sizing curve ---
+    "matryoshka_curve": (
+        LS.q_matryoshka_curve,
+        LS.SQL_MATRYOSHKA_CURVE,
+    ),
+    # --- added r16 (past-cap; r17 pool): per-source boilerplate-line
+    #     removal (CCNet §3.1 / RefinedWeb pre-dedup pass) — line
+    #     doc-frequency verdict per source, position-ordered reassembly;
+    #     boilerplate PLANTED deterministically (header/footer stripped
+    #     at ratio 1.0, PROMO line kept at ~0.5 < tau), mirrored in SQL ---
+    "boilerplate_strip": (
+        LT.q_boilerplate_strip,
+        LT.SQL_BOILERPLATE_STRIP,
+    ),
+    # --- added r16 (past-cap; r17 pool): RM3 pseudo-relevance feedback
+    #     (Lavrenko & Croft 2001; Abdul-Jaleel et al. 2004) — the
+    #     expansion-term table (NANO-unit integer weights, exact
+    #     order-free ranking key) and the full two-pass weighted-BM25
+    #     re-retrieval built on it ---
+    "rm3_expansion": (LR.q_rm3_expansion, LR.SQL_RM3_EXPANSION),
+    "bm25_rm3_topk": (LR.q_bm25_rm3_topk, LR.SQL_BM25_RM3_TOPK),
+    # --- added r16 (past-cap; r17 pool): class-conditional label-noise
+    #     count matrix (confident learning, Northcutt et al. 2021) with
+    #     the 5-NN vote as predictor — which class leaks into which,
+    #     next to knn_accuracy's single number; integer cells ---
+    "label_noise_matrix": (
+        LS.q_label_noise_matrix,
+        LS.SQL_LABEL_NOISE_MATRIX,
+    ),
+    # --- added r16 (past-cap; r17 pool): Dirichlet query-likelihood
+    #     ranking (Zhai & Lafferty 2001) — the LM-based ranker next to
+    #     BM25, same sparse broadcast-pruned postings shape, same
+    #     output shape (drops into rrf_fuse) ---
+    "ql_dirichlet_topk": (
+        LR.q_ql_dirichlet_topk,
+        LR.SQL_QL_DIRICHLET_TOPK,
+    ),
+    # --- added r16 (past-cap; r17 pool): the α-sweep behind
+    #     temperature_mix_weights (mT5/XLM-R §3.1) — mix flatness vs
+    #     max tail up-sample per candidate α over a PLANTED power-law
+    #     source skew (micro-unit integer weights; the TWELFTH measured
+    #     sizing curve) ---
+    "temperature_mix_curve": (
+        LM.q_temperature_mix_curve,
+        LM.SQL_TEMPERATURE_MIX_CURVE,
+    ),
+    # --- added r16 (past-cap; r17 pool): length-bias audit of the
+    #     quality gate — per length bucket, the composite score
+    #     decomposed into length term vs content-only terms next to the
+    #     kill rate (the known length-correlation failure mode of
+    #     quality classifiers); one narrow pass, micro-unit integers ---
+    "quality_length_bias": (
+        LT.q_quality_length_bias,
+        LT.SQL_QUALITY_LENGTH_BIAS,
+    ),
+    # ---------- driver 50-query window ends here ----------
+    # --- demoted r17 (see ROUND-17 ROTATION note above): the ten
+    #     named thrice-green holdovers plus eight second-wave
+    #     demotions (best_of_n, cluster_profile, jaccard_histogram,
+    #     soft_dedup, corpus_overlap, epoch_decay_curve,
+    #     bloom_fpr_curve, cms_error_curve — all thrice-green
+    #     r14+r15+r16); every one re-proven locally each session by
+    #     the default sf0.001+sf0.1 parity suites ---
+    # --- first driver rows (promoted r13): interpolated Kneser-Ney
+    #     word-bigram LM scoring (Kneser & Ney 1995; the KenLM/CCNet
+    #     smoothing family), trained leakage-free on the non-src0 slice
+    #     so the oracle exercises every unseen-bigram/context/OOV
+    #     fallback path ---
+    "kn_score": (LT.q_kn_score, LT.SQL_KN_SCORE),
+    # --- first driver rows (promoted r13): TRAINED language ID by
+    #     char-trigram rank profiles (Cavnar & Trenkle 1994) with an
+    #     honest even/odd held-out split ---
+    "langid_rank": (LT.q_langid_rank, LT.SQL_LANGID_RANK),
+    # --- first driver rows (promoted r13): cross-corpus MinHash
+    #     decontamination (the GPT-3/Llama fuzzy train-vs-benchmark
+    #     sweep) — banded LSH BETWEEN two corpora, exact-Jaccard
+    #     verified, md5-portable end-to-end ---
+    "minhash_decontam": (LD.q_minhash_decontam, LD.SQL_MINHASH_DECONTAM),
+    # --- first driver rows (promoted r13): per-domain quality triage
+    #     rollup and the quality-gate calibration sweep (docs + token
+    #     mass kept per candidate threshold, one corpus pass) ---
+    "domain_quality_rollup": (
+        LQ.q_domain_quality_rollup,
+        LQ.SQL_DOMAIN_QUALITY_ROLLUP,
+    ),
+    # --- first driver rows (promoted r13): unigram-LM tokenizer family
+    #     (Kudo 2018, the SentencePiece model class) — Viterbi hard-EM
+    #     over the bounded word-type table, JVM-side DP fold with an
+    #     unrolled-CTE DuckDB twin ---
+    "unigram_train": (LTK.q_unigram_train, LTK.SQL_UNIGRAM_TRAIN),
     # --- first driver rows (promoted r13): margin-based bitext mining
     #     (Artetxe & Schwenk 2019, the LASER/CCMatrix recipe) — exact
     #     oracle mode; the ANN-fed scale path is a separate rows-only
@@ -379,15 +579,6 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     reconstruction-error accounting; emits the unrounded scale
     #     (advisor-r12 fix) ---
     "embed_quantize": (LS.q_embed_quantize, LS.SQL_EMBED_QUANTIZE),
-    # === PROMOTED r14: the 21 r13-added oracled entries collect
-    #     their first external driver rows (all sf0.001+sf0.01
-    #     parity-proven locally since r13) ===
-    # --- promoted r14 (added r13): mined-pair recall of the IVF-fed
-    #     bitext path (the 100 TB configuration — cluster-scoped
-    #     candidate equi-joins, never the cross product) vs the exact
-    #     all-pairs path; fully oracled via the md5-portable coarse
-    #     quantizer ---
-    "bitext_recall": (LS.q_bitext_recall, LS.SQL_BITEXT_RECALL),
     # --- promoted r14 (added r13): the tokenizer
     #     decision table — per-source fertility + OOV rate for BPE vs
     #     unigram-LM trained on the same corpus under the same word
@@ -404,31 +595,6 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     composing span_corrupt at two densities plus a prefix-LM
     #     split, paradigm tokens prepended ---
     "ul2_mix": (LC.q_ul2_mix, LC.SQL_UL2_MIX),
-    # --- promoted r14 (added r13): datasheet-style
-    #     report card (Gebru et al. 2021) — volume / length quantiles /
-    #     exact-dup rate / language+source shares / mean quality as one
-    #     tidy frame; one narrow projection + four bounded aggregates ---
-    "dataset_card": (LQ.q_dataset_card, LQ.SQL_DATASET_CARD),
-    # --- promoted r14 (added r13): SFT packing with
-    #     loss-mask accounting — hash-cut (prompt, response) examples
-    #     packed per source, masked vs loss-bearing token split per
-    #     pack ---
-    "sft_pack": (LC.q_sft_pack, LC.SQL_SFT_PACK),
-    # --- promoted r14 (added r13): soft dedup — the
-    #     reweighting alternative to hard near-dedup (1/cluster_size
-    #     sampling weights over the dup_components Jaccard graph, exact
-    #     integer effective-mass accounting) ---
-    "soft_dedup": (LD.q_soft_dedup, LD.SQL_SOFT_DEDUP),
-    # --- promoted r14 (added r13): DPO preference-pair
-    #     construction — per pseudo-prompt group argmax/argmin of a
-    #     lexical-diversity score with a margin floor; one max/min-struct
-    #     hash aggregate, no window ---
-    "dpo_pairs": (LC.q_dpo_pairs, LC.SQL_DPO_PAIRS),
-    # --- promoted r14 (added r13): k-occurrence hubness
-    #     audit of the portable IVF index (Radovanović 2010) — top hub
-    #     vectors + antihub dead-zone fraction, every other vector as a
-    #     query ---
-    "ann_hubness": (LS.q_ann_hubness, LS.SQL_ANN_HUBNESS),
     # --- promoted r14 (added r13): best-of-N rejection
     #     sampling — dpo_pairs' grouping/scoring with the top-3 kept
     #     (rnk 1 ≡ dpo chosen, shared tiebreak) ---
@@ -437,23 +603,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     composition per portable-centroid cluster — corpus share +
     #     label dominance (SemDeDup/DCLM cluster analysis) ---
     "cluster_profile": (LS.q_cluster_profile, LS.SQL_CLUSTER_PROFILE),
-    # --- promoted r14 (added r13): SimHash recall vs
-    #     exact Jaccard truth — closes the quality-metric asymmetry with
-    #     the MinHash family (same %2 subset, same truth set) ---
-    "simhash_recall": (LD.q_simhash_recall, LD.SQL_SIMHASH_RECALL),
-    # --- promoted r14 (added r13): winnowing recall vs
-    #     the same exact-Jaccard truth — the THIRD fingerprint family on
-    #     the identical truth set (verbatim-run screen vs token near-dup
-    #     truth; the gap is the measurement) ---
-    "winnow_recall": (LD.q_winnow_recall, LD.SQL_WINNOW_RECALL),
-    # --- promoted r14 (added r13): deletion lineage of
-    #     the layered exact→near dedup run — (dropped, keeper, reason),
-    #     the audit artifact shipped next to a deduped corpus ---
-    "dedup_manifest": (LD.q_dedup_manifest, LD.SQL_DEDUP_MANIFEST),
     # --- promoted r14 (added r13): Jaccard bin
     #     histogram over the candidate-pair stream — the threshold-
     #     tuning cliff curve ---
     "jaccard_histogram": (LD.q_jaccard_histogram, LD.SQL_JACCARD_HISTOGRAM),
+    # --- promoted r14 (added r13): soft dedup — the
+    #     reweighting alternative to hard near-dedup (1/cluster_size
+    #     sampling weights over the dup_components Jaccard graph, exact
+    #     integer effective-mass accounting) ---
+    "soft_dedup": (LD.q_soft_dedup, LD.SQL_SOFT_DEDUP),
     # --- promoted r14 (added r13): cross-source shingle
     #     containment matrix — inter-source duplication read before
     #     mixing corpora ---
@@ -471,19 +629,6 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     #     distribution at three widths, sketch built from the exact
     #     count table (identical arithmetic, |vocab|-grain sweep) ---
     "cms_error_curve": (LSK.q_cms_error_curve, LSK.SQL_CMS_ERROR_CURVE),
-    # --- promoted r14 (added r13): LSH band-geometry
-    #     tuning table — candidate volume, recall, and candidate-stream
-    #     precision per (bands×rows) split of a fixed 16-hash budget,
-    #     all on the same exact-Jaccard truth ---
-    "lsh_geometry_sweep": (LD.q_lsh_geometry_sweep, LD.SQL_LSH_GEOMETRY_SWEEP),
-    # --- promoted r14 (added r13): shingle doc-freq
-    #     histogram on power-of-two buckets — the evidence the
-    #     max_doc_freq caps and CMS width are tuned against ---
-    "shingle_df_histogram": (
-        LD.q_shingle_df_histogram,
-        LD.SQL_SHINGLE_DF_HISTOGRAM,
-    ),
-    # ---------- driver 50-query window ends here ----------
     # --- demoted r16 (see ROUND-16 ROTATION note above): the eleven
     #     thrice-green r13 promotions; every one re-proven locally each
     #     session by the default sf0.001+sf0.1 parity suites ---
@@ -806,126 +951,6 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "q1_pricing_summary": (R.q1_pricing_summary, R.SQL_Q1),
     "q3_top_revenue": (R.q3_top_revenue, R.SQL_Q3),
     "media_frames": (LMM.q_media_frames, None),
-    # --- added r15 (past-cap; r17 promotion pool — the four
-    #     second-wave sizing/scaling curves, ×3-SF parity-proven, zero
-    #     driver rows): the rejection-sampling inference-scaling curve
-    #     (mean best-of-first-N reward per N over the dpo/best_of_n
-    #     scored pool; exact micro-unit integer maxes and one fixed
-    #     two-division mean) ---
-    "best_of_n_curve": (LC.q_best_of_n_curve, LC.SQL_BEST_OF_N_CURVE),
-    # --- added r15 (past-cap; r17 pool second wave): the vocabulary-
-    #     budget sizing sweep — covered mass + OOV rate per top-V cut;
-    #     the seventh measured sizing curve ---
-    "vocab_oov_curve": (LT.q_vocab_oov_curve, LT.SQL_VOCAB_OOV_CURVE),
-    # --- added r15 (past-cap; r17 pool second wave): the BPE
-    #     merge-budget sizing curve — fertility at 0/2/4/8 merges from
-    #     one training run; the eighth measured sizing curve ---
-    "bpe_fertility_curve": (
-        LTK.q_bpe_fertility_curve,
-        LTK.SQL_BPE_FERTILITY_CURVE,
-    ),
-    # --- added r15 (past-cap; r17 pool second wave): the context-length
-    #     sizing sweep for sequence packing — padding/straddle/fill per
-    #     candidate context from one shared prefix sum; the ninth
-    #     measured sizing curve ---
-    "pack_waste_curve": (LC.q_pack_waste_curve, LC.SQL_PACK_WASTE_CURVE),
-    # --- added r16 (past-cap; r17 promotion pool): C4-style blocklist
-    #     gate calibration (word-boundary term hits per source; exact
-    #     integer kill table) ---
-    "blocklist_screen": (LT.q_blocklist_screen, LT.SQL_BLOCKLIST_SCREEN),
-    # --- added r16 (past-cap; r17 pool): priority sampling (Duffield-
-    #     Lund-Thorup 2007) — deterministic weighted sample without
-    #     replacement + the unbiased subset-sum estimator; md5-uniform
-    #     and priority are single IEEE divisions (portable, no
-    #     transcendental) ---
-    "priority_sample": (LM.q_priority_sample, LM.SQL_PRIORITY_SAMPLE),
-    # --- added r16 (past-cap; r17 pool): RHO-style learnability
-    #     selection — excess loss of the current (trained-on-everything)
-    #     char-bigram LM over the holdout-clean reference LM, top-32
-    #     hard-but-learnable held-out docs ---
-    "rho_loss_select": (LT.q_rho_loss_select, LT.SQL_RHO_LOSS_SELECT),
-    # --- added r16 (past-cap; r17 pool): corpus-wide memorization/
-    #     boilerplate screen — top word 8-grams by distinct-document
-    #     frequency (the actual phrases, next to the hashed
-    #     shingle_df_histogram) ---
-    "heavy_hitter_phrases": (
-        LT.q_heavy_hitter_phrases,
-        LT.SQL_HEAVY_HITTER_PHRASES,
-    ),
-    # --- added r16 (past-cap; r17 pool): exact-dup concentration
-    #     source x source (dup groups + pair counts per unordered source
-    #     pair; diagonal = intra-source) — the dedup triage table ---
-    "cross_source_dedup_matrix": (
-        LD.q_cross_source_dedup_matrix,
-        LD.SQL_CROSS_SOURCE_DEDUP_MATRIX,
-    ),
-    # --- added r16 (past-cap; r17 pool): the sample-size sizing sweep
-    #     for priority sampling — DLT total-weight estimate vs exact
-    #     total per candidate k from ONE scored pass; micro-unit
-    #     integer sums (order-free); the TENTH measured sizing curve ---
-    "priority_sample_curve": (
-        LM.q_priority_sample_curve,
-        LM.SQL_PRIORITY_SAMPLE_CURVE,
-    ),
-    # --- added r16 (past-cap; r17 pool): embedding truncation-dimension
-    #     sizing sweep (Matryoshka, Kusupati et al. 2022) — cosine
-    #     fidelity + top-1 agreement per prefix dim on a deterministic
-    #     stride pair sample; micro-unit integer error sums (order-
-    #     free); the ELEVENTH measured sizing curve ---
-    "matryoshka_curve": (
-        LS.q_matryoshka_curve,
-        LS.SQL_MATRYOSHKA_CURVE,
-    ),
-    # --- added r16 (past-cap; r17 pool): per-source boilerplate-line
-    #     removal (CCNet §3.1 / RefinedWeb pre-dedup pass) — line
-    #     doc-frequency verdict per source, position-ordered reassembly;
-    #     boilerplate PLANTED deterministically (header/footer stripped
-    #     at ratio 1.0, PROMO line kept at ~0.5 < tau), mirrored in SQL ---
-    "boilerplate_strip": (
-        LT.q_boilerplate_strip,
-        LT.SQL_BOILERPLATE_STRIP,
-    ),
-    # --- added r16 (past-cap; r17 pool): RM3 pseudo-relevance feedback
-    #     (Lavrenko & Croft 2001; Abdul-Jaleel et al. 2004) — the
-    #     expansion-term table (NANO-unit integer weights, exact
-    #     order-free ranking key) and the full two-pass weighted-BM25
-    #     re-retrieval built on it ---
-    "rm3_expansion": (LR.q_rm3_expansion, LR.SQL_RM3_EXPANSION),
-    "bm25_rm3_topk": (LR.q_bm25_rm3_topk, LR.SQL_BM25_RM3_TOPK),
-    # --- added r16 (past-cap; r17 pool): class-conditional label-noise
-    #     count matrix (confident learning, Northcutt et al. 2021) with
-    #     the 5-NN vote as predictor — which class leaks into which,
-    #     next to knn_accuracy's single number; integer cells ---
-    "label_noise_matrix": (
-        LS.q_label_noise_matrix,
-        LS.SQL_LABEL_NOISE_MATRIX,
-    ),
-    # --- added r16 (past-cap; r17 pool): Dirichlet query-likelihood
-    #     ranking (Zhai & Lafferty 2001) — the LM-based ranker next to
-    #     BM25, same sparse broadcast-pruned postings shape, same
-    #     output shape (drops into rrf_fuse) ---
-    "ql_dirichlet_topk": (
-        LR.q_ql_dirichlet_topk,
-        LR.SQL_QL_DIRICHLET_TOPK,
-    ),
-    # --- added r16 (past-cap; r17 pool): the α-sweep behind
-    #     temperature_mix_weights (mT5/XLM-R §3.1) — mix flatness vs
-    #     max tail up-sample per candidate α over a PLANTED power-law
-    #     source skew (micro-unit integer weights; the TWELFTH measured
-    #     sizing curve) ---
-    "temperature_mix_curve": (
-        LM.q_temperature_mix_curve,
-        LM.SQL_TEMPERATURE_MIX_CURVE,
-    ),
-    # --- added r16 (past-cap; r17 pool): length-bias audit of the
-    #     quality gate — per length bucket, the composite score
-    #     decomposed into length term vs content-only terms next to the
-    #     kill rate (the known length-correlation failure mode of
-    #     quality classifiers); one narrow pass, micro-unit integers ---
-    "quality_length_bias": (
-        LT.q_quality_length_bias,
-        LT.SQL_QUALITY_LENGTH_BIAS,
-    ),
 }
 
 

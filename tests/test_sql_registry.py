@@ -89,73 +89,76 @@ def test_driver_window_covers_every_query_family():
     window = set(list(_AQ)[:50])
     representatives = {
         # dedup family: the SimHash and winnowing recall rows on the
-        # shared exact-Jaccard truth, cross-corpus MinHash
-        # decontamination, deletion lineage + soft-dedup reweighting +
-        # the Jaccard threshold histogram, the CDC storage-dedup sizing
-        # curve, the MinHash ESTIMATOR calibration table, the ROUGE
-        # instruction-dedup screen, and the multimodal near-dup family's
-        # measured recall (minhash_precision/band_efficiency rotated out
-        # r16 with 3 green rows — LSH blocking quality anchored by
-        # minhash_decontam + the recall rows + minhash_est_error)
-        "minhash_decontam", "simhash_recall", "winnow_recall",
-        "dedup_manifest", "soft_dedup", "jaccard_histogram",
+        # shared exact-Jaccard truth, deletion lineage, the CDC
+        # storage-dedup sizing curve, the MinHash ESTIMATOR calibration
+        # table, the ROUGE instruction-dedup screen, the cross-source
+        # exact-dup triage matrix, and the multimodal near-dup family's
+        # measured recall (minhash_decontam / jaccard_histogram /
+        # soft_dedup rotated out r17 with 3+ green rows — LSH blocking
+        # quality anchored by the recall rows + minhash_est_error;
+        # dedup DQ by dedup_manifest + cross_source_dedup_matrix)
+        "simhash_recall", "winnow_recall", "dedup_manifest",
         "cdc_dedup_curve", "minhash_est_error", "rouge_screen",
-        "multimodal_neardup_recall",
+        "cross_source_dedup_matrix", "multimodal_neardup_recall",
         # decontamination sizing: the n-gram match-length sweep
         "contamination_ngram_curve",
-        # LSH/sketch calibration: measured band-geometry sweep, Bloom
-        # FPR curve, CMS overestimate curve, shingle doc-freq histogram
-        "lsh_geometry_sweep", "bloom_fpr_curve", "cms_error_curve",
-        "shingle_df_histogram",
-        # similarity / ANN: margin bitext mining + measured IVF-path
-        # recall, int8 quantization, hubness audit, cluster composition
-        # profile, ANN-mined hard triplets, the embedding diagnostics
-        # pair, the per-vector norm histogram, and the SemDeDup eps
-        # sizing sweep (mmr_select rotated out r16 with 3 green rows —
-        # semantic selection anchored by semdedup_eps_curve +
-        # cluster_balanced_sample)
-        "bitext_mine",
-        "bitext_recall", "embed_quantize", "ann_hubness",
-        "cluster_profile", "contrastive_triplets", "embed_dim_stats",
+        # LSH/sketch calibration: measured band-geometry sweep + shingle
+        # doc-freq histogram (bloom_fpr_curve / cms_error_curve rotated
+        # out r17 with 3 green rows — sketch sizing anchored by these
+        # two plus minhash_est_error's estimator calibration)
+        "lsh_geometry_sweep", "shingle_df_histogram",
+        # similarity / ANN: measured IVF-path bitext recall, hubness
+        # audit, ANN-mined hard triplets, the embedding diagnostics
+        # pair, the per-vector norm histogram, the SemDeDup eps sizing
+        # sweep, the Matryoshka truncation-dimension sweep, and the
+        # class-conditional label-noise matrix (bitext_mine /
+        # embed_quantize / cluster_profile rotated out r17 with 3+
+        # green rows)
+        "bitext_recall", "ann_hubness",
+        "contrastive_triplets", "embed_dim_stats",
         "embed_pca_top", "embed_norm_hist", "semdedup_eps_curve",
-        "cluster_balanced_sample",
-        # text analysis / corpus quality (threshold_sweep rotated out
-        # r16 with 3 green rows — quality anchored by KN LM scoring,
-        # trained lang-ID, the per-domain rollup, and the per-filter
-        # ablation matrix)
-        "kn_score", "langid_rank",
-        "filter_ablation", "domain_quality_rollup",
+        "cluster_balanced_sample", "matryoshka_curve",
+        "label_noise_matrix",
+        # text analysis / corpus quality (kn_score / langid_rank /
+        # domain_quality_rollup rotated out r17 with 3 green rows —
+        # LM-based quality anchored by rho_loss_select, which composes
+        # TWO char-bigram LMs with holdout discipline; gate calibration
+        # by filter_ablation + blocklist_screen + quality_length_bias;
+        # boilerplate/memorization by boilerplate_strip +
+        # heavy_hitter_phrases)
+        "filter_ablation", "blocklist_screen", "rho_loss_select",
+        "heavy_hitter_phrases", "quality_length_bias",
+        "boilerplate_strip",
         # privacy DQ: k-anonymity quasi-identifier audit
         "kanon_audit",
-        # tokenizers: unigram-LM training + the BPE-vs-unigram decision
-        # tables, raw-budget AND equal-budget variants (the three
-        # unigram non-train rows rotated out r16 with 3 green rows —
-        # segment/fertility/encode are composed inside both compare
-        # tables and unigram_train itself)
-        "unigram_train", "tokenizer_compare",
-        "tokenizer_compare_eqv",
-        # data selection / mixing: Moore-Lewis cross-entropy selection,
-        # the repeat-epoch decay curve, the cross-source overlap
-        # matrix, and the two-phase pretrain+anneal allocation
-        "moore_lewis", "epoch_decay_curve",
-        "corpus_overlap", "anneal_mix_plan",
-        # retrieval (sentence_chunk / crop_pairs rotated out r16 with 3
-        # green rows — chunking anchored by the MEASURED ranking-quality
-        # rows, which consume the same chunk tables)
-        "retrieval_ndcg", "rrf_ndcg",
+        # tokenizers: the equal-budget BPE-vs-unigram decision table
+        # (which composes BOTH families' full train+segment chains),
+        # the BPE merge-budget curve, and the vocabulary-budget sweep
+        # (unigram_train / tokenizer_compare rotated out r17 with 3
+        # green rows)
+        "tokenizer_compare_eqv", "bpe_fertility_curve",
+        "vocab_oov_curve",
+        # data selection / mixing: the two-phase pretrain+anneal
+        # allocation, DLT priority sampling + its sizing curve, and the
+        # temperature-mix α-sweep (moore_lewis / epoch_decay_curve /
+        # corpus_overlap rotated out r17 with 3 green rows)
+        "anneal_mix_plan", "priority_sample", "priority_sample_curve",
+        "temperature_mix_curve",
+        # retrieval: the measured ranking-quality rows plus the RM3
+        # pseudo-relevance-feedback pair and the Dirichlet QL ranker
+        "retrieval_ndcg", "rrf_ndcg", "rm3_expansion", "bm25_rm3_topk",
+        "ql_dirichlet_topk",
         # example construction / packing: SFT packing with loss masks,
-        # UL2 mixture, DPO pairs, best-of-N, GRPO advantages, the
-        # multi-turn chat assembly/packing pair and its DQ lint gate
-        # (span_corrupt / fim_transform rotated out r16 with 3 green
-        # rows — md5-deterministic construction anchored by ul2_mix,
-        # which composes the span-corruption objective)
-        "ul2_mix", "sft_pack",
-        "dpo_pairs", "best_of_n", "grpo_advantage", "chat_assemble",
-        "chat_pack", "chat_lint",
+        # DPO pairs, GRPO advantages, the chat trio, the best-of-N
+        # inference-scaling curve, and the context-length waste sweep
+        # (ul2_mix / best_of_n rotated out r17 with 3 green rows —
+        # best_of_n_curve sweeps the same scored pool)
+        "sft_pack", "dpo_pairs", "grpo_advantage", "chat_assemble",
+        "chat_pack", "chat_lint", "best_of_n_curve", "pack_waste_curve",
         # multimodal plumbing: the mapInPandas byte-stats demo, oracled
         "media_features",
         # DQ / observability (anchored by the datasheet-style report
-        # card + the per-domain rollup above)
+        # card; domain_quality_rollup rotated out r17)
         "dataset_card",
     }
     missing = representatives - window
