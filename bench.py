@@ -622,6 +622,39 @@ EXTRA_BENCH = {
 }
 
 
+def scalars_headline(
+    total: float,
+    sf: float,
+    n_queries: int,
+    runs_per_query: int,
+    n_errors: int,
+    n_rerun_errors: int,
+    loadavg_end: list[float],
+) -> str:
+    """The LAST stdout line of a bench run: scalars only, guaranteed
+    <300 bytes, so ANY tail-window capture ends with one complete
+    parseable JSON record (r15 verdict item 2; format pinned by
+    tests/test_bench_isolation.py::test_scalars_headline_format so the
+    15-round `parsed: null` streak cannot silently return)."""
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": n_queries,
+            "runs_per_query": runs_per_query,
+            "agg": "min",
+            "n_errors": n_errors,
+            "n_rerun_errors": n_rerun_errors,
+            "loadavg_end": [round(x, 2) for x in loadavg_end],
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 300, f"scalars headline grew past a tail window: {len(line)}"
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -810,20 +843,14 @@ def main() -> None:
     # parseable record.  Per-query timings remain in the two lines
     # above and in BENCH_OUT.
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf),
-                "n_queries": len(timings),
-                "runs_per_query": RUNS,
-                "agg": "min",
-                "n_errors": len(errors),
-                "n_rerun_errors": len(rerun_errors),
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-            },
-            separators=(",", ":"),
+        scalars_headline(
+            total,
+            float(sf),
+            len(timings),
+            RUNS,
+            len(errors),
+            len(rerun_errors),
+            list(os.getloadavg()),
         )
     )
     # Stray Spark/py4j warnings on stdout would corrupt a `tee`-captured

@@ -69,3 +69,37 @@ def test_bench_survives_broken_query(tmp_path):
     # the broken one recorded as an err, not a crash
     assert "planted_broken" in out["errors"]
     assert "planted failure" in out["errors"]["planted_broken"]
+
+
+def test_scalars_headline_format():
+    # r16 verdict item 4: BENCH_r16 was the first driver record to parse
+    # in 16 rounds — pin the emission path so the `parsed: null` streak
+    # cannot silently return.  The last stdout line must be standalone
+    # JSON, <300 bytes, scalars only, with every key the round checklist
+    # reads.
+    import bench
+
+    line = bench.scalars_headline(
+        total=12345.678,
+        sf=0.1,
+        n_queries=999,
+        runs_per_query=3,
+        n_errors=0,
+        n_rerun_errors=0,
+        loadavg_end=[1.234567, 2.345678, 3.456789],
+    )
+    assert len(line) < 300
+    rec = json.loads(line)
+    assert rec["metric"] == "headline_queries_total_wall"
+    assert rec["value"] == 12345.678
+    assert rec["unit"] == "sec"
+    assert rec["sf"] == 0.1
+    assert rec["n_queries"] == 999
+    assert rec["runs_per_query"] == 3
+    assert rec["agg"] == "min"
+    assert rec["n_errors"] == 0
+    assert rec["n_rerun_errors"] == 0
+    # no bulky maps may creep back into the tail line
+    assert "queries" not in rec and "samples" not in rec
+    # loadavg rounded to 2 dp so the line length stays bounded
+    assert rec["loadavg_end"] == [1.23, 2.35, 3.46]
