@@ -221,6 +221,7 @@ HEADLINE = [
     "ql_dirichlet_topk",
     "temperature_mix_curve",
     "quality_length_bias",
+    "retrieval_ndcg_rm3",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

@@ -451,6 +451,7 @@ def ranking_quality(
     k: int = 5,
     query_col: str = "query_id",
     id_col: str = "doc_id",
+    gain: str = "exp",
 ) -> DataFrame:
     """nDCG@k and MRR@k of a ranked retrieval against a graded relevance
     truth — the measured ranking-quality row for the retrieval family,
@@ -458,9 +459,13 @@ def ranking_quality(
     (ann_recall / minhash_recall / bitext_recall).
 
     Standard definitions (Järvelin & Kekäläinen 2002 — public
-    literature):
+    literature), with both published gain conventions:
 
-        DCG@k  = Σ_{r=1..k} (2^rel(d_r) − 1) / log2(r + 1)
+        DCG@k  = Σ_{r=1..k} (2^rel(d_r) − 1) / log2(r + 1)   (gain="exp")
+        DCG@k  = Σ_{r=1..k} rel(d_r) / log2(r + 1)           (gain="linear",
+                 the original Järvelin & Kekäläinen form — use it when
+                 grades are unbounded counts, where 2^rel would overflow
+                 the measurement into an argmax)
         nDCG@k = DCG@k / IDCG@k   (ideal = truth sorted rel desc, id asc)
         MRR@k  = 1 / rank of the first rel>0 result (0 if none in top k)
 
@@ -486,15 +491,23 @@ def ranking_quality(
         F.col(id_col).alias("_d"),
         F.col("rel").cast("double").alias("rel"),
     )
-    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(
-        F.col("rnk") + 1.0
-    )
+    if gain not in ("exp", "linear"):
+        raise ValueError(f"gain must be 'exp' or 'linear', got {gain!r}")
+
+    def _gain(rank_col):
+        num = (
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            if gain == "exp"
+            else F.col("rel")
+        )
+        return num / F.log2(rank_col + 1.0)
+
     dcg = (
         r.join(t, ["_q", "_d"], "left")
         .na.fill({"rel": 0.0})
         .groupBy("_q")
         .agg(
-            F.sum(gain).alias("dcg"),
+            F.sum(_gain(F.col("rnk"))).alias("dcg"),
             F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("_frr"),
         )
     )
@@ -503,11 +516,8 @@ def ranking_quality(
         t.where(F.col("rel") > 0)
         .withColumn("irnk", F.row_number().over(wi))
     )
-    igain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(
-        F.col("irnk") + 1.0
-    )
     idcg = ideal.groupBy("_q").agg(
-        F.sum(F.when(F.col("irnk") <= k, igain)).alias("idcg"),
+        F.sum(F.when(F.col("irnk") <= k, _gain(F.col("irnk")))).alias("idcg"),
         F.count(F.lit(1)).alias("n_relevant"),
     )
     out = dcg.join(idcg, "_q", "full_outer")

@@ -639,6 +639,174 @@ WHERE rnk <= 5
 """
 
 
+def q_retrieval_ndcg_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ranker DECISION TABLE (r16 verdict item 6): nDCG@5 + MRR@5 for
+    # all three lexical rankers — plain BM25, two-pass BM25+RM3
+    # pseudo-relevance feedback, and Dirichlet query likelihood — on the
+    # same corpus subset and workload, one row per (ranker, query).
+    # Grading: rel(q, d) = TOTAL occurrences of original-query terms in
+    # d, scored with LINEAR gain (the original Järvelin & Kekäläinen
+    # form).  retrieval_ndcg's distinct-term containment grade SATURATES
+    # here (hundreds of docs tie at max rel, so every ranker's top-5
+    # scores 1.0 and the table cannot discriminate — measured at all 3
+    # SFs); raw tf-mass grades make the ideal list the 5 highest-tf
+    # docs, which a length-normalized tf-saturating ranker does NOT
+    # trivially surface (bm25 measures 0.77-0.98 across queries at
+    # sf0.001), so the three rankers genuinely separate.  This measures
+    # the RM3 family's actual claim ("feedback re-weighting changes
+    # what the ranking surfaces") the way minhash_recall / ann_recall
+    # measure theirs, instead of shipping the rankers with
+    # exact-arithmetic oracles only.
+    #
+    # Scale: the three rankers share the broadcast-pruned postings
+    # shape (query terms broadcast, postings equi-joined); the grading
+    # joins are per-query frames of ≤ k rows.  The truth table is
+    # computed once and fanned out to three graders — at corpus scale
+    # it would be localCheckpoint'd like the RM3 feedback set; here it
+    # is a bounded aggregate (#queries × matched docs).
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    rel = (
+        docs.select(
+            "doc_id",
+            F.explode(text.tokens(F.col("text"))).alias("term"),
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    rankers = [
+        ("bm25", retrieval.bm25_topk(docs, _BM25_QUERIES, top_k=5)),
+        (
+            "bm25_rm3",
+            retrieval.bm25_rm3_topk(
+                docs, _BM25_QUERIES, fb_k=5, fb_terms=8, alpha=0.5, top_k=5
+            ),
+        ),
+        (
+            "ql_dirichlet",
+            retrieval.ql_dirichlet_topk(docs, _BM25_QUERIES, top_k=5, mu=300.0),
+        ),
+    ]
+    parts = [
+        retrieval.ranking_quality(ranked, rel, k=5, gain="linear").select(
+            F.lit(name).alias("ranker"),
+            "query_id",
+            "n_relevant",
+            "ndcg",
+            "mrr",
+        )
+        for name, ranked in rankers
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# Compose the proven CTE chains: the RM3 prefix (which itself embeds the
+# first-pass BM25 `scored1`), the RM3 second-pass `scored2`, and the
+# Dirichlet-QL `scored_ql`, then grade all three against the shared
+# containment truth exactly as SQL_RETRIEVAL_NDCG does.
+SQL_RETRIEVAL_NDCG_RM3 = _SQL_RM3_PREFIX + r""",
+postings2 AS (
+  SELECT b.doc_id, t.term, COUNT(*) AS tf
+  FROM base b, unnest(b.toks) AS u(term)
+  JOIN (SELECT DISTINCT term FROM exp) t ON u.term = t.term
+  GROUP BY b.doc_id, t.term
+), df2 AS (
+  SELECT term, COUNT(*) AS df FROM postings2 GROUP BY term
+), scored2 AS (
+  SELECT e.query_id, p.doc_id,
+         ROUND(SUM(
+           (e.w_nano / 1000000000.0)
+           * (ln(1 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+              * ((p.tf * 2.2)
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))))
+         ), 6) AS score
+  FROM postings2 p
+  JOIN exp e ON p.term = e.term
+  JOIN df2 ON p.term = df2.term
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, p.doc_id
+), tot AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS c_tokens FROM lens
+), cf AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM postings GROUP BY term
+), grouped AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(ln(1.0 + p.tf
+                / (300.0 * (cf.cf * 1.0 / t.c_tokens)))) AS m,
+         MIN(l.dl) AS dl
+  FROM postings p
+  JOIN q ON p.term = q.term
+  JOIN cf ON p.term = cf.term
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN tot t
+  GROUP BY q.query_id, p.doc_id
+), scored_ql AS (
+  SELECT g.query_id, g.doc_id,
+         ROUND(g.m + n.n_q * ln(300.0 / (g.dl + 300.0)), 6) AS score
+  FROM grouped g JOIN nq n USING (query_id)
+), ranked_all AS (
+  SELECT ranker, query_id, doc_id, rnk FROM (
+    SELECT ranker, query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY ranker, query_id
+                              ORDER BY score DESC, doc_id) AS rnk
+    FROM (
+      SELECT 'bm25' AS ranker, query_id, doc_id, score FROM scored1
+      UNION ALL
+      SELECT 'bm25_rm3' AS ranker, query_id, doc_id, score FROM scored2
+      UNION ALL
+      SELECT 'ql_dirichlet' AS ranker, query_id, doc_id, score
+      FROM scored_ql
+    )
+  ) WHERE rnk <= 5
+), rel AS (
+  SELECT q.query_id, d.doc_id,
+         CAST(COUNT(*) AS DOUBLE) AS rel
+  FROM base d, unnest(d.toks) AS u(term)
+  JOIN q ON u.term = q.term
+  GROUP BY q.query_id, d.doc_id
+), dcg AS (
+  SELECT r.ranker, r.query_id,
+         SUM(COALESCE(rel.rel, 0) / log2(r.rnk + 1.0)) AS dcg,
+         MIN(CASE WHEN COALESCE(rel.rel, 0) > 0 THEN r.rnk END) AS frr
+  FROM ranked_all r
+  LEFT JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+  GROUP BY r.ranker, r.query_id
+), ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS irnk
+  FROM rel WHERE rel > 0
+), idcg AS (
+  SELECT query_id,
+         SUM(CASE WHEN irnk <= 5
+                  THEN rel / log2(irnk + 1.0) END) AS idcg,
+         COUNT(*) AS n_relevant
+  FROM ideal GROUP BY query_id
+), rankers(ranker) AS (
+  VALUES ('bm25'), ('bm25_rm3'), ('ql_dirichlet')
+)
+SELECT k.ranker,
+       CAST(i.query_id AS INT) AS query_id,
+       CAST(i.n_relevant AS BIGINT) AS n_relevant,
+       ROUND(CASE WHEN i.idcg > 0
+                  THEN COALESCE(d.dcg, 0) / i.idcg ELSE 0 END, 6) AS ndcg,
+       ROUND(COALESCE(1.0 / d.frr, 0), 6) AS mrr
+FROM idcg i CROSS JOIN rankers k
+LEFT JOIN dcg d ON d.ranker = k.ranker AND d.query_id = i.query_id
+"""
+
+
 def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dirichlet query-likelihood over the same workload/subset as
     # bm25_topk — the LM-based ranker next to the tf-idf-based one

@@ -525,6 +525,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LM.q_temperature_mix_curve,
         LM.SQL_TEMPERATURE_MIX_CURVE,
     ),
+    # --- added r17 (past-cap; r18 promotion pool): the ranker DECISION
+    #     TABLE — nDCG@5 + MRR@5 for plain BM25, two-pass BM25+RM3, and
+    #     Dirichlet QL against the SAME planted term-containment truth
+    #     (r16 verdict item 6: the RM3/QL rankers shipped with exact
+    #     oracles but no measured ranking-quality row) ---
+    "retrieval_ndcg_rm3": (
+        LR.q_retrieval_ndcg_rm3,
+        LR.SQL_RETRIEVAL_NDCG_RM3,
+    ),
     # --- added r16 (past-cap; r17 pool): length-bias audit of the
     #     quality gate — per length bucket, the composite score
     #     decomposed into length term vs content-only terms next to the
