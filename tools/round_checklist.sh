@@ -31,6 +31,11 @@ echo "== gate 4/6: composed export pipeline at bench scale =="
 # intra-shard shuffle_rank order (the r7 verdict's composition gap).
 python tools/check_export_pipeline.py || exit 1
 
+echo "== gate 4.5/6: doc cites resolve =="
+# r16 verdict item 7: every file:line cite in SURVEY/README/SCALING must
+# resolve to a real file with enough lines (repo or reference side).
+python tools/check_cites.py || exit 1
+
 echo "== gate 5/6: bench at ${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} =="
 # Quiet-host discipline (r9 verdict item 5): BENCH_r09 was captured at
 # loadavg 5.0 and showed four phantom 1.7–2.3× regressions the quiet-host
