@@ -222,6 +222,8 @@ HEADLINE = [
     "temperature_mix_curve",
     "quality_length_bias",
     "retrieval_ndcg_rm3",
+    "semantic_decontam",
+    "ldiversity_audit",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",

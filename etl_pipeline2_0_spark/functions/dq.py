@@ -315,3 +315,63 @@ def kanon_audit(
             ).alias("pct_rows_below"),
         )
     )
+
+
+def ldiversity_audit(
+    df: DataFrame,
+    quasi_cols: "tuple[str, ...]" = ("source",),
+    bucket_col: str = "n_chars",
+    bucket_width: int = 256,
+    sensitive_col: str = "lang",
+    ls: "tuple[int, ...]" = (2, 3, 5),
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    attribute-disclosure complement of :func:`kanon_audit`: a
+    k-anonymous equivalence class whose members all share ONE sensitive
+    value still discloses that value for everyone in it.  Classes are
+    the ``quasi_cols`` plus the ``bucket_width``-wide ``bucket_col``
+    bucket; a class with fewer than l DISTINCT ``sensitive_col`` values
+    fails l-diversity.
+
+    Output: one row per l in ``ls`` — (l, n_classes, classes_below_l,
+    rows_below_l, pct_rows_below), pct emitted UNROUNDED (exact-integer
+    ratio, same convention as kanon_audit).
+
+    Scale: ONE corpus aggregate to the class grain (the distinct count
+    is exact — a two-level hash aggregate on (quasi, sensitive) then
+    (quasi); the shuffle carries one row per observed pair), then the l
+    sweep explodes a |ls|-element literal over the bounded class frame.
+    No window, no join, no collect.
+    """
+    cls = (
+        df.groupBy(
+            *[F.col(c) for c in quasi_cols],
+            F.floor(F.col(bucket_col) / F.lit(bucket_width)).alias("_bkt"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_s"),
+            F.countDistinct(F.col(sensitive_col)).cast("bigint").alias("_l"),
+        )
+    )
+    ls_arr = F.array(*[F.lit(int(l)).cast("int") for l in ls])
+    return (
+        cls.select(F.col("_s"), F.col("_l"), F.explode(ls_arr).alias("l"))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("_l") < F.col("l"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_below_l"),
+            F.sum(
+                F.when(F.col("_l") < F.col("l"), F.col("_s")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_below_l"),
+            (
+                F.sum(
+                    F.when(F.col("_l") < F.col("l"), F.col("_s")).otherwise(0)
+                )
+                / F.greatest(F.sum("_s"), F.lit(1))
+            ).alias("pct_rows_below"),
+        )
+    )

@@ -1629,6 +1629,102 @@ def semdedup_eps_curve(
     )
 
 
+def semantic_decontam(
+    train: DataFrame,
+    bench: DataFrame,
+    n_centroids: int = 16,
+    eps_values: "tuple[float, ...]" = (0.90, 0.95, 0.99),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space decontamination sweep: per candidate cosine
+    threshold, how many TRAIN vectors sit within eps of some BENCHMARK
+    vector — the paraphrase-robust leg of the decontamination family
+    (contamination_check / bloom_contamination / minhash_decontam catch
+    lexical overlap; a paraphrased benchmark leak shares almost no
+    n-grams but stays near-identical in embedding space — the published
+    train-test-overlap practice for semantic leakage).
+
+    A train vector is contaminated at eps iff some SAME-CLUSTER
+    benchmark vector has 6dp-rounded cosine >= eps — cluster-scoped via
+    the portable md5 coarse quantizer exactly like
+    :func:`semdedup_eps_curve` (centroids seeded from train UNION
+    bench so both sides quantize consistently).
+
+    Output: (eps, n_train, n_bench, n_contaminated, contamination_rate),
+    one row per eps, ordered; the rate is the exact-ratio double.
+
+    Scale: centroid seeding is a TakeOrdered over the union; assignment
+    is one pass per side against the broadcast centroid frame; the
+    candidate space is the cluster-scoped train x bench equi-join (the
+    benchmark side is tiny in production — broadcast it); the per-train
+    max is map-side combined; the eps sweep is literal fan-out over ONE
+    summary row.  Never an all-pairs cross product.
+    """
+    t = train.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    b = bench.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cents = portable_centroids(t.unionByName(b), n_centroids)
+    ta = portable_assign(t, cents).select(
+        F.col("neighbor_id").alias("id_t"),
+        F.col("c_vec").alias("vt"),
+        "cluster",
+    )
+    ba = portable_assign(b, cents).select(
+        F.col("neighbor_id").alias("id_b"),
+        F.col("c_vec").alias("vb"),
+        "cluster",
+    )
+    best = (
+        ta.join(ba.hint("shuffle_hash"), "cluster")
+        .select(
+            "id_t",
+            F.round(cosine(F.col("vt"), F.col("vb")), 6).alias("cs"),
+        )
+        .groupBy("id_t")
+        .agg(F.max("cs").alias("mx"))
+    )
+    tot = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_train")).crossJoin(
+        F.broadcast(
+            b.agg(F.count(F.lit(1)).cast("bigint").alias("n_bench"))
+        )
+    )
+    sums = best.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("mx") >= F.lit(float(e)), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"d{i}")
+            for i, e in enumerate(eps_values)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(e)).alias("eps"), F.col(f"d{i}").alias("nc")
+            )
+            for i, e in enumerate(eps_values)
+        ]
+    )
+    return (
+        tot.crossJoin(F.broadcast(sums))
+        .select("n_train", "n_bench", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.eps").alias("eps"),
+            "n_train",
+            "n_bench",
+            F.col("r.nc").alias("n_contaminated"),
+            (F.col("r.nc") / F.col("n_train")).alias("contamination_rate"),
+        )
+        .orderBy("eps")
+    )
+
+
 def embed_norm_hist(
     df: DataFrame,
     vec_col: str = "embedding",

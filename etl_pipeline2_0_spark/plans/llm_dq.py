@@ -492,6 +492,40 @@ FROM sweep GROUP BY k
 """
 
 
+def q_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distinct l-diversity audit (Machanavajjhala et al. 2007) over the
+    # (source, 256-char length bucket) classes with lang as the
+    # sensitive attribute — the attribute-disclosure table next to
+    # kanon_audit (which measures class SIZE; this measures class
+    # VALUE diversity).  One corpus aggregate + a bounded l sweep.
+    from etl_pipeline2_0_spark.functions import dq
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dq.ldiversity_audit(docs)
+
+
+SQL_LDIVERSITY_AUDIT = r"""
+WITH cls AS (
+  SELECT source, CAST(FLOOR(n_chars / 256.0) AS BIGINT) AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS s,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS ld
+  FROM documents GROUP BY 1, 2
+), sweep AS (
+  SELECT s, ld, l
+  FROM cls CROSS JOIN (SELECT UNNEST([2, 3, 5]) AS l)
+)
+SELECT CAST(l AS INT) AS l,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN ld < l THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_l,
+       CAST(SUM(CASE WHEN ld < l THEN s ELSE 0 END) AS BIGINT)
+         AS rows_below_l,
+       SUM(CASE WHEN ld < l THEN s ELSE 0 END) * 1.0
+         / GREATEST(SUM(s), 1) AS pct_rows_below
+FROM sweep GROUP BY l
+"""
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Datasheet-style report card (Gebru et al. 2021): volume, token-
     # length quantiles, exact-dup rate, language/source shares, mean

@@ -944,6 +944,116 @@ ORDER BY v.eps
 """
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-space decontamination sweep — the paraphrase-robust leg
+    # of the decontamination family (the lexical legs: contamination_
+    # check / bloom_contamination / minhash_decontam / contamination_
+    # ngram_curve).  Benchmark split = vec_id % 16 == 2; train = the
+    # rest.  Because the synthetic corpus's natural max pairwise cosine
+    # is ~0.51, the query PLANTS paraphrase leaks the way
+    # semdedup_eps_curve plants its bands: for every THIRD benchmark
+    # vector (vec_id % 48 == 2) a copy with coordinate 0 bumped by
+    # 0.2506*||v|| (cos ~ 0.97) joins the TRAIN side under id + 10^9 —
+    # so the 0.90/0.95/0.99 sweep shows the staircase (planted leaks
+    # caught at 0.90/0.95, excluded at 0.99, natural pairs never).
+    # Fully oracled via the shared portable md5 quantizer; the planting
+    # arithmetic mirrors the proven semdedup twin exactly.
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), v.alias("v"))
+    bench = base.where(F.col("vec_id") % 16 == 2)
+    nrm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    planted = base.where(F.col("vec_id") % 48 == 2).select(
+        (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(F.col("v"), 1) + F.lit(0.2506) * nrm),
+            F.slice(F.col("v"), 2, F.size(F.col("v")) - 1),
+        ).alias("v"),
+    )
+    train = base.where(F.col("vec_id") % 16 != 2).unionByName(planted)
+    return similarity.semantic_decontam(
+        train,
+        bench,
+        n_centroids=16,
+        eps_values=(0.90, 0.95, 0.99),
+        vec_col="v",
+        id_col="vec_id",
+    )
+
+
+# Same portable centroid/assignment construction as the semdedup twin,
+# seeded over train UNION bench; the tail is the cluster-scoped
+# train x bench max-cosine aggregate and the eps sweep.
+SQL_SEMANTIC_DECONTAM = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bench AS (
+  SELECT vec_id, v FROM base WHERE vec_id % 16 = 2
+), planted AS (
+  SELECT vec_id + 1000000000 AS vec_id,
+         list_prepend(
+           v[1] + 0.2506 * SQRT(list_inner_product(v, v)),
+           v[2:]) AS v
+  FROM base WHERE vec_id % 48 = 2
+), train AS (
+  SELECT vec_id, v FROM base WHERE vec_id % 16 <> 2
+  UNION ALL SELECT vec_id, v FROM planted
+), u AS (
+  SELECT vec_id, v FROM train UNION ALL SELECT vec_id, v FROM bench
+), h AS (
+  SELECT vec_id, v,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS hh
+  FROM u
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) AS centroid_id,
+         v AS cv
+  FROM h
+  QUALIFY centroid_id <= 16
+), assign_scored AS (
+  SELECT a.vec_id, a.v, c.centroid_id,
+         ROUND(list_inner_product(a.v, c.cv) /
+               (SQRT(list_inner_product(a.v, a.v))
+                * SQRT(list_inner_product(c.cv, c.cv))), 6) AS sim
+  FROM u a CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, v, centroid_id AS cluster
+  FROM assign_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, centroid_id) = 1
+), ta AS (
+  SELECT vec_id AS id_t, v AS vt, cluster FROM assigned
+  WHERE vec_id >= 1000000000 OR vec_id % 16 <> 2
+), ba AS (
+  SELECT vec_id AS id_b, v AS vb, cluster FROM assigned
+  WHERE vec_id < 1000000000 AND vec_id % 16 = 2
+), best AS (
+  SELECT id_t,
+         MAX(ROUND(list_inner_product(vt, vb) /
+                   (SQRT(list_inner_product(vt, vt))
+                    * SQRT(list_inner_product(vb, vb))), 6)) AS mx
+  FROM ta JOIN ba USING (cluster)
+  GROUP BY id_t
+), agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ta) AS n_train,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ba) AS n_bench,
+         CAST(COALESCE(SUM(CASE WHEN mx >= 0.9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d0,
+         CAST(COALESCE(SUM(CASE WHEN mx >= 0.95 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d1,
+         CAST(COALESCE(SUM(CASE WHEN mx >= 0.99 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d2
+  FROM best
+)
+SELECT s.eps, a.n_train, a.n_bench, s.nc AS n_contaminated,
+       s.nc / a.n_train AS contamination_rate
+FROM agg a, LATERAL (
+  VALUES (CAST(0.9 AS DOUBLE), a.d0), (CAST(0.95 AS DOUBLE), a.d1),
+         (CAST(0.99 AS DOUBLE), a.d2)
+) s(eps, nc)
+ORDER BY s.eps
+"""
+
+
 def q_embed_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-vector normalization-drift histogram: squared-L2 buckets in
     # hundredths from exact micro-unit integer sums — the per-vector

@@ -243,8 +243,9 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # test_sql_registry.py re-pins the representative set and the
     # all-oracled invariant.
     #
-    # ROUND-18 STAGING: any r17-added oracled entries (registered
-    # past-cap with ×3-SF parity) promote next round; demotion
+    # ROUND-18 STAGING: the r17-added oracled entries
+    # (retrieval_ndcg_rm3, semantic_decontam, ldiversity_audit —
+    # registered past-cap with ×3-SF parity) promote next round; demotion
     # candidates, all thrice-green by r17 if the window stays green:
     # the r14 cohort (bitext_recall, dataset_card, sft_pack, dpo_pairs,
     # ann_hubness, simhash_recall, winnow_recall, dedup_manifest,
@@ -525,15 +526,6 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LM.q_temperature_mix_curve,
         LM.SQL_TEMPERATURE_MIX_CURVE,
     ),
-    # --- added r17 (past-cap; r18 promotion pool): the ranker DECISION
-    #     TABLE — nDCG@5 + MRR@5 for plain BM25, two-pass BM25+RM3, and
-    #     Dirichlet QL against the SAME planted term-containment truth
-    #     (r16 verdict item 6: the RM3/QL rankers shipped with exact
-    #     oracles but no measured ranking-quality row) ---
-    "retrieval_ndcg_rm3": (
-        LR.q_retrieval_ndcg_rm3,
-        LR.SQL_RETRIEVAL_NDCG_RM3,
-    ),
     # --- added r16 (past-cap; r17 pool): length-bias audit of the
     #     quality gate — per length bucket, the composite score
     #     decomposed into length term vs content-only terms next to the
@@ -544,6 +536,32 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LT.SQL_QUALITY_LENGTH_BIAS,
     ),
     # ---------- driver 50-query window ends here ----------
+    # --- added r17 (past-cap; r18 promotion pool): the ranker DECISION
+    #     TABLE — nDCG@5 + MRR@5 for plain BM25, two-pass BM25+RM3, and
+    #     Dirichlet QL against a shared tf-mass graded truth with
+    #     linear gain (r16 verdict item 6: the RM3/QL rankers shipped
+    #     with exact oracles but no measured ranking-quality row) ---
+    "retrieval_ndcg_rm3": (
+        LR.q_retrieval_ndcg_rm3,
+        LR.SQL_RETRIEVAL_NDCG_RM3,
+    ),
+    # --- added r17 (past-cap; r18 pool): embedding-space
+    #     decontamination sweep — the paraphrase-robust leg of the
+    #     decontamination family (planted cos~0.97 leaks caught at
+    #     0.90/0.95, excluded at 0.99; cluster-scoped via the shared
+    #     portable quantizer, never all-pairs) ---
+    "semantic_decontam": (
+        LS.q_semantic_decontam,
+        LS.SQL_SEMANTIC_DECONTAM,
+    ),
+    # --- added r17 (past-cap; r18 pool): distinct l-diversity audit
+    #     (Machanavajjhala et al. 2007) — the attribute-disclosure
+    #     complement of kanon_audit; one corpus aggregate + bounded
+    #     l sweep, exact integers ---
+    "ldiversity_audit": (
+        LQ.q_ldiversity_audit,
+        LQ.SQL_LDIVERSITY_AUDIT,
+    ),
     # --- demoted r17 (see ROUND-17 ROTATION note above): the ten
     #     named thrice-green holdovers plus eight second-wave
     #     demotions (best_of_n, cluster_profile, jaccard_histogram,

@@ -5824,3 +5824,77 @@ def test_quality_length_bias_decomposition_and_buckets(spark):
     # the gate: short stopword-rich docs still pass content but can be
     # killed purely by the length term -> kill_rate monotone in length
     assert out[0]["kill_rate"] >= out[3]["kill_rate"] >= out[8]["kill_rate"]
+
+
+def test_ldiversity_audit_exact_counts(spark):
+    """Literal corpus with known classes: (source, bucket) classes with
+    lang diversities (3, 1, 2) and sizes (4, 2, 2) — at l=2 only the
+    monoglot class is below; at l=5 everything is."""
+    from etl_pipeline2_0_spark.functions import dq as D
+
+    rows = [
+        # class A (web, 0): 4 rows, langs {en, fr, de} -> diversity 3
+        ("en", "web", 10), ("fr", "web", 20),
+        ("de", "web", 30), ("en", "web", 40),
+        # class B (web, 1): 2 rows, langs {en} -> diversity 1
+        ("en", "web", 300), ("en", "web", 310),
+        # class C (book, 0): 2 rows, langs {en, fr} -> diversity 2
+        ("en", "book", 10), ("fr", "book", 20),
+    ]
+    docs = spark.createDataFrame(
+        rows, "lang string, source string, n_chars long"
+    )
+    out = {
+        r["l"]: r
+        for r in D.ldiversity_audit(docs, ls=(2, 3, 5)).collect()
+    }
+    assert out[2]["n_classes"] == 3
+    assert out[2]["classes_below_l"] == 1
+    assert out[2]["rows_below_l"] == 2
+    assert abs(out[2]["pct_rows_below"] - 2 / 8) < 1e-12
+    assert out[3]["classes_below_l"] == 2  # B (1) and C (2)
+    assert out[3]["rows_below_l"] == 4
+    assert out[5]["classes_below_l"] == 3
+    assert out[5]["rows_below_l"] == 8
+    assert out[5]["pct_rows_below"] == 1.0
+
+
+def test_semantic_decontam_planted_staircase(spark, sf_dir):
+    """The planted paraphrase band (cos ~ 0.97) is caught at eps
+    0.90/0.95 and excluded at 0.99; natural pairs (max cos ~ 0.51)
+    never contaminate."""
+    from etl_pipeline2_0_spark.plans.llm_similarity import (
+        q_semantic_decontam,
+    )
+
+    rows = {r["eps"]: r for r in q_semantic_decontam(spark, sf_dir).collect()}
+    assert set(rows) == {0.90, 0.95, 0.99}
+    assert rows[0.90]["n_contaminated"] == rows[0.95]["n_contaminated"] > 0
+    assert rows[0.99]["n_contaminated"] == 0
+    n_train = rows[0.90]["n_train"]
+    assert rows[0.90]["contamination_rate"] == (
+        rows[0.90]["n_contaminated"] / n_train
+    )
+
+
+def test_semantic_decontam_negative_control(spark, sf_dir):
+    """Without planting, the natural corpus (max pairwise cosine ~0.51)
+    shows ZERO contamination at every eps — the screen does not fire on
+    clean data."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import similarity as S
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), v.alias("v"))
+    out = S.semantic_decontam(
+        base.where(F.col("vec_id") % 16 != 2),
+        base.where(F.col("vec_id") % 16 == 2),
+        eps_values=(0.90, 0.99),
+        vec_col="v",
+        id_col="vec_id",
+    ).collect()
+    assert all(r["n_contaminated"] == 0 for r in out)
+    assert all(r["contamination_rate"] == 0.0 for r in out)

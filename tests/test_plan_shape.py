@@ -1718,3 +1718,26 @@ def test_quality_length_bias_one_pass_no_join(spark, sf_dir):
     plan2 = _plan(q_quality_length_bias(spark, sf_dir))
     assert plan2.count("Scan parquet") == 0
     assert "ExistingRDD" in plan2
+
+
+def test_semantic_decontam_cluster_scoped(spark, sf_dir):
+    # The candidate space is the cluster-scoped train x bench equi-join
+    # (never all-pairs across clusters); the per-train max is map-side
+    # combined; every BroadcastNestedLoopJoin is a bounded cross
+    # (centroid frame / 1-row aggregates).  No cartesian.
+    plan = _plan(L.q_semantic_decontam(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_max" in plan
+
+
+def test_ldiversity_audit_one_corpus_aggregate_l_sweep_bounded(spark, sf_dir):
+    # One corpus scan into the two-level distinct aggregate; the l
+    # sweep explodes a 3-element literal over the bounded class frame.
+    # No join, no window.
+    from etl_pipeline2_0_spark.plans import llm_dq as LDQ
+
+    plan = _plan(LDQ.q_ldiversity_audit(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1
