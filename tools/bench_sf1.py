@@ -72,6 +72,25 @@ QUERIES = [
 
 RUNS = 2
 
+# Supplementary non-registry configurations measured alongside: the
+# production (banded-LSH) mode of embed_neardup — the registry row runs
+# the EXACT all-pairs oracle mode whose alpha is quadratic by design.
+def _embed_neardup_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline2_0_spark.functions import similarity as S
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 4 == 0
+    )
+    return S.embedding_near_duplicates(
+        emb, threshold=0.3, min_bit_matches=14
+    )
+
+
+SUPPLEMENTARY = {"embed_neardup_lsh": _embed_neardup_lsh}
+
 
 def main() -> None:
     spark = get_spark(app_name="etl-pipeline2.0-bench-sf1")
@@ -85,6 +104,9 @@ def main() -> None:
             fns[key] = EXTRA_BENCH[key + "_sf01"]
         else:
             fns[key] = ALL_QUERIES[key][0]
+    for key, fn in SUPPLEMENTARY.items():
+        fns[key] = fn
+        QUERIES.append(key)
 
     results: dict[str, dict] = {}
     errors: dict[str, str] = {}
