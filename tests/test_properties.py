@@ -1130,3 +1130,55 @@ def test_label_noise_matrix_conservation(spark, flip_all):
         by_given.setdefault(r["given_label"], []).append(r)
     for g, cells in by_given.items():
         assert sum(c["n"] for c in cells) == cells[0]["n_given"]
+
+
+def test_ldiversity_sweep_monotone(spark, sf_dir):
+    """classes_below_l / rows_below_l are non-decreasing in l (a class
+    below l is below every larger l), and every pct is a valid ratio."""
+    from etl_pipeline2_0_spark.plans.llm_dq import q_ldiversity_audit
+
+    rows = sorted(q_ldiversity_audit(spark, sf_dir).collect(), key=lambda r: r["l"])
+    assert [r["l"] for r in rows] == [2, 3, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert a["classes_below_l"] <= b["classes_below_l"]
+        assert a["rows_below_l"] <= b["rows_below_l"]
+        assert a["n_classes"] == b["n_classes"]
+    for r in rows:
+        assert 0.0 <= r["pct_rows_below"] <= 1.0
+        assert r["classes_below_l"] <= r["n_classes"]
+
+
+def test_semantic_decontam_sweep_monotone(spark, sf_dir):
+    """n_contaminated is non-increasing in eps (a vector within a tighter
+    ball is within every looser one) and totals are consistent."""
+    from etl_pipeline2_0_spark.plans.llm_similarity import q_semantic_decontam
+
+    rows = sorted(q_semantic_decontam(spark, sf_dir).collect(), key=lambda r: r["eps"])
+    assert len(rows) == 3
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_contaminated"] >= b["n_contaminated"]
+        assert a["n_train"] == b["n_train"]
+        assert a["n_bench"] == b["n_bench"]
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_train"]
+        assert r["contamination_rate"] == r["n_contaminated"] / r["n_train"]
+
+
+def test_retrieval_ndcg_rm3_bounds_and_shared_truth(spark, sf_dir):
+    """Every ndcg/mrr lies in [0, 1]; n_relevant is a property of the
+    TRUTH, so it must agree across the three rankers for each query;
+    all three rankers appear for every query."""
+    from collections import defaultdict
+
+    from etl_pipeline2_0_spark.plans.llm_retrieval import q_retrieval_ndcg_rm3
+
+    rows = q_retrieval_ndcg_rm3(spark, sf_dir).collect()
+    assert {r["ranker"] for r in rows} == {"bm25", "bm25_rm3", "ql_dirichlet"}
+    per_q = defaultdict(set)
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0
+        assert 0.0 <= r["mrr"] <= 1.0
+        per_q[r["query_id"]].add((r["ranker"], r["n_relevant"]))
+    for qid, pairs in per_q.items():
+        assert len(pairs) == 3, (qid, pairs)
+        assert len({n for _, n in pairs}) == 1, (qid, pairs)
