@@ -699,6 +699,126 @@ def ivf_topk_portable(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def ann_probe_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    probe_budgets: "tuple[int, ...]" = (1, 2, 4, 8),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVF probe-count TUNING curve — recall@k and candidate volume
+    per n_probe, the standard knob an IVF deployment sweeps (the faiss
+    nprobe trade-off, public literature): more probed clusters = more
+    candidates scored = higher recall at linearly higher cost.  The
+    sizing-curve companion to ``ann_ivf_recall_portable``'s single
+    operating point, built on the same portable md5 quantizer so the
+    whole sweep carries an exact ANSI twin.
+
+    ONE scoring pass at max(probe_budgets): every candidate carries the
+    probe rank ``p`` of its cluster for its query; each budget P then
+    re-ranks the ``p <= P`` subset (a literal fan-out — no re-scoring).
+    Recall is against the exact cosine top-k truth (self-excluded on
+    both sides).
+
+    Output: (n_probe, n_queries, n_candidates, avg_candidates, n_hits,
+    recall_at_k), one row per budget, ordered; ratios are exact
+    integer divisions.
+
+    Scale: assignment/probing are passes against the broadcast centroid
+    frame; candidate scoring is the cluster equi-join at the LARGEST
+    budget only; the per-budget re-rank windows partition by (budget,
+    query) over each query's bounded candidate list.  The exact-truth
+    side is the quality-metric convention: at corpus scale the query
+    set is a sample (here the bench query slice).
+    """
+    max_p = max(probe_budgets)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cents = portable_centroids(c, n_centroids)
+    assigned = portable_assign(c, cents)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        "q_norm",
+        "centroid_id",
+        F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 6).alias("sim"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        probe_scored.withColumn("p", F.row_number().over(w_probe))
+        .where(F.col("p") <= max_p)
+        .select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            "p",
+            F.col("centroid_id").alias("cluster"),
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "p",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    budgets = F.array(*[F.lit(int(b)).cast("int") for b in probe_budgets])
+    swept = cand.select(
+        "query_id",
+        "neighbor_id",
+        "p",
+        "cosine_sim",
+        F.explode(budgets).alias("n_probe"),
+    ).where(F.col("p") <= F.col("n_probe"))
+    w_rank = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    topk = swept.withColumn("rnk", F.row_number().over(w_rank)).where(
+        F.col("rnk") <= k
+    )
+    truth = cosine_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+    exact = truth.select("query_id", "neighbor_id")
+    nq = queries.count()
+    hits = (
+        topk.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    vol = swept.groupBy("n_probe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return (
+        vol.join(hits, "n_probe", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "n_probe",
+            F.lit(nq).cast("bigint").alias("n_queries"),
+            "n_candidates",
+            (F.col("n_candidates") / F.lit(nq)).alias("avg_candidates"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits") / F.lit(float(k * nq))).alias("recall_at_k"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -480,6 +480,113 @@ FROM q LEFT JOIN hits ON q.query_id = hits.query_id
 """
 
 
+def q_ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The IVF probe-count tuning curve (the faiss nprobe trade-off):
+    # recall@5 + candidate volume per n_probe in {1, 2, 4, 8} over the
+    # portable quantizer, vs exact cosine truth on the bench query
+    # slice — the THIRTEENTH measured sizing curve, and the one an IVF
+    # deployment actually sweeps before fixing its operating point
+    # (ann_ivf_recall_portable pins that single point; this prices the
+    # whole knob).  One scoring pass at the largest budget; smaller
+    # budgets re-rank the p <= P subset via literal fan-out.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    return similarity.ann_probe_recall_curve(
+        emb, q, k=5, n_centroids=16, probe_budgets=(1, 2, 4, 8)
+    )
+
+
+SQL_ANN_PROBE_RECALL_CURVE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+h AS (
+  SELECT vec_id, v,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS hh
+  FROM e
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) AS centroid_id,
+         v AS cv
+  FROM h
+  QUALIFY centroid_id <= 16
+), assign_scored AS (
+  SELECT a.vec_id AS neighbor_id, a.v, c.centroid_id,
+         ROUND(list_inner_product(a.v, c.cv) /
+               (SQRT(list_inner_product(a.v, a.v))
+                * SQRT(list_inner_product(c.cv, c.cv))), 6) AS sim
+  FROM e a CROSS JOIN cents c
+), assigned AS (
+  SELECT neighbor_id, v, centroid_id AS cluster
+  FROM assign_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                             ORDER BY sim DESC, centroid_id) = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+), probe_scored AS (
+  SELECT query_id, qv, c.centroid_id,
+         ROUND(list_inner_product(qv, c.cv) /
+               (SQRT(list_inner_product(qv, qv))
+                * SQRT(list_inner_product(c.cv, c.cv))), 6) AS sim
+  FROM q CROSS JOIN cents c
+), probes AS (
+  SELECT query_id, qv, centroid_id AS cluster, p
+  FROM (
+    SELECT query_id, qv, centroid_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, centroid_id) AS INT) AS p
+    FROM probe_scored
+  ) WHERE p <= 8
+), cand AS (
+  SELECT p.query_id, a.neighbor_id, p.p,
+         ROUND(list_inner_product(p.qv, a.v) /
+               (SQRT(list_inner_product(p.qv, p.qv))
+                * SQRT(list_inner_product(a.v, a.v))), 6) AS cosine_sim
+  FROM probes p JOIN assigned a USING (cluster)
+  WHERE a.neighbor_id <> p.query_id
+), swept AS (
+  SELECT c.query_id, c.neighbor_id, c.p, c.cosine_sim, b.n_probe
+  FROM cand c CROSS JOIN (SELECT UNNEST([1, 2, 4, 8]) AS n_probe) b
+  WHERE c.p <= b.n_probe
+), topk AS (
+  SELECT n_probe, query_id, neighbor_id
+  FROM (
+    SELECT n_probe, query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+    FROM swept
+  ) WHERE rnk <= 5
+), exact_topk AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, a.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             ROUND(list_inner_product(qv, a.v) /
+               (SQRT(list_inner_product(qv, qv))
+                * SQRT(list_inner_product(a.v, a.v))), 6) DESC,
+             a.vec_id) AS INT) AS rnk
+    FROM e a CROSS JOIN q WHERE a.vec_id <> query_id
+  ) WHERE rnk <= 5
+), nq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q
+), hits AS (
+  SELECT t.n_probe, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM topk t JOIN exact_topk x
+    ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+  GROUP BY t.n_probe
+), vol AS (
+  SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM swept GROUP BY n_probe
+)
+SELECT CAST(v.n_probe AS INT) AS n_probe,
+       nq.n_queries,
+       v.n_candidates,
+       v.n_candidates * 1.0 / nq.n_queries AS avg_candidates,
+       CAST(COALESCE(hi.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(hi.n_hits, 0) / (5.0 * nq.n_queries) AS recall_at_k
+FROM vol v CROSS JOIN nq LEFT JOIN hits hi ON v.n_probe = hi.n_probe
+ORDER BY n_probe
+"""
+
+
 def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Label-quality metric: does the 5-NN majority label agree with each
     # query's OWN label?  (Self is excluded from the neighbor set, so this

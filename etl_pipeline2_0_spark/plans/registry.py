@@ -562,6 +562,16 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LQ.q_ldiversity_audit,
         LQ.SQL_LDIVERSITY_AUDIT,
     ),
+    # --- added r17 POST-RECORD (past-cap; r18 pool, bench row ALSO
+    #     deferred to r18 so BENCH_LOCAL_r17 stays one coherent run):
+    #     the IVF probe-count tuning curve — recall@5 + candidate
+    #     volume per n_probe from ONE scoring pass at the largest
+    #     budget (the faiss nprobe trade-off; the 13th measured sizing
+    #     curve) ---
+    "ann_probe_recall_curve": (
+        LS.q_ann_probe_recall_curve,
+        LS.SQL_ANN_PROBE_RECALL_CURVE,
+    ),
     # --- demoted r17 (see ROUND-17 ROTATION note above): the ten
     #     named thrice-green holdovers plus eight second-wave
     #     demotions (best_of_n, cluster_profile, jaccard_histogram,

@@ -1741,3 +1741,15 @@ def test_ldiversity_audit_one_corpus_aggregate_l_sweep_bounded(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_ann_probe_recall_curve_single_scoring_pass(spark, sf_dir):
+    # Candidates are scored ONCE at the largest budget via the cluster
+    # equi-join; budgets re-rank subsets by literal fan-out (Generate).
+    # The centroid frame and probe lists ride broadcasts; the only
+    # all-pairs side is the exact-truth metric (broadcast-scored over
+    # the bounded query slice).  No cartesian.
+    plan = _plan(L.q_ann_probe_recall_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the budget literal fan-out
+    assert "partial_count" in plan

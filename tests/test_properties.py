@@ -1182,3 +1182,25 @@ def test_retrieval_ndcg_rm3_bounds_and_shared_truth(spark, sf_dir):
     for qid, pairs in per_q.items():
         assert len(pairs) == 3, (qid, pairs)
         assert len({n for _, n in pairs}) == 1, (qid, pairs)
+
+
+def test_ann_probe_recall_curve_monotone(spark, sf_dir):
+    """Probing more clusters can only ADD candidates, and top-k over a
+    superset can only improve-or-hold recall against a fixed truth —
+    both columns must be non-decreasing in n_probe; ratios exact."""
+    from etl_pipeline2_0_spark.plans.llm_similarity import (
+        q_ann_probe_recall_curve,
+    )
+
+    rows = sorted(
+        q_ann_probe_recall_curve(spark, sf_dir).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_candidates"] <= b["n_candidates"]
+        assert a["n_hits"] <= b["n_hits"]
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["recall_at_k"] == r["n_hits"] / (5.0 * r["n_queries"])
+        assert r["avg_candidates"] == r["n_candidates"] / r["n_queries"]
