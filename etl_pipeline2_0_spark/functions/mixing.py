@@ -2674,3 +2674,67 @@ def temperature_mix_curve(
         )
         .orderBy("alpha")
     )
+
+
+def needle_insert(
+    docs: DataFrame,
+    needle: str = "The special magic number is 4242424.",
+    depths: "tuple[int, ...]" = (0, 25, 50, 75, 100),
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Needle-in-a-haystack long-context eval construction (the public
+    NIAH protocol: splice a retrievable fact into a context at fixed
+    depth fractions, then probe recall per depth): one output row per
+    (document, depth), the needle's whitespace tokens inserted at token
+    position floor(depth/100 * n).  Depth 0 prepends, 100 appends.
+
+    Deterministic string surgery — same doc + needle + depth gives the
+    same context on any engine or partitioning; docs shorter than
+    ``min_tokens`` are skipped (no meaningful depth resolution).
+
+    Output: (doc_id, depth_pct, insert_pos, n_tokens, text_with_needle)
+    where n_tokens counts the ORIGINAL document tokens (the context
+    length axis of the NIAH grid).
+
+    Scale: a narrow per-row transform — whitespace-split once, explode
+    the |depths|-element literal, two ``slice`` calls and a join — NO
+    shuffle, no Python; output is |depths| x input rows.  Rows inherit
+    the input partitioning for the downstream eval runner.
+    """
+    needle_toks = [t for t in needle.split(" ") if t]
+    tokd = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.col(text_col), r"[ \t\n\r\x0B\x0C]+"),
+            lambda t: F.length(t) > 0,
+        ).alias("_toks"),
+    ).withColumn("_n", F.size("_toks")).where(F.col("_n") >= min_tokens)
+    depths_arr = F.array(*[F.lit(int(d)).cast("int") for d in depths])
+    placed = tokd.select(
+        "doc_id",
+        "_toks",
+        "_n",
+        F.explode(depths_arr).alias("depth_pct"),
+    ).withColumn(
+        "insert_pos",
+        F.floor(F.col("depth_pct") * F.col("_n") / 100).cast("int"),
+    )
+    needle_arr = F.array(*[F.lit(t) for t in needle_toks])
+    spliced = F.concat(
+        F.slice(F.col("_toks"), 1, F.col("insert_pos")),
+        needle_arr,
+        F.slice(
+            F.col("_toks"),
+            F.col("insert_pos") + 1,
+            F.col("_n") - F.col("insert_pos"),
+        ),
+    )
+    return placed.select(
+        "doc_id",
+        "depth_pct",
+        "insert_pos",
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.array_join(spliced, " ").alias("text_with_needle"),
+    )

@@ -820,3 +820,45 @@ FROM (
   UNION ALL SELECT 'single_turn', single_turn, n_conversations FROM agg
 )
 """
+
+
+def q_needle_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Needle-in-a-haystack long-context eval construction (the public
+    # NIAH protocol): splice the fixed needle sentence into every tenth
+    # document at depth fractions 0/25/50/75/100% of the token stream —
+    # the (context, depth) grid a long-context eval runner probes.
+    # Pure string surgery, no shuffle; the reconstruction property
+    # (dropping the needle tokens restores the original) is test-pinned.
+    from etl_pipeline2_0_spark.functions import mixing
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    )
+    return mixing.needle_insert(docs)
+
+
+SQL_NEEDLE_INSERT = r"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \x09\x0A\x0D\x0B\x0C]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id % 10 = 0
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tokd WHERE len(toks) >= 8
+), placed AS (
+  SELECT doc_id, d.depth_pct,
+         CAST((d.depth_pct * n) // 100 AS INT) AS insert_pos, n, toks
+  FROM sized
+  CROSS JOIN (SELECT UNNEST([0, 25, 50, 75, 100]) AS depth_pct) d
+)
+SELECT doc_id, CAST(depth_pct AS INT) AS depth_pct, insert_pos,
+       CAST(n AS BIGINT) AS n_tokens,
+       array_to_string(
+         list_concat(
+           list_concat(
+             list_slice(toks, 1, insert_pos),
+             ['The', 'special', 'magic', 'number', 'is', '4242424.']),
+           list_slice(toks, insert_pos + 1, n)),
+         ' ') AS text_with_needle
+FROM placed
+"""

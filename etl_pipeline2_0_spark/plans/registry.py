@@ -572,6 +572,14 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LS.q_ann_probe_recall_curve,
         LS.SQL_ANN_PROBE_RECALL_CURVE,
     ),
+    # --- added r17 POST-RECORD (past-cap; r18 pool, bench row deferred
+    #     to r18): needle-in-a-haystack long-context eval construction —
+    #     the NIAH (context, depth) grid as deterministic string
+    #     surgery; reconstruction property test-pinned ---
+    "needle_insert": (
+        LC.q_needle_insert,
+        LC.SQL_NEEDLE_INSERT,
+    ),
     # --- demoted r17 (see ROUND-17 ROTATION note above): the ten
     #     named thrice-green holdovers plus eight second-wave
     #     demotions (best_of_n, cluster_profile, jaccard_histogram,

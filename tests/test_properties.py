@@ -1204,3 +1204,33 @@ def test_ann_probe_recall_curve_monotone(spark, sf_dir):
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["recall_at_k"] == r["n_hits"] / (5.0 * r["n_queries"])
         assert r["avg_candidates"] == r["n_candidates"] / r["n_queries"]
+
+
+def test_needle_insert_reconstruction_and_placement(spark, sf_dir):
+    """NIAH invariants: (1) removing the needle tokens restores the
+    original whitespace-token stream exactly; (2) the needle sits at
+    floor(depth/100 * n); (3) every (kept doc, depth) pair appears."""
+    from etl_pipeline2_0_spark.plans.llm_construct import q_needle_insert
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    needle_toks = ["The", "special", "magic", "number", "is", "4242424."]
+    out = q_needle_insert(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split() if t]
+        for r in load_table(spark, sf_dir, "documents")
+        .where("doc_id % 10 = 0")
+        .collect()
+    }
+    kept = {d for d, toks in docs.items() if len(toks) >= 8}
+    assert {(r["doc_id"], r["depth_pct"]) for r in out} == {
+        (d, p) for d in kept for p in (0, 25, 50, 75, 100)
+    }
+    for r in out[:200]:
+        orig = docs[r["doc_id"]]
+        n = len(orig)
+        assert r["n_tokens"] == n
+        pos = (r["depth_pct"] * n) // 100
+        assert r["insert_pos"] == pos
+        got = r["text_with_needle"].split(" ")
+        assert got[pos:pos + 6] == needle_toks
+        assert got[:pos] + got[pos + 6:] == orig
