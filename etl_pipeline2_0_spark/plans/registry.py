@@ -243,9 +243,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # test_sql_registry.py re-pins the representative set and the
     # all-oracled invariant.
     #
-    # ROUND-18 STAGING: the r17-added oracled entries
-    # (retrieval_ndcg_rm3, semantic_decontam, ldiversity_audit —
-    # registered past-cap with ×3-SF parity) promote next round; demotion
+    # ROUND-18 STAGING: the FIVE r17-added oracled entries
+    # (retrieval_ndcg_rm3, semantic_decontam, ldiversity_audit,
+    # ann_probe_recall_curve, needle_insert — registered past-cap with
+    # ×3-SF parity; the last two also need bench HEADLINE rows, deferred
+    # so BENCH_LOCAL_r17 stayed one coherent record) promote next
+    # round; demotion
     # candidates, all thrice-green by r17 if the window stays green:
     # the r14 cohort (bitext_recall, dataset_card, sft_pack, dpo_pairs,
     # ann_hubness, simhash_recall, winnow_recall, dedup_manifest,
