@@ -1268,6 +1268,7 @@ def q_minhash_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_minhash_decontam(
     num_hashes: int = 16, bands: int = 8, threshold: float = 0.5,
     max_bucket: int = 1000,
+    train_pred: str = "t.id % 2 = 0", eval_pred: str = "e.id % 2 = 1",
 ) -> str:
     # Same generated signature/banding CTEs as _sql_minhash_portable
     # (one geometry, one hash family); the pair join becomes even-side ×
@@ -1315,7 +1316,7 @@ WITH docs AS (
   SELECT DISTINCT e.id AS eval_id, t.id AS train_id
   FROM banded t
   JOIN banded e ON t.band = e.band AND t.bucket = e.bucket
-  WHERE t.id % 2 = 0 AND e.id % 2 = 1
+  WHERE {train_pred} AND {eval_pred}
 ), sizes AS (
   SELECT id, COUNT(*) AS n FROM sh GROUP BY id
 ), inter AS (
@@ -1336,6 +1337,143 @@ SELECT eval_id, train_id, jaccard FROM scored WHERE jaccard >= {threshold}
 
 
 SQL_MINHASH_DECONTAM = _sql_minhash_decontam()
+
+
+def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The four-eyes decontamination DECISION TABLE on ONE unified split
+    # (eval = every 97th doc, the contamination_check convention) and
+    # ONE direction (dirty-EVAL, the GPT-3 appendix-C reading: which
+    # benchmark docs leak from the training side): three detection legs
+    # of increasing laxity —
+    #   13gram_exact:        >= 1 shared 13-gram (the strict published
+    #                        screen; misses paraphrase)
+    #   minhash_j0.5:        fuzzy shingle Jaccard >= 0.5 via banded LSH
+    #   3gram_contain_0.8:   3-shingle containment >= 0.8 (catches a
+    #                        short eval doc embedded in a long train doc)
+    # One row per leg: (method, n_eval, n_dirty, dirty_rate) with the
+    # SAME denominator, so the three rates read as one severity curve.
+    # On THIS corpus the reading is instructive: the strict legs agree
+    # (13gram == minhash == the planted dup mass, 2/52 at sf0.1) while
+    # 3-gram containment saturates at 1.0 — a ~31-word vocabulary makes
+    # nearly every 3-gram of every eval doc appear somewhere in 5k
+    # training docs, i.e. the lax screen's threshold is corpus-
+    # dependent and must be calibrated (exactly what the report makes
+    # visible before anyone ships a decontamination config).
+    # (The embedding leg lives on the embeddings table with its own id
+    # space — semantic_decontam reports it separately.)
+    #
+    # Scale: each leg is its proven operator (broadcast-pruned shingle
+    # joins / banded LSH); the report adds only 1-row aggregates and a
+    # 3-row union.  The eval-doc count rides a broadcast.
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    n_eval = eval_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_eval"))
+
+    a = dedup.contamination_check(corpus, eval_df, k=3)
+    dirty_a = a.where(F.col("containment") >= 0.8).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dirty")
+    )
+    b = dedup.contamination_check(corpus, eval_df, k=13)
+    dirty_b = b.where(F.col("n_contaminated") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dirty")
+    )
+    c = dedup.minhash_decontaminate(
+        corpus, eval_df, num_hashes=16, bands=8, threshold=0.5, portable=True
+    )
+    dirty_c = c.select("eval_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dirty")
+    )
+
+    legs = [
+        ("13gram_exact", dirty_b),
+        ("3gram_contain_0.8", dirty_a),
+        ("minhash_j0.5", dirty_c),
+    ]
+    parts = [
+        d.crossJoin(F.broadcast(n_eval)).select(
+            F.lit(name).alias("method"),
+            "n_eval",
+            "n_dirty",
+            (F.col("n_dirty") / F.col("n_eval")).alias("dirty_rate"),
+        )
+        for name, d in legs
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
+
+
+def _sql_contain_leg(k: int) -> str:
+    """k-shingle eval-vs-corpus containment on the %97 split (the
+    SQL_CONTAMINATION_CHECK construction generalized over k; containment
+    ROUNDed to 6dp exactly like the Spark column so the >= 0.8 gate
+    cannot flip on a borderline doc)."""
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"LEAD(tok, {i}) OVER w" for i in range(1, k)]
+    )
+    return rf"""
+  SELECT eval_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+         ROUND(SUM(CASE WHEN hit THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS containment
+  FROM (
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents
+    ), tok_rows AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+      FROM tok
+    ), shk AS (
+      SELECT doc_id, {leads} AS shingle
+      FROM tok_rows WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM shk WHERE shingle IS NOT NULL
+    ), corpus_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 <> 0
+    ), eval_sh AS (
+      SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT e.eval_id, (c.shingle IS NOT NULL) AS hit
+    FROM eval_sh e LEFT JOIN corpus_sh c USING (shingle)
+  )
+  GROUP BY eval_id
+"""
+
+
+SQL_DECONTAM_REPORT = rf"""
+WITH n_eval AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval FROM documents WHERE doc_id % 97 = 0
+), leg3 AS (
+{_sql_contain_leg(3)}
+), leg13 AS (
+{_sql_contain_leg(13)}
+), mh AS (
+  SELECT * FROM (
+    {_sql_minhash_decontam(train_pred="t.id % 97 <> 0", eval_pred="e.id % 97 = 0")}
+  )
+), dirty AS (
+  SELECT '13gram_exact' AS method,
+         CAST(COUNT(*) AS BIGINT) AS n_dirty
+  FROM leg13 WHERE n_contaminated > 0
+  UNION ALL
+  SELECT '3gram_contain_0.8',
+         CAST(COUNT(*) AS BIGINT)
+  FROM leg3 WHERE containment >= 0.8
+  UNION ALL
+  SELECT 'minhash_j0.5',
+         CAST(COUNT(DISTINCT eval_id) AS BIGINT)
+  FROM mh
+)
+SELECT d.method, n.n_eval, d.n_dirty,
+       d.n_dirty * 1.0 / n.n_eval AS dirty_rate
+FROM dirty d CROSS JOIN n_eval n
+"""
 
 
 # ---------------------------------------------------------- soft dedup ----

@@ -243,12 +243,12 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # test_sql_registry.py re-pins the representative set and the
     # all-oracled invariant.
     #
-    # ROUND-18 STAGING: the FIVE r17-added oracled entries
+    # ROUND-18 STAGING: the SEVEN r17-added oracled entries
     # (retrieval_ndcg_rm3, semantic_decontam, ldiversity_audit,
-    # ann_probe_recall_curve, needle_insert — registered past-cap with
-    # ×3-SF parity; the last two also need bench HEADLINE rows, deferred
-    # so BENCH_LOCAL_r17 stayed one coherent record) promote next
-    # round; demotion
+    # ann_probe_recall_curve, needle_insert, decontam_report — all
+    # registered past-cap with ×3-SF parity; the post-record four also
+    # need bench HEADLINE rows, deferred so BENCH_LOCAL_r17 stayed one
+    # coherent record) promote next round; demotion
     # candidates, all thrice-green by r17 if the window stays green:
     # the r14 cohort (bitext_recall, dataset_card, sft_pack, dpo_pairs,
     # ann_hubness, simhash_recall, winnow_recall, dedup_manifest,
@@ -582,6 +582,16 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "needle_insert": (
         LC.q_needle_insert,
         LC.SQL_NEEDLE_INSERT,
+    ),
+    # --- added r17 POST-RECORD (past-cap; r18 pool, bench row deferred
+    #     to r18): the four-eyes decontamination DECISION TABLE — dirty-
+    #     eval rates for 13-gram-exact / MinHash-J0.5 / 3-gram-
+    #     containment-0.8 on ONE unified %97 split and denominator (the
+    #     GPT-3 appendix-C reading; semantic_decontam reports the
+    #     embedding leg on its own table) ---
+    "decontam_report": (
+        LD.q_decontam_report,
+        LD.SQL_DECONTAM_REPORT,
     ),
     # --- demoted r17 (see ROUND-17 ROTATION note above): the ten
     #     named thrice-green holdovers plus eight second-wave

@@ -1234,3 +1234,19 @@ def test_needle_insert_reconstruction_and_placement(spark, sf_dir):
         got = r["text_with_needle"].split(" ")
         assert got[pos:pos + 6] == needle_toks
         assert got[:pos] + got[pos + 6:] == orig
+
+
+def test_decontam_report_legs_consistent(spark, sf_dir):
+    """All three legs report against the SAME eval denominator; counts
+    are bounded; the strict 13-gram leg can never flag more docs than
+    the 3-gram-hit superset relation allows (a shared 13-gram implies
+    shared 3-grams, so 13gram dirty docs all have containment > 0)."""
+    from etl_pipeline2_0_spark.plans.llm_dedup import q_decontam_report
+
+    rows = {r["method"]: r for r in q_decontam_report(spark, sf_dir).collect()}
+    assert set(rows) == {"13gram_exact", "3gram_contain_0.8", "minhash_j0.5"}
+    n_eval = {r["n_eval"] for r in rows.values()}
+    assert len(n_eval) == 1
+    for r in rows.values():
+        assert 0 <= r["n_dirty"] <= r["n_eval"]
+        assert r["dirty_rate"] == r["n_dirty"] / r["n_eval"]
