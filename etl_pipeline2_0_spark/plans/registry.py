@@ -243,7 +243,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # test_sql_registry.py re-pins the representative set and the
     # all-oracled invariant.
     #
-    # ROUND-18 STAGING: the SEVEN r17-added oracled entries
+    # ROUND-18 STAGING: the SIX r17-added oracled entries
     # (retrieval_ndcg_rm3, semantic_decontam, ldiversity_audit,
     # ann_probe_recall_curve, needle_insert, decontam_report — all
     # registered past-cap with ×3-SF parity; the post-record four also
