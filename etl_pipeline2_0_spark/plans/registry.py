@@ -246,7 +246,7 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # ROUND-18 STAGING: the SIX r17-added oracled entries
     # (retrieval_ndcg_rm3, semantic_decontam, ldiversity_audit,
     # ann_probe_recall_curve, needle_insert, decontam_report — all
-    # registered past-cap with ×3-SF parity; the post-record four also
+    # registered past-cap with ×3-SF parity; the post-record three also
     # need bench HEADLINE rows, deferred so BENCH_LOCAL_r17 stayed one
     # coherent record) promote next round; demotion
     # candidates, all thrice-green by r17 if the window stays green:
