@@ -834,6 +834,78 @@ FROM j JOIN thr t USING (lang)
 # ------------------------------------- seed-trained quality classifier -
 
 
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Calibration (reliability) table for the seed-trained NB quality
+    # classifier, graded against the heuristic quality gate as the gold
+    # proxy: per unit-width log-odds bin (clamped to [-3, 3]), how many
+    # docs land there, how many the heuristic gate keeps, and the bin's
+    # exact mean score — the monotone-agreement read a curation lead
+    # checks BEFORE thresholding a classifier at corpus scale (a bin
+    # where keep_rate does not rise with score flags miscalibration).
+    # Exactness: score is the classifier's rounded-6dp column, so the
+    # micro-unit bin sum is an order-free integer; every rate is one
+    # division of exact integers.
+    #
+    # Scale: the classifier and the gate are their proven one-pass
+    # operators; the calibration adds a doc_id equi-join and ONE
+    # bounded aggregate on the <= 7-row bin key.  No window.
+    docs = load_table(spark, sf_dir, "documents")
+    qc = text.quality_classifier_scores(
+        docs,
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") == "src1"),
+        num_buckets=4096,
+    )
+    gate = text.quality_gate(docs, "text", "doc_id").select(
+        "doc_id", F.lit(1).alias("_gold")
+    )
+    j = qc.join(gate, "doc_id", "left").na.fill({"_gold": 0})
+    sbin = (
+        F.greatest(F.lit(-3), F.least(F.lit(3), F.floor(F.col("score"))))
+        .cast("int")
+        .alias("score_bin")
+    )
+    micro = F.round(F.col("score") * 1000000).cast("bigint")
+    return (
+        j.select(sbin, F.col("_gold"), micro.alias("_micro"))
+        .groupBy("score_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_gold").cast("bigint").alias("n_gold_keep"),
+            (F.sum("_gold") / F.count(F.lit(1))).alias("keep_rate"),
+            (
+                F.sum("_micro") / (F.count(F.lit(1)) * F.lit(1000000.0))
+            ).alias("mean_score"),
+        )
+        .orderBy("score_bin")
+    )
+
+
+SQL_QUALITY_CALIBRATION_TEMPLATE = """
+WITH qc AS (
+  SELECT * FROM (
+    {qc_sql}
+  )
+), gate AS (
+  SELECT doc_id, 1 AS gold FROM (
+    {gate_sql}
+  )
+), j AS (
+  SELECT qc.doc_id, qc.score, COALESCE(g.gold, 0) AS gold,
+         CAST(GREATEST(-3, LEAST(3, FLOOR(qc.score))) AS INT) AS score_bin,
+         CAST(ROUND(qc.score * 1000000) AS BIGINT) AS micro
+  FROM qc LEFT JOIN gate g USING (doc_id)
+)
+SELECT score_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(gold) AS BIGINT) AS n_gold_keep,
+       SUM(gold) * 1.0 / COUNT(*) AS keep_rate,
+       SUM(micro) / (COUNT(*) * 1000000.0) AS mean_score
+FROM j GROUP BY score_bin
+ORDER BY score_bin
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet/LLaMA-style seed classifier: src0 docs as the quality seed,
     # src1 as the reject seed, hashed-unigram NB log-odds over the whole
@@ -1983,3 +2055,8 @@ SELECT bucket,
 FROM agg CROSS JOIN tot
 ORDER BY bucket
 """
+
+
+SQL_QUALITY_CALIBRATION = SQL_QUALITY_CALIBRATION_TEMPLATE.format(
+    qc_sql=SQL_QUALITY_CLASSIFIER, gate_sql=SQL_CORPUS_FILTER
+)

@@ -243,12 +243,13 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     # test_sql_registry.py re-pins the representative set and the
     # all-oracled invariant.
     #
-    # ROUND-18 STAGING: the SIX r17-added oracled entries
+    # ROUND-18 STAGING: the SEVEN r17-added oracled entries
     # (retrieval_ndcg_rm3, semantic_decontam, ldiversity_audit,
-    # ann_probe_recall_curve, needle_insert, decontam_report — all
-    # registered past-cap with ×3-SF parity; the post-record three also
-    # need bench HEADLINE rows, deferred so BENCH_LOCAL_r17 stayed one
-    # coherent record) promote next round; demotion
+    # ann_probe_recall_curve, needle_insert, decontam_report,
+    # quality_calibration — all registered past-cap with ×3-SF parity;
+    # the post-record four also need bench HEADLINE rows, deferred so
+    # BENCH_LOCAL_r17 stayed one coherent record) promote next round;
+    # demotion
     # candidates, all thrice-green by r17 if the window stays green:
     # the r14 cohort (bitext_recall, dataset_card, sft_pack, dpo_pairs,
     # ann_hubness, simhash_recall, winnow_recall, dedup_manifest,
@@ -592,6 +593,17 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
     "decontam_report": (
         LD.q_decontam_report,
         LD.SQL_DECONTAM_REPORT,
+    ),
+    # --- added r17 POST-RECORD (past-cap; r18 pool, bench row deferred
+    #     to r18): calibration (reliability) table for the seed-trained
+    #     NB quality classifier vs the heuristic gate — per log-odds
+    #     bin: doc mass, gate keep rate, exact micro-unit mean score
+    #     (the check run before thresholding a classifier; on this
+    #     corpus it measures real NON-monotone disagreement, which is
+    #     the point) ---
+    "quality_calibration": (
+        LT.q_quality_calibration,
+        LT.SQL_QUALITY_CALIBRATION,
     ),
     # --- demoted r17 (see ROUND-17 ROTATION note above): the ten
     #     named thrice-green holdovers plus eight second-wave

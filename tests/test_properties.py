@@ -1250,3 +1250,24 @@ def test_decontam_report_legs_consistent(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r["n_dirty"] <= r["n_eval"]
         assert r["dirty_rate"] == r["n_dirty"] / r["n_eval"]
+
+
+def test_quality_calibration_partitions_corpus(spark, sf_dir):
+    """The bins partition the scored corpus exactly: bin doc counts sum
+    to the corpus size, keeps sum to the gate's keep count, every rate
+    is a valid exact ratio, bins lie in [-3, 3]."""
+    from etl_pipeline2_0_spark.plans.llm_text import (
+        q_corpus_filter,
+        q_quality_calibration,
+    )
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    rows = q_quality_calibration(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_keep = q_corpus_filter(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_gold_keep"] for r in rows) == n_keep
+    for r in rows:
+        assert -3 <= r["score_bin"] <= 3
+        assert 0 <= r["n_gold_keep"] <= r["n_docs"]
+        assert r["keep_rate"] == r["n_gold_keep"] / r["n_docs"]
