@@ -526,6 +526,67 @@ FROM sweep GROUP BY l
 """
 
 
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # t-closeness audit (Li et al. 2007) over the (source, 256-char
+    # length bucket) classes with lang as the sensitive attribute —
+    # the value-SKEW leg of the privacy tripod (kanon_audit = class
+    # size, ldiversity_audit = value count, this = distributional
+    # distance).  Each class's TVD-vs-global rides an exact integer
+    # ratio num/(2*s*G); the t verdict is integer cross-multiplication
+    # against rational thresholds 0.1/0.2/0.3/0.5, so the oracle is
+    # tolerance-free.  One corpus aggregate to the cell grain; all
+    # later stages run on the bounded cell frame.
+    from etl_pipeline2_0_spark.functions import dq
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dq.t_closeness_audit(docs)
+
+
+SQL_T_CLOSENESS_AUDIT = r"""
+WITH cells AS (
+  SELECT source, CAST(FLOOR(n_chars / 256.0) AS BIGINT) AS bkt,
+         lang AS sv, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+), gdist AS (
+  SELECT sv, CAST(SUM(c) AS BIGINT) AS g FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS gt FROM gdist
+), sizes AS (
+  SELECT source, bkt, CAST(SUM(c) AS BIGINT) AS s
+  FROM cells GROUP BY 1, 2
+), obs AS (
+  SELECT c.source, c.bkt,
+         CAST(SUM(ABS(c.c * t.gt - g.g * z.s)) AS BIGINT) AS num_obs,
+         CAST(SUM(g.g) AS BIGINT) AS g_obs
+  FROM cells c
+  JOIN gdist g ON c.sv = g.sv
+  JOIN sizes z ON c.source = z.source AND c.bkt = z.bkt
+  CROSS JOIN tot t
+  GROUP BY 1, 2
+), cls AS (
+  SELECT z.s,
+         o.num_obs + (t.gt - o.g_obs) * z.s AS num,
+         2 * z.s * t.gt AS den
+  FROM obs o
+  JOIN sizes z ON o.source = z.source AND o.bkt = z.bkt
+  CROSS JOIN tot t
+), sweep AS (
+  SELECT s, num, den, tn, td
+  FROM cls CROSS JOIN (VALUES (1, 10), (1, 5), (3, 10), (1, 2)) ts(tn, td)
+)
+SELECT tn * 1.0 / td AS t,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN num * td > den * tn THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_above_t,
+       CAST(SUM(CASE WHEN num * td > den * tn THEN s ELSE 0 END) AS BIGINT)
+         AS rows_above_t,
+       SUM(CASE WHEN num * td > den * tn THEN s ELSE 0 END) * 1.0
+         / GREATEST(SUM(s), 1) AS pct_rows_above,
+       MAX(num * 1.0 / den) AS max_tvd
+FROM sweep GROUP BY tn, td
+"""
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Datasheet-style report card (Gebru et al. 2021): volume, token-
     # length quantiles, exact-dup rate, language/source shares, mean

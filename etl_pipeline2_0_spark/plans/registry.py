@@ -605,6 +605,16 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LT.q_quality_calibration,
         LT.SQL_QUALITY_CALIBRATION,
     ),
+    # --- added r17 POST-RECORD (past-cap; r18 pool, bench row deferred
+    #     to r18): t-closeness audit (Li et al. 2007) — the value-SKEW
+    #     leg completing the privacy tripod (kanon = class size,
+    #     ldiversity = value count, this = TVD vs the global sensitive
+    #     distribution); exact integer cross-multiplied t verdicts,
+    #     one corpus aggregate + bounded cell-frame stages ---
+    "t_closeness_audit": (
+        LQ.q_t_closeness_audit,
+        LQ.SQL_T_CLOSENESS_AUDIT,
+    ),
     # --- demoted r17 (see ROUND-17 ROTATION note above): the ten
     #     named thrice-green holdovers plus eight second-wave
     #     demotions (best_of_n, cluster_profile, jaccard_histogram,

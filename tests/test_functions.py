@@ -5859,6 +5859,39 @@ def test_ldiversity_audit_exact_counts(spark):
     assert out[5]["pct_rows_below"] == 1.0
 
 
+def test_t_closeness_audit_exact_tvds(spark):
+    """Literal corpus with hand-computed TVDs: global lang mix is
+    en 7 / fr 3 (G=10); the all-en class (s=6) sits at TVD 0.3 exactly,
+    the 1-en/3-fr class (s=4) at 0.45 — so the 0.3 threshold (strict >)
+    keeps the first and flags the second, and 0.5 flags neither."""
+    from etl_pipeline2_0_spark.functions import dq as D
+
+    rows = [("en", "web", 10 * i) for i in range(1, 7)]      # class A: 6 en
+    rows += [("en", "book", 10), ("fr", "book", 20),
+             ("fr", "book", 30), ("fr", "book", 40)]          # class B
+    docs = spark.createDataFrame(
+        rows, "lang string, source string, n_chars long"
+    )
+    out = {
+        round(r["t"], 2): r
+        for r in D.t_closeness_audit(docs, checkpoint=False).collect()
+    }
+    assert set(out) == {0.1, 0.2, 0.3, 0.5}
+    for r in out.values():
+        assert r["n_classes"] == 2
+        assert abs(r["max_tvd"] - 0.45) < 1e-12
+    assert out[0.1]["classes_above_t"] == 2
+    assert out[0.1]["rows_above_t"] == 10
+    assert out[0.1]["pct_rows_above"] == 1.0
+    assert out[0.2]["classes_above_t"] == 2
+    # strict >: the TVD-0.3 class is NOT above t=0.3
+    assert out[0.3]["classes_above_t"] == 1
+    assert out[0.3]["rows_above_t"] == 4
+    assert abs(out[0.3]["pct_rows_above"] - 0.4) < 1e-12
+    assert out[0.5]["classes_above_t"] == 0
+    assert out[0.5]["rows_above_t"] == 0
+
+
 def test_semantic_decontam_planted_staircase(spark, sf_dir):
     """The planted paraphrase band (cos ~ 0.97) is caught at eps
     0.90/0.95 and excluded at 0.99; natural pairs (max cos ~ 0.51)

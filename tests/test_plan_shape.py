@@ -1743,6 +1743,29 @@ def test_ldiversity_audit_one_corpus_aggregate_l_sweep_bounded(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
 
 
+def test_t_closeness_audit_one_scan_bounded_stages(spark, sf_dir):
+    # One corpus scan into the cell-grain aggregate; the global
+    # distribution is a 1-row broadcast cross (BroadcastNestedLoopJoin),
+    # the t sweep a literal explode over the bounded class frame.  No
+    # cartesian, no window, no sort-merge join anywhere.
+    from etl_pipeline2_0_spark.functions import dq as D
+    from etl_pipeline2_0_spark.plans import llm_dq as LDQ
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(D.t_closeness_audit(docs, checkpoint=False))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row global cross
+    assert plan.count("Scan parquet") <= 2
+    # registry default: the lazily-checkpointed cell frame absorbs the
+    # corpus scan — the visible plan reads ONLY the ExistingRDD
+    plan2 = _plan(LDQ.q_t_closeness_audit(spark, sf_dir))
+    assert plan2.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan2
+
+
 def test_ann_probe_recall_curve_single_scoring_pass(spark, sf_dir):
     # Candidates are scored ONCE at the largest budget via the cluster
     # equi-join; budgets re-rank subsets by literal fan-out (Generate).

@@ -1148,6 +1148,32 @@ def test_ldiversity_sweep_monotone(spark, sf_dir):
         assert r["classes_below_l"] <= r["n_classes"]
 
 
+def test_t_closeness_sweep_monotone(spark, sf_dir):
+    """classes_above_t / rows_above_t are non-increasing in t (a class
+    above a looser threshold is above every tighter one); max_tvd is a
+    valid TVD repeated across rows; every pct is a valid ratio."""
+    from etl_pipeline2_0_spark.plans.llm_dq import q_t_closeness_audit
+
+    rows = sorted(
+        q_t_closeness_audit(spark, sf_dir).collect(), key=lambda r: r["t"]
+    )
+    assert [round(r["t"], 2) for r in rows] == [0.1, 0.2, 0.3, 0.5]
+    for a, b in zip(rows, rows[1:]):
+        assert a["classes_above_t"] >= b["classes_above_t"]
+        assert a["rows_above_t"] >= b["rows_above_t"]
+        assert a["n_classes"] == b["n_classes"]
+        assert a["max_tvd"] == b["max_tvd"]
+    for r in rows:
+        assert 0.0 <= r["pct_rows_above"] <= 1.0
+        assert 0.0 <= r["max_tvd"] <= 1.0
+        assert r["classes_above_t"] <= r["n_classes"]
+        # max_tvd must be consistent with the sweep verdicts
+        if r["max_tvd"] > r["t"]:
+            assert r["classes_above_t"] >= 1
+        else:
+            assert r["classes_above_t"] == 0
+
+
 def test_semantic_decontam_sweep_monotone(spark, sf_dir):
     """n_contaminated is non-increasing in eps (a vector within a tighter
     ball is within every looser one) and totals are consistent."""
