@@ -2314,6 +2314,95 @@ def heavy_hitter_phrases(
     )
 
 
+def distinct_ngrams(
+    df,
+    ns: "tuple[int, ...]" = (1, 2, 3),
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity table (the distinct-1/2 metric of Li et al.
+    2016, generalised by the Texygen suite of Zhu et al. 2018) — THE
+    standard mode-collapse screen for generated/synthetic data pools:
+    per ``group_col`` and n-gram order, the share of n-gram TOKENS that
+    are distinct TYPES, next to the hapax share (types seen exactly
+    once).  A synthetic source whose distinct_ratio sits far below the
+    organic sources' is recycling templates; read next to
+    ``heavy_hitter_phrases`` (which names the offending phrases) and
+    ``gopher_repetition`` (the intra-doc view).
+
+    Output: one row per (group, n) — (group, n, total_ngrams,
+    distinct_ngrams, distinct_ratio, singleton_ratio); ratios are
+    single divisions of exact integer counts (unrounded, the
+    kanon_audit convention), singleton_ratio = hapax types / types.
+
+    Scale: ONE corpus pass — every order's grams emit from one
+    tokenize via a tagged flatten, so the doc scan is not repeated per
+    n.  Two-level exact aggregate: (group, n, gram) counts with
+    map-side partial combine (the shuffle carries one long per
+    distinct gram, the same key shape heavy_hitter_phrases ships),
+    then the bounded (group, n) rollup.  No window, no join, no
+    collect; at 100 TB the gram key would be pre-hashed (xxhash64)
+    for the shuffle — counts are unchanged because only identity,
+    not the string, matters here.
+    """
+    ws = tokens(F.col(text_col))
+
+    # closure factory: a 2-param lambda would trip F.transform's
+    # (element, index) arity detection and bind the index to n
+    def _tag(n):
+        return lambda i: F.struct(
+            F.lit(int(n)).cast("int").alias("n"),
+            F.concat_ws(" ", F.slice(ws, i, n)).alias("gram"),
+        )
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.when(
+                    F.size(ws) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                        _tag(n),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<n:int,gram:string>>")
+                )
+                for n in ns
+            ]
+        )
+    )
+    exploded = df.select(
+        F.col(group_col).alias("grp"), F.explode(tagged).alias("_t")
+    ).select("grp", F.col("_t.n").alias("n"), F.col("_t.gram").alias("gram"))
+    counts = exploded.groupBy("grp", "n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    return (
+        counts.groupBy("grp", "n")
+        .agg(
+            F.sum("_c").cast("bigint").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("_hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            (
+                F.col("distinct_ngrams")
+                / F.greatest(F.col("total_ngrams"), F.lit(1))
+            ).alias("distinct_ratio"),
+            (
+                F.col("_hapax")
+                / F.greatest(F.col("distinct_ngrams"), F.lit(1))
+            ).alias("singleton_ratio"),
+        )
+    )
+
+
 def boilerplate_strip(
     df,
     df_ratio: float = 0.5,

@@ -1925,6 +1925,44 @@ ORDER BY rank
 """
 
 
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distinct-n diversity table (Li et al. 2016 / Texygen): per
+    # (source, n in 1..3), n-gram type/token ratio and hapax share —
+    # the mode-collapse screen a synthetic-data pool is graded on.
+    # One corpus pass (all orders from one tokenize via tagged
+    # flatten), exact two-level aggregate, unrounded integer-ratio
+    # divisions — tolerance-free oracle.
+    docs = load_table(spark, sf_dir, "documents")
+    return text.distinct_ngrams(docs, ns=(1, 2, 3))
+
+
+SQL_DISTINCT_NGRAMS = r"""
+WITH w AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), g AS (
+  SELECT source, n,
+         unnest(list_transform(range(1, len(ws) - n + 2),
+                               i -> array_to_string(ws[i:i+n-1], ' ')))
+           AS gram
+  FROM w CROSS JOIN (SELECT unnest([1, 2, 3]) AS n)
+  WHERE len(ws) >= n
+), c AS (
+  SELECT source, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT source, CAST(n AS INT) AS n,
+       CAST(SUM(c) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+       COUNT(*) * 1.0 / GREATEST(SUM(c), 1) AS distinct_ratio,
+       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+         / GREATEST(COUNT(*), 1) AS singleton_ratio
+FROM c GROUP BY source, n
+"""
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-source boilerplate-line removal (CCNet / RefinedWeb pre-dedup
     # pass).  The corpus is single-line by construction, so the query

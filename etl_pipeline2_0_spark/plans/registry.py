@@ -615,6 +615,15 @@ ALL_QUERIES: dict[str, tuple[QueryFn, Optional[str]]] = {
         LQ.q_t_closeness_audit,
         LQ.SQL_T_CLOSENESS_AUDIT,
     ),
+    # --- added r17 POST-RECORD (past-cap; r18 pool, bench row deferred
+    #     to r18): distinct-n diversity table (Li et al. 2016 /
+    #     Texygen) — per-(source, n) n-gram type/token and hapax
+    #     ratios, the mode-collapse screen for synthetic data pools;
+    #     one corpus pass, exact two-level aggregate ---
+    "distinct_ngrams": (
+        LT.q_distinct_ngrams,
+        LT.SQL_DISTINCT_NGRAMS,
+    ),
     # --- demoted r17 (see ROUND-17 ROTATION note above): the ten
     #     named thrice-green holdovers plus eight second-wave
     #     demotions (best_of_n, cluster_profile, jaccard_histogram,

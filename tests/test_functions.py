@@ -5892,6 +5892,42 @@ def test_t_closeness_audit_exact_tvds(spark):
     assert out[0.5]["rows_above_t"] == 0
 
 
+def test_distinct_ngrams_exact_counts(spark):
+    """Hand-countable corpus: the template source 'a' recycles one
+    token ('x x x x' + 'x x'), the diverse source 'b' never repeats
+    ('a b c') — so 'a' bottoms out the distinct ratio and 'b' pegs
+    both ratios at 1."""
+    from etl_pipeline2_0_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x", "a"), (2, "x x", "a"), (3, "a b c", "b")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        (r["source"], r["n"]): r
+        for r in T.distinct_ngrams(docs).collect()
+    }
+    assert set(out) == {(s, n) for s in ("a", "b") for n in (1, 2, 3)}
+    # source a: 6 unigram tokens, 1 type ('x', count 6, not hapax)
+    assert out[("a", 1)]["total_ngrams"] == 6
+    assert out[("a", 1)]["distinct_ngrams"] == 1
+    assert abs(out[("a", 1)]["distinct_ratio"] - 1 / 6) < 1e-12
+    assert out[("a", 1)]["singleton_ratio"] == 0.0
+    # source a bigrams: 3 + 1 occurrences of 'x x'
+    assert out[("a", 2)]["total_ngrams"] == 4
+    assert out[("a", 2)]["distinct_ngrams"] == 1
+    # source a trigrams: only the 4-token doc emits (2 of 'x x x')
+    assert out[("a", 3)]["total_ngrams"] == 2
+    assert out[("a", 3)]["distinct_ngrams"] == 1
+    # source b: all-unique at every order
+    for n, tot in ((1, 3), (2, 2), (3, 1)):
+        r = out[("b", n)]
+        assert r["total_ngrams"] == tot
+        assert r["distinct_ngrams"] == tot
+        assert r["distinct_ratio"] == 1.0
+        assert r["singleton_ratio"] == 1.0
+
+
 def test_semantic_decontam_planted_staircase(spark, sf_dir):
     """The planted paraphrase band (cos ~ 0.97) is caught at eps
     0.90/0.95 and excluded at 0.99; natural pairs (max cos ~ 0.51)

@@ -1766,6 +1766,19 @@ def test_t_closeness_audit_one_scan_bounded_stages(spark, sf_dir):
     assert "ExistingRDD" in plan2
 
 
+def test_distinct_ngrams_single_pass_no_join(spark, sf_dir):
+    # All three n-gram orders emit from ONE corpus scan (tagged
+    # flatten + one Generate); the rest is a two-level exact
+    # aggregate.  No join of any kind, no window.
+    from etl_pipeline2_0_spark.plans import llm_text as LTX
+
+    plan = _plan(LTX.q_distinct_ngrams(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan  # the single explode
+    assert plan.count("Scan parquet") == 1
+
+
 def test_ann_probe_recall_curve_single_scoring_pass(spark, sf_dir):
     # Candidates are scored ONCE at the largest budget via the cluster
     # equi-join; budgets re-rank subsets by literal fan-out (Generate).

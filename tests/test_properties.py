@@ -1174,6 +1174,30 @@ def test_t_closeness_sweep_monotone(spark, sf_dir):
             assert r["classes_above_t"] == 0
 
 
+def test_distinct_ngrams_bounds_and_monotone_totals(spark, sf_dir):
+    """Types never exceed tokens, ratios are valid, every source emits
+    all three orders, and total n-grams is non-increasing in n (each
+    doc contributes max(L-n+1, 0) grams)."""
+    from etl_pipeline2_0_spark.plans.llm_text import q_distinct_ngrams
+
+    rows = q_distinct_ngrams(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["n"]] = r
+    assert len(by_src) >= 2
+    for src, d in by_src.items():
+        assert set(d) == {1, 2, 3}
+        assert (
+            d[1]["total_ngrams"]
+            >= d[2]["total_ngrams"]
+            >= d[3]["total_ngrams"]
+        )
+        for r in d.values():
+            assert 1 <= r["distinct_ngrams"] <= r["total_ngrams"]
+            assert 0.0 < r["distinct_ratio"] <= 1.0
+            assert 0.0 <= r["singleton_ratio"] <= 1.0
+
+
 def test_semantic_decontam_sweep_monotone(spark, sf_dir):
     """n_contaminated is non-increasing in eps (a vector within a tighter
     ball is within every looser one) and totals are consistent."""
