@@ -569,10 +569,31 @@ def minhash_near_duplicates(
     # executor-local blocks, reclaimed by the context cleaner.
     if checkpoint:
         candidates = candidates.localCheckpoint(eager=False)
-    # Verify-side pruning: only docs that appear in some candidate pair need
-    # their shingle set materialized.  The semi-join runs BEFORE the
-    # tokenizer, so at scale the re-shingling cost is O(candidates), not
-    # O(corpus) — LSH typically recalls a tiny fraction of docs.
+    return minhash_verify_candidates(
+        df, candidates, text_col, id_col, k, threshold
+    )
+
+
+def minhash_verify_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of an LSH candidate pair list — the
+    tail of ``minhash_near_duplicates``, exposed so metric queries that
+    need BOTH the candidate stream and its verified subset (e.g. the
+    band-efficiency row) can share ONE candidate subtree instead of
+    re-running signatures+banding per consumer (r17 optimization,
+    guide §2.4).
+
+    Verify-side pruning: only docs that appear in some candidate pair need
+    their shingle set materialized.  The semi-join runs BEFORE the
+    tokenizer, so at scale the re-shingling cost is O(candidates), not
+    O(corpus) — LSH typically recalls a tiny fraction of docs.
+    """
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .union(candidates.select(F.col("id_b").alias("id")))
@@ -2250,6 +2271,7 @@ def corpus_overlap(
     id_col: str = "doc_id",
     k: int = 3,
     max_shingle_freq: "int | None" = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Cross-source content-overlap matrix: for every pair of sources,
     how many distinct k-token shingles they share, and what fraction of
@@ -2279,6 +2301,12 @@ def corpus_overlap(
         .select("grp", F.explode("_shs").alias("shingle"))
         .distinct()
     )
+    # The distinct vocabulary feeds THREE consumers (sizes + both sides
+    # of the pair equi-join); without a barrier each consumer re-runs
+    # the corpus explode+distinct (r17 optimization, guide §2.4).
+    # checkpoint=False keeps the full shape visible to plan tests.
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=False)
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("shingle")

@@ -1985,6 +1985,7 @@ def ann_hubness(
     top_hubs: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Hubness audit of an ANN index (Radovanović et al. 2010): in high
     dimensions the k-occurrence distribution N_k (how many top-k lists
@@ -2016,6 +2017,12 @@ def ann_hubness(
         corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe,
         vec_col=vec_col, id_col=id_col,
     )
+    # The bounded (≤ k·|queries|-row) top-k frame feeds TWO consumers
+    # (occurrence count + the n_lists/antihub summary); without a
+    # barrier the whole IVF probe join executes twice per action (r17
+    # optimization, guide §2.4).  checkpoint=False un-blinds plan tests.
+    if checkpoint:
+        topk = topk.localCheckpoint(eager=False)
     occ = topk.groupBy("neighbor_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occ")
     )
@@ -2710,6 +2717,7 @@ def label_noise_matrix(
     id_col: str = "vec_id",
     label_col: str = "label",
     topk=None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Class-conditional label-noise matrix (the confident-learning
     count matrix of Northcutt et al. 2021, with the k-NN vote as the
@@ -2748,6 +2756,12 @@ def label_noise_matrix(
         .groupBy("given_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    # The ≤|classes|²-row matrix feeds the row-total aggregate AND the
+    # final join; without a barrier the whole kNN-vote subtree (the
+    # expensive broadcast-scored top-k) executes twice per action (r17
+    # optimization, guide §2.4).  checkpoint=False un-blinds plan tests.
+    if checkpoint:
+        mat = mat.localCheckpoint(eager=False)
     totals = mat.groupBy("given_label").agg(
         F.sum("n").alias("n_given")
     )

@@ -2300,9 +2300,22 @@ def heavy_hitter_phrases(
     exploded = df.select(
         F.col(id_col), F.explode(grams).alias("phrase")
     )
-    agg = exploded.groupBy("phrase").agg(
-        F.countDistinct(id_col).cast("bigint").alias("n_docs"),
-        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+    # Explicit two-level aggregate instead of countDistinct+count in one
+    # agg: the single-agg form plans an Expand that DOUBLES the exploded
+    # (doc, 8-gram-string) stream before the shuffle (one copy per
+    # aggregate branch); per-(phrase, doc) partial aggregation first,
+    # then the per-phrase rollup, shuffles each distinct (phrase, doc)
+    # pair once (r17 optimization, guide §2.3 — shuffle fewer bytes).
+    # n_docs = count of (phrase, doc) groups ≡ countDistinct(doc);
+    # n_occurrences = sum of per-doc occurrence counts ≡ count(*).
+    agg = (
+        exploded.groupBy("phrase", id_col)
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_occ").cast("bigint").alias("n_occurrences"),
+        )
     )
     top = agg.orderBy(
         F.col("n_docs").desc(), F.col("phrase")

@@ -690,6 +690,38 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 SQL_MINHASH_PAIRS_PORTABLE = _sql_minhash_portable()
 
 
+def _recall_table(
+    probe: DataFrame, member: DataFrame, n_probe_col: str,
+    n_hit_col: str, rate_col: str,
+) -> DataFrame:
+    """Shared single-pass membership summary for the recall/precision
+    metric family (r17 optimization, guide §2.4): ONE left join of the
+    probe pair set against the DISTINCT member pair set replaces the
+    previous ``probe.crossJoin(broadcast(probe.join(member, "semi").agg(...)))``
+    shape, whose two consumers of ``probe`` re-executed the whole exact
+    all-pairs truth subtree twice per action (no exchange reuse across
+    the semi and the cross).  Values are unchanged, including the
+    empty-probe edge: ``sum(when(...))`` over zero rows is NULL exactly
+    like the old ``max(n_found)`` over an empty cross — matching the
+    oracle's ``SUM(CASE ...) FROM truth``.
+    """
+    hit = F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+    return (
+        probe.join(
+            F.broadcast(member.distinct().withColumn("_hit", F.lit(1))),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_probe_col),
+            hit.cast("bigint").alias(n_hit_col),
+            F.round(
+                hit / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+            ).alias(rate_col),
+        )
+    )
+
+
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dedup-quality metric: recall of the (portable-hash) MinHash-LSH
     # pipeline against the exact n-gram-Jaccard ground truth at the same
@@ -706,18 +738,7 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = dedup.minhash_near_duplicates(
         docs, k=3, num_hashes=16, bands=8, threshold=0.5, portable=True
     ).select("id_a", "id_b")
-    return truth.crossJoin(
-        F.broadcast(
-            truth.join(found, ["id_a", "id_b"], "semi")
-            .agg(F.count(F.lit(1)).alias("n_found"))
-        )
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
-        F.max("n_found").cast("bigint").alias("n_recalled"),
-        F.round(
-            F.max("n_found") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
-        ).alias("recall"),
-    )
+    return _recall_table(truth, found, "n_true_pairs", "n_recalled", "recall")
 
 
 SQL_MINHASH_RECALL = (
@@ -1074,18 +1095,7 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = dedup.minhash_near_duplicates(
         docs, k=3, num_hashes=16, bands=8, threshold=0.5, portable=True
     ).select("id_a", "id_b")
-    return found.crossJoin(
-        F.broadcast(
-            found.join(truth, ["id_a", "id_b"], "semi")
-            .agg(F.count(F.lit(1)).alias("n_correct"))
-        )
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_found"),
-        F.max("n_correct").cast("bigint").alias("n_correct"),
-        F.round(
-            F.max("n_correct") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
-        ).alias("precision"),
-    )
+    return _recall_table(found, truth, "n_found", "n_correct", "precision")
 
 
 # Same CTE chain as the recall twin; only the outer aggregate flips
@@ -1130,10 +1140,13 @@ def q_minhash_band_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 2 == 0
     )
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", 3, 16, True)
-    cand = dedup.lsh_candidate_pairs(sigs, 8, 2, 1000, True)
-    verified = dedup.minhash_near_duplicates(
-        docs, k=3, num_hashes=16, bands=8, threshold=0.5, portable=True
+    # ONE candidate subtree for both the count and the verify consumer
+    # (r17 optimization, guide §2.4): previously `verified` re-ran the
+    # whole signatures→banding chain via minhash_near_duplicates.
+    cand = dedup.lsh_candidate_pairs(sigs, 8, 2, 1000, True).localCheckpoint(
+        eager=False
     )
+    verified = dedup.minhash_verify_candidates(docs, cand, k=3, threshold=0.5)
     return (
         cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
         .crossJoin(
@@ -1541,18 +1554,7 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = dedup.hamming_pairs(
         sigs, id_col="id", sig_col="simhash", max_hamming=3, blocks=4
     ).select("id_a", "id_b")
-    return truth.crossJoin(
-        F.broadcast(
-            truth.join(found, ["id_a", "id_b"], "semi")
-            .agg(F.count(F.lit(1)).alias("n_found"))
-        )
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
-        F.max("n_found").cast("bigint").alias("n_recalled"),
-        F.round(
-            F.max("n_found") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
-        ).alias("recall"),
-    )
+    return _recall_table(truth, found, "n_true_pairs", "n_recalled", "recall")
 
 
 # The portable-simhash chain with the %2 subset; the truth chain is the
@@ -1639,18 +1641,7 @@ def q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=8, window=4, min_shared=5, max_doc_freq=10,
         portable_hash=True,
     ).select("id_a", "id_b")
-    return truth.crossJoin(
-        F.broadcast(
-            truth.join(found, ["id_a", "id_b"], "semi")
-            .agg(F.count(F.lit(1)).alias("n_found"))
-        )
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
-        F.max("n_found").cast("bigint").alias("n_recalled"),
-        F.round(
-            F.max("n_found") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
-        ).alias("recall"),
-    )
+    return _recall_table(truth, found, "n_true_pairs", "n_recalled", "recall")
 
 
 # The winnow chain on the %2 subset; the shared truth tail guarantees

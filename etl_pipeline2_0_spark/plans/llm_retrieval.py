@@ -679,6 +679,11 @@ def q_retrieval_ndcg_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("rel"))
+        # The truth table is consumed TWICE per grader (dcg join + ideal
+        # ranking) across THREE graders = six executions of the corpus
+        # tokenize+aggregate without a barrier (r17 optimization, guide
+        # §2.4); the frame is bounded (#queries × matched docs).
+        .localCheckpoint(eager=False)
     )
     rankers = [
         ("bm25", retrieval.bm25_topk(docs, _BM25_QUERIES, top_k=5)),
