@@ -457,21 +457,12 @@ def bpe_encode_docs(
     )
 
 
-def _bpe_loop(
-    df,
-    text_col: str,
-    n_merges: int,
-    max_word_types: int,
-    snapshot_steps: "tuple[int, ...]" = (),
-):
-    """Shared BPE core: returns (merges frame, final word-type frame,
-    snapshots) — ``snapshots`` maps each requested step count in
-    ``snapshot_steps`` (0 = the pre-merge character split) to that
-    step's word-type frame.  Snapshots are free: every step is already
-    a lazily-checkpointed bounded frame, so keeping a reference adds no
-    recomputation (``bpe_fertility_curve`` reads four of them from ONE
-    training run)."""
-    words = (
+def _bpe_word_table(df, text_col: str, max_word_types: int):
+    """The ONE full-corpus pass of BPE training: word-frequency count +
+    the bounded TakeOrdered word-type cut (count desc, word asc) with
+    the padded double-separator symbol encoding.  Everything after this
+    frame is corpus-size-independent (≤ ``max_word_types`` rows)."""
+    return (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -487,75 +478,92 @@ def _bpe_loop(
             "cnt",
         )
     )
+
+
+def _bpe_loop(
+    df,
+    text_col: str,
+    n_merges: int,
+    max_word_types: int,
+    snapshot_steps: "tuple[int, ...]" = (),
+):
+    """Shared BPE core: returns (merges frame, final word-type frame,
+    snapshots) — ``snapshots`` maps each requested step count in
+    ``snapshot_steps`` (0 = the pre-merge character split) to that
+    step's word-type frame.
+
+    r17 optimization (guide §1.2/§5): the merge loop runs DRIVER-LOCAL
+    on the collected bounded word-type table.  The only full-corpus work
+    — the word count + TakeOrdered cut (``_bpe_word_table``) — stays
+    distributed; the k-iteration loop then operates on ≤
+    ``max_word_types`` rows, for which the previous declarative
+    formulation paid 2 Spark jobs (argmax aggregate + checkpointed
+    replace) of scheduling/codegen per iteration, ~1.4 s of the 1.8 s
+    query at sf0.1.  This is the sentencepiece architecture: corpus
+    statistics distributed, merge loop on the frequency dict.  The
+    collect is bounded-by-design (same class as the centroid-sample
+    collect sites).  Semantics are IDENTICAL to the declarative loop —
+    the same padded-string symbol encoding, the same left-to-right
+    non-overlapping literal replace (Python ``str.replace`` ≡ Java
+    ``String.replace``), the same (pair_cnt desc, pair asc) argmax
+    tie-break (Python code-point order ≡ Spark UTF8 binary order — UTF-8
+    preserves code-point order), the same empty-``best`` passthrough
+    when the corpus runs out of pairs — proven by the unchanged DuckDB
+    twins at all three SFs.
+    """
+    spark = df.sparkSession
+    merge_rows, table, snaps = _bpe_loop_local(
+        df, text_col, n_merges, max_word_types, snapshot_steps
+    )
+    w_schema = "word string, sym string, cnt bigint"
+    merges = spark.createDataFrame(
+        merge_rows, "step int, pair string, pair_cnt bigint"
+    )
+    words = spark.createDataFrame(table, w_schema)
+    snapshots = {
+        k: spark.createDataFrame(t, w_schema) for k, t in snaps.items()
+    }
+    return merges, words, snapshots
+
+
+def _bpe_loop_local(
+    df,
+    text_col: str,
+    n_merges: int,
+    max_word_types: int,
+    snapshot_steps: "tuple[int, ...]" = (),
+):
+    """The driver-local BPE core behind :func:`_bpe_loop`: returns plain
+    Python ``(merge_rows, table, snapshots)`` where ``table`` /
+    snapshot values are lists of (word, sym, cnt)."""
+    rows = _bpe_word_table(df, text_col, max_word_types).collect()
+    table = [(r["word"], r["sym"], r["cnt"]) for r in rows]
+
     snapshots = {}
     if 0 in snapshot_steps:
-        snapshots[0] = words
-    merges = None
+        snapshots[0] = list(table)
+    merge_rows: list = []
     for step in range(1, n_merges + 1):
-        syms = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
-        # single-symbol words yield NO pairs (sequence(1,0) would run
-        # backwards under Spark's sign-inferred step — guard, same as
-        # token_shingles' short-document guard)
-        pairs = F.when(
-            F.size(syms) < 2, F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.concat(
-                    F.element_at(syms, i), F.lit("·"), F.element_at(syms, i + 1)
-                ),
-            )
-        )
-        best = (
-            words.select(F.explode(pairs).alias("pair"), "cnt")
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("pair_cnt"))
-            .orderBy(F.col("pair_cnt").desc(), F.col("pair"))
-            .limit(1)
-            .select(F.lit(step).alias("step"), "pair", "pair_cnt")
-        )
-        merges = best if merges is None else merges.unionByName(best)
-        # LEFT join on a constant key, not a crossJoin: when the corpus
-        # runs out of pairs (every word fused to one symbol) ``best`` is
-        # EMPTY, and a crossJoin would silently drop the whole word table
-        # — hypothesis found this on the 1-word corpus {'a': 1}.  With no
-        # winning pair the symbols pass through unchanged.
-        words = (
-            words.withColumn("_k", F.lit(1))
-            .join(
-                F.broadcast(best.select(F.lit(1).alias("_k"), "pair")),
-                "_k",
-                "left",
-            )
-            .select(
-                "word",
-                F.when(F.col("pair").isNull(), F.col("sym"))
-                .otherwise(
-                    F.replace(
-                        F.col("sym"),
-                        F.concat(
-                            F.lit("·"),
-                            F.replace(F.col("pair"), F.lit("·"), F.lit("··")),
-                            F.lit("·"),
-                        ),
-                        F.concat(
-                            F.lit("·"),
-                            F.replace(F.col("pair"), F.lit("·"), F.lit("")),
-                            F.lit("·"),
-                        ),
-                    )
-                )
-                .alias("sym"),
-                "cnt",
-            )
-            # barrier per iteration: without it words_{i} appears twice in
-            # words_{i+1}'s lineage (directly + via best_i) and both plan
-            # analysis and execution fan out exponentially in n_merges
-            .localCheckpoint(eager=False)
-        )
+        pair_cnt: dict = {}
+        for _, sym, cnt in table:
+            syms = sym.strip("·").split("··")
+            for i in range(len(syms) - 1):
+                p = syms[i] + "·" + syms[i + 1]
+                pair_cnt[p] = pair_cnt.get(p, 0) + cnt
+        if pair_cnt:
+            # argmax: pair_cnt desc, pair asc — identical to the
+            # orderBy(desc, asc).limit(1) of the declarative loop
+            best_pair = min(pair_cnt, key=lambda p: (-pair_cnt[p], p))
+            merge_rows.append((step, best_pair, pair_cnt[best_pair]))
+            src = "·" + best_pair.replace("·", "··") + "·"
+            dst = "·" + best_pair.replace("·", "") + "·"
+            table = [(w, s.replace(src, dst), c) for (w, s, c) in table]
+        # with no winning pair the symbols pass through unchanged and no
+        # merge row is emitted for this step (the declarative loop's
+        # empty-best LEFT-join behavior)
         if step in snapshot_steps:
-            snapshots[step] = words
-    return merges, words, snapshots
+            snapshots[step] = list(table)
+    return merge_rows, table, snapshots
 
 
 def bpe_fertility_curve(
@@ -585,28 +593,32 @@ def bpe_fertility_curve(
     reuse the loop's per-step lazy checkpoints, so the curve costs one
     training run plus |ks| bounded aggregates.
     """
-    _, _, snaps = _bpe_loop(
+    # r17 optimization (guide §1.2/§5): the snapshots are driver-local
+    # bounded tables since the _bpe_loop port; the per-k aggregates are
+    # plain sums over ≤ max_word_types rows — |ks| Spark jobs of
+    # scheduling for trivial data otherwise.  Null semantics of the
+    # former F.sum over an empty frame (NULL, count 0) are preserved.
+    _, _, snaps = _bpe_loop_local(
         df, text_col, max(int(k) for k in ks), max_word_types,
         snapshot_steps=tuple(int(k) for k in ks),
     )
-    out = None
+    rows = []
     for k in sorted(int(k) for k in ks):
-        syms = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
-        row = snaps[k].agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
-            F.sum("cnt").cast("bigint").alias("total_words"),
-            F.sum(F.col("cnt") * F.size(syms)).cast("bigint").alias(
-                "total_pieces"
-            ),
-        ).select(
-            F.lit(k).cast("int").alias("n_merges"),
-            "n_word_types",
-            "total_words",
-            "total_pieces",
-            (F.col("total_pieces") / F.col("total_words")).alias("fertility"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("n_merges")
+        table = snaps[k]
+        if table:
+            total_words = sum(c for _, _, c in table)
+            total_pieces = sum(
+                c * len(s.strip("·").split("··")) for _, s, c in table
+            )
+            fertility = total_pieces / total_words
+        else:
+            total_words = total_pieces = fertility = None
+        rows.append((k, len(table), total_words, total_pieces, fertility))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "n_merges int, n_word_types bigint, total_words bigint, "
+        "total_pieces bigint, fertility double",
+    ).orderBy("n_merges")
 
 
 def corpus_vocab(df, text_col: str = "text", vocab_size: int = 512):

@@ -256,6 +256,160 @@ def unigram_train(
     return vocab
 
 
+def _round6(x: "float | None") -> "float | None":
+    """Mirror of Spark's ``F.round(col, 6)`` on doubles: HALF_UP (away
+    from zero) on the shortest round-trip decimal representation —
+    ``repr(x)`` produces the same shortest form Java's
+    ``BigDecimal.valueOf(double)`` rounds."""
+    if x is None:
+        return None
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _viterbi_word_local(
+    word: str,
+    spans: "list[tuple[int, int, str]]",
+    logp: "dict[str, float]",
+    max_word_len: int,
+) -> "list[str | None]":
+    """Driver-local mirror of the :func:`_viterbi_segments` recurrence —
+    identical 6 dp rounding at every DP step, identical (cost desc, span
+    length desc, piece asc) tie-break with the HOF comparator's
+    null-propagation semantics (a NULL-cost comparison is *false*, so
+    the compare falls through to the length/piece keys), identical
+    backward walk incl. the null-entry no-path marker."""
+    import functools
+
+    L = min(len(word), max_word_len)
+    dp: "list[tuple[float | None, int, str | None]]" = [(0.0, -1, None)]
+    by_j: "dict[int, list]" = {}
+    for i, j, piece in spans:
+        if piece in logp:
+            by_j.setdefault(j, []).append((i, piece))
+
+    def _cmp(a, b):
+        # a/b = (cost, length, piece, i); None-aware like the HOF _cmp
+        ac, al, ap, _ = a
+        bc, bl, bp, _ = b
+        if ac is not None and bc is not None:
+            if ac > bc:
+                return -1
+            if ac < bc:
+                return 1
+        if al > bl:
+            return -1
+        if al < bl:
+            return 1
+        if ap < bp:
+            return -1
+        if ap > bp:
+            return 1
+        return 0
+
+    for j in range(1, L + 1):
+        cands = by_j.get(j)
+        if not cands:
+            dp.append((None, -1, None))
+            continue
+        scored = []
+        for i, piece in cands:
+            prev = dp[i][0]
+            cost = None if prev is None else _round6(prev + logp[piece])
+            scored.append((cost, j - i, piece, i))
+        best = sorted(scored, key=functools.cmp_to_key(_cmp))[0]
+        dp.append((best[0], best[3], best[2]))
+    pos = len(word)
+    pieces: "list[str | None]" = []
+    for _ in range(L):
+        if pos <= 0:
+            break
+        _, bp_i, bp_piece = dp[pos]
+        pos = bp_i
+        pieces.append(bp_piece)
+    pieces.reverse()
+    return pieces
+
+
+def _train_local(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int,
+    em_iters: int,
+    max_piece_len: int,
+    max_word_types: int,
+    max_word_len: int,
+):
+    """Driver-local unigram hard-EM (r17 optimization, guide §1.2/§5):
+    the ONE full-corpus pass — the word count feeding the bounded
+    TakeOrdered type cut — stays distributed; the EM loop then operates
+    on the collected ≤ ``max_word_types``-row table, where the previous
+    declarative formulation paid ~4 chained Spark jobs (probs + Viterbi
+    fold + usage aggregate + checkpointed re-count) of scheduling and
+    codegen per EM round.  The sentencepiece architecture: corpus
+    statistics distributed, EM on the frequency dict.  Arithmetic is
+    IDENTICAL: counts are exact integers, log-probs are
+    ``round6(ln((c+1)/(t+n)))`` of integer ratios (order-free), the DP
+    rounds to 6 dp at every step in the same sequence — C libm ``ln``
+    here is the same library the DuckDB twins use, and the committed
+    parity suite re-proves equality at all three SFs.
+
+    Returns (wt_rows, vocab_rows): [(word, freq)], [(piece, n_uses,
+    logp)] — pruned to ``vocab_size`` by (n_uses desc, piece asc) rank,
+    single characters never dropped.
+    """
+    import math
+
+    wt_rows = [
+        (r["word"], r["freq"])
+        for r in _word_types(df, text_col, max_word_types, max_word_len)
+        .collect()
+    ]
+    # spans per word (i asc, j asc — the _spans generation order) and
+    # frequency-weighted candidate seed counts over span OCCURRENCES
+    word_spans: "dict[str, list]" = {}
+    cand: "dict[str, int]" = {}
+    for word, freq in wt_rows:
+        spans = []
+        for i in range(len(word)):
+            for j in range(i + 1, min(i + max_piece_len, len(word)) + 1):
+                piece = word[i:j]
+                spans.append((i, j, piece))
+                cand[piece] = cand.get(piece, 0) + freq
+        word_spans[word] = spans
+    n_cand = len(cand)
+    pieces_set = list(cand.keys())
+    for _ in range(em_iters):
+        t = sum(cand.values())
+        logp = {
+            p: _round6(math.log((c + 1.0) / (t + n_cand)))
+            for p, c in cand.items()
+        }
+        used: "dict[str, int]" = {}
+        for word, freq in wt_rows:
+            for piece in _viterbi_word_local(
+                word, word_spans[word], logp, max_word_len
+            ):
+                if piece is not None:
+                    used[piece] = used.get(piece, 0) + freq
+        # Unused candidates persist with c = 0 (smoothed next round /
+        # in the final logp) so the candidate set is EM-invariant.
+        cand = {p: used.get(p, 0) for p in pieces_set}
+    t = sum(cand.values())
+    scored = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab_rows = [
+        (p, c, _round6(math.log((c + 1.0) / (t + n_cand))))
+        for rn, (p, c) in enumerate(scored, start=1)
+        if rn <= vocab_size or len(p) == 1
+    ]
+    return wt_rows, vocab_rows
+
+
 def _train(
     df: DataFrame,
     text_col: str,
@@ -265,60 +419,18 @@ def _train(
     max_word_types: int,
     max_word_len: int,
 ):
-    wt = _word_types(df, text_col, max_word_types, max_word_len)
-    spans = _spans(wt, max_piece_len).localCheckpoint(eager=False)
-    cand = (
-        spans.groupBy("piece")
-        .agg(F.sum("freq").cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
+    """Train and wrap the results for the DataFrame consumers: returns
+    (wt_rows, vocab_rows, vocab frame) — the first two are driver-local
+    lists (see :func:`_train_local`), the third the bounded vocabulary
+    as a local relation for the corpus-scale broadcast joins."""
+    wt_rows, vocab_rows = _train_local(
+        df, text_col, vocab_size, em_iters, max_piece_len,
+        max_word_types, max_word_len,
     )
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n"))
-    for _ in range(em_iters):
-        tot = cand.agg(F.sum("c").alias("t"))
-        probs = (
-            cand.crossJoin(F.broadcast(tot))
-            .crossJoin(F.broadcast(n_cand))
-            .select(
-                "piece",
-                F.round(
-                    F.log((F.col("c") + 1.0) / (F.col("t") + F.col("n"))), 6
-                ).alias("logp"),
-            )
-        )
-        spans_p = spans.join(F.broadcast(probs), "piece").select(
-            "word", "i", "j", "piece", "logp"
-        )
-        used = _viterbi_usage(spans_p, wt, max_word_len)
-        # Unused candidates persist with c = 0 (smoothed next round /
-        # in the final logp) so the candidate set is EM-invariant.
-        cand = (
-            cand.select("piece")
-            .join(used, "piece", "left")
-            .select("piece", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
-            .localCheckpoint(eager=False)
-        )
-    tot = cand.agg(F.sum("c").alias("t"))
-    scored = (
-        cand.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(n_cand))
-        .select(
-            "piece",
-            F.col("c").cast("bigint").alias("n_uses"),
-            F.round(
-                F.log((F.col("c") + 1.0) / (F.col("t") + F.col("n"))), 6
-            ).alias("logp"),
-        )
+    vocab = df.sparkSession.createDataFrame(
+        vocab_rows, "piece string, n_uses bigint, logp double"
     )
-    # Single-partition rank window over the BOUNDED candidate table
-    # (≤ types·len·piece_len rows — the sketch-relation exemption).
-    w_rank = Window.orderBy(F.col("n_uses").desc(), F.col("piece").asc())
-    vocab = (
-        scored.withColumn("_rn", F.row_number().over(w_rank))
-        .where((F.col("_rn") <= vocab_size) | (F.length("piece") == 1))
-        .select("piece", "n_uses", "logp")
-        .localCheckpoint(eager=False)
-    )
-    return wt, spans, vocab
+    return wt_rows, vocab_rows, vocab
 
 
 def unigram_segment_words(
@@ -339,19 +451,34 @@ def unigram_segment_words(
     Output: (word, freq, n_pieces, pieces) with pieces space-joined in
     reading order.
     """
-    wt, spans, vocab = _train(
+    wt_rows, vocab_rows, _ = _train(
         df, text_col, vocab_size, em_iters, max_piece_len,
         max_word_types, max_word_len,
     )
-    spans_v = spans.join(
-        F.broadcast(vocab.select("piece", "logp")), "piece"
-    ).select("word", "i", "j", "piece", "logp")
-    seg = _viterbi_segments(spans_v, wt, max_word_len)
-    return seg.select(
-        "word",
-        "freq",
-        F.size("pieces").cast("int").alias("n_pieces"),
-        F.array_join("pieces", " ").alias("pieces"),
+    # r17 optimization: the segmentation runs over the SAME bounded
+    # word-type table the trainer collected — driver-local Viterbi under
+    # the pruned vocab (identical recurrence), no second Spark pass.
+    # array_join semantics preserved: null pieces are skipped in the
+    # joined string but still counted by size().
+    logp = {p: lp for p, _, lp in vocab_rows}
+    rows = []
+    for word, freq in wt_rows:
+        spans = [
+            (i, j, word[i:j])
+            for i in range(len(word))
+            for j in range(i + 1, min(i + max_piece_len, len(word)) + 1)
+        ]
+        pieces = _viterbi_word_local(word, spans, logp, max_word_len)
+        rows.append(
+            (
+                word,
+                freq,
+                len(pieces),
+                " ".join(p for p in pieces if p is not None),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows, "word string, freq bigint, n_pieces int, pieces string",
     )
 
 

@@ -601,11 +601,21 @@ def test_tfidf_cosine_vocab_cap_before_postings_join(spark, sf_dir):
 
 
 def test_bpe_train_word_table_bounded_take_ordered(spark, sf_dir):
-    # The BPE loop must run on a TakeOrdered-bounded word-type table (the
-    # corpus-size-independence claim) and each argmax is itself a bounded
-    # TakeOrdered — never a global Sort of the pair table.
+    # The BPE trainer's ONE corpus pass (the word-type table) must be a
+    # TakeOrdered-bounded cut (the corpus-size-independence claim);
+    # since the r17 optimization the merge loop itself runs driver-local
+    # on that collected bounded table, so the trainer OUTPUT must be a
+    # local relation with no corpus lineage (no parquet scan, no join).
+    from etl_pipeline2_0_spark.functions import text as TX
+    from etl_pipeline2_0_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    word_plan = _plan(TX._bpe_word_table(docs, "text", 512))
+    assert "TakeOrderedAndProject" in word_plan
+    assert "CartesianProduct" not in word_plan
     plan = _plan(L.q_bpe_train_merges(spark, sf_dir))
-    assert "TakeOrderedAndProject" in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -893,15 +903,18 @@ def test_fim_transform_runs_at_scan_speed(spark, sf_dir):
 
 
 def test_unigram_queries_no_cartesian(spark, sf_dir):
-    # The EM loop's corpus-independent tables live behind lazy
-    # checkpoints; the visible plans must stay cartesian-free and the
-    # vocab joins broadcast.
-    for q in (L.q_unigram_train, L.q_unigram_segment_words,
-              L.q_unigram_fertility):
+    # Since the r17 optimization the EM trainer runs driver-local on the
+    # collected bounded word-type table: trainer/segmentation outputs
+    # must be LOCAL relations with no corpus lineage, and the
+    # corpus-scale apply paths (fertility) must stay cartesian-free with
+    # the bounded vocab joined as a broadcast local relation.
+    for q in (L.q_unigram_train, L.q_unigram_segment_words):
         plan = _plan(q(spark, sf_dir))
         assert "CartesianProduct" not in plan
-    seg = _plan(L.q_unigram_segment_words(spark, sf_dir))
-    assert seg.count("BroadcastHashJoin") >= 2
+        assert "Scan parquet" not in plan  # bounded local output
+    fert = _plan(L.q_unigram_fertility(spark, sf_dir))
+    assert "CartesianProduct" not in fert
+    assert "BroadcastHashJoin" in fert  # the vocab piece join
 
 
 def test_bitext_exact_mode_shuffle_hash_not_bnlj(spark, sf_dir):
