@@ -1383,6 +1383,52 @@ def mmr_select(
     return out
 
 
+def _block_cosine_pairs(
+    sa: DataFrame, tb: DataFrame, key: str = "blk"
+) -> DataFrame:
+    """All cross-side cosine pairs within each ``key`` group, scored by
+    one numpy matmul per cogrouped group (Arrow path — guide §4.2:
+    batches to vectorized native code, never per-pair JVM HOF folds).
+
+    Inputs carry (src_id|tgt_id, _v, ``key``); output (src_id, tgt_id,
+    cos) with cos = round(dot/(|s|·|t|), 6) in double precision — the
+    same expression the JVM fold computed; the summation-order
+    difference is below the 6 dp rounding (0 mismatches over the full
+    sf0.1 pair set, tools/bench_dot_kernel.py).
+    """
+    import pandas as pd
+
+    def _score(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series([], dtype="int64"),
+                    "tgt_id": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        s = np.stack(left["_v"].to_numpy()).astype(np.float64)
+        t = np.stack(right["_v"].to_numpy()).astype(np.float64)
+        sn = np.sqrt(np.einsum("ij,ij->i", s, s))
+        tn = np.sqrt(np.einsum("ij,ij->i", t, t))
+        cos = np.round((s @ t.T) / np.outer(sn, tn), 6)
+        return pd.DataFrame(
+            {
+                "src_id": np.repeat(left["src_id"].to_numpy(), len(right)),
+                "tgt_id": np.tile(right["tgt_id"].to_numpy(), len(left)),
+                "cos": cos.ravel(),
+            }
+        )
+
+    return (
+        sa.groupBy(key)
+        .cogroup(tb.groupBy(key))
+        .applyInPandas(_score, "src_id bigint, tgt_id bigint, cos double")
+    )
+
+
 def _bitext_margin_from_pairs(
     pairs: DataFrame, k: int, margin_threshold: float
 ) -> DataFrame:
@@ -1494,34 +1540,36 @@ def bitext_mine(
     from pyspark.sql.window import Window
 
     if method == "exact":
+        # r17 optimization (guide §4.2, the worked-example §8.3 shape):
+        # the salted-BLOCK pair enumeration is unchanged — src keyed by
+        # pmod(xxhash64(id), blocks), tgt replicated per block, the pair
+        # space partitioned by the SAME equi-key — but the per-block
+        # scoring runs as ONE vectorized numpy matmul per cogrouped
+        # block instead of the per-pair zip_with+aggregate fold, whose
+        # intermediate-array allocation per pair was the dominant cost
+        # of the query (kernel microbench at sf0.1: 2.19 s HOF vs 0.3 s
+        # matmul over the same 1M-pair frame; tools/bench_dot_kernel.py,
+        # 0/1M round-6 mismatches).  Spill-safety and block-choice
+        # independence are unchanged: each task holds one block's
+        # vectors, exactly what the shuffled-hash join's build side held.
         sa = src.select(
             F.col(id_col).alias("src_id"),
-            F.col(vec_col).alias("_sv"),
-            norm(F.col(vec_col)).alias("_sn"),
+            F.col(vec_col).alias("_v"),
             F.pmod(
                 F.xxhash64(F.col(id_col)), F.lit(exact_blocks)
             ).alias("blk"),
         )
         tb = tgt.select(
             F.col(id_col).alias("tgt_id"),
-            F.col(vec_col).alias("_tv"),
-            norm(F.col(vec_col)).alias("_tn"),
+            F.col(vec_col).alias("_v"),
             F.explode(
                 F.sequence(F.lit(0), F.lit(exact_blocks - 1))
             ).alias("blk"),
         )
-        pairs = sa.join(tb.hint("shuffle_hash"), "blk").select(
-            "src_id",
-            "tgt_id",
-            F.round(
-                dot(F.col("_sv"), F.col("_tv"))
-                / (F.col("_sn") * F.col("_tn")),
-                6,
-            ).alias("cos"),
-        )
+        pairs = _block_cosine_pairs(sa, tb)
         # pairs feed three consumers (both kNN means + the argmax) —
         # one barrier materializes the scored pair table once
-        # (checkpoint=False exposes the join subtree for plan pins).
+        # (checkpoint=False exposes the scoring subtree for plan pins).
         if checkpoint:
             pairs = pairs.localCheckpoint(eager=False)
         return _bitext_margin_from_pairs(pairs, k, margin_threshold)
@@ -1539,11 +1587,10 @@ def bitext_mine(
     # could tie (hash, id) on two different vectors.
     cents = portable_centroids(t_c, n_centroids)
 
-    def _probes(side_c, out_id, vec_out, norm_out):
+    def _probes(side_c, out_id):
         scored = side_c.crossJoin(F.broadcast(cents)).select(
             F.col("neighbor_id").alias(out_id),
-            F.col("c_vec").alias(vec_out),
-            norm(F.col("c_vec")).alias(norm_out),
+            F.col("c_vec").alias("_v"),
             "centroid_id",
             F.round(cosine(F.col("c_vec"), F.col("cent_vec")), 6).alias(
                 "sim"
@@ -1555,36 +1602,28 @@ def bitext_mine(
         return (
             scored.withColumn("_p", F.row_number().over(w))
             .where(F.col("_p") <= n_probe)
-            .select(
-                out_id, vec_out, norm_out,
-                F.col("centroid_id").alias("cluster"),
-            )
+            .select(out_id, "_v", F.col("centroid_id").alias("cluster"))
         )
 
-    def _homes(side_c, out_id, vec_out, norm_out):
+    def _homes(side_c, out_id):
         return portable_assign(side_c, cents).select(
             F.col("neighbor_id").alias(out_id),
-            F.col("c_vec").alias(vec_out),
-            F.col("c_norm").alias(norm_out),
+            F.col("c_vec").alias("_v"),
             "cluster",
         )
 
-    cos6 = F.round(
-        dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn")), 6
-    ).alias("cos")
     # Symmetric coverage: a pair is a candidate when either member's
-    # probe set reaches the other's home cluster (each direction is a
-    # cluster-keyed equi-join); identical (src, tgt, cos) rows from the
-    # two directions collapse in the distinct.
-    dir_st = (
-        _probes(s_c, "src_id", "_sv", "_sn")
-        .join(_homes(t_c, "tgt_id", "_tv", "_tn"), "cluster")
-        .select("src_id", "tgt_id", cos6)
+    # probe set reaches the other's home cluster — each direction stays
+    # a cluster-keyed equi-shuffle, scored since r17 by the cogrouped
+    # per-cluster numpy matmul (guide §4.2) instead of the per-pair JVM
+    # fold; identical (src, tgt, cos) rows from the two directions
+    # collapse in the distinct (the matmul computes the same double for
+    # the same pair in either direction).
+    dir_st = _block_cosine_pairs(
+        _probes(s_c, "src_id"), _homes(t_c, "tgt_id"), key="cluster"
     )
-    dir_ts = (
-        _homes(s_c, "src_id", "_sv", "_sn")
-        .join(_probes(t_c, "tgt_id", "_tv", "_tn"), "cluster")
-        .select("src_id", "tgt_id", cos6)
+    dir_ts = _block_cosine_pairs(
+        _homes(s_c, "src_id"), _probes(t_c, "tgt_id"), key="cluster"
     )
     pairs = dir_st.unionByName(dir_ts).distinct()
     if checkpoint:

@@ -917,13 +917,16 @@ def test_unigram_queries_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in fert  # the vocab piece join
 
 
-def test_bitext_exact_mode_shuffle_hash_not_bnlj(spark, sf_dir):
-    # The exact all-pairs enumeration must be the salted-BLOCK equi-join
-    # (pmod(xxhash64) keys on one side, per-block replication on the
-    # other) executed as a ShuffledHashJoin — a distributed, spill-safe
-    # cartesian-in-disguise — never a BroadcastNestedLoopJoin or a real
-    # CartesianProduct.  checkpoint=False exposes the pair subtree the
-    # production path hides behind its lazy barrier.
+def test_bitext_exact_mode_blocked_cogroup_not_bnlj(spark, sf_dir):
+    # The exact all-pairs enumeration must stay the salted-BLOCK
+    # partitioning (pmod(xxhash64) keys on one side, per-block
+    # replication on the other) — since the r17 optimization executed
+    # as a block-cogrouped vectorized scorer (FlatMapCoGroupsInPandas:
+    # one numpy matmul per block, both sides shuffled by the SAME
+    # equi-key the ShuffledHashJoin used) — never a
+    # BroadcastNestedLoopJoin or a real CartesianProduct.
+    # checkpoint=False exposes the pair subtree the production path
+    # hides behind its lazy barrier.
     from etl_pipeline2_0_spark.functions import similarity
     from etl_pipeline2_0_spark.sources.tables import load_table
 
@@ -934,7 +937,7 @@ def test_bitext_exact_mode_shuffle_hash_not_bnlj(spark, sf_dir):
     )
     plan = _plan(df)
     assert "pmod(xxhash64" in plan           # salted-block keys present
-    assert plan.count("ShuffledHashJoin") >= 1
+    assert "FlatMapCoGroupsInPandas" in plan  # per-block matmul scorer
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
