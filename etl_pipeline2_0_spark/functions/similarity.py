@@ -681,6 +681,7 @@ def ivf_topk_portable(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    blocked: bool = False,
 ) -> DataFrame:
     """IVF top-k under a PORTABLE, fully-relational construction — the
     md5-portability move (rp_lsh planes, MinHash/SimHash hash families)
@@ -732,19 +733,49 @@ def ivf_topk_portable(
             "query_id", "q_vec", "q_norm", F.col("centroid_id").alias("cluster")
         )
     )
-    scored = (
-        assigned.join(F.broadcast(probes), "cluster")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
-            ).alias("cosine_sim"),
+    if blocked:
+        # r17 optimization (guide §4.2): when the query set is large
+        # (ann_hubness probes with queries == corpus: ~1M candidate
+        # pairs at sf0.1) the candidate scoring runs as the cogrouped
+        # per-cluster numpy matmul instead of the per-pair HOF fold —
+        # same cluster equi-key, identical round-6 values; the HOF path
+        # stays the default for the small-query rows where two block
+        # shuffles + Arrow startup outweigh the kernel win.
+        scored = (
+            _block_cosine_pairs(
+                assigned.select(
+                    F.col("neighbor_id").alias("src_id"),
+                    F.col("c_vec").alias("_v"),
+                    "cluster",
+                ),
+                probes.select(
+                    F.col("query_id").alias("tgt_id"),
+                    F.col("q_vec").alias("_v"),
+                    "cluster",
+                ),
+                key="cluster",
+            )
+            .select(
+                F.col("tgt_id").alias("query_id"),
+                F.col("src_id").alias("neighbor_id"),
+                F.col("cos").alias("cosine_sim"),
+            )
+            .where(F.col("query_id") != F.col("neighbor_id"))
         )
-    )
+    else:
+        scored = (
+            assigned.join(F.broadcast(probes), "cluster")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    6,
+                ).alias("cosine_sim"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
@@ -2106,7 +2137,7 @@ def ann_hubness(
     """
     topk = ivf_topk_portable(
         corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe,
-        vec_col=vec_col, id_col=id_col,
+        vec_col=vec_col, id_col=id_col, blocked=True,
     )
     # The bounded (≤ k·|queries|-row) top-k frame feeds TWO consumers
     # (occurrence count + the n_lists/antihub summary); without a
