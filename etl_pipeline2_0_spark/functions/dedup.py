@@ -2005,6 +2005,12 @@ def minhash_decontaminate(
     be = _band(
         minhash_signatures(eval_df, text_col, id_col, k, num_hashes, portable)
     )
+    if checkpoint and max_bucket_size is not None:
+        # each banded side feeds the union-side hot count AND its own
+        # anti-join — without a barrier both shingle→minhash signature
+        # passes execute twice per action (r17 optimization, guide §2.4)
+        bt = bt.localCheckpoint(eager=False)
+        be = be.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         # One union-side count per (band, bucket); hot keys leave BOTH
         # sides.  The count table is (band, bucket)-keyed and small — it

@@ -760,6 +760,11 @@ def doremi_weights(
         .join(scored, "doc_id")
         .groupBy("domain")
         .agg(F.avg(-F.col("avg_logp")).alias("loss"))
+        # bounded ≤|domains|-row frame consumed by the stream side AND
+        # the min/count broadcast — without a barrier the whole
+        # char-bigram LM chain executes twice per action (r17
+        # optimization, guide §2.4)
+        .localCheckpoint(eager=False)
     )
     base = dom.crossJoin(
         F.broadcast(

@@ -72,6 +72,20 @@ def chunk_documents(
     )
 
 
+def tokenized_base(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The shared (id, _toks, dl) corpus projection every lexical ranker
+    starts from.  Exposed so multi-ranker queries can tokenize the
+    corpus ONCE (r17 optimization, guide §2.4): bm25_topk,
+    ql_dirichlet_topk and the RM3 passes each rebuilt this projection —
+    the RM3 chain alone re-ran the regex tokenizer five times per
+    action."""
+    return docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: "list[tuple[int, list[str]]] | DataFrame",
@@ -80,6 +94,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    base: "DataFrame | None" = None,
 ) -> DataFrame:
     """BM25 ranked retrieval: score every document against each query's
     terms and keep the ``top_k`` per query.
@@ -123,9 +138,8 @@ def bm25_topk(
     qterms = qterms.distinct()
     term_set = qterms.select("term").distinct()
 
-    base = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).withColumn("dl", F.size("_toks"))
+    if base is None:
+        base = tokenized_base(docs, text_col, id_col)
     postings = (
         base.select(id_col, "dl", F.explode("_toks").alias("term"))
         .join(F.broadcast(term_set), "term")
@@ -548,6 +562,7 @@ def rm3_expansion_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint: bool = True,
+    base: "DataFrame | None" = None,
 ) -> DataFrame:
     """RM3 pseudo-relevance-feedback expansion terms (Lavrenko & Croft
     2001 relevance models; the RM3 interpolation of Abdul-Jaleel et al.
@@ -584,9 +599,11 @@ def rm3_expansion_terms(
             rows, "query_id int, term string"
         ).distinct()
 
+    if base is None:
+        base = tokenized_base(docs, text_col, id_col)
     first = bm25_topk(
         docs, qterms, top_k=fb_k, k1=k1, b=b,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, base=base,
     ).select(
         "query_id",
         F.col(id_col),
@@ -604,9 +621,6 @@ def rm3_expansion_terms(
     )
     fb = first.join(F.broadcast(ssum), "query_id")
 
-    base = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).withColumn("dl", F.size("_toks"))
     fb_postings = (
         base.join(F.broadcast(fb), id_col)
         .select(
@@ -679,6 +693,7 @@ def bm25_rm3_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint: bool = True,
+    base: "DataFrame | None" = None,
 ) -> DataFrame:
     """BM25 + RM3 re-retrieval: score the corpus against each query's
     ``rm3_expansion_terms`` (weights = nano-units/10⁹), the standard
@@ -693,10 +708,19 @@ def bm25_rm3_topk(
     would re-run the whole first-pass + feedback chain (measured 24
     corpus scans un-checkpointed vs 9 with it).
     """
+    if base is None:
+        # ONE tokenized-corpus projection for the first pass, the
+        # feedback-postings probe AND the second pass (r17 optimization,
+        # guide §2.4: the chain re-ran the regex tokenizer five times);
+        # the barrier is skipped with checkpoint=False so plan tests see
+        # the full shape.
+        base = tokenized_base(docs, text_col, id_col)
+        if checkpoint:
+            base = base.localCheckpoint(eager=False)
     exp = rm3_expansion_terms(
         docs, queries, fb_k=fb_k, fb_terms=fb_terms, alpha=alpha,
         k1=k1, b=b, text_col=text_col, id_col=id_col,
-        checkpoint=checkpoint,
+        checkpoint=checkpoint, base=base,
     ).select(
         "query_id",
         "term",
@@ -706,7 +730,7 @@ def bm25_rm3_topk(
         exp = exp.localCheckpoint(eager=False)
     return bm25_topk(
         docs, exp, top_k=top_k, k1=k1, b=b,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, base=base,
     )
 
 
@@ -717,6 +741,7 @@ def ql_dirichlet_topk(
     mu: float = 300.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    base: "DataFrame | None" = None,
 ) -> DataFrame:
     """Query-likelihood ranking with Dirichlet smoothing (Zhai &
     Lafferty 2001 — public literature), the classic language-model
@@ -754,9 +779,8 @@ def ql_dirichlet_topk(
         F.count(F.lit(1)).alias("n_q")
     )
 
-    base = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).withColumn("dl", F.size("_toks"))
+    if base is None:
+        base = tokenized_base(docs, text_col, id_col)
     tot = base.agg(
         F.sum("dl").cast("bigint").alias("c_tokens")
     )

@@ -1175,7 +1175,13 @@ def pq_topk(
 
     Output: (query_id, neighbor_id, adc_dist, rnk), self-pairs excluded.
     """
-    cb = pq_codebook(corpus, n_subspaces, n_codes, dim, vec_col, id_col)
+    # The bounded (n_subspaces·n_codes-row) codebook feeds BOTH the
+    # corpus encode and the query distance table; without a barrier the
+    # codeword-sampling corpus pass runs twice per action (r17
+    # optimization, guide §2.4).
+    cb = pq_codebook(
+        corpus, n_subspaces, n_codes, dim, vec_col, id_col
+    ).localCheckpoint(eager=False)
     codes = pq_encode(corpus, cb, n_subspaces, dim, vec_col, id_col)
     qsub = _subvectors(queries, n_subspaces, dim, vec_col, id_col, "query_id")
     dtab = qsub.join(F.broadcast(cb), "m").select(
@@ -2329,20 +2335,38 @@ def contrastive_triplets(
             F.col("centroid_id").alias("cluster"),
         )
     )
+    # r17 optimization (guide §4.2): the ~1M-pair candidate scoring runs
+    # as the cogrouped per-cluster numpy matmul (same cluster equi-key,
+    # identical round-6 values); the two label attachments re-join the
+    # scored pair stream against broadcast (id, label) projections.
+    scored_pairs = _block_cosine_pairs(
+        assigned.select(
+            F.col("neighbor_id").alias("src_id"),
+            F.col("c_vec").alias("_v"),
+            "cluster",
+        ),
+        probes.select(
+            F.col("query_id").alias("tgt_id"),
+            F.col("q_vec").alias("_v"),
+            "cluster",
+        ),
+        key="cluster",
+    )
+    q_labels = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+    )
+    n_labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
     cand = (
-        assigned.join(F.broadcast(probes), "cluster")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "q_label",
-            "neighbor_id",
-            "n_label",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
-            ).alias("sim"),
+        scored_pairs.select(
+            F.col("tgt_id").alias("query_id"),
+            F.col("src_id").alias("neighbor_id"),
+            F.col("cos").alias("sim"),
         )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q_labels), "query_id")
+        .join(F.broadcast(n_labels), "neighbor_id")
     )
     pick = F.struct(F.col("sim"), (-F.col("neighbor_id")).alias("_nid"))
     agg = cand.groupBy("query_id", "q_label").agg(

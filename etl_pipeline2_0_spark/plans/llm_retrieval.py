@@ -671,10 +671,14 @@ def q_retrieval_ndcg_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
         "query_id int, term string",
     )
+    # ONE tokenized-corpus projection shared by the truth table and all
+    # THREE rankers (r17 optimization, guide §2.4 — the rankers each
+    # rebuilt it, the RM3 chain several times over).
+    base = retrieval.tokenized_base(docs).localCheckpoint(eager=False)
     rel = (
-        docs.select(
+        base.select(
             "doc_id",
-            F.explode(text.tokens(F.col("text"))).alias("term"),
+            F.explode(F.col("_toks")).alias("term"),
         )
         .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
@@ -686,16 +690,19 @@ def q_retrieval_ndcg_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     rankers = [
-        ("bm25", retrieval.bm25_topk(docs, _BM25_QUERIES, top_k=5)),
+        ("bm25", retrieval.bm25_topk(docs, _BM25_QUERIES, top_k=5, base=base)),
         (
             "bm25_rm3",
             retrieval.bm25_rm3_topk(
-                docs, _BM25_QUERIES, fb_k=5, fb_terms=8, alpha=0.5, top_k=5
+                docs, _BM25_QUERIES, fb_k=5, fb_terms=8, alpha=0.5, top_k=5,
+                base=base,
             ),
         ),
         (
             "ql_dirichlet",
-            retrieval.ql_dirichlet_topk(docs, _BM25_QUERIES, top_k=5, mu=300.0),
+            retrieval.ql_dirichlet_topk(
+                docs, _BM25_QUERIES, top_k=5, mu=300.0, base=base
+            ),
         ),
     ]
     parts = [

@@ -44,6 +44,10 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
         .orderBy(F.col("exact_cnt").desc(), F.col("item"))
         .limit(20)
+        # bounded 20-row frame consumed by the probe AND the final join
+        # — without a barrier the full explode+aggregate+TakeOrdered
+        # runs twice per action (r17 optimization, guide §2.4)
+        .localCheckpoint(eager=False)
     )
     est = sketches.cms_estimate(exact.select("item"), sk, depth=4, width=256)
     return exact.join(est, "item").select(
