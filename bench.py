@@ -224,6 +224,15 @@ HEADLINE = [
     "retrieval_ndcg_rm3",
     "semantic_decontam",
     "ldiversity_audit",
+    # r17 (optimization round): bench rows ADDED for the six operators
+    # that landed after the mid-build 207-key record (staging notes
+    # b5bc/f53a) — entries only added, never removed or renamed.
+    "ann_probe_recall_curve",
+    "needle_insert",
+    "decontam_report",
+    "quality_calibration",
+    "t_closeness_audit",
+    "distinct_ngrams",
     "doc_pipeline_sf01",
     "llm_pipeline_sf01",
     "examples_pipeline_sf01",
