@@ -680,7 +680,11 @@ def vocab_oov_curve(
     two slices), no extra pass or shuffle.
     """
     top_v = max(int(v) for v in vocab_sizes)
-    units = tokens(F.col(text_col))
+    # Materialize the token array once (r17 fix — the n-gram slices
+    # referenced the tokenizer expression ~2(max_n-1)+1 times per row,
+    # re-running the regex split each time).
+    df = df.select(tokens(F.col(text_col)).alias("_units"))
+    units = F.col("_units")
     if max_n > 1:
         grams = [units]
         for _ in range(2, max_n + 1):
@@ -2301,7 +2305,14 @@ def heavy_hitter_phrases(
     pre-hashed for the shuffle and the string re-attached from a
     one-pass sample join; the shape is identical.
     """
-    ws = tokens(F.col(text_col))
+    # Materialize the token array ONCE in its own projection (the
+    # documented lambda-inlining discipline, r17 fix): referencing the
+    # tokenizer expression inside the per-position transform lambda
+    # re-ran the regex split PER GRAM POSITION.
+    toks_df = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_ws")
+    )
+    ws = F.col("_ws")
     grams = F.when(
         F.size(ws) >= n,
         F.transform(
@@ -2309,7 +2320,7 @@ def heavy_hitter_phrases(
             lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
+    exploded = toks_df.select(
         F.col(id_col), F.explode(grams).alias("phrase")
     )
     # Explicit two-level aggregate instead of countDistinct+count in one
