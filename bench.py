@@ -495,19 +495,26 @@ def _stream_sessionize_bench(spark, sf_dir):
     schema = load_table(spark, sf_dir, "events").schema
     stream = spark.readStream.schema(schema).parquet(stage)
     name = "bench_sessions_" + uuid.uuid4().hex[:8]
-    q = (
-        stream_sessionize(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
+    # State-store sizing now comes from the LIBRARY (r17 verdict item 4:
+    # the rationale lives with the operator); ~10k user keys need 8
+    # store instances, not one per session core — the r17 driver run's
+    # 16 s sessionize outlier was 32 cold HDFS-backed stores under load.
+    from etl_pipeline2_0_spark.streaming.windows import sized_state_partitions
+
+    with sized_state_partitions(spark):
+        q = (
+            stream_sessionize(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(name)
 
 
@@ -547,20 +554,13 @@ def _stream_join_bench(spark, sf_dir):
     left = stream.where(F.col("event_type") == "purchase")
     right = stream.where(F.col("event_type") == "click")
     name = "bench_ssjoin_" + uuid.uuid4().hex[:8]
-    # State-store instance sizing (r17 optimization, guide §2 — make
-    # partitioning scale-adaptive, not a constant tuned for one mode):
-    # a stream-stream join keeps FOUR state stores per shuffle
-    # partition, each paying per-micro-batch checkpoint file I/O, so
-    # the drain cost scales with the partition count, not the data.  At
-    # this drain's state cardinality (~10k user keys) 32 partitions are
-    # pure commit overhead: measured 8.5 s at 32 vs 2.7 s at 8 on
-    # identical code/results (batch≡stream row-exactness is pinned in
-    # tests/test_streaming_windows.py).  Production sizes this to state
-    # volume/throughput via the env knob.
-    state_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
-    try:
+    # State-store instance sizing via the LIBRARY facility (r17 verdict
+    # item 4 — the sizing rationale moved from this harness into
+    # streaming.windows.sized_state_partitions, where production callers
+    # get it too; see its docstring for the measured 32-vs-8 numbers).
+    from etl_pipeline2_0_spark.streaming.windows import sized_state_partitions
+
+    with sized_state_partitions(spark):
         q = (
             stream_stream_join(
                 left, right, key="user_id",
@@ -578,8 +578,6 @@ def _stream_join_bench(spark, sf_dir):
         finally:
             if q.isActive:
                 q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
@@ -853,6 +851,12 @@ def main() -> None:
             "reruns": reruns,
             "errors": errors,
             "rerun_errors": rerun_errors,
+            # Measured-config transparency (advisor r17): the streaming
+            # rows run under this many state partitions (library default
+            # / env override), so cross-round records are comparable.
+            "stream_state_partitions": int(
+                os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", 8)
+            ),
         }
     )
     print(payload)
@@ -863,13 +867,25 @@ def main() -> None:
     # compact headline as the LAST line — any tail capture now ends
     # with one complete parseable record (total/count/errors/timings).
     print(headline)
+    # r17 verdict item 5: the driver's per-query comparison has been
+    # dead two rounds because the only per-query data lived inside the
+    # big headline/payload lines, which its tail window truncates
+    # MID-OBJECT.  Emit one tiny self-contained JSON record per query
+    # (<250 bytes each) so any tail window contains complete parseable
+    # per-query lines.  Ascending by seconds puts the expensive rows —
+    # the ones a perf comparison actually needs — nearest the end,
+    # where a tail capture is guaranteed to keep them.
+    for q_name, q_sec in sorted(timings.items(), key=lambda kv: kv[1]):
+        line = json.dumps({"q": q_name, "s": q_sec}, separators=(",", ":"))
+        assert len(line) < 250, f"per-query line grew past a tail window: {line}"
+        print(line)
     # r15 verdict item 2: even the re-printed headline embeds the full
     # per-query map (~6 KB), so a ~3 KB tail window starts MID-map and
     # the front-loaded scalars are exactly what truncation discards.
     # The true last line is therefore scalars-only (<300 bytes) — no
     # queries map, no samples — so ANY tail window ends with a complete
-    # parseable record.  Per-query timings remain in the two lines
-    # above and in BENCH_OUT.
+    # parseable record.  Per-query timings remain in the per-query
+    # lines and the two full records above, and in BENCH_OUT.
     print(
         scalars_headline(
             total,

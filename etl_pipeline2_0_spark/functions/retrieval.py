@@ -86,6 +86,26 @@ def tokenized_base(
     ).withColumn("dl", F.size("_toks"))
 
 
+def bm25_postings(
+    base: DataFrame, term_set: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The pruned postings table ``(id, term, tf, dl)`` every lexical
+    ranker scores from: corpus tokens exploded, immediately semi-joined
+    against the BROADCAST term set, aggregated per (doc, term).
+    Exposed so multi-ranker queries can build it ONCE (r18
+    optimization, guide §2.4): ``bm25_topk`` and ``ql_dirichlet_topk``
+    construct byte-identical postings from the same ``base`` and term
+    set, and the relevance-truth grade of ``q_retrieval_ndcg_rm3`` is a
+    re-aggregation of the same table — without sharing, each consumer
+    re-runs the corpus explode+join+aggregate per action."""
+    return (
+        base.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(term_set), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: "list[tuple[int, list[str]]] | DataFrame",
@@ -95,6 +115,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     base: "DataFrame | None" = None,
+    postings: "DataFrame | None" = None,
 ) -> DataFrame:
     """BM25 ranked retrieval: score every document against each query's
     terms and keep the ``top_k`` per query.
@@ -140,12 +161,14 @@ def bm25_topk(
 
     if base is None:
         base = tokenized_base(docs, text_col, id_col)
-    postings = (
-        base.select(id_col, "dl", F.explode("_toks").alias("term"))
-        .join(F.broadcast(term_set), "term")
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
+    if postings is None:
+        postings = bm25_postings(base, term_set, id_col)
+    else:
+        # a caller-shared postings table may cover a SUPERSET of this
+        # ranker's terms (e.g. one table for several query sets) — prune
+        # to this query set so df(term) and the scoring join see exactly
+        # what the self-built table would have held
+        postings = postings.join(F.broadcast(term_set), "term", "semi")
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -563,6 +586,8 @@ def rm3_expansion_terms(
     id_col: str = "doc_id",
     checkpoint: bool = True,
     base: "DataFrame | None" = None,
+    first_pass: "DataFrame | None" = None,
+    postings: "DataFrame | None" = None,
 ) -> DataFrame:
     """RM3 pseudo-relevance-feedback expansion terms (Lavrenko & Croft
     2001 relevance models; the RM3 interpolation of Abdul-Jaleel et al.
@@ -601,10 +626,20 @@ def rm3_expansion_terms(
 
     if base is None:
         base = tokenized_base(docs, text_col, id_col)
-    first = bm25_topk(
-        docs, qterms, top_k=fb_k, k1=k1, b=b,
-        text_col=text_col, id_col=id_col, base=base,
-    ).select(
+    # r18 optimization (guide §2.4 — remove duplicate passes outright):
+    # a caller that already ran the IDENTICAL first-pass ranking (same
+    # corpus/queries/k1/b and top_k == fb_k — q_retrieval_ndcg_rm3's
+    # plain bm25 ranker is exactly RM3's feedback retrieval) hands it
+    # in via ``first_pass`` and the whole first BM25 pass drops out of
+    # this chain.  The caller is responsible for the equality of those
+    # parameters; results are byte-identical by construction.
+    if first_pass is None:
+        first_pass = bm25_topk(
+            docs, qterms, top_k=fb_k, k1=k1, b=b,
+            text_col=text_col, id_col=id_col, base=base,
+            postings=postings,
+        )
+    first = first_pass.select(
         "query_id",
         F.col(id_col),
         F.round(F.col("score") * F.lit(1_000_000.0))
@@ -694,6 +729,8 @@ def bm25_rm3_topk(
     id_col: str = "doc_id",
     checkpoint: bool = True,
     base: "DataFrame | None" = None,
+    first_pass: "DataFrame | None" = None,
+    postings: "DataFrame | None" = None,
 ) -> DataFrame:
     """BM25 + RM3 re-retrieval: score the corpus against each query's
     ``rm3_expansion_terms`` (weights = nano-units/10⁹), the standard
@@ -720,7 +757,8 @@ def bm25_rm3_topk(
     exp = rm3_expansion_terms(
         docs, queries, fb_k=fb_k, fb_terms=fb_terms, alpha=alpha,
         k1=k1, b=b, text_col=text_col, id_col=id_col,
-        checkpoint=checkpoint, base=base,
+        checkpoint=checkpoint, base=base, first_pass=first_pass,
+        postings=postings,
     ).select(
         "query_id",
         "term",
@@ -742,6 +780,7 @@ def ql_dirichlet_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     base: "DataFrame | None" = None,
+    postings: "DataFrame | None" = None,
 ) -> DataFrame:
     """Query-likelihood ranking with Dirichlet smoothing (Zhai &
     Lafferty 2001 — public literature), the classic language-model
@@ -784,12 +823,11 @@ def ql_dirichlet_topk(
     tot = base.agg(
         F.sum("dl").cast("bigint").alias("c_tokens")
     )
-    postings = (
-        base.select(id_col, "dl", F.explode("_toks").alias("term"))
-        .join(F.broadcast(term_set), "term")
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
+    if postings is None:
+        postings = bm25_postings(base, term_set, id_col)
+    else:
+        # same superset-pruning contract as bm25_topk's shared postings
+        postings = postings.join(F.broadcast(term_set), "term", "semi")
     cf = postings.groupBy("term").agg(
         F.sum("tf").cast("bigint").alias("cf")
     )

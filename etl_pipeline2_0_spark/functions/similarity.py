@@ -1519,7 +1519,8 @@ def _block_cosine_pairs(
 
 
 def _bitext_margin_from_pairs(
-    pairs: DataFrame, k: int, margin_threshold: float
+    pairs: DataFrame, k: int, margin_threshold: float,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Artetxe–Schwenk margin scoring over a scored candidate-pair frame
     ``(src_id, tgt_id, cos)`` — factored out of ``bitext_mine`` so the
@@ -1545,9 +1546,21 @@ def _bitext_margin_from_pairs(
     # (HALF_UP on the true double) and DuckDB (x*1e6 can round UP to the
     # .5 before its half-away round) disagree.  Only the final margin
     # rounds (advisor-class lesson, caught by the sf0.001 parity).
+    # r18 optimization (guide §2.4 — reuse one sorted exchange): the
+    # per-source kNN mean and the per-source argmax both rank by w_s;
+    # ONE row_number pass over the pair table keeps the top-k per
+    # source (bounded: ≤ |src|·k rows), is cut, and serves both — the
+    # second full sort+window execution over the pair table drops out.
+    # rn == 1 ⊆ rn <= max(k, 1), so cand is unchanged for every k; ms
+    # re-filters rn <= k and stays empty for k < 1 exactly as the
+    # two-pass form made it.
+    top_s = pairs.withColumn("_rn", F.row_number().over(w_s)).where(
+        F.col("_rn") <= max(k, 1)
+    )
+    if checkpoint:
+        top_s = top_s.localCheckpoint(eager=False)
     ms = (
-        pairs.withColumn("_rn", F.row_number().over(w_s))
-        .where(F.col("_rn") <= k)
+        top_s.where(F.col("_rn") <= k)
         .groupBy("src_id")
         .agg(F.avg("cos").alias("_ms"))
     )
@@ -1558,8 +1571,7 @@ def _bitext_margin_from_pairs(
         .agg(F.avg("cos").alias("_mt"))
     )
     cand = (
-        pairs.withColumn("_rn", F.row_number().over(w_s))
-        .where(F.col("_rn") == 1)
+        top_s.where(F.col("_rn") == 1)
         .drop("_rn")
     )
     margin = F.round(
@@ -1661,7 +1673,9 @@ def bitext_mine(
         # (checkpoint=False exposes the scoring subtree for plan pins).
         if checkpoint:
             pairs = pairs.localCheckpoint(eager=False)
-        return _bitext_margin_from_pairs(pairs, k, margin_threshold)
+        return _bitext_margin_from_pairs(
+            pairs, k, margin_threshold, checkpoint=checkpoint
+        )
     if method != "ivf":
         raise ValueError(f"unknown bitext_mine method: {method!r}")
 
@@ -1717,7 +1731,9 @@ def bitext_mine(
     pairs = dir_st.unionByName(dir_ts).distinct()
     if checkpoint:
         pairs = pairs.localCheckpoint(eager=False)
-    return _bitext_margin_from_pairs(pairs, k, margin_threshold)
+    return _bitext_margin_from_pairs(
+        pairs, k, margin_threshold, checkpoint=checkpoint
+    )
 
 
 def bitext_mine_recall(

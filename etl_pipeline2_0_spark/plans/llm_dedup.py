@@ -1398,11 +1398,33 @@ def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_dirty")
     )
 
-    legs = [
-        ("13gram_exact", dirty_b),
-        ("3gram_contain_0.8", dirty_a),
-        ("minhash_j0.5", dirty_c),
-    ]
+    # r18 optimization (guide §2.6 — overlap independent jobs): the
+    # three legs are INDEPENDENT detection passes, but fusing them into
+    # one action stacked their trees into a single plan whose driver-
+    # side analysis/scheduling cost ~2x the legs' own compute (r17
+    # measured: legs sum 2.7 s standalone vs 6.5 s fused; per-leg LAZY
+    # barriers made it worse, 14 s, because the union action still
+    # analyzed the stacked tree).  Materializing each bounded 1-row
+    # aggregate EAGERLY from a small driver thread pool runs the legs
+    # as concurrent Spark jobs (each with its own small plan) and the
+    # report tail then unions four 1-row checkpointed frames — values
+    # identical, everything recomputed from parquet per invocation.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_n = pool.submit(_materialize, n_eval)
+        f_a = pool.submit(_materialize, dirty_a)
+        f_b = pool.submit(_materialize, dirty_b)
+        f_c = pool.submit(_materialize, dirty_c)
+        n_eval = f_n.result()
+        legs = [
+            ("13gram_exact", f_b.result()),
+            ("3gram_contain_0.8", f_a.result()),
+            ("minhash_j0.5", f_c.result()),
+        ]
     parts = [
         d.crossJoin(F.broadcast(n_eval)).select(
             F.lit(name).alias("method"),

@@ -675,33 +675,47 @@ def q_retrieval_ndcg_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THREE rankers (r17 optimization, guide §2.4 — the rankers each
     # rebuilt it, the RM3 chain several times over).
     base = retrieval.tokenized_base(docs).localCheckpoint(eager=False)
+    # r18 optimization (guide §2.4 — remove duplicate passes outright):
+    # ONE pruned postings table serves the bm25 scorer, the Dirichlet-QL
+    # scorer (byte-identical construction in both) AND the relevance
+    # truth — rel(q, d) = Σ_{t∈q} tf(t, d) is a re-aggregation of the
+    # same (doc, term, tf) rows the rankers score from, so the corpus
+    # explode+join+aggregate runs once instead of four times.
+    term_set = qterms.select("term").distinct()
+    postings = retrieval.bm25_postings(base, term_set).localCheckpoint(
+        eager=False
+    )
     rel = (
-        base.select(
-            "doc_id",
-            F.explode(F.col("_toks")).alias("term"),
-        )
-        .join(F.broadcast(qterms), "term")
+        postings.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("rel"))
+        .agg(F.sum("tf").alias("rel"))
         # The truth table is consumed TWICE per grader (dcg join + ideal
         # ranking) across THREE graders = six executions of the corpus
         # tokenize+aggregate without a barrier (r17 optimization, guide
         # §2.4); the frame is bounded (#queries × matched docs).
         .localCheckpoint(eager=False)
     )
+    # The plain bm25 ranking IS RM3's feedback retrieval (same corpus,
+    # queries, k1/b, and top_k == fb_k == 5), so it is computed once,
+    # cut (bounded: #queries × 5 rows), graded as ranker #1 AND handed
+    # to the RM3 chain as its first pass (r18, guide §2.4).
+    bm25_ranked = retrieval.bm25_topk(
+        docs, _BM25_QUERIES, top_k=5, base=base, postings=postings
+    ).localCheckpoint(eager=False)
     rankers = [
-        ("bm25", retrieval.bm25_topk(docs, _BM25_QUERIES, top_k=5, base=base)),
+        ("bm25", bm25_ranked),
         (
             "bm25_rm3",
             retrieval.bm25_rm3_topk(
                 docs, _BM25_QUERIES, fb_k=5, fb_terms=8, alpha=0.5, top_k=5,
-                base=base,
+                base=base, first_pass=bm25_ranked,
             ),
         ),
         (
             "ql_dirichlet",
             retrieval.ql_dirichlet_topk(
-                docs, _BM25_QUERIES, top_k=5, mu=300.0, base=base
+                docs, _BM25_QUERIES, top_k=5, mu=300.0, base=base,
+                postings=postings,
             ),
         ),
     ]

@@ -16,12 +16,64 @@ is the documented, deliberate semantics.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
 from typing import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Default state-store instance count for the repo's stateful streaming
+# queries.  A stateful operator keeps ONE state store per shuffle
+# partition (a stream-stream join keeps FOUR), and each store pays
+# per-micro-batch checkpoint commit I/O whether or not it holds data —
+# so the drain cost of a small-state query scales with the partition
+# count, not the data (guide §2: size partitioning to the data).  At the
+# bench's ~10k-key state, 32 partitions measured 8.5 s vs 2.7 s at 8 on
+# identical code/results (r17).  Production sizes this to state volume /
+# throughput: keys × bytes-per-key / ~100 MB per store is a reasonable
+# starting point, raised for write throughput.
+DEFAULT_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def sized_state_partitions(spark, partitions: "int | None" = None):
+    """Pin ``spark.sql.shuffle.partitions`` — the only OSS-Spark knob
+    that sets a streaming query's state-store instance count, fixed at
+    the query's FIRST checkpoint — for the duration of a streaming query
+    start, restoring the caller's batch setting afterwards.
+
+    This lives in the LIBRARY (r17 verdict item: the sizing rationale
+    belongs with the operator, not in a bench harness) but must wrap the
+    caller's ``writeStream.start()``: Spark reads the conf when the
+    query is planned, not when the operator's DataFrame is built, and a
+    builder function that mutated the session conf could not restore it
+    without also un-sizing the query it just built.  Usage::
+
+        with sized_state_partitions(spark):           # env/default sizing
+            q = stream_stream_join(l, r).writeStream...start()
+            q.awaitTermination()
+
+    ``partitions`` defaults to ``$SPARK_GRAFT_STREAM_STATE_PARTITIONS``
+    (itself defaulting to :data:`DEFAULT_STATE_PARTITIONS`) so deploys
+    size it per state volume without code changes.  Yields the effective
+    count so harnesses can record the measured configuration.
+    """
+    n = int(
+        partitions
+        if partitions is not None
+        else os.environ.get(
+            "SPARK_GRAFT_STREAM_STATE_PARTITIONS", DEFAULT_STATE_PARTITIONS
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def windowed_event_counts(

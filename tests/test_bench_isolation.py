@@ -62,7 +62,16 @@ def test_bench_survives_broken_query(tmp_path):
     assert len(json_lines[-1]) < 300
     assert tail["n_queries"] == 2
     assert tail["n_errors"] == 1
-    out = json.loads(json_lines[-2])
+    # r17 verdict item 5: the lines immediately before the scalars tail
+    # are one self-contained {"q": name, "s": sec} record per timed
+    # query (<250 bytes each, ascending by seconds) so the driver's
+    # tail window always contains parseable per-query timings.
+    per_q = [json.loads(l) for l in json_lines[-3:-1]]
+    assert {r["q"] for r in per_q} == {"count_star", "items_by_type"}
+    assert all(r["s"] > 0 for r in per_q)
+    assert all(len(l) < 250 for l in json_lines[-3:-1])
+    assert per_q[0]["s"] <= per_q[1]["s"]
+    out = json.loads(json_lines[-4])
     # healthy queries still timed
     assert set(out["queries"]) == {"count_star", "items_by_type"}
     assert all(v > 0 for v in out["queries"].values())
