@@ -120,6 +120,8 @@ def cosine_topk_blocked(
     Output identical to ``cosine_topk`` (0 round-6 mismatches over the
     full sf0.1 pair set, tools/bench_dot_kernel.py); preferable once the
     scored pair volume clears ~10⁵ (label_noise_matrix: 5.4 s → 1.3 s).
+    Preconditions: integral ids and dense non-null vectors — see
+    ``_block_cosine_pairs``.
     """
     sa = corpus.select(
         F.col(id_col).alias("src_id"),
@@ -1483,7 +1485,16 @@ def _block_cosine_pairs(
     cos) with cos = round(dot/(|s|·|t|), 6) in double precision — the
     same expression the JVM fold computed; the summation-order
     difference is below the 6 dp rounding (0 mismatches over the full
-    sf0.1 pair set, tools/bench_dot_kernel.py).
+    sf0.1 pair set, tools/bench_dot_kernel.py; the boundary-distance
+    assertion lives in tests/test_r18_optimizations.py).
+
+    Preconditions (advisor r17): the id columns must be integral (the
+    Arrow output schema declares bigint — a string-id caller must map
+    ids first) and the vectors non-null, equal-length arrays (np.stack
+    raises on ragged/null rows where the JVM fold yielded NULL cosine).
+    Every current caller (bitext modes, cosine_topk_blocked, blocked
+    IVF) satisfies both by construction: ids are generated bigints and
+    the embeddings table is dense.
     """
     import pandas as pd
 

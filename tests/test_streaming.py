@@ -2,6 +2,14 @@
 
 from __future__ import annotations
 
+import pytest
+
+# r18 (verdict item 2): marked `slow` — excluded from the default run
+# (pytest.ini addopts) so the external driver's time-boxed verify
+# finishes green; tools/round_checklist.sh gate 1b runs every slow test
+# each round.  Run directly with: python -m pytest -m slow tests/
+pytestmark = pytest.mark.slow
+
 import os
 import time
 
