@@ -59,6 +59,24 @@ def get_spark(
         # sub-second queries in the r11 interleaved bench.  Static conf:
         # must be set before the session exists.
         .config("spark.sql.codegen.cache.maxEntries", "4000")
+        # Constraint propagation is O(constraints × tree) driver-side
+        # optimizer work per action; on this engine's deep multi-join /
+        # multi-window trees it is pure analysis overhead — the r18
+        # session-floor A/B over a 26-query cross-family subset measured
+        # -11.6% total wall with it off (replicated: 28.9 → 25.5 s; the
+        # biggest single-plan deltas: cms_heavy_hitters 2.0 → 1.2,
+        # minhash_recall 2.4 → 1.6, rho_loss_select 2.3 → 1.5), with no
+        # row regressing beyond noise, at BOTH core counts (the cost is
+        # core-independent).  Results are unaffected by construction —
+        # the rule only infers redundant predicates (e.g. isnotnull on
+        # join keys).  A deployment running single huge scans (where an
+        # inferred not-null filter can prune real data) can re-enable it
+        # per query via the env knob; the engine's own join keys are
+        # non-null by construction, so the inference buys nothing here.
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROPAGATION", "false"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

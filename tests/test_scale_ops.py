@@ -107,7 +107,13 @@ def test_partitioned_write_prunes_and_dynamic_overwrite(spark, sf_dir, tmp_path)
     # pruning), leaving no data-level filter on event_type.
     back = spark.read.parquet(path).where(F.col("event_type") == "click")
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(event_type" in plan, plan[:1500]
+    # The contract is DIRECTORY pruning: the equality predicate lands in
+    # PartitionFilters and nothing remains as a data-level filter.  (r18:
+    # don't pin the inferred `isnotnull(...)` prefix — it was an artifact
+    # of constraint propagation, which the session now disables.)
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in part_filters and "click" in part_filters, plan[:1500]
+    assert "DataFilters: []" in plan, plan[:1500]
     assert back.count() == events.where("event_type = 'click'").count()
 
     # Dynamic overwrite of ONE partition must leave the others intact.
